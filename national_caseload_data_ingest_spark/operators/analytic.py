@@ -1,0 +1,402 @@
+"""Analytic query surface: window functions, grouping analytics
+(CUBE/ROLLUP/GROUPING SETS), pivot, scalar function families (string, date,
+conditional, JSON), and event-time windowing.
+
+Covers the SURVEY.md §2.2 rows: window functions, grouping sets, string fns,
+date fns, conditional, array/map/json — the Presto surface the reference's
+users reach via Athena.
+
+Scale notes: every window here partitions by a high-cardinality key
+(customer/user), so the single shuffle distributes evenly; no global-order
+window (``Window.orderBy`` without ``partitionBy``) appears anywhere — that
+shape collapses to one task and is banned in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from national_caseload_data_ingest_spark.functions import dec
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+               CAST(RANK() OVER w AS INTEGER) AS rnk,
+               CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) t WHERE rn <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank per customer; top-3 orders by price.
+
+    The (o_totalprice DESC, o_orderkey) ordering is total, so row_number is
+    deterministic across engines and partitionings.
+    """
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           CAST(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag/lead with an explicit ROWS frame.
+
+    The frame is spelled out (ROWS, not the default RANGE) so semantics are
+    identical across engines even under order-by ties.
+    """
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+        F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
+    )
+
+
+@query(
+    "window_ntile_share",
+    oracle="""
+    SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                / SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                  OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_share
+    FROM customer
+    """,
+)
+def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing + ratio-to-partition-total (unordered window sum)."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    wo = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wp = W.partitionBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.ntile(4).over(wo).alias("quartile"),
+        (dec("c_acctbal") / F.sum(dec("c_acctbal")).over(wp))
+        .cast("double")
+        .alias("nation_share"),
+    )
+
+
+@query(
+    "cube_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS grouping_id
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id (bit order: leftmost column = MSB, per ANSI)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("grouping_id"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "n", "grouping_id"
+        )
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP along the region → nation hierarchy (dims broadcast)."""
+    t = load_tables(spark, sf_dir, "customer", "nation", "region")
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+@query(
+    "grouping_sets_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither cube nor rollup shape)."""
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "pivot_line_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_line_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra discovery pass over the
+    fact table — always pass the list at scale)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           SUBSTRING(p_name, 1, 4) AS name_prefix,
+           TRIM(CONCAT(p_name, ' ')) AS name_trimmed,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           CAST(p_name LIKE '%gear%' AS BOOLEAN) AS is_gear,
+           REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(REGEXP_MATCHES(p_brand, 'Brand#[0-9]+') AS BOOLEAN) AS brand_ok,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short,
+           LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_padded
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Presto string-function family (§2.2): substr/trim/case/concat/
+    like/regexp_* — all JVM-codegen'd, no UDFs."""
+    p = load_tables(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.trim(F.concat(F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").like("%gear%").alias("is_gear"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_brand").rlike("Brand#[0-9]+").alias("brand_ok"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+           STRFTIME(o_orderdate, '%Y-%m') AS order_ym,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+               AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Presto date-function family: extract/format/trunc/diff/add."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.to_timestamp(F.lit("1995-01-01")))
+        .alias("days_since_epoch_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@query(
+    "conditional_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_decoded,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN TRUE
+                ELSE FALSE END AS is_priority,
+           IF(o_orderstatus = 'F', 1, 0) AS fulfilled_flag
+    FROM orders
+    """,
+)
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / if — conditional family."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+        .alias("status_decoded"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_priority"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("fulfilled_flag"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (Presto json_extract parity)."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_id", k.alias("k_value"), "event_type")
+        .filter(F.col("k_value") > 50)
+    )
+
+
+@query(
+    "tumbling_window_events",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000)
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling event-time windows via ``F.window``.
+
+    Same operator Structured Streaming uses for windowed aggs (the batch and
+    streaming plans share this grouping); the oracle floors epoch seconds to
+    the same 300 s boundaries (``F.window`` aligns to the epoch origin).
+    """
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+    WITH offsets AS (SELECT range * 300 AS off FROM range(0, 2))
+    SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - off) * 1000000)
+               AS window_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in 2
+    windows).  The oracle reproduces Spark's window assignment arithmetic."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )

@@ -1,0 +1,134 @@
+"""SparkSession factory with engine-wide configuration.
+
+Design notes (SURVEY.md §7 step 1):
+
+- **ANSI off** — the reference nulls any cell whose cast raises
+  (``/root/reference/ncd/normal_table.py:109-115``).  Spark's non-ANSI
+  ``cast()`` has exactly that semantic; ANSI mode would abort the job instead.
+- **LEGACY time parser** — Oracle dates arrive as ``01-JAN-2017``
+  (``/root/reference/ncd/normal_table.py:105-107``); the legacy parser accepts
+  upper-case month abbreviations for the ``dd-MMM-yyyy`` pattern.
+- **AQE on** — runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-join demotion/promotion.  At 100 TB the static
+  ``spark.sql.shuffle.partitions`` is always wrong for *some* stage; AQE
+  re-plans per-stage from actual map-output sizes.
+- **UTC session timezone** — keeps timestamp semantics identical between the
+  Spark engine and the DuckDB correctness oracle.
+- **Arrow on** — every Pandas-UDF boundary (LLM ops) moves columnar batches,
+  not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "national-caseload-data-ingest-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for the test/bench
+    environment; on a real cluster pass ``None`` and let spark-submit decide.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Null-on-cast-failure parity with the reference's converter wrapper.
+        .config("spark.sql.ansi.enabled", "false")
+        # 'dd-MMM-yyyy' with upper-case months (01-JAN-2017).
+        .config("spark.sql.legacy.timeParserPolicy", "LEGACY")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The events table stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as int64 nanos and convert in load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Local mode: the driver is the only JVM; give it headroom but leave
+        # room for Python workers (container has 128 GiB).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+RUNTIME_CONFS = {
+    # Applied per-session even when the caller (e.g. the driver harness)
+    # built its own SparkSession: these are all runtime-settable SQLConfs.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.timeParserPolicy": "LEGACY",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable SQL confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf is non-fatal
+            pass
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
+    """Read the driver-generated parquet tables and register temp views.
+
+    Returns ``{name: DataFrame}``.  With no ``names``, loads every table that
+    exists under ``sf_dir`` (TESTDATA.md inventory).
+    """
+    configure_runtime(spark)
+    all_names = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not names and not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        # nanosAsLong surfaces TIMESTAMP(NANOS) columns as int64 nanoseconds;
+        # convert to microsecond timestamps (truncation — identical to what
+        # DuckDB/Arrow do when narrowing ns → µs).
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        footer = pq.read_schema(path)
+        ns_cols = [
+            n
+            for n, t in zip(footer.names, footer.types)
+            if str(t).startswith("timestamp[ns")
+        ]
+        for c in ns_cols:
+            # integer `div` — float division would lose precision above 2^53
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
