@@ -1,0 +1,176 @@
+"""Catalog + sink layer: the Spark-native replacement for the reference's
+Athena client (``/root/reference/ncd/athena.py``) and its disk-backed test
+double (``/root/reference/ncd/athena_mock.py``).
+
+Responsibilities (SURVEY.md §2.1 A10-A15, A19, A26):
+
+- ``create_db`` — ``CREATE DATABASE IF NOT EXISTS`` (A14).
+- ``write_table`` — partitioned writes under the same Hive layout the
+  reference uploads to S3: ``{warehouse}/{db}/{table}/filename_district={D}/``
+  (``/root/reference/ncd/athena.py:92-113``).  Default format is Parquet
+  (columnar, splittable, stats — the 100 TB-correct choice); a
+  ``fidelity_json`` mode writes gzipped JSON-lines matching the reference's
+  bytes-on-disk model (non-splittable; kept only for byte-level parity).
+- ``generate_ddl`` — CREATE EXTERNAL TABLE text with all data columns then
+  all ``redacted_*`` shadows and an optional ``PARTITIONED BY
+  (filename_district STRING)`` clause (``/root/reference/ncd/
+  normal_table.py:137-198``, ``/root/reference/ncd/global_file.py:169-205``).
+- ``recover_partitions`` — ``MSCK REPAIR TABLE`` parity (A13).
+- ``executed_sql`` — every statement issued is recorded, which is the
+  AthenaMock golden-DDL inspection affordance (A26) with no extra backend.
+
+The warehouse may be any Hadoop-visible filesystem (``file://``, ``s3a://``,
+HDFS) — paths flow straight into ``DataFrameWriter``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PARTITION_COLUMN = "filename_district"
+
+
+class SparkCatalog:
+    """Engine-facing catalog: databases, partitioned table writes, SQL."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        db_name: str = "ncd",
+        fidelity_json: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir.rstrip("/")
+        self.db_name = db_name
+        self.fidelity_json = fidelity_json
+        self.executed_sql: list[str] = []
+
+    # -- locations ---------------------------------------------------------
+
+    def table_location(self, table_name: str) -> str:
+        """Deterministic per-table prefix, mirroring
+        ``/root/reference/ncd/athena.py:81-90``."""
+        return f"{self.warehouse_dir}/{self.db_name}/{table_name}"
+
+    # -- DDL ---------------------------------------------------------------
+
+    def execute_query(self, sql: str) -> DataFrame:
+        """Run SQL synchronously and record it (A15 + A26).
+
+        The reference's submit/poll/fetch machinery collapses to one call:
+        Catalyst parses/plans/executes inline and returns a DataFrame.
+        """
+        self.executed_sql.append(sql)
+        return self.spark.sql(sql)
+
+    def create_db(self) -> None:
+        self.execute_query(f"CREATE DATABASE IF NOT EXISTS {self.db_name}")
+
+    def generate_ddl(
+        self,
+        table_name: str,
+        schema: T.StructType,
+        partitioned: bool = False,
+    ) -> str:
+        """CREATE EXTERNAL TABLE text for a table whose StructType already
+        carries data columns first, shadows last (the reference's order)."""
+        data_format = "JSON" if self.fidelity_json else "PARQUET"
+        col_lines = [
+            f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields
+        ]
+        # Spark-native `USING` DDL (the `STORED AS … SERDE` clause of the
+        # reference's Athena DDL requires a Hive metastore); the partition
+        # column joins the column list per USING-table syntax.
+        partition_clause = ""
+        if partitioned:
+            col_lines.append(f"{PARTITION_COLUMN} STRING")
+            partition_clause = f"\nPARTITIONED BY ({PARTITION_COLUMN})"
+        cols = ",\n    ".join(col_lines)
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.db_name}.{table_name} (\n"
+            f"    {cols}\n"
+            f")\nUSING {data_format}{partition_clause}\n"
+            f"LOCATION '{self.table_location(table_name)}'"
+        )
+
+    # -- writes ------------------------------------------------------------
+
+    def write_table(
+        self,
+        table_name: str,
+        df: DataFrame,
+        partitioned: bool = False,
+        register: bool = True,
+    ) -> None:
+        """Write + (optionally) register one table.
+
+        Partitioned tables land as ``.../filename_district=XX/`` exactly like
+        the reference's S3 layout; ``MSCK REPAIR`` then discovers partitions,
+        preserving the reference's two-step contract (A11 + A13).
+
+        Parquet default; ``fidelity_json`` switches to gzipped JSON-lines
+        with DATE columns serialized as zero-padded ``yyyy-MM-dd`` strings —
+        the reference's wire format (``/root/reference/ncd/
+        normal_table.py:105-107``).
+        """
+        location = self.table_location(table_name)
+        out = df
+        writer_format = "parquet"
+        options = {}
+        if self.fidelity_json:
+            writer_format = "json"
+            options["compression"] = "gzip"
+            for f in df.schema.fields:
+                if isinstance(f.dataType, T.DateType):
+                    out = out.withColumn(
+                        f.name, F.lpad(F.date_format(f.name, "yyyy-MM-dd"), 10, "0")
+                    )
+        writer = out.write.format(writer_format).mode("overwrite").options(**options)
+        if partitioned:
+            writer = writer.partitionBy(PARTITION_COLUMN)
+        writer.save(location)
+
+        if register:
+            self.create_db()
+            ddl = self.generate_ddl(
+                table_name,
+                T.StructType(
+                    [
+                        f
+                        for f in out.schema.fields
+                        if not (partitioned and f.name == PARTITION_COLUMN)
+                    ]
+                ),
+                partitioned=partitioned,
+            )
+            self.execute_query(f"DROP TABLE IF EXISTS {self.db_name}.{table_name}")
+            self.execute_query(ddl)
+            if partitioned:
+                self.recover_partitions(table_name)
+
+    def recover_partitions(self, table_name: str) -> None:
+        self.execute_query(f"MSCK REPAIR TABLE {self.db_name}.{table_name}")
+
+    # -- reads -------------------------------------------------------------
+
+    def table(self, table_name: str) -> DataFrame:
+        return self.spark.table(f"{self.db_name}.{table_name}")
+
+
+def local_catalog(
+    spark: SparkSession, base_dir: str, db_name: str = "ncd", **kw
+) -> SparkCatalog:
+    """Filesystem-backed catalog for tests — the A26 AthenaMock analog.
+
+    Data lands under ``{base_dir}/{db}/{table}/…`` mirroring the mock's
+    ``{prefix}/tables/…`` tree; issued SQL is inspectable via
+    ``executed_sql``.
+    """
+    return SparkCatalog(
+        spark, os.path.abspath(base_dir), db_name=db_name, **kw
+    )

@@ -1,0 +1,151 @@
+"""Golden end-to-end ingest: fixture zip → NcdZipLoader → SparkCatalog →
+queryable tables with the reference's layout, types, and redaction flags
+(SURVEY.md §5 test strategy, FIXTURES.md §A)."""
+
+import datetime
+import os
+import zipfile
+
+import pytest
+
+from national_caseload_data_ingest_spark.catalog import local_catalog
+from national_caseload_data_ingest_spark.sources.data_zip import NcdZipLoader
+from tests.conftest import build_fixture_zip
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, fixture_zip, tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    catalog = local_catalog(spark, warehouse, db_name="ncd_test")
+    names = NcdZipLoader(spark, catalog, fixture_zip).load()
+    return catalog, names, warehouse
+
+
+def test_all_tables_loaded(loaded):
+    _, names, _ = loaded
+    assert names == [
+        "GS_CASE",
+        "GS_COURT_HIST",
+        "GS_DISTRICT",
+        "GS_STATUS",
+        "GS_POSITION",
+    ]
+
+
+def test_normal_table_contents(loaded):
+    catalog, _, _ = loaded
+    rows = {r["case_id"]: r for r in catalog.table("gs_case").collect()}
+    assert len(rows) == 4
+
+    r1 = rows["CASE000001"]
+    assert r1["district"] == "FLM"
+    assert r1["total_defendants"] == 3
+    assert r1["filed_date"] == datetime.date(2017, 1, 1)
+    assert r1["lead_charge_wt"] == 12.5
+
+    r2 = rows["CASE000002"]
+    assert r2["district"] is None and r2["redacted_district"] is True
+    assert r2["total_defendants"] is None and r2["redacted_total_defendants"] is True
+    # invalid date → NULL but NOT redacted
+    assert r2["filed_date"] is None and r2["redacted_filed_date"] is False
+
+    r3 = rows["CASE0000Ø3"]  # latin-1 high byte survives
+    assert r3["total_defendants"] is None  # '12.5' int() parity
+    assert r3["redacted_filed_date"] is True
+    assert r3["redacted_lead_charge_wt"] is True
+
+    r4 = rows["CASE000004"]  # CR mid-row became a space
+    assert r4["total_defendants"] == 7
+    assert r4["filed_date"] == datetime.date(1999, 8, 15)
+
+
+def test_partitioned_layout_and_pruning(loaded):
+    catalog, _, warehouse = loaded
+    # Hive layout on disk, like the reference's S3 keys (ncd/athena.py:101-105)
+    table_dir = os.path.join(warehouse, "ncd_test", "gs_court_hist")
+    subdirs = sorted(
+        d for d in os.listdir(table_dir) if d.startswith("filename_district=")
+    )
+    assert subdirs == ["filename_district=CT", "filename_district=FLM"]
+
+    df = catalog.table("gs_court_hist")
+    assert set(r["filename_district"] for r in df.collect()) == {"FLM", "CT"}
+    pruned = df.filter(df.filename_district == "FLM")
+    assert pruned.count() == 2
+    # partition filter must prune, not scan-and-filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(filename_district" in plan
+
+
+def test_unpartitioned_table_has_no_district_column(loaded):
+    catalog, _, _ = loaded
+    assert "filename_district" not in catalog.table("gs_case").columns
+
+
+def test_global_and_lookup_tables(loaded):
+    catalog, _, _ = loaded
+    district = {r["code"]: r for r in catalog.table("gs_district").collect()}
+    assert district["CT"]["name"] == "Connecticut"
+    assert district[""]["redacted_code"] is True
+
+    pos = {r["code"]: r for r in catalog.table("gs_position").collect()}
+    assert pos["AG"]["description"] == "Attorney General"
+    assert pos["AG"]["active_flag"] == "Y"
+
+
+def test_ddl_recorded(loaded):
+    catalog, _, _ = loaded
+    ddls = [s for s in catalog.executed_sql if s.startswith("CREATE TABLE")]
+    gs_case_ddl = next(s for s in ddls if "gs_case" in s)
+    # data columns then shadow columns (ncd/normal_table.py:166-175)
+    assert gs_case_ddl.index("case_id STRING") < gs_case_ddl.index(
+        "redacted_case_id BOOLEAN"
+    )
+    assert "total_defendants BIGINT" in gs_case_ddl
+    assert "filed_date DATE" in gs_case_ddl
+    assert "lead_charge_wt DOUBLE" in gs_case_ddl
+    hist_ddl = next(s for s in ddls if "gs_court_hist" in s)
+    assert "PARTITIONED BY (filename_district)" in hist_ddl
+    assert any(
+        s.startswith("MSCK REPAIR TABLE ncd_test.gs_court_hist")
+        for s in catalog.executed_sql
+    )
+
+
+def test_sql_over_loaded_tables(loaded):
+    catalog, _, _ = loaded
+    # the §7 minimum-slice query: scan→filter→agg→sort over ingested data
+    out = catalog.spark.sql(
+        """
+        SELECT filename_district, COUNT(*) AS n
+        FROM ncd_test.gs_court_hist
+        WHERE NOT redacted_case_id
+        GROUP BY filename_district
+        ORDER BY filename_district
+        """
+    ).collect()
+    assert [(r["filename_district"], r["n"]) for r in out] == [("CT", 1), ("FLM", 2)]
+
+
+def test_zip_without_global_file_is_noop(spark, tmp_path):
+    path = build_fixture_zip(str(tmp_path / "noglobal.zip"), include_global=False)
+    warehouse = str(tmp_path / "wh2")
+    catalog = local_catalog(spark, warehouse, db_name="ncd_test2")
+    names = NcdZipLoader(spark, catalog, path).load()
+    assert "GS_DISTRICT" not in names
+    assert "GS_CASE" in names
+
+
+def test_missing_readme_loads_no_normal_tables(spark, tmp_path):
+    p = str(tmp_path / "noreadme.zip")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr(
+            "table_gs_position.txt",
+            "Report for GS_POSITION\n\nCode\n----\nAG\n\nEnd of report.",
+        )
+    # minimal sanity: loader shouldn't crash on a zip with no README
+    catalog = local_catalog(spark, str(tmp_path / "wh3"), db_name="ncd_test3")
+    try:
+        NcdZipLoader(spark, catalog, p).load()
+    except Exception as e:  # noqa: BLE001
+        pytest.fail(f"loader crashed on README-less zip: {e}")
