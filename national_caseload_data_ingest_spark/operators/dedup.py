@@ -1,0 +1,424 @@
+"""Deduplication operators over ``documents``: exact, content-hash, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (the whole point of these operators at 100 TB):
+
+- **Exact dedup** groups on a 16-byte content hash, never on the full text
+  — the shuffle moves hashes, not documents.
+- **MinHash+LSH** is the canonical near-dup pipeline: shingle → k minhash
+  values → band → bucket-join.  Candidate generation is a *single shuffle
+  on (band, bucket-hash)*; only in-bucket pairs are verified, so cost is
+  O(n·k + candidate_pairs), never O(n²).
+- **SimHash** banding splits the 64-bit signature into 4×16-bit chunks: two
+  docs within Hamming distance 3 must agree on ≥1 chunk (pigeonhole), so a
+  4-way self-join on chunk equality finds all candidates without a cross
+  join.
+- The quadratic verifiers (``ngram_jaccard_pairs``,
+  ``embedding_cosine_neardup``) partition the pair space by a grouping key
+  (lang) — they exist as *oracle-checkable ground truth* for the LSH paths
+  and as the in-bucket verification kernel.
+
+MinHash/SimHash queries are deliberately oracle-less: their hash families
+(xxhash64) have no DuckDB equivalent; ``tests/test_llm_ops.py`` instead
+checks them against the exact-Jaccard ground truth (recall == 1.0 at the
+chosen parameters on the test corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+# MinHash parameters: 32 permutations in 8 bands of 4 → catches Jaccard
+# ≳ (1/8)^(1/4) ≈ 0.6 with high probability.
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8
+ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
+HAMMING_THRESHOLD = 3
+COSINE_THRESHOLD = 0.4  # test corpus: random 64-dim, within-label max ≈ 0.47
+
+
+def _word_shingles(col: Column, n: int = 2) -> Column:
+    """Distinct word n-grams (default bigrams) of lowercased text as an
+    array column.
+
+    NOTE: higher-order array lambdas run *interpreted* (outside whole-stage
+    codegen) in Spark, ~1000× slower per element than codegen'd
+    expressions — measured ~22 ms/doc on the test corpus.  Hot paths use
+    :func:`word_bigram_postings` (posexplode + window lead, fully
+    codegen'd) instead; this array form exists only for small candidate
+    verification sets."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # guard: shorter than n tokens → single shingle of the whole text
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.lower(F.trim(col)))
+    )
+
+
+def word_bigram_postings(d: DataFrame) -> DataFrame:
+    """Distinct word-bigram postings ``(doc_id, lang, gram)`` — the
+    inverted-index input for Jaccard and MinHash.
+
+    Formulation: ``posexplode`` the token array once, pair each token with
+    its successor via a ``lead`` window over (doc_id, pos), and de-dup.
+    Every step is codegen'd; the only shuffles are the per-doc window and
+    the distinct — both keyed on doc_id-scale cardinalities.  Docs shorter
+    than two tokens contribute their whole text as a single shingle
+    (mirrors :func:`_word_shingles`)."""
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select(
+        "doc_id", "lang", F.size(toks).alias("n_toks"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        t.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull() & (F.col("n_toks") >= 2))
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.col("tok"), F.col("nxt")).alias("gram"),
+        )
+    )
+    singles = d.select(
+        "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("gram")
+    ).filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) < 2)
+    return bigrams.unionAll(singles).distinct()
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_key,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: one shuffle of 16-byte keys; the
+    canonical representative is the minimum doc_id (deterministic)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_key"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-side of exact dedup: semi-join documents against the
+    canonical ids (``dropDuplicates`` with a deterministic survivor)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    canon = (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return d.join(canon, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 2
+                    THEN list_transform(
+                        range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                        i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                             string_split_regex(lower(trim(text)), '\\s+')[i+1])
+                    ELSE [lower(trim(text))] END) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard similarity pairs (ground truth for LSH).
+
+    Pair space is partitioned by ``lang`` — the general blocking pattern
+    that keeps the quadratic verifier bounded per block.  Counts are
+    integers, so the single double division is deterministic cross-engine.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    # Inverted-index formulation: self-join postings on the gram, count
+    # shared grams per pair.  Cost is Σ posting-list², never n² over
+    # documents — the only formulation that survives 100 TB.  A pair with
+    # zero shared grams has Jaccard 0 and can't pass the threshold, so the
+    # posting join's implicit pruning is lossless.
+    # The posting relation feeds four plan branches (both join sides + both
+    # size lookups); persist it so the tokenize/window/distinct subtree runs
+    # once, not four times.  MEMORY_AND_DISK: ~tokens-sized, spills cleanly.
+    postings = word_bigram_postings(d).persist()
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def minhash_signatures(d: DataFrame, postings: DataFrame | None = None) -> DataFrame:
+    """doc_id + array<bigint> of MINHASH_PERMS minhash values.
+
+    Permutation ``i`` is ``min over shingles of xxhash64(i, shingle)`` —
+    computed from the bigram postings in one aggregation pass (one shuffle
+    on doc_id)."""
+    if postings is None:
+        postings = word_bigram_postings(d)
+    sh = postings.select("doc_id", F.col("gram").alias("g"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_PERMS)]).alias("sig")
+    )
+
+
+@query("minhash_lsh_neardup")  # hash-seeded — verified against ground truth in tests
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
+
+    Pipeline: shingle → 32 minhashes → 8 bands of 4 → bucket join on
+    (band, xxhash64(band rows)) → exact-Jaccard verify of candidates only.
+    The bucket join is the only O(n²)-risk step and its cost is bounded by
+    bucket occupancy, not corpus size."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    # shared by signature build + candidate verification — persist once
+    all_postings = word_bigram_postings(d).persist()
+    sig = minhash_signatures(d, postings=all_postings)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i]
+                                for i in range(
+                                    b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard via posting joins (no array
+    # intersections — candidate pairs join their postings on the gram)
+    p = all_postings.select("doc_id", "gram")
+    sizes = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    pa = p.select(F.col("doc_id").alias("doc_a"), F.col("gram").alias("g"))
+    pb = p.select(F.col("doc_id").alias("doc_b"), F.col("gram").alias("g"))
+    n_shared = (
+        candidates.join(pa, "doc_a")
+        .join(pb, ["doc_b", "g"])  # hash join on (doc, gram) — no blowup
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        n_shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query("simhash_neardup")  # hash-seeded — verified against ground truth in tests
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures, 4×16-bit chunk banding, Hamming
+    verify via ``bit_count(a XOR b)``.
+
+    The signature is built in one explode+aggregate pass: per bit position,
+    sum ±1 weighted by each token-hash's bit, then take the sign.  Banding
+    guarantees recall for Hamming ≤ 3 (pigeonhole over 4 chunks)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(SIMHASH_BITS):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0,
+                F.shiftleft(F.lit(1).cast("bigint"), i),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    sigs = bit_sums.select("doc_id", sig.alias("sig"))
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("ckey"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "sig", "cc.chunk", "cc.ckey")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+    return pairs
+
+
+def _double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double — bitwise-identical to DuckDB's
+    ``list_dot_product`` over DOUBLE[] (verified in tests)."""
+    return F.aggregate(
+        F.zip_with(_double_vec(a), _double_vec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@query(
+    "embedding_cosine_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= {COSINE_THRESHOLD}
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold, blocked by
+    ``label`` (the cluster/IVF-cell pattern: compare within cells only)."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    a, b = e.alias("a"), e.alias("b")
+    cs = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cs.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )

