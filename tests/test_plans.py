@@ -1,0 +1,109 @@
+"""Physical-plan contract tests: pushdown, pruning, broadcast, top-k, and
+no accidental cartesians across the operator catalog (the 100 TB-readiness
+assertions promised in operator docstrings)."""
+
+import pytest
+
+import __spark_entry__ as ent
+from national_caseload_data_ingest_spark.plans import (
+    has_take_ordered,
+    join_kinds,
+    physical_plan,
+    pushed_filters,
+    read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return ent.queries()
+
+
+def test_q1_filter_pushed_to_scan(spark, catalog):
+    df = catalog["q1_pricing_summary"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+
+
+def test_q6_all_predicates_pushed(spark, catalog):
+    df = catalog["q6_revenue_forecast"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_column_pruning(spark, catalog):
+    df = catalog["q6_revenue_forecast"](spark, SF)
+    schemas = read_schemas(df)
+    assert schemas, "no scans found"
+    # 16-column lineitem must be read as only the 4 referenced columns
+    assert all("l_orderkey" not in s for s in schemas), schemas
+    assert any("l_extendedprice" in s for s in schemas), schemas
+
+
+def test_q5_broadcasts_dims(spark, catalog):
+    df = catalog["q5_local_supplier_volume"](spark, SF)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "CartesianProduct" not in kinds, kinds
+
+
+def test_topk_uses_take_ordered(spark, catalog):
+    df = catalog["topk_expensive_orders"](spark, SF)
+    assert has_take_ordered(df), physical_plan(df)[:500]
+
+
+def test_q3_take_ordered_not_global_sort(spark, catalog):
+    df = catalog["q3_shipping_priority"](spark, SF)
+    assert has_take_ordered(df)
+
+
+def test_no_cartesian_products_anywhere(spark, catalog):
+    # cross_join_region_status is the one *deliberate* cartesian
+    allowed_cartesian = {"cross_join_region_status"}
+    offenders = []
+    for name, fn in catalog.items():
+        if name in allowed_cartesian:
+            continue
+        kinds = join_kinds(fn(spark, SF))
+        if "CartesianProduct" in kinds:
+            offenders.append(name)
+    assert not offenders, f"unintended cartesian products: {offenders}"
+
+
+def test_ngram_join_is_hash_not_nested_loop(spark, catalog):
+    kinds = join_kinds(catalog["ngram_jaccard_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in kinds, kinds
+    assert any(
+        k in kinds for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), kinds
+
+
+def test_dedup_exact_groups_on_hash_not_text(spark, catalog):
+    plan = physical_plan(catalog["dedup_exact"](spark, SF))
+    assert "md5" in plan
+
+
+def test_fixed_width_projection_is_narrow(spark, fixture_zip, tmp_path):
+    """The whole ingest projection must be shuffle-free (narrow maps only)."""
+    from national_caseload_data_ingest_spark.sources.data_zip import (
+        NcdZipLoader,
+        stage_members,
+    )
+    from national_caseload_data_ingest_spark.catalog import local_catalog
+    from national_caseload_data_ingest_spark.sources.schemas import (
+        extract_normal_schemas,
+    )
+
+    staged = stage_members(fixture_zip)
+    try:
+        catalog_obj = local_catalog(spark, str(tmp_path), db_name="plans_db")
+        loader = NcdZipLoader(spark, catalog_obj, fixture_zip)
+        schemas = loader._normal_schemas(staged)
+        df, _ = loader.read_normal_table(staged, schemas["GS_CASE"])
+        plan = physical_plan(df)
+        assert "Exchange" not in plan, plan
+    finally:
+        staged.cleanup()

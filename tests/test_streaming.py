@@ -1,0 +1,67 @@
+"""Structured Streaming parity: the streaming plan over a file source must
+produce exactly the batch result on the same data (same transformation
+function, different source) — plus watermark/state sanity."""
+
+import pytest
+
+from national_caseload_data_ingest_spark.session import load_tables
+from national_caseload_data_ingest_spark.streaming.events import (
+    sessionize,
+    sessionize_events_stream,
+    windowed_counts,
+    windowed_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+EVENTS_DIR = f"{SF}/events.parquet"
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_tables(spark, SF, "events")["events"]
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_batch):
+    stream_result = _run_stream_to_memory(
+        spark, windowed_counts_stream(spark, EVENTS_DIR), "win_counts"
+    ).collect()
+    batch_result = windowed_counts(events_batch, with_watermark=False).collect()
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    assert sorted(
+        [(r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+         for r in stream_result]
+    ) == sorted(
+        [(r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+         for r in batch_result]
+    )
+    assert len(batch_result) > 0
+
+
+def test_sessionize_stream_equals_batch(spark, events_batch):
+    stream_result = _run_stream_to_memory(
+        spark, sessionize_events_stream(spark, EVENTS_DIR), "sessions"
+    ).collect()
+    batch_result = sessionize(events_batch, with_watermark=False).collect()
+    assert sorted(
+        [(r["user_id"], r["session_start"], r["n_events"]) for r in stream_result]
+    ) == sorted(
+        [(r["user_id"], r["session_start"], r["n_events"]) for r in batch_result]
+    )
+    assert len(batch_result) > 0
+
+
+def test_streaming_plan_is_streaming(spark):
+    sdf = windowed_counts_stream(spark, EVENTS_DIR)
+    assert sdf.isStreaming
