@@ -1,0 +1,174 @@
+"""Temporal + ordered-data operators: as-of join, exact percentiles/median,
+array explode/aggregate pipelines.
+
+The as-of join is the one §2.2 operator Spark lacks as a primitive
+(SURVEY.md §2.2 "joins — as-of"); it composes from a union + windowed
+``last(ignorenulls)`` — a single shuffle on (user, time), no range join, no
+UDF.  The oracle uses DuckDB's native ``ASOF JOIN``, so two independent
+formulations must agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts AS error_ts, p.ts AS last_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error event, the most recent purchase at or
+    before it, per user (inner as-of — errors with no prior purchase drop).
+
+    Implementation: union both event kinds, carry purchase timestamps in a
+    nullable column, and take ``last(..., ignorenulls)`` over a (user, time)
+    window.  One shuffle, linear scan per user — at 100 TB this beats any
+    range-join formulation because state is a single running value.
+
+    Tie rule: a purchase at exactly the error's timestamp counts (DuckDB
+    ASOF ``>=`` semantics) — purchases sort before errors at equal ``ts``
+    via the kind key.
+    """
+    e = load_tables(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = (
+        purchases.unionAll(errors)
+        .withColumn(
+            "last_purchase_ts", F.last("purchase_ts", ignorenulls=True).over(w)
+        )
+        .filter((F.col("kind") == 1) & F.col("last_purchase_ts").isNotNull())
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        "last_purchase_ts",
+    )
+
+
+@query(
+    "median_quantity_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median/quartiles).
+
+    ``l_quantity`` is integer-valued, so the linear interpolation
+    ``lo + frac·(hi-lo)`` is exact in both engines — deterministic without
+    the decimal trick.  Exact percentile requires a per-group sort; for the
+    100 TB path use ``approx_quantity_percentiles`` (t-digest-style sketch,
+    no sort)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("approx_quantity_percentiles")  # sketch-based — no cross-engine oracle
+def approx_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's positional sketch
+    (``approx_percentile``) — the scale path: single pass, bounded memory,
+    no per-group sort.  Engine-specific sketch ⇒ rows-only check."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias(
+            "approx_quartiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "explode_part_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n_parts,
+           CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
+    FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS word, p_retailprice
+        FROM part
+    ) t
+    GROUP BY word
+    """,
+)
+def explode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pipeline: split → explode → re-aggregate (the lateral-view
+    shape; Presto ``UNNEST`` parity)."""
+    p = load_tables(spark, sf_dir, "part")["part"]
+    return (
+        p.select(
+            F.explode(F.split(F.col("p_name"), " ")).alias("word"),
+            "p_retailprice",
+        )
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("min_price"),
+        )
+    )
+
+
+@query(
+    "array_agg_order_keys",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS orderkeys,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) <= 5
+    """,
+)
+def array_agg_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort_array (ARRAY_AGG parity) — arrays as first-class
+    aggregate outputs.  Sorted so the value hash is order-stable."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") <= 5)
+    )
