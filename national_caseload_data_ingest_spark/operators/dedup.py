@@ -63,37 +63,52 @@ def _word_shingles(col: Column, n: int = 2) -> Column:
     )
 
 
-def word_bigram_postings(d: DataFrame) -> DataFrame:
-    """Distinct word-bigram postings ``(doc_id, lang, gram)`` — the
-    inverted-index input for Jaccard and MinHash.
+_POSTINGS_SCHEMA = "doc_id bigint, lang string, gram string, n_grams int"
 
-    Formulation: ``posexplode`` the token array once, pair each token with
-    its successor via a ``lead`` window over (doc_id, pos), and de-dup.
-    Every step is codegen'd; the only shuffles are the per-doc window and
-    the distinct — both keyed on doc_id-scale cardinalities.  Docs shorter
-    than two tokens contribute their whole text as a single shingle
-    (mirrors :func:`_word_shingles`)."""
-    from pyspark.sql.window import Window as W  # noqa: PLC0415
 
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    t = d.select(
-        "doc_id", "lang", F.size(toks).alias("n_toks"),
-        F.posexplode(toks).alias("pos", "tok"),
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
-        t.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull() & (F.col("n_toks") >= 2))
-        .select(
-            "doc_id",
-            "lang",
-            F.concat_ws(" ", F.col("tok"), F.col("nxt")).alias("gram"),
+def _bigram_posting_batches(batches):
+    """Arrow-batch kernel: text → distinct word-bigram posting rows, with
+    the per-doc distinct-gram count carried on every row."""
+    import re  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    ws = re.compile(r"\s+")
+    for pdf in batches:
+        doc_ids, langs, grams, counts = [], [], [], []
+        for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+            toks = ws.split(text.strip().lower())
+            if len(toks) >= 2:
+                gset = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+            else:
+                gset = {text.strip().lower()}
+            n = len(gset)
+            for g in gset:
+                doc_ids.append(doc_id)
+                langs.append(lang)
+                grams.append(g)
+                counts.append(n)
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "lang": langs, "gram": grams, "n_grams": counts}
         )
+
+
+def word_bigram_postings(d: DataFrame) -> DataFrame:
+    """Distinct word-bigram postings ``(doc_id, lang, gram, n_grams)`` —
+    the inverted-index input for Jaccard and MinHash.
+
+    One Arrow-batched ``mapInPandas`` stage: tokenize, shingle, per-doc
+    de-dup, and the distinct-gram count all happen inside a single narrow
+    pass — ZERO shuffles.  The pure-DataFrame alternative (posexplode +
+    lead window + distinct + a separate size aggregate) costs three
+    shuffles and two extra joins downstream; per-doc set semantics are a
+    genuinely per-group imperative computation, which is exactly the
+    sanctioned Pandas-UDF case.  Tokenization is ``\\s+`` splitting of
+    lowercased trimmed text — same rule as the DuckDB oracle; docs shorter
+    than two tokens contribute their whole text as a single shingle."""
+    return d.select("doc_id", "lang", "text").mapInPandas(
+        _bigram_posting_batches, schema=_POSTINGS_SCHEMA
     )
-    singles = d.select(
-        "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("gram")
-    ).filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) < 2)
-    return bigrams.unionAll(singles).distinct()
 
 
 @query(
@@ -174,12 +189,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared grams per pair.  Cost is Σ posting-list², never n² over
     # documents — the only formulation that survives 100 TB.  A pair with
     # zero shared grams has Jaccard 0 and can't pass the threshold, so the
-    # posting join's implicit pruning is lossless.
-    # The posting relation feeds four plan branches (both join sides + both
-    # size lookups); persist it so the tokenize/window/distinct subtree runs
-    # once, not four times.  MEMORY_AND_DISK: ~tokens-sized, spills cleanly.
-    postings = word_bigram_postings(d).persist()
-    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # posting join's implicit pruning is lossless.  Set sizes ride along on
+    # the posting rows, so the whole query is one join + one aggregate.
+    postings = word_bigram_postings(d)
     a, b = postings.alias("a"), postings.alias("b")
     shared = (
         a.join(
@@ -191,22 +203,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first(F.col("a.n_grams")).alias("na"),
+            F.first(F.col("b.n_grams")).alias("nb"),
+        )
     )
     jac = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
-    return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
+    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.2
     )
 
 
@@ -276,27 +283,33 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify candidates with exact Jaccard via posting joins (no array
-    # intersections — candidate pairs join their postings on the gram)
-    p = all_postings.select("doc_id", "gram")
-    sizes = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    pa = p.select(F.col("doc_id").alias("doc_a"), F.col("gram").alias("g"))
-    pb = p.select(F.col("doc_id").alias("doc_b"), F.col("gram").alias("g"))
-    n_shared = (
+    # intersections — candidate pairs join their postings on the gram);
+    # set sizes ride along on the posting rows.
+    pa = all_postings.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("gram").alias("g"),
+        F.col("n_grams").alias("na"),
+    )
+    pb = all_postings.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("gram").alias("g"),
+        F.col("n_grams").alias("nb"),
+    )
+    shared = (
         candidates.join(pa, "doc_a")
         .join(pb, ["doc_b", "g"])  # hash join on (doc, gram) — no blowup
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     jac = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
-    return (
-        n_shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
 
