@@ -21,6 +21,7 @@ import national_caseload_data_ingest_spark.operators.relational  # noqa: F401
 import national_caseload_data_ingest_spark.operators.similarity  # noqa: F401
 import national_caseload_data_ingest_spark.operators.temporal  # noqa: F401
 import national_caseload_data_ingest_spark.operators.text  # noqa: F401
+import national_caseload_data_ingest_spark.operators.tpch_extra  # noqa: F401
 import national_caseload_data_ingest_spark.streaming.events  # noqa: F401
 from national_caseload_data_ingest_spark.operators.registry import ORACLES, QUERIES
 
