@@ -133,3 +133,117 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``gap`` after its predecessor starts a new session."""
     e = load_tables(spark, sf_dir, "events")["events"]
     return sessionize(e, with_watermark=False)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user lifetime stats via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+_USER_STATS_STATE = (
+    "n bigint, cents bigint, types string, last_us bigint, max_gap_us bigint"
+)
+_USER_STATS_OUT = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "n_types bigint, max_gap_seconds double"
+)
+
+
+def _user_stats_update(key, pdf_iter, state):
+    """GroupState kernel: fold a user's new events into running lifetime
+    aggregates and emit the current totals.
+
+    Money accumulates in integer cents (values are 2-dp doubles), so the
+    emitted double equals the exact-decimal batch sum bit-for-bit —
+    streaming arrival order can't drift the total.  The distinct-type set
+    rides in state as a sorted ``|``-joined string (scalar state columns
+    keep the Arrow state encoding trivial)."""
+    import pandas as pd  # noqa: PLC0415
+
+    if state.exists:
+        n, cents, types_s, last_us, max_gap_us = state.get
+        types = set(types_s.split("|")) if types_s else set()
+    else:
+        n, cents, types, last_us, max_gap_us = 0, 0, set(), None, 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, et, val in zip(pdf["ts"], pdf["event_type"], pdf["value"]):
+            us = int(ts.value // 1000)
+            if last_us is not None and us - last_us > max_gap_us:
+                max_gap_us = us - last_us
+            last_us = us
+            n += 1
+            cents += int(round(float(val) * 100))
+            types.add(et)
+    state.update((n, cents, "|".join(sorted(types)), last_us, max_gap_us))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_events": n,
+                "total_value": cents / 100.0,
+                "n_types": len(types),
+                "max_gap_seconds": max_gap_us / 1e6,
+            }
+        ]
+    )
+
+
+def user_lifetime_stats_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming per-user lifetime stats — the custom-stateful-operator
+    pattern (``applyInPandasWithState``) for semantics no built-in window
+    expresses: unbounded distinct-set tracking plus max inter-event gap
+    across the whole stream.
+
+    State is per user_id and bounded by the user population, not history
+    length (five scalars per user).  Output mode is ``update``: each
+    micro-batch re-emits the users it touched; downstream sinks upsert.
+    """
+    e = _events_stream(spark, events_dir)
+    return e.groupBy("user_id").applyInPandasWithState(
+        _user_stats_update,
+        outputStructType=_USER_STATS_OUT,
+        stateStructType=_USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+@query(
+    "user_lifetime_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, value, event_type,
+               date_diff('microsecond',
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(COALESCE(MAX(gap_us), 0) AS DOUBLE) / 1000000.0
+             AS max_gap_seconds
+    FROM g
+    GROUP BY user_id
+    """,
+)
+def user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming operator (same semantics, lag
+    window instead of state) — the oracle-checked ground truth that
+    ``tests/test_streaming.py`` also holds the streaming path to."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.withColumn(
+        "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+        F.countDistinct("event_type").alias("n_types"),
+        (F.coalesce(F.max("gap_us"), F.lit(0)).cast("double") / F.lit(1e6)).alias(
+            "max_gap_seconds"
+        ),
+    )

@@ -65,3 +65,39 @@ def test_sessionize_stream_equals_batch(spark, events_batch):
 def test_streaming_plan_is_streaming(spark):
     sdf = windowed_counts_stream(spark, EVENTS_DIR)
     assert sdf.isStreaming
+
+
+def test_user_lifetime_stats_stream_equals_batch(spark):
+    from national_caseload_data_ingest_spark.streaming.events import (
+        user_lifetime_stats,
+        user_lifetime_stats_stream,
+    )
+
+    sdf = user_lifetime_stats_stream(spark, EVENTS_DIR)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits a user's row each micro-batch it appears in;
+    # n_events is monotone, so the final state is the max-n row per user.
+    stream_rows = {}
+    for r in spark.sql("SELECT * FROM user_stats").collect():
+        prev = stream_rows.get(r["user_id"])
+        if prev is None or r["n_events"] > prev["n_events"]:
+            stream_rows[r["user_id"]] = r
+    batch_rows = {
+        r["user_id"]: r for r in user_lifetime_stats(spark, SF).collect()
+    }
+    assert set(stream_rows) == set(batch_rows) and len(batch_rows) > 0
+    for uid, b in batch_rows.items():
+        s = stream_rows[uid]
+        assert (
+            s["n_events"], s["n_types"], s["total_value"], s["max_gap_seconds"]
+        ) == (
+            b["n_events"], b["n_types"], b["total_value"], b["max_gap_seconds"]
+        ), uid
