@@ -73,12 +73,42 @@ def test_no_cartesian_products_anywhere(spark, catalog):
     assert not offenders, f"unintended cartesian products: {offenders}"
 
 
-def test_ngram_join_is_hash_not_nested_loop(spark, catalog):
-    kinds = join_kinds(catalog["ngram_jaccard_pairs"](spark, SF))
-    assert "BroadcastNestedLoopJoin" not in kinds, kinds
-    assert any(
-        k in kinds for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
-    ), kinds
+def test_ngram_jaccard_is_single_shuffle_no_joins(spark, catalog):
+    """The blocked matmul formulation must have NO joins at all — one
+    groupBy-lang exchange into the applyInPandas kernel is the whole wide
+    story (the old posting self-join emitted Σ|posting|² rows)."""
+    df = catalog["ngram_jaccard_pairs"](spark, SF)
+    assert join_kinds(df) == [], join_kinds(df)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_tpch_extra_dims_all_broadcast(spark, catalog):
+    """Every q7-q22 join is either a broadcast hash join or (q22's scalar
+    threshold only) a one-row broadcast nested loop — no shuffled dim
+    joins at test SF."""
+    for name in (
+        "q7_nation_trade_volume",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q19_disjunctive_predicates",
+    ):
+        kinds = set(join_kinds(catalog[name](spark, SF)))
+        assert kinds <= {"BroadcastHashJoin"}, (name, kinds)
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, catalog):
+    """Catalyst must extract per-side conjuncts from the OR-of-ANDs: a
+    quantity Or-filter reaches the lineitem scan and a size range reaches
+    the part scan."""
+    pushed = " ".join(pushed_filters(catalog["q19_disjunctive_predicates"](spark, SF)))
+    assert "Or(" in pushed and "l_quantity" in pushed, pushed
+    assert "p_size" in pushed, pushed
 
 
 def test_dedup_exact_groups_on_hash_not_text(spark, catalog):
