@@ -153,6 +153,47 @@ class SparkCatalog:
             if partitioned:
                 self.recover_partitions(table_name)
 
+    def write_bucketed(
+        self,
+        table_name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Write a hash-bucketed (optionally per-bucket-sorted) managed
+        table for co-located joins.
+
+        At 100 TB the recurring fact-fact joins (orders⋈lineitem on
+        orderkey, postings⋈postings on doc key) dominate shuffle volume.
+        Bucketing both sides on the join key with the same bucket count
+        turns every such join into a zero-Exchange sort-merge join — the
+        shuffle is paid ONCE at write time and amortized over every
+        subsequent query (``tests/test_bucketing.py`` asserts the
+        no-Exchange plan).  ``sort_cols`` additionally pre-sorts within
+        buckets so single-file buckets skip the SMJ sort.
+
+        Bucketed tables must be *managed* (bucket metadata lives in the
+        catalog, not the directory layout), so this bypasses
+        ``table_location`` — Spark places data under its warehouse dir.
+        Returns the fully-qualified table name.
+        """
+        self.create_db()
+        fq = f"{self.db_name}.{table_name}"
+        self.executed_sql.append(
+            f"-- write_bucketed {fq} ({n_buckets} buckets on "
+            f"{', '.join(bucket_cols)})"
+        )
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(fq)
+        return fq
+
     def recover_partitions(self, table_name: str) -> None:
         self.execute_query(f"MSCK REPAIR TABLE {self.db_name}.{table_name}")
 
