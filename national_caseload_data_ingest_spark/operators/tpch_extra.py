@@ -499,3 +499,382 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The remaining TPC-H archetypes (q2, q4, q11, q12, q16, q20, q21), adapted:
+# the synthetic schema has no ``partsupp``, so the *supply relation* is
+# derived as the distinct (l_partkey, l_suppkey) pairs observed in lineitem
+# (with MIN(l_extendedprice) standing in for ps_supplycost — MIN is
+# order-independent, so the double equality joins below are deterministic
+# cross-engine), and no commit/receipt dates, so *lateness* is
+# datediff(l_shipdate, o_orderdate) over a threshold.
+# ---------------------------------------------------------------------------
+
+
+def _supply(t: dict[str, DataFrame]) -> DataFrame:
+    """Derived supply relation: one row per observed (part, supplier) pair
+    with its minimum observed sale price as the supply cost."""
+    return (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supplycost"))
+    )
+
+
+_SUPPLY_SQL = (
+    "SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey"
+)
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    fparts AS (
+        SELECT p_partkey FROM part
+        WHERE p_type = 'STANDARD' AND p_size <= 25
+    )
+    SELECT s_acctbal, s_name, n_name AS nation,
+           l_partkey AS partkey, supplycost
+    FROM supply
+    JOIN fparts   ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE supplycost = (
+        SELECT MIN(s2.supplycost) FROM supply s2
+        WHERE s2.l_partkey = supply.l_partkey
+    )
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part correlated MIN over the supply relation,
+    decorrelated into a grouped MIN joined back on (part, cost) equality.
+
+    MIN over the raw price set is order-independent, so the double
+    equality is exact in both engines.  The per-part minima relation is
+    |filtered parts| rows — broadcast.  Shuffle: the one supply groupBy.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    fparts = (
+        t["part"]
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 25))
+        .select("p_partkey")
+    )
+    supply = _supply(t).join(
+        F.broadcast(fparts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    min_cost = supply.groupBy(F.col("l_partkey").alias("mc_pk")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        supply.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mc_pk"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("partkey"),
+            "supplycost",
+        )
+    )
+
+
+@query(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND datediff('day', o_orderdate, l_shipdate) > 180
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with an inequality correlation (late-shipped
+    line), decorrelated to a left-semi join whose condition carries both
+    the key equality and the cross-table date predicate."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    quarter = t["orders"].filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    late_line = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 180
+    )
+    return (
+        quarter.join(t["lineitem"], late_line, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH nat_li AS (
+        SELECT l_partkey,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2)) AS v
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_13', 'NATION_15')
+    ),
+    per_part AS (SELECT l_partkey AS partkey, SUM(v) AS value FROM nat_li
+                 GROUP BY l_partkey)
+    SELECT partkey, CAST(value AS DOUBLE) AS part_value
+    FROM per_part
+    WHERE value > (SELECT SUM(value) FROM per_part)
+                    * CAST(0.005 AS DECIMAL(8,3))
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group exact-decimal value, kept only where it
+    exceeds a scalar-subquery fraction of the grand total.
+
+    Both sides of the ``>`` are exact decimals (sum and fraction-multiply),
+    so the threshold compare is engine-independent.  The one-row total
+    broadcasts; the only shuffle is the per-part aggregation.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].filter(
+                    F.col("n_name").isin("NATION_13", "NATION_15")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("grand_total"))
+    return (
+        per_part.join(
+            F.broadcast(total),
+            F.col("value")
+            > F.col("grand_total") * F.lit(0.005).cast("decimal(8,3)"),
+        )
+        .select("partkey", F.col("value").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 365
+                THEN 'LATE' ELSE 'ONTIME' END AS late_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two-way conditional counting grouped by a derived
+    category (lateness bucket standing in for ship mode)."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365,
+                F.lit("LATE"),
+            )
+            .otherwise(F.lit("ONTIME"))
+            .alias("late_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) supply
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1600.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute triple,
+    with a NOT IN exclusion set decorrelated to a left-anti join."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    excluded = (
+        t["supplier"].filter(F.col("s_acctbal") < 1600.0).select("s_suppkey")
+    )
+    fparts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    supply = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    return (
+        supply.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(fparts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    oracle="""
+    WITH gear AS (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'),
+    sp97 AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem JOIN gear ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    ptot AS (SELECT l_partkey AS tp, SUM(qty) AS part_qty FROM sp97
+             GROUP BY l_partkey)
+    SELECT s_name, s_acctbal, n_name AS nation
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM sp97 JOIN ptot ON l_partkey = tp
+        WHERE qty > part_qty * CAST(0.15 AS DECIMAL(8,2))
+    )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers having any
+    (part, year) share above a per-part threshold.
+
+    Share compare is exact-decimal on both sides.  The per-part totals
+    broadcast; the supplier dim is tiny, so the final IN is a broadcast
+    semi join.  Shuffle: the one (supplier, part) aggregation.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    gear = t["part"].filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    sp97 = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+    )
+    ptot = sp97.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("qty").alias("part_qty")
+    )
+    excess = (
+        sp97.join(F.broadcast(ptot), F.col("l_partkey") == F.col("tp"))
+        .filter(F.col("qty") > F.col("part_qty") * F.lit(0.15).cast("decimal(8,2)"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE datediff('day', o_orderdate, l1.l_shipdate) > 365
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND datediff('day', o_orderdate, l3.l_shipdate) > 365
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the only-late-supplier-on-a-multi-supplier-order
+    double correlation (EXISTS + NOT EXISTS against the same fact table).
+
+    Instead of two more self-joins, both correlated conditions collapse
+    into per-order window aggregates over ONE shuffle by orderkey:
+    ``n_supp > 1`` ≡ the EXISTS (another supplier on the order) and
+    ``n_late == 1`` with the current line late ≡ the NOT EXISTS (no
+    *other* supplier was late).  At 100 TB this is one fact shuffle
+    instead of three.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    li = t["lineitem"].join(
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late",
+        F.size(
+            F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)
+        ),
+    )
+    return (
+        flagged.filter(late & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )

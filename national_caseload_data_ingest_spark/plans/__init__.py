@@ -58,11 +58,16 @@ def exchange_count(df: DataFrame) -> int:
 
 
 def shuffle_exchanges(df: DataFrame) -> list[str]:
+    """One entry per shuffle exchange operator.
+
+    Formatted explain prints every operator twice (tree + numbered detail
+    section), so count only the numbered detail headers.
+    """
     plan = physical_plan(df)
     return [
         ln.strip()
         for ln in plan.splitlines()
-        if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
+        if re.match(r"^\(\d+\) Exchange\b", ln.strip())
     ]
 
 

@@ -97,9 +97,27 @@ def test_tpch_extra_dims_all_broadcast(spark, catalog):
         "q15_top_supplier",
         "q17_small_quantity_revenue",
         "q19_disjunctive_predicates",
+        "q2_min_cost_supplier",
+        "q12_late_shipment_priority",
+        "q14_promo_revenue",
+        "q20_excess_shippers",
     ):
         kinds = set(join_kinds(catalog[name](spark, SF)))
         assert kinds <= {"BroadcastHashJoin"}, (name, kinds)
+
+
+def test_q21_single_fact_shuffle(spark, catalog):
+    """Q21's double correlation must collapse to window aggregates over one
+    orderkey shuffle — not the naive three lineitem self-joins."""
+    from national_caseload_data_ingest_spark.plans import shuffle_exchanges
+
+    df = catalog["q21_waiting_supplier"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan  # fact read ONCE
+    # one orderkey shuffle feeding both windows + the final tiny group-by
+    assert len(shuffle_exchanges(df)) <= 2, shuffle_exchanges(df)
+    kinds = join_kinds(df)
+    assert kinds.count("SortMergeJoin") + kinds.count("ShuffledHashJoin") == 0, kinds
 
 
 def test_q19_disjunction_pushed_to_both_scans(spark, catalog):
