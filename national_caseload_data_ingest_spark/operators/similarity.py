@@ -198,3 +198,156 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path beside hyperplane LSH.
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16  # scale rule: ~sqrt(corpus); at 10^9 vectors use ~32k
+N_PROBE = 2
+LLOYD_ITERS = 2
+
+
+def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    """Squared euclidean distance between two double arrays (sequential
+    fold — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(vec: F.Column) -> F.Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _centroid_literal(cents: list[list[float]]) -> F.Column:
+    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+
+
+def _dists_to_centroids(vec: F.Column, cents: list[list[float]]) -> F.Column:
+    return F.transform(
+        _centroid_literal(cents), lambda c: _sq_dist(_as_double(vec), c)
+    )
+
+
+def ivf_train(e: DataFrame, k: int = N_CENTROIDS, iters: int = LLOYD_ITERS) -> list[list[float]]:
+    """K-means centroids via Lloyd iterations, returned as plain lists.
+
+    The model is tiny (k × dim doubles) so it lives on the driver and is
+    inlined into assignment expressions as literals — corpus assignment is
+    then a NARROW map (no join, no shuffle), which is the property that
+    makes IVF viable at 100 TB.  Initial centroids are the k vectors with
+    the smallest ``xxhash64(vec_id)`` — deterministic, seed-free.
+
+    Each Lloyd iteration costs one (cluster, dim)-grouped shuffle of
+    k × dim running sums (map-side combined), not a corpus shuffle.
+    """
+    seeds = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(v) for v in r["embedding"]] for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(e, cents)
+        new = (
+            assigned.select("cluster", F.posexplode(_as_double(F.col("embedding"))))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        # empty clusters keep their previous centroid
+        for r in new:
+            cents[r["cluster"]] = list(r["centroid"])
+    return cents
+
+
+def ivf_assign(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, cluster) — nearest-centroid id per vector, as a
+    pure narrow projection (centroids are inline literals)."""
+    dists = _dists_to_centroids(F.col("embedding"), cents)
+    return e.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+    )
+
+
+def ivf_topk(
+    e: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN: assign corpus to centroid buckets, probe each query's
+    ``n_probe`` nearest buckets, exact cosine re-rank inside candidates.
+
+    Scanned fraction ≈ n_probe / n_centroids.  The bucket join broadcasts
+    the (tiny) probe side, so the corpus is never shuffled — per-query
+    cost is one bucket scan + a small top-k window.
+    """
+    cents = ivf_train(e, k=n_centroids)
+    corpus = ivf_assign(e, cents)
+    n = len(cents)
+    qdists = _dists_to_centroids(F.col("embedding"), cents)
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.struct(
+                F.element_at(qdists, i + 1).alias("d"), i.cast("int").alias("c")
+            ),
+        )
+    )
+    probes = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
+            ).alias("cluster"),
+        )
+    )
+    candidates = (
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            "cluster",
+        )
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+@query("ann_ivf_topk")  # approximate — planted-neighbor recall checked in tests
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors (see :func:`ivf_topk`).
+
+    Complements ``ann_lsh_topk``: IVF adapts to the data distribution
+    (clustered corpora get much better recall-per-scan than data-oblivious
+    hyperplanes) at the cost of a small training pass."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_topk(e)

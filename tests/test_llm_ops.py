@@ -143,3 +143,65 @@ def test_multimodal_batch_shape(spark, catalog):
     rows = df.collect()
     assert len(rows) == 500
     assert all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_ivf_ann_reports_true_cosines(spark, catalog):
+    """IVF hits use the same exact cosine kernel: any hit also present in
+    the brute-force ranking must carry the identical value."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in catalog["cosine_topk_bruteforce"](spark, SF).collect()
+    }
+    ivf = catalog["ann_ivf_topk"](spark, SF).collect()
+    assert ivf, "IVF ANN returned nothing on the test corpus"
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert brute[key] == r["cos_sim"]
+
+
+def test_ivf_finds_planted_near_duplicates(spark):
+    """An exact duplicate lands in the same centroid bucket as its query
+    (identical distance vectors → identical argmin), so IVF must rank it
+    first with cosine 1."""
+    from national_caseload_data_ingest_spark.operators.similarity import ivf_topk
+    from national_caseload_data_ingest_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    dupes = (
+        e.filter(F.col("vec_id") < 4)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    corpus = e.select("vec_id", "embedding").unionAll(dupes)
+    hits = ivf_topk(corpus, n_queries=4, k=3).collect()
+    by_query = {}
+    for r in hits:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid in range(4):
+        top = by_query.get(qid, [])
+        assert top, f"query {qid} found no candidates"
+        best = max(top, key=lambda r: r["cos_sim"])
+        assert best["neighbor_id"] == qid + 10000, (
+            f"planted duplicate of {qid} not ranked first: {top}"
+        )
+        assert abs(best["cos_sim"] - 1.0) < 1e-12
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """Corpus→bucket assignment must be a pure projection (centroid
+    literals, no join, no shuffle) — the 100 TB viability property."""
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+    from national_caseload_data_ingest_spark.plans import (
+        join_kinds,
+        shuffle_exchanges,
+    )
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    assigned = ivf_assign(e, ivf_train(e))
+    assert join_kinds(assigned) == []
+    assert shuffle_exchanges(assigned) == []
