@@ -19,6 +19,7 @@ import national_caseload_data_ingest_spark.operators.dedup  # noqa: F401
 import national_caseload_data_ingest_spark.operators.multimodal  # noqa: F401
 import national_caseload_data_ingest_spark.operators.relational  # noqa: F401
 import national_caseload_data_ingest_spark.operators.similarity  # noqa: F401
+import national_caseload_data_ingest_spark.operators.skew  # noqa: F401
 import national_caseload_data_ingest_spark.operators.temporal  # noqa: F401
 import national_caseload_data_ingest_spark.operators.text  # noqa: F401
 import national_caseload_data_ingest_spark.operators.tpch_extra  # noqa: F401

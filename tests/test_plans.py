@@ -3,6 +3,7 @@ no accidental cartesians across the operator catalog (the 100 TB-readiness
 assertions promised in operator docstrings)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as ent
 from national_caseload_data_ingest_spark.plans import (
@@ -155,3 +156,26 @@ def test_fixed_width_projection_is_narrow(spark, fixture_zip, tmp_path):
         assert "Exchange" not in plan, plan
     finally:
         staged.cleanup()
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """The salted join's exchanges must hash on (key, salt) so a hot key
+    spreads over n_salts tasks — and row multiplicity must match the
+    plain join exactly."""
+    from national_caseload_data_ingest_spark.operators.skew import salted_join
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    t = load_tables(spark, SF, "lineitem", "orders")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = salted_join(t["lineitem"], t["orders"], "l_orderkey", "o_orderkey", 4)
+        plan = physical_plan(j)
+        assert "__salt" in plan, plan
+        ex = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+        assert ex and all("__salt" in ln for ln in ex), ex
+        assert j.count() == t["lineitem"].join(
+            t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
