@@ -289,30 +289,42 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING-filtered IN-subquery (semi join) over the fact.
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery over the fact.
 
-    Expressed in SQL — Catalyst rewrites the IN-group-HAVING subquery into a
-    left-semi hash join against the aggregated lineitem, identical in shape
-    to the hand-written DataFrame plan.
+    The naive form (oracle SQL) scans lineitem twice — once for the
+    IN-group-HAVING subquery, once for the outer join — and re-aggregates
+    after the join.  Because ``o_orderkey`` is the grouping key, the outer
+    per-(customer, order) SUM equals the subquery's per-order SUM, so the
+    engine computes the aggregate ONCE and joins the filtered result to the
+    dims: one lineitem scan, one fact shuffle, then a broadcast-sized
+    survivor set (orders with >150 total quantity are rare at any SF).
     """
-    load_tables(spark, sf_dir, "customer", "orders", "lineitem")
-    return spark.sql(
-        """
-        SELECT c_custkey, o_orderkey, o_orderdate,
-               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_orderkey IN (
-            SELECT l_orderkey FROM lineitem
-            GROUP BY l_orderkey
-            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > F.lit(150).cast("decimal(18,2)"))
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            # unhinted: AQE broadcasts customer at test SFs; at cluster
+            # scale the (already survivor-filtered) left side is tiny, so
+            # either side may build without a fact-sized shuffle
+            t["customer"].select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
-        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
-        ORDER BY o_totalprice DESC, o_orderkey
-        LIMIT 50
-        """
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
     )
 
 
