@@ -400,3 +400,54 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice, 1) AS DOUBLE) AS price_round1,
+           CAST(ROUND(l_extendedprice) AS DOUBLE) AS price_round0,
+           CAST(ABS(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_kilo,
+           CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE)
+             AS charged,
+           CAST(MOD(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS qty_mod7,
+           CAST(POWER(1 + l_discount, 2) AS DOUBLE) AS disc_sq,
+           CAST(SQRT(l_quantity) AS DOUBLE) AS qty_sqrt,
+           CAST(LN(l_extendedprice) AS DOUBLE) AS price_ln,
+           CAST(GREATEST(l_quantity, 25.0) AS DOUBLE) AS qty_floor25,
+           CAST(LEAST(l_discount, l_tax) AS DOUBLE) AS min_rate,
+           CAST(SIGN(l_discount - l_tax) AS DOUBLE) AS rate_sign
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Presto math-function family (§2.2): arithmetic, round/abs/
+    floor/ceil/mod/power/sqrt/ln/greatest/least/sign — all JVM-codegen'd
+    column expressions (IEEE-754 double ops are bit-deterministic
+    cross-engine, so the oracle hash-matches without decimal detours)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.round("l_extendedprice").cast("double").alias("price_round0"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_kilo"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charged"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.pow(1 + F.col("l_discount"), 2).alias("disc_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floor25"),
+        F.least(F.col("l_discount"), F.col("l_tax")).alias("min_rate"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).alias("rate_sign"),
+    )

@@ -105,3 +105,88 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_binary_payload(d).mapInPandas(
         extract_byte_features, schema=FEATURE_SCHEMA
     )
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload — STUB: requires PIL, not in this container.
+
+    Plumbing parity lives in :func:`sample_frames`, which exercises the
+    same batch shape (binary in → derived binary out)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires PIL; container has no codecs"
+        ) from e
+    import io  # noqa: PLC0415
+
+    img = Image.open(io.BytesIO(payload)).resize((width, height))
+    out = io.BytesIO()
+    img.save(out, format="PNG")
+    return out.getvalue()
+
+
+FRAME_BYTES = 64  # deterministic stand-in for a decoded video frame
+FRAME_STRIDE = 3  # keep every 3rd frame
+
+FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_bytes int, frame_checksum bigint"
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampling kernel: each payload explodes into one row per kept
+    frame (every ``FRAME_STRIDE``-th fixed-size chunk) — the 1→N batch
+    shape of real video frame extraction, with a deterministic fake
+    "decode" (chunking) standing in for the codec."""
+    for pdf in batches:
+        doc_ids, frame_nos, sizes, sums = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+            for f in range(0, n_frames, FRAME_STRIDE):
+                chunk = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                doc_ids.append(doc_id)
+                frame_nos.append(f)
+                sizes.append(len(chunk))
+                sums.append(int(sum(chunk)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_no": pd.Series(frame_nos, dtype="int32"),
+                "frame_bytes": pd.Series(sizes, dtype="int32"),
+                "frame_checksum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, octet_length(encode(text)) AS n, text
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, CAST(fr AS INTEGER) AS frame_no,
+               CAST(least(n - fr * {FRAME_BYTES}, {FRAME_BYTES}) AS INTEGER)
+                 AS frame_bytes,
+               CAST(list_sum(list_transform(
+                    range(fr * {FRAME_BYTES} + 1,
+                          least(n, (fr + 1) * {FRAME_BYTES}) + 1),
+                    i -> ascii(substr(text, i, 1)))) AS BIGINT)
+                 AS frame_checksum
+        FROM f, unnest(range(0, CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT),
+                             {FRAME_STRIDE})) AS t(fr)
+    )
+    SELECT doc_id, frame_no, frame_bytes, frame_checksum FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the multimodal path: binary
+    payload → ``mapInPandas`` 1→N explosion → one typed row per kept frame.
+
+    The oracle re-derives the same frames from character codes (ASCII
+    corpus), proving the Python batch path's row explosion is lossless and
+    deterministic.  At scale the chunking fake swaps for a codec call; the
+    plan shape (narrow map, no shuffle) is unchanged.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return with_binary_payload(d).mapInPandas(sample_frames, schema=FRAME_SCHEMA)

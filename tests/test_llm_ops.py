@@ -205,3 +205,19 @@ def test_ivf_assignment_is_narrow(spark):
     assigned = ivf_assign(e, ivf_train(e))
     assert join_kinds(assigned) == []
     assert shuffle_exchanges(assigned) == []
+
+
+def test_frame_sample_explodes_rows_no_shuffle(spark, catalog):
+    """Frame sampling: 1→N row explosion inside a narrow mapInPandas —
+    every kept frame present, stride respected, no shuffle in the plan."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        FRAME_STRIDE,
+    )
+    from national_caseload_data_ingest_spark.plans import shuffle_exchanges
+
+    df = catalog["multimodal_frame_sample"](spark, SF)
+    assert shuffle_exchanges(df) == []
+    rows = df.collect()
+    assert len(rows) > 500  # many docs explode into several frames
+    assert all(r["frame_no"] % FRAME_STRIDE == 0 for r in rows)
+    assert all(r["frame_bytes"] > 0 for r in rows)
