@@ -203,3 +203,41 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized.cast("binary")).alias("fingerprint"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+# BPE-ish pre-tokenizer: maximal runs of letters, digits, or single other
+# non-space characters — the class-based core of GPT-style pre-tokenization,
+# restricted to constructs with identical leftmost-maximal semantics in
+# Java regex (Spark) and RE2 (DuckDB), so counts hash-match cross-engine.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+'))
+             AS tokens_per_word
+    FROM documents
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style (BPE-ish regex) token counts next to whitespace
+    counts — the token-budget accounting pass of a training-data pipeline.
+    Pure codegen'd regexp counting; no UDFs, no shuffle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    )
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        n_ws.cast("bigint").alias("n_ws_tokens"),
+        (n_bpe.cast("double") / n_ws).alias("tokens_per_word"),
+    )

@@ -247,3 +247,67 @@ def user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_seconds"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join + streaming dedup — the two remaining Structured
+# Streaming shapes a 100 TB event pipeline leans on.
+# ---------------------------------------------------------------------------
+
+
+def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Join events to a static user dimension — identical expression for a
+    batch DataFrame and a stream (stream-static joins need no watermark;
+    Spark broadcasts/rescans the static side per micro-batch)."""
+    return events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def enrich_events_stream(spark: SparkSession, events_dir: str, dim: DataFrame) -> DataFrame:
+    """Streaming twin of :func:`enrich_events` over the file source."""
+    return enrich_events(_events_stream(spark, events_dir), dim)
+
+
+def dedup_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Exactly-once event stream via ``dropDuplicatesWithinWatermark`` on
+    the event key: re-delivered events arriving within the watermark are
+    suppressed, and the dedup state is EVICTED once the watermark passes —
+    bounded state, unlike plain ``dropDuplicates`` whose key set grows
+    forever.  (Duplicates older than the watermark are dropped by the
+    watermark itself — same observable outcome.)"""
+    e = _events_stream(spark, events_dir)
+    return e.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+@query(
+    "events_enriched_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def events_enriched_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment: events joined to the
+    customer dim (broadcast — the dim is always the small side), rolled up
+    by (segment, event_type)."""
+    t = load_tables(spark, sf_dir, "events", "customer")
+    return (
+        enrich_events(t["events"], t["customer"])
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )

@@ -101,3 +101,58 @@ def test_user_lifetime_stats_stream_equals_batch(spark):
         ) == (
             b["n_events"], b["n_types"], b["total_value"], b["max_gap_seconds"]
         ), uid
+
+
+def test_enrich_stream_equals_batch(spark, events_batch):
+    """Stream-static join: streaming enrichment over the file source equals
+    the batch join row-for-row."""
+    from national_caseload_data_ingest_spark.streaming.events import (
+        enrich_events,
+        enrich_events_stream,
+    )
+
+    dim = load_tables(spark, SF, "customer")["customer"]
+    sdf = enrich_events_stream(spark, EVENTS_DIR, dim)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("enriched_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM enriched_mem").collect()
+    }
+    want = {tuple(r) for r in enrich_events(events_batch, dim).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_suppresses_redelivery(spark, events_batch, tmp_path):
+    """dropDuplicatesWithinWatermark: a full redelivery of the event file in
+    a later micro-batch yields no extra rows — output is exactly the
+    distinct event set."""
+    import shutil
+
+    from national_caseload_data_ingest_spark.streaming.events import (
+        dedup_events_stream,
+    )
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(EVENTS_DIR, d / "a.parquet")
+    shutil.copy(EVENTS_DIR, d / "b.parquet")  # exact redelivery
+    sdf = dedup_events_stream(spark, str(d))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id FROM dedup_mem").collect()
+    ids = [r["event_id"] for r in out]
+    assert len(ids) == len(set(ids)), "duplicate event_ids in output"
+    assert len(set(ids)) == events_batch.count()
