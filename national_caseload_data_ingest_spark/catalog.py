@@ -132,7 +132,13 @@ class SparkCatalog:
                     )
         writer = out.write.format(writer_format).mode("overwrite").options(**options)
         if partitioned:
-            writer = writer.partitionBy(PARTITION_COLUMN)
+            # Dynamic overwrite: only partitions present in `df` are
+            # replaced.  NCD dumps are cumulative monthly snapshots
+            # (reference README), so a re-ingest that carries a subset of
+            # districts must not clobber the untouched ones.
+            writer = writer.partitionBy(PARTITION_COLUMN).option(
+                "partitionOverwriteMode", "dynamic"
+            )
         writer.save(location)
 
         if register:
