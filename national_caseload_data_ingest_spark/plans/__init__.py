@@ -22,6 +22,21 @@ def physical_plan(df: DataFrame) -> str:
     return jqe.explainString(mode)
 
 
+def _tree_section(plan: str) -> str:
+    """The operator TREE of the (final, if AQE-executed) plan.
+
+    Formatted explain prints the tree, then (post-execution) the pre-
+    adaptive "Initial Plan" tree, then numbered per-operator details for
+    every id in BOTH trees — so operator counting must stay inside the
+    one tree or everything double-counts."""
+    if "== Final Plan ==" in plan:
+        start = plan.find("== Final Plan ==")
+        end = plan.find("== Initial Plan ==", start)
+        return plan[start : end if end != -1 else len(plan)]
+    m = re.search(r"^\(\d+\) ", plan, re.MULTILINE)
+    return plan[: m.start()] if m else plan
+
+
 def optimized_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
@@ -39,13 +54,24 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 
 def join_kinds(df: DataFrame) -> list[str]:
-    """Physical join operator names appearing in the plan."""
-    plan = physical_plan(df)
+    """Physical join operator names, one entry per join operator (counted
+    in the final plan tree — see :func:`_tree_section`)."""
     return re.findall(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
         r"BroadcastNestedLoopJoin|CartesianProduct)",
-        plan,
+        _tree_section(physical_plan(df)),
     )
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Number of distinct WholeStageCodegen spans in the executed plan.
+
+    Simple-mode plan strings mark codegen'd operators as ``*(N) Op``; the
+    distinct ``N`` values are the codegen stages.  With AQE, execute the
+    DataFrame first (e.g. ``df.collect()``) or the plan shows the
+    pre-adaptive tree."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", s)))
 
 
 def has_take_ordered(df: DataFrame) -> bool:
@@ -58,16 +84,13 @@ def exchange_count(df: DataFrame) -> int:
 
 
 def shuffle_exchanges(df: DataFrame) -> list[str]:
-    """One entry per shuffle exchange operator.
-
-    Formatted explain prints every operator twice (tree + numbered detail
-    section), so count only the numbered detail headers.
-    """
-    plan = physical_plan(df)
+    """One entry per shuffle exchange operator (final plan tree only;
+    broadcast exchanges and AQE shuffle reads excluded)."""
+    tree = _tree_section(physical_plan(df))
     return [
         ln.strip()
-        for ln in plan.splitlines()
-        if re.match(r"^\(\d+\) Exchange\b", ln.strip())
+        for ln in tree.splitlines()
+        if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
     ]
 
 

@@ -1,0 +1,88 @@
+"""Physical-plan audit across the whole query catalog.
+
+For every ``queries()`` entry, prints one line:
+
+    name  shuffles=N  joins=[...]  pushdown=y/n  codegen=N  takeordered=y/n
+
+Flags (trailing ``!``) anything that usually signals a scale problem: a
+CartesianProduct, or a shuffle count ≥ 5.  This is the human-readable twin
+of ``tests/test_plans.py`` — run it after adding an operator to see the
+plan you actually got.
+
+Usage::
+
+    python tools/plan_report.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+
+    import __spark_entry__ as ent
+    from national_caseload_data_ingest_spark.plans import (
+        codegen_span_count,
+        has_take_ordered,
+        join_kinds,
+        physical_plan,
+        pushed_filters,
+        shuffle_exchanges,
+    )
+    from national_caseload_data_ingest_spark.session import get_spark
+
+    spark = get_spark("plan-report")
+    qs = ent.queries()
+    flagged = []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        try:
+            df = qs[name](spark, sf_dir)
+            df.collect()  # execute THIS plan so AQE finalizes + codegen runs
+            plan = physical_plan(df)
+            joins = join_kinds(df)
+            n_shuffles = len(shuffle_exchanges(df))
+            pushed = any(p.strip() for p in pushed_filters(df))
+            codegen = codegen_span_count(df)
+            flags = []
+            if "CartesianProduct" in joins and name != "cross_join_region_status":
+                flags.append("CARTESIAN")
+            if n_shuffles >= 5:
+                flags.append("MANY_SHUFFLES")
+            if flags:
+                flagged.append((name, flags))
+            jshort = ",".join(
+                j.replace("BroadcastHashJoin", "BHJ")
+                .replace("SortMergeJoin", "SMJ")
+                .replace("ShuffledHashJoin", "SHJ")
+                .replace("BroadcastNestedLoopJoin", "BNLJ")
+                .replace("CartesianProduct", "CARTESIAN")
+                for j in joins
+            )
+            print(
+                f"{name:35s} shuffles={n_shuffles} joins=[{jshort}] "
+                f"pushdown={'y' if pushed else 'n'} codegen={codegen} "
+                f"takeordered={'y' if has_take_ordered(df) else 'n'}"
+                f"{'  ! ' + ','.join(flags) if flags else ''}"
+            )
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(f"{name:35s} ERROR {type(e).__name__}: {e}")
+            flagged.append((name, ["ERROR"]))
+    print()
+    if flagged:
+        print(f"{len(flagged)} flagged: {flagged}")
+    else:
+        print("0 flagged")
+
+
+if __name__ == "__main__":
+    main()
