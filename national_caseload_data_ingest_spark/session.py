@@ -63,6 +63,11 @@ def get_spark(
         # large stages still fan out to the 64 MB advisory target.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join pruning: for a selective fact-fact join
+        # the build side injects a bloom filter into the probe side's scan,
+        # cutting shuffle input before it's written.  Off by default in
+        # Spark; at 100 TB it's one of the cheapest shuffle reducers.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # The events table stores TIMESTAMP(NANOS) which the vectorized
@@ -118,6 +123,7 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
