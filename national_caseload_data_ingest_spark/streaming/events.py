@@ -311,3 +311,76 @@ def events_enriched_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
+
+
+def correlate_signup_purchase(signups: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Interval join: purchases within 1 hour after a signup, per user.
+
+    Identical expression for batch DataFrames and streams; in streaming
+    both sides carry watermarks and the time-range condition bounds the
+    join state (rows are evicted once the other side's watermark passes
+    their interval — the property that makes stream-stream joins viable
+    with unbounded inputs)."""
+    s = signups.select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        "signup_ts",
+        "purchase_ts",
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+    )
+
+
+def signup_purchase_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Stream-stream twin: the same file source read as two independent
+    streams (signups / purchases), each watermarked."""
+    signups = (
+        _events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", WATERMARK)
+    )
+    purchases = (
+        _events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", WATERMARK)
+    )
+    return correlate_signup_purchase(signups, purchases)
+
+
+@query(
+    "signup_purchase_within_hour",
+    oracle="""
+    SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM events s
+    JOIN events p ON p.user_id = s.user_id
+                 AND p.ts >= s.ts
+                 AND p.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+)
+def signup_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (funnel correlation).
+
+    At scale the equality key (user_id) drives the shuffle and the time
+    interval is a residual predicate — the same plan shape AQE gives a
+    plain fact-fact equi join."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return correlate_signup_purchase(
+        e.filter(F.col("event_type") == "signup"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

@@ -156,3 +156,33 @@ def test_streaming_dedup_suppresses_redelivery(spark, events_batch, tmp_path):
     ids = [r["event_id"] for r in out]
     assert len(ids) == len(set(ids)), "duplicate event_ids in output"
     assert len(set(ids)) == events_batch.count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_batch):
+    """Stream-stream interval join (watermarked both sides) produces
+    exactly the batch interval-join result on the same data."""
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.streaming.events import (
+        correlate_signup_purchase,
+        signup_purchase_stream,
+    )
+
+    sdf = signup_purchase_stream(spark, EVENTS_DIR)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ssjoin_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssjoin_mem").collect()}
+    want = {
+        tuple(r)
+        for r in correlate_signup_purchase(
+            events_batch.filter(F.col("event_type") == "signup"),
+            events_batch.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
