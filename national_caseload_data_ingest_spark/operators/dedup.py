@@ -507,3 +507,79 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )
+
+
+_PIPELINE_GRAMS_SQL = """
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 2
+                    THEN list_transform(
+                        range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                        i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                             string_split_regex(lower(trim(text)), '\\s+')[i+1])
+                    ELSE [lower(trim(text))] END) AS grams
+        FROM kept
+"""
+
+
+@query(
+    "training_data_pipeline",
+    oracle=f"""
+    WITH filtered AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split_regex(trim(text), '\\s+')) AS nt
+        FROM documents
+        WHERE LENGTH(text) >= 100
+          AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY text),
+    kept AS (SELECT f.* FROM filtered f JOIN canon USING (doc_id)),
+    sh AS ({_PIPELINE_GRAMS_SQL}),
+    neardup AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              >= 0.2
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens
+    FROM kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+    GROUP BY lang, source
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality filter → exact dedup →
+    near-dup removal → per-(lang, source) token budget.
+
+    Composes the catalog's operators in the order a real corpus build
+    runs them (cheap narrow filters first, the one quadratic-risk step
+    last, against the already-shrunk corpus).  Near-dup policy: drop any
+    doc with a smaller-id near-duplicate (one deterministic pass, not
+    transitive clustering).  Every step is deterministic, so the WHOLE
+    pipeline hash-matches the SQL oracle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    filtered = d.withColumn("nt", n_tokens).filter(
+        (F.length("text") >= 100) & (F.col("nt") >= 20)
+    )
+    canon = (
+        filtered.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = filtered.join(canon, "doc_id", "left_semi")
+    neardup = (
+        jaccard_pairs_in_blocks(word_bigram_postings(kept), ["lang"], 0.2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        kept.join(neardup, "doc_id", "left_anti")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+    )
