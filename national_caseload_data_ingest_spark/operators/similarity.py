@@ -1,18 +1,31 @@
 """Similarity search over the ``embeddings`` table: brute-force cosine
-top-k (the correctness baseline) and a hyperplane-LSH bucketed variant (the
-scale path).
+top-k (the correctness baseline), a hyperplane-LSH bucketed variant, and an
+IVF (inverted-file) variant (the two scale paths).
 
-Scale design: brute-force is O(queries × corpus) — fine when the query set
-is small and the corpus scan is one broadcast-join pass, which is exactly
-how it's expressed here (queries broadcast, corpus streamed).  The LSH
-variant buckets the corpus once (16 signature bits) and probes only the
-query's bucket: with balanced buckets the per-query cost drops ~2¹⁶×, at a
-recall cost measured against the brute-force baseline in
-``tests/test_llm_ops.py``.
+Scale design — the scoring hot path is a **two-phase screen/rescore**:
 
-The cosine kernel is the sequential-fold double dot product from
-``operators.dedup`` — bitwise-identical to the DuckDB oracle's
-``list_dot_product`` over ``DOUBLE[]``.
+1. **Screen (numpy, Arrow batches).** All corpus-side scoring runs as a
+   ``mapInPandas`` kernel doing one BLAS matmul per Arrow batch against the
+   broadcast query matrix — a narrow stage, no shuffle, ~10²-10³× faster
+   per element than interpreted ``F.aggregate`` folds (see
+   ``operators.dedup`` note on higher-order lambdas).  Each batch keeps
+   only the top ``k + SCREEN_PAD`` candidates per query.
+2. **Rescore (exact fold).** The tiny survivor set is re-scored with the
+   sequential-fold double cosine from ``operators.dedup`` — bitwise-equal
+   to DuckDB's ``list_dot_product``, so the emitted values hash-match the
+   SQL oracle exactly and all three paths (brute/LSH/IVF) report identical
+   values for identical pairs.
+
+The screen can never evict a true top-k hit: a vector outside one batch's
+numpy top-``k+PAD`` is numpy-beaten by ≥ k+PAD vectors in that batch, and
+float64 screen-vs-exact disagreement is confined to the last ulp, so at
+least k of them also exact-beat it.
+
+Brute-force is O(queries × corpus) — the pattern for "score everything
+against a small probe/model set".  LSH buckets the corpus by signature and
+probes only the query's bucket (+1-bit neighbors); IVF assigns the corpus
+to k-means cells (a pure narrow map — the centroid model is tiny and lives
+on the driver) and probes the ``N_PROBE`` nearest cells.
 """
 
 from __future__ import annotations
@@ -21,16 +34,130 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from national_caseload_data_ingest_spark.operators.dedup import cosine, dot
+from national_caseload_data_ingest_spark.operators.dedup import cosine
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 10
+# Extra survivors kept per (query, batch) by the numpy screen so last-ulp
+# screen/exact disagreements and small tie clusters can never change the
+# final exact top-k (see module docstring).
+SCREEN_PAD = 16
 # 8 planes → 256 buckets: sized to the test corpus (≤ 5k vectors) so buckets
 # hold ~10-20 candidates.  Scale rule: planes ≈ log2(corpus / wanted bucket
 # occupancy); at 10^9 vectors use ~26 planes.
 LSH_PLANES = 8
+# Fixed literal seed for the hyperplane matrix: deterministic across runs,
+# engines, and the query/corpus sides (both hash with the same planes).
+LSH_SEED = 0xD1CE
+
+
+def _collect_queries(e: DataFrame, n_queries: int):
+    """Collect the (tiny) query-vector set to the driver as a float64
+    matrix — the same justified driver-side-model pattern as IVF centroids:
+    k × dim doubles, inlined into the batch kernels as a closure."""
+    import numpy as np  # noqa: PLC0415
+
+    rows = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    q = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return qids, q
+
+
+def _normalized(m):
+    import numpy as np  # noqa: PLC0415
+
+    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+    norms[norms == 0.0] = 1.0
+    return m / norms[:, None]
+
+
+def _vec_matrix(series):
+    """Arrow list column → (n, dim) float64 matrix."""
+    import numpy as np  # noqa: PLC0415
+
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _screen_topk_kernel(qids, qn, kk: int):
+    """mapInPandas generator: per Arrow batch, cosine-score every corpus
+    vector against ALL queries (one BLAS matmul) and keep the numpy top-kk
+    per query.  Emits only (query_id, neighbor_id) — scores are assigned by
+    the exact rescore."""
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            sims = _normalized(_vec_matrix(pdf["embedding"])) @ qn.T  # (b, nq)
+            sims[ids[:, None] == qids[None, :]] = -np.inf  # mask self-pairs
+            kk_eff = min(kk, len(ids))
+            top = np.argpartition(-sims, kk_eff - 1, axis=0)[:kk_eff]  # (kk, nq)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk_eff),
+                    "neighbor_id": ids[top.T.ravel()],
+                }
+            )
+
+    return gen
+
+
+def _exact_rerank(e: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Exact-fold cosine over a (small) candidate-pair set + per-query
+    top-k window.  The fold is bitwise-equal to DuckDB list_dot_product,
+    so values hash-match the oracle and agree across brute/LSH/IVF."""
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        qv.join(
+            F.broadcast(
+                candidates.filter(
+                    F.col("query_id") != F.col("neighbor_id")
+                ).distinct()
+            ),
+            "query_id",
+        )
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def brute_topk(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    """Exact top-k by cosine: numpy batch screen over the full corpus (one
+    narrow mapInPandas stage), exact-fold rescore of the survivors."""
+    qids, q = _collect_queries(e, n_queries)
+    if len(qids) == 0:
+        return _exact_rerank(e, e.limit(0).select(
+            F.col("vec_id").alias("query_id"), F.col("vec_id").alias("neighbor_id")
+        ), k)
+    screen = e.select("vec_id", "embedding").mapInPandas(
+        _screen_topk_kernel(qids, _normalized(q), k + SCREEN_PAD),
+        schema="query_id bigint, neighbor_id bigint",
+    )
+    return _exact_rerank(e, screen, k)
 
 
 @query(
@@ -54,121 +181,98 @@ LSH_PLANES = 8
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k nearest neighbors by cosine for a small query set.
 
-    The query side is broadcast; the corpus side streams through one
-    nested-loop pass + a per-query top-k window.  At 100 TB this is the
-    pattern for "score everything against a model/probe set" jobs.
-    """
+    The corpus streams once through a numpy matmul screen (narrow, no
+    shuffle); survivors get the bitwise-exact fold rescore, so the result
+    hash-matches the DuckDB oracle while the corpus-scan cost is BLAS, not
+    interpreted expression trees."""
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
+    return brute_topk(e)
 
 
-def _lsh_signature(vec_col: F.Column) -> F.Column:
-    """16-bit random-hyperplane signature.
+# ---------------------------------------------------------------------------
+# Hyperplane LSH
+# ---------------------------------------------------------------------------
 
-    Plane ``p``'s weight for dimension ``d`` is a deterministic pseudo-random
-    value in [-1, 1) derived from ``xxhash64(p, d)`` — reproducible across
-    runs and engines with no stored model."""
-    bits = F.lit(0).cast("bigint")
-    for p in range(LSH_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                F.transform(vec_col, lambda x: x.cast("double")),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda d: (
-                        (F.xxhash64(F.lit(p), d) % 2001 + 2001) % 2001 - 1000
-                    ).cast("double")
-                    / 1000.0,
-                ),
-                lambda x, wgt: x * wgt,
+
+def _plane_matrix(dim: int, planes: int = LSH_PLANES):
+    import numpy as np  # noqa: PLC0415
+
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((planes, dim))
+
+
+def _signature_kernel(w):
+    """mapInPandas generator: hyperplane signature bits per vector — one
+    matmul per Arrow batch against the (planes × dim) matrix."""
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        weights = np.asarray(w, dtype=np.float64)
+        pows = (1 << np.arange(weights.shape[0])).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            proj = _vec_matrix(pdf["embedding"]) @ weights.T  # (b, planes)
+            sig = (proj > 0).astype(np.int64) @ pows
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "sig": sig})
+
+    return gen
+
+
+def lsh_topk(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    """ANN top-k: hyperplane-LSH bucket probe + exact rescore.
+
+    Corpus signatures are one narrow numpy stage; the query side's probe
+    signatures (bucket + all 1-bit flips — multi-probe trades a 9× probe
+    fan-out for recall) are computed on the driver from the collected query
+    matrix and broadcast into the bucket join.  Candidates are bounded by
+    bucket occupancy, so the exact-fold rescore is on a small set.
+
+    Recall characteristics: proportional to corpus structure.  On truly
+    random vectors (this synthetic corpus) recall ≈ scanned fraction — the
+    theoretical behavior; tests assert planted-duplicate recovery and a
+    measured-recall floor instead of recall-on-noise."""
+    import numpy as np  # noqa: PLC0415
+
+    qids, q = _collect_queries(e, n_queries)
+    if len(qids) == 0:
+        return _exact_rerank(
+            e,
+            e.limit(0).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            k,
         )
-        bits = bits.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    return bits
+    w = _plane_matrix(q.shape[1])
+    sigs = e.select("vec_id", "embedding").mapInPandas(
+        _signature_kernel(w), schema="vec_id bigint, sig bigint"
+    )
+    pows = (1 << np.arange(LSH_PLANES)).astype(np.int64)
+    qsig = ((q @ w.T) > 0).astype(np.int64) @ pows
+    probes = [
+        (int(qid), int(s) ^ flip)
+        for qid, s in zip(qids, qsig)
+        for flip in [0, *[1 << p for p in range(LSH_PLANES)]]
+    ]
+    spark = e.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id bigint, probe_sig bigint")
+    candidates = (
+        sigs.join(F.broadcast(probe_df), sigs["sig"] == probe_df["probe_sig"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    return _exact_rerank(e, candidates, k)
 
 
 @query("ann_lsh_topk")  # approximate — planted-neighbor recall checked in tests
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucket join, then exact cosine
-    re-rank inside the candidate set (multi-probe: bucket plus all 1-bit
-    neighbor buckets, trading a 9× candidate fan-out for recall).
-
-    Recall characteristics: proportional to corpus structure.  On truly
-    random vectors (this synthetic corpus) recall ≈ scanned fraction
-    (~3.5 %) — the theoretical behavior, asserted in tests via a *planted*
-    near-duplicate that LSH must find."""
+    """Approximate top-k via hyperplane LSH (see :func:`lsh_topk`)."""
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return lsh_topk(e)
-
-
-def lsh_topk(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
-    """Core ANN pipeline over any (vec_id, embedding) DataFrame."""
-    sigs = e.select("vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig"))
-    # multi-probe: original signature + flipping each single bit
-    probes = sigs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.explode(
-            F.array(
-                F.col("sig"),
-                *[
-                    F.col("sig").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), p))
-                    for p in range(LSH_PLANES)
-                ],
-            )
-        ).alias("probe_sig"),
-    )
-    candidates = (
-        probes.join(
-            sigs.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("cv"),
-                F.col("sig").alias("probe_sig"),
-            ),
-            "probe_sig",
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
-        .distinct()
-    )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
 
 
 @query(
@@ -187,6 +291,8 @@ def lsh_topk(e: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFr
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector-norm profile (array aggregation exercised as a
     first-class scalar pipeline: fold → sqrt → min/max)."""
+    from national_caseload_data_ingest_spark.operators.dedup import dot
+
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     return (
@@ -209,42 +315,64 @@ N_PROBE = 2
 LLOYD_ITERS = 2
 
 
-def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
-    """Squared euclidean distance between two double arrays (sequential
-    fold — deterministic)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _assign_kernel(cents):
+    """mapInPandas generator: nearest-centroid id per vector via one
+    squared-distance matmul per Arrow batch (||v||² - 2v·c + ||c||²).
+    Ties resolve to the lowest cluster id (argmin-first), matching the
+    previous expression formulation."""
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        c = np.asarray(cents, dtype=np.float64)  # (k, dim)
+        c_sq = np.einsum("ij,ij->i", c, c)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _vec_matrix(pdf["embedding"])
+            d = np.einsum("ij,ij->i", v, v)[:, None] - 2.0 * (v @ c.T) + c_sq[None, :]
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cluster"] = np.argmin(d, axis=1).astype(np.int32)
+            yield out
+
+    return gen
+
+
+def ivf_assign(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, cluster) — nearest-centroid id per vector as a
+    pure NARROW stage (no join, no shuffle): the centroid model is a driver
+    closure shipped with the kernel, and assignment is one BLAS matmul per
+    Arrow batch — the property that makes IVF viable at 100 TB."""
+    return e.select("vec_id", "embedding").mapInPandas(
+        _assign_kernel([list(c) for c in cents]),
+        schema="vec_id bigint, embedding array<float>, cluster int",
     )
 
 
-def _as_double(vec: F.Column) -> F.Column:
-    return F.transform(vec, lambda x: x.cast("double"))
+def _cluster_mean_kernel(pdf):
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
 
-
-def _centroid_literal(cents: list[list[float]]) -> F.Column:
-    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
-
-
-def _dists_to_centroids(vec: F.Column, cents: list[list[float]]) -> F.Column:
-    return F.transform(
-        _centroid_literal(cents), lambda c: _sq_dist(_as_double(vec), c)
+    m = _vec_matrix(pdf["embedding"])
+    return pd.DataFrame(
+        {
+            "cluster": [int(pdf["cluster"].iloc[0])],
+            "centroid": [np.mean(m, axis=0).tolist()],
+        }
     )
 
 
-def ivf_train(e: DataFrame, k: int = N_CENTROIDS, iters: int = LLOYD_ITERS) -> list[list[float]]:
+def ivf_train(
+    e: DataFrame, k: int = N_CENTROIDS, iters: int = LLOYD_ITERS
+) -> list[list[float]]:
     """K-means centroids via Lloyd iterations, returned as plain lists.
 
-    The model is tiny (k × dim doubles) so it lives on the driver and is
-    inlined into assignment expressions as literals — corpus assignment is
-    then a NARROW map (no join, no shuffle), which is the property that
-    makes IVF viable at 100 TB.  Initial centroids are the k vectors with
-    the smallest ``xxhash64(vec_id)`` — deterministic, seed-free.
-
-    Each Lloyd iteration costs one (cluster, dim)-grouped shuffle of
-    k × dim running sums (map-side combined), not a corpus shuffle.
-    """
+    The model is tiny (k × dim doubles) so it lives on the driver and ships
+    as a kernel closure — corpus assignment is then a NARROW map (no join,
+    no shuffle).  Initial centroids are the k vectors with the smallest
+    ``xxhash64(vec_id)`` — deterministic, seed-free.  Each Lloyd iteration
+    costs one cluster-keyed shuffle into a per-cluster mean kernel."""
     seeds = (
         e.select("vec_id", "embedding")
         .orderBy(F.xxhash64("vec_id"))
@@ -253,17 +381,11 @@ def ivf_train(e: DataFrame, k: int = N_CENTROIDS, iters: int = LLOYD_ITERS) -> l
     )
     cents = [[float(v) for v in r["embedding"]] for r in seeds]
     for _ in range(iters):
-        assigned = ivf_assign(e, cents)
         new = (
-            assigned.select("cluster", F.posexplode(_as_double(F.col("embedding"))))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("col").alias("m"))
+            ivf_assign(e, cents)
             .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
+            .applyInPandas(
+                _cluster_mean_kernel, schema="cluster int, centroid array<double>"
             )
             .collect()
         )
@@ -273,17 +395,37 @@ def ivf_train(e: DataFrame, k: int = N_CENTROIDS, iters: int = LLOYD_ITERS) -> l
     return cents
 
 
-def ivf_assign(e: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """(vec_id, embedding, cluster) — nearest-centroid id per vector, as a
-    pure narrow projection (centroids are inline literals)."""
-    dists = _dists_to_centroids(F.col("embedding"), cents)
-    return e.select(
-        "vec_id",
-        "embedding",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cluster"),
-    )
+def _pair_screen_kernel(qids, qn, kk: int):
+    """mapInPandas generator over candidate PAIRS (query_id, neighbor_id,
+    cv): numpy cosine per row against the row's own query, then per-query
+    top-kk within the batch."""
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cn = _normalized(_vec_matrix(pdf["cv"]))
+            qidx = pdf["query_id"].map(qpos).to_numpy()
+            sims = np.einsum("ij,ij->i", cn, qn[qidx])
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "s": sims,
+                }
+            )
+            out = (
+                out.sort_values("s", ascending=False)
+                .groupby("query_id", sort=False)
+                .head(kk)
+            )
+            yield out[["query_id", "neighbor_id"]]
+
+    return gen
 
 
 def ivf_topk(
@@ -293,53 +435,52 @@ def ivf_topk(
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
 ) -> DataFrame:
-    """IVF ANN: assign corpus to centroid buckets, probe each query's
-    ``n_probe`` nearest buckets, exact cosine re-rank inside candidates.
+    """IVF ANN: assign corpus to centroid cells (narrow numpy map), probe
+    each query's ``n_probe`` nearest cells, numpy-screen the probed
+    candidates, exact-fold rescore the survivors.
 
-    Scanned fraction ≈ n_probe / n_centroids.  The bucket join broadcasts
-    the (tiny) probe side, so the corpus is never shuffled — per-query
-    cost is one bucket scan + a small top-k window.
-    """
+    Scanned fraction ≈ n_probe / n_centroids.  The cell join broadcasts the
+    (tiny) probe side, so the corpus is never shuffled — and because the
+    probed fraction can still be huge at scale, scoring it happens in the
+    batch screen, not the interpreted fold."""
+    import numpy as np  # noqa: PLC0415
+
     cents = ivf_train(e, k=n_centroids)
-    corpus = ivf_assign(e, cents)
-    n = len(cents)
-    qdists = _dists_to_centroids(F.col("embedding"), cents)
-    ranked = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n - 1)),
-            lambda i: F.struct(
-                F.element_at(qdists, i + 1).alias("d"), i.cast("int").alias("c")
+    qids, q = _collect_queries(e, n_queries)
+    if len(qids) == 0:
+        return _exact_rerank(
+            e,
+            e.limit(0).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
             ),
+            k,
         )
+    c = np.asarray(cents, dtype=np.float64)
+    d = (
+        np.einsum("ij,ij->i", q, q)[:, None]
+        - 2.0 * (q @ c.T)
+        + np.einsum("ij,ij->i", c, c)[None, :]
     )
-    probes = (
-        e.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.explode(
-                F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
-            ).alias("cluster"),
-        )
-    )
+    probe_rows = [
+        (int(qid), int(cl))
+        for qid, row in zip(qids, np.argsort(d, axis=1, kind="stable"))
+        for cl in row[:n_probe]
+    ]
+    spark = e.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cluster int")
     candidates = (
-        corpus.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cv"),
-            "cluster",
-        )
+        ivf_assign(e, cents)
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cluster")
         .join(F.broadcast(probes), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cv")
     )
-    scored = candidates.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    screened = candidates.mapInPandas(
+        _pair_screen_kernel(qids, _normalized(q), k + SCREEN_PAD),
+        schema="query_id bigint, neighbor_id bigint",
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-    )
+    return _exact_rerank(e, screened, k)
 
 
 @query("ann_ivf_topk")  # approximate — planted-neighbor recall checked in tests
