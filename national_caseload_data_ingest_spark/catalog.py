@@ -20,7 +20,10 @@ Responsibilities (SURVEY.md §2.1 A10-A15, A19, A26):
   AthenaMock golden-DDL inspection affordance (A26) with no extra backend.
 
 The warehouse may be any Hadoop-visible filesystem (``file://``, ``s3a://``,
-HDFS) — paths flow straight into ``DataFrameWriter``.
+HDFS) — paths flow straight into ``DataFrameWriter``.  Two caveats: only
+``file://`` is exercised by this repo's tests (the sandbox has no object
+store), and ``compact_table`` is local-only BY DESIGN (POSIX renames; it
+raises on any other scheme).
 """
 
 from __future__ import annotations
@@ -97,6 +100,59 @@ class SparkCatalog:
             f")\nUSING {data_format}{partition_clause}\n"
             f"LOCATION '{self.table_location(table_name)}'"
         )
+
+    _ATHENA_TYPES = {
+        T.StringType(): "STRING",
+        T.LongType(): "BIGINT",
+        T.DateType(): "DATE",
+        T.DoubleType(): "DOUBLE",
+        T.BooleanType(): "BOOLEAN",
+    }
+
+    def generate_fidelity_ddl(
+        self,
+        table_name: str,
+        schema: T.StructType,
+        partitioned: bool = False,
+        data_bucket: str = "data-bucket",
+        s3_prefix: str = "ncd",
+    ) -> str:
+        """Byte-fidelity Athena DDL — the exact text the reference emits
+        (``/root/reference/ncd/normal_table.py:184-198``,
+        ``/root/reference/ncd/global_file.py:192-205``): ``CREATE EXTERNAL
+        TABLE`` with a JsonSerDe ``ROW FORMAT`` clause, ``STORED AS
+        TEXTFILE``, an ``s3://{bucket}/{prefix}/{db}/{table}`` location
+        (prefix layout per ``/root/reference/ncd/athena.py:80-90``), a
+        trailing semicolon, and the reference's leading/trailing newlines
+        from its dedented template.
+
+        The DATE mapping deliberately stays ``DATE`` even though the JSON
+        wire format carries strftime strings — the reference admits this in
+        a source comment ("Actually a date in strftime format",
+        ``/root/reference/ncd/normal_table.py:160``) but emits plain
+        ``DATE`` in the DDL text, and byte fidelity follows the emitted
+        text.  This companion to ``fidelity_json`` writes makes the
+        golden-DDL affordance (A26) reference-comparable; it is NOT
+        executable by Spark without a Hive metastore, so it is emitted and
+        recorded, never executed here.
+        """
+        cols = ",\n    ".join(
+            f"{f.name} {self._ATHENA_TYPES[f.dataType]}" for f in schema.fields
+        )
+        partition_clause = (
+            "\nPARTITIONED BY (filename_district STRING)" if partitioned else ""
+        )
+        location = f"s3://{data_bucket}/{s3_prefix}/{self.db_name}/{table_name}"
+        ddl = (
+            f"\nCREATE EXTERNAL TABLE IF NOT EXISTS {table_name} (\n"
+            f"    {cols}\n"
+            f"){partition_clause}\n"
+            "ROW FORMAT SERDE 'org.apache.hive.hcatalog.data.JsonSerDe'\n"
+            "STORED AS TEXTFILE\n"
+            f"LOCATION '{location}';\n"
+        )
+        self.executed_sql.append(ddl)
+        return ddl
 
     # -- writes ------------------------------------------------------------
 
@@ -230,43 +286,108 @@ class SparkCatalog:
         )
         return location
 
-    def compact_table(
-        self,
-        table_name: str,
-        target_file_bytes: int = 128 * 1024 * 1024,
-    ) -> int:
-        """Rewrite a (path-backed) table into ~``target_file_bytes`` files.
+    @staticmethod
+    def _recover_compaction(path: str) -> None:
+        """Roll a crashed compaction of ``path`` forward or back.
 
-        Long-lived tables accumulate small files (per-micro-batch sinks,
-        per-district incremental loads); scans then pay per-file open cost
-        and lose row-group locality.  Sizing from the CURRENT on-disk bytes
-        (not row counts) keeps the heuristic format-aware.  Returns the new
-        file count.  The rewrite stages into a sibling directory and moves
-        in, so a crash mid-compaction never leaves the table truncated.
+        Invariants of :meth:`_compact_dir`'s rename sequence make every
+        crash state recoverable: the ``.precompact`` backup only ever
+        exists AFTER the ``.compacting`` staging dir was fully written, so
+        (backup ∧ ¬live) ⇒ staging is complete and promotable; a staging
+        dir next to a live dir is a pre-rename leftover and simply
+        discarded.
         """
+        import os  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
+
+        backup, staging = path + ".precompact", path + ".compacting"
+        if not os.path.exists(path):
+            if os.path.exists(staging) and os.path.exists(backup):
+                os.rename(staging, path)  # crash between the two renames
+            elif os.path.exists(backup):
+                os.rename(backup, path)  # defensive: restore the original
+        if os.path.exists(path):
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(backup, ignore_errors=True)
+
+    def _compact_dir(self, local: str, target_file_bytes: int) -> int:
+        """Rewrite one leaf data directory into ~``target_file_bytes``
+        files via stage → backup-rename → promote-rename.  A crash at any
+        point is repaired by :meth:`_recover_compaction` on the next call
+        (the backup is only taken after staging is fully written, so no
+        crash state loses data)."""
         import glob  # noqa: PLC0415
         import os  # noqa: PLC0415
         import shutil  # noqa: PLC0415
 
-        location = self.table_location(table_name)
-        local = location.removeprefix("file://")
+        local = local.rstrip("/")
         on_disk = sum(
             os.path.getsize(f)
             for f in glob.glob(os.path.join(local, "**", "*.parquet"), recursive=True)
         )
         n_files = max(1, -(-on_disk // target_file_bytes))
-        df = self.spark.read.parquet(location)
-        staging = local.rstrip("/") + ".compacting"
+        df = self.spark.read.parquet(local)
+        staging = local + ".compacting"
+        backup = local + ".precompact"
         shutil.rmtree(staging, ignore_errors=True)
-        df.repartition(n_files).write.mode("overwrite").parquet(staging)
-        backup = local.rstrip("/") + ".precompact"
         shutil.rmtree(backup, ignore_errors=True)
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
         os.rename(local, backup)
         os.rename(staging, local)
         shutil.rmtree(backup, ignore_errors=True)
-        self.spark.catalog.clearCache()
-        self.executed_sql.append(f"-- compact_table {table_name} -> {n_files} files")
         return n_files
+
+    def compact_table(
+        self,
+        table_name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Rewrite a path-backed table into ~``target_file_bytes`` files.
+
+        Long-lived tables accumulate small files (per-micro-batch sinks,
+        per-district incremental loads); scans then pay per-file open cost
+        and lose row-group locality.  Sizing from the CURRENT on-disk bytes
+        (not row counts) keeps the heuristic format-aware.  Returns the new
+        total file count.
+
+        Hive-partitioned tables are compacted PER PARTITION DIRECTORY: each
+        ``filename_district=X/`` leaf is rewritten in place, so the layout
+        a registered ``PARTITIONED BY`` table depends on survives intact
+        (reading the table root would absorb the partition column into the
+        data and flatten the directory tree — silent corruption).
+
+        Local ``file://`` warehouses only: the swap uses POSIX renames.  A
+        distributed object-store compaction (s3a/HDFS) needs a
+        commit-protocol rewrite job, which this deliberately is not — it
+        raises instead of pretending.
+        """
+        import glob  # noqa: PLC0415
+        import os  # noqa: PLC0415
+
+        location = self.table_location(table_name)
+        if "://" in location and not location.startswith("file://"):
+            raise ValueError(
+                f"compact_table only supports local file:// warehouses, got "
+                f"{location!r}: object stores need a distributed rewrite "
+                "with a commit protocol, not POSIX renames."
+            )
+        local = location.removeprefix("file://")
+        self._recover_compaction(local)
+        part_dirs = sorted(
+            d
+            for d in glob.glob(os.path.join(local, f"{PARTITION_COLUMN}=*"))
+            if os.path.isdir(d)
+        )
+        total = 0
+        for target in part_dirs or [local]:
+            self._recover_compaction(target)
+            total += self._compact_dir(target, target_file_bytes)
+        self.spark.catalog.clearCache()
+        self.executed_sql.append(
+            f"-- compact_table {table_name} -> {total} files"
+            + (f" across {len(part_dirs)} partitions" if part_dirs else "")
+        )
+        return total
 
     def recover_partitions(self, table_name: str) -> None:
         self.execute_query(f"MSCK REPAIR TABLE {self.db_name}.{table_name}")

@@ -51,8 +51,9 @@ def _word_shingles(col: Column, n: int = 2) -> Column:
     NOTE: higher-order array lambdas run *interpreted* (outside whole-stage
     codegen) in Spark, ~1000× slower per element than codegen'd
     expressions — measured ~22 ms/doc on the test corpus.  Hot paths use
-    :func:`word_bigram_postings` (posexplode + window lead, fully
-    codegen'd) instead; this array form exists only for small candidate
+    :func:`word_bigram_postings` (a single Arrow-batched ``mapInPandas``
+    pass: tokenize + shingle + per-doc dedup + count, zero shuffles)
+    instead; this array form exists only for small candidate
     verification sets."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -227,8 +228,18 @@ def _jaccard_block_kernel(threshold: float, max_docs: int, max_cells: int):
                 f"(bounds: {max_docs} docs, {max_cells} cells): the "
                 "quadratic in-block verifier must not run on unbounded "
                 "blocks. Re-block finer (e.g. LSH band buckets via "
-                "minhash_candidate_pairs) or raise max_block_docs/"
+                "minhash_band_candidates) or raise max_block_docs/"
                 "max_block_cells explicitly."
+            )
+        if g >= (1 << 24):
+            # The float32 matmul accumulates integer shared-gram counts;
+            # those are exact only while every count (≤ g) stays below
+            # 2^24.  MAX_BLOCK_CELLS alone permits g up to 2^28 for tiny
+            # n, so the exactness claim needs its own fence.
+            raise ValueError(
+                f"jaccard verify block has {g} distinct grams >= 2^24: "
+                "float32 shared-gram counts would no longer be exact. "
+                "Re-block finer."
             )
         if n < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
@@ -351,6 +362,14 @@ def minhash_band_candidates(
     (32, 8) targets j ≳ 0.6; lower thresholds want shorter bands (r=2 → 16
     bands catches j = 0.3 with p ≈ 0.78 per band set; see
     :func:`training_data_curation`'s lsh mode, which stacks r=1 buckets)."""
+    if bands < 1 or perms < bands or perms % bands != 0:
+        # perms % bands != 0 would silently drop trailing signature rows;
+        # bands > perms would make rows_per_band 0 and every band bucket a
+        # constant — i.e. one global bucket = full O(n²) cross join.
+        raise ValueError(
+            f"minhash banding requires perms divisible by bands with "
+            f"perms >= bands >= 1, got perms={perms} bands={bands}"
+        )
     rows_per_band = perms // bands
     sig = minhash_signatures(d, postings=postings, perms=perms)
     band_rows = sig.select(
@@ -594,7 +613,12 @@ def cosine_pairs_in_blocks(
     Two-phase screen/rescore: one groupBy-block shuffle into a bounded
     numpy matmul screen (which RAISES on any block over ``max_block_docs``
     — no silent O(n²)), then the bitwise-exact sequential-fold cosine on
-    the surviving pairs only, so results hash-match the DuckDB oracle."""
+    the surviving pairs only, so results hash-match the DuckDB oracle.
+
+    No broadcast hint on the candidate set: a dense block at a low
+    threshold can emit up to n²/2 pairs, which a forced broadcast would
+    collect to the driver; AQE promotes genuinely small candidate sets to
+    broadcast at runtime on its own."""
     screen = e.groupBy(*block_cols).applyInPandas(
         _cosine_block_kernel(threshold, max_block_docs),
         schema="vec_a bigint, vec_b bigint",
@@ -602,7 +626,7 @@ def cosine_pairs_in_blocks(
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        va.join(F.broadcast(screen), "vec_a")
+        va.join(screen, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
@@ -655,15 +679,49 @@ _PIPELINE_GRAMS_SQL = """
     """,
 )
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked entry point: exact near-dup mode (see
+    :func:`training_data_curation`, which is the real operator and also
+    offers the scale path ``neardup='lsh'``)."""
+    return training_data_curation(spark, sf_dir, neardup="exact")
+
+
+PIPELINE_JACCARD_THRESHOLD = 0.2
+
+
+def training_data_curation(
+    spark: SparkSession,
+    sf_dir: str,
+    neardup: str = "exact",
+    lsh_perms: int = MINHASH_PERMS,
+    lsh_bands: int = MINHASH_PERMS,
+) -> DataFrame:
     """End-to-end training-data curation: quality filter → exact dedup →
     near-dup removal → per-(lang, source) token budget.
 
     Composes the catalog's operators in the order a real corpus build
-    runs them (cheap narrow filters first, the one quadratic-risk step
-    last, against the already-shrunk corpus).  Near-dup policy: drop any
-    doc with a smaller-id near-duplicate (one deterministic pass, not
-    transitive clustering).  Every step is deterministic, so the WHOLE
-    pipeline hash-matches the SQL oracle."""
+    runs them (cheap narrow filters first, the near-dup step last,
+    against the already-shrunk corpus).  Near-dup policy: drop any doc
+    with a smaller-id near-duplicate at Jaccard ≥ 0.2 within the same
+    ``lang`` (one deterministic pass, not transitive clustering).
+
+    Two interchangeable near-dup engines:
+
+    - ``neardup='exact'`` — the lang-blocked all-pairs verifier
+      (:func:`jaccard_pairs_in_blocks`).  Deterministic and
+      oracle-checkable, but quadratic per lang block: the kernel RAISES
+      past ``MAX_BLOCK_DOCS``, so this mode is for oracle runs and
+      bounded corpora only.
+    - ``neardup='lsh'`` — the 100 TB path: MinHash band buckets
+      (:func:`minhash_band_candidates`) generate candidate pairs in one
+      bucket join, then :func:`jaccard_verify_candidates` computes exact
+      Jaccard on candidates only.  No all-pairs step anywhere; cost is
+      O(n·perms + candidate pairs).  Defaults stack ``perms`` single-row
+      bands (r=1), so a true pair at Jaccard j is missed with
+      probability (1-j)^perms ≤ 0.8^32 ≈ 8e-4 at the 0.2 threshold —
+      and ``tests/test_llm_ops.py`` asserts the two modes produce
+      IDENTICAL output on the test corpus.  Candidates are restricted to
+      same-lang pairs to match exact-mode blocking semantics.
+    """
     d = load_tables(spark, sf_dir, "documents")["documents"]
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     filtered = d.withColumn("nt", n_tokens).filter(
@@ -675,13 +733,39 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = filtered.join(canon, "doc_id", "left_semi")
-    neardup = (
-        jaccard_pairs_in_blocks(word_bigram_postings(kept), ["lang"], 0.2)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    if neardup == "exact":
+        pairs = jaccard_pairs_in_blocks(
+            word_bigram_postings(kept), ["lang"], PIPELINE_JACCARD_THRESHOLD
+        )
+    elif neardup == "lsh":
+        postings = word_bigram_postings(kept).persist()
+        cands = minhash_band_candidates(
+            kept, postings, perms=lsh_perms, bands=lsh_bands
+        )
+        # exact mode only pairs docs within one lang block; mirror that by
+        # filtering candidates on lang equality (hash joins on doc id —
+        # scale-safe, and AQE broadcasts the tiny lang map when it is).
+        langs = kept.select("doc_id", "lang")
+        la = langs.select(
+            F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+        )
+        lb = langs.select(
+            F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+        )
+        cands = (
+            cands.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .filter(F.col("lang_a") == F.col("lang_b"))
+            .select("doc_a", "doc_b")
+        )
+        pairs = jaccard_verify_candidates(
+            postings, cands, PIPELINE_JACCARD_THRESHOLD
+        )
+    else:
+        raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")
+    neardup_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
-        kept.join(neardup, "doc_id", "left_anti")
+        kept.join(neardup_ids, "doc_id", "left_anti")
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

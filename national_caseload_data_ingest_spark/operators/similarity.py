@@ -19,7 +19,11 @@ Scale design — the scoring hot path is a **two-phase screen/rescore**:
 The screen can never evict a true top-k hit: a vector outside one batch's
 numpy top-``k+PAD`` is numpy-beaten by ≥ k+PAD vectors in that batch, and
 float64 screen-vs-exact disagreement is confined to the last ulp, so at
-least k of them also exact-beat it.
+least k of them also exact-beat it.  Exact-score TIE clusters are the one
+case padding alone can't cover (>PAD identically-scored vectors, e.g. many
+duplicate embeddings in a dedup corpus, where the exact rerank tiebreaks
+on ``neighbor_id``) — so both screens additionally keep EVERY row within
+one ulp of the cut score, making the survivor set closed under score ties.
 
 Brute-force is O(queries × corpus) — the pattern for "score everything
 against a small probe/model set".  LSH buckets the corpus by signature and
@@ -103,10 +107,15 @@ def _screen_topk_kernel(qids, qn, kk: int):
             sims[ids[:, None] == qids[None, :]] = -np.inf  # mask self-pairs
             kk_eff = min(kk, len(ids))
             top = np.argpartition(-sims, kk_eff - 1, axis=0)[:kk_eff]  # (kk, nq)
+            # cut score per query; keep every row tied with it (to one ulp)
+            # so a >PAD tie cluster can never lose its tiebreak winner
+            kth = sims[top, np.arange(sims.shape[1])].min(axis=0)  # (nq,)
+            keep = sims >= (kth - np.spacing(np.abs(kth)))[None, :]
+            rows, cols = np.nonzero(keep)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, kk_eff),
-                    "neighbor_id": ids[top.T.ravel()],
+                    "query_id": qids[cols],
+                    "neighbor_id": ids[rows],
                 }
             )
 
@@ -418,11 +427,16 @@ def _pair_screen_kernel(qids, qn, kk: int):
                     "s": sims,
                 }
             )
-            out = (
+            top = (
                 out.sort_values("s", ascending=False)
                 .groupby("query_id", sort=False)
                 .head(kk)
             )
+            # keep all rows tied (to one ulp) with each query's cut score —
+            # same tie-closure guarantee as the corpus screen
+            kth = top.groupby("query_id")["s"].min().rename("kth")
+            out = out.merge(kth, on="query_id")
+            out = out[out["s"] >= out["kth"] - np.spacing(np.abs(out["kth"]))]
             yield out[["query_id", "neighbor_id"]]
 
     return gen

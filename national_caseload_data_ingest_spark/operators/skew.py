@@ -41,8 +41,17 @@ def salted_join(
     shuffle then hashes on (key, salt) — a hot key spreads over ``n_salts``
     tasks instead of one.  Row-level results equal the plain join for any
     join type whose null-extension follows the skewed side ('inner',
-    'left', 'left_semi', 'left_anti').
+    'left', 'left_semi', 'left_anti'); right/full joins would surface each
+    unmatched ``other`` row once per replica (``n_salts`` times), so they
+    are rejected rather than silently broken.
     """
+    allowed = ("inner", "left", "left_outer", "left_semi", "left_anti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {allowed}; {how!r} would "
+            f"duplicate unmatched rows of the replicated side {n_salts}x. "
+            "Salt the other side (swap the arguments) instead."
+        )
     sk = F.col(skewed_key) if isinstance(skewed_key, str) else skewed_key
     ok = F.col(other_key) if isinstance(other_key, str) else other_key
     salted = skewed.withColumn(

@@ -637,7 +637,7 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT partkey, CAST(value AS DOUBLE) AS part_value
     FROM per_part
     WHERE value > (SELECT SUM(value) FROM per_part)
-                    * CAST(0.005 AS DECIMAL(8,3))
+                    * CAST(0.002 AS DECIMAL(8,3))
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,7 +646,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both sides of the ``>`` are exact decimals (sum and fraction-multiply),
     so the threshold compare is engine-independent.  The one-row total
-    broadcasts; the only shuffle is the per-part aggregation.
+    broadcasts; the only shuffle is the per-part aggregation.  The 0.002
+    fraction is chosen so the query returns rows (17) at the sf0.01
+    correctness scale — a 0-row hash match would prove nothing.
     """
     t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
     nat_supp = (
@@ -672,7 +674,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.join(
             F.broadcast(total),
             F.col("value")
-            > F.col("grand_total") * F.lit(0.005).cast("decimal(8,3)"),
+            > F.col("grand_total") * F.lit(0.002).cast("decimal(8,3)"),
         )
         .select("partkey", F.col("value").cast("double").alias("part_value"))
     )

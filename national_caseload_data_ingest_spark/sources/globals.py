@@ -122,11 +122,25 @@ def read_lookup_table(
 ) -> tuple[str, DataFrame]:
     """One ``table_gs_*.txt`` file → (table_name, DataFrame).
 
-    The table body sits between the first and second blank lines; the name
-    is the first whitespace-preceded ``GS_*`` token in the file.
+    The table body sits between the first and second blank *regions*; the
+    name is the first whitespace-preceded ``GS_*`` token in the file.
+
+    A run of consecutive blank lines counts as ONE region — the reference's
+    ``^[\\s\\n]*$`` pattern greedily absorbs the whole run into a single
+    match (``/root/reference/ncd/lookup_table.py:51-55``), so a double
+    blank line before the table must not yield an empty body.
     """
-    blanks = list(_BLANK_LINE.finditer(raw_content))
-    body = raw_content[blanks[0].end() : blanks[1].start()].strip("\n")
+    regions: list[list[int]] = []
+    for m in _BLANK_LINE.finditer(raw_content):
+        if regions and m.start() <= regions[-1][1] + 1:
+            regions[-1][1] = m.end()  # adjacent blank line: extend the run
+        else:
+            regions.append([m.start(), m.end()])
+    if len(regions) < 2:
+        raise ValueError(
+            "lookup file needs two blank regions delimiting the table body"
+        )
+    body = raw_content[regions[0][1] : regions[1][0]].strip("\n")
     name_match = _GS_TOKEN.search(raw_content)
     if name_match is None:
         raise ValueError("lookup file contains no GS_* table name token")

@@ -47,6 +47,37 @@ def test_read_global_tables_dataframes(spark):
     ]
 
 
+def test_read_lookup_table_merges_consecutive_blank_lines(spark):
+    """A run of blank lines is ONE delimiter region — the reference's
+    ``^[\\s\\n]*$`` absorbs the whole run into a single match
+    (ncd/lookup_table.py:51-55), so a double blank line before the table
+    must not produce an empty body."""
+    double_blank = (
+        "Codebook report for LIONS table GS_POSITION\n"
+        "Generated 01/15/2018\n"
+        "\n"
+        "\n"
+        "Code  Description                 ActiveFlag\n"
+        "----  --------------------------  ----------\n"
+        "AG    Attorney General            Y\n"
+        "\n"
+        "End of report.\n"
+    )
+    name, df = read_lookup_table(spark, double_blank)
+    assert name == "GS_POSITION"
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["code"] == "AG"
+    assert rows[0]["description"] == "Attorney General"
+
+
+def test_read_lookup_table_requires_two_blank_regions(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="two blank regions"):
+        read_lookup_table(spark, "no blanks here GS_WHATEVER\n")
+
+
 def test_read_lookup_table(spark):
     name, df = read_lookup_table(spark, LOOKUP_TEXT)
     assert name == "GS_POSITION"

@@ -1,0 +1,125 @@
+"""Fail-fast guards: the block-size bounds on the quadratic verify
+kernels, MinHash banding parameter validation, and salted-join type
+restrictions.  One regression in any of these and the only symptom at
+scale would be a silent return to unbounded O(n²) (or silently duplicated
+rows) — so each guard gets a behavior test with a deliberately bad input
+AND an at-the-bound success case.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.dedup import (
+    cosine_pairs_in_blocks,
+    jaccard_pairs_in_blocks,
+    minhash_band_candidates,
+    word_bigram_postings,
+)
+from national_caseload_data_ingest_spark.operators.skew import salted_join
+from national_caseload_data_ingest_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_tables(spark, SF, "documents")["documents"]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_tables(spark, SF, "embeddings")["embeddings"]
+
+
+def _one_block_docs(documents, n):
+    """n docs forced into a single blocking group."""
+    return (
+        documents.filter(F.col("doc_id") < n)
+        .withColumn("lang", F.lit("one-block"))
+    )
+
+
+def test_jaccard_block_guard_raises_on_oversized_block(spark, documents):
+    """A block over max_block_docs must fail fast with routing guidance,
+    never silently run the quadratic kernel."""
+    postings = word_bigram_postings(_one_block_docs(documents, 8))
+    oversized = jaccard_pairs_in_blocks(
+        postings, ["lang"], threshold=0.2, max_block_docs=4
+    )
+    with pytest.raises(Exception, match="quadratic in-block verifier"):
+        oversized.collect()
+
+
+def test_jaccard_block_at_bound_succeeds(spark, documents):
+    """A block exactly at the bound runs normally (the guard is >, not >=)."""
+    docs = _one_block_docs(documents, 8)
+    postings = word_bigram_postings(docs)
+    n = docs.count()
+    at_bound = jaccard_pairs_in_blocks(
+        postings, ["lang"], threshold=0.2, max_block_docs=n
+    )
+    at_bound.collect()  # must not raise
+
+
+def test_jaccard_cell_guard_raises(spark, documents):
+    """The n×g incidence-matrix cell bound trips independently of the doc
+    bound (skinny-but-wide blocks)."""
+    postings = word_bigram_postings(_one_block_docs(documents, 8))
+    oversized = jaccard_pairs_in_blocks(
+        postings, ["lang"], threshold=0.2, max_block_cells=16
+    )
+    with pytest.raises(Exception, match="quadratic in-block verifier"):
+        oversized.collect()
+
+
+def test_cosine_block_guard_raises_on_oversized_block(spark, embeddings):
+    e = embeddings.filter(F.col("vec_id") < 8).withColumn(
+        "label", F.lit(0)
+    )
+    oversized = cosine_pairs_in_blocks(e, ["label"], 0.0, max_block_docs=4)
+    with pytest.raises(Exception, match="quadratic in-block verifier"):
+        oversized.collect()
+
+
+def test_cosine_block_at_bound_succeeds(spark, embeddings):
+    e = embeddings.filter(F.col("vec_id") < 8).withColumn(
+        "label", F.lit(0)
+    )
+    at_bound = cosine_pairs_in_blocks(e, ["label"], 0.0, max_block_docs=8)
+    assert at_bound.count() > 0  # threshold 0 keeps every pair
+
+
+def test_minhash_banding_rejects_bad_parameters(spark, documents):
+    """perms not divisible by bands drops signature rows; bands > perms
+    collapses every band to ONE bucket (a full cross join) — both must
+    raise instead."""
+    postings = word_bigram_postings(documents)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_band_candidates(documents, postings, perms=32, bands=5)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_band_candidates(documents, postings, perms=8, bands=16)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_band_candidates(documents, postings, perms=8, bands=0)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit each unmatched replicated-side row n_salts
+    times; the docstring restriction is now enforced."""
+    t = load_tables(spark, SF, "orders", "customer")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(
+                t["orders"], t["customer"], "o_custkey", "c_custkey", how=how
+            )
+
+
+def test_salted_join_left_matches_plain_join(spark):
+    """Allowed join types still produce plain-join row counts."""
+    t = load_tables(spark, SF, "orders", "customer")
+    plain = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey"), "left"
+    )
+    salted = salted_join(
+        t["orders"], t["customer"], "o_custkey", "c_custkey", how="left"
+    )
+    assert salted.count() == plain.count()

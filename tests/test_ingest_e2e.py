@@ -112,6 +112,71 @@ def test_ddl_recorded(loaded):
     )
 
 
+def test_fidelity_ddl_matches_reference_text(loaded):
+    """Golden test: the fidelity emitter reproduces the reference's Athena
+    DDL byte-for-byte — the dedented CREATE EXTERNAL TABLE template with
+    JsonSerDe ROW FORMAT, STORED AS TEXTFILE, an s3:// location laid out
+    as {prefix}/{db}/{table} (ncd/normal_table.py:184-198,
+    ncd/athena.py:80-90), trailing semicolon, and the template's
+    leading/trailing newlines."""
+    from pyspark.sql import types as T
+
+    catalog, _, _ = loaded
+    schema = T.StructType(
+        [
+            T.StructField("case_id", T.StringType()),
+            T.StructField("total_defendants", T.LongType()),
+            T.StructField("filed_date", T.DateType()),
+            T.StructField("lead_charge_wt", T.DoubleType()),
+            T.StructField("redacted_case_id", T.BooleanType()),
+            T.StructField("redacted_total_defendants", T.BooleanType()),
+            T.StructField("redacted_filed_date", T.BooleanType()),
+            T.StructField("redacted_lead_charge_wt", T.BooleanType()),
+        ]
+    )
+    ddl = catalog.generate_fidelity_ddl(
+        "gs_case",
+        schema,
+        partitioned=True,
+        data_bucket="my-data-bucket",
+        s3_prefix="lions",
+    )
+    expected = (
+        "\nCREATE EXTERNAL TABLE IF NOT EXISTS gs_case (\n"
+        "    case_id STRING,\n"
+        "    total_defendants BIGINT,\n"
+        "    filed_date DATE,\n"
+        "    lead_charge_wt DOUBLE,\n"
+        "    redacted_case_id BOOLEAN,\n"
+        "    redacted_total_defendants BOOLEAN,\n"
+        "    redacted_filed_date BOOLEAN,\n"
+        "    redacted_lead_charge_wt BOOLEAN\n"
+        ")\n"
+        "PARTITIONED BY (filename_district STRING)\n"
+        "ROW FORMAT SERDE 'org.apache.hive.hcatalog.data.JsonSerDe'\n"
+        "STORED AS TEXTFILE\n"
+        f"LOCATION 's3://my-data-bucket/lions/{catalog.db_name}/gs_case';\n"
+    )
+    assert ddl == expected
+    assert ddl in catalog.executed_sql  # A26 golden-DDL affordance
+
+    unpartitioned = catalog.generate_fidelity_ddl(
+        "gs_status",
+        T.StructType(
+            [
+                T.StructField("code", T.StringType()),
+                T.StructField("redacted_code", T.BooleanType()),
+            ]
+        ),
+    )
+    assert "PARTITIONED BY" not in unpartitioned
+    assert unpartitioned.endswith(
+        ")\nROW FORMAT SERDE 'org.apache.hive.hcatalog.data.JsonSerDe'\n"
+        "STORED AS TEXTFILE\n"
+        f"LOCATION 's3://data-bucket/ncd/{catalog.db_name}/gs_status';\n"
+    )
+
+
 def test_sql_over_loaded_tables(loaded):
     catalog, _, _ = loaded
     # the §7 minimum-slice query: scan→filter→agg→sort over ingested data

@@ -49,3 +49,81 @@ def test_compact_table_reduces_files_losslessly(spark, tmp_path):
     assert after == n_files < before
     got = sorted(tuple(r) for r in spark.read.parquet(loc).collect())
     assert got == want
+
+
+def test_compact_table_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a Hive-partitioned table must rewrite each
+    ``filename_district=X/`` leaf in place: same partition dirs, same
+    rows (WITH the partition column), and a registered PARTITIONED BY
+    table still answers queries after MSCK — the round-2 corruption mode
+    (flat rewrite at the table root) would leave it empty."""
+    from pyspark.sql import functions as F
+
+    cat = local_catalog(spark, str(tmp_path), db_name="layout_db3")
+    orders = load_tables(spark, SF, "orders")["orders"]
+    part = orders.withColumn(
+        "filename_district",
+        F.when(F.col("o_orderkey") % 2 == 0, "FLM").otherwise("CT"),
+    ).repartition(12)
+    cat.write_table("orders_part", part, partitioned=True)
+    loc = cat.table_location("orders_part")
+    local = loc.removeprefix("file://")
+    part_dirs_before = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(local, "filename_district=*"))
+    )
+    assert part_dirs_before == ["filename_district=CT", "filename_district=FLM"]
+    want = sorted(tuple(r) for r in spark.read.parquet(loc).collect())
+    before = len(glob.glob(os.path.join(local, "*", "*.parquet")))
+
+    n_files = cat.compact_table("orders_part")
+
+    part_dirs_after = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(local, "filename_district=*"))
+    )
+    assert part_dirs_after == part_dirs_before
+    after = len(glob.glob(os.path.join(local, "*", "*.parquet")))
+    assert after == n_files < before
+    got = sorted(tuple(r) for r in spark.read.parquet(loc).collect())
+    assert got == want  # partition column values intact
+    # the registered table still prunes and answers correctly
+    cat.recover_partitions("orders_part")
+    n_ct = cat.table("orders_part").filter("filename_district = 'CT'").count()
+    assert n_ct == sum(1 for r in want if r[-1] == "CT")  # partition col is last
+
+
+def test_compact_table_raises_on_remote_warehouse(spark):
+    from national_caseload_data_ingest_spark.catalog import SparkCatalog
+
+    cat = SparkCatalog(spark, "s3a://some-bucket/warehouse", db_name="x")
+    import pytest
+
+    with pytest.raises(ValueError, match="file://"):
+        cat.compact_table("anything")
+
+
+def test_compact_table_recovers_from_crash_between_renames(spark, tmp_path):
+    """Simulated crash state: staging fully written, live dir already
+    renamed to backup, promote rename never happened.  The next
+    compact_table call must roll forward losslessly."""
+    import shutil
+
+    cat = local_catalog(spark, str(tmp_path), db_name="layout_db4")
+    orders = load_tables(spark, SF, "orders")["orders"]
+    loc = cat.table_location("orders_crash")
+    orders.repartition(8).write.mode("overwrite").parquet(loc)
+    local = loc.removeprefix("file://")
+    want = sorted(tuple(r) for r in spark.read.parquet(loc).collect())
+    # manufacture the mid-compaction crash state
+    spark.read.parquet(loc).coalesce(1).write.parquet(local + ".compacting")
+    os.rename(local, local + ".precompact")
+    assert not os.path.exists(local)
+
+    cat.compact_table("orders_crash")
+
+    assert os.path.exists(local)
+    assert not os.path.exists(local + ".compacting")
+    assert not os.path.exists(local + ".precompact")
+    got = sorted(tuple(r) for r in spark.read.parquet(loc).collect())
+    assert got == want
