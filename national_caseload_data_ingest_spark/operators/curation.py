@@ -1,0 +1,310 @@
+"""Corpus-curation operators beyond pairwise dedup: near-dup cluster
+formation (connected components), eval-set decontamination, deterministic
+stratified sampling, and token-budget sharding.
+
+These are the remaining stages a large-scale training-data build runs
+after the :mod:`.dedup` operators produce pair/score relations:
+
+- **Clustering** turns near-dup PAIRS into GROUPS so one canonical doc per
+  group survives (pairwise drop-the-larger-id, as in
+  ``training_data_pipeline``, under-deletes when duplicates chain:
+  A≈B, B≈C but A≉C keeps A and C).  Components are computed by iterative
+  min-label propagation — each round is two hash joins + a groupBy, all
+  keyed by doc id, so every round is shuffle-bounded by the edge relation,
+  never O(n²).  Convergence takes graph-diameter rounds; near-dup graphs
+  are shallow (dozens of docs per cluster), and the loop hard-stops with
+  guidance at ``max_iter`` rather than spinning on an adversarial chain.
+  (At extreme diameters the alternating large-star/small-star variant
+  converges in O(log n) rounds — same join shapes, noted for the 100 TB
+  runbook.)  The DuckDB oracle is a recursive CTE computing min reachable
+  id per node — genuinely SQL-expressible, so this gets a full hash check.
+- **Decontamination** removes training docs that share word n-grams with
+  an evaluation set — the standard leakage guard before pre-training.  The
+  overlap join is postings ⋈ eval-grams on the gram string: cost scales
+  with posting volume, the eval side is tiny and broadcast.
+- **Deterministic sampling** keeps a per-language fraction by comparing a
+  content hash prefix against a rate threshold — reproducible across
+  engines and runs (no RNG), stable under re-partitioning, and exactly
+  expressible in SQL (md5 hex-string compare), unlike ``rand()``-based
+  sampling.
+- **Token-budget sharding** assigns docs to fixed-token-budget output
+  shards per language via a running-sum window — the write-side layout
+  step that turns a curated corpus into training-ready shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from national_caseload_data_ingest_spark.operators.dedup import (
+    jaccard_pairs_in_blocks,
+    word_ngram_postings,
+)
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+# neardup_clusters uses a lower threshold than the pairwise queries (0.2)
+# so the test corpus produces multi-node, multi-hop components (37 pairs,
+# max degree 3 at sf0.01) — the transitivity the operator exists for.
+CLUSTER_THRESHOLD = 0.1
+CC_MAX_ITER = 15
+
+# Decontamination n-gram order.  Real pipelines use 8-13-gram overlap; the
+# synthetic docs are 10-99 tokens, so trigrams give a comparable
+# grams-per-doc profile at test scale.  The operator is order-agnostic.
+DECONTAM_NGRAM = 3
+EVAL_MODULUS = 97  # doc_id % 97 == 0 → held-out eval set (~1% of corpus)
+
+# Deterministic per-language sampling rates, applied by md5-prefix
+# threshold.  Rates are exact multiples of 1/16^2 so the hex threshold is
+# a clean 8-hex-digit string and engine-independent.
+SAMPLE_RATES = {"en": "80000000", "fr": "40000000"}  # 0.5, 0.25
+SAMPLE_DEFAULT_RATE = "20000000"  # 0.125 for every other language
+
+TOKENS_PER_SHARD = 4096
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """Undirected connected components over an edge relation
+    ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` where ``cluster_id`` is
+    the minimum doc id reachable from ``doc_id`` (nodes appearing in at
+    least one edge only — singletons are their own trivial cluster and are
+    left out, matching the recursive-CTE oracle).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels.  One round = one hash join
+    (edges ⋈ labels on the neighbor id) + one groupBy(node) min + one
+    label-update join — all shuffles keyed by doc id.  ``localCheckpoint``
+    truncates the growing lineage each round (at 100 TB use
+    ``checkpoint`` against reliable storage instead).  Raises if the graph
+    has not converged after ``max_iter`` rounds, with routing guidance.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("lbl", "old_lbl")
+            .join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("old_lbl"), F.coalesce("nbr_lbl", "old_lbl")
+                ).alias("lbl"),
+                F.col("old_lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = new_labels.select("node", "lbl")
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+            )
+    raise ValueError(
+        f"connected_components did not converge in {max_iter} rounds: the "
+        "graph diameter exceeds the iteration budget. Raise max_iter, or "
+        "for adversarially deep graphs switch to alternating large-star/"
+        "small-star (O(log n) rounds with the same join shapes)."
+    )
+
+
+_CLUSTER_PAIRS_SQL = f"""
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 2
+                    THEN list_transform(
+                        range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                        i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                             string_split_regex(lower(trim(text)), '\\s+')[i+1])
+                    ELSE [lower(trim(text))] END) AS grams
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              >= {CLUSTER_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CLUSTER_PAIRS_SQL},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster ids: bigram-Jaccard pairs at
+    ``CLUSTER_THRESHOLD`` (lang-blocked exact verify — oracle-checkable),
+    then connected components so chained duplicates (A≈B≈C with A≉C)
+    land in ONE group.  ``cluster_id`` = min doc id of the component, the
+    deterministic canonical-representative choice."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = jaccard_pairs_in_blocks(
+        word_ngram_postings(d, 2), ["lang"], CLUSTER_THRESHOLD
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+@query(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(trim(text)) AS lt,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= {DECONTAM_NGRAM}
+                    THEN list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [lt] END) AS grams
+        FROM tok
+    ),
+    eval_grams AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM tri
+        WHERE doc_id % {EVAL_MODULUS} = 0
+    ),
+    train AS (
+        SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams
+        FROM tri WHERE doc_id % {EVAL_MODULUS} <> 0
+    )
+    SELECT train.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams,
+           CAST(ANY_VALUE(n_grams) AS INT) AS n_grams,
+           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n_grams) AS contamination
+    FROM train JOIN eval_grams USING (gram)
+    GROUP BY train.doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval n-gram contamination report: for every training doc
+    sharing at least one word trigram with the held-out eval slice
+    (``doc_id % EVAL_MODULUS == 0``), the count and fraction of its
+    distinct trigrams that leak.  Dropping rows above a contamination
+    threshold is then a plain anti join.
+
+    Plan shape: one narrow postings pass over the corpus; the eval gram
+    set is a tiny DISTINCT that AQE broadcasts into the overlap join, so
+    the corpus is never shuffled by gram — posting rows stream past the
+    broadcast hash table and only hits reach the per-doc aggregate."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    tri = word_ngram_postings(d, DECONTAM_NGRAM)
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    eval_grams = tri.filter(is_eval).select("gram").distinct()
+    train = tri.filter(~is_eval)
+    return (
+        train.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared_grams"),
+            F.first("n_grams").alias("n_grams"),
+            (F.count(F.lit(1)).cast("double") / F.first("n_grams")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def _rate_threshold() -> F.Column:
+    expr = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, hex_rate in SAMPLE_RATES.items():
+        expr = F.when(F.col("lang") == lang, F.lit(hex_rate)).otherwise(expr)
+    return expr
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substring(md5(text), 1, 8) <
+          CASE lang WHEN 'en' THEN '{SAMPLE_RATES["en"]}'
+                    WHEN 'fr' THEN '{SAMPLE_RATES["fr"]}'
+                    ELSE '{SAMPLE_DEFAULT_RATE}' END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc iff the first 8
+    hex digits of ``md5(text)`` fall below the language's rate threshold
+    (en 1/2, fr 1/4, default 1/8).
+
+    Content-hash thresholding beats ``rand()`` sampling for corpus work:
+    reproducible across engines/runs/partitionings, exact duplicates
+    always sample identically (no dedup-order dependence), and per-stratum
+    rates are a CASE expression — a pure narrow filter that pushes into
+    the scan, no shuffle at any scale."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return d.filter(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8) < _rate_threshold()
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "token_budget_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) / {TOKENS_PER_SHARD}) AS BIGINT) AS shard
+    FROM t
+    """,
+)
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every doc to a ~TOKENS_PER_SHARD (4096)-token output shard
+    per language: shard = floor(tokens-before-this-doc / budget) over a
+    doc_id-ordered running sum.
+
+    This is the curated-corpus → training-shards layout step; the shard
+    column then drives ``df.write.partitionBy('lang', 'shard')``.  One
+    window (= one shuffle on lang) computes every assignment; at 100 TB
+    the per-lang ordering would be ``repartitionByRange(lang, doc_id)`` +
+    an in-partition running sum with per-partition offsets, but the
+    single-window form is the semantic contract."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.withColumn(
+        "shard", F.floor(before / TOKENS_PER_SHARD).cast("bigint")
+    )

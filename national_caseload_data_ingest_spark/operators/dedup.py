@@ -67,31 +67,47 @@ def _word_shingles(col: Column, n: int = 2) -> Column:
 _POSTINGS_SCHEMA = "doc_id bigint, lang string, gram string, n_grams int"
 
 
-def _bigram_posting_batches(batches):
-    """Arrow-batch kernel: text → distinct word-bigram posting rows, with
-    the per-doc distinct-gram count carried on every row."""
-    import re  # noqa: PLC0415
+def _ngram_posting_batches(n: int):
+    """Arrow-batch kernel factory: text → distinct word-n-gram posting
+    rows, with the per-doc distinct-gram count carried on every row.
+    Documents shorter than ``n`` tokens contribute their whole (lowercased,
+    trimmed) text as a single gram — same rule as the SQL oracles."""
 
-    import pandas as pd  # noqa: PLC0415
+    def gen(batches):
+        import re  # noqa: PLC0415
 
-    ws = re.compile(r"\s+")
-    for pdf in batches:
-        doc_ids, langs, grams, counts = [], [], [], []
-        for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
-            toks = ws.split(text.strip().lower())
-            if len(toks) >= 2:
-                gset = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
-            else:
-                gset = {text.strip().lower()}
-            n = len(gset)
-            for g in gset:
-                doc_ids.append(doc_id)
-                langs.append(lang)
-                grams.append(g)
-                counts.append(n)
-        yield pd.DataFrame(
-            {"doc_id": doc_ids, "lang": langs, "gram": grams, "n_grams": counts}
-        )
+        import pandas as pd  # noqa: PLC0415
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            doc_ids, langs, grams, counts = [], [], [], []
+            for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                toks = ws.split(text.strip().lower())
+                if len(toks) >= n:
+                    gset = {
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    }
+                else:
+                    gset = {text.strip().lower()}
+                m = len(gset)
+                for g in gset:
+                    doc_ids.append(doc_id)
+                    langs.append(lang)
+                    grams.append(g)
+                    counts.append(m)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "lang": langs, "gram": grams, "n_grams": counts}
+            )
+
+    return gen
+
+
+def word_ngram_postings(d: DataFrame, n: int) -> DataFrame:
+    """Distinct word-n-gram postings — :func:`word_bigram_postings`
+    generalized (decontamination uses trigrams, MinHash uses bigrams)."""
+    return d.select("doc_id", "lang", "text").mapInPandas(
+        _ngram_posting_batches(n), schema=_POSTINGS_SCHEMA
+    )
 
 
 def word_bigram_postings(d: DataFrame) -> DataFrame:
@@ -107,9 +123,7 @@ def word_bigram_postings(d: DataFrame) -> DataFrame:
     sanctioned Pandas-UDF case.  Tokenization is ``\\s+`` splitting of
     lowercased trimmed text — same rule as the DuckDB oracle; docs shorter
     than two tokens contribute their whole text as a single shingle."""
-    return d.select("doc_id", "lang", "text").mapInPandas(
-        _bigram_posting_batches, schema=_POSTINGS_SCHEMA
-    )
+    return word_ngram_postings(d, 2)
 
 
 @query(

