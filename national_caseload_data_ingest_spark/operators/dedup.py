@@ -615,6 +615,36 @@ def _cosine_block_kernel(threshold: float, max_docs: int):
     return kernel
 
 
+def exact_cosine_rescore(
+    e: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Bitwise-exact fold-cosine over a candidate-pair relation
+    ``(vec_a, vec_b)`` → ``(vec_a, vec_b, cos_sim ≥ threshold)``.
+
+    The shared rescore stage of every cosine near-dup path (label blocks,
+    IVF cells): joins the embeddings back by id and applies the
+    sequential-fold double cosine, so all paths report values that
+    hash-match DuckDB's ``list_dot_product``.
+
+    No broadcast hint on the candidate set: a dense block at a low
+    threshold can emit up to n²/2 pairs, which a forced broadcast would
+    collect to the driver; AQE promotes genuinely small candidate sets to
+    broadcast at runtime on its own."""
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        va.join(pairs, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("ea"), F.col("eb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
 def cosine_pairs_in_blocks(
     e: DataFrame,
     block_cols: list[str],
@@ -627,29 +657,13 @@ def cosine_pairs_in_blocks(
     Two-phase screen/rescore: one groupBy-block shuffle into a bounded
     numpy matmul screen (which RAISES on any block over ``max_block_docs``
     — no silent O(n²)), then the bitwise-exact sequential-fold cosine on
-    the surviving pairs only, so results hash-match the DuckDB oracle.
-
-    No broadcast hint on the candidate set: a dense block at a low
-    threshold can emit up to n²/2 pairs, which a forced broadcast would
-    collect to the driver; AQE promotes genuinely small candidate sets to
-    broadcast at runtime on its own."""
+    the surviving pairs only (:func:`exact_cosine_rescore`), so results
+    hash-match the DuckDB oracle."""
     screen = e.groupBy(*block_cols).applyInPandas(
         _cosine_block_kernel(threshold, max_block_docs),
         schema="vec_a bigint, vec_b bigint",
     )
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        va.join(screen, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine(F.col("ea"), F.col("eb")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b", "cos_sim")
-    )
+    return exact_cosine_rescore(e, screen, threshold)
 
 
 _PIPELINE_GRAMS_SQL = """

@@ -61,7 +61,7 @@ CHECK_PRIORITY: list[str] = [
     "cube_returnflag_status",  # cube
     "rollup_region_nation",  # rollup
     "window_rank_orders",  # window ranking
-    "window_running_total",  # window frames
+    "token_budget_shards",  # window frames (running sum) + shard layout op
     "string_functions",
     "date_functions",
     "math_functions",
@@ -78,7 +78,7 @@ CHECK_PRIORITY: list[str] = [
     "signup_purchase_within_hour",  # streaming: stream-stream join
     # -- LLM-data-pipeline operators ---------------------------------------
     "dedup_exact",
-    "dedup_exact_survivors",
+    "neardup_clusters",  # connected-components clustering (recursive-CTE oracle)
     "ngram_jaccard_pairs",
     "minhash_lsh_neardup",
     "simhash_neardup",
@@ -89,7 +89,8 @@ CHECK_PRIORITY: list[str] = [
     "ann_ivf_topk",
     "vector_norms",
     "token_count_by_source",
-    "bpe_token_count",
+    "decontaminate_overlap",  # eval-leakage guard (token counting's bpe
+    # twin is pytest+replay-covered; decontamination is a distinct op)
     "lang_id_heuristic",
     "quality_score",
     "doc_fingerprint",

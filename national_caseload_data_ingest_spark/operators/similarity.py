@@ -497,6 +497,85 @@ def ivf_topk(
     return _exact_rerank(e, screened, k)
 
 
+def _multi_assign_kernel(cents, n_assign: int):
+    """mapInPandas generator: each vector → its ``n_assign`` nearest
+    centroid cells (1→n narrow explosion, one squared-distance matmul per
+    Arrow batch).  Multi-assignment is what makes IVF blocking usable for
+    NEAR-DUP (not just top-k): a pair near a cell boundary still shares at
+    least one cell when both sides claim their 2 nearest."""
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        c = np.asarray(cents, dtype=np.float64)
+        c_sq = np.einsum("ij,ij->i", c, c)
+        na = min(n_assign, len(c))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _vec_matrix(pdf["embedding"])
+            d = np.einsum("ij,ij->i", v, v)[:, None] - 2.0 * (v @ c.T) + c_sq[None, :]
+            near = np.argsort(d, axis=1, kind="stable")[:, :na]  # (b, na)
+            out = pdf.loc[pdf.index.repeat(na), ["vec_id", "embedding"]].copy()
+            out["cell"] = near.ravel().astype(np.int32)
+            yield out
+
+    return gen
+
+
+def ivf_neardup(
+    e: DataFrame,
+    threshold: float,
+    n_centroids: int = N_CENTROIDS,
+    n_assign: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs via IVF-cell blocking — the scale path the
+    label-blocked oracle (`embedding_cosine_neardup`) stands in for.
+
+    Every vector is assigned to its ``n_assign`` nearest k-means cells (a
+    narrow numpy map — no shuffle); the bounded all-pairs screen then runs
+    per CELL instead of per label, so block size is controlled by the
+    centroid count (~corpus/k per cell; scale rule k ≈ sqrt(corpus)), not
+    by data skew in a label column.  Pairs found in two shared cells are
+    deduped before the exact rescore, and every emitted pair carries the
+    bitwise-exact fold cosine, so precision is 1.0 by construction;
+    recall misses only pairs whose members share no assigned cell
+    (boundary pairs beyond the multi-assignment — measured and floored in
+    ``tests/test_llm_ops.py``; exact duplicates always share their argmin
+    cell, recall 1.0 on true clones)."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _cosine_block_kernel,
+        MAX_BLOCK_DOCS,
+        exact_cosine_rescore,
+    )
+
+    cents = ivf_train(e, k=n_centroids)
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        _multi_assign_kernel([list(c) for c in cents], n_assign),
+        schema="vec_id bigint, embedding array<float>, cell int",
+    )
+    screen = (
+        assigned.groupBy("cell")
+        .applyInPandas(
+            _cosine_block_kernel(threshold, MAX_BLOCK_DOCS),
+            schema="vec_a bigint, vec_b bigint",
+        )
+        .distinct()  # a pair sharing 2 cells surfaces twice
+    )
+    return exact_cosine_rescore(e, screen, threshold)
+
+
+@query("embedding_neardup_ivf")  # model-seeded — recall/precision in tests
+def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-blocked embedding near-dup (see :func:`ivf_neardup`).
+    Oracle-less by nature (the k-means model is engine-specific);
+    ``tests/test_llm_ops.py`` pins precision against the exact global
+    pair set and a measured recall floor."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_neardup(e, threshold=0.4)
+
+
 @query("ann_ivf_topk")  # approximate — planted-neighbor recall checked in tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbors (see :func:`ivf_topk`).

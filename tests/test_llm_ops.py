@@ -205,6 +205,62 @@ def test_ann_recall_at_10_vs_bruteforce(spark, catalog):
     assert ivf_recall >= IVF_RECALL_FLOOR, f"IVF recall {ivf_recall:.3f}"
 
 
+def test_ivf_neardup_precision_and_recall(spark):
+    """IVF-cell-blocked near-dup vs the exact global pair set (one block,
+    small corpus): every reported pair must appear in the exact set with
+    the identical cosine (precision 1.0 — pairs are exact-rescored), and
+    recall must clear a documented floor (pairs missed only when neither
+    side's 2 assigned cells overlap)."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        cosine_pairs_in_blocks,
+    )
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        ivf_neardup,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in cosine_pairs_in_blocks(
+            e.withColumn("blk", F.lit(0)), ["blk"], 0.4
+        ).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in ivf_neardup(e, threshold=0.4).collect()
+    }
+    assert got, "IVF near-dup found nothing"
+    for pair, sim in got.items():
+        assert exact[pair] == sim  # precision 1.0, bitwise-equal values
+    recall = len(got) / len(exact)
+    print(f"\nivf_neardup recall vs exact global pairs: {recall:.3f}")
+    assert recall >= 0.5, f"recall {recall:.3f}"
+
+
+def test_ivf_neardup_finds_planted_duplicates(spark):
+    """Exact clones share their argmin cell, so recall on true duplicates
+    is 1.0 regardless of cell boundaries."""
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        ivf_neardup,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    dupes = e.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = e.select("vec_id", "embedding").unionAll(dupes)
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in ivf_neardup(corpus, threshold=0.99).collect()
+    }
+    for qid in range(4):
+        assert (qid, qid + 10000) in pairs, f"clone of {qid} missed"
+
+
 def test_multimodal_decode_stub_raises(spark):
     from national_caseload_data_ingest_spark.operators.multimodal import (
         decode_image,
