@@ -66,6 +66,11 @@ SAMPLE_DEFAULT_RATE = "20000000"  # 0.125 for every other language
 TOKENS_PER_SHARD = 4096
 
 
+# training_corpus_build: drop a doc when more than this fraction of its
+# distinct trigrams appear in the eval set.
+CONTAM_FRAC = 0.2
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = CC_MAX_ITER
 ) -> DataFrame:
@@ -307,4 +312,161 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return t.withColumn(
         "shard", F.floor(before / TOKENS_PER_SHARD).cast("bigint")
+    )
+
+
+_TRIGRAMS = """
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [lt] END) AS grams
+"""
+
+
+@query(
+    "training_corpus_build",
+    oracle=f"""
+    WITH train AS (
+        SELECT * FROM documents WHERE doc_id % {EVAL_MODULUS} <> 0
+    ),
+    eval_docs AS (
+        SELECT * FROM documents WHERE doc_id % {EVAL_MODULUS} = 0
+    ),
+    filtered AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split_regex(trim(text), '\\s+')) AS nt
+        FROM train
+        WHERE LENGTH(text) >= 100
+          AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+    kept AS (SELECT f.* FROM filtered f JOIN canon USING (doc_id)),
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 2
+                    THEN list_transform(
+                        range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                        i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                             string_split_regex(lower(trim(text)), '\\s+')[i+1])
+                    ELSE [lower(trim(text))] END) AS grams
+        FROM kept
+    ),
+    neardup AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+              >= 0.2
+    ),
+    kept2 AS (
+        SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+    ),
+    tok2 AS (
+        SELECT doc_id, lower(trim(text)) AS lt,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM kept2
+    ),
+    tri_kept AS ({_TRIGRAMS} FROM tok2),
+    tok_eval AS (
+        SELECT doc_id, lower(trim(text)) AS lt,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM eval_docs
+    ),
+    eval_grams AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM ({_TRIGRAMS} FROM tok_eval)
+    ),
+    contaminated AS (
+        SELECT tg.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams
+              FROM tri_kept) tg
+        JOIN eval_grams USING (gram)
+        GROUP BY tg.doc_id
+        HAVING CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n_grams) > {CONTAM_FRAC}
+    ),
+    sampled AS (
+        SELECT * FROM kept2
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND substring(md5(text), 1, 8) <
+              CASE lang WHEN 'en' THEN '{SAMPLE_RATES["en"]}'
+                        WHEN 'fr' THEN '{SAMPLE_RATES["fr"]}'
+                        ELSE '{SAMPLE_DEFAULT_RATE}' END
+    )
+    SELECT doc_id, lang, source, CAST(nt AS BIGINT) AS n_tokens,
+           CAST(FLOOR((SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - nt) / {TOKENS_PER_SHARD}) AS BIGINT) AS shard
+    FROM sampled
+    """,
+)
+def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete corpus build, every stage composed in production
+    order — the flagship end-to-end query of the curation surface:
+
+    1. hold out the eval slice (``doc_id % EVAL_MODULUS == 0``);
+    2. quality filter (≥100 chars, ≥20 tokens — narrow, runs first);
+    3. exact dedup (min-doc-id survivor per content hash);
+    4. near-dup removal (bigram Jaccard ≥ 0.2, lang-blocked exact mode so
+       the WHOLE pipeline stays SQL-expressible; swap in the LSH
+       generator via :func:`~national_caseload_data_ingest_spark.operators.
+       dedup.training_data_curation` semantics at scale);
+    5. decontamination (drop docs with > CONTAM_FRAC of their trigrams in
+       the eval set);
+    6. deterministic per-lang downsampling (md5-prefix threshold);
+    7. token-budget shard assignment (running-sum window).
+
+    Stage order is the cost argument: each narrow filter shrinks the
+    corpus before the next (more expensive) stage — the near-dup verify
+    and the contamination join both run against an already
+    filtered+deduped corpus, and the only wide operations are the dedup
+    groupBys, the overlap join (eval side broadcast), and the final
+    per-lang window.  Every stage is deterministic, so the seven-stage
+    composition hash-matches one DuckDB SQL statement end-to-end."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    train, eval_docs = d.filter(~is_eval), d.filter(is_eval)
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    filtered = train.withColumn("nt", nt).filter(
+        (F.length("text") >= 100) & (F.col("nt") >= 20)
+    )
+    canon = (
+        filtered.groupBy(F.md5(F.col("text").cast("binary")).alias("k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = filtered.join(canon, "doc_id", "left_semi")
+    neardup = (
+        jaccard_pairs_in_blocks(word_ngram_postings(kept, 2), ["lang"], 0.2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept2 = kept.join(neardup, "doc_id", "left_anti")
+    tri = word_ngram_postings(kept2, DECONTAM_NGRAM)
+    eval_grams = (
+        word_ngram_postings(eval_docs, DECONTAM_NGRAM).select("gram").distinct()
+    )
+    contaminated = (
+        tri.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.first("n_grams")).alias("frac")
+        )
+        .filter(F.col("frac") > CONTAM_FRAC)
+        .select("doc_id")
+    )
+    sampled = kept2.join(contaminated, "doc_id", "left_anti").filter(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8) < _rate_threshold()
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    before = F.sum("nt").over(w) - F.col("nt")
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("nt").cast("bigint").alias("n_tokens"),
+        F.floor(before / TOKENS_PER_SHARD).cast("bigint").alias("shard"),
     )

@@ -81,9 +81,11 @@ CHECK_PRIORITY: list[str] = [
     "neardup_clusters",  # connected-components clustering (recursive-CTE oracle)
     "ngram_jaccard_pairs",
     "minhash_lsh_neardup",
-    "simhash_neardup",
     "embedding_cosine_neardup",
     "training_data_pipeline",
+    "training_corpus_build",  # 7-stage flagship, full SQL oracle (simhash
+    # is rows-only for the driver — its real check is the pytest ground
+    # truth, so it yields its window slot to a hash-checked query)
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
