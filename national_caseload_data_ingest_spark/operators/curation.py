@@ -40,6 +40,9 @@ from pyspark.sql.window import Window as W
 
 from national_caseload_data_ingest_spark.operators.dedup import (
     jaccard_pairs_in_blocks,
+    jaccard_verify_candidates,
+    minhash_band_candidates,
+    MINHASH_PERMS,
     word_ngram_postings,
 )
 from national_caseload_data_ingest_spark.operators.registry import query
@@ -171,12 +174,50 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``CLUSTER_THRESHOLD`` (lang-blocked exact verify — oracle-checkable),
     then connected components so chained duplicates (A≈B≈C with A≉C)
     land in ONE group.  ``cluster_id`` = min doc id of the component, the
-    deterministic canonical-representative choice."""
+    deterministic canonical-representative choice.  This registered form
+    is the exact/oracle mode; :func:`neardup_cluster_assignments` offers
+    the LSH candidate generator for scale."""
+    return neardup_cluster_assignments(spark, sf_dir, neardup="exact")
+
+
+def neardup_cluster_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    neardup: str = "exact",
+    threshold: float = CLUSTER_THRESHOLD,
+) -> DataFrame:
+    """Cluster assignment with a pluggable pair generator — the same
+    exact/lsh split as ``training_data_curation``:
+
+    - ``'exact'``: lang-blocked all-pairs verify (bounded kernel; the
+      oracle mode).
+    - ``'lsh'``: MinHash r=1 band buckets → posting-join exact verify —
+      no all-pairs step, the 100 TB path.  Candidates are lang-filtered
+      to match exact-mode blocking; a true pair at Jaccard j is missed
+      with probability (1-j)^32, so at thresholds ≥ 0.2 the two modes
+      agree on real corpora (pytest-asserted on the test corpus)."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = jaccard_pairs_in_blocks(
-        word_ngram_postings(d, 2), ["lang"], CLUSTER_THRESHOLD
-    ).select("doc_a", "doc_b")
-    return connected_components(pairs)
+    postings = word_ngram_postings(d, 2)
+    if neardup == "exact":
+        pairs = jaccard_pairs_in_blocks(postings, ["lang"], threshold)
+    elif neardup == "lsh":
+        postings = postings.persist()
+        cands = minhash_band_candidates(
+            d, postings, perms=MINHASH_PERMS, bands=MINHASH_PERMS
+        )
+        langs = d.select("doc_id", "lang")
+        la = langs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"))
+        lb = langs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"))
+        cands = (
+            cands.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .filter(F.col("la") == F.col("lb"))
+            .select("doc_a", "doc_b")
+        )
+        pairs = jaccard_verify_candidates(postings, cands, threshold)
+    else:
+        raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")
+    return connected_components(pairs.select("doc_a", "doc_b"))
 
 
 @query(

@@ -58,6 +58,31 @@ def test_neardup_clusters_consistent_with_pairs(spark):
         assert len(members) >= 2  # singletons are excluded by construction
 
 
+def test_cluster_lsh_mode_matches_exact_mode(spark):
+    """LSH candidate generation feeds connected components the same pair
+    set as the exact blocked verify at thresholds where r=1 banding has
+    ~complete recall (0.2 → per-pair miss ≤ 8e-4), so cluster assignments
+    are identical."""
+    from national_caseload_data_ingest_spark.operators.curation import (
+        neardup_cluster_assignments,
+    )
+
+    exact = sorted(
+        tuple(r)
+        for r in neardup_cluster_assignments(
+            spark, SF, neardup="exact", threshold=0.2
+        ).collect()
+    )
+    lsh = sorted(
+        tuple(r)
+        for r in neardup_cluster_assignments(
+            spark, SF, neardup="lsh", threshold=0.2
+        ).collect()
+    )
+    assert exact == lsh
+    assert exact, "no clusters at threshold 0.2 on the test corpus"
+
+
 def test_token_budget_shards_invariants(spark):
     """Shards number contiguously from 0 per lang, and every shard except
     the last holds ≥ the budget minus one doc's overshoot (greedy packing:

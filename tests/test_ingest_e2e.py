@@ -112,6 +112,24 @@ def test_ddl_recorded(loaded):
     )
 
 
+def test_lookup_decode_join_broadcasts(loaded):
+    """The reference's designed use of codebook tables: decode joins
+    against fact tables (reference README.md:46-50).  The KB-scale lookup
+    side must broadcast — no shuffle of the fact table for a decode."""
+    from national_caseload_data_ingest_spark.plans import join_kinds
+
+    catalog, _, _ = loaded
+    hist = catalog.table("gs_court_hist")
+    district = catalog.table("gs_district")
+    decoded = hist.join(
+        district, hist["filename_district"] == district["code"]
+    ).select("case_id", "filename_district", "name")
+    kinds = join_kinds(decoded)
+    assert kinds == ["BroadcastHashJoin"], kinds
+    got = {r["filename_district"]: r["name"] for r in decoded.collect()}
+    assert got == {"CT": "Connecticut", "FLM": "Middle Florida"}
+
+
 def test_fidelity_ddl_matches_reference_text(loaded):
     """Golden test: the fidelity emitter reproduces the reference's Athena
     DDL byte-for-byte — the dedented CREATE EXTERNAL TABLE template with
