@@ -199,21 +199,35 @@ class SparkCatalog:
 
         if register:
             self.create_db()
-            ddl = self.generate_ddl(
-                table_name,
-                T.StructType(
-                    [
-                        f
-                        for f in out.schema.fields
-                        if not (partitioned and f.name == PARTITION_COLUMN)
-                    ]
-                ),
-                partitioned=partitioned,
+            data_schema = T.StructType(
+                [
+                    f
+                    for f in out.schema.fields
+                    if not (partitioned and f.name == PARTITION_COLUMN)
+                ]
             )
+            ddl = self.generate_ddl(table_name, data_schema, partitioned=partitioned)
             self.execute_query(f"DROP TABLE IF EXISTS {self.db_name}.{table_name}")
             self.execute_query(ddl)
             if partitioned:
                 self.recover_partitions(table_name)
+            if self.fidelity_json:
+                # Record (not execute) the reference-shaped Athena DDL so a
+                # fidelity-mode run's golden SQL log is comparable to the
+                # reference's AthenaMock capture byte-for-byte (A12 + A26).
+                # Dates were stringified for the JSON wire format above, so
+                # the fidelity text is generated from the ORIGINAL schema.
+                self.generate_fidelity_ddl(
+                    table_name,
+                    T.StructType(
+                        [
+                            f
+                            for f in df.schema.fields
+                            if not (partitioned and f.name == PARTITION_COLUMN)
+                        ]
+                    ),
+                    partitioned=partitioned,
+                )
 
     def write_bucketed(
         self,

@@ -84,9 +84,15 @@ def _ngram_posting_batches(n: int):
             for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
                 toks = ws.split(text.strip().lower())
                 if len(toks) >= n:
-                    gset = {
-                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-                    }
+                    # sliding-window zip, not per-gram slicing — the
+                    # bigram specialization measurably moves the bench
+                    if n == 2:
+                        gset = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+                    else:
+                        gset = {
+                            " ".join(t)
+                            for t in zip(*(toks[i:] for i in range(n)))
+                        }
                 else:
                     gset = {text.strip().lower()}
                 m = len(gset)

@@ -102,6 +102,32 @@ def test_minhash_banding_rejects_bad_parameters(spark, documents):
         minhash_band_candidates(documents, postings, perms=8, bands=0)
 
 
+def test_postings_kernel_matches_array_expression_form(spark, documents):
+    """Two independent shingle implementations must agree: the Arrow
+    mapInPandas postings kernel (hot path) vs the interpreted array-lambda
+    form (verification path).  Guards the kernel against silent
+    tokenization drift — every oracle that mentions grams depends on it."""
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _word_shingles,
+    )
+
+    d = documents.filter(F.col("doc_id") < 50)
+    arr_rows = d.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"))).alias("gram")
+    ).collect()
+    arr = {(r["doc_id"], r["gram"]) for r in arr_rows}
+    kern_rows = word_bigram_postings(d).collect()
+    kern = {(r["doc_id"], r["gram"]) for r in kern_rows}
+    assert kern == arr
+    # the carried distinct-gram count must equal the actual per-doc count
+    from collections import Counter
+
+    per_doc = Counter(doc for doc, _ in kern)
+    assert all(r["n_grams"] == per_doc[r["doc_id"]] for r in kern_rows)
+
+
 def test_salted_join_rejects_right_and_full(spark):
     """right/full would emit each unmatched replicated-side row n_salts
     times; the docstring restriction is now enforced."""
