@@ -40,9 +40,7 @@ from pyspark.sql.window import Window as W
 
 from national_caseload_data_ingest_spark.operators.dedup import (
     jaccard_pairs_in_blocks,
-    jaccard_verify_candidates,
-    minhash_band_candidates,
-    MINHASH_PERMS,
+    lsh_neardup_pairs,
     word_ngram_postings,
 )
 from national_caseload_data_ingest_spark.operators.registry import query
@@ -197,24 +195,12 @@ def neardup_cluster_assignments(
       with probability (1-j)^32, so at thresholds ≥ 0.2 the two modes
       agree on real corpora (pytest-asserted on the test corpus)."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    postings = word_ngram_postings(d, 2)
     if neardup == "exact":
-        pairs = jaccard_pairs_in_blocks(postings, ["lang"], threshold)
+        pairs = jaccard_pairs_in_blocks(
+            word_ngram_postings(d, 2), ["lang"], threshold
+        )
     elif neardup == "lsh":
-        postings = postings.persist()
-        cands = minhash_band_candidates(
-            d, postings, perms=MINHASH_PERMS, bands=MINHASH_PERMS
-        )
-        langs = d.select("doc_id", "lang")
-        la = langs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"))
-        lb = langs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"))
-        cands = (
-            cands.join(la, "doc_a")
-            .join(lb, "doc_b")
-            .filter(F.col("la") == F.col("lb"))
-            .select("doc_a", "doc_b")
-        )
-        pairs = jaccard_verify_candidates(postings, cands, threshold)
+        pairs = lsh_neardup_pairs(d, threshold)
     else:
         raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")
     return connected_components(pairs.select("doc_a", "doc_b"))
@@ -441,16 +427,26 @@ _TRIGRAMS = """
     """,
 )
 def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked entry point for :func:`corpus_build` (exact near-dup
+    mode, so the whole seven-stage composition stays SQL-expressible)."""
+    return corpus_build(spark, sf_dir, neardup="exact")
+
+
+def corpus_build(
+    spark: SparkSession, sf_dir: str, neardup: str = "exact"
+) -> DataFrame:
     """The complete corpus build, every stage composed in production
     order — the flagship end-to-end query of the curation surface:
 
     1. hold out the eval slice (``doc_id % EVAL_MODULUS == 0``);
     2. quality filter (≥100 chars, ≥20 tokens — narrow, runs first);
     3. exact dedup (min-doc-id survivor per content hash);
-    4. near-dup removal (bigram Jaccard ≥ 0.2, lang-blocked exact mode so
-       the WHOLE pipeline stays SQL-expressible; swap in the LSH
-       generator via :func:`~national_caseload_data_ingest_spark.operators.
-       dedup.training_data_curation` semantics at scale);
+    4. near-dup removal (bigram Jaccard ≥ 0.2, lang-blocked):
+       ``neardup='exact'`` is the bounded all-pairs verifier (oracle
+       mode); ``neardup='lsh'`` routes through
+       :func:`~national_caseload_data_ingest_spark.operators.dedup.
+       lsh_neardup_pairs` — the no-all-pairs 100 TB path, pytest-asserted
+       identical on the test corpus;
     5. decontamination (drop docs with > CONTAM_FRAC of their trigrams in
        the eval set);
     6. deterministic per-lang downsampling (md5-prefix threshold);
@@ -476,12 +472,16 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = filtered.join(canon, "doc_id", "left_semi")
-    neardup = (
-        jaccard_pairs_in_blocks(word_ngram_postings(kept, 2), ["lang"], 0.2)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    kept2 = kept.join(neardup, "doc_id", "left_anti")
+    if neardup == "exact":
+        pairs = jaccard_pairs_in_blocks(
+            word_ngram_postings(kept, 2), ["lang"], 0.2
+        )
+    elif neardup == "lsh":
+        pairs = lsh_neardup_pairs(kept, 0.2)
+    else:
+        raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")
+    dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept2 = kept.join(dup_ids, "doc_id", "left_anti")
     tri = word_ngram_postings(kept2, DECONTAM_NGRAM)
     eval_grams = (
         word_ngram_postings(eval_docs, DECONTAM_NGRAM).select("gram").distinct()

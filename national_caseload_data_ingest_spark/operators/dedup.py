@@ -461,6 +461,39 @@ def jaccard_verify_candidates(
     )
 
 
+def lsh_neardup_pairs(
+    docs: DataFrame,
+    threshold: float,
+    perms: int = MINHASH_PERMS,
+    bands: int | None = None,
+) -> DataFrame:
+    """Scale-safe near-dup pairs for a document set, restricted to
+    same-``lang`` pairs (mirroring the exact verifier's lang blocking):
+    MinHash band candidates → exact-Jaccard posting-join verify.
+
+    The shared LSH engine behind every composed pipeline's
+    ``neardup='lsh'`` mode (`training_data_curation`,
+    `neardup_cluster_assignments`, `training_corpus_build`).  Defaults to
+    r=1 banding (``bands = perms``): a true pair at Jaccard j is missed
+    with probability (1-j)^perms — ≤ 8e-4 at j = 0.2 with 32 perms — and
+    the equivalence tests in ``tests/`` pin exact≡lsh output on the test
+    corpus.  No all-pairs stage: cost is O(n·perms + candidate pairs)."""
+    if bands is None:
+        bands = perms
+    postings = word_bigram_postings(docs).persist()
+    cands = minhash_band_candidates(docs, postings, perms=perms, bands=bands)
+    langs = docs.select("doc_id", "lang")
+    la = langs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"))
+    lb = langs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"))
+    cands = (
+        cands.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("la") == F.col("lb"))
+        .select("doc_a", "doc_b")
+    )
+    return jaccard_verify_candidates(postings, cands, threshold)
+
+
 @query("minhash_lsh_neardup")  # hash-seeded — verified against ground truth in tests
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
@@ -772,28 +805,8 @@ def training_data_curation(
             word_bigram_postings(kept), ["lang"], PIPELINE_JACCARD_THRESHOLD
         )
     elif neardup == "lsh":
-        postings = word_bigram_postings(kept).persist()
-        cands = minhash_band_candidates(
-            kept, postings, perms=lsh_perms, bands=lsh_bands
-        )
-        # exact mode only pairs docs within one lang block; mirror that by
-        # filtering candidates on lang equality (hash joins on doc id —
-        # scale-safe, and AQE broadcasts the tiny lang map when it is).
-        langs = kept.select("doc_id", "lang")
-        la = langs.select(
-            F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
-        )
-        lb = langs.select(
-            F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
-        )
-        cands = (
-            cands.join(la, "doc_a")
-            .join(lb, "doc_b")
-            .filter(F.col("lang_a") == F.col("lang_b"))
-            .select("doc_a", "doc_b")
-        )
-        pairs = jaccard_verify_candidates(
-            postings, cands, PIPELINE_JACCARD_THRESHOLD
+        pairs = lsh_neardup_pairs(
+            kept, PIPELINE_JACCARD_THRESHOLD, perms=lsh_perms, bands=lsh_bands
         )
     else:
         raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")

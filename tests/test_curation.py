@@ -83,6 +83,23 @@ def test_cluster_lsh_mode_matches_exact_mode(spark):
     assert exact, "no clusters at threshold 0.2 on the test corpus"
 
 
+def test_corpus_build_lsh_mode_matches_exact_mode(spark):
+    """The flagship seven-stage build with the LSH near-dup engine must
+    reproduce the exact-mode (oracle) output bit-for-bit."""
+    from national_caseload_data_ingest_spark.operators.curation import (
+        corpus_build,
+    )
+
+    exact = sorted(
+        tuple(r) for r in corpus_build(spark, SF, neardup="exact").collect()
+    )
+    lsh = sorted(
+        tuple(r) for r in corpus_build(spark, SF, neardup="lsh").collect()
+    )
+    assert exact == lsh
+    assert exact, "corpus build produced no rows on the test corpus"
+
+
 def test_token_budget_shards_invariants(spark):
     """Shards number contiguously from 0 per lang, and every shard except
     the last holds ≥ the budget minus one doc's overshoot (greedy packing:
