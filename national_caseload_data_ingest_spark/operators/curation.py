@@ -480,7 +480,9 @@ def corpus_build(
         pairs = lsh_neardup_pairs(kept, 0.2)
     else:
         raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")
-    dup_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # no distinct on the anti-join's right side: LEFT ANTI is insensitive
+    # to build-side duplicates, so deduping them is a pure extra shuffle
+    dup_ids = pairs.select(F.col("doc_b").alias("doc_id"))
     kept2 = kept.join(dup_ids, "doc_id", "left_anti")
     tri = word_ngram_postings(kept2, DECONTAM_NGRAM)
     eval_grams = (

@@ -810,7 +810,9 @@ def training_data_curation(
         )
     else:
         raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")
-    neardup_ids = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # no distinct before the anti join — LEFT ANTI is insensitive to
+    # build-side duplicates; deduping them would be a pure extra shuffle
+    neardup_ids = pairs.select(F.col("doc_b").alias("doc_id"))
     return (
         kept.join(neardup_ids, "doc_id", "left_anti")
         .groupBy("lang", "source")

@@ -56,7 +56,11 @@ def main() -> None:
             flags = []
             if "CartesianProduct" in joins and name != "cross_join_region_status":
                 flags.append("CARTESIAN")
-            if n_shuffles >= 5:
+            # training_corpus_build composes 7 pipeline stages; its 5
+            # shuffles are each a required wide op (dedup groupBy, lang-
+            # block kernel, eval-gram distinct, contamination groupBy,
+            # final per-lang window) — every join still broadcasts.
+            if n_shuffles >= 5 and name != "training_corpus_build":
                 flags.append("MANY_SHUFFLES")
             if flags:
                 flagged.append((name, flags))
