@@ -241,3 +241,74 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.cast("bigint").alias("n_ws_tokens"),
         (n_bpe.cast("double") / n_ws).alias("tokens_per_word"),
     )
+
+
+VOCAB_TOP_K = 50
+HIST_BUCKET = 10
+
+
+@query(
+    "token_frequency_topk",
+    oracle=f"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_frequency
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT {VOCAB_TOP_K}
+    """,
+)
+def token_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the top-VOCAB_TOP_K tokens by
+    total occurrences, with document frequency alongside — the
+    vocab-building / stopword-discovery pass of a corpus pipeline.
+
+    explode → partial-aggregating groupBy (map-side combine keeps the
+    shuffle at one row per distinct token per task, not per occurrence)
+    → ``TakeOrderedAndProject`` (per-partition heaps, never a global
+    sort).  Tie-break on the token keeps the cut deterministic."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_frequency"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "tok")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+@query(
+    "token_length_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(len(string_split_regex(trim(text), '\\s+'))
+                      / {HIST_BUCKET}) * {HIST_BUCKET} AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in fixed-width token buckets — the
+    profile that drives quality-filter thresholds and shard budgets.
+    One partial-aggregating shuffle over ~corpus/bucket_width groups."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bucket = (F.floor(nt / HIST_BUCKET) * HIST_BUCKET).cast("bigint")
+    return (
+        d.select(bucket.alias("bucket_lo"), nt.alias("nt"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+    )
