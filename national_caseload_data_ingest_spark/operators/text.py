@@ -312,3 +312,55 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "repetition_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 1 END
+                 AS total_grams,
+               CASE WHEN len(toks) >= 2
+                    THEN len(list_distinct(list_transform(
+                         range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])))
+                    ELSE 1 END AS distinct_grams
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(total_grams AS BIGINT) AS total_grams,
+           CAST(distinct_grams AS BIGINT) AS distinct_grams,
+           1.0 - CAST(distinct_grams AS DOUBLE) / total_grams
+             AS repetition
+    FROM g
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: 1 − distinct/total word bigrams — the
+    Gopher-style duplicate-n-gram quality signal (boilerplate and
+    degenerate generations score high; filtering is then a plain
+    threshold on the column).  Pure narrow column expressions — the
+    higher-order lambda runs once per doc over a bounded token array, not
+    in a pair loop, so it stays cheap despite being interpreted."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    total = F.when(n >= 2, n - 1).otherwise(F.lit(1))
+    distinct = F.when(n >= 2, F.size(F.array_distinct(grams))).otherwise(F.lit(1))
+    return d.select(
+        "doc_id",
+        "lang",
+        total.cast("bigint").alias("total_grams"),
+        distinct.cast("bigint").alias("distinct_grams"),
+        (F.lit(1.0) - distinct.cast("double") / total).alias("repetition"),
+    )
