@@ -387,10 +387,20 @@ class SparkCatalog:
             )
         local = location.removeprefix("file://")
         self._recover_compaction(local)
+        # Recover crashed PER-PARTITION compactions before enumerating
+        # partitions: a leftover `filename_district=CT.precompact` dir
+        # must be rolled back/forward into `filename_district=CT`, never
+        # treated as a partition named 'CT.precompact'.
+        for leftover in glob.glob(
+            os.path.join(local, f"{PARTITION_COLUMN}=*.precompact")
+        ) + glob.glob(os.path.join(local, f"{PARTITION_COLUMN}=*.compacting")):
+            base = leftover.rsplit(".", 1)[0]
+            self._recover_compaction(base)
         part_dirs = sorted(
             d
             for d in glob.glob(os.path.join(local, f"{PARTITION_COLUMN}=*"))
             if os.path.isdir(d)
+            and not d.endswith((".precompact", ".compacting"))
         )
         total = 0
         for target in part_dirs or [local]:

@@ -39,8 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from national_caseload_data_ingest_spark.operators.dedup import (
-    jaccard_pairs_in_blocks,
-    lsh_neardup_pairs,
+    neardup_pairs,
     word_ngram_postings,
 )
 from national_caseload_data_ingest_spark.operators.registry import query
@@ -70,6 +69,21 @@ TOKENS_PER_SHARD = 4096
 # training_corpus_build: drop a doc when more than this fraction of its
 # distinct trigrams appear in the eval set.
 CONTAM_FRAC = 0.2
+
+
+def _ngram_list_sql(n: int) -> str:
+    """DuckDB expression building the distinct word-n-gram list from a
+    token array ``t`` (with ``lt`` = whole lowercased text as the
+    short-doc fallback) — GENERATED from ``n`` so the oracle can never
+    desync from the generic Spark kernel when DECONTAM_NGRAM changes."""
+    concat = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(n)
+    )
+    return (
+        f"list_distinct(CASE WHEN len(t) >= {n} "
+        f"THEN list_transform(range(1, len(t) - {n - 2}), i -> {concat}) "
+        f"ELSE [lt] END)"
+    )
 
 
 def connected_components(
@@ -195,14 +209,7 @@ def neardup_cluster_assignments(
       with probability (1-j)^32, so at thresholds ≥ 0.2 the two modes
       agree on real corpora (pytest-asserted on the test corpus)."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    if neardup == "exact":
-        pairs = jaccard_pairs_in_blocks(
-            word_ngram_postings(d, 2), ["lang"], threshold
-        )
-    elif neardup == "lsh":
-        pairs = lsh_neardup_pairs(d, threshold)
-    else:
-        raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")
+    pairs = neardup_pairs(d, threshold, mode=neardup)
     return connected_components(pairs.select("doc_a", "doc_b"))
 
 
@@ -215,11 +222,7 @@ def neardup_cluster_assignments(
         FROM documents
     ),
     tri AS (
-        SELECT doc_id,
-               list_distinct(CASE WHEN len(t) >= {DECONTAM_NGRAM}
-                    THEN list_transform(range(1, len(t) - 1),
-                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                    ELSE [lt] END) AS grams
+        SELECT doc_id, {_ngram_list_sql(DECONTAM_NGRAM)} AS grams
         FROM tok
     ),
     eval_grams AS (
@@ -342,12 +345,8 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIGRAMS = """
-        SELECT doc_id,
-               list_distinct(CASE WHEN len(t) >= 3
-                    THEN list_transform(range(1, len(t) - 1),
-                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                    ELSE [lt] END) AS grams
+_TRIGRAMS = f"""
+        SELECT doc_id, {_ngram_list_sql(DECONTAM_NGRAM)} AS grams
 """
 
 
@@ -441,12 +440,11 @@ def corpus_build(
     1. hold out the eval slice (``doc_id % EVAL_MODULUS == 0``);
     2. quality filter (≥100 chars, ≥20 tokens — narrow, runs first);
     3. exact dedup (min-doc-id survivor per content hash);
-    4. near-dup removal (bigram Jaccard ≥ 0.2, lang-blocked):
-       ``neardup='exact'`` is the bounded all-pairs verifier (oracle
-       mode); ``neardup='lsh'`` routes through
-       :func:`~national_caseload_data_ingest_spark.operators.dedup.
-       lsh_neardup_pairs` — the no-all-pairs 100 TB path, pytest-asserted
-       identical on the test corpus;
+    4. near-dup removal (bigram Jaccard ≥ 0.2, lang-blocked) through the
+       shared :func:`~national_caseload_data_ingest_spark.operators.dedup.
+       neardup_pairs` switch: ``'exact'`` is the bounded all-pairs
+       verifier (oracle mode), ``'lsh'`` the no-all-pairs 100 TB path,
+       pytest-asserted identical on the test corpus;
     5. decontamination (drop docs with > CONTAM_FRAC of their trigrams in
        the eval set);
     6. deterministic per-lang downsampling (md5-prefix threshold);
@@ -472,14 +470,7 @@ def corpus_build(
         .select("doc_id")
     )
     kept = filtered.join(canon, "doc_id", "left_semi")
-    if neardup == "exact":
-        pairs = jaccard_pairs_in_blocks(
-            word_ngram_postings(kept, 2), ["lang"], 0.2
-        )
-    elif neardup == "lsh":
-        pairs = lsh_neardup_pairs(kept, 0.2)
-    else:
-        raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")
+    pairs = neardup_pairs(kept, 0.2, mode=neardup)
     # no distinct on the anti-join's right side: LEFT ANTI is insensitive
     # to build-side duplicates, so deduping them is a pure extra shuffle
     dup_ids = pairs.select(F.col("doc_b").alias("doc_id"))

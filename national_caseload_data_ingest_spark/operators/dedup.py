@@ -480,7 +480,12 @@ def lsh_neardup_pairs(
     corpus.  No all-pairs stage: cost is O(n·perms + candidate pairs)."""
     if bands is None:
         bands = perms
-    postings = word_bigram_postings(docs).persist()
+    # localCheckpoint, not persist: both share the materialized postings
+    # between the signature build and the verify join, but checkpoint
+    # blocks are freed by the ContextCleaner once the DataFrame is
+    # unreferenced, whereas df.persist() pins blocks in the cache manager
+    # for the session lifetime (a leak across repeated pipeline runs).
+    postings = word_bigram_postings(docs).localCheckpoint(eager=False)
     cands = minhash_band_candidates(docs, postings, perms=perms, bands=bands)
     langs = docs.select("doc_id", "lang")
     la = langs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"))
@@ -494,6 +499,29 @@ def lsh_neardup_pairs(
     return jaccard_verify_candidates(postings, cands, threshold)
 
 
+def neardup_pairs(
+    docs: DataFrame,
+    threshold: float,
+    mode: str = "exact",
+    perms: int = MINHASH_PERMS,
+    bands: int | None = None,
+) -> DataFrame:
+    """The single exact/lsh near-dup switch shared by every composed
+    pipeline (``training_data_curation``, ``neardup_cluster_assignments``,
+    ``corpus_build``) — both engines emit the same lang-restricted
+    ``(doc_a, doc_b, jaccard)`` relation, so callers are mode-agnostic.
+
+    ``'exact'`` is the bounded lang-blocked all-pairs verifier (oracle
+    mode); ``'lsh'`` is :func:`lsh_neardup_pairs` (the 100 TB path)."""
+    if mode == "exact":
+        return jaccard_pairs_in_blocks(
+            word_bigram_postings(docs), ["lang"], threshold
+        )
+    if mode == "lsh":
+        return lsh_neardup_pairs(docs, threshold, perms=perms, bands=bands)
+    raise ValueError(f"neardup must be 'exact' or 'lsh', got {mode!r}")
+
+
 @query("minhash_lsh_neardup")  # hash-seeded — verified against ground truth in tests
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
@@ -503,8 +531,10 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bucket join is the only O(n²)-risk step and its cost is bounded by
     bucket occupancy, not corpus size."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    # shared by signature build + candidate verification — persist once
-    all_postings = word_bigram_postings(d).persist()
+    # shared by signature build + candidate verification — materialized
+    # once via localCheckpoint (freed on GC, unlike persist; see
+    # lsh_neardup_pairs)
+    all_postings = word_bigram_postings(d).localCheckpoint(eager=False)
     candidates = minhash_band_candidates(d, all_postings)
     return jaccard_verify_candidates(all_postings, candidates, JACCARD_THRESHOLD)
 
@@ -800,16 +830,13 @@ def training_data_curation(
         .select("doc_id")
     )
     kept = filtered.join(canon, "doc_id", "left_semi")
-    if neardup == "exact":
-        pairs = jaccard_pairs_in_blocks(
-            word_bigram_postings(kept), ["lang"], PIPELINE_JACCARD_THRESHOLD
-        )
-    elif neardup == "lsh":
-        pairs = lsh_neardup_pairs(
-            kept, PIPELINE_JACCARD_THRESHOLD, perms=lsh_perms, bands=lsh_bands
-        )
-    else:
-        raise ValueError(f"neardup must be 'exact' or 'lsh', got {neardup!r}")
+    pairs = neardup_pairs(
+        kept,
+        PIPELINE_JACCARD_THRESHOLD,
+        mode=neardup,
+        perms=lsh_perms,
+        bands=lsh_bands,
+    )
     # no distinct before the anti join — LEFT ANTI is insensitive to
     # build-side duplicates; deduping them would be a pure extra shuffle
     neardup_ids = pairs.select(F.col("doc_b").alias("doc_id"))

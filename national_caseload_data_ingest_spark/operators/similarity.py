@@ -108,9 +108,16 @@ def _screen_topk_kernel(qids, qn, kk: int):
             kk_eff = min(kk, len(ids))
             top = np.argpartition(-sims, kk_eff - 1, axis=0)[:kk_eff]  # (kk, nq)
             # cut score per query; keep every row tied with it (to one ulp)
-            # so a >PAD tie cluster can never lose its tiebreak winner
+            # so a >PAD tie cluster can never lose its tiebreak winner.
+            # kth is -inf when the batch has <= kk rows and contains the
+            # query itself (its masked self-pair lands inside the top) —
+            # the cut must stay -inf there (keep everything), not become
+            # NaN via -inf - spacing(inf) and drop the whole batch.
             kth = sims[top, np.arange(sims.shape[1])].min(axis=0)  # (nq,)
-            keep = sims >= (kth - np.spacing(np.abs(kth)))[None, :]
+            cut = np.where(
+                np.isfinite(kth), kth - np.spacing(np.abs(kth)), -np.inf
+            )
+            keep = sims >= cut[None, :]
             rows, cols = np.nonzero(keep)
             yield pd.DataFrame(
                 {

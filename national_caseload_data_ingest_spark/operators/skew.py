@@ -45,7 +45,19 @@ def salted_join(
     unmatched ``other`` row once per replica (``n_salts`` times), so they
     are rejected rather than silently broken.
     """
-    allowed = ("inner", "left", "left_outer", "left_semi", "left_anti")
+    # Normalize Spark's join-type aliases (leftouter/semi/leftanti/…) to
+    # canonical names so the allowlist and the epilogue branch agree.
+    canonical = {
+        "inner": "inner",
+        "left": "left",
+        "leftouter": "left",
+        "leftsemi": "left_semi",
+        "semi": "left_semi",
+        "leftanti": "left_anti",
+        "anti": "left_anti",
+    }
+    how = canonical.get(how.lower().replace("_", ""), how)
+    allowed = ("inner", "left", "left_semi", "left_anti")
     if how not in allowed:
         raise ValueError(
             f"salted_join supports how in {allowed}; {how!r} would "

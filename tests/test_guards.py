@@ -139,6 +139,23 @@ def test_salted_join_rejects_right_and_full(spark):
             )
 
 
+def test_salted_join_accepts_spark_aliases(spark):
+    """Spark's join-type aliases of the safe types (leftouter, semi,
+    leftanti) must work, and semi/anti epilogues must drop the salt."""
+    t = load_tables(spark, SF, "orders", "customer")
+    for how, cols_from_other in (
+        ("leftouter", True),
+        ("semi", False),
+        ("leftanti", False),
+    ):
+        out = salted_join(
+            t["orders"], t["customer"], "o_custkey", "c_custkey", how=how
+        )
+        assert "__salt" not in out.columns
+        assert ("c_name" in out.columns) == cols_from_other
+        out.limit(1).collect()  # executes cleanly
+
+
 def test_salted_join_left_matches_plain_join(spark):
     """Allowed join types still produce plain-join row counts."""
     t = load_tables(spark, SF, "orders", "customer")

@@ -103,6 +103,41 @@ def test_compact_table_raises_on_remote_warehouse(spark):
         cat.compact_table("anything")
 
 
+def test_compact_table_recovers_partitioned_crash(spark, tmp_path):
+    """Crash mid-compaction of ONE partition dir: the leftover
+    `filename_district=CT.precompact` / `.compacting` dirs must be rolled
+    forward into `filename_district=CT` — never enumerated as partitions
+    named 'CT.precompact' — and the table must round-trip losslessly."""
+    from pyspark.sql import functions as F
+
+    cat = local_catalog(spark, str(tmp_path), db_name="layout_db5")
+    orders = load_tables(spark, SF, "orders")["orders"]
+    part = orders.withColumn(
+        "filename_district",
+        F.when(F.col("o_orderkey") % 2 == 0, "FLM").otherwise("CT"),
+    ).repartition(8)
+    cat.write_table("orders_pcrash", part, partitioned=True, register=False)
+    loc = cat.table_location("orders_pcrash")
+    local = loc.removeprefix("file://")
+    want = sorted(tuple(r) for r in spark.read.parquet(loc).collect())
+    # manufacture the crash: CT fully staged, renamed to backup, promote
+    # rename never happened
+    ct = os.path.join(local, "filename_district=CT")
+    spark.read.parquet(ct).coalesce(1).write.parquet(ct + ".compacting")
+    os.rename(ct, ct + ".precompact")
+    assert not os.path.exists(ct)
+
+    cat.compact_table("orders_pcrash")
+
+    dirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(local, "filename_district=*"))
+    )
+    assert dirs == ["filename_district=CT", "filename_district=FLM"]
+    got = sorted(tuple(r) for r in spark.read.parquet(loc).collect())
+    assert got == want
+
+
 def test_compact_table_recovers_from_crash_between_renames(spark, tmp_path):
     """Simulated crash state: staging fully written, live dir already
     renamed to backup, promote rename never happened.  The next

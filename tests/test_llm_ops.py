@@ -205,6 +205,30 @@ def test_ann_recall_at_10_vs_bruteforce(spark, catalog):
     assert ivf_recall >= IVF_RECALL_FLOOR, f"IVF recall {ivf_recall:.3f}"
 
 
+def test_brute_topk_survives_small_batches(spark):
+    """Batches smaller than k+PAD that contain a query vector must still
+    emit their candidates (the tie-closure cut is -inf there, not NaN):
+    with 40 vectors split over 32 partitions every batch is tiny, and the
+    result must equal the single-batch run exactly."""
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        brute_topk,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"].filter(
+        F.col("vec_id") < 40
+    )
+    want = sorted(
+        tuple(r) for r in brute_topk(e.coalesce(1), n_queries=4, k=10).collect()
+    )
+    got = sorted(
+        tuple(r) for r in brute_topk(e.repartition(32), n_queries=4, k=10).collect()
+    )
+    assert got == want
+    assert len({r[0] for r in got}) == 4  # every query produced results
+
+
 def test_ivf_neardup_precision_and_recall(spark):
     """IVF-cell-blocked near-dup vs the exact global pair set (one block,
     small corpus): every reported pair must appear in the exact set with
