@@ -504,3 +504,91 @@ def corpus_build(
         F.col("nt").cast("bigint").alias("n_tokens"),
         F.floor(before / TOKENS_PER_SHARD).cast("bigint").alias("shard"),
     )
+
+
+def _shard_offsets(stats: list, budget: int) -> dict:
+    """Driver-side per-(partition, lang) token offsets from the tiny
+    pass-1 stats (n_partitions × n_langs rows — the justified
+    driver-model pattern)."""
+    by_lang: dict = {}
+    for r in stats:
+        by_lang.setdefault(r["lang"], []).append((r["pid"], r["tot"]))
+    offsets = {}
+    for lang, lst in by_lang.items():
+        acc = 0
+        for pid, tot in sorted(lst):
+            offsets[(int(pid), lang)] = acc
+            acc += int(tot)
+    return offsets
+
+
+def _shard_kernel(offsets: dict, budget: int):
+    """mapInPandas kernel over ONE range partition (batch iterator spans
+    the partition, so the running sum carries across Arrow batches):
+    shard = floor((global offset + tokens before this doc) / budget)."""
+
+    def gen(batches):
+        run: dict = {}
+        for pdf in batches:
+            shards = []
+            for pid, lang, ntk in zip(pdf["pid"], pdf["lang"], pdf["n_tokens"]):
+                before = offsets.get((int(pid), lang), 0) + run.get(lang, 0)
+                shards.append(before // budget)
+                run[lang] = run.get(lang, 0) + int(ntk)
+            out = pdf[["doc_id", "lang", "n_tokens"]].copy()
+            out["shard"] = shards
+            yield out
+
+    return gen
+
+
+@query(
+    "token_budget_shards_scaled",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) / {TOKENS_PER_SHARD}) AS BIGINT) AS shard
+    FROM t
+    """,
+)
+def token_budget_shards_scaled(
+    spark: SparkSession, sf_dir: str, n_partitions: int = 8
+) -> DataFrame:
+    """The 100 TB form of :func:`token_budget_shards`, made real (same
+    oracle, identical output): instead of one global window per lang —
+    which at scale serializes each language through a single task —
+    this range-partitions on (lang, doc_id), then
+
+    1. **pass 1**: per-(partition, lang) token totals (a tiny aggregate,
+       collected as the driver-side offset model);
+    2. **pass 2**: a narrow ``mapInPandas`` running sum within each
+       partition, started from the partition's global offset.
+
+    The partitioned relation is persisted so both passes see the same
+    range-partition assignment (repartitionByRange samples boundaries).
+    Languages larger than one partition parallelize across partitions —
+    the property the single-window form lacks."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    parted = (
+        d.select("doc_id", "lang", nt.alias("n_tokens"))
+        .repartitionByRange(n_partitions, "lang", "doc_id")
+        .sortWithinPartitions("lang", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    stats = (
+        parted.groupBy("pid", "lang").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    offsets = _shard_offsets(stats, TOKENS_PER_SHARD)
+    return parted.mapInPandas(
+        _shard_kernel(offsets, TOKENS_PER_SHARD),
+        schema="doc_id bigint, lang string, n_tokens bigint, shard bigint",
+    )

@@ -100,6 +100,23 @@ def test_corpus_build_lsh_mode_matches_exact_mode(spark):
     assert exact, "corpus build produced no rows on the test corpus"
 
 
+def test_token_budget_shards_scaled_matches_window_form(spark):
+    """The two-pass range-partitioned form (the 100 TB path: per-partition
+    running sums + driver offset model, no global window) must reproduce
+    the window form exactly — including languages split across range
+    partitions (8 partitions over 5 langs forces splits)."""
+    from national_caseload_data_ingest_spark.operators.curation import (
+        token_budget_shards_scaled,
+    )
+
+    want = sorted(tuple(r) for r in token_budget_shards(spark, SF).collect())
+    got = sorted(
+        tuple(r)
+        for r in token_budget_shards_scaled(spark, SF, n_partitions=8).collect()
+    )
+    assert got == want
+
+
 def test_token_budget_shards_invariants(spark):
     """Shards number contiguously from 0 per lang, and every shard except
     the last holds ≥ the budget minus one doc's overshoot (greedy packing:
