@@ -58,6 +58,42 @@ def test_neardup_clusters_consistent_with_pairs(spark):
         assert len(members) >= 2  # singletons are excluded by construction
 
 
+def test_connected_components_matches_union_find(spark):
+    """Cross-implementation check on seeded random graphs: the iterative
+    Spark label propagation must agree with a reference union-find on
+    every component assignment (min-id labeling)."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        nodes = list(range(1, 40))
+        edges = [
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(30)
+        ]
+        # reference: union-find with min-id representatives
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        want = {x: find(x) for x in parent}
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(_edges(spark, edges)).collect()
+        }
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
 def test_cluster_lsh_mode_matches_exact_mode(spark):
     """LSH candidate generation feeds connected components the same pair
     set as the exact blocked verify at thresholds where r=1 banding has
