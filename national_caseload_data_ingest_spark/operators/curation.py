@@ -41,6 +41,7 @@ from pyspark.sql.window import Window as W
 from national_caseload_data_ingest_spark.operators.dedup import (
     neardup_pairs,
     word_ngram_postings,
+    ws_token_count,
 )
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
@@ -332,7 +333,7 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     an in-partition running sum with per-partition offsets, but the
     single-window form is the semantic contract."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    n_tokens = ws_token_count().cast("bigint")
     w = (
         W.partitionBy("lang")
         .orderBy("doc_id")
@@ -460,7 +461,7 @@ def corpus_build(
     d = load_tables(spark, sf_dir, "documents")["documents"]
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
     train, eval_docs = d.filter(~is_eval), d.filter(is_eval)
-    nt = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    nt = ws_token_count()
     filtered = train.withColumn("nt", nt).filter(
         (F.length("text") >= 100) & (F.col("nt") >= 20)
     )
@@ -506,7 +507,7 @@ def corpus_build(
     )
 
 
-def _shard_offsets(stats: list, budget: int) -> dict:
+def _shard_offsets(stats: list) -> dict:
     """Driver-side per-(partition, lang) token offsets from the tiny
     pass-1 stats (n_partitions × n_langs rows — the justified
     driver-model pattern)."""
@@ -525,18 +526,31 @@ def _shard_offsets(stats: list, budget: int) -> dict:
 def _shard_kernel(offsets: dict, budget: int):
     """mapInPandas kernel over ONE range partition (batch iterator spans
     the partition, so the running sum carries across Arrow batches):
-    shard = floor((global offset + tokens before this doc) / budget)."""
+    shard = floor((global offset + tokens before this doc) / budget).
+    Vectorized: a per-lang grouped cumsum + a dict-mapped base per lang
+    — no per-row Python on the scale path."""
 
     def gen(batches):
         run: dict = {}
         for pdf in batches:
-            shards = []
-            for pid, lang, ntk in zip(pdf["pid"], pdf["lang"], pdf["n_tokens"]):
-                before = offsets.get((int(pid), lang), 0) + run.get(lang, 0)
-                shards.append(before // budget)
-                run[lang] = run.get(lang, 0) + int(ntk)
+            if not len(pdf):
+                continue
+            pid = int(pdf["pid"].iat[0])  # constant within a partition
+            base_map = {
+                lang: offsets.get((pid, lang), 0) + run.get(lang, 0)
+                for lang in pdf["lang"].unique()
+            }
+            within = (
+                pdf.groupby("lang", sort=False)["n_tokens"].cumsum()
+                - pdf["n_tokens"]
+            )
+            before = pdf["lang"].map(base_map) + within
             out = pdf[["doc_id", "lang", "n_tokens"]].copy()
-            out["shard"] = shards
+            out["shard"] = (before // budget).astype("int64")
+            for lang, s in (
+                pdf.groupby("lang", sort=False)["n_tokens"].sum().items()
+            ):
+                run[lang] = run.get(lang, 0) + int(s)
             yield out
 
     return gen
@@ -572,11 +586,18 @@ def token_budget_shards_scaled(
        partition, started from the partition's global offset.
 
     The partitioned relation is persisted so both passes see the same
-    range-partition assignment (repartitionByRange samples boundaries).
-    Languages larger than one partition parallelize across partitions —
-    the property the single-window form lacks."""
+    range-partition assignment — repartitionByRange SAMPLES its
+    boundaries, and two independently compiled plans could sample
+    differently; the cached relation (whose range bounds live in its
+    shuffle dependency, surviving even block eviction) pins one
+    assignment for both passes.  The entry stays in the cache manager
+    for the session; sessions sharding many distinct corpora should
+    ``spark.catalog.clearCache()`` between batches (same policy as
+    ``dedup._shared_postings``).  Languages larger than one partition
+    parallelize across partitions — the property the single-window form
+    lacks."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    nt = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    nt = ws_token_count().cast("bigint")
     parted = (
         d.select("doc_id", "lang", nt.alias("n_tokens"))
         .repartitionByRange(n_partitions, "lang", "doc_id")
@@ -587,7 +608,7 @@ def token_budget_shards_scaled(
     stats = (
         parted.groupBy("pid", "lang").agg(F.sum("n_tokens").alias("tot")).collect()
     )
-    offsets = _shard_offsets(stats, TOKENS_PER_SHARD)
+    offsets = _shard_offsets(stats)
     return parted.mapInPandas(
         _shard_kernel(offsets, TOKENS_PER_SHARD),
         schema="doc_id bigint, lang string, n_tokens bigint, shard bigint",

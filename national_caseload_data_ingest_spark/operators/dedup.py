@@ -44,6 +44,14 @@ HAMMING_THRESHOLD = 3
 COSINE_THRESHOLD = 0.4  # test corpus: random 64-dim, within-label max ≈ 0.47
 
 
+def ws_token_count() -> Column:
+    """Whitespace token count of ``text`` — THE tokenization-rule contract
+    shared by every pipeline stage and mirrored by the DuckDB oracles as
+    ``len(string_split_regex(trim(text), '\\s+'))``.  One definition so
+    the rule can never silently desync between stages."""
+    return F.size(F.split(F.trim(F.col("text")), r"\s+"))
+
+
 def _word_shingles(col: Column, n: int = 2) -> Column:
     """Distinct word n-grams (default bigrams) of lowercased text as an
     array column.
@@ -832,7 +840,7 @@ def training_data_curation(
       same-lang pairs to match exact-mode blocking semantics.
     """
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tokens = ws_token_count()
     filtered = d.withColumn("nt", n_tokens).filter(
         (F.length("text") >= 100) & (F.col("nt") >= 20)
     )
