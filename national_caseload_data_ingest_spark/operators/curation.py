@@ -198,6 +198,7 @@ def neardup_cluster_assignments(
     sf_dir: str,
     neardup: str = "exact",
     threshold: float = CLUSTER_THRESHOLD,
+    **lsh_kwargs,
 ) -> DataFrame:
     """Cluster assignment with a pluggable pair generator — the same
     exact/lsh split as ``training_data_curation``:
@@ -208,9 +209,14 @@ def neardup_cluster_assignments(
       no all-pairs step, the 100 TB path.  Candidates are lang-filtered
       to match exact-mode blocking; a true pair at Jaccard j is missed
       with probability (1-j)^32, so at thresholds ≥ 0.2 the two modes
-      agree on real corpora (pytest-asserted on the test corpus)."""
+      agree on real corpora (pytest-asserted on the test corpus).  At
+      the default CLUSTER_THRESHOLD (0.1) the per-pair miss rate is
+      0.9^32 ≈ 3.4% — clustering at that looser threshold on LSH
+      candidates wants more permutations (64 perms → 0.1% miss) via
+      :func:`~national_caseload_data_ingest_spark.operators.dedup.
+      neardup_pairs`'s ``perms`` parameter."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = neardup_pairs(d, threshold, mode=neardup)
+    pairs = neardup_pairs(d, threshold, mode=neardup, **lsh_kwargs)
     return connected_components(pairs.select("doc_a", "doc_b"))
 
 
