@@ -312,6 +312,64 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "balanced_mixture_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS lang_rank
+        FROM documents
+    ),
+    target AS (
+        SELECT MIN(c) AS t
+        FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+    )
+    SELECT doc_id, lang, source, CAST(lang_rank AS BIGINT) AS lang_rank
+    FROM ranked CROSS JOIN target
+    WHERE lang_rank <= t
+    """,
+)
+def balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture balancing: downsample every language stratum to the
+    size of the SMALLEST one, so the curated mix is uniform across
+    languages — the data-driven cousin of :func:`stratified_sample_docs`
+    (whose rates are fixed constants).  The same shape balances any
+    mixture axis (source, domain, topic cluster) by swapping the key.
+
+    Selection is deterministic: docs rank within their language by
+    ``(md5(text), doc_id)`` — a content hash, so the kept subset is
+    reproducible across engines, runs, and partitionings, and exact
+    duplicates never both survive a tie.  The per-language budget comes
+    from the data (min stratum count), computed by a doc-count aggregate
+    that reduces to one row per language before a single-row global min —
+    broadcast back against the ranked stream, never collected.
+
+    Scale shape: one window shuffle on lang (the same exchange the rank
+    needs anyway) + a broadcast of a languages-count row set.  The window
+    sorts each language partition; at 100 TB the heavy-stratum sort is the
+    cost, and the standard refinement is a two-pass rank (approximate the
+    rank-t md5 cutoff per lang from a sample, filter, then rank only the
+    boundary) — same contract, noted for the runbook."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    md5_hex = F.md5(F.col("text").cast("binary"))
+    w = W.partitionBy("lang").orderBy(md5_hex, "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("lang_rank"),
+    )
+    target = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("t"))
+    )
+    return ranked.join(F.broadcast(target), ranked.lang_rank <= F.col("t")).drop(
+        "t"
+    )
+
+
+@query(
     "token_budget_shards",
     oracle=f"""
     WITH t AS (

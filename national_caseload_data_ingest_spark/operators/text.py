@@ -315,6 +315,132 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rare_token_fraction",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    totals AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab
+        FROM vocab
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.c * tt.n_vocab < tt.n_total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN v.c * tt.n_vocab < tt.n_total THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS rare_fraction,
+           CAST(SUM(v.c) AS BIGINT) AS freq_mass,
+           CAST(SUM(v.c) AS DOUBLE) / COUNT(*) AS mean_token_freq
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN totals tt
+    GROUP BY t.doc_id
+    """,
+)
+def rare_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality scoring (the integer-exact core of a
+    CCNet-style unigram-LM filter): score every document by how much of it
+    is made of rare tokens, where *rare* means corpus frequency below the
+    corpus mean.
+
+    Two passes over the exploded token stream: (1) aggregate the unigram
+    model (one shuffle on token, heavy map-side combine — the shuffle
+    carries one row per distinct token per task); (2) join occurrences back
+    to the model on token and aggregate per document.  The model side is
+    vocabulary-sized, so AQE promotes it to a broadcast join when it fits
+    (it does here; at web scale the standard play is top-V vocabulary
+    broadcast with out-of-vocabulary treated as rare — same contract, and
+    the join below stays a plain shuffle join if the model outgrows the
+    broadcast threshold).
+
+    Everything that crosses engines is integer arithmetic: the rare rule
+    compares ``c * n_vocab < n_total`` (cross-multiplied mean — no
+    division), and the two ratio columns are each a single double division
+    of two exact BIGINTs, so results hash-match DuckDB bit-for-bit.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+    )
+    is_rare = (F.col("c") * F.col("n_vocab") < F.col("n_total")).cast("int")
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(is_rare).cast("bigint").alias("n_rare"),
+            (F.sum(is_rare).cast("double") / F.count(F.lit(1))).alias(
+                "rare_fraction"
+            ),
+            F.sum("c").cast("bigint").alias("freq_mass"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "mean_token_freq"
+            ),
+        )
+    )
+
+
+@query(
+    "lexical_diversity_by_source",
+    oracle="""
+    WITH tc AS (
+        SELECT source, tok, COUNT(*) AS c
+        FROM (SELECT source,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tok
+              FROM documents)
+        GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_tokens,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio
+    FROM tc
+    GROUP BY source
+    """,
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: type-token ratio and hapax
+    count — the cheap screen for template/boilerplate sources (near-zero
+    diversity) and for synthetic-looking uniform text (zero hapaxes).
+
+    Two partial-aggregating shuffles, both tiny on the reduce side: the
+    first keys on (source, token) — bounded by sources x vocabulary — and
+    the second folds that to one row per source.  No token row ever
+    crosses the wire un-combined, so the plan is insensitive to corpus
+    row count: exactly the shape that survives 100 TB."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    tc = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("hapax_tokens"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("type_token_ratio"),
+    )
+
+
+@query(
     "repetition_score",
     oracle="""
     WITH t AS (

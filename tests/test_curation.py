@@ -168,3 +168,35 @@ def test_token_budget_shards_invariants(spark):
         assert ids == list(range(len(ids))), f"{lang}: non-contiguous {ids}"
         for s in ids[:-1]:
             assert sum(shards[s]) >= TOKENS_PER_SHARD - max(shards[s])
+
+
+def test_balanced_mixture_sample_uniform_strata(spark):
+    """Every language stratum in the output has exactly min-stratum-count
+    docs; selection is a deterministic subset of the corpus (same rows on
+    re-run, no RNG)."""
+    from national_caseload_data_ingest_spark.operators.curation import (
+        balanced_mixture_sample,
+    )
+
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    per_lang = {
+        r["lang"]: r["c"]
+        for r in src.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    target = min(per_lang.values())
+
+    out = balanced_mixture_sample(spark, SF)
+    got = {
+        r["lang"]: r["c"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == {lang: target for lang in per_lang}
+
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    again = {
+        r["doc_id"]
+        for r in balanced_mixture_sample(spark, SF).select("doc_id").collect()
+    }
+    assert kept == again
+    all_ids = {r["doc_id"] for r in src.select("doc_id").collect()}
+    assert kept <= all_ids

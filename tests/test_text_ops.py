@@ -1,0 +1,65 @@
+"""Ground-truth checks for the corpus-frequency text operators: the rare
+rule and ratio columns recomputed in pure Python from the same parquet.
+The cross-engine hash evidence lives in the driver gate /
+tools/check_oracle.py; these pin the semantics against an independent
+(non-SQL, non-Spark) implementation.
+"""
+
+import re
+from collections import Counter
+
+import pandas as pd
+
+from national_caseload_data_ingest_spark.operators.text import (
+    lexical_diversity_by_source,
+    rare_token_fraction,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return re.split(r"\s+", text.strip().lower())
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_rare_token_fraction_matches_python_ground_truth(spark):
+    docs = _docs()
+    vocab: Counter = Counter()
+    for t in docs["text"]:
+        vocab.update(_tokens(t))
+    n_total = sum(vocab.values())
+    n_vocab = len(vocab)
+
+    got = {r["doc_id"]: r for r in rare_token_fraction(spark, SF).collect()}
+    assert set(got) == set(docs["doc_id"])
+    for _, row in docs.iterrows():
+        toks = _tokens(row["text"])
+        n_rare = sum(1 for t in toks if vocab[t] * n_vocab < n_total)
+        g = got[row["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        assert g["n_rare"] == n_rare
+        assert g["freq_mass"] == sum(vocab[t] for t in toks)
+        assert g["rare_fraction"] == n_rare / len(toks)
+
+    # the rare rule must actually fire somewhere on the test corpus —
+    # otherwise the query is trivially green
+    assert any(r["n_rare"] > 0 for r in got.values())
+
+
+def test_lexical_diversity_matches_python_ground_truth(spark):
+    docs = _docs()
+    got = {r["source"]: r for r in lexical_diversity_by_source(spark, SF).collect()}
+    assert set(got) == set(docs["source"])
+    for source, grp in docs.groupby("source"):
+        c: Counter = Counter()
+        for t in grp["text"]:
+            c.update(_tokens(t))
+        g = got[source]
+        assert g["total_tokens"] == sum(c.values())
+        assert g["distinct_tokens"] == len(c)
+        assert g["hapax_tokens"] == sum(1 for v in c.values() if v == 1)
+        assert g["type_token_ratio"] == len(c) / sum(c.values())
