@@ -277,6 +277,79 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "common_ngram_fraction",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lower(trim(text)) AS lt,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, {_ngram_list_sql(2)} AS grams
+        FROM tok
+    ),
+    posts AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    dfreq AS (SELECT gram, COUNT(*) AS df FROM posts GROUP BY gram),
+    tot AS (
+        SELECT CAST(SUM(df) AS BIGINT) AS total_postings,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab
+        FROM dfreq
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.df * t.n_vocab > t.total_postings
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN d.df * t.n_vocab > t.total_postings
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS common_fraction
+    FROM posts p JOIN dfreq d USING (gram) CROSS JOIN tot t
+    GROUP BY p.doc_id
+    """,
+)
+def common_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate score: the fraction of a doc's distinct
+    word bigrams whose document frequency is above the corpus mean —
+    headers, footers, and templated spans shared across many documents
+    score high, and filtering is a threshold on the column.  This is the
+    corpus-wide complement of :func:`~.text.repetition_score` (which sees
+    only within-doc repetition).
+
+    Plan shape: the shared narrow postings kernel feeds (1) a
+    document-frequency aggregate keyed on gram — the shuffle carries one
+    row per distinct gram per task after map-side combine — and (2) a join
+    of postings back to those frequencies, then a per-doc aggregate.  The
+    frequency side is gram-vocabulary-sized, so AQE broadcasts it while it
+    fits and falls back to a shuffle join beyond that; nothing in the plan
+    is quadratic in corpus size.
+
+    The common rule cross-multiplies (``df * n_vocab > total_postings``) —
+    pure BIGINT arithmetic, so the DuckDB oracle hash-matches exactly;
+    the single ratio column is one double division."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    posts = word_ngram_postings(d, 2).select("doc_id", "gram")
+    dfreq = posts.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    tot = dfreq.agg(
+        F.sum("df").cast("bigint").alias("total_postings"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+    )
+    is_common = (
+        F.col("df") * F.col("n_vocab") > F.col("total_postings")
+    ).cast("int")
+    return (
+        posts.join(dfreq, "gram")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(is_common).cast("bigint").alias("n_common"),
+            (F.sum(is_common).cast("double") / F.count(F.lit(1))).alias(
+                "common_fraction"
+            ),
+        )
+    )
+
+
 def _rate_threshold() -> F.Column:
     expr = F.lit(SAMPLE_DEFAULT_RATE)
     for lang, hex_rate in SAMPLE_RATES.items():

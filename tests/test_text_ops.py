@@ -63,3 +63,39 @@ def test_lexical_diversity_matches_python_ground_truth(spark):
         assert g["distinct_tokens"] == len(c)
         assert g["hapax_tokens"] == sum(1 for v in c.values() if v == 1)
         assert g["type_token_ratio"] == len(c) / sum(c.values())
+
+
+def test_common_ngram_fraction_matches_python_ground_truth(spark):
+    from national_caseload_data_ingest_spark.operators.curation import (
+        common_ngram_fraction,
+    )
+
+    docs = _docs()
+
+    def bigrams(text: str) -> set:
+        toks = _tokens(text)
+        if len(toks) < 2:
+            return {text.strip().lower()}
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    df: Counter = Counter()
+    per_doc = {}
+    for _, row in docs.iterrows():
+        g = bigrams(row["text"])
+        per_doc[row["doc_id"]] = g
+        df.update(g)
+    total_postings = sum(df.values())
+    n_vocab = len(df)
+
+    got = {r["doc_id"]: r for r in common_ngram_fraction(spark, SF).collect()}
+    assert set(got) == set(per_doc)
+    for doc_id, grams in per_doc.items():
+        n_common = sum(1 for g in grams if df[g] * n_vocab > total_postings)
+        r = got[doc_id]
+        assert r["n_grams"] == len(grams)
+        assert r["n_common"] == n_common
+        assert r["common_fraction"] == n_common / len(grams)
+
+    # the score must separate docs on the test corpus, not be constant
+    fracs = {r["common_fraction"] for r in got.values()}
+    assert len(fracs) > 1
