@@ -300,6 +300,81 @@ class SparkCatalog:
         )
         return location
 
+    ZORDER_BITS = 8  # bucket resolution per dimension (256 buckets)
+
+    def write_zordered(
+        self,
+        table_name: str,
+        df: DataFrame,
+        zorder_cols: list[str],
+        n_files: int,
+    ) -> str:
+        """Write a table clustered on the Z-order (Morton) curve over two
+        or more numeric columns, so parquet min/max statistics stay
+        selective for predicates on EVERY clustered column — the
+        multi-dimensional generalization of :meth:`write_range_clustered`
+        (whose linear sort serves only its leading column: a filter on the
+        second column alone prunes nothing).
+
+        Mechanics: each column is bucketized to ``2**ZORDER_BITS`` uniform
+        buckets between its min and max (one small aggregate collects the
+        bounds — a scalar model, not a data collect; skew-robust
+        bucketization would substitute ``approxQuantile`` boundaries, same
+        contract), the bucket ids are bit-interleaved into a Morton key by
+        pure JVM shift/or expressions, and the rows are range-partitioned +
+        sorted on that key.  Locality of the space-filling curve means each
+        output file covers a compact hyper-rectangle-ish region, so a box
+        predicate intersects few files.  One range shuffle at write time —
+        identical write cost to the linear clustering; ``tests/
+        test_layout.py`` asserts per-file pruning on both dimensions."""
+        if len(zorder_cols) < 2:
+            raise ValueError(
+                "write_zordered needs >= 2 columns; use write_range_clustered "
+                "for 1-D clustering"
+            )
+        self.create_db()
+        location = self.table_location(table_name)
+
+        bounds = df.agg(
+            *[
+                f(c).cast("double").alias(f"{n}_{c}")
+                for c in zorder_cols
+                for n, f in (("min", F.min), ("max", F.max))
+            ]
+        ).first()
+
+        nb = 1 << self.ZORDER_BITS
+        buckets = []
+        for c in zorder_cols:
+            lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+            if lo is None or hi is None or lo == hi:
+                buckets.append(F.lit(0))
+                continue
+            # width_bucket → 1..nb inside [lo, hi]; clamp to 0..nb-1
+            b = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(nb))
+            buckets.append(F.least(F.greatest(b - 1, F.lit(0)), F.lit(nb - 1)))
+
+        zval = F.lit(0).cast("bigint")
+        for bit in range(self.ZORDER_BITS):
+            for j, b in enumerate(buckets):
+                bitval = F.shiftright(b.cast("bigint"), bit).bitwiseAND(F.lit(1))
+                zval = zval.bitwiseOR(
+                    F.shiftleft(bitval, bit * len(buckets) + j)
+                )
+
+        (
+            df.withColumn("__z", zval)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(location)
+        )
+        self.executed_sql.append(
+            f"-- write_zordered {table_name} on {', '.join(zorder_cols)}"
+        )
+        return location
+
     @staticmethod
     def _recover_compaction(path: str) -> None:
         """Roll a crashed compaction of ``path`` forward or back.

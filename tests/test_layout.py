@@ -162,3 +162,67 @@ def test_compact_table_recovers_from_crash_between_renames(spark, tmp_path):
     assert not os.path.exists(local + ".precompact")
     got = sorted(tuple(r) for r in spark.read.parquet(loc).collect())
     assert got == want
+
+
+def _file_ranges(local_dir, cols):
+    out = []
+    for f in sorted(glob.glob(os.path.join(local_dir, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        r = {}
+        for c in cols:
+            idx = md.schema.names.index(c)
+            r[c] = (
+                min(md.row_group(i).column(idx).statistics.min
+                    for i in range(md.num_row_groups)),
+                max(md.row_group(i).column(idx).statistics.max
+                    for i in range(md.num_row_groups)),
+            )
+        out.append(r)
+    return out
+
+
+def test_zordered_files_prune_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering on (l_orderkey, l_partkey) must let a box
+    predicate on EITHER column skip files via parquet min/max stats —
+    including the second column, which a linear range-clustered layout
+    cannot prune at all — and round-trip losslessly."""
+    cat = local_catalog(spark, str(tmp_path), db_name="layout_db")
+    li = load_tables(spark, SF, "lineitem")["lineitem"]
+    cols = ["l_orderkey", "l_partkey"]
+    n_files = 16
+
+    zloc = cat.write_zordered("lineitem_z", li, cols, n_files)
+    zranges = _file_ranges(zloc.removeprefix("file://"), cols)
+    assert len(zranges) >= n_files // 2
+
+    lloc = cat.write_range_clustered("lineitem_lin", li, cols, n_files)
+    lranges = _file_ranges(lloc.removeprefix("file://"), cols)
+
+    bounds = {c: (min(r[c][0] for r in zranges), max(r[c][1] for r in zranges))
+              for c in cols}
+
+    def files_hit(ranges, col, frac=0.25):
+        lo, hi = bounds[col]
+        cut_lo = lo + (hi - lo) * 0.4
+        cut_hi = cut_lo + (hi - lo) * frac
+        return sum(1 for r in ranges if not (r[col][1] < cut_lo or r[col][0] > cut_hi))
+
+    # second dimension: z-order must prune where linear layout reads all
+    z_hit = files_hit(zranges, "l_partkey")
+    l_hit = files_hit(lranges, "l_partkey")
+    assert l_hit == len(lranges), "linear layout unexpectedly pruned dim 2"
+    assert z_hit < len(zranges), f"z-order pruned nothing on dim 2 ({z_hit})"
+    # first dimension must still prune too
+    assert files_hit(zranges, "l_orderkey") < len(zranges)
+
+    got = spark.read.parquet(zloc)
+    assert got.count() == li.count()
+    assert any(s.startswith("-- write_zordered") for s in cat.executed_sql)
+
+
+def test_zordered_rejects_single_column(spark, tmp_path):
+    cat = local_catalog(spark, str(tmp_path), db_name="layout_db")
+    li = load_tables(spark, SF, "lineitem")["lineitem"]
+    import pytest
+    with pytest.raises(ValueError, match="write_range_clustered"):
+        cat.write_zordered("li_bad", li, ["l_orderkey"], 4)
