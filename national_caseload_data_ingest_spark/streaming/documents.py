@@ -1,0 +1,211 @@
+"""Streaming near-duplicate detection over a document stream: MinHash-LSH
+candidate generation as a custom stateful operator.
+
+The batch dedup surface (:mod:`..operators.dedup`) answers "which docs in
+this CORPUS are near-dups"; a training-data INGEST pipeline needs the
+streaming form — "does this arriving doc near-duplicate anything seen so
+far" — without re-scanning the corpus per batch.  The LSH structure makes
+that a bounded-state streaming problem: a doc's band buckets are computed
+in a narrow pass, and the only state is the doc-id set per occupied
+(band, bucket) — exactly the inverted index batch LSH builds, accreted
+incrementally.  Candidate pairs stream out as they form; the downstream
+exact-Jaccard verify (``jaccard_verify_candidates``) is a batch join over
+the (tiny) candidate relation, same as the batch path.
+
+Batch and streaming share the SAME signature kernel (the Structured
+Streaming model — the transformation doesn't know its source), so
+stream ≡ batch equality is testable row-for-row.  The kernel hashes with
+md5-seeded linear permutations (self-contained in the Arrow batch,
+deterministic across engines/arrival orders); the big-batch corpus path
+(`minhash_band_candidates`) keeps its JVM ``xxhash64`` generator — this
+module is the *streaming shape*, not a replacement for it.
+
+Scale/state notes: state per bucket is the doc-id list — total state is
+one row per document per band (n·bands ids), the same size as the batch
+LSH shuffle; per-bucket emission is new×stored pairs, so cost tracks
+candidate volume, never O(n²) corpus-wide.  Documents carry no event
+time, so the operator runs with ``NoTimeout``; a production deployment
+keyed by ingest time would use a TTL timeout to age out cold buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+STREAM_PERMS = 32
+STREAM_BANDS = 8
+_MERSENNE = (1 << 61) - 1
+_BUCKET_SCHEMA = "doc_id bigint, band int, bucket bigint"
+_PAIRS_SCHEMA = "band int, doc_a bigint, doc_b bigint"
+
+
+def _docs_stream(spark: SparkSession, docs_path: str) -> DataFrame:
+    """File-stream source over a documents directory; one file per
+    micro-batch so multi-batch statefulness is actually exercised."""
+    import os  # noqa: PLC0415
+
+    reader = spark.readStream.schema(DOCS_SCHEMA).option("maxFilesPerTrigger", 1)
+    if os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        docs_path = os.path.dirname(docs_path)
+    return reader.parquet(docs_path)
+
+
+def _band_bucket_batches(perms: int, bands: int):
+    """Arrow-batch kernel factory: text → (doc_id, band, bucket) rows.
+
+    Tokenization/shingle rule is the shared contract (lowercased trimmed
+    ``\\s+`` split, distinct bigrams, whole-text fallback under 2 tokens —
+    see ``word_bigram_postings``).  Signature: md5-based 64-bit gram hash
+    pushed through ``perms`` fixed linear permutations mod 2^61−1 (numpy,
+    vectorized over grams); bucket = first 8 md5 bytes of the band's row
+    slice.  Everything is seeded constants — identical output for any
+    partitioning, batch size, or arrival order."""
+    rows_per_band = perms // bands
+    if rows_per_band < 1 or perms % bands != 0:
+        raise ValueError(f"perms {perms} must be a positive multiple of bands {bands}")
+
+    def gen(batches):
+        import hashlib  # noqa: PLC0415
+        import re  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        rng = np.random.RandomState(0xC0FFEE)
+        a = rng.randint(1, _MERSENNE, size=perms, dtype=np.int64).astype(object)
+        b = rng.randint(0, _MERSENNE, size=perms, dtype=np.int64).astype(object)
+        ws = re.compile(r"\s+")
+
+        for pdf in batches:
+            out_doc, out_band, out_bucket = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = (text or "").strip().lower()
+                toks = ws.split(t) if t else [""]
+                grams = (
+                    {f"{x} {y}" for x, y in zip(toks, toks[1:])}
+                    if len(toks) >= 2
+                    else {t}
+                )
+                h = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(g.encode("utf-8")).digest()[:8], "big"
+                        )
+                        for g in grams
+                    ],
+                    dtype=object,
+                )
+                # perms x grams linear permutations in exact int arithmetic
+                sig = [
+                    int(min((int(ai) * h + int(bi)) % _MERSENNE))
+                    for ai, bi in zip(a, b)
+                ]
+                for band in range(bands):
+                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                    raw = b"".join(v.to_bytes(8, "big") for v in chunk)
+                    bucket = int.from_bytes(
+                        hashlib.md5(raw).digest()[:8], "big", signed=True
+                    )
+                    out_doc.append(doc_id)
+                    out_band.append(band)
+                    out_bucket.append(bucket)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "band": out_band, "bucket": out_bucket}
+            )
+
+    return gen
+
+
+def minhash_band_buckets(
+    docs: DataFrame, perms: int = STREAM_PERMS, bands: int = STREAM_BANDS
+) -> DataFrame:
+    """(doc_id, band, bucket) rows — one narrow ``mapInPandas`` pass, zero
+    shuffles; works identically on a batch or streaming DataFrame."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _band_bucket_batches(perms, bands), schema=_BUCKET_SCHEMA
+    )
+
+
+def _bucket_update(key, pdf_iter, state):
+    """GroupState kernel for one (band, bucket): emit each newly arrived
+    doc paired with every doc already resident, then append the arrivals.
+
+    Pair emission is append-only and arrival-order-insensitive as a SET:
+    a bucket that ever holds {a, b, c} emits exactly the 3 unordered
+    pairs, whichever order the docs arrive in (stream ≡ batch self-join).
+    State is the resident id list — bucket occupancy, the same inverted
+    index the batch LSH materializes."""
+    import pandas as pd  # noqa: PLC0415
+
+    resident = list(state.get[0]) if state.exists else []
+    seen = set(resident)
+    pairs = []
+    for pdf in pdf_iter:
+        for doc in sorted(int(d) for d in pdf["doc_id"]):
+            if doc in seen:
+                continue
+            for other in resident:
+                lo, hi = (doc, other) if doc < other else (other, doc)
+                pairs.append((key[0], lo, hi))
+            resident.append(doc)
+            seen.add(doc)
+    state.update(([int(d) for d in resident],))
+    yield pd.DataFrame(pairs, columns=["band", "doc_a", "doc_b"])
+
+
+def lsh_candidates_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH candidate pairs ``(band, doc_a, doc_b)``.
+
+    Narrow signature pass → one stateful exchange on (band, bucket).
+    Output mode is ``append`` (pairs only ever accrete), so any sink works
+    and the union over micro-batches equals the batch self-join."""
+    buckets = minhash_band_buckets(_docs_stream(spark, docs_dir))
+    return buckets.groupBy("band", "bucket").applyInPandasWithState(
+        _bucket_update,
+        outputStructType=_PAIRS_SCHEMA,
+        stateStructType="resident array<bigint>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def lsh_candidates_batch(docs: DataFrame) -> DataFrame:
+    """Batch twin: same signature kernel, bucket-equality self-join (the
+    standard LSH candidate join, one shuffle on (band, bucket))."""
+    buckets = minhash_band_buckets(docs)
+    a = buckets.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a")
+    )
+    b = buckets.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b")
+    )
+    return a.join(b, ["band", "bucket"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    ).select("band", "doc_a", "doc_b")
+
+
+@query("streaming_lsh_candidates")  # hash-seeded: rows-only for the driver;
+# ground truth = stream≡batch + recall tests in tests/test_streaming.py
+def streaming_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming LSH candidate generator over the
+    ``documents`` table — registered so the driver exercises the shared
+    kernel; the streaming path runs in ``tests/test_streaming.py`` with a
+    file source and is asserted row-identical to this."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return lsh_candidates_batch(d)

@@ -186,3 +186,62 @@ def test_stream_stream_interval_join_equals_batch(spark, events_batch):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_lsh_candidates_equal_batch(spark, tmp_path):
+    """The stateful streaming LSH candidate generator, fed the corpus one
+    file per micro-batch, must emit exactly the batch self-join's pair set
+    — arrival order and batch boundaries must not change the result."""
+    from national_caseload_data_ingest_spark.streaming.documents import (
+        lsh_candidates_batch,
+        lsh_candidates_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs_dir = str(tmp_path / "docs_stream")
+    docs.repartition(6).write.parquet(docs_dir)
+
+    sdf = lsh_candidates_stream(spark, docs_dir)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("lsh_cands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_pairs = {
+        (r["band"], r["doc_a"], r["doc_b"])
+        for r in spark.sql("SELECT * FROM lsh_cands").collect()
+    }
+
+    batch_pairs = {
+        (r["band"], r["doc_a"], r["doc_b"])
+        for r in lsh_candidates_batch(spark.read.parquet(docs_dir)).collect()
+    }
+    assert len(batch_pairs) > 0
+    assert stream_pairs == batch_pairs
+
+
+def test_streaming_lsh_recall_vs_exact_jaccard(spark):
+    """Every exact-Jaccard pair over the batch-LSH threshold must appear
+    among the streaming kernel's candidates (same banding guarantee as the
+    xxhash batch path — pinned empirically for the fixed seeds)."""
+    import __spark_entry__ as ent
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ent.queries()["ngram_jaccard_pairs"](spark, SF).collect()
+        if r["jaccard"] >= JACCARD_THRESHOLD
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in ent.queries()["streaming_lsh_candidates"](spark, SF).collect()
+    }
+    assert len(exact) > 0
+    missed = exact - cands
+    assert not missed, f"streaming LSH kernel missed ground-truth pairs: {missed}"
