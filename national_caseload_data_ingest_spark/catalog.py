@@ -491,6 +491,27 @@ class SparkCatalog:
     def recover_partitions(self, table_name: str) -> None:
         self.execute_query(f"MSCK REPAIR TABLE {self.db_name}.{table_name}")
 
+    def analyze_table(
+        self, table_name: str, columns: list[str] | None = None
+    ) -> None:
+        """``ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]`` — collect
+        table row count/size and per-column NDV/min/max/null counts into
+        the catalog, so the cost-based optimizer's join reordering and
+        broadcast decisions run on measured statistics rather than
+        file-size guesses.  At 100 TB this is the difference between a
+        dimension correctly broadcast and a fact-sized build side: size
+        estimates from compressed parquet footers routinely misjudge the
+        decompressed build side, while ANALYZE records true row counts.
+        Re-run after large loads or compaction; the scan is one pass and
+        parallelizes like any aggregate."""
+        fq = f"{self.db_name}.{table_name}"
+        self.execute_query(f"ANALYZE TABLE {fq} COMPUTE STATISTICS")
+        if columns:
+            self.execute_query(
+                f"ANALYZE TABLE {fq} COMPUTE STATISTICS FOR COLUMNS "
+                + ", ".join(columns)
+            )
+
     # -- reads -------------------------------------------------------------
 
     def table(self, table_name: str) -> DataFrame:

@@ -226,3 +226,31 @@ def test_zordered_rejects_single_column(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="write_range_clustered"):
         cat.write_zordered("li_bad", li, ["l_orderkey"], 4)
+
+
+def test_analyze_table_records_catalog_stats(spark, tmp_path):
+    """ANALYZE must land row-count table stats and per-column NDV in the
+    catalog — the inputs the cost-based optimizer plans joins from."""
+    cat = local_catalog(spark, str(tmp_path), db_name="layout_db")
+    nation = load_tables(spark, SF, "nation")["nation"]
+    cat.write_table("nation_stats", nation, partitioned=False)
+    cat.analyze_table("nation_stats", columns=["n_nationkey", "n_regionkey"])
+
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED layout_db.nation_stats"
+        ).collect()
+    }
+    assert "Statistics" in desc and "rows" in desc["Statistics"]
+    assert "25 rows" in desc["Statistics"]
+
+    col = {
+        r["info_name"]: r["info_value"]
+        for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED layout_db.nation_stats n_nationkey"
+        ).collect()
+    }
+    assert col["distinct_count"] == "25"
+    assert col["min"] == "0" and col["max"] == "24"
+    assert any(s.startswith("ANALYZE TABLE") for s in cat.executed_sql)
