@@ -172,3 +172,80 @@ def array_agg_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") <= 5)
     )
+
+
+def upsert_latest(
+    base: DataFrame, changes: DataFrame, keys: list[str], version_col: str
+) -> DataFrame:
+    """CDC merge (latest-wins upsert): one surviving row per key — the
+    highest ``version_col`` across base ∪ changes, ties broken toward the
+    changes side.
+
+    Implemented as ``max_by(struct(*), (version, is_change))`` — a single
+    partial-aggregating shuffle on the key, no window sort.  The window
+    ``row_number`` formulation computes the same thing but sorts every
+    group; ``max_by`` keeps one running champion per key per task and
+    combines map-side, which at 100 TB is the difference between a
+    shuffle of winners and a full sort of history.  For recurring merges
+    the shuffle disappears entirely when both sides are bucketed on the
+    key (``catalog.write_bucketed``)."""
+    tagged = base.withColumn("__chg", F.lit(0)).unionByName(
+        changes.withColumn("__chg", F.lit(1))
+    )
+    payload = F.struct(*[F.col(c) for c in tagged.columns])
+    rank = F.struct(F.col(version_col), F.col("__chg"))
+    merged = tagged.groupBy(*keys).agg(F.max_by(payload, rank).alias("__row"))
+    return merged.select("__row.*").drop("__chg")
+
+
+@query(
+    "upsert_latest_orders",
+    oracle="""
+    WITH delta AS (
+        SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, o_orderdate,
+               o_orderpriority, 2 AS version
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    unioned AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 1 AS version, 0 AS chg
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, version, 1 AS chg
+        FROM delta
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(version AS BIGINT) AS version
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC, chg DESC) AS rn
+        FROM unioned
+    )
+    WHERE rn = 1
+    """,
+)
+def upsert_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-merge demonstration on ``orders``: a deterministic delta batch
+    (every 7th order re-delivered at version 2 with doubled total and
+    status F) merged latest-wins over the base snapshot.  The DuckDB
+    oracle is the independent ``row_number``-per-key formulation, so the
+    ``max_by`` aggregate is cross-checked against a sort-based engine.
+    Doubling a double is exponent arithmetic — exact, hash-stable."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    base = o.withColumn("version", F.lit(1))
+    delta = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("version", F.lit(2))
+    )
+    out = upsert_latest(base, delta, ["o_orderkey"], "version")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("version").cast("bigint").alias("version"),
+    )
