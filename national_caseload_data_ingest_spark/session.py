@@ -73,6 +73,12 @@ def get_spark(
         # The events table stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as int64 nanos and convert in load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) would otherwise
+        # infer TIMESTAMP_NTZ (Spark 4 default), which half the timestamp
+        # functions (unix_micros, to_utc_timestamp, ...) reject.  Read as
+        # session-zoned TIMESTAMP: with the UTC session timezone the values
+        # are identical to the oracle's naive timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Local mode: the driver is the only JVM; give it headroom but leave
         # room for Python workers (container has 128 GiB).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -126,6 +132,7 @@ RUNTIME_CONFS = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
