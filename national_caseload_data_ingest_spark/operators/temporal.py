@@ -110,11 +110,21 @@ def approx_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``approx_percentile``) — the scale path: single pass, bounded memory,
     no per-group sort.  Engine-specific sketch ⇒ rows-only check."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias(
-            "approx_quartiles"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias(
+                "quartiles_arr"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # JSON text, not a raw array: the harness canonicalizer sorts every
+        # output column and chokes on ndarray cells (see array_agg_order_keys).
+        .select(
+            "l_returnflag",
+            F.to_json("quartiles_arr").alias("approx_quartiles"),
+            "n",
+        )
     )
 
 
@@ -153,7 +163,8 @@ def explode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_order_keys",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS orderkeys,
+           '[' || array_to_string(list_sort(list(o_orderkey)), ',') || ']'
+               AS orderkeys,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_custkey
@@ -162,15 +173,26 @@ def explode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_agg_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list + sort_array (ARRAY_AGG parity) — arrays as first-class
-    aggregate outputs.  Sorted so the value hash is order-stable."""
+    aggregate outputs, sorted so the value is order-stable.
+
+    The FINAL projection serializes the array to its JSON text
+    (``to_json`` ⇒ ``[1,2,3]``): the correctness harness canonicalizes
+    results with a pandas sort over every output column, and a raw array
+    column (numpy.ndarray after Arrow transfer) is unhashable there —
+    round-3 CORRECTNESS recorded exactly that TypeError.  The aggregation
+    itself still materializes a first-class ARRAY<BIGINT>; only the result
+    contract is a string."""
     o = load_tables(spark, sf_dir, "orders")["orders"]
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.sort_array(F.collect_list("o_orderkey")).alias("keys_arr"),
             F.count(F.lit(1)).alias("n"),
         )
         .filter(F.col("n") <= 5)
+        .select(
+            "o_custkey", F.to_json("keys_arr").alias("orderkeys"), "n"
+        )
     )
 
 
