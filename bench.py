@@ -55,12 +55,14 @@ def main() -> None:
     qs["q6_revenue_forecast"](spark, sf_dir).count()
 
     # The test VM shows heavy vCPU-steal jitter (identical warmed jobs vary
-    # 5×), so report the min of two runs per query — the capability number,
-    # not the noise draw.
+    # 5×; round-3's driver run recorded a 3× across-the-board inflation that
+    # a same-code rerun could not reproduce), so report the min of three
+    # runs per query — the capability number, not the noise draw.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)

@@ -451,3 +451,46 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("l_discount"), F.col("l_tax")).alias("min_rate"),
         F.signum(F.col("l_discount") - F.col("l_tax")).alias("rate_sign"),
     )
+
+
+@query(
+    "unpivot_flag_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM wide
+    """,
+)
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long reshape; ``pivot_line_status``'s inverse) — the
+    melt that feeds metric-per-row sinks (dashboards, time-series stores).
+
+    Spark's native ``unpivot`` is a zero-shuffle narrow expansion: each
+    wide row emits one row per value column inside the same stage — at any
+    scale the only exchange is the upstream aggregate's.  Decimal sums
+    (cast back to double) keep the values order-independent and therefore
+    hash-stable cross-engine."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -868,3 +868,139 @@ def training_data_curation(
             F.sum("nt").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC): gear-hash boundaries, vectorized.
+# --------------------------------------------------------------------------
+
+# Deterministic 256-entry "gear" table (FastCDC-style), seeded by a fixed
+# LCG so the chunking is reproducible across sessions and processes.
+def _gear_table() -> "np.ndarray":
+    import numpy as np
+
+    vals, x = [], 0x9E3779B97F4A7C15
+    for _ in range(256):
+        # splitmix64 step — public-domain PRNG recurrence
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        vals.append(z ^ (z >> 31))
+    return np.array(vals, dtype=np.uint64)
+
+
+CDC_MASK_BITS = 6  # boundary when low 6 bits of the gear hash are all 1 →
+#                    expected chunk ≈ 64 bytes (sized for the test corpus;
+#                    production text uses 11-13 bits ≈ 2-8 KiB)
+CDC_MIN_LEN = 24
+CDC_MAX_LEN = 256
+
+
+def cdc_chunk_positions(data: bytes, mask_bits: int = CDC_MASK_BITS,
+                        min_len: int = CDC_MIN_LEN,
+                        max_len: int = CDC_MAX_LEN) -> list[int]:
+    """Chunk end positions (exclusive) for one byte string.
+
+    Gear rolling hash: ``h_i = (h_{i-1} << 1) + gear[b_i] (mod 2^64)``; a
+    boundary fires after byte *i* when the low ``mask_bits`` bits of
+    ``h_i`` are all ones.  Because ``(h << 1)`` discards a high bit each
+    step, ``h_i mod 2^k`` depends ONLY on the last *k* bytes — so the
+    candidate test vectorizes exactly as a sliding-window dot product with
+    the powers-of-two vector, no sequential carry: numpy computes every
+    candidate boundary in one matmul-shaped pass (the per-byte Python loop
+    of the textbook formulation is gone).  The min/max-length walk over
+    the (sparse) candidate list is the only sequential part.
+
+    This is the dedup-prep primitive for *sub-document* dedup at 100 TB:
+    identical passages inside distinct documents chunk to identical byte
+    ranges (the boundary depends only on local content), so exact-hash
+    dedup over chunks catches shared boilerplate that whole-doc hashing
+    misses — and an edit perturbs only the chunks it touches.
+    """
+    import numpy as np
+
+    n = len(data)
+    if n == 0:
+        return []
+    k = mask_bits
+    mask = np.uint64((1 << k) - 1)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    g = _GEAR[buf]
+    # h_i mod 2^k = sum_{j=0..k-1} (g[i-j] << j) mod 2^k  (window of k bytes)
+    pow2 = (np.uint64(1) << np.arange(k, dtype=np.uint64))  # [1,2,4,...]
+    if n >= k:
+        win = np.lib.stride_tricks.sliding_window_view(g, k)  # [n-k+1, k]
+        # window [i-k+1 .. i] maps to h_i; g[i-j] pairs with 2^j → reverse
+        low = (win * pow2[::-1]).sum(axis=1, dtype=np.uint64) & mask
+        cand = np.nonzero(low == mask)[0] + (k - 1)  # candidate end indices
+    else:
+        cand = np.empty(0, dtype=np.int64)
+    ends, start = [], 0
+    ci = 0
+    cand_list = cand.tolist()
+    m = len(cand_list)
+    while start < n:
+        limit = min(start + max_len, n)
+        cut = limit
+        while ci < m and cand_list[ci] < start + min_len - 1:
+            ci += 1
+        if ci < m and cand_list[ci] < limit:
+            cut = cand_list[ci] + 1
+        ends.append(cut)
+        start = cut
+    return ends
+
+
+_GEAR = _gear_table()
+
+
+@query("cdc_chunk_stats")  # custom rolling-hash kernel — no SQL oracle;
+#                            ground truth: tests/test_llm_ops.py CDC cases
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over ``documents`` + exact chunk-level
+    dedup: emits one row per distinct chunk hash with its occurrence count
+    and byte length — the sub-document dedup table (chunks seen >1× are
+    cross-document boilerplate candidates).
+
+    Plan: one narrow ``mapInPandas`` pass chunks each document and emits
+    (chunk_md5, chunk_len) — Arrow batches in, Arrow batches out, no
+    shuffle; the only exchange is the final partial-aggregating groupBy on
+    the 16-byte hash.  Identical shape to ``dedup_exact`` one level down
+    the granularity ladder."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    out_schema = StructType(
+        [
+            StructField("chunk_md5", StringType()),
+            StructField("chunk_len", IntegerType()),
+        ]
+    )
+
+    def chunker(batches):
+        for pdf in batches:
+            rows_md5, rows_len = [], []
+            for text in pdf["text"]:
+                data = text.encode("utf-8")
+                start = 0
+                for end in cdc_chunk_positions(data):
+                    piece = data[start:end]
+                    rows_md5.append(hashlib.md5(piece).hexdigest())
+                    rows_len.append(end - start)
+                    start = end
+            import pandas as pd
+
+            yield pd.DataFrame({"chunk_md5": rows_md5, "chunk_len": rows_len})
+
+    chunks = d.select("text").mapInPandas(chunker, out_schema)
+    return chunks.groupBy("chunk_md5", "chunk_len").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

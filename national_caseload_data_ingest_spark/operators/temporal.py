@@ -271,3 +271,50 @@ def upsert_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("version").cast("bigint").alias("version"),
     )
+
+
+@query(
+    "event_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user via ``lag`` — the LAG/LEAD
+    window family (the sessionization primitive: a gap threshold over
+    this column is exactly the session cut).
+
+    One shuffle on user_id serves both the window sort and the aggregate
+    (same partitioning — Catalyst reuses the exchange).  Gaps stay in
+    integer microseconds end-to-end: no float time arithmetic, so the
+    cross-engine hash is exact.  Ordering ties on ``ts`` break by
+    event_id to keep lag deterministic."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+    )

@@ -490,3 +490,264 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct.cast("bigint").alias("distinct_grams"),
         (F.lit(1.0) - distinct.cast("double") / total).alias("repetition"),
     )
+
+
+# --------------------------------------------------------------------------
+# Relevance scoring: TF-IDF and BM25.
+#
+# Both use RATIONAL idf surrogates (single divisions of exact integers)
+# instead of ln(): Spark computes ln via java.lang.Math, DuckDB via libm,
+# and the two can differ in the last ulp — enough to flip a ranking tie and
+# break the cross-engine value hash.  N/df is a strictly monotone transform
+# of ln(N/df) at fixed tf, so the *selection* demonstrated here (which
+# terms/docs score highest) orders identically; swap ln back in on a real
+# deployment where bit-parity with a second engine is not a gate.
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, tok
+    ),
+    idf AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, idf.df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / idf.df AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / idf.df DESC,
+                            tf.tok
+               ) AS rk
+        FROM tf JOIN idf USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, tfidf
+    FROM scored WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most characteristic terms per document by TF-IDF — the
+    keyword-extraction / topic-fingerprint pass of a corpus pipeline.
+
+    Plan shape: explode → two partial-aggregating shuffles (per-doc tf on
+    ``(doc_id, tok)``; corpus df on ``tok``) → **broadcast** join of the
+    vocabulary-sized df relation onto tf → per-doc window.  At 100 TB the
+    tf relation is corpus-scale but the df relation is vocabulary-scale
+    (millions of rows, MBs), so the join moves no fact data; the window
+    partitions on doc_id, whose groups are bounded by document length.
+    The corpus size scalar joins in as a broadcast one-row aggregate, not
+    a driver ``collect``.  Ties break on the token for a deterministic cut.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_rel), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "tf", "df", "tfidf")
+    )
+
+
+BM25_TERMS = ("spark", "table", "join")
+BM25_TOP_K = 25
+
+
+def _bm25_term_sql(word: str, k1: str = "1.2") -> str:
+    """One BM25 term's score with the exact operator tree the Spark
+    expression uses (parenthesized so both parsers build the same IEEE
+    evaluation order)."""
+    tf = f"tf_{word}"
+    return (
+        f"(((CAST(n_docs AS DOUBLE) - {tf}_df + 0.5) / ({tf}_df + 0.5)) * "
+        f"(({tf} * 2.2) / ({tf} + ({k1} * (0.25 + ((0.75 * dl) / avgdl))))))"
+    )
+
+
+@query(
+    "bm25_rank_docs",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                   AS dl,
+               {_occurrences_sql('text', 'spark')} AS tf_spark,
+               {_occurrences_sql('text', 'table')} AS tf_table,
+               {_occurrences_sql('text', 'join')} AS tf_join
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tf_spark_df,
+               CAST(SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tf_table_df,
+               CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tf_join_df
+        FROM base
+    )
+    SELECT doc_id, dl, tf_spark, tf_table, tf_join,
+           (({_bm25_term_sql('spark')} + {_bm25_term_sql('table')})
+             + {_bm25_term_sql('join')}) AS bm25
+    FROM base CROSS JOIN stats
+    WHERE (tf_spark + tf_table) + tf_join > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for the fixed query ``spark table join`` —
+    the retrieval scorer behind quality-weighted corpus sampling and
+    RAG-style training-data selection (k1=1.2, b=0.75; rational idf
+    surrogate, see module note above).
+
+    Plan shape: one narrow pass computes per-doc term frequencies and
+    length (integer O(n) scans, no explode); the corpus stats (N, avgdl,
+    per-term df) reduce to ONE broadcast row via a single partial
+    aggregate; scoring is then a pure codegen'd expression and the top-k
+    is ``TakeOrderedAndProject`` (per-partition heaps — no global sort).
+    Adding terms adds columns, not passes.  Scales as a single scan +
+    one-row exchange at any corpus size."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
+        *[
+            _occurrences(F.col("text"), wrd).alias(f"tf_{wrd}")
+            for wrd in BM25_TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{wrd}") > 0, 1).otherwise(0)).alias(
+                f"tf_{wrd}_df"
+            )
+            for wrd in BM25_TERMS
+        ],
+    )
+
+    def term_score(wrd: str) -> Column:
+        tf = F.col(f"tf_{wrd}")
+        df_t = F.col(f"tf_{wrd}_df")
+        idf = (F.col("n_docs").cast("double") - df_t + F.lit(0.5)) / (
+            df_t + F.lit(0.5)
+        )
+        denom = tf + (
+            F.lit(1.2)
+            * (F.lit(0.25) + ((F.lit(0.75) * F.col("dl")) / F.col("avgdl")))
+        )
+        return idf * ((tf * F.lit(2.2)) / denom)
+
+    s, t, j = (term_score(wrd) for wrd in BM25_TERMS)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("bm25", (s + t) + j)
+        .filter(
+            (F.col("tf_spark") + F.col("tf_table")) + F.col("tf_join") > 0
+        )
+        .select("doc_id", "dl", "tf_spark", "tf_table", "tf_join", "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now' ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN ' call 555-0142 today' ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}'))
+                AS INTEGER) AS n_phones,
+           CAST(LENGTH(regexp_replace(regexp_replace(text,
+                    '[a-z0-9]+@[a-z0-9.]+[a-z0-9]', '<EMAIL>', 'g'),
+                    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS INTEGER)
+               AS scrubbed_len,
+           md5(regexp_replace(regexp_replace(text,
+                   '[a-z0-9]+@[a-z0-9.]+[a-z0-9]', '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace email addresses and phone-shaped numbers
+    with typed placeholders, reporting match counts and a digest of the
+    scrubbed text — the privacy-filter stage of a training-data pipeline.
+
+    The synthetic corpus contains no PII (word-salad text, zero digits),
+    so the query first *injects* deterministic fixtures — every 7th doc
+    gains an email, every 11th a phone number — making the check
+    non-vacuous: the oracle performs the identical injection and the scrub
+    must find exactly those plants and nothing else.  Patterns stay in the
+    RE2-compatible subset (character classes + bounded repeats, no
+    lookaround) so Java regex and DuckDB RE2 agree; on real corpora the
+    pattern set widens (SSNs, IP addresses, street addresses) with the
+    same plan shape.
+
+    Pure narrow column expressions — regexp_count/replace are codegen'd
+    JVM calls, no UDF, no shuffle; at 100 TB this runs at scan speed."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    email_re = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0142 today")).otherwise(
+            F.lit("")
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(email_re)).cast("int").alias("n_emails"),
+        F.regexp_count(aug, F.lit(phone_re)).cast("int").alias("n_phones"),
+        F.length(scrubbed).cast("int").alias("scrubbed_len"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )

@@ -384,3 +384,96 @@ def test_frame_sample_explodes_rows_no_shuffle(spark, catalog):
     assert len(rows) > 500  # many docs explode into several frames
     assert all(r["frame_no"] % FRAME_STRIDE == 0 for r in rows)
     assert all(r["frame_bytes"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (cdc_chunk_stats ground truth)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_vectorized_matches_sequential_reference():
+    """The numpy sliding-window formulation must reproduce the textbook
+    per-byte gear-hash loop exactly (same candidates, same min/max walk)."""
+    import random
+
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _GEAR,
+        CDC_MASK_BITS,
+        CDC_MAX_LEN,
+        CDC_MIN_LEN,
+        cdc_chunk_positions,
+    )
+
+    def ref_positions(data, k=CDC_MASK_BITS, mn=CDC_MIN_LEN, mx=CDC_MAX_LEN):
+        mask = (1 << k) - 1
+        cands, h = [], 0
+        for i, b in enumerate(data):
+            h = ((h << 1) + int(_GEAR[b])) & 0xFFFFFFFFFFFFFFFF
+            if (h & mask) == mask:
+                cands.append(i)
+        ends, start, ci, n = [], 0, 0, len(data)
+        while start < n:
+            limit = min(start + mx, n)
+            cut = limit
+            while ci < len(cands) and cands[ci] < start + mn - 1:
+                ci += 1
+            if ci < len(cands) and cands[ci] < limit:
+                cut = cands[ci] + 1
+            ends.append(cut)
+            start = cut
+        return ends
+
+    rng = random.Random(1234)
+    for size in (0, 1, 5, 23, 24, 63, 64, 257, 1000, 4096):
+        data = bytes(rng.randrange(256) for _ in range(size))
+        assert cdc_chunk_positions(data) == ref_positions(data), size
+
+
+def test_cdc_boundaries_are_content_defined():
+    """The CDC property: an edit perturbs only the chunks around it —
+    boundaries resynchronize because the hash depends on a bounded window."""
+    import hashlib
+    import random
+
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        CDC_MAX_LEN,
+        CDC_MIN_LEN,
+        cdc_chunk_positions,
+    )
+
+    rng = random.Random(7)
+    s = bytes(rng.randrange(32, 127) for _ in range(4000))
+
+    def hashes(b):
+        out, st = [], 0
+        for e in cdc_chunk_positions(b):
+            assert CDC_MIN_LEN <= e - st <= CDC_MAX_LEN or e == len(b)
+            out.append(hashlib.md5(b[st:e]).hexdigest())
+            st = e
+        assert st == len(b)  # chunks tile the input exactly
+        return out
+
+    h1 = hashes(s)
+    assert len(set(h1) & set(hashes(b"EDIT-" + s))) >= len(set(h1)) - 3
+    assert len(set(h1) & set(hashes(s[:2000] + b"#" + s[2000:]))) >= len(set(h1)) - 3
+
+
+def test_cdc_chunk_stats_query(spark):
+    """Whole-pipeline smoke + invariant: chunk lengths within bounds and
+    total chunk bytes equal total corpus bytes (chunks tile every doc)."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        CDC_MAX_LEN,
+        cdc_chunk_stats,
+    )
+
+    out = cdc_chunk_stats(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    assert all(1 <= r.chunk_len <= CDC_MAX_LEN for r in out)
+    total = sum(r.chunk_len * r.n_occurrences for r in out)
+    import duckdb
+
+    (expected,) = duckdb.sql(
+        "SELECT SUM(strlen(text)) FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()
+    assert total == expected
