@@ -23,20 +23,51 @@ from national_caseload_data_ingest_spark.functions import dec
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
-# ``ts`` is TIMESTAMP(NANOS) in the parquet files; with
-# spark.sql.legacy.parquet.nanosAsLong it surfaces as int64 nanoseconds and
-# is converted to a µs timestamp below (same convention as
-# session.load_tables).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_is_nanos: bool) -> T.StructType:
+    """Reader schema for the events stream.  ``ts`` depends on the parquet
+    encoding: TIMESTAMP(MICROS) reads natively as ``TimestampType``, while
+    TIMESTAMP(NANOS) — which the vectorized reader rejects — surfaces as
+    int64 nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong`` and is
+    converted after the scan (same convention as ``session.load_tables``)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_is_nanos(events_path: str) -> bool:
+    """Footer-sniff whether ``ts`` is stored as TIMESTAMP(NANOS).
+
+    FileStreamSource takes a fixed user schema, so the unit must be decided
+    up front from an existing footer — exactly the check the batch path does
+    per-column in ``session.load_tables`` (the driver's testdata has shipped
+    both ``timestamp[us]`` and ``timestamp[ns]`` encodings across rounds; the
+    reader must survive either).  An empty directory (stream started before
+    any file lands) defaults to µs, the driver's current encoding.
+    """
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    if os.path.isfile(events_path):
+        sample = events_path
+    else:
+        found = sorted(
+            glob.glob(os.path.join(events_path, "*.parquet"))
+        ) or sorted(
+            glob.glob(os.path.join(events_path, "**", "*.parquet"), recursive=True)
+        )
+        if not found:
+            return False
+        sample = found[0]
+    return str(pq.read_schema(sample).field("ts").type).startswith("timestamp[ns")
 
 
 def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
@@ -45,12 +76,18 @@ def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     since FileStreamSource requires a directory."""
     import os  # noqa: PLC0415
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 4)
+    ts_is_nanos = _ts_is_nanos(events_path)
+    reader = spark.readStream.schema(_events_schema(ts_is_nanos)).option(
+        "maxFilesPerTrigger", 4
+    )
     if os.path.isfile(events_path):
         reader = reader.option("pathGlobFilter", os.path.basename(events_path))
         events_path = os.path.dirname(events_path)
     stream = reader.parquet(events_path)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        # integer `div` — float division would lose precision above 2^53
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 SESSION_GAP = "30 minutes"
 WATERMARK = "10 minutes"

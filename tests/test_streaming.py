@@ -67,6 +67,55 @@ def test_streaming_plan_is_streaming(spark):
     assert sdf.isStreaming
 
 
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_events_stream_timestamp_unit_agnostic(spark, tmp_path, unit):
+    """Regression for the round-4 streaming bug: the stream reader must
+    decode ``ts`` correctly for BOTH parquet encodings the driver's testdata
+    has used (``timestamp[us]`` today, ``timestamp[ns]`` earlier rounds).
+    A 2024 event must come out of the stream as a 2024 timestamp — the bug
+    turned every µs timestamp into January 1970."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from national_caseload_data_ingest_spark.streaming.events import (
+        _events_stream,
+    )
+
+    t0 = datetime.datetime(2024, 3, 15, 12, 0, 0)
+    rows = [t0 + datetime.timedelta(minutes=m) for m in range(4)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array(rows, pa.timestamp(unit)),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "b"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    d = tmp_path / f"events_{unit}"
+    d.mkdir()
+    # version 2.6 preserves TIMESTAMP(NANOS) instead of coercing to µs
+    pq.write_table(table, d / "part-0.parquet", version="2.6")
+
+    sdf = _events_stream(spark, str(d))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(f"unit_mem_{unit}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["ts"])
+        for r in spark.sql(f"SELECT event_id, ts FROM unit_mem_{unit}").collect()
+    )
+    assert got == [(i, rows[i]) for i in range(4)], got
+
+
 def test_user_lifetime_stats_stream_equals_batch(spark):
     from national_caseload_data_ingest_spark.streaming.events import (
         user_lifetime_stats,
