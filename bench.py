@@ -56,17 +56,25 @@ def main() -> None:
 
     # The test VM shows heavy vCPU-steal jitter (identical warmed jobs vary
     # 5×; round-3's driver run recorded a 3× across-the-board inflation that
-    # a same-code rerun could not reproduce), so report the min of three
-    # runs per query — the capability number, not the noise draw.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # a same-code rerun could not reproduce), so the headline number is the
+    # min of three runs per query — the capability number, not the noise
+    # draw.  Per-query medians are reported alongside so a reader can
+    # separate steal-noise (min ≪ median) from real regressions (both move).
+    try:
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    except ValueError:
+        runs = 3
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -76,6 +84,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "median_total": round(sum(medians.values()), 3),
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

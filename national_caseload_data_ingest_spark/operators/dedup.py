@@ -559,16 +559,18 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify_candidates(all_postings, candidates, JACCARD_THRESHOLD)
 
 
-@query("simhash_neardup")  # hash-seeded — verified against ground truth in tests
-def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signatures, 4×16-bit chunk banding, Hamming
-    verify via ``bit_count(a XOR b)``.
+# A SimHash band bucket larger than this indicates the bucket keys are too
+# narrow for the corpus (the chunk-equality self-join is quadratic per
+# bucket) — same fail-fast contract as MAX_BLOCK_DOCS above.
+MAX_SIMHASH_BUCKET_DOCS = 8_192
 
-    The signature is built in one explode+aggregate pass: per bit position,
-    sum ±1 weighted by each token-hash's bit, then take the sign.  Banding
-    guarantees recall for Hamming ≤ 3 (pigeonhole over 4 chunks)."""
-    d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = d.select(
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document → ``(doc_id, sig)``.
+
+    One explode+aggregate pass: per bit position, sum ±1 weighted by each
+    distinct token-hash's bit, then take the sign."""
+    toks = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
@@ -591,31 +593,100 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.shiftleft(F.lit(1).cast("bigint"), i),
             ).otherwise(F.lit(0).cast("bigint"))
         )
-    sigs = bit_sums.select("doc_id", sig.alias("sig"))
-    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
-    chunks = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("ckey"),
-                    )
-                    for c in range(SIMHASH_CHUNKS)
-                ]
+    return bit_sums.select("doc_id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    chunks: int = SIMHASH_CHUNKS,
+    max_bucket_docs: int | None = MAX_SIMHASH_BUCKET_DOCS,
+) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ ``HAMMING_THRESHOLD``, banded by
+    chunk *combinations* so the bucket key width scales with the corpus.
+
+    Split the 64-bit signature into ``chunks`` equal pieces; any pair within
+    Hamming distance 3 differs in at most 3 pieces, so at least
+    ``chunks - 3`` pieces match — band on every ``(chunks-3)``-subset of
+    pieces (the sorted-block scheme of Manku, Jain & Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007).  ``chunks=4`` gives the
+    classic 4×16-bit single-chunk keys (4 bands, 16-bit keys);
+    ``chunks=8`` gives C(8,5)=56 bands of 40-bit keys.  **Scale rule**:
+    expected bucket occupancy is n / 2^(key bits) — use 4 up to ~10⁷ docs,
+    8 up to ~10¹¹; the recall guarantee for Hamming ≤ 3 is pigeonhole-exact
+    for every valid ``chunks``, so outputs are identical across settings.
+
+    ``max_bucket_docs`` guards the quadratic-per-bucket self-join: before
+    joining, the max bucket occupancy is measured (a cheap aggregate over
+    the small signature relation) and an oversized bucket raises with
+    routing guidance instead of silently running an unbounded O(n²) — the
+    same contract as ``MAX_BLOCK_DOCS`` in the Jaccard verifier."""
+    from itertools import combinations  # noqa: PLC0415
+    from math import comb as _comb  # noqa: PLC0415
+
+    if SIMHASH_BITS % chunks != 0:
+        raise ValueError(f"chunks must divide {SIMHASH_BITS}, got {chunks}")
+    keep = chunks - HAMMING_THRESHOLD
+    if keep < 1:
+        raise ValueError(
+            f"chunks must exceed HAMMING_THRESHOLD={HAMMING_THRESHOLD} "
+            f"for the pigeonhole recall guarantee, got {chunks}"
+        )
+    chunk_bits = SIMHASH_BITS // chunks
+    if keep * chunk_bits > 62:
+        raise ValueError(
+            f"band key would need {keep * chunk_bits} bits (> 62): "
+            "use more chunks"
+        )
+    n_bands = _comb(chunks, keep)
+    if n_bands > 64:
+        # C(chunks, chunks-3) grows as chunks³: chunks=16 is already 560
+        # bands (560× row explosion AND a 560-term expression tree the
+        # driver must build).  8 chunks / 56 bands covers ~10¹¹ docs; past
+        # that, widen via more Hamming tolerance engineering, not bands.
+        raise ValueError(
+            f"chunks={chunks} needs {n_bands} bands (> 64): the banding "
+            "explosion outweighs the key-width gain. Use chunks in "
+            "{4, 8}."
+        )
+    sigs = simhash_signatures(docs).persist()
+
+    def chunk_val(c: int) -> Column:
+        return F.shiftrightunsigned(F.col("sig"), c * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        )
+
+    band_structs = []
+    for band_id, combo in enumerate(combinations(range(chunks), keep)):
+        key = F.lit(0).cast("bigint")
+        for i, c in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(chunk_val(c), i * chunk_bits))
+        band_structs.append(
+            F.struct(F.lit(band_id).alias("band"), key.alias("bkey"))
+        )
+    buckets = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "sig", "bb.band", "bb.bkey")
+    if max_bucket_docs is not None:
+        top = (
+            buckets.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()[0]["m"]
+        )
+        if top is not None and top > max_bucket_docs:
+            raise ValueError(
+                f"simhash band bucket holds {top} docs "
+                f"(> {max_bucket_docs}): the chunk-equality self-join is "
+                "quadratic per bucket. Increase `chunks` (wider band keys: "
+                "4 → 16-bit, 8 → 40-bit) or route to minhash_lsh_neardup, "
+                "or raise max_bucket_docs explicitly."
             )
-        ).alias("cc"),
-    ).select("doc_id", "sig", "cc.chunk", "cc.ckey")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -626,7 +697,15 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
     )
-    return pairs
+
+
+@query("simhash_neardup")  # hash-seeded — verified against ground truth in tests
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures, combination banding, Hamming
+    verify via ``bit_count(a XOR b)`` — see :func:`simhash_pairs` for the
+    banding scheme, scale rule, and bucket-occupancy guard."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return simhash_pairs(d)
 
 
 def _double_vec(col: Column) -> Column:
@@ -920,6 +999,16 @@ def cdc_chunk_positions(data: bytes, mask_bits: int = CDC_MASK_BITS,
     """
     import numpy as np
 
+    if min_len <= mask_bits:
+        # The vectorized candidate scan only produces boundaries at indices
+        # >= mask_bits-1 (a full k-byte window), while the sequential gear
+        # loop can fire earlier from a partial window — the two definitions
+        # agree only when the min-length walk skips that prefix anyway.
+        raise ValueError(
+            f"min_len ({min_len}) must exceed mask_bits ({mask_bits}): "
+            "below that the vectorized scan diverges from the sequential "
+            "gear-hash semantics in the first window."
+        )
     n = len(data)
     if n == 0:
         return []

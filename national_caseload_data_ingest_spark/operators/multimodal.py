@@ -32,22 +32,178 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Decode an image payload — STUB: requires PIL, not in this container.
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
-    The plumbing (binary column → mapInPandas batch → feature row) is
-    exercised with ``extract_byte_features``; swap this in when codecs are
-    available."""
+
+def png_decode(payload: bytes):
+    """Pure-stdlib PNG decoder (zlib + struct, no codec libraries): returns
+    ``(width, height, channels, pixels)`` with ``pixels`` a uint8 numpy
+    array of shape ``(height, width, channels)``.
+
+    Supports the baseline still-image profile — 8-bit depth, color types
+    0/2/4/6, non-interlaced — with all five scanline filters (None, Sub,
+    Up, Average, Paeth) per the PNG spec (RFC 2083 §6).  The Up filter is
+    fully vectorized (uint8 addition wraps mod 256); Sub/Average/Paeth
+    carry a left-neighbor dependency and walk the row in Python — fine for
+    a per-payload kernel whose rows are Arrow-batched above it.
+    """
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, idat, header = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if header is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = header
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"png_decode supports 8-bit non-interlaced color types "
+            f"{sorted(_PNG_CHANNELS)}; got depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = raw[base]
+        row = np.frombuffer(raw[base + 1 : base + 1 + stride], np.uint8).copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (int(row[i]) + int(row[i - ch])) & 0xFF
+        elif f == 2:  # Up — vectorized, uint8 wraps mod 256
+            row += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - ch]) if i >= ch else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return w, h, ch, out.reshape(h, w, ch)
+
+
+def decode_image(payload: bytes) -> object:
+    """Decode an image payload.
+
+    PNG payloads decode natively via :func:`png_decode` (pure stdlib —
+    tested without any codec library); other formats require PIL, which
+    this container doesn't ship, and raise ``NotImplementedError``."""
+    if payload[:8] == PNG_SIGNATURE:
+        return png_decode(payload)
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as e:
         raise NotImplementedError(
-            "image decode requires PIL; container has no codecs — "
-            "use extract_byte_features for the plumbing path"
+            "non-PNG image decode requires PIL; container has no codecs — "
+            "PNG decodes natively via png_decode"
         ) from e
     import io  # noqa: PLC0415
 
     return Image.open(io.BytesIO(payload))
+
+
+def png_encode(arr, filter_type: int = 0) -> bytes:
+    """Pure-stdlib PNG encoder (inverse of :func:`png_decode`): uint8 array
+    of shape ``(h, w)`` or ``(h, w, channels)`` → PNG bytes, applying the
+    given scanline filter to every row.  Exists so the decoder's five
+    filter paths are testable without any codec library, and to synthesize
+    image payloads for the decode-pipeline E2E query.  Filters operate on
+    the RAW neighbor bytes (not the filtered output), per RFC 2083 §6.5."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = arr.reshape(h, w * ch)
+    stride = w * ch
+    prev = np.zeros(stride, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        row = flat[y]
+        f = filter_type
+        res = np.empty(stride, dtype=np.uint8)
+        if f == 0:
+            res = row
+        elif f == 1:  # Sub
+            res[:ch] = row[:ch]
+            res[ch:] = (row[ch:].astype(int) - row[:-ch].astype(int)) & 0xFF
+        elif f == 2:  # Up
+            res = row - prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - ch]) if i >= ch else 0
+                res[i] = (int(row[i]) - ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                res[i] = (int(row[i]) - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        lines.append(bytes([f]) + res.tobytes())
+        prev = row
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
 
 
 def extract_byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,6 +260,87 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return with_binary_payload(d).mapInPandas(
         extract_byte_features, schema=FEATURE_SCHEMA
+    )
+
+
+IMG_W, IMG_H = 16, 12  # synthesized test-image geometry (192 px)
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, mean_pixel double"
+)
+
+
+def decode_image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real image-decode kernel: PNG binary payload → (dims, channels,
+    mean pixel) via the pure-stdlib decoder.  The mean divides an exact
+    integer pixel sum by the pixel count in float64, so it's reproducible
+    against any engine computing AVG over the same integers."""
+    for pdf in batches:
+        doc_ids, ws, hs, chs, means = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch, px = png_decode(bytes(payload))
+            doc_ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            chs.append(ch)
+            means.append(int(px.sum(dtype="int64")) / (w * h * ch))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "channels": pd.Series(chs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
+            }
+        )
+
+
+def _synthesize_png_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic grayscale PNG per doc: pixel k = (doc_id + k) mod 256,
+    encoded with scanline filter ``doc_id mod 5`` — every filter type flows
+    through the production decode path."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            px = ((int(doc_id) + k) % 256).astype(np.uint8).reshape(IMG_H, IMG_W)
+            payloads.append(png_encode(px, filter_type=int(doc_id) % 5))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "png_decode_features",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(SUM((d.doc_id + t.k) % 256) AS DOUBLE) / {IMG_W * IMG_H}
+               AS mean_pixel
+    FROM documents d, range(0, {IMG_W * IMG_H}) t(k)
+    GROUP BY d.doc_id
+    """,
+)
+def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode E2E with a SQL oracle: synthesize a deterministic PNG
+    per document (gradient pixels, filter type rotating over all five
+    scanline filters), then run the REAL decode through
+    :func:`decode_image_features` — two narrow ``mapInPandas`` passes, no
+    shuffle.  The oracle recomputes the pixel statistics from the closed
+    form, so a single flipped byte anywhere in encode, zlib framing,
+    unfiltering, or the Arrow plumbing breaks the hash match.  At 100 TB
+    the synthesize stage swaps for real stored payloads; the decode stage
+    is unchanged — payloads never leave the executor, only features."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = d.select("doc_id").mapInPandas(
+        _synthesize_png_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_image_features, schema=IMAGE_FEATURE_SCHEMA
     )
 
 

@@ -33,70 +33,70 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The per-round driver verifies queries in dict-iteration order and caps at
-# the first 50 (rounds 1 and 2 checked the identical leading-50 set — the
-# cap is empirical, see COVERAGE.md).  This list front-loads the catalog so
-# the checked window covers EVERY SURVEY §2.2 category and every
-# LLM-data-pipeline operator at least once: one representative per
-# relational category first, then the full dedup/similarity/text/multimodal
-# surface.  Queries not listed (extra TPC-H shapes, second variants of
-# already-covered categories) follow in registration order and are replayed
-# locally with tools/check_oracle.py.
+# the first 50 (the cap is empirical, see COVERAGE.md).  The window ROTATES
+# per round so the union of CORRECTNESS_r0{1..N}.json converges on the full
+# catalog: rounds 1-4 accumulated driver rows for 66 of the 103 queries
+# with a category-complete static window; round 5 front-loads the 37
+# queries that never earned a driver row (all replay green locally via
+# tools/check_oracle.py), then back-fills the remaining 13 slots with
+# already-checked representatives covering every SURVEY §2.2 category and
+# LLM-pipeline family, so a single round's sheet stays category-complete
+# too.  Queries past the cap are replayed locally with
+# tools/check_oracle.py (same check, same data).
 CHECK_PRIORITY: list[str] = [
-    # -- SURVEY §2.2 category representatives ------------------------------
+    # -- never driver-checked through round 4: oracle-backed ---------------
+    "tfidf_top_terms",  # round-4 new op
+    "bm25_rank_docs",  # round-4 new op
+    "pii_scrub",  # round-4 new op
+    "unpivot_flag_metrics",  # round-4 new op (wide-to-long)
+    "event_gap_stats",  # round-4 new op (lag/lead)
+    "q2_min_cost_supplier",  # correlated scalar subquery
+    "q4_order_priority_check",  # EXISTS semi
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",  # HAVING over scalar subquery
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",  # outer join + distribution
+    "q14_promo_revenue",
+    "q15_top_supplier",  # view/scalar-subquery max
+    "q16_supplier_part_counts",  # NOT IN
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_excess_shippers",  # nested IN subqueries
+    "q21_waiting_supplier",  # multi-EXISTS
+    "q22_idle_customers",  # anti + scalar subquery
+    "explode_part_words",  # lateral explode
+    "upsert_latest_orders",  # CDC merge/upsert
+    "common_ngram_fraction",  # postings overlap
+    "stratified_sample_docs",  # deterministic stratified sampling
+    "balanced_mixture_sample",  # balanced mixture sampling
+    "token_budget_shards_scaled",  # 2-pass range-partitioned sharding
+    "bpe_token_count",  # BPE-ish tokenizer
+    "token_frequency_topk",  # vocab stats
+    "token_length_histogram",
+    "rare_token_fraction",
+    "lexical_diversity_by_source",
+    "repetition_score",
+    # -- never driver-checked: rows-only by design -------------------------
+    "cdc_chunk_stats",
+    "embedding_neardup_ivf",
+    "approx_quantity_percentiles",
+    "streaming_lsh_candidates",
+    # -- already-checked category representatives (window stays complete) --
     "q1_pricing_summary",  # aggregation + filter + sort
-    "q6_revenue_forecast",  # projection/filter (pushdown)
     "q3_shipping_priority",  # multi-table equi join
-    "semi_join_urgent_customers",  # left semi
-    "anti_join_customers_no_orders",  # left anti
-    "outer_join_order_counts",  # left outer
-    "full_outer_nation_activity",  # full outer
-    "theta_join_nation_pairs",  # theta / non-equi
-    "range_join_value_bins",  # range join
     "asof_join_last_purchase",  # as-of join
     "skew_salted_join_agg",  # skew-mitigated join
     "topk_expensive_orders",  # sort/limit/top-k
-    "set_union_all_party_nations",  # set ops
-    "distinct_part_counts",  # distinct aggregation
-    "grouping_sets_priority",  # grouping sets
-    "cube_returnflag_status",  # cube
-    "rollup_region_nation",  # rollup
-    "window_rank_orders",  # window ranking
-    "token_budget_shards",  # window frames (running sum) + shard layout op
-    "string_functions",
-    "date_functions",
-    "math_functions",
-    "conditional_case",
-    "json_extract_events",  # json
-    "array_agg_order_keys",  # arrays
-    "scalar_subquery_above_avg",  # scalar subquery
-    "exists_correlated_heavy_parts",  # correlated EXISTS
+    "grouping_sets_priority",  # grouping sets/cube/rollup family
+    "window_rank_orders",  # window functions
+    "json_extract_events",  # json/array
     "median_quantity_by_flag",  # exact percentiles
-    "tumbling_window_events",  # streaming: tumbling
-    "session_window_events",  # streaming: session windows
-    "user_lifetime_stats",  # streaming: custom stateful
-    "events_enriched_segment",  # streaming: stream-static join
-    "signup_purchase_within_hour",  # streaming: stream-stream join
-    # -- LLM-data-pipeline operators ---------------------------------------
-    "dedup_exact",
-    "neardup_clusters",  # connected-components clustering (recursive-CTE oracle)
-    "ngram_jaccard_pairs",
-    "minhash_lsh_neardup",
-    "embedding_cosine_neardup",
-    "training_data_pipeline",
-    "training_corpus_build",  # 7-stage flagship, full SQL oracle (simhash
-    # is rows-only for the driver — its real check is the pytest ground
-    # truth, so it yields its window slot to a hash-checked query)
-    "cosine_topk_bruteforce",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "vector_norms",
-    "token_count_by_source",
-    "decontaminate_overlap",  # eval-leakage guard (token counting's bpe
-    # twin is pytest+replay-covered; decontamination is a distinct op)
-    "lang_id_heuristic",
-    "quality_score",
-    "doc_fingerprint",
-    "multimodal_byte_features",
+    "tumbling_window_events",  # streaming twin (batch form)
+    "dedup_exact",  # dedup family
+    "minhash_lsh_neardup",  # LSH family (rows-only, recall-tested)
+    "training_corpus_build",  # 7-stage flagship pipeline
 ]
 
 

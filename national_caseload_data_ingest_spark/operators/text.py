@@ -543,13 +543,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword-extraction / topic-fingerprint pass of a corpus pipeline.
 
     Plan shape: explode → two partial-aggregating shuffles (per-doc tf on
-    ``(doc_id, tok)``; corpus df on ``tok``) → **broadcast** join of the
-    vocabulary-sized df relation onto tf → per-doc window.  At 100 TB the
-    tf relation is corpus-scale but the df relation is vocabulary-scale
-    (millions of rows, MBs), so the join moves no fact data; the window
-    partitions on doc_id, whose groups are bounded by document length.
-    The corpus size scalar joins in as a broadcast one-row aggregate, not
-    a driver ``collect``.  Ties break on the token for a deterministic cut.
+    ``(doc_id, tok)``; corpus df on ``tok``) → join of the df relation onto
+    tf → per-doc window.  The df join carries NO broadcast hint: a
+    vocabulary is usually MBs, but at web scale the distinct-token relation
+    (URLs, typos, code) can reach 10⁸⁺ rows and a forced broadcast would
+    OOM the driver — AQE promotes the small side to broadcast at runtime
+    when it actually is small, and both sides already share the ``tok``
+    shuffle key when it isn't.  The window partitions on doc_id, whose
+    groups are bounded by document length.  The corpus size scalar joins in
+    as a broadcast one-row aggregate, not a driver ``collect``.  Ties break
+    on the token for a deterministic cut.
     """
     d = load_tables(spark, sf_dir, "documents")["documents"]
     toks = d.select(
@@ -560,7 +563,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_rel = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_rel), "tok")
+        tf.join(df_rel, "tok")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
     )

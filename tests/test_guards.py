@@ -128,6 +128,72 @@ def test_postings_kernel_matches_array_expression_form(spark, documents):
     assert all(r["n_grams"] == per_doc[r["doc_id"]] for r in kern_rows)
 
 
+def test_simhash_bucket_guard_raises_on_oversized_bucket(spark, documents):
+    """Many identical documents land in one SimHash band bucket; the
+    quadratic self-join over it must fail fast with routing guidance."""
+    from national_caseload_data_ingest_spark.operators.dedup import simhash_pairs
+
+    clones = documents.limit(1).crossJoin(
+        spark.range(64).select(F.col("id").alias("clone"))
+    ).select(F.col("clone").alias("doc_id"), "text")
+    with pytest.raises(ValueError, match="quadratic per bucket"):
+        simhash_pairs(clones, max_bucket_docs=16)
+
+
+def test_simhash_bucket_guard_at_bound_succeeds(spark, documents):
+    from national_caseload_data_ingest_spark.operators.dedup import simhash_pairs
+
+    d = documents.filter(F.col("doc_id") < 32)
+    simhash_pairs(d, max_bucket_docs=32).collect()  # must not raise
+
+
+def test_simhash_parameter_validation(spark, documents):
+    """chunks must divide 64, exceed the Hamming threshold (pigeonhole
+    recall guarantee), and keep the band count bounded — chunks=64 would
+    explode into C(64,61)=41,664 bands; chunks=16 into 560."""
+    from national_caseload_data_ingest_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs(documents, chunks=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(documents, chunks=2)
+    with pytest.raises(ValueError, match="bands"):
+        simhash_pairs(documents, chunks=16)
+    with pytest.raises(ValueError, match="bands"):
+        simhash_pairs(documents, chunks=64)
+
+
+def test_simhash_wide_banding_equals_narrow(spark, documents):
+    """chunks=8 (56 bands of 40-bit keys — the large-corpus setting) must
+    produce exactly the chunks=4 pair set: the pigeonhole recall guarantee
+    for Hamming ≤ 3 is exact for both, and the Hamming filter makes the
+    final output banding-invariant."""
+    from national_caseload_data_ingest_spark.operators.dedup import simhash_pairs
+
+    narrow = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(documents, chunks=4).collect()
+    }
+    wide = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(documents, chunks=8).collect()
+    }
+    assert narrow == wide
+
+
+def test_cdc_rejects_min_len_not_exceeding_mask_bits():
+    """The vectorized CDC candidate scan needs a full k-byte window; a
+    min_len <= mask_bits parameterization would silently diverge from the
+    sequential gear-hash definition, so it must raise."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        cdc_chunk_positions,
+    )
+
+    with pytest.raises(ValueError, match="min_len"):
+        cdc_chunk_positions(b"x" * 100, mask_bits=6, min_len=6)
+    assert cdc_chunk_positions(b"x" * 100, mask_bits=6, min_len=7)
+
+
 def test_salted_join_rejects_right_and_full(spark):
     """right/full would emit each unmatched replicated-side row n_salts
     times; the docstring restriction is now enforced."""

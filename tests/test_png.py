@@ -1,0 +1,113 @@
+"""Pure-stdlib PNG codec: round-trip across every scanline filter and
+color type, decode through the Spark mapInPandas path, and the
+synthesize→decode E2E query — all with NO codec library (the round-4
+multimodal gap: decode was a PIL-gated stub; PNG now decodes natively)."""
+
+import numpy as np
+import pytest
+
+from national_caseload_data_ingest_spark.operators.multimodal import (
+    IMG_H,
+    IMG_W,
+    decode_image,
+    png_decode,
+    png_encode,
+)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters_and_color_types(filter_type, channels):
+    rng = np.random.default_rng(42 * channels + filter_type)
+    arr = rng.integers(0, 256, size=(7, 5, channels), dtype=np.uint8)
+    payload = png_encode(arr, filter_type=filter_type)
+    w, h, ch, px = png_decode(payload)
+    assert (w, h, ch) == (5, 7, channels)
+    assert np.array_equal(px, arr)
+
+
+def test_png_decode_multi_idat_and_grayscale_2d():
+    """A 2-D input encodes as grayscale; splitting IDAT across chunks (legal
+    per spec) must decode identically."""
+    import struct
+    import zlib
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = png_encode(arr, filter_type=2)
+    _, _, _, px = png_decode(payload)
+    assert np.array_equal(px[:, :, 0], arr)
+    # re-frame the IDAT as two chunks
+    sig, rest = payload[:8], payload[8:]
+    chunks = []
+    pos = 0
+    while pos + 8 <= len(rest):
+        (ln,) = struct.unpack(">I", rest[pos : pos + 4])
+        typ = rest[pos + 4 : pos + 8]
+        data = rest[pos + 8 : pos + 8 + ln]
+        chunks.append((typ, data))
+        pos += 12 + ln
+
+    def mk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    out = sig
+    for typ, data in chunks:
+        if typ == b"IDAT":
+            mid = len(data) // 2
+            out += mk(b"IDAT", data[:mid]) + mk(b"IDAT", data[mid:])
+        else:
+            out += mk(typ, data)
+    _, _, _, px2 = png_decode(out)
+    assert np.array_equal(px2[:, :, 0], arr)
+
+
+def test_png_decode_rejects_bad_input():
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"GIF89a....")
+    # 16-bit depth is outside the baseline profile — explicit raise
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        png_decode(payload)
+
+
+def test_decode_image_dispatches_png_without_pil():
+    """decode_image no longer raises on PNG — the stub is only for non-PNG
+    formats now."""
+    arr = np.full((3, 3, 3), 200, dtype=np.uint8)
+    w, h, ch, px = decode_image(png_encode(arr))
+    assert (w, h, ch) == (3, 3, 3)
+    assert np.array_equal(px, arr)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def test_png_decode_features_query(spark):
+    """The synthesize→decode pipeline matches the closed form on real doc
+    ids (the driver also hash-checks this against the DuckDB oracle)."""
+    import __spark_entry__ as ent
+
+    rows = {
+        r["doc_id"]: r
+        for r in ent.queries()["png_decode_features"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) > 0
+    n = IMG_W * IMG_H
+    for doc_id, r in list(rows.items())[:20]:
+        want = sum((doc_id + k) % 256 for k in range(n)) / n
+        assert (r["width"], r["height"], r["channels"]) == (IMG_W, IMG_H, 1)
+        assert r["mean_pixel"] == pytest.approx(want, abs=0)

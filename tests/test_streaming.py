@@ -207,6 +207,55 @@ def test_streaming_dedup_suppresses_redelivery(spark, events_batch, tmp_path):
     assert len(set(ids)) == events_batch.count()
 
 
+def test_streaming_file_sink_e2e_exactly_once(spark, events_batch, tmp_path):
+    """End-to-end through a real file sink: dedup stream (with a redelivered
+    input file) → parquet + checkpoint → read back.  Covers the commit-log /
+    exactly-once plumbing the memory-sink tests skip: the sink's
+    _spark_metadata transaction log must exist, and the persisted output
+    must be exactly the distinct event set despite the duplicate input."""
+    import shutil
+
+    from national_caseload_data_ingest_spark.streaming.events import (
+        dedup_events_stream,
+    )
+
+    d = tmp_path / "sink_events"
+    d.mkdir()
+    shutil.copy(EVENTS_DIR, d / "a.parquet")
+    shutil.copy(EVENTS_DIR, d / "b.parquet")  # exact redelivery
+    out = tmp_path / "sink_out"
+    ckpt = tmp_path / "sink_ckpt"
+    q = (
+        dedup_events_stream(spark, str(d))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert (out / "_spark_metadata").is_dir(), "file-sink commit log missing"
+    persisted = spark.read.parquet(str(out))
+    got = sorted(r["event_id"] for r in persisted.select("event_id").collect())
+    want = sorted(
+        r["event_id"] for r in events_batch.select("event_id").collect()
+    )
+    assert got == want
+    # restart on the same checkpoint with no new input: no-op, no dupes
+    q2 = (
+        dedup_events_stream(spark, str(d))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == len(want)
+
+
 def test_stream_stream_interval_join_equals_batch(spark, events_batch):
     """Stream-stream interval join (watermarked both sides) produces
     exactly the batch interval-join result on the same data."""
