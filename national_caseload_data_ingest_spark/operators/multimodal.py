@@ -6,12 +6,15 @@ Model: a modality column is ``binary`` next to typed metadata columns
 payloads stay opaque to the planner and all pixel/sample work happens in
 vectorized Python batches via ``mapInPandas``.
 
-The container ships no image/audio codecs, so the real decoders are STUBS
-behind ``try: import`` (``decode_image`` raises ``NotImplementedError``
-without PIL); the *Spark-side plumbing* — schema, batch iteration, Arrow
-transfer, partition preservation — is real and oracle-checked using a
-deterministic byte-level feature extractor over the documents' UTF-8 bytes
-standing in for media payloads.
+Codec status: PNG (decode/encode/resize) and 16-bit PCM WAV
+(decode/encode) are REAL pure-stdlib implementations — tested without any
+codec library, with synthesize→decode E2E queries hash-checked against
+DuckDB oracles (``png_decode_features``, ``wav_decode_features``).  Other
+formats (JPEG, compressed audio, video containers) are honestly gated
+behind ``try: import PIL`` and raise ``NotImplementedError`` in this
+container; their *Spark-side plumbing* — schema, batch iteration, Arrow
+transfer, 1→N explosion — is exercised by the byte-feature and
+frame-sampling queries.
 """
 
 from __future__ import annotations
@@ -345,15 +348,24 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload — STUB: requires PIL, not in this container.
+    """Resize an image payload, returning PNG bytes.
 
-    Plumbing parity lives in :func:`sample_frames`, which exercises the
-    same batch shape (binary in → derived binary out)."""
+    PNG payloads resize natively (pure numpy nearest-neighbor over the
+    decoded pixel array, re-encoded with :func:`png_encode`) — no codec
+    library needed.  Other formats require PIL and raise
+    ``NotImplementedError`` in this container."""
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:8] == PNG_SIGNATURE:
+        w, h, _ch, px = png_decode(payload)
+        ys = np.minimum((np.arange(height) * h) // height, h - 1)
+        xs = np.minimum((np.arange(width) * w) // width, w - 1)
+        return png_encode(px[ys][:, xs])
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as e:
         raise NotImplementedError(
-            "image resize requires PIL; container has no codecs"
+            "non-PNG image resize requires PIL; container has no codecs"
         ) from e
     import io  # noqa: PLC0415
 
@@ -361,6 +373,143 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     out = io.BytesIO()
     img.save(out, format="PNG")
     return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Audio: pure-stdlib PCM WAV codec + decode-features pipeline
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples, sample_rate: int = 8000) -> bytes:
+    """int16 PCM array of shape ``(n,)`` or ``(n, channels)`` → WAV bytes
+    (stdlib ``wave`` — RIFF/WAVE PCM needs no codec library)."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(arr.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(arr.tobytes())  # interleaved little-endian int16
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes):
+    """WAV PCM payload → ``(sample_rate, channels, samples)`` with
+    ``samples`` an int16 numpy array of shape ``(n_frames, channels)``.
+
+    Supports 16-bit PCM (the uncompressed profile); compressed WAV or
+    other widths raise ``NotImplementedError`` — same honest-gating
+    contract as :func:`png_decode`'s baseline profile."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getcomptype() != "NONE":
+            raise NotImplementedError(
+                "wav_decode supports uncompressed 16-bit PCM; got "
+                f"width={wf.getsampwidth()} comp={wf.getcomptype()}"
+            )
+        rate, ch = wf.getframerate(), wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
+    return rate, ch, samples
+
+
+AUDIO_N_SAMPLES = 256
+AUDIO_RATE = 8000
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, n_samples int, "
+    "rms double, peak bigint"
+)
+
+
+def decode_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio-decode kernel: WAV payload → (rate, channels, length, RMS,
+    peak).  RMS divides an exact int64 sum of squares by the count before
+    one sqrt, so it's reproducible against any engine aggregating the same
+    integers (sqrt is IEEE correctly-rounded)."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("doc_id", "sample_rate", "channels", "n_samples", "rms", "peak")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, ch, s = wav_decode(bytes(payload))
+            flat = s.astype(np.int64).ravel()
+            rows["doc_id"].append(doc_id)
+            rows["sample_rate"].append(rate)
+            rows["channels"].append(ch)
+            rows["n_samples"].append(len(s))
+            rows["rms"].append(float(np.sqrt(int((flat * flat).sum()) / len(flat))))
+            rows["peak"].append(int(np.abs(flat).max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                "channels": pd.Series(rows["channels"], dtype="int32"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="int32"),
+                "rms": pd.Series(rows["rms"], dtype="float64"),
+                "peak": pd.Series(rows["peak"], dtype="int64"),
+            }
+        )
+
+
+def _synthesize_wav_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic mono PCM per doc: sample k = ((doc_id*7 + k*13) mod
+    65536) - 32768 — integer-exact, so the oracle recomputes it in SQL."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            k = np.arange(AUDIO_N_SAMPLES, dtype=np.int64)
+            s = ((int(doc_id) * 7 + k * 13) % 65536 - 32768).astype(np.int16)
+            payloads.append(wav_encode(s, AUDIO_RATE))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "wav_decode_features",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST({AUDIO_N_SAMPLES} AS INTEGER) AS n_samples,
+           sqrt(CAST(SUM(((d.doc_id*7 + t.k*13) % 65536 - 32768)
+                         * ((d.doc_id*7 + t.k*13) % 65536 - 32768)) AS DOUBLE)
+                / {AUDIO_N_SAMPLES}) AS rms,
+           CAST(MAX(ABS((d.doc_id*7 + t.k*13) % 65536 - 32768)) AS BIGINT)
+               AS peak
+    FROM documents d, range(0, {AUDIO_N_SAMPLES}) t(k)
+    GROUP BY d.doc_id
+    """,
+)
+def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode E2E with a SQL oracle — the audio twin of
+    :func:`png_decode_features`: synthesize a deterministic 16-bit PCM WAV
+    per document, decode it through the REAL :func:`wav_decode` path, and
+    emit per-payload stats the oracle recomputes from the closed form.
+    Two narrow ``mapInPandas`` passes, no shuffle; payloads never leave
+    the executor."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = d.select("doc_id").mapInPandas(
+        _synthesize_wav_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_audio_features, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 FRAME_BYTES = 64  # deterministic stand-in for a decoded video frame

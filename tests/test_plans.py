@@ -158,6 +158,31 @@ def test_fixed_width_projection_is_narrow(spark, fixture_zip, tmp_path):
         staged.cleanup()
 
 
+def test_tfidf_no_forced_broadcast_no_driver_collect(spark, catalog):
+    """The vocabulary (df) join must NOT carry a broadcast hint (web-scale
+    vocabularies can exceed broadcast limits — AQE promotes genuinely
+    small sides at runtime), and the plan must contain no driver-side
+    collect (CollectLimit): either join strategy is acceptable, the
+    scalar n_docs rides in as a broadcast one-row aggregate."""
+    df = catalog["tfidf_top_terms"](spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # exactly one hint is allowed: the one-row n_docs aggregate
+    assert logical.count("ResolvedHint") <= 1, logical
+    plan = physical_plan(df)
+    assert "CollectLimit" not in plan, plan
+
+
+def test_simhash_wide_banding_plan_no_cartesian(spark):
+    """chunks=8 combination banding must stay an equality bucket join —
+    56 bands must not degrade the join into a cartesian."""
+    from national_caseload_data_ingest_spark.operators.dedup import simhash_pairs
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    kinds = join_kinds(simhash_pairs(d, chunks=8, max_bucket_docs=None))
+    assert "CartesianProduct" not in kinds and "BroadcastNestedLoopJoin" not in kinds, kinds
+
+
 def test_salted_join_shuffles_on_key_and_salt(spark):
     """The salted join's exchanges must hash on (key, salt) so a hot key
     spreads over n_salts tasks — and row multiplicity must match the

@@ -94,6 +94,93 @@ def test_decode_image_dispatches_png_without_pil():
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
 
+def test_resize_png_nearest_neighbor():
+    """resize_image works natively on PNG (no PIL): exact 2x up/downscale
+    of a checkerboard has a closed-form expectation."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    arr[0, 1] = arr[1, 0] = 255
+    up = resize_image(png_encode(arr), 4, 4)
+    w, h, ch, px = png_decode(up)
+    assert (w, h, ch) == (4, 4, 3)
+    assert np.array_equal(px[:2, :2], np.repeat(arr[:1], 2, 0)[:, [0, 0]])
+    assert np.array_equal(px, np.repeat(np.repeat(arr, 2, 0), 2, 1))
+    # downscale back
+    _, _, _, back = png_decode(resize_image(up, 2, 2))
+    assert np.array_equal(back, arr)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32768, size=200, dtype=np.int16)
+    rate, ch, s = wav_decode(wav_encode(mono, 16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(s[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, size=(100, 2), dtype=np.int16)
+    rate, ch, s = wav_decode(wav_encode(stereo, 44100))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(s, stereo)
+
+
+def test_wav_decode_rejects_non_pcm16():
+    import io
+    import wave
+
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        wav_decode,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)  # 8-bit
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        wav_decode(buf.getvalue())
+
+
+def test_wav_decode_features_query(spark):
+    """The synthesize→decode audio pipeline matches the closed form (the
+    driver also hash-checks this against the DuckDB oracle)."""
+    import math
+
+    import __spark_entry__ as ent
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        AUDIO_N_SAMPLES,
+        AUDIO_RATE,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in ent.queries()["wav_decode_features"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) > 0
+    for doc_id, r in list(rows.items())[:10]:
+        samples = [
+            (doc_id * 7 + k * 13) % 65536 - 32768
+            for k in range(AUDIO_N_SAMPLES)
+        ]
+        want_rms = math.sqrt(
+            sum(s * s for s in samples) / AUDIO_N_SAMPLES
+        )
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == (
+            AUDIO_RATE, 1, AUDIO_N_SAMPLES,
+        )
+        assert r["peak"] == max(abs(s) for s in samples)
+        assert r["rms"] == pytest.approx(want_rms, rel=1e-12)
+
+
 def test_png_decode_features_query(spark):
     """The synthesize→decode pipeline matches the closed form on real doc
     ids (the driver also hash-checks this against the DuckDB oracle)."""
