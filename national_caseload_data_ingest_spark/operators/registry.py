@@ -83,15 +83,19 @@ CHECK_PRIORITY: list[str] = [
     "embedding_neardup_ivf",
     "approx_quantity_percentiles",
     "streaming_lsh_candidates",
-    # -- already-checked category representatives (window stays complete) --
+    # -- round-5 new operators (oracle-backed) -----------------------------
+    "png_decode_features",  # real PNG decode E2E
+    "wav_decode_features",  # real WAV PCM decode E2E
+    # -- already-checked category representatives (window stays complete;
+    #    top-k is also covered by token_frequency_topk and json/array by
+    #    explode_part_words above, so those families yield their rep slot
+    #    to the codec queries) ------------------------------------------
     "q1_pricing_summary",  # aggregation + filter + sort
     "q3_shipping_priority",  # multi-table equi join
     "asof_join_last_purchase",  # as-of join
     "skew_salted_join_agg",  # skew-mitigated join
-    "topk_expensive_orders",  # sort/limit/top-k
     "grouping_sets_priority",  # grouping sets/cube/rollup family
     "window_rank_orders",  # window functions
-    "json_extract_events",  # json/array
     "median_quantity_by_flag",  # exact percentiles
     "tumbling_window_events",  # streaming twin (batch form)
     "dedup_exact",  # dedup family
