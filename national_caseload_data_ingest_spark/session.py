@@ -146,6 +146,27 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def parquet_nanos_columns(path: str) -> list[str]:
+    """Columns stored as INT64 TIMESTAMP(NANOS) in the parquet footer.
+
+    These are the only columns ``spark.sql.legacy.parquet.nanosAsLong``
+    surfaces as raw int64 (needing an explicit ns→µs conversion).  The
+    check reads the PHYSICAL parquet type, not the arrow view: legacy
+    INT96 timestamps (Spark's own default writer output) also present as
+    ``timestamp[ns]`` through ``pyarrow.read_schema`` but are decoded
+    natively by Spark as TimestampType — treating them as nanos-as-long
+    breaks the read (physicalType INT96, logicalType bigint mismatch)."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    sch = pq.ParquetFile(path).schema
+    return [
+        sch.column(i).path
+        for i in range(len(sch))
+        if sch.column(i).physical_type == "INT64"
+        and "nanoseconds" in str(sch.column(i).logical_type).lower()
+    ]
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
     """Read the driver-generated parquet tables and register temp views.
 
@@ -166,16 +187,9 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
         # nanosAsLong surfaces TIMESTAMP(NANOS) columns as int64 nanoseconds;
         # convert to microsecond timestamps (truncation — identical to what
         # DuckDB/Arrow do when narrowing ns → µs).
-        import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
-        footer = pq.read_schema(path)
-        ns_cols = [
-            n
-            for n, t in zip(footer.names, footer.types)
-            if str(t).startswith("timestamp[ns")
-        ]
-        for c in ns_cols:
+        for c in parquet_nanos_columns(path):
             # integer `div` — float division would lose precision above 2^53
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         df.createOrReplaceTempView(name)

@@ -45,16 +45,20 @@ def _ts_is_nanos(events_path: str) -> bool:
     """Footer-sniff whether ``ts`` is stored as TIMESTAMP(NANOS).
 
     FileStreamSource takes a fixed user schema, so the unit must be decided
-    up front from an existing footer — exactly the check the batch path does
-    per-column in ``session.load_tables`` (the driver's testdata has shipped
-    both ``timestamp[us]`` and ``timestamp[ns]`` encodings across rounds; the
-    reader must survive either).  An empty directory (stream started before
-    any file lands) defaults to µs, the driver's current encoding.
+    up front from an existing footer — the same physical-type check the
+    batch path does per-column via ``session.parquet_nanos_columns`` (the
+    driver's testdata has shipped both ``timestamp[us]`` and
+    ``timestamp[ns]`` encodings across rounds, and Spark-written files use
+    legacy INT96 — the reader must survive all three).  An empty directory
+    (stream started before any file lands) defaults to µs, the driver's
+    current encoding.
     """
     import glob  # noqa: PLC0415
     import os  # noqa: PLC0415
 
-    import pyarrow.parquet as pq  # noqa: PLC0415
+    from national_caseload_data_ingest_spark.session import (  # noqa: PLC0415
+        parquet_nanos_columns,
+    )
 
     if os.path.isfile(events_path):
         sample = events_path
@@ -67,7 +71,7 @@ def _ts_is_nanos(events_path: str) -> bool:
         if not found:
             return False
         sample = found[0]
-    return str(pq.read_schema(sample).field("ts").type).startswith("timestamp[ns")
+    return "ts" in parquet_nanos_columns(sample)
 
 
 def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
@@ -347,6 +351,103 @@ def events_enriched_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Latest event per user by (ts, event_id) — one struct-max aggregate
+    (single shuffle; the struct's (ts, event_id) prefix is a unique key,
+    so the max is deterministic)."""
+    return (
+        events.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+    )
+
+
+def _latest_upsert_sink(state_dir: str):
+    """``foreachBatch`` body: merge each micro-batch into a snapshot table
+    of the latest event per user.
+
+    The merge is the same struct-max aggregate as the batch twin, applied
+    to (previous snapshot ∪ batch) — associativity of max makes the
+    incremental fold equal the global aggregate.  Each batch writes
+    snapshot ``v{batch_id}``: a retried batch (foreachBatch is
+    at-least-once) overwrites its own snapshot, restoring exactly-once
+    output.  At scale the snapshot write is the standard pattern for
+    streaming-upsert into engines without a MERGE sink; swap the parquet
+    snapshot for a Delta/Iceberg MERGE when the table format provides it.
+    """
+    import os  # noqa: PLC0415
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        snaps = sorted(
+            d
+            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+            if d.startswith("v")
+        )
+        merged = batch_df
+        if snaps:
+            prev = spark.read.parquet(os.path.join(state_dir, snaps[-1]))
+            merged = prev.unionByName(batch_df.select(*prev.columns))
+        latest_event_per_user(merged).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id:010d}")
+        )
+
+    return body
+
+
+def upsert_latest_events_stream(
+    spark: SparkSession, events_dir: str, state_dir: str
+) -> DataFrame:
+    """Streaming upsert via ``foreachBatch``: fold the event stream into a
+    latest-event-per-user snapshot table and return the final snapshot.
+
+    This is the third streaming sink shape (after memory and file):
+    arbitrary per-batch logic with idempotent snapshot writes.  Blocks
+    until the ``availableNow`` run drains."""
+    import os  # noqa: PLC0415
+
+    os.makedirs(state_dir, exist_ok=True)
+    e = _events_stream(spark, events_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    q = (
+        e.writeStream.foreachBatch(_latest_upsert_sink(state_dir))
+        .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    snaps = sorted(d for d in os.listdir(state_dir) if d.startswith("v"))
+    return spark.read.parquet(os.path.join(state_dir, snaps[-1]))
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, ts, event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    ) WHERE rk = 1
+    """,
+)
+def latest_event_per_user_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the foreachBatch streaming upsert (oracle: the
+    row_number formulation of the same latest-wins rule)."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return latest_event_per_user(e).withColumn(
+        "value", F.col("value").cast("double")
     )
 
 

@@ -67,13 +67,15 @@ def test_streaming_plan_is_streaming(spark):
     assert sdf.isStreaming
 
 
-@pytest.mark.parametrize("unit", ["us", "ns"])
+@pytest.mark.parametrize("unit", ["us", "ns", "int96"])
 def test_events_stream_timestamp_unit_agnostic(spark, tmp_path, unit):
     """Regression for the round-4 streaming bug: the stream reader must
-    decode ``ts`` correctly for BOTH parquet encodings the driver's testdata
-    has used (``timestamp[us]`` today, ``timestamp[ns]`` earlier rounds).
-    A 2024 event must come out of the stream as a 2024 timestamp — the bug
-    turned every µs timestamp into January 1970."""
+    decode ``ts`` correctly for EVERY parquet encoding it can meet —
+    ``timestamp[us]`` (the driver's testdata today), ``timestamp[ns]``
+    (earlier rounds), and legacy INT96 (Spark's own default writer, which
+    pyarrow ALSO presents as timestamp[ns] — only the physical footer type
+    tells them apart).  A 2024 event must come out of the stream as a 2024
+    timestamp — the bug turned every µs timestamp into January 1970."""
     import datetime
 
     import pyarrow as pa
@@ -85,20 +87,31 @@ def test_events_stream_timestamp_unit_agnostic(spark, tmp_path, unit):
 
     t0 = datetime.datetime(2024, 3, 15, 12, 0, 0)
     rows = [t0 + datetime.timedelta(minutes=m) for m in range(4)]
-    table = pa.table(
-        {
-            "event_id": pa.array(range(4), pa.int64()),
-            "ts": pa.array(rows, pa.timestamp(unit)),
-            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
-            "event_type": pa.array(["a", "b", "a", "b"]),
-            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
-            "props": pa.array(["{}"] * 4),
-        }
-    )
     d = tmp_path / f"events_{unit}"
-    d.mkdir()
-    # version 2.6 preserves TIMESTAMP(NANOS) instead of coercing to µs
-    pq.write_table(table, d / "part-0.parquet", version="2.6")
+    if unit == "int96":
+        sdf = spark.createDataFrame(
+            [
+                (i, rows[i], [1, 1, 2, 2][i], "ab"[i % 2], float(i + 1), "{}")
+                for i in range(4)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+        sdf.coalesce(1).write.parquet(str(d))  # default writer → INT96
+    else:
+        table = pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "ts": pa.array(rows, pa.timestamp(unit)),
+                "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["a", "b", "a", "b"]),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+                "props": pa.array(["{}"] * 4),
+            }
+        )
+        d.mkdir()
+        # version 2.6 preserves TIMESTAMP(NANOS) instead of coercing to µs
+        pq.write_table(table, d / "part-0.parquet", version="2.6")
 
     sdf = _events_stream(spark, str(d))
     q = (
@@ -254,6 +267,29 @@ def test_streaming_file_sink_e2e_exactly_once(spark, events_batch, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == len(want)
+
+
+def test_foreach_batch_upsert_equals_batch(spark, events_batch, tmp_path):
+    """foreachBatch snapshot upsert: the stream folded over multiple
+    micro-batches must converge to exactly the batch latest-event-per-user
+    result (associativity of the struct-max merge), with one snapshot dir
+    per batch."""
+    from national_caseload_data_ingest_spark.streaming.events import (
+        latest_event_per_user,
+        upsert_latest_events_stream,
+    )
+
+    src = str(tmp_path / "upsert_events")
+    events_batch.repartition(6).write.parquet(src)  # 6 files / 4 per trigger
+    state = str(tmp_path / "upsert_state")
+    final = upsert_latest_events_stream(spark, src, state)
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in latest_event_per_user(events_batch).collect()}
+    assert got == want and len(want) > 0
+    import os
+
+    snaps = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(snaps) >= 2, snaps  # genuinely incremental (multi-batch)
 
 
 def test_stream_stream_interval_join_equals_batch(spark, events_batch):
