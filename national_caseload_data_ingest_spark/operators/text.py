@@ -754,3 +754,68 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(scrubbed).cast("int").alias("scrubbed_len"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "sliding_window_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s.start / {CHUNK_STRIDE} AS INTEGER) AS chunk_no,
+           CAST(least({CHUNK_TOKENS}, n - s.start) AS INTEGER) AS n_tokens,
+           array_to_string(
+               list_slice(toks, s.start + 1,
+                          least(s.start + {CHUNK_TOKENS}, n)), ' ')
+               AS chunk_text
+    FROM t, unnest(range(0, greatest(n, 1), {CHUNK_STRIDE})) AS s(start)
+    WHERE least({CHUNK_TOKENS}, n - s.start) > 0
+    """,
+)
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitting
+    primitive of RAG indexing and long-document pretraining: each doc
+    yields chunks of CHUNK_TOKENS tokens every CHUNK_STRIDE tokens
+    (64/48 → 16-token overlap), the last chunk ragged.
+
+    Plan shape: one narrow pass — split → sequence of starts → explode →
+    array slice → concat.  No shuffle, no UDF; output volume is a bounded
+    ~W/S × the input text, so at 100 TB this runs at scan speed and
+    parallelism follows the input partitioning.  The oracle re-derives
+    every chunk with list_slice over the same tokenization, so boundary
+    arithmetic (ragged tails, the empty-doc guard, the start grid) is
+    hash-pinned.
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    e = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    ).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS)
+    return (
+        e.select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_no"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
