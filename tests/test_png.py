@@ -94,6 +94,55 @@ def test_decode_image_dispatches_png_without_pil():
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @st.composite
+    def _images(draw):
+        h = draw(st.integers(1, 12))
+        w = draw(st.integers(1, 12))
+        ch = draw(st.sampled_from([1, 2, 3, 4]))
+        data = draw(
+            st.binary(min_size=h * w * ch, max_size=h * w * ch)
+        )
+        return np.frombuffer(data, np.uint8).reshape(h, w, ch)
+
+    @given(arr=_images(), filter_type=st.integers(0, 4))
+    @settings(max_examples=60, deadline=None)
+    def test_png_roundtrip_property(arr, filter_type):
+        """Any 8-bit image round-trips bit-exactly through every filter."""
+        w, h, ch, px = png_decode(png_encode(arr, filter_type=filter_type))
+        assert (h, w, ch) == arr.shape
+        assert np.array_equal(px, arr)
+
+    @given(
+        n=st.integers(1, 300),
+        ch=st.sampled_from([1, 2]),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_roundtrip_property(n, ch, rate, seed):
+        from national_caseload_data_ingest_spark.operators.multimodal import (
+            wav_decode,
+            wav_encode,
+        )
+
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+        got_rate, got_ch, s = wav_decode(wav_encode(arr, rate))
+        assert (got_rate, got_ch) == (rate, ch)
+        assert np.array_equal(s, arr)
+
+
 def test_resize_png_nearest_neighbor():
     """resize_image works natively on PNG (no PIL): exact 2x up/downscale
     of a checkerboard has a closed-form expectation."""
