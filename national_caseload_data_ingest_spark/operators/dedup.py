@@ -615,11 +615,13 @@ def simhash_pairs(
     8 up to ~10¹¹; the recall guarantee for Hamming ≤ 3 is pigeonhole-exact
     for every valid ``chunks``, so outputs are identical across settings.
 
-    ``max_bucket_docs`` guards the quadratic-per-bucket self-join: before
-    joining, the max bucket occupancy is measured (a cheap aggregate over
-    the small signature relation) and an oversized bucket raises with
-    routing guidance instead of silently running an unbounded O(n²) — the
-    same contract as ``MAX_BLOCK_DOCS`` in the Jaccard verifier."""
+    ``max_bucket_docs`` guards the quadratic-per-bucket self-join
+    **in-plan**: a window count over the join key (reusing the self-join's
+    own (band, bkey) partitioning — no extra exchange) feeds an
+    ``assert_true`` that fails the job at execution time with routing
+    guidance instead of silently running an unbounded O(n²) — the same
+    contract as ``MAX_BLOCK_DOCS`` in the Jaccard verifier, and in-plan
+    so merely *constructing* the DataFrame stays free of Spark jobs."""
     from itertools import combinations  # noqa: PLC0415
     from math import comb as _comb  # noqa: PLC0415
 
@@ -632,11 +634,8 @@ def simhash_pairs(
             f"for the pigeonhole recall guarantee, got {chunks}"
         )
     chunk_bits = SIMHASH_BITS // chunks
-    if keep * chunk_bits > 62:
-        raise ValueError(
-            f"band key would need {keep * chunk_bits} bits (> 62): "
-            "use more chunks"
-        )
+    # keep*chunk_bits = 64 - 3*chunk_bits <= 61 for every valid chunks, so
+    # band keys always fit a bigint; the real scaling limit is band count:
     n_bands = _comb(chunks, keep)
     if n_bands > 64:
         # C(chunks, chunks-3) grows as chunks³: chunks=16 is already 560
@@ -667,20 +666,32 @@ def simhash_pairs(
         "doc_id", "sig", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "sig", "bb.band", "bb.bkey")
     if max_bucket_docs is not None:
-        top = (
-            buckets.groupBy("band", "bkey")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n").alias("m"))
-            .collect()[0]["m"]
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        occupancy = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+        check = F.assert_true(
+            occupancy <= F.lit(max_bucket_docs),
+            F.concat(
+                F.lit("simhash band bucket holds "),
+                occupancy.cast("string"),
+                F.lit(
+                    f" docs (> {max_bucket_docs}): the chunk-equality "
+                    "self-join is quadratic per bucket. Increase `chunks` "
+                    "(wider band keys: 4 -> 16-bit, 8 -> 40-bit) or route "
+                    "to minhash_lsh_neardup, or raise max_bucket_docs "
+                    "explicitly."
+                ),
+            ),
         )
-        if top is not None and top > max_bucket_docs:
-            raise ValueError(
-                f"simhash band bucket holds {top} docs "
-                f"(> {max_bucket_docs}): the chunk-equality self-join is "
-                "quadratic per bucket. Increase `chunks` (wider band keys: "
-                "4 → 16-bit, 8 → 40-bit) or route to minhash_lsh_neardup, "
-                "or raise max_bucket_docs explicitly."
-            )
+        # Thread the assertion through a column the join consumes so
+        # column pruning can't optimize it away (assert_true yields NULL
+        # when the bound holds, so the when() always takes doc_id).
+        buckets = buckets.select(
+            F.when(check.isNull(), F.col("doc_id")).alias("doc_id"),
+            "sig",
+            "band",
+            "bkey",
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

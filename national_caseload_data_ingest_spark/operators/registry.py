@@ -86,17 +86,19 @@ CHECK_PRIORITY: list[str] = [
     # -- round-5 new operators (oracle-backed) -----------------------------
     "png_decode_features",  # real PNG decode E2E
     "wav_decode_features",  # real WAV PCM decode E2E
+    "sliding_window_chunks",  # RAG/pretraining context-window chunking
+    "latest_event_per_user",  # foreachBatch upsert batch twin
     # -- already-checked category representatives (window stays complete;
-    #    top-k is also covered by token_frequency_topk and json/array by
-    #    explode_part_words above, so those families yield their rep slot
-    #    to the codec queries) ------------------------------------------
+    #    families whose slot went to a round-5 query remain covered inside
+    #    the window: top-k by token_frequency_topk, json/array by
+    #    explode_part_words, windows by event_gap_stats +
+    #    token_budget_shards_scaled, percentiles by
+    #    approx_quantity_percentiles) -----------------------------------
     "q1_pricing_summary",  # aggregation + filter + sort
     "q3_shipping_priority",  # multi-table equi join
     "asof_join_last_purchase",  # as-of join
     "skew_salted_join_agg",  # skew-mitigated join
     "grouping_sets_priority",  # grouping sets/cube/rollup family
-    "window_rank_orders",  # window functions
-    "median_quantity_by_flag",  # exact percentiles
     "tumbling_window_events",  # streaming twin (batch form)
     "dedup_exact",  # dedup family
     "minhash_lsh_neardup",  # LSH family (rows-only, recall-tested)

@@ -164,6 +164,11 @@ def parquet_nanos_columns(path: str) -> list[str]:
         for i in range(len(sch))
         if sch.column(i).physical_type == "INT64"
         and "nanoseconds" in str(sch.column(i).logical_type).lower()
+        # leaf paths only: a nested field would surface as "a.b", which
+        # withColumn cannot convert in place — flat schemas only (all
+        # engine tables are flat; a nested nanos field should fail loudly
+        # at read time rather than be silently half-converted here)
+        and "." not in sch.column(i).path
     ]
 
 

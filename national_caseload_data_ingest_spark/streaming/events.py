@@ -378,24 +378,32 @@ def _latest_upsert_sink(state_dir: str):
     The merge is the same struct-max aggregate as the batch twin, applied
     to (previous snapshot ∪ batch) — associativity of max makes the
     incremental fold equal the global aggregate.  Each batch writes
-    snapshot ``v{batch_id}``: a retried batch (foreachBatch is
-    at-least-once) overwrites its own snapshot, restoring exactly-once
-    output.  At scale the snapshot write is the standard pattern for
-    streaming-upsert into engines without a MERGE sink; swap the parquet
-    snapshot for a Delta/Iceberg MERGE when the table format provides it.
+    snapshot ``v{batch_id}`` and merges only snapshots with id strictly
+    below its own, so a retried batch (foreachBatch is at-least-once)
+    rebuilds from the last COMMITTED state and overwrites its own —
+    possibly partial — snapshot, restoring exactly-once output.  At scale
+    the snapshot write is the standard pattern for streaming-upsert into
+    engines without a MERGE sink; swap the parquet snapshot for a
+    Delta/Iceberg MERGE when the table format provides it.
     """
     import os  # noqa: PLC0415
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Merge strictly from snapshots of EARLIER batches: a replayed
+        # batch (post-crash) must not read its own — possibly partial —
+        # snapshot, both for correctness and because overwriting a path
+        # that is in the read plan is illegal.
         snaps = sorted(
-            d
+            int(d[1:])
             for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
-            if d.startswith("v")
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
         )
         merged = batch_df
         if snaps:
-            prev = spark.read.parquet(os.path.join(state_dir, snaps[-1]))
+            prev = spark.read.parquet(
+                os.path.join(state_dir, f"v{snaps[-1]:010d}")
+            )
             merged = prev.unionByName(batch_df.select(*prev.columns))
         latest_event_per_user(merged).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id:010d}")
@@ -425,8 +433,17 @@ def upsert_latest_events_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "upsert_latest_events_stream: availableNow run did not drain "
+            "within 600 s; snapshot state would be stale"
+        )
     snaps = sorted(d for d in os.listdir(state_dir) if d.startswith("v"))
+    if not snaps:
+        raise FileNotFoundError(
+            f"no snapshots under {state_dir}: the source matched no files"
+        )
     return spark.read.parquet(os.path.join(state_dir, snaps[-1]))
 
 

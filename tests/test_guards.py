@@ -136,8 +136,12 @@ def test_simhash_bucket_guard_raises_on_oversized_bucket(spark, documents):
     clones = documents.limit(1).crossJoin(
         spark.range(64).select(F.col("id").alias("clone"))
     ).select(F.col("clone").alias("doc_id"), "text")
-    with pytest.raises(ValueError, match="quadratic per bucket"):
-        simhash_pairs(clones, max_bucket_docs=16)
+    # The guard is IN-PLAN (assert_true over a window count reusing the
+    # join's partitioning): constructing the DataFrame runs no job; the
+    # raise surfaces at action time.
+    guarded = simhash_pairs(clones, max_bucket_docs=16)
+    with pytest.raises(Exception, match="quadratic per bucket"):
+        guarded.collect()
 
 
 def test_simhash_bucket_guard_at_bound_succeeds(spark, documents):
