@@ -428,6 +428,19 @@ def test_cdc_vectorized_matches_sequential_reference():
         data = bytes(rng.randrange(256) for _ in range(size))
         assert cdc_chunk_positions(data) == ref_positions(data), size
 
+    # Parameterized parity (ADVICE r4): every valid (mask_bits, min_len,
+    # max_len) must match the sequential loop, not just the defaults —
+    # min_len > mask_bits (enforced by the guard) is exactly the condition
+    # under which the partial-window candidates the vectorized scan skips
+    # can never be selected.
+    for k, mn, mx in ((4, 5, 32), (4, 8, 64), (6, 7, 100), (8, 9, 128),
+                      (10, 16, 512)):
+        for size in (0, 1, mn - 1, mn, 4 * mx, 1000):
+            data = bytes(rng.randrange(256) for _ in range(size))
+            assert cdc_chunk_positions(
+                data, mask_bits=k, min_len=mn, max_len=mx
+            ) == ref_positions(data, k=k, mn=mn, mx=mx), (k, mn, mx, size)
+
 
 def test_cdc_boundaries_are_content_defined():
     """The CDC property: an edit perturbs only the chunks around it —
