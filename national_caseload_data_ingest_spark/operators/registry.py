@@ -88,19 +88,20 @@ CHECK_PRIORITY: list[str] = [
     "wav_decode_features",  # real WAV PCM decode E2E
     "sliding_window_chunks",  # RAG/pretraining context-window chunking
     "latest_event_per_user",  # foreachBatch upsert batch twin
+    "duplicate_passage_report",  # passage-level exact dedup
+    "winnowing_fingerprints",  # MOSS winnowing fingerprints
     # -- already-checked category representatives (window stays complete;
     #    families whose slot went to a round-5 query remain covered inside
     #    the window: top-k by token_frequency_topk, json/array by
     #    explode_part_words, windows by event_gap_stats +
     #    token_budget_shards_scaled, percentiles by
-    #    approx_quantity_percentiles) -----------------------------------
+    #    approx_quantity_percentiles, equi joins by q7-q9/q12-q14, exact
+    #    dedup by duplicate_passage_report + training_corpus_build) ------
     "q1_pricing_summary",  # aggregation + filter + sort
-    "q3_shipping_priority",  # multi-table equi join
     "asof_join_last_purchase",  # as-of join
     "skew_salted_join_agg",  # skew-mitigated join
     "grouping_sets_priority",  # grouping sets/cube/rollup family
     "tumbling_window_events",  # streaming twin (batch form)
-    "dedup_exact",  # dedup family
     "minhash_lsh_neardup",  # LSH family (rows-only, recall-tested)
     "training_corpus_build",  # 7-stage flagship pipeline
 ]

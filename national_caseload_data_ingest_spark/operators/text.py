@@ -819,3 +819,142 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+@query(
+    "duplicate_passage_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, s.start + 1,
+                              least(s.start + {CHUNK_TOKENS}, n)), ' '))
+                   AS chunk_md5
+        FROM t, unnest(range(0, greatest(n, 1), {CHUNK_STRIDE})) AS s(start)
+        WHERE least({CHUNK_TOKENS}, n - s.start) > 0
+    )
+    SELECT chunk_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def duplicate_passage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: which sliding-window chunks recur across
+    DISTINCT documents — the boilerplate/shared-passage detector that
+    whole-document hashing misses (the oracle-checked complement of the
+    rows-only CDC chunk engine: grid chunking is SQL-expressible, so this
+    one hash-matches end-to-end).
+
+    Plan shape: the narrow chunking pass of :func:`sliding_window_chunks`
+    → md5 per chunk → one groupBy on the 32-char digest.  The shuffle
+    moves 16-byte hashes, never passage text — the same scale invariant as
+    document-level ``dedup_exact``."""
+    chunks = sliding_window_chunks(spark, sf_dir)
+    return (
+        chunks.select(
+            "doc_id", F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5")
+        )
+        .groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+WINNOW_K = 5  # k-gram length (tokens)
+WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, p.pos,
+               md5(array_to_string(
+                   list_slice(toks, p.pos + 1, p.pos + {WINNOW_K}), ' '))
+                   AS gh
+        FROM t, unnest(range(0, greatest(n - {WINNOW_K} + 1, 0)))
+                 AS p(pos)
+        WHERE n >= {WINNOW_K}
+    ),
+    wins AS (
+        SELECT doc_id, pos,
+               MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW
+                                      AND {WINNOW_W - 1} FOLLOWING)
+                   AS fingerprint,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM wins
+    WHERE pos <= n_grams - {WINNOW_W}
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token {k}-gram, slide a
+    window of {w} consecutive hashes, keep each window's minimum; the
+    DISTINCT selected hashes are the fingerprint set.  Guarantees any
+    shared run of k+w-1 tokens between two documents shares a fingerprint
+    — position-robust local dedup/plagiarism evidence with ~1/w the volume
+    of full shingling.
+
+    Hashes are md5 STRINGS compared lexicographically, which both engines
+    order identically (pure ASCII hex) — the cross-engine-deterministic
+    stand-in for the paper's integer hash.  Plan shape: narrow gram pass →
+    one doc_id-partitioned window (single shuffle on doc_id, bounded by
+    document length) → distinct on (doc_id, fingerprint).
+    """
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
+        F.col("n") >= WINNOW_K
+    )
+    grams = base.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - WINNOW_K),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("toks"), i + 1, WINNOW_K)
+                ),
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", "n", "pos", F.md5(F.col("gram").cast("binary")).alias("gh"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wins = grams.select(
+        "doc_id",
+        "pos",
+        (F.col("n") - WINNOW_K + 1).alias("n_grams"),
+        F.min("gh").over(w).alias("fingerprint"),
+    )
+    return (
+        wins.filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
