@@ -156,8 +156,19 @@ def parquet_nanos_columns(path: str) -> list[str]:
     ``timestamp[ns]`` through ``pyarrow.read_schema`` but are decoded
     natively by Spark as TimestampType — treating them as nanos-as-long
     breaks the read (physicalType INT96, logicalType bigint mismatch)."""
+    import glob  # noqa: PLC0415
+
     import pyarrow.parquet as pq  # noqa: PLC0415
 
+    if os.path.isdir(path):
+        # Spark-written tables are directories of part files; any footer
+        # is representative (one writer, one schema).
+        parts = sorted(
+            glob.glob(os.path.join(path, "*.parquet"))
+        ) or sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not parts:
+            return []
+        path = parts[0]
     sch = pq.ParquetFile(path).schema
     return [
         sch.column(i).path

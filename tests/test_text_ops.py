@@ -99,3 +99,53 @@ def test_common_ngram_fraction_matches_python_ground_truth(spark):
     # the score must separate docs on the test corpus, not be constant
     fracs = {r["common_fraction"] for r in got.values()}
     assert len(fracs) > 1
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem (Schleimer et al. SIGMOD'03): two documents
+    sharing a run of >= k+w-1 tokens must share at least one fingerprint.
+    Pinned with synthetic docs containing a planted common run, plus a
+    pure-Python recomputation of the whole fingerprint set on real docs."""
+    import hashlib
+
+    from national_caseload_data_ingest_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    rows = [
+        (1, f"alpha beta gamma {run} delta epsilon", "en", "t"),
+        (2, f"one two three four five six {run}", "en", "t"),
+        (3, "totally different words with no overlap at all here", "en", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = winnowing_fingerprints(spark, td).collect()
+    fps = {}
+    for r in got:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2], "planted shared run produced no shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    # pure-Python recomputation on the planted docs
+    def ref_fps(text):
+        toks = re.split(r"\s+", text.strip())
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + WINNOW_K]).encode()).hexdigest()
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        return {
+            min(grams[i : i + WINNOW_W])
+            for i in range(len(grams) - WINNOW_W + 1)
+        }
+
+    for doc_id, text, _, _ in rows:
+        assert fps.get(doc_id, set()) == ref_fps(text), doc_id
