@@ -45,23 +45,28 @@ def _ts_is_nanos(events_path: str) -> bool:
     """Footer-sniff whether ``ts`` is stored as TIMESTAMP(NANOS).
 
     FileStreamSource takes a fixed user schema, so the unit must be decided
-    up front from an existing footer — the same physical-type check the
+    up front from existing footers — the same physical-type check the
     batch path does per-column via ``session.parquet_nanos_columns`` (the
     driver's testdata has shipped both ``timestamp[us]`` and
     ``timestamp[ns]`` encodings across rounds, and Spark-written files use
     legacy INT96 — the reader must survive all three).  An empty directory
     (stream started before any file lands) defaults to µs, the driver's
-    current encoding.
+    current encoding, with a logged warning since nanos files landing later
+    would fail loudly at runtime.  Every discovered footer is sniffed (they
+    are metadata-only reads); a directory mixing µs and ns encodings cannot
+    be read under one fixed schema, so it raises here rather than silently
+    mis-decoding whichever unit lost the sniff.
     """
     import glob  # noqa: PLC0415
     import os  # noqa: PLC0415
+    import warnings  # noqa: PLC0415
 
     from national_caseload_data_ingest_spark.session import (  # noqa: PLC0415
         parquet_nanos_columns,
     )
 
     if os.path.isfile(events_path):
-        sample = events_path
+        found = [events_path]
     else:
         found = sorted(
             glob.glob(os.path.join(events_path, "*.parquet"))
@@ -69,9 +74,29 @@ def _ts_is_nanos(events_path: str) -> bool:
             glob.glob(os.path.join(events_path, "**", "*.parquet"), recursive=True)
         )
         if not found:
+            warnings.warn(
+                f"_ts_is_nanos: no parquet files under {events_path}; "
+                "defaulting ts to TIMESTAMP(MICROS) — if TIMESTAMP(NANOS) "
+                "files land after the stream starts, the fixed schema will "
+                "fail at runtime",
+                stacklevel=2,
+            )
             return False
-        sample = found[0]
-    return "ts" in parquet_nanos_columns(sample)
+    if len(found) > 64:
+        # Footer reads are metadata-only but driver-serial: on a directory
+        # of many thousands of parts, sniff a spread sample instead of all
+        # (mixed encodings come from whole writer generations, not single
+        # stray parts, so a stride sample catches them).
+        stride = len(found) // 64
+        found = found[::stride][:64] + [found[-1]]
+    units = {"ts" in parquet_nanos_columns(f) for f in found}
+    if len(units) > 1:
+        raise ValueError(
+            f"mixed ts parquet encodings under {events_path}: both "
+            "TIMESTAMP(NANOS) and non-nanos files present; a file stream "
+            "needs one fixed schema — rewrite the stragglers to one unit"
+        )
+    return units.pop()
 
 
 def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
@@ -371,56 +396,160 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
-def _latest_upsert_sink(state_dir: str):
-    """``foreachBatch`` body: merge each micro-batch into a snapshot table
-    of the latest event per user.
+UPSERT_BUCKETS = 256
 
-    The merge is the same struct-max aggregate as the batch twin, applied
-    to (previous snapshot ∪ batch) — associativity of max makes the
-    incremental fold equal the global aggregate.  Each batch writes
-    snapshot ``v{batch_id}`` and merges only snapshots with id strictly
-    below its own, so a retried batch (foreachBatch is at-least-once)
-    rebuilds from the last COMMITTED state and overwrites its own —
-    possibly partial — snapshot, restoring exactly-once output.  At scale
-    the snapshot write is the standard pattern for streaming-upsert into
-    engines without a MERGE sink; swap the parquet snapshot for a
-    Delta/Iceberg MERGE when the table format provides it.
+
+def _bucket_expr(n_buckets: int):
+    """Deterministic user→bucket assignment (stable across batches/runs)."""
+    return F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets)).cast("int")
+
+
+def _committed_ids(state_dir: str) -> list[int]:
+    """Batch ids with a commit marker, ascending."""
+    import os  # noqa: PLC0415
+
+    cdir = os.path.join(state_dir, "_commits")
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(int(d) for d in os.listdir(cdir) if d.isdigit())
+
+
+def _snapshot_bucket_paths(
+    state_dir: str, below: int | None = None
+) -> dict[int, str]:
+    """``{bucket: path}`` of the freshest COMMITTED copy of each bucket.
+
+    ``below`` restricts to versions with id strictly less — the replay
+    guard: a retried batch must rebuild from state committed by EARLIER
+    batches, never from its own possibly-partial write.
+    """
+    import os  # noqa: PLC0415
+
+    commits = _committed_ids(state_dir)
+    if below is not None:
+        commits = [c for c in commits if c < below]
+    out: dict[int, str] = {}
+    for c in sorted(commits, reverse=True):
+        vdir = os.path.join(state_dir, f"v{c:010d}")
+        if not os.path.isdir(vdir):
+            continue
+        for d in os.listdir(vdir):
+            if d.startswith("bucket="):
+                out.setdefault(int(d.split("=", 1)[1]), os.path.join(vdir, d))
+    return out
+
+
+def _prune_snapshots(state_dir: str, current_id: int) -> None:
+    """Bucket-aware retention: delete version dirs that no longer serve
+    either the current state or a replay of the NEXT batch.
+
+    A version must be kept iff it is (a) the current batch's own write, or
+    (b) the freshest committed copy of at least one bucket when the current
+    version is excluded — exactly the set a post-crash replay of batch
+    ``current_id`` (or first read of ``current_id + 1``) can reach.
+    Everything else — fully-superseded committed versions and leftover
+    uncommitted partial writes — is deleted, so disk holds at most two
+    copies of any bucket instead of O(batches) full-table copies.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    keep = {current_id} | {
+        int(os.path.basename(os.path.dirname(p))[1:])
+        for p in _snapshot_bucket_paths(state_dir, below=current_id).values()
+    }
+    for d in os.listdir(state_dir):
+        if not (d.startswith("v") and d[1:].isdigit()):
+            continue
+        vid = int(d[1:])
+        if vid not in keep:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+            marker = os.path.join(state_dir, "_commits", f"{vid:010d}")
+            if os.path.exists(marker):
+                os.remove(marker)
+
+
+def _latest_upsert_sink(state_dir: str, n_buckets: int = UPSERT_BUCKETS):
+    """``foreachBatch`` body: merge each micro-batch into a hash-bucketed
+    snapshot table of the latest event per user — INCREMENTALLY.
+
+    Users hash into ``n_buckets`` stable buckets.  A batch (1) reduces to
+    its own latest-per-user rows, (2) collects the ≤ ``n_buckets`` distinct
+    bucket ids it touches (a tiny driver-side list, never user rows),
+    (3) reads ONLY those buckets' freshest committed copies, (4) struct-max
+    merges — associativity of max makes the incremental fold equal the
+    global aggregate — and (5) writes just the touched buckets under
+    ``v{batch_id}/bucket=N/``.  Untouched buckets are not read or written:
+    per-batch cost is O(batch + touched-bucket state), not O(total users),
+    so a continuous stream over 10⁹ users no longer rewrites the world
+    every trigger.
+
+    Exactly-once: the current state of a bucket is its freshest COMMITTED
+    version (``_commits/`` marker written only after the parquet lands);
+    the merge reads strictly below its own batch id, so a replayed batch
+    (foreachBatch is at-least-once) rebuilds from the last committed state
+    and overwrites its own possibly-partial write.  Retention then deletes
+    fully-superseded versions — bounded disk, O(2 × buckets) dirs max.
+    Swap the parquet snapshot for a Delta/Iceberg MERGE when the table
+    format provides it; the bucket scheme is exactly what their
+    merge-on-read compaction does under the hood.
     """
     import os  # noqa: PLC0415
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # Merge strictly from snapshots of EARLIER batches: a replayed
-        # batch (post-crash) must not read its own — possibly partial —
-        # snapshot, both for correctness and because overwriting a path
-        # that is in the read plan is illegal.
-        snaps = sorted(
-            int(d[1:])
-            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
-            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+        batch_latest = latest_event_per_user(batch_df).withColumn(
+            "bucket", _bucket_expr(n_buckets)
         )
-        merged = batch_df
-        if snaps:
-            prev = spark.read.parquet(
-                os.path.join(state_dir, f"v{snaps[-1]:010d}")
-            )
-            merged = prev.unionByName(batch_df.select(*prev.columns))
-        latest_event_per_user(merged).write.mode("overwrite").parquet(
+        touched = sorted(
+            r["bucket"]
+            for r in batch_latest.select("bucket").distinct().collect()
+        )
+        prev_by_bucket = _snapshot_bucket_paths(state_dir, below=batch_id)
+        prev_paths = [
+            prev_by_bucket[b] for b in touched if b in prev_by_bucket
+        ]
+        merged = batch_latest
+        if prev_paths:
+            prev = spark.read.parquet(*prev_paths)
+            merged = latest_event_per_user(
+                prev.unionByName(batch_latest.select(*prev.columns))
+            ).withColumn("bucket", _bucket_expr(n_buckets))
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id:010d}")
         )
+        cdir = os.path.join(state_dir, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        with open(os.path.join(cdir, f"{batch_id:010d}"), "w"):
+            pass  # marker: v{batch_id} is complete and readable
+        _prune_snapshots(state_dir, batch_id)
 
     return body
 
 
+def read_latest_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current upsert state: per bucket, its freshest committed copy."""
+    paths = _snapshot_bucket_paths(state_dir)
+    if not paths:
+        raise FileNotFoundError(
+            f"no committed snapshots under {state_dir}: "
+            "the source matched no files"
+        )
+    return spark.read.parquet(*sorted(paths.values()))
+
+
 def upsert_latest_events_stream(
-    spark: SparkSession, events_dir: str, state_dir: str
+    spark: SparkSession,
+    events_dir: str,
+    state_dir: str,
+    n_buckets: int = UPSERT_BUCKETS,
 ) -> DataFrame:
     """Streaming upsert via ``foreachBatch``: fold the event stream into a
     latest-event-per-user snapshot table and return the final snapshot.
 
     This is the third streaming sink shape (after memory and file):
-    arbitrary per-batch logic with idempotent snapshot writes.  Blocks
-    until the ``availableNow`` run drains."""
+    arbitrary per-batch logic with idempotent, hash-bucketed incremental
+    snapshot writes.  Blocks until the ``availableNow`` run drains."""
     import os  # noqa: PLC0415
 
     os.makedirs(state_dir, exist_ok=True)
@@ -428,7 +557,7 @@ def upsert_latest_events_stream(
         "user_id", "ts", "event_id", "event_type", "value"
     )
     q = (
-        e.writeStream.foreachBatch(_latest_upsert_sink(state_dir))
+        e.writeStream.foreachBatch(_latest_upsert_sink(state_dir, n_buckets))
         .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -439,12 +568,7 @@ def upsert_latest_events_stream(
             "upsert_latest_events_stream: availableNow run did not drain "
             "within 600 s; snapshot state would be stale"
         )
-    snaps = sorted(d for d in os.listdir(state_dir) if d.startswith("v"))
-    if not snaps:
-        raise FileNotFoundError(
-            f"no snapshots under {state_dir}: the source matched no files"
-        )
-    return spark.read.parquet(os.path.join(state_dir, snaps[-1]))
+    return read_latest_snapshot(spark, state_dir)
 
 
 @query(

@@ -292,6 +292,177 @@ def test_foreach_batch_upsert_equals_batch(spark, events_batch, tmp_path):
     assert len(snaps) >= 2, snaps  # genuinely incremental (multi-batch)
 
 
+def _state_files(state_dir):
+    """{relative path: bytes} of every data/marker file under the snapshot
+    versions (checkpoint excluded)."""
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(state_dir):
+        rel_root = os.path.relpath(root, state_dir)
+        if rel_root.startswith("_ckpt"):
+            continue
+        for f in files:
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, state_dir)] = fh.read()
+    return out
+
+
+def test_upsert_untouched_buckets_not_rewritten(spark, events_batch, tmp_path):
+    """Incrementality: a micro-batch touching one bucket must write ONLY
+    that bucket — every file of the previous snapshot version stays
+    byte-identical on disk, and the new version dir contains just the
+    touched bucket."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.streaming.events import (
+        latest_event_per_user,
+        upsert_latest_events_stream,
+    )
+
+    nb = 8
+    bucketed = events_batch.withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(nb)).cast("int")
+    )
+    target = bucketed.select("bucket").first()["bucket"]
+    part_a = bucketed.filter(F.col("bucket") != target).drop("bucket")
+    part_b = bucketed.filter(F.col("bucket") == target).drop("bucket")
+    assert part_a.count() > 0 and part_b.count() > 0
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    part_a.coalesce(2).write.parquet(src)
+    upsert_latest_events_stream(spark, src, state, n_buckets=nb)
+    before = _state_files(state)
+    v0_files = {p for p in before if p.startswith("v") and "bucket=" in p}
+    assert v0_files, "first run wrote no bucketed snapshot files"
+    assert not any(f"bucket={target}" in p for p in v0_files)
+
+    part_b.coalesce(1).write.mode("append").parquet(src)
+    final = upsert_latest_events_stream(spark, src, state, n_buckets=nb)
+
+    after = _state_files(state)
+    for p in v0_files:
+        assert after.get(p) == before[p], f"untouched snapshot file changed: {p}"
+    v1 = os.path.join(state, "v0000000001")
+    new_buckets = {d for d in os.listdir(v1) if d.startswith("bucket=")}
+    assert new_buckets == {f"bucket={target}"}, new_buckets
+
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in latest_event_per_user(events_batch).collect()}
+    assert got == want
+
+
+def test_upsert_retention_prunes_superseded_versions(spark, events_batch, tmp_path):
+    """Bucket-aware retention: once every bucket of v0 has two newer
+    committed copies, v0 (and its commit marker) are deleted — disk holds
+    the current version plus the replay fallback, not O(batches) copies."""
+    import os
+
+    from national_caseload_data_ingest_spark.streaming.events import (
+        _latest_upsert_sink,
+        latest_event_per_user,
+        read_latest_snapshot,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    body = _latest_upsert_sink(state, n_buckets=4)
+    # 150 users over 4 buckets: every synthetic batch touches all buckets,
+    # so supersession is deterministic.
+    for bid in range(3):
+        body(events_batch.select("user_id", "ts", "event_id", "event_type", "value"), bid)
+    vdirs = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert vdirs == ["v0000000001", "v0000000002"], vdirs
+    markers = sorted(os.listdir(os.path.join(state, "_commits")))
+    assert markers == ["0000000001", "0000000002"], markers
+    got = {tuple(r) for r in read_latest_snapshot(spark, state).collect()}
+    want = {tuple(r) for r in latest_event_per_user(events_batch).collect()}
+    assert got == want
+
+
+def test_upsert_replay_ignores_own_partial_snapshot(spark, events_batch, tmp_path):
+    """At-least-once replay guard, sink-level: a retried batch whose first
+    attempt left a partial, uncommitted v{N} must rebuild from the last
+    committed state and overwrite the wreckage."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.streaming.events import (
+        _latest_upsert_sink,
+        latest_event_per_user,
+        read_latest_snapshot,
+    )
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    half_a = events_batch.filter(F.col("event_id") % 2 == 0).select(*cols)
+    half_b = events_batch.filter(F.col("event_id") % 2 == 1).select(*cols)
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    body = _latest_upsert_sink(state, n_buckets=4)
+    body(half_a, 0)
+    body(half_b, 1)
+    # simulate a crash mid-write of batch 1: corrupt v1, drop its marker
+    v1 = os.path.join(state, "v0000000001")
+    victim = sorted(d for d in os.listdir(v1) if d.startswith("bucket="))[0]
+    shutil.rmtree(os.path.join(v1, victim))
+    os.remove(os.path.join(state, "_commits", "0000000001"))
+    body(half_b, 1)  # replay (same id, same data)
+    got = {tuple(r) for r in read_latest_snapshot(spark, state).collect()}
+    want = {tuple(r) for r in latest_event_per_user(events_batch).collect()}
+    assert got == want
+
+
+def test_upsert_crash_recovery_from_checkpoint_e2e(spark, events_batch, tmp_path):
+    """End-to-end crash recovery: run batch 0, snapshot the checkpoint,
+    run batch 1, then roll the checkpoint back and corrupt batch 1's
+    snapshot — as if the process died after the parquet write started but
+    before the offset commit.  The restarted stream must replay batch 1
+    from the checkpoint, rebuild from v0 via the < batch_id guard, and
+    converge to exactly the batch-twin result."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.streaming.events import (
+        latest_event_per_user,
+        upsert_latest_events_stream,
+    )
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    half_a = events_batch.filter(F.col("event_id") % 2 == 0).select(*cols)
+    half_b = events_batch.filter(F.col("event_id") % 2 == 1).select(*cols)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    half_a.coalesce(2).write.parquet(src)
+    upsert_latest_events_stream(spark, src, state, n_buckets=4)
+    ckpt = os.path.join(state, "_ckpt")
+    ckpt_backup = str(tmp_path / "ckpt_backup")
+    shutil.copytree(ckpt, ckpt_backup)
+
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    upsert_latest_events_stream(spark, src, state, n_buckets=4)
+
+    # crash simulation: offsets roll back to post-batch-0, v1 is partial
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_backup, ckpt)
+    v1 = os.path.join(state, "v0000000001")
+    victim = sorted(d for d in os.listdir(v1) if d.startswith("bucket="))[0]
+    shutil.rmtree(os.path.join(v1, victim))
+    os.remove(os.path.join(state, "_commits", "0000000001"))
+
+    final = upsert_latest_events_stream(spark, src, state, n_buckets=4)
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in latest_event_per_user(events_batch).collect()}
+    assert got == want
+
+
 def test_stream_stream_interval_join_equals_batch(spark, events_batch):
     """Stream-stream interval join (watermarked both sides) produces
     exactly the batch interval-join result on the same data."""
