@@ -17,6 +17,55 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _cpu_sample() -> dict | None:
+    """One /proc/stat aggregate-cpu reading (USER_HZ ticks), or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        v = [int(x) for x in parts[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+    # cpu: user nice system idle iowait irq softirq steal ...
+    return {
+        "total": sum(v),
+        "idle": v[3] + (v[4] if len(v) > 4 else 0),
+        "steal": v[7] if len(v) > 7 else 0,
+    }
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_delta(before: dict | None, after: dict | None) -> dict | None:
+    """Steal seconds and host busy fraction over a [before, after] window.
+
+    Three rounds of cross-round bench whiplash (8.7→27.8→12.6→17.7 s on
+    monotone-improving code) were attributed to vCPU steal that the JSON
+    could not evidence; this block lets a reader separate host contention
+    from real regressions.
+    """
+    if not before or not after:
+        return None
+    import os as _os  # noqa: PLC0415
+
+    hz = _os.sysconf("SC_CLK_TCK") or 100
+    ncpu = _os.cpu_count() or 1
+    dt = after["total"] - before["total"]
+    if dt <= 0:
+        return None
+    return {
+        "steal_sec": round((after["steal"] - before["steal"]) / hz, 3),
+        "busy_frac": round(1.0 - (after["idle"] - before["idle"]) / dt, 4),
+        "steal_frac": round((after["steal"] - before["steal"]) / dt, 4),
+        "wall_sec": round(dt / hz / ncpu, 3),
+    }
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -66,16 +115,33 @@ def main() -> None:
         runs = 3
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
+    load_start = _loadavg()
+    cpu_start = _cpu_sample()
     for name in names:
         samples = []
+        steal = []
         for _ in range(runs):
+            c0 = _cpu_sample()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             samples.append(time.time() - t0)
+            d = _cpu_delta(c0, _cpu_sample())
+            if d is not None:
+                steal.append(d["steal_sec"])
         samples.sort()
         timings[name] = round(samples[0], 3)
         medians[name] = round(samples[len(samples) // 2], 3)
+        if steal:
+            query_steal[name] = round(sum(steal), 3)
 
+    env = {
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        "cpus": os.cpu_count(),
+        "bench_window": _cpu_delta(cpu_start, _cpu_sample()),
+        "queries_steal_sec": query_steal,
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -86,6 +152,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "median_total": round(sum(medians.values()), 3),
+                "env": env,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
