@@ -6,10 +6,11 @@ Model: a modality column is ``binary`` next to typed metadata columns
 payloads stay opaque to the planner and all pixel/sample work happens in
 vectorized Python batches via ``mapInPandas``.
 
-Codec status: PNG (decode/encode/resize) and 16-bit PCM WAV
-(decode/encode) are REAL pure-stdlib implementations — tested without any
-codec library, with synthesize→decode E2E queries hash-checked against
-DuckDB oracles (``png_decode_features``, ``wav_decode_features``).  Other
+Codec status: PNG (decode/encode/resize), GIF (LZW decode/encode/resize),
+and 16-bit PCM WAV (decode/encode) are REAL pure-stdlib implementations —
+tested without any codec library, with synthesize→decode E2E queries
+hash-checked against DuckDB oracles (``png_decode_features``,
+``gif_decode_features``, ``wav_decode_features``).  Other
 formats (JPEG, compressed audio, video containers) are honestly gated
 behind ``try: import PIL`` and raise ``NotImplementedError`` in this
 container; their *Spark-side plumbing* — schema, batch iteration, Arrow
@@ -126,17 +127,20 @@ def png_decode(payload: bytes):
 def decode_image(payload: bytes) -> object:
     """Decode an image payload.
 
-    PNG payloads decode natively via :func:`png_decode` (pure stdlib —
-    tested without any codec library); other formats require PIL, which
-    this container doesn't ship, and raise ``NotImplementedError``."""
+    PNG payloads decode natively via :func:`png_decode` and GIF payloads
+    via :func:`gif_decode` (both pure stdlib — tested without any codec
+    library); other formats (JPEG etc.) require PIL, which this container
+    doesn't ship, and raise ``NotImplementedError``."""
     if payload[:8] == PNG_SIGNATURE:
         return png_decode(payload)
+    if payload[:6] in GIF_SIGNATURES:
+        return gif_decode(payload)
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG image decode requires PIL; container has no codecs — "
-            "PNG decodes natively via png_decode"
+            "non-PNG/GIF image decode requires PIL; container has no "
+            "codecs — PNG and GIF decode natively"
         ) from e
     import io  # noqa: PLC0415
 
@@ -350,14 +354,14 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Resize an image payload, returning PNG bytes.
 
-    PNG payloads resize natively (pure numpy nearest-neighbor over the
-    decoded pixel array, re-encoded with :func:`png_encode`) — no codec
-    library needed.  Other formats require PIL and raise
+    PNG and GIF payloads resize natively (pure numpy nearest-neighbor over
+    the decoded pixel array, re-encoded with :func:`png_encode`) — no
+    codec library needed.  Other formats require PIL and raise
     ``NotImplementedError`` in this container."""
     import numpy as np  # noqa: PLC0415
 
-    if payload[:8] == PNG_SIGNATURE:
-        w, h, _ch, px = png_decode(payload)
+    if payload[:8] == PNG_SIGNATURE or payload[:6] in GIF_SIGNATURES:
+        w, h, _ch, px = decode_image(payload)
         ys = np.minimum((np.arange(height) * h) // height, h - 1)
         xs = np.minimum((np.arange(width) * w) // width, w - 1)
         return png_encode(px[ys][:, xs])
@@ -376,8 +380,280 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# Audio: pure-stdlib PCM WAV codec + decode-features pipeline
+# GIF: pure-stdlib LZW codec + decode-features pipeline
 # ---------------------------------------------------------------------------
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE_WIDTH = 12  # GIF89a spec §22: codes never exceed 12 bits
+
+
+def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first bit packing),
+    clear/EOI codes, dictionary reset at 4096 entries (GIF89a spec
+    appendix F).  Width grows when the next assignable code would not fit
+    — the non-early-change convention GIF uses (TIFF differs)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for c in indices:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code == (1 << _GIF_MAX_CODE_WIDTH):
+            # table full: a 13-bit code is unrepresentable, so clear and
+            # reset instead of assigning (the decoder mirrors this, one
+            # entry behind)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width):
+                width += 1
+        w = bytes([c])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_compress`, tolerant of deferred clear codes
+    (a full dictionary simply stops growing until a clear arrives)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt LZW stream: first code unknown")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < (1 << _GIF_MAX_CODE_WIDTH):
+                    table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream: code beyond table")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < _GIF_MAX_CODE_WIDTH:
+                width += 1
+    raise ValueError("LZW stream ended without EOI code")
+
+
+def gif_encode(arr) -> bytes:
+    """uint8 array of shape ``(h, w)`` → single-frame GIF89a bytes with a
+    256-entry grayscale palette (pixel value == palette index == gray
+    level).  Exists so the LZW decoder is testable against a real encoder
+    without any codec library, and to synthesize payloads for the
+    decode-pipeline E2E query — same role :func:`png_encode` plays for
+    PNG."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("gif_encode takes a 2-D grayscale index array")
+    h, w = arr.shape
+    out = bytearray(b"GIF89a")
+    # logical screen: global 256-color table (packed 0xF7 = flag·res·size)
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW minimum code size
+    compressed = _lzw_compress(arr.tobytes(), 8)
+    for i in range(0, len(compressed), 255):
+        block = compressed[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_decode(payload: bytes):
+    """Pure-stdlib GIF decoder (LZW + struct): returns ``(width, height,
+    channels, pixels)`` with ``pixels`` a uint8 RGB array of shape
+    ``(height, width, 3)`` — the first image of the stream, palette
+    applied.
+
+    Supports the still-image profile: GIF87a/89a, global or local color
+    table, extension blocks skipped (graphic control, comment,
+    application), non-interlaced.  Interlaced images and transparency
+    compositing raise ``NotImplementedError`` — the same honest-gating
+    contract as :func:`png_decode`'s baseline profile."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF payload")
+    pos = 6
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, pos)
+    pos += 7
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload, np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        introducer = payload[pos]
+        pos += 1
+        if introducer == 0x3B:  # trailer
+            break
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if introducer != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{introducer:02x}")
+        _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF images not supported")
+        if ipacked & 0x80:  # local color table overrides the global one
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                payload, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        blocks = []
+        while payload[pos]:
+            ln = payload[pos]
+            blocks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        indices = np.frombuffer(
+            _lzw_decompress(b"".join(blocks), min_code_size), np.uint8
+        )
+        if len(indices) != iw * ih:
+            raise ValueError(
+                f"GIF pixel data has wrong length: {len(indices)} != {iw * ih}"
+            )
+        px = palette[indices.reshape(ih, iw)]
+        return iw, ih, 3, px
+    raise ValueError("GIF stream contains no image")
+
+
+def _synthesize_gif_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic grayscale GIF per doc: pixel k = (doc_id*3 + k) mod
+    256 — a shifted gradient whose LZW stream exercises code-width growth
+    on every payload."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            px = ((int(doc_id) * 3 + k) % 256).astype(np.uint8)
+            payloads.append(gif_encode(px.reshape(IMG_H, IMG_W)))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+def decode_gif_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """GIF-decode kernel: payload → (dims, channels, mean pixel) through
+    the real LZW path; mean divides the exact integer RGB sum by the
+    sample count in float64 (grayscale palette ⇒ equals the index mean)."""
+    for pdf in batches:
+        doc_ids, ws, hs, chs, means = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch, px = gif_decode(bytes(payload))
+            doc_ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            chs.append(ch)
+            means.append(int(px.sum(dtype="int64")) / (w * h * ch))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "channels": pd.Series(chs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
+            }
+        )
+
+
+@query(
+    "gif_decode_features",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(SUM((d.doc_id * 3 + t.k) % 256) AS DOUBLE) / {IMG_W * IMG_H}
+               AS mean_pixel
+    FROM documents d, range(0, {IMG_W * IMG_H}) t(k)
+    GROUP BY d.doc_id
+    """,
+)
+def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode E2E with a SQL oracle — the LZW twin of
+    :func:`png_decode_features`: synthesize a deterministic single-frame
+    GIF per document, decode it through the REAL
+    :func:`gif_decode`/:func:`_lzw_decompress` path, and emit per-payload
+    stats the oracle recomputes from the closed form (grayscale palette ⇒
+    RGB mean equals index mean).  Two narrow ``mapInPandas`` passes, no
+    shuffle; payloads never leave the executor."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = d.select("doc_id").mapInPandas(
+        _synthesize_gif_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_gif_features, schema=IMAGE_FEATURE_SCHEMA
+    )
 
 
 def wav_encode(samples, sample_rate: int = 8000) -> bytes:
