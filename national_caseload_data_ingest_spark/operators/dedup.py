@@ -621,7 +621,14 @@ def simhash_pairs(
     ``assert_true`` that fails the job at execution time with routing
     guidance instead of silently running an unbounded O(n²) — the same
     contract as ``MAX_BLOCK_DOCS`` in the Jaccard verifier, and in-plan
-    so merely *constructing* the DataFrame stays free of Spark jobs."""
+    so merely *constructing* the DataFrame stays free of Spark jobs.
+
+    The signature DataFrame is plain-``persist()``ed under the same
+    convention as :func:`_shared_postings`: the CacheManager deduplicates
+    by logical plan (repeated invocations over one corpus reuse a single
+    entry), and reclamation is deliberately left to the ContextCleaner /
+    ``spark.catalog.clearCache()`` — eager unpersist was rejected because
+    it defeats warm reuse across the bench's repeated runs."""
     from itertools import combinations  # noqa: PLC0415
     from math import comb as _comb  # noqa: PLC0415
 
