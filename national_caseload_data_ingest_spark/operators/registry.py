@@ -34,76 +34,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The per-round driver verifies queries in dict-iteration order and caps at
 # the first 50 (the cap is empirical, see COVERAGE.md).  The window ROTATES
-# per round so the union of CORRECTNESS_r0{1..N}.json converges on the full
-# catalog: rounds 1-4 accumulated driver rows for 66 of the 103 queries
-# with a category-complete static window; round 5 front-loads the 37
-# queries that never earned a driver row (all replay green locally via
-# tools/check_oracle.py), then back-fills the remaining 13 slots with
-# already-checked representatives covering every SURVEY §2.2 category and
-# LLM-pipeline family, so a single round's sheet stays category-complete
-# too.  Queries past the cap are replayed locally with
-# tools/check_oracle.py (same check, same data).
+# per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
+# the whole catalog: after round 5 every one of the 109 then-registered
+# queries had at least one driver row, so the risk is now STALENESS, not
+# coverage.  Round 6 therefore front-loads, in oldest-row-first order, the
+# 60 queries whose freshest driver row predates round 5: the round-6 new
+# query (never checked), then the 16 whose last row is round 2, then 33 of
+# the 43 whose last row is round 4.  The 10 round-4-checked queries that
+# don't fit the 50-cap — simple scalar-function/set/collection queries
+# with three consecutive green rounds behind them (string/date/math/
+# conditional functions, vector_norms, distinct_part_counts,
+# set_union_all_party_nations, topk_expensive_orders, array_agg_order_keys,
+# json_extract_events) — are deferred to the local full-catalog replay
+# (tools/check_oracle.py, same check, same data; COVERAGE.md records it)
+# and are first in line for the round-7 window.
 CHECK_PRIORITY: list[str] = [
-    # -- never driver-checked through round 4: oracle-backed ---------------
-    "tfidf_top_terms",  # round-4 new op
-    "bm25_rank_docs",  # round-4 new op
-    "pii_scrub",  # round-4 new op
-    "unpivot_flag_metrics",  # round-4 new op (wide-to-long)
-    "event_gap_stats",  # round-4 new op (lag/lead)
-    "q2_min_cost_supplier",  # correlated scalar subquery
-    "q4_order_priority_check",  # EXISTS semi
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_parts",  # HAVING over scalar subquery
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",  # outer join + distribution
-    "q14_promo_revenue",
-    "q15_top_supplier",  # view/scalar-subquery max
-    "q16_supplier_part_counts",  # NOT IN
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_excess_shippers",  # nested IN subqueries
-    "q21_waiting_supplier",  # multi-EXISTS
-    "q22_idle_customers",  # anti + scalar subquery
-    "explode_part_words",  # lateral explode
-    "upsert_latest_orders",  # CDC merge/upsert
-    "common_ngram_fraction",  # postings overlap
-    "stratified_sample_docs",  # deterministic stratified sampling
-    "balanced_mixture_sample",  # balanced mixture sampling
-    "token_budget_shards_scaled",  # 2-pass range-partitioned sharding
-    "bpe_token_count",  # BPE-ish tokenizer
-    "token_frequency_topk",  # vocab stats
-    "token_length_histogram",
-    "rare_token_fraction",
-    "lexical_diversity_by_source",
-    "repetition_score",
-    # -- never driver-checked: rows-only by design -------------------------
-    "cdc_chunk_stats",
-    "embedding_neardup_ivf",
-    "approx_quantity_percentiles",
-    "streaming_lsh_candidates",
-    # -- round-5 new operators (oracle-backed) -----------------------------
-    "png_decode_features",  # real PNG decode E2E
-    "wav_decode_features",  # real WAV PCM decode E2E
-    "sliding_window_chunks",  # RAG/pretraining context-window chunking
-    "latest_event_per_user",  # foreachBatch upsert batch twin
-    "duplicate_passage_report",  # passage-level exact dedup
-    "winnowing_fingerprints",  # MOSS winnowing fingerprints
-    # -- already-checked category representatives (window stays complete;
-    #    families whose slot went to a round-5 query remain covered inside
-    #    the window: top-k by token_frequency_topk, json/array by
-    #    explode_part_words, windows by event_gap_stats +
-    #    token_budget_shards_scaled, percentiles by
-    #    approx_quantity_percentiles, equi joins by q7-q9/q12-q14, exact
-    #    dedup by duplicate_passage_report + training_corpus_build) ------
-    "q1_pricing_summary",  # aggregation + filter + sort
-    "asof_join_last_purchase",  # as-of join
-    "skew_salted_join_agg",  # skew-mitigated join
-    "grouping_sets_priority",  # grouping sets/cube/rollup family
-    "tumbling_window_events",  # streaming twin (batch form)
-    "minhash_lsh_neardup",  # LSH family (rows-only, recall-tested)
-    "training_corpus_build",  # 7-stage flagship pipeline
+    # -- round-6 new operator (never driver-checked) -----------------------
+    "gif_decode_features",  # native GIF/LZW decode E2E
+    # -- freshest driver row is round 2 ------------------------------------
+    "window_running_total",
+    "window_ntile_share",
+    "pivot_line_status",
+    "sliding_window_events",
+    "dedup_exact_survivors",
+    "simhash_neardup",  # rows-only by design (hash-seeded)
+    "multimodal_frame_sample",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "set_intersect_nations",
+    "set_except_nations",
+    "approx_distinct_parts",  # rows-only by design (approximate)
+    "having_supplier_volume",
+    "in_subquery_rich_customers",
+    "cross_join_region_status",
+    # -- freshest driver row is round 4 ------------------------------------
+    "window_rank_orders",
+    "cube_returnflag_status",
+    "rollup_region_nation",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_neardup",
+    "training_data_pipeline",
+    "neardup_clusters",
+    "decontaminate_overlap",
+    "token_budget_shards",
+    "multimodal_byte_features",
+    "q3_shipping_priority",
+    "q6_revenue_forecast",
+    "semi_join_urgent_customers",
+    "anti_join_customers_no_orders",
+    "outer_join_order_counts",
+    "full_outer_nation_activity",
+    "scalar_subquery_above_avg",
+    "exists_correlated_heavy_parts",
+    "theta_join_nation_pairs",
+    "range_join_value_bins",
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",  # rows-only by design (hash-seeded)
+    "ann_ivf_topk",  # rows-only by design (model-seeded)
+    "median_quantity_by_flag",
+    "token_count_by_source",
+    "quality_score",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "session_window_events",
+    "user_lifetime_stats",
+    "events_enriched_segment",
+    "signup_purchase_within_hour",
 ]
 
 
