@@ -96,52 +96,85 @@ def connected_components(
     least one edge only — singletons are their own trivial cluster and are
     left out, matching the recursive-CTE oracle).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels.  One round = one hash join
-    (edges ⋈ labels on the neighbor id) + one groupBy(node) min + one
-    label-update join — all shuffles keyed by doc id.  ``localCheckpoint``
-    truncates the growing lineage each round (at 100 TB use
-    ``checkpoint`` against reliable storage instead).  Raises if the graph
-    has not converged after ``max_iter`` rounds, with routing guidance.
-    """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("src").alias("node"))
+    Alternating **large-star / small-star** (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round halves chain
+    depth, so convergence is O(log n) ROUNDS INDEPENDENT OF GRAPH
+    DIAMETER — the property naive min-label propagation lacks (it needs
+    diameter rounds, and real near-dup graphs grow long chains with the
+    corpus: the sf0.1 documents corpus already exceeds 15 hops).  One
+    round = two (groupBy min + hash join) pairs, all shuffles keyed by
+    doc id, no driver-side state.  ``localCheckpoint`` truncates the
+    growing lineage each round (at 100 TB use ``checkpoint`` against
+    reliable storage instead).
+
+    * large-star: every node ``u`` links each LARGER neighbor to the min
+      of its neighborhood (incl. itself) — long chains fold toward local
+      minima.
+    * small-star: on the larger→smaller edge orientation, every node and
+      its smaller neighbors link to the neighborhood min — stars flatten.
+
+    Convergence is detected STRUCTURALLY (not by fixpoint hashing): the
+    edge set is a min-rooted star forest iff every child has exactly one
+    parent and no parent is itself a child.  Both checks are cheap
+    aggregates.  Raises if not converged after ``max_iter`` rounds."""
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        # large-star over the symmetric neighborhood: group u, m = min(Γ(u) ∪ {u});
+        # emit (v, m) for v ∈ Γ(u), v > u.  m ≤ u < v keeps edges canonical.
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        new_labels = (
-            labels.withColumnRenamed("lbl", "old_lbl")
-            .join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("old_lbl"), F.coalesce("nbr_lbl", "old_lbl")
-                ).alias("lbl"),
-                F.col("old_lbl"),
-            )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star on the larger→smaller orientation: group hi, m = min
+        # of its (all-smaller) neighbors; relink hi and each neighbor to m.
+        mins2 = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        e = (
+            e.join(mins2, "hi")
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("hi").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("hi"), F.col("b").alias("lo"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
-        labels = new_labels.select("node", "lbl")
-        if changed == 0:
-            return labels.select(
-                F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        # star-forest test: one parent per child, and no parent (lo) is
+        # itself a child (hi).  Roots are then the component minima.
+        multi_parent = (
+            e.groupBy("hi").count().filter(F.col("count") > 1).limit(1).count()
+        )
+        chained = (
+            e.alias("x")
+            .join(e.alias("y"), F.col("x.lo") == F.col("y.hi"))
+            .limit(1)
+            .count()
+        )
+        if multi_parent == 0 and chained == 0:
+            return e.select(
+                F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id")
+            ).union(
+                e.select("lo", "lo").distinct().toDF("doc_id", "cluster_id")
             )
     raise ValueError(
-        f"connected_components did not converge in {max_iter} rounds: the "
-        "graph diameter exceeds the iteration budget. Raise max_iter, or "
-        "for adversarially deep graphs switch to alternating large-star/"
-        "small-star (O(log n) rounds with the same join shapes)."
+        f"connected_components did not converge in {max_iter} rounds: "
+        "alternating large-star/small-star needs O(log n) rounds, so "
+        "hitting this budget on a real graph means max_iter is set far "
+        "below log2(component size) — raise it."
     )
 
 
@@ -220,9 +253,10 @@ def neardup_cluster_assignments(
     return connected_components(pairs.select("doc_a", "doc_b"))
 
 
-@query(
-    "decontaminate_overlap",
-    oracle=f"""
+# Shared by decontaminate_overlap and its bloom-screened twin — the two
+# queries compute the IDENTICAL final relation through different physical
+# plans, so they verify against the same oracle.
+_DECONTAM_ORACLE = f"""
     WITH tok AS (
         SELECT doc_id, lower(trim(text)) AS lt,
                string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -246,8 +280,10 @@ def neardup_cluster_assignments(
            CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n_grams) AS contamination
     FROM train JOIN eval_grams USING (gram)
     GROUP BY train.doc_id
-    """,
-)
+    """
+
+
+@query("decontaminate_overlap", oracle=_DECONTAM_ORACLE)
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-vs-eval n-gram contamination report: for every training doc
     sharing at least one word trigram with the held-out eval slice
@@ -266,6 +302,115 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = tri.filter(~is_eval)
     return (
         train.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared_grams"),
+            F.first("n_grams").alias("n_grams"),
+            (F.count(F.lit(1)).cast("double") / F.first("n_grams")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+# Bloom-screen parameters.  m = 2^16 bits (8 KiB bitmap) holds the test
+# corpus's ~5k eval grams at k=3 with a <1% false-positive rate; the scale
+# rule is m ≈ 10-15 bits/key for ~0.1-1% FPR (10^9 eval grams → ~1.5 GiB
+# bitmap, still a broadcastable constant where the raw gram set is not).
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 3
+
+
+def bloom_bitmap(grams: DataFrame, m: int = BLOOM_BITS, k: int = BLOOM_HASHES):
+    """Build a Bloom-filter bitmap over a gram column as a Python list of
+    ``m/64`` signed longs — built DISTRIBUTED (explode probes → groupBy
+    word → bit_or) with only the finished word masks collected: the same
+    tiny-driver-model pattern as IVF centroids (bitmap bytes = m/8,
+    independent of corpus size).  Hash family: ``xxhash64(gram, i)`` for
+    probe ``i`` — available identically at build and probe time."""
+    words = (
+        grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / F.lit(64)).cast("int").alias("w"),
+            (F.col("pos") % F.lit(64)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.col("b")
+                )
+            ).alias("mask")
+        )
+        .collect()
+    )
+    arr = [0] * (m // 64)
+    for r in words:
+        arr[r["w"]] = r["mask"]
+    return arr
+
+
+def bloom_might_contain(
+    col, bitmap: list[int], m: int = BLOOM_BITS, k: int = BLOOM_HASHES
+):
+    """Narrow membership-test expression against a driver-built bitmap:
+    all ``k`` probe bits set.  The bitmap rides the plan as ONE folded
+    array literal (no join, no shuffle, no UDF) — probing runs at scan
+    speed inside whole-stage codegen."""
+    arr = F.lit(bitmap)
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+        w = (pos / F.lit(64)).cast("int")
+        b = (pos % F.lit(64)).cast("int")
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), b)
+        cond = cond & (
+            F.element_at(arr, w + F.lit(1)).bitwiseAND(bit) != F.lit(0)
+        )
+    return cond
+
+
+@query("decontaminate_bloom", oracle=_DECONTAM_ORACLE)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination — same final relation as
+    :func:`decontaminate_overlap` (same oracle; Bloom filters give false
+    POSITIVES only, and the exact confirm join removes those), different
+    physical plan for a different scale regime:
+
+    * ``decontaminate_overlap`` broadcasts the DISTINCT eval gram set —
+      right when the eval corpus is small enough to ship as a hash table.
+    * this twin compresses the eval grams into a FIXED-SIZE bitmap
+      (m/8 bytes regardless of gram count) and probes it as a narrow
+      codegen'd expression, so the train postings that survive to the
+      exact confirm join are only the true overlaps plus a ~1% false-
+      positive trickle.  At 10^9 eval grams the gram hash table stops
+      being broadcastable but the ~1.5 GiB bitmap (or a per-executor
+      bloom from ``spark.util.sketch``) still is, and the confirm join's
+      build side is unchanged while its PROBE side shrank ~100×.
+
+    Spark's native ``bloom_filter_agg``/``might_contain`` expressions are
+    runtime-filter internals (not SQL-registered in OSS builds), so the
+    bitmap is built from relational primitives — explode k probe
+    positions, ``bit_or`` word masks — which also keeps the build fully
+    distributed and engine-deterministic."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    tri = word_ngram_postings(d, DECONTAM_NGRAM)
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    eval_grams = tri.filter(is_eval).select("gram").distinct()
+    bitmap = bloom_bitmap(eval_grams)
+    train = tri.filter(~is_eval)
+    screened = train.filter(bloom_might_contain(F.col("gram"), bitmap))
+    return (
+        screened.join(eval_grams, "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("shared_grams"),

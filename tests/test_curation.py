@@ -200,3 +200,55 @@ def test_balanced_mixture_sample_uniform_strata(spark):
     assert kept == again
     all_ids = {r["doc_id"] for r in src.select("doc_id").collect()}
     assert kept <= all_ids
+
+
+def test_connected_components_deep_chain_logarithmic(spark):
+    """A 200-hop chain must converge within the DEFAULT iteration budget:
+    alternating large-star/small-star needs O(log n) rounds, where naive
+    min-label propagation would need 200 — the regression that surfaced
+    on the sf0.1 near-dup graph."""
+    chain = _edges(spark, [(i, i + 1) for i in range(1, 201)])
+    got = connected_components(chain).collect()
+    assert {r["cluster_id"] for r in got} == {1}
+    assert {r["doc_id"] for r in got} == set(range(1, 202))
+
+
+def test_bloom_bitmap_no_false_negatives(spark):
+    """Every inserted gram must pass the probe (Bloom filters never have
+    false negatives), and a disjoint probe set must be mostly rejected
+    (the screen actually screens)."""
+    from national_caseload_data_ingest_spark.operators.curation import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    inserted = spark.createDataFrame(
+        [(f"gram {i} here",) for i in range(500)], "gram string"
+    )
+    bm = bloom_bitmap(inserted)
+    hits = inserted.filter(
+        bloom_might_contain(F.col("gram"), bm)
+    ).count()
+    assert hits == 500
+    absent = spark.createDataFrame(
+        [(f"other {i} text",) for i in range(500)], "gram string"
+    )
+    false_pos = absent.filter(
+        bloom_might_contain(F.col("gram"), bm)
+    ).count()
+    assert false_pos < 25, f"false-positive rate {false_pos / 500:.2%}"
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The bloom-screened plan must produce the IDENTICAL relation to the
+    broadcast-exact plan — the screen only sheds non-matching postings."""
+    from national_caseload_data_ingest_spark.operators.curation import (
+        decontaminate_bloom,
+        decontaminate_overlap,
+    )
+
+    key = lambda r: (r["doc_id"], r["shared_grams"], r["n_grams"])
+    exact = sorted(map(key, decontaminate_overlap(spark, SF).collect()))
+    bloom = sorted(map(key, decontaminate_bloom(spark, SF).collect()))
+    assert exact == bloom
+    assert exact, "corpus produced no contamination rows"
