@@ -1,0 +1,159 @@
+"""Interchange-format round-trips: ORC, CSV, and JSON-lines sinks paired
+with their sources, verified LOSSLESS end-to-end.
+
+The reference stores everything as JSON-lines gz (fidelity mode,
+``/root/reference/ncd/normal_table.py``) and never offers a columnar
+interchange path; a Spark engine should, because at 100 TB the sink
+format IS the read-path performance story (ORC/parquet: column pruning,
+predicate pushdown, dictionary encoding — none of which a text format
+can give).  Each query here WRITES the driver parquet table out in the
+target format, READS IT BACK, and emits a digest/aggregate computed from
+the re-read copy only, while the DuckDB oracle computes the same answer
+from the original parquet — a driver hash-match therefore proves the
+sink+source pair preserved every value the result touches.
+
+Scale notes: the writes are plain ``df.write`` (one file per partition,
+no repartition — at 100 TB the parallelism is the table's partitioning);
+the CSV reader runs with ``multiLine=true``, which makes files
+NON-SPLITTABLE (each file is one task) — acceptable only because the
+writer controls file sizes; prefer ORC/JSON-lines for anything big, and
+the docstrings say so.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.functions import dsum
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    """Deterministic scratch dir per (scale-factor, format) so concurrent
+    harness runs at different SFs never collide; contents are overwritten
+    on every invocation (mode='overwrite')."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(
+        tempfile.gettempdir(), "ncd_spark_formats", f"{tag}-{fmt}"
+    )
+
+
+def _doc_digests(back: DataFrame) -> DataFrame:
+    """Per-document fidelity probe: the md5 of the text travels into the
+    driver's value-hash row by row, so ANY byte lost or mangled by the
+    sink/source pair (quoting, escaping, encoding, newline handling)
+    breaks the oracle match."""
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+_DOC_DIGEST_SQL = """
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents
+"""
+
+
+@query(
+    "orc_roundtrip_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source fidelity on the widest-typed table (int64/int32,
+    doubles, strings, microsecond timestamps): write lineitem as ORC, read
+    it back, and aggregate the RE-READ copy with exact-decimal sums.  The
+    oracle aggregates the original parquet — matching hashes prove the
+    ORC round-trip lost nothing.
+
+    ORC is the second first-class columnar interchange format beside
+    parquet (Spark ships a native vectorized reader for both); at scale
+    it keeps column pruning and predicate pushdown, unlike any text sink.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    path = _roundtrip_dir(sf_dir, "orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+            F.date_format(
+                F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("min_ship"),
+            F.date_format(
+                F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("max_ship"),
+        )
+    )
+
+
+@query("csv_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
+def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source fidelity on the nastiest column we have (free text:
+    commas, quotes, apostrophes): write documents as RFC-4180 CSV
+    (quote-doubling escapes, header), read it back with the ORIGINAL
+    schema (never inference — schema inference is a full extra pass and
+    can silently widen/narrow types), and emit per-document text digests
+    from the re-read copy.  The oracle digests the original parquet, so a
+    hash-match proves byte fidelity through the quoting layer.
+
+    ``multiLine=true`` makes CSV files non-splittable (one task per
+    file) — fine here because the writer bounds file sizes; at 100 TB use
+    ORC/parquet, or JSON-lines if text interchange is mandatory (it stays
+    splittable).  Cites the reference's fidelity-mode contract
+    (`/root/reference/ncd/normal_table.py` JSON-lines sink) — same goal,
+    format generalized."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    path = _roundtrip_dir(sf_dir, "csv")
+    (
+        docs.write.mode("overwrite")
+        # the CSV WRITER trims cell whitespace by default — turn that off
+        # or ' padded text ' silently loses bytes
+        .options(
+            header=True,
+            quote='"',
+            escape='"',
+            ignoreLeadingWhiteSpace=False,
+            ignoreTrailingWhiteSpace=False,
+        )
+        .csv(path)
+    )
+    back = spark.read.options(
+        header=True, quote='"', escape='"', multiLine=True
+    ).schema(docs.schema).csv(path)
+    return _doc_digests(back)
+
+
+@query("json_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
+def json_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source fidelity — the reference's native storage
+    format (`/root/reference/ncd/normal_table.py` writes `.jsonl.gz`):
+    write documents as JSON-lines, read back with the original schema, and
+    emit per-document digests from the re-read copy.  JSON-lines stays
+    line-splittable, so unlike multiLine CSV it parallelizes at any size;
+    it still burns ~2-5× the bytes and all pushdown vs ORC/parquet."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    path = _roundtrip_dir(sf_dir, "json")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return _doc_digests(back)

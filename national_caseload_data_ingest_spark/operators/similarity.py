@@ -592,3 +592,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes) at the cost of a small training pass."""
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return ivf_topk(e)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al., arXiv:2303.09540).
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    e: DataFrame,
+    eps: float,
+    n_centroids: int = N_CENTROIDS,
+    n_assign: int = 2,
+) -> DataFrame:
+    """SemDeDup semantic dedup over an embedding corpus →
+    ``(vec_id, keep, group_id)``: cluster the corpus with k-means, find
+    within-cell cosine pairs ≥ ``eps``, connect them into semantic-duplicate
+    groups, and keep exactly ONE representative per group.
+
+    Differences from the paper, chosen for engine-independence and scale:
+
+    * the representative is the group's MINIMUM ``vec_id`` (deterministic
+      across runs/engines) rather than the member least similar to the
+      centroid (which depends on the k-means model);
+    * pair generation is the IVF multi-assignment blocking of
+      :func:`ivf_neardup` (2 nearest cells per vector), so boundary pairs
+      the paper's hard clustering splits across cells are still caught;
+    * groups are TRANSITIVE closures (connected components via alternating
+      large-star/small-star — O(log n) rounds), so chains A≈B≈C collapse
+      to one group even when A≉C, mirroring the text-side
+      ``neardup_clusters`` semantics.
+
+    Plan shape at 100 TB: k-means model is a tiny driver-side object
+    (k × dim); assignment is one narrow numpy map; the per-cell screen is
+    bounded by the centroid count (k ≈ sqrt(corpus)); components shuffle
+    only (id, id) edges.  Nothing collects the corpus."""
+    from national_caseload_data_ingest_spark.operators.curation import (
+        connected_components,
+    )
+
+    pairs = ivf_neardup(e, threshold=eps, n_centroids=n_centroids, n_assign=n_assign)
+    comp = connected_components(
+        pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    removed = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("grp")
+    )
+    return (
+        e.select("vec_id")
+        .join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("grp").isNull().alias("keep"),
+            F.coalesce("grp", F.col("vec_id")).alias("group_id"),
+        )
+    )
+
+
+@query("semdedup_survivors")  # model-seeded — precision/one-per-group in tests
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decisions for the whole embeddings corpus (see
+    :func:`semdedup`).  Oracle-less by nature (k-means-seeded blocking);
+    ``tests/test_llm_ops.py`` pins: every dropped vector is a true
+    ≥ eps cosine neighbor of its group (precision 1.0 — pairs are
+    exact-rescored), each group keeps exactly its minimum member, and
+    planted exact clones always collapse to one survivor."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return semdedup(e, eps=0.4)

@@ -958,3 +958,195 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping / text extraction
+# ---------------------------------------------------------------------------
+# Web-crawl corpora arrive as HTML; stripping markup and unescaping entities
+# is the first stage of every pretraining text pipeline.  The extractor is a
+# fixed chain of regexp_replace/replace column expressions — JVM-side,
+# whole-stage-codegen, scan-speed — and the E2E query synthesizes a page
+# around each document (escape → wrap in boilerplate incl. <script>/<style>
+# blocks) then proves the extractor recovers the exact original text, the
+# same synthesize→decode pattern as the PNG/WAV/GIF codec queries.
+
+# Boilerplate fragments shared by the Spark builder, the Spark extractor
+# expectation, and the DuckDB oracle (single source of truth).
+_HTML_NAV = '<nav><a href="/home">Home</a> &amp; <a href="/about">About</a></nav>'
+_HTML_SCRIPT = '<script type="text/javascript">if (1 < 2) { SCRIPTLEAK(); }</script>'
+_HTML_STYLE = "<style>p { color: STYLELEAK; }</style>"
+_HTML_FOOTER = "<footer>&quot;fine print&quot; &amp; legal</footer>"
+# what the nav/footer boilerplate yields after tag-strip + unescape
+_HTML_PREFIX_TEXT = "Home & About"
+_HTML_SUFFIX_TEXT = '"fine print" & legal'
+
+# (pattern, replacement) chains.  ORDER MATTERS and is identical in both
+# engines: escaping rewrites '&' FIRST (so later entities aren't
+# double-escaped); unescaping rewrites '&amp;' LAST (so '&amp;lt;' from a
+# literal '&lt;' in the source round-trips to '&lt;', not '<').
+_HTML_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]
+_HTML_UNESCAPES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_escape(col: Column) -> Column:
+    for frm, to in _HTML_ESCAPES:
+        col = F.replace(col, F.lit(frm), F.lit(to))
+    return col
+
+
+def synth_html_page(text: Column, title: Column) -> Column:
+    """Deterministic HTML page wrapping ``text``: escaped title + body,
+    nav/script/style/footer boilerplate — enough structure that a naive
+    tag-strip without script/style handling or entity decoding fails."""
+    return F.concat(
+        F.lit("<html><head><title>"),
+        html_escape(title),
+        F.lit("</title>" + _HTML_STYLE + "</head><body>"),
+        F.lit(_HTML_NAV + _HTML_SCRIPT + "<h1>"),
+        html_escape(title),
+        F.lit('</h1><p class="main">'),
+        html_escape(text),
+        F.lit("</p>" + _HTML_FOOTER + "</body></html>"),
+    )
+
+
+def html_extract_text(col: Column) -> Column:
+    """Markup → plain text: drop <script>/<style> SUBTREES (their content
+    is code, not prose — a tag-only strip would leak it), strip remaining
+    tags, decode the minimal entity set, collapse whitespace.  Pure
+    codegen'd expressions; no UDF, no parser state."""
+    col = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " ")
+    col = F.regexp_replace(col, r"(?s)<style[^>]*>.*?</style>", " ")
+    col = F.regexp_replace(col, r"<[^>]*>", " ")
+    for frm, to in _HTML_UNESCAPES:
+        col = F.replace(col, F.lit(frm), F.lit(to))
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def _duck_chain(expr: str, pairs) -> str:
+    for frm, to in pairs:
+        f = frm.replace("'", "''")
+        t = to.replace("'", "''")
+        expr = f"replace({expr}, '{f}', '{t}')"
+    return expr
+
+
+def _duck_escape(expr: str) -> str:
+    return _duck_chain(expr, _HTML_ESCAPES)
+
+
+def _duck_unescape(expr: str) -> str:
+    return _duck_chain(expr, _HTML_UNESCAPES)
+
+
+def _duck_synth_page() -> str:
+    parts = [
+        "'<html><head><title>'",
+        _duck_escape("title"),
+        "'" + ("</title>" + _HTML_STYLE + "</head><body>").replace("'", "''") + "'",
+        "'" + (_HTML_NAV + _HTML_SCRIPT + "<h1>").replace("'", "''") + "'",
+        _duck_escape("title"),
+        "'</h1><p class=\"main\">'",
+        _duck_escape("body"),
+        "'" + ("</p>" + _HTML_FOOTER + "</body></html>").replace("'", "''") + "'",
+    ]
+    return " || ".join(parts)
+
+
+def _duck_extract(expr: str) -> str:
+    expr = f"regexp_replace({expr}, '(?s)<script[^>]*>.*?</script>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '(?s)<style[^>]*>.*?</style>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '<[^>]*>', ' ', 'g')"
+    expr = _duck_unescape(expr)
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+@query(
+    "html_extract_text",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id,
+               'Document ' || CAST(doc_id AS VARCHAR) || ' <' || lang || '>'
+                   AS title,
+               text AS body
+        FROM documents
+    ),
+    page AS (
+        SELECT doc_id, title, body, {_duck_synth_page()} AS html FROM src
+    ),
+    ext AS (
+        SELECT doc_id, title, body, html,
+               {_duck_extract('html')} AS extracted
+        FROM page
+    )
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS html_len,
+           CAST(length(extracted) AS BIGINT) AS extracted_len,
+           md5(extracted) AS extracted_md5,
+           extracted = trim(regexp_replace(
+               title || ' {_HTML_PREFIX_TEXT.replace("'", "''")} '
+               || title || ' '
+               || body || ' {_HTML_SUFFIX_TEXT.replace("'", "''")}',
+               '\\s+', ' ', 'g')) AS recovered_ok,
+           NOT contains(extracted, 'SCRIPTLEAK')
+               AND NOT contains(extracted, 'STYLELEAK') AS boilerplate_gone
+    FROM ext
+    """,
+)
+def html_extract_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→extract HTML E2E over every document: build a page with
+    escaped text plus nav/script/style/footer boilerplate, run the
+    extractor, and emit per-document digests plus two self-audits —
+    ``recovered_ok`` (the extraction equals the expected plain text:
+    title twice, original body, nav/footer prose, all whitespace-
+    collapsed) and ``boilerplate_gone`` (no script/style content leaked).
+    The DuckDB oracle rebuilds the identical page and extraction chain, so
+    the driver hash-match pins every replace/regex in both engines.
+
+    Plan: one narrow scan — synth, extract, and digest are a single
+    codegen'd projection; no shuffle, no UDF.  At 100 TB this runs at
+    parquet-scan speed with full column pruning (only doc_id/lang/text
+    read)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    title = F.concat(
+        F.lit("Document "),
+        F.col("doc_id").cast("string"),
+        F.lit(" <"),
+        F.col("lang"),
+        F.lit(">"),
+    )
+    page = synth_html_page(F.col("text"), title)
+    extracted = html_extract_text(page)
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(
+                title,
+                F.lit(" " + _HTML_PREFIX_TEXT + " "),
+                title,
+                F.lit(" "),
+                F.col("text"),
+                F.lit(" " + _HTML_SUFFIX_TEXT),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(page).cast("bigint").alias("html_len"),
+        F.length(extracted).cast("bigint").alias("extracted_len"),
+        F.md5(extracted.cast("binary")).alias("extracted_md5"),
+        (extracted == expected).alias("recovered_ok"),
+        (
+            ~F.contains(extracted, F.lit("SCRIPTLEAK"))
+            & ~F.contains(extracted, F.lit("STYLELEAK"))
+        ).alias("boilerplate_gone"),
+    )

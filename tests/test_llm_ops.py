@@ -490,3 +490,61 @@ def test_cdc_chunk_stats_query(spark):
         "read_parquet('/root/testdata/sf0.001/documents.parquet')"
     ).fetchone()
     assert total == expected
+
+
+def test_semdedup_planted_clones_one_survivor(spark):
+    """SemDeDup on a corpus with planted exact clones: the clone is always
+    dropped (exact duplicates share their argmin cell — blocking recall
+    1.0 on true clones) and its group representative is a smaller id."""
+    from national_caseload_data_ingest_spark.operators.similarity import semdedup
+    from national_caseload_data_ingest_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    dupes = e.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = e.select("vec_id", "embedding").unionAll(dupes)
+    rows = {r["vec_id"]: r for r in semdedup(corpus, eps=0.99).collect()}
+    assert len(rows) == corpus.count()  # exactly one decision per vector
+    for qid in range(4):
+        clone = rows[qid + 10000]
+        assert not clone["keep"], f"clone of {qid} survived"
+        assert clone["group_id"] <= qid
+
+
+def test_semdedup_precision_and_group_invariants(spark):
+    """Every dropped vector is a true >= eps cosine neighbor (node of the
+    exact global pair graph — no false removals), each group keeps exactly
+    one member, and that member is the group minimum."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        cosine_pairs_in_blocks,
+    )
+    from national_caseload_data_ingest_spark.operators.similarity import semdedup
+    from national_caseload_data_ingest_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, SF, "embeddings")["embeddings"]
+    decisions = semdedup(e, eps=0.4).collect()
+    assert len(decisions) == e.count()
+    dropped = {r["vec_id"] for r in decisions if not r["keep"]}
+    assert dropped, "corpus produced no semantic duplicates"
+    exact_nodes = set()
+    for r in cosine_pairs_in_blocks(
+        e.withColumn("blk", F.lit(0)), ["blk"], 0.4
+    ).collect():
+        exact_nodes.add(r["vec_a"])
+        exact_nodes.add(r["vec_b"])
+    assert dropped <= exact_nodes  # precision 1.0: no false removals
+    by_group = {}
+    for r in decisions:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for gid, members in by_group.items():
+        keepers = [m["vec_id"] for m in members if m["keep"]]
+        if len(members) == 1:
+            assert keepers == [gid]
+        else:
+            assert keepers == [gid] or (len(keepers) == 1 and keepers[0] == min(
+                m["vec_id"] for m in members
+            ))
+            assert gid == min(m["vec_id"] for m in members)
