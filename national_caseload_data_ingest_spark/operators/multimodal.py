@@ -127,20 +127,27 @@ def png_decode(payload: bytes):
 def decode_image(payload: bytes) -> object:
     """Decode an image payload.
 
-    PNG payloads decode natively via :func:`png_decode` and GIF payloads
-    via :func:`gif_decode` (both pure stdlib — tested without any codec
-    library); other formats (JPEG etc.) require PIL, which this container
-    doesn't ship, and raise ``NotImplementedError``."""
+    PNG payloads decode natively via :func:`png_decode`, GIF via
+    :func:`gif_decode`, and grayscale baseline JPEG via
+    :func:`jpeg_decode` (all pure stdlib/numpy — tested without any codec
+    library); remaining formats (WEBP, color/progressive JPEG, TIFF)
+    require PIL, which this container doesn't ship, and raise
+    ``NotImplementedError``."""
     if payload[:8] == PNG_SIGNATURE:
         return png_decode(payload)
     if payload[:6] in GIF_SIGNATURES:
         return gif_decode(payload)
+    if payload[:2] == JPEG_SOI:
+        px = jpeg_decode(payload)
+        h, w = px.shape
+        return w, h, 1, px.reshape(h, w, 1)
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG/GIF image decode requires PIL; container has no "
-            "codecs — PNG and GIF decode natively"
+            "non-PNG/GIF/JPEG image decode requires PIL; container has no "
+            "codecs — PNG, GIF, and grayscale baseline JPEG decode "
+            "natively"
         ) from e
     import io  # noqa: PLC0415
 
@@ -354,13 +361,17 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Resize an image payload, returning PNG bytes.
 
-    PNG and GIF payloads resize natively (pure numpy nearest-neighbor over
-    the decoded pixel array, re-encoded with :func:`png_encode`) — no
-    codec library needed.  Other formats require PIL and raise
-    ``NotImplementedError`` in this container."""
+    PNG, GIF, and grayscale baseline JPEG payloads resize natively (pure
+    numpy nearest-neighbor over the decoded pixel array, re-encoded with
+    :func:`png_encode`) — no codec library needed.  Other formats require
+    PIL and raise ``NotImplementedError`` in this container."""
     import numpy as np  # noqa: PLC0415
 
-    if payload[:8] == PNG_SIGNATURE or payload[:6] in GIF_SIGNATURES:
+    if (
+        payload[:8] == PNG_SIGNATURE
+        or payload[:6] in GIF_SIGNATURES
+        or payload[:2] == JPEG_SOI
+    ):
         w, h, _ch, px = decode_image(payload)
         ys = np.minimum((np.arange(height) * h) // height, h - 1)
         xs = np.minimum((np.arange(width) * w) // width, w - 1)
@@ -852,3 +863,495 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return with_binary_payload(d).mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: pure-stdlib/numpy baseline codec (grayscale, ITU-T T.81)
+# ---------------------------------------------------------------------------
+# Baseline sequential DCT, 8-bit, single component, standard Annex K
+# quantization + Huffman tables — the encoder emits JFIF files any viewer
+# opens, and the decoder reads any single-component baseline JPEG
+# (progressive/SOF2 raises with routing guidance).  Everything is
+# stdlib + numpy: DCT as an orthogonal 8x8 matrix sandwich, canonical
+# Huffman from the BITS/HUFFVAL spec lists, MSB-first bit IO with 0xFF00
+# byte stuffing and RSTn handling.
+
+JPEG_SOI = b"\xff\xd8"
+
+# Annex K.1 luminance quantization table (quality 50), natural order.
+_JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# zigzag index k -> natural-order index (T.81 figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 luminance Huffman specs: (BITS[1..16], HUFFVAL)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_dct_matrix():
+    """Orthogonal 8-point DCT-II matrix: forward = C @ B @ C.T, inverse =
+    C.T @ F @ C (rows are orthonormal, so transpose is inverse)."""
+    import numpy as np  # noqa: PLC0415
+
+    k = np.arange(8.0)[:, None]
+    n = np.arange(8.0)[None, :]
+    c = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16)
+    c[0, :] /= np.sqrt(2)
+    return c
+
+
+def _jpeg_encode_huff(bits, vals):
+    """BITS/HUFFVAL -> {symbol: (code, length)} (canonical assignment,
+    T.81 Annex C)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with JPEG byte stuffing (0xFF -> 0xFF 0x00)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+
+
+def _jpeg_magnitude(v: int):
+    """(size category, appended bits) for a DC diff / AC value (F.1.2.1)."""
+    size = abs(v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def jpeg_encode(px) -> bytes:
+    """Grayscale baseline JFIF encoder: 8x8 DCT, Annex K.1 quantization,
+    Annex K.3 Huffman.  Accepts any HxW uint8 array (edges replicated to
+    pad to block multiples; SOF records the true dims so decoders crop).
+    """
+    import numpy as np  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    c = _jpeg_dct_matrix()
+    q = np.asarray(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ij,bjk,lk->bil", c, blocks, c)
+    quant = np.round(coef / q).astype(np.int64)
+
+    dc_huff = _jpeg_encode_huff(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_encode_huff(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    zz = np.asarray(_JPEG_ZIGZAG)
+    bw = _JpegBitWriter()
+    pred = 0
+    for blk in quant:
+        seq = blk.reshape(64)[zz]
+        diff = int(seq[0]) - pred
+        pred = int(seq[0])
+        size, bits = _jpeg_magnitude(diff)
+        code, length = dc_huff[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(seq)[0])) if np.any(seq[1:]) else 0
+        for k in range(1, 64):
+            v = int(seq[k])
+            if k > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_huff[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            size, bits = _jpeg_magnitude(v)
+            code, length = ac_huff[run * 16 + size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_huff[0x00]  # EOB
+            bw.write(code, length)
+    bw.flush()
+
+    out = bytearray()
+    out += JPEG_SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zz_q = bytes(int(q.reshape(64)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    for marker, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([marker]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_decode_huff(bits, vals):
+    """BITS/HUFFVAL -> (mincode, maxcode, valptr) per length for canonical
+    decode (T.81 Annex F.2.2.3)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        else:
+            maxcode[length] = -1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+class _JpegBitReader:
+    """MSB-first reader over the entropy segment: un-stuffs 0xFF00, stops
+    (and byte-aligns) at any real marker, exposes RSTn consumption."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("jpeg: entropy data exhausted at marker "
+                             f"0x{self.marker:02x}")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                raise ValueError(
+                    f"jpeg: unexpected marker 0x{nxt:02x} inside scan"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (DRI support)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("jpeg: expected RSTn at restart interval")
+        self.pos += 2
+
+
+def _jpeg_huff_symbol(br: _JpegBitReader, table) -> int:
+    mincode, maxcode, valptr, vals = table
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        if maxcode[length] >= code >= mincode[length]:
+            return vals[valptr[length] + code - mincode[length]]
+    raise ValueError("jpeg: invalid Huffman code in scan")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def jpeg_decode(data: bytes):
+    """Baseline single-component JPEG -> HxW uint8 array.  Parses DQT/
+    DHT/SOF0/DRI/SOS, entropy-decodes with the file's own tables, IDCTs,
+    and crops the padded grid to the SOF dimensions.  Raises on
+    progressive (SOF2) and multi-component scans with routing guidance.
+    """
+    import numpy as np  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    if data[:2] != JPEG_SOI:
+        raise ValueError("jpeg: missing SOI")
+    qtables: dict[int, object] = {}
+    htables: dict[tuple[int, int], object] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
+    pos = 2
+    zz = np.asarray(_JPEG_ZIGZAG)
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("jpeg: EOI before SOS")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                n = 64 * (2 if pq else 1)
+                raw = seg[off : off + n]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                nat = np.zeros(64, dtype=np.int64)
+                nat[zz] = vals
+                qtables[tq] = nat.reshape(8, 8)
+                off += n
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nvals])
+                htables[(tc, th)] = _jpeg_decode_huff(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            _prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if ncomp != 1:
+                raise ValueError(
+                    "jpeg: only single-component (grayscale) baseline "
+                    f"supported, got {ncomp} components"
+                )
+            comp_q = seg[8]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"jpeg: SOF{marker - 0xC0} (progressive/extended) not "
+                "supported — baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("jpeg: multi-component scan not supported")
+            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            pos += seglen
+            break
+        pos += seglen
+    if h is None:
+        raise ValueError("jpeg: missing SOF before SOS")
+    dc_tab = htables[(0, comp_dc)]
+    ac_tab = htables[(1, comp_ac)]
+    q = qtables[comp_q]
+    c = _jpeg_dct_matrix()
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    br = _JpegBitReader(data, pos)
+    pred = 0
+    for bi in range(bh * bw_):
+        if restart_interval and bi and bi % restart_interval == 0:
+            br.restart()
+            pred = 0
+        seq = np.zeros(64, dtype=np.int64)
+        size = _jpeg_huff_symbol(br, dc_tab)
+        diff = _jpeg_extend(br.receive(size), size) if size else 0
+        pred += diff
+        seq[0] = pred
+        k = 1
+        while k < 64:
+            rs = _jpeg_huff_symbol(br, ac_tab)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            size = rs & 0x0F
+            seq[k] = _jpeg_extend(br.receive(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[zz] = seq * q.reshape(64)[zz]
+        blk = c.T @ coef.reshape(8, 8) @ c + 128.0
+        y, x = divmod(bi, bw_)
+        out[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = np.clip(
+            np.round(blk), 0, 255
+        ).astype(np.uint8)
+    return out[:h, :w]
+
+
+# JPEG geometry: 3x2 blocks of 8x8.  Block values are 128 + an EVEN offset,
+# which quality-50 quantization preserves EXACTLY: the DC coefficient of a
+# constant block is 8*offset, and Q[0,0] = 16 divides 8*(2m) for every m —
+# so the decode equals the synthesized image bit for bit and the SQL
+# oracle can state the mean in closed form despite JPEG being lossy in
+# general.
+JPEG_W, JPEG_H = 24, 16
+_JPEG_BLOCKS = (JPEG_W // 8) * (JPEG_H // 8)
+
+
+def _synthesize_jpeg_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            b = np.arange(_JPEG_BLOCKS, dtype=np.int64)
+            vals = 128 + 2 * ((int(doc_id) + b) % 64 - 32)
+            px = (
+                vals.reshape(JPEG_H // 8, JPEG_W // 8)[:, None, :, None]
+                * np.ones((1, 8, 1, 8), dtype=np.int64)
+            ).reshape(JPEG_H, JPEG_W).astype(np.uint8)
+            payloads.append(jpeg_encode(px))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+def decode_jpeg_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """JPEG-decode kernel: payload -> (dims, channels, mean pixel) through
+    the real Huffman/DCT path; the mean divides the exact integer pixel
+    sum by the count in float64."""
+    for pdf in batches:
+        doc_ids, ws, hs, chs, means = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = jpeg_decode(bytes(payload))
+            doc_ids.append(doc_id)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            chs.append(1)
+            means.append(int(px.sum(dtype="int64")) / px.size)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "channels": pd.Series(chs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
+            }
+        )
+
+
+@query(
+    "jpeg_decode_features",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({JPEG_W} AS INTEGER) AS width,
+           CAST({JPEG_H} AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(SUM(128 + 2 * (((d.doc_id + t.k) % 64) - 32)) AS DOUBLE)
+               / {_JPEG_BLOCKS} AS mean_pixel
+    FROM documents d, range(0, {_JPEG_BLOCKS}) t(k)
+    GROUP BY d.doc_id
+    """,
+)
+def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG decode E2E with a SQL oracle — the lossy-format sibling of
+    ``png_decode_features``/``gif_decode_features``: synthesize a
+    deterministic block-constant JPEG per document (even offsets from 128,
+    chosen so quality-50 quantization is EXACT — see the JPEG_W comment),
+    run the REAL Huffman+IDCT decode, and hash-match the closed-form pixel
+    statistics.  Two narrow ``mapInPandas`` passes, no shuffle; at 100 TB
+    the synthesize stage swaps for stored crawl payloads and the decode
+    stage is unchanged."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = d.select("doc_id").mapInPandas(
+        _synthesize_jpeg_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_jpeg_features, schema=IMAGE_FEATURE_SCHEMA
+    )

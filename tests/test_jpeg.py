@@ -1,0 +1,186 @@
+"""Pure-numpy baseline JPEG codec (grayscale, ITU-T T.81, standard Annex K
+tables): exactness on quantization-safe inputs, bounded loss on general
+inputs, marker/bit-level edge cases, and the synthesize→decode E2E query —
+all with NO codec library (the last PIL-gated image format with a native
+path; color/progressive remain honestly gated)."""
+
+import numpy as np
+import pytest
+
+from national_caseload_data_ingest_spark.operators.multimodal import (
+    JPEG_H,
+    JPEG_W,
+    _JPEG_BLOCKS,
+    decode_image,
+    jpeg_decode,
+    jpeg_encode,
+    resize_image,
+)
+
+
+def _block_constant(doc_id: int) -> np.ndarray:
+    b = np.arange(_JPEG_BLOCKS, dtype=np.int64)
+    vals = 128 + 2 * ((doc_id + b) % 64 - 32)
+    return (
+        vals.reshape(JPEG_H // 8, JPEG_W // 8)[:, None, :, None]
+        * np.ones((1, 8, 1, 8), dtype=np.int64)
+    ).reshape(JPEG_H, JPEG_W).astype(np.uint8)
+
+
+@pytest.mark.parametrize("doc_id", [0, 7, 63, 64, 1000])
+def test_jpeg_exact_on_even_offset_block_constants(doc_id):
+    """Block-constant images with EVEN offsets from 128 survive quality-50
+    quantization exactly (DC = 8*offset, Q00 = 16 | 16m) — the property
+    the SQL oracle's closed-form mean depends on."""
+    px = _block_constant(doc_id)
+    assert np.array_equal(jpeg_decode(jpeg_encode(px)), px)
+
+
+def test_jpeg_lossy_bounded_on_gradient_and_noise():
+    g = (np.add.outer(np.arange(32), np.arange(40)) * 3).astype(np.uint8)
+    dg = jpeg_decode(jpeg_encode(g))
+    assert dg.shape == g.shape
+    assert np.max(np.abs(dg.astype(int) - g.astype(int))) <= 8
+    rng = np.random.default_rng(7)
+    n = rng.integers(0, 256, (24, 24), dtype=np.uint8).astype(np.uint8)
+    dn = jpeg_decode(jpeg_encode(n))
+    # random noise is the worst case for DCT quantization; the bound is
+    # loose but the decode must be deterministic and dimension-exact
+    assert dn.shape == n.shape
+    assert np.array_equal(dn, jpeg_decode(jpeg_encode(n)))
+    assert np.mean(np.abs(dn.astype(int) - n.astype(int))) < 40
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (13, 9), (1, 1), (16, 7), (9, 32)])
+def test_jpeg_odd_dimensions_crop(shape):
+    """Non-multiple-of-8 dims: encoder pads by edge replication, SOF keeps
+    the true size, decoder crops back."""
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    px = rng.integers(0, 256, shape, dtype=np.uint8).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(px))
+    assert dec.shape == shape
+
+
+def test_jpeg_bitstuffing_survives_ff_heavy_streams():
+    """Find an image whose entropy stream contains a stuffed 0xFF00 and
+    prove the decoder un-stuffs it (same decode as every other image)."""
+    stuffed = None
+    for seed in range(200):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (16, 16), dtype=np.uint8).astype(np.uint8)
+        payload = jpeg_encode(px)
+        scan = payload[payload.find(b"\xff\xda") + 10 : -2]
+        if b"\xff\x00" in scan:
+            stuffed = (px, payload)
+            break
+    assert stuffed is not None, "no stuffed byte in 200 random images"
+    px, payload = stuffed
+    dec = jpeg_decode(payload)
+    assert dec.shape == px.shape
+    assert np.array_equal(dec, jpeg_decode(jpeg_encode(px)))
+
+
+def test_jpeg_decode_rejects_bad_input():
+    with pytest.raises(ValueError, match="missing SOI"):
+        jpeg_decode(b"\x00\x01rubbish")
+    good = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
+    # flip SOF0 (0xFFC0) into SOF2 (progressive) — must raise, not garble
+    i = bytes(good).find(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(bytes(good))
+
+
+def test_jpeg_decode_handles_restart_markers():
+    """DRI/RSTn support: splice a restart interval of 1 MCU into a stream
+    the encoder wrote without one, re-encoding the entropy data per block.
+    Build it by encoding each 8x8 block as its own one-block image and
+    stitching scans with RSTn between them."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (8, 16), dtype=np.uint8).astype(np.uint8)
+    whole = jpeg_decode(jpeg_encode(px))
+    # hand-build a DRI version: header from the full encode, scan data as
+    # block-0 scan + RST0 + block-1 scan (DC predictors reset per spec)
+    left = jpeg_encode(px[:, :8])
+    right = jpeg_encode(px[:, 8:])
+
+    def scan_bytes(buf: bytes) -> bytes:
+        s = buf.find(b"\xff\xda")
+        return buf[s + 2 + 8 : buf.rfind(b"\xff\xd9")]
+
+    full = jpeg_encode(px)
+    s = full.find(b"\xff\xda")
+    import struct
+
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    stitched = (
+        full[:s]
+        + dri
+        + full[s : s + 2 + 8]
+        + scan_bytes(left)
+        + b"\xff\xd0"
+        + scan_bytes(right)
+        + b"\xff\xd9"
+    )
+    dec = jpeg_decode(stitched)
+    assert np.array_equal(dec, whole)
+
+
+def test_decode_image_dispatches_jpeg_without_pil():
+    px = _block_constant(5)
+    w, h, ch, arr = decode_image(jpeg_encode(px))
+    assert (w, h, ch) == (JPEG_W, JPEG_H, 1)
+    assert np.array_equal(arr[:, :, 0], px)
+
+
+def test_resize_jpeg_to_png_nearest_neighbor():
+    px = _block_constant(1)
+    out = resize_image(jpeg_encode(px), 12, 8)
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        png_decode,
+    )
+
+    w, h, ch, arr = png_decode(out)
+    assert (w, h) == (12, 8)
+    ys = np.minimum((np.arange(8) * JPEG_H) // 8, JPEG_H - 1)
+    xs = np.minimum((np.arange(12) * JPEG_W) // 12, JPEG_W - 1)
+    assert np.array_equal(arr[:, :, 0], px[ys][:, xs])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        seed=st.integers(0, 2**31),
+    )
+    def test_jpeg_roundtrip_property(h, w, seed):
+        """decode(encode(x)) always yields the right shape/dtype and a
+        bit-identical result on repeat (determinism), for arbitrary dims."""
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8).astype(np.uint8)
+        d1 = jpeg_decode(jpeg_encode(px))
+        assert d1.shape == (h, w) and d1.dtype == np.uint8
+        assert np.array_equal(d1, jpeg_decode(jpeg_encode(px)))
+
+
+def test_jpeg_decode_features_query(spark):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode_features,
+    )
+
+    rows = jpeg_decode_features(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        px = _block_constant(r["doc_id"])
+        assert (r["width"], r["height"], r["channels"]) == (JPEG_W, JPEG_H, 1)
+        assert r["mean_pixel"] == int(px.sum(dtype="int64")) / px.size
