@@ -1160,9 +1160,18 @@ def _jpeg_extend(v: int, size: int) -> int:
 def jpeg_decode(data: bytes):
     """Baseline single-component JPEG -> HxW uint8 array.  Parses DQT/
     DHT/SOF0/DRI/SOS, entropy-decodes with the file's own tables, IDCTs,
-    and crops the padded grid to the SOF dimensions.  Raises on
-    progressive (SOF2) and multi-component scans with routing guidance.
-    """
+    and crops the padded grid to the SOF dimensions.  Raises ``ValueError``
+    on progressive (SOF2), multi-component, or truncated/corrupt input —
+    never a raw IndexError from running off the buffer."""
+    import struct  # noqa: PLC0415
+
+    try:
+        return _jpeg_decode_impl(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"jpeg: truncated or corrupt stream ({e})") from e
+
+
+def _jpeg_decode_impl(data: bytes):
     import numpy as np  # noqa: PLC0415
     import struct  # noqa: PLC0415
 

@@ -84,13 +84,17 @@ def test_png_decode_rejects_bad_input():
 
 
 def test_decode_image_dispatches_png_without_pil():
-    """decode_image no longer raises on PNG — the stub is only for non-PNG
-    formats now."""
+    """decode_image no longer raises on PNG — the PIL gate is only for
+    formats without a native path (PNG/GIF/JPEG all decode natively now)."""
     arr = np.full((3, 3, 3), 200, dtype=np.uint8)
     w, h, ch, px = decode_image(png_encode(arr))
     assert (w, h, ch) == (3, 3, 3)
     assert np.array_equal(px, arr)
     with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 fake webp bytes")
+    # truncated JPEG dispatches to the native decoder and fails LOUDLY
+    # with a codec error, not an IndexError
+    with pytest.raises(ValueError, match="jpeg"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
 
