@@ -1,0 +1,201 @@
+"""Distributed BPE tokenizer training + encoding over the ``documents``
+table — the tokenizer-construction stage of an LLM data pipeline (Sennrich
+et al., arXiv:1508.07909), architected the way production trainers
+(HuggingFace tokenizers, SentencePiece on pre-counted vocab) actually
+scale:
+
+1. **Corpus pass (Spark, the heavy part):** one narrow scan + one shuffle
+   produces the ``(word, frequency)`` table.  At 100 TB this is the only
+   stage that touches the data, and it's a plain groupBy — web-scale
+   corpora have ~10^7-10^8 DISTINCT words regardless of corpus size, so
+   the frequency table is corpus-size-INDEPENDENT (Heaps' law tail) and
+   orders of magnitude smaller than the text.
+2. **Merge loop (driver, bounded model):** classic BPE pair counting over
+   the word-frequency dict — the same justified tiny-driver-model pattern
+   as IVF centroids and the Bloom bitmap.  A guard asserts the vocab fits
+   the declared budget; the documented scale path caps to the top-K words
+   by frequency (standard practice — rare-word tails contribute nothing
+   to early merges).
+3. **Encode pass (Spark, Arrow batches):** apply the learned merge ranks
+   per word inside ``mapInPandas`` with an LRU word cache — narrow, no
+   shuffle, no Python-per-row UDF.
+
+Determinism: merge selection is (max pair frequency, then lexicographically
+smallest pair), so the merge list is a pure function of the corpus —
+engine- and run-independent, which the parity tests pin against an
+independent reference implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+# End-of-word sentinel (Sennrich et al. §3.2) — lets merges distinguish
+# word-final from word-internal contexts and makes decode unambiguous.
+EOW = "</w>"
+
+N_MERGES = 200
+# Driver-model budget: the word-frequency dict must fit on the driver.
+# The guard fails loudly instead of silently truncating; raise the cap or
+# pre-filter to the top-K words when training on a bigger corpus.
+MAX_VOCAB_WORDS = 200_000
+
+
+def word_frequencies(docs: DataFrame) -> DataFrame:
+    """``(word, freq)`` over lowercased whitespace-split text — the single
+    corpus-touching stage of BPE training.  One narrow projection + one
+    (word)-keyed shuffle with map-side partial aggregation."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    max_vocab_words: int = MAX_VOCAB_WORDS,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus.  Returns the ordered
+    merge list (earlier = higher priority).  Spark counts words; the merge
+    loop runs on the driver over the bounded frequency dict."""
+    rows = word_frequencies(docs).collect()
+    if len(rows) > max_vocab_words:
+        raise ValueError(
+            f"bpe_train: {len(rows)} distinct words exceed the "
+            f"{max_vocab_words} driver-model budget — raise the cap or "
+            "pre-filter to the top-K words by frequency"
+        )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        sym = (*tuple(r["word"]), EOW)
+        vocab[sym] = vocab.get(sym, 0) + int(r["freq"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, freq in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        # deterministic: max frequency, ties -> lexicographically smallest
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break  # nothing left worth merging
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge application to one word (the
+    standard BPE encode: repeatedly merge the best-ranked adjacent pair)."""
+    sym = [*word, EOW]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i, pair in enumerate(zip(sym, sym[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def _encode_kernel(merges: list[tuple[str, str]]):
+    """mapInPandas generator: (doc_id, text) -> (doc_id, n_words,
+    n_tokens, n_merged_tokens, first_tokens).  The merge-rank dict rides
+    the closure (tiny model); per-batch word memoization amortizes the
+    merge walk across repeated words — real corpora are Zipfian, so the
+    cache hit rate is the point, not a micro-optimization."""
+
+    def gen(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        ranks = {p: i for i, p in enumerate(merges)}
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is None:
+                got = cache[word] = _bpe_apply(word, ranks)
+            return got
+
+        for pdf in batches:
+            doc_ids, n_words, n_tokens, n_merged, firsts = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in str(text).lower().strip().split() if w]
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(enc(w))
+                doc_ids.append(doc_id)
+                n_words.append(len(words))
+                n_tokens.append(len(toks))
+                n_merged.append(sum(1 for t in toks if len(t.replace(EOW, "")) > 1))
+                firsts.append("|".join(toks[:8]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                    "n_merged_tokens": pd.Series(n_merged, dtype="int64"),
+                    "first_tokens": pd.Series(firsts, dtype="object"),
+                }
+            )
+
+    return gen
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Per-document BPE segmentation statistics under a learned merge
+    list — one narrow Arrow pass, no shuffle."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _encode_kernel(merges),
+        schema=(
+            "doc_id bigint, n_words bigint, n_tokens bigint, "
+            "n_merged_tokens bigint, first_tokens string"
+        ),
+    )
+
+
+@query("bpe_train_encode")  # corpus-derived model — parity pinned in tests
+def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE on the documents corpus and re-encode the same corpus
+    with it — the end-to-end tokenizer-construction pipeline.  Oracle-less
+    by nature (no SQL engine trains a tokenizer); ``tests/test_bpe.py``
+    pins the merge list against an independent reference implementation,
+    the classic Sennrich toy-corpus behavior, decode round-trips, and the
+    driver-model budget guard."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    merges = bpe_train(d)
+    return bpe_encode(d, merges)

@@ -38,16 +38,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the whole catalog: after round 5 every one of the 109 then-registered
 # queries had at least one driver row, so the risk is now STALENESS, not
 # coverage.  Round 6 therefore front-loads the never-driver-checked round-6
-# operators (8), then, in oldest-row-first order, the 16 whose last row is
-# round 2, then 26 of the 43 whose last row is round 4.  The 17
+# operators (9), then, in oldest-row-first order, the 16 whose last row is
+# round 2, then 25 of the 43 whose last row is round 4.  The 18
 # round-4-checked queries that don't fit the 50-cap — simple scalar-
 # function/set/collection/events queries with three consecutive green
 # rounds behind them (string/date/math/conditional functions, vector_norms,
 # distinct_part_counts, set_union_all_party_nations, topk_expensive_orders,
 # array_agg_order_keys, json_extract_events, session_window_events,
 # user_lifetime_stats, events_enriched_segment, signup_purchase_within_hour,
-# doc_fingerprint, median_quantity_by_flag, token_count_by_source) — are
-# deferred to the local
+# doc_fingerprint, median_quantity_by_flag, token_count_by_source,
+# quality_score) — are deferred to the local
 # full-catalog replay (tools/check_oracle.py, same check, run at BOTH
 # sf0.01 and sf0.1 this round; COVERAGE.md records it) and are first in
 # line for the round-7 window.
@@ -56,6 +56,7 @@ CHECK_PRIORITY: list[str] = [
     "gif_decode_features",  # native GIF/LZW decode E2E
     "jpeg_decode_features",  # native baseline-JPEG decode E2E
     "semdedup_survivors",  # rows-only by design (model-seeded)
+    "bpe_train_encode",  # rows-only by design (corpus-derived model)
     "decontaminate_bloom",
     "html_extract_text",
     "orc_roundtrip_lineitem",
@@ -103,7 +104,6 @@ CHECK_PRIORITY: list[str] = [
     "cosine_topk_bruteforce",
     "ann_lsh_topk",  # rows-only by design (hash-seeded)
     "ann_ivf_topk",  # rows-only by design (model-seeded)
-    "quality_score",
     "lang_id_heuristic",
 ]
 
