@@ -178,23 +178,40 @@ def connected_components(
     )
 
 
+# Pair generation via a POSTING-LIST join rather than all-pairs
+# list_intersect: intersections are computed only for pairs sharing at
+# least one bigram — equivalent at any positive threshold (a pair sharing
+# no gram has Jaccard 0) and the difference between the oracle finishing
+# in seconds vs hours at sf0.1 (all-pairs is ~2.5M pairs × O(|grams|²)
+# element comparisons; postings is one equi join + a group-count).
 _CLUSTER_PAIRS_SQL = f"""
-    sh AS (
-        SELECT doc_id, lang,
-               list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 2
-                    THEN list_transform(
-                        range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
-                        i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-                             string_split_regex(lower(trim(text)), '\\s+')[i+1])
-                    ELSE [lower(trim(text))] END) AS grams
+    tokd AS (
+        SELECT doc_id, lang, lower(trim(text)) AS lt,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
         FROM documents
     ),
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])
+                    ELSE [lt] END) AS grams
+        FROM tokd
+    ),
+    posts AS (
+        SELECT doc_id, lang, len(grams) AS n, unnest(grams) AS gram FROM sh
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS c, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM posts a JOIN posts b
+          ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
     pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-              >= {CLUSTER_THRESHOLD}
+        SELECT doc_a, doc_b
+        FROM inter
+        WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {CLUSTER_THRESHOLD}
     )
 """
 
