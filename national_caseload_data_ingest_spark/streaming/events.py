@@ -382,7 +382,12 @@ def events_enriched_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """Latest event per user by (ts, event_id) — one struct-max aggregate
     (single shuffle; the struct's (ts, event_id) prefix is a unique key,
-    so the max is deterministic)."""
+    so the max is deterministic).
+
+    ``value`` rides the struct untouched — no arithmetic, so double is
+    safe here.  If this column ever becomes money-typed, route any SUMMING
+    of it through ``functions.dec``/``dsum`` like every monetary aggregate
+    in ``operators/``; the max itself needs no change."""
     return (
         events.groupBy("user_id")
         .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
