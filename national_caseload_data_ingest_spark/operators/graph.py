@@ -1,0 +1,134 @@
+"""Graph-analytics operators over the near-duplicate graph: PageRank
+centrality for duplicate-cluster canonicalization.
+
+A near-dup graph's connected components say *which* documents are copies
+of each other; PageRank says which copy is the most *central* — the hub a
+scraper re-published everywhere — which is the canonical-survivor choice
+several dedup pipelines prefer over "min doc id" (the hub is typically
+the original, the leaves the mirrors).  This module implements damped
+PageRank (Page et al., 1999) as pure DataFrame iteration:
+
+* **One shuffle join + one aggregate per iteration**, both keyed by doc
+  id: contributions flow ``edges ⋈ ranks`` on the source, then a
+  ``groupBy(dst).sum`` folds them.  The rank relation stays node-sized.
+* **Lineage is truncated per round** with ``localCheckpoint`` (same
+  convention as ``connected_components``, curation.py — use reliable
+  ``checkpoint`` on a real cluster) so ten iterations don't build a
+  ten-join Catalyst plan.
+* **The node-count scalar joins as a broadcast one-row aggregate** and is
+  carried as a column through the loop — no driver collect, no
+  re-broadcast per iteration.
+* **Skew**: a viral document is a high-degree hub; its contribution
+  aggregate is a hot ``dst`` key that AQE's skew-join handling splits.
+  Since the graph is symmetrized, every node has degree ≥ 1 — there are
+  no dangling sinks, so no dangling-mass redistribution term is needed.
+
+The oracle unrolls the identical fixed-iteration recurrence as chained
+DuckDB CTEs over the same posting-join pair relation the
+``neardup_clusters`` oracle uses, with identically-parenthesized double
+arithmetic, so ranks hash-match at the harness's 1e-6 print precision.
+
+The reference (/root/reference/ncd/) has no graph surface; this extends
+the near-dup clustering band of the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.curation import (
+    _CLUSTER_PAIRS_SQL,
+    CLUSTER_THRESHOLD,
+)
+from national_caseload_data_ingest_spark.operators.dedup import neardup_pairs
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85  # keep the 0.85 / 0.15 literals in sync with the SQL
+
+
+def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS) -> DataFrame:
+    """Damped PageRank on an undirected edge relation ``(doc_a, doc_b)``
+    (one row per unordered pair) → ``(doc_id, deg, pr)``.
+
+    PR_0(u) = 1/N;  PR_{t+1}(u) = 0.15/N + 0.85·Σ_{v∈Γ(u)} PR_t(v)/deg(v)
+    over nodes appearing in at least one edge (N = |nodes|).
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n_row = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # (node, deg, n, pr) — n rides along so the loop never re-joins it
+    ranks = deg.crossJoin(F.broadcast(n_row)).withColumn(
+        "pr", F.lit(1.0) / F.col("n")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(ranks, sym.src == ranks.node)
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            ranks.drop("pr")
+            .join(contrib, F.col("node") == F.col("cnode"))
+            .withColumn(
+                "pr",
+                (F.lit(0.15) / F.col("n"))
+                + (F.lit(0.85) * F.col("contrib")),
+            )
+            .select("node", "deg", "n", "pr")
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("node").alias("doc_id"), "deg", "pr")
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    """Chained-CTE unrolling of the fixed-iteration recurrence —
+    GENERATED from ``n_iter`` so the oracle can never desync from the
+    Spark loop when PAGERANK_ITERS changes."""
+    its = []
+    for t in range(n_iter):
+        prev = f"r{t}"
+        its.append(
+            f"""r{t + 1} AS (
+        SELECT d.node, d.deg,
+               ((0.15 / (SELECT n FROM nn))
+                + (0.85 * s.contrib)) AS pr
+        FROM deg d JOIN (
+            SELECT e.dst AS node, SUM(r.pr / r.deg) AS contrib
+            FROM edges e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst
+        ) s ON d.node = s.node
+    )"""
+        )
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH {_CLUSTER_PAIRS_SQL},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    {chain}
+    SELECT node AS doc_id, CAST(deg AS BIGINT) AS deg, pr
+    FROM r{n_iter}
+    """
+
+
+@query("neardup_pagerank", oracle=_pagerank_oracle(PAGERANK_ITERS))
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of every document in the bigram-Jaccard
+    near-dup graph (exact pair mode at ``CLUSTER_THRESHOLD``, the same
+    edge relation ``neardup_clusters`` clusters over) — ranks the
+    canonical representative of each duplicate cluster.  See module
+    docstring for the per-iteration plan shape."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact")
+    return pagerank(pairs.select("doc_a", "doc_b"))

@@ -1,0 +1,80 @@
+"""Ground-truth tests for the PageRank operator (`operators/graph.py`)
+against an independent dense power-iteration reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from national_caseload_data_ingest_spark.operators.graph import pagerank
+
+# Undirected near-dup-shaped graph: a 4-star (hub 0), a triangle, a
+# 2-chain, plus a path tying the star to the triangle.
+EDGES = [
+    (0, 1),
+    (0, 2),
+    (0, 3),
+    (0, 4),
+    (5, 6),
+    (6, 7),
+    (5, 7),
+    (4, 5),
+    (8, 9),
+]
+
+
+def _reference_pagerank(edges, n_iter, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = 1.0
+        adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        pr = (1.0 - d) / n + d * (adj.T @ (pr / deg))
+    return {u: pr[idx[u]] for u in nodes}, {u: int(deg[idx[u]]) for u in nodes}
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "doc_a long, doc_b long")
+
+
+def test_pagerank_matches_power_iteration(spark, edges_df):
+    got = {r["doc_id"]: r for r in pagerank(edges_df, n_iter=10).collect()}
+    want_pr, want_deg = _reference_pagerank(EDGES, n_iter=10)
+    assert set(got) == set(want_pr)
+    for u in want_pr:
+        assert got[u]["deg"] == want_deg[u]
+        assert got[u]["pr"] == pytest.approx(want_pr[u], rel=1e-12)
+
+
+def test_pagerank_mass_conserved(spark, edges_df):
+    """With no dangling nodes the total rank mass stays exactly 1 at
+    every iteration count (up to fp summation)."""
+    for n_iter in (1, 5):
+        rows = pagerank(edges_df, n_iter=n_iter).collect()
+        assert sum(r["pr"] for r in rows) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_hub_outranks_leaves(spark, edges_df):
+    """The star hub must dominate its leaves — the property that makes
+    PageRank the canonical-survivor choice for duplicate clusters."""
+    got = {r["doc_id"]: r["pr"] for r in pagerank(edges_df).collect()}
+    assert got[0] > got[1] == pytest.approx(got[2], rel=1e-12)
+    # bridge node 4 sees two hubs, outranks plain leaves
+    assert got[4] > got[1]
+
+
+def test_pagerank_no_udfs_in_plan(spark, edges_df):
+    plan = (
+        pagerank(edges_df, n_iter=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
