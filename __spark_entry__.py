@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 import national_caseload_data_ingest_spark.operators.analytic  # noqa: F401
 import national_caseload_data_ingest_spark.operators.audio  # noqa: F401
 import national_caseload_data_ingest_spark.operators.bpe  # noqa: F401
+import national_caseload_data_ingest_spark.operators.classifier  # noqa: F401
 import national_caseload_data_ingest_spark.operators.curation  # noqa: F401
 import national_caseload_data_ingest_spark.operators.dedup  # noqa: F401
 import national_caseload_data_ingest_spark.operators.formats  # noqa: F401
