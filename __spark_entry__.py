@@ -22,8 +22,10 @@ import national_caseload_data_ingest_spark.operators.curation  # noqa: F401
 import national_caseload_data_ingest_spark.operators.dedup  # noqa: F401
 import national_caseload_data_ingest_spark.operators.formats  # noqa: F401
 import national_caseload_data_ingest_spark.operators.graph  # noqa: F401
+import national_caseload_data_ingest_spark.operators.linkage  # noqa: F401
 import national_caseload_data_ingest_spark.operators.lm  # noqa: F401
 import national_caseload_data_ingest_spark.operators.multimodal  # noqa: F401
+import national_caseload_data_ingest_spark.operators.profiling  # noqa: F401
 import national_caseload_data_ingest_spark.operators.relational  # noqa: F401
 import national_caseload_data_ingest_spark.operators.similarity  # noqa: F401
 import national_caseload_data_ingest_spark.operators.skew  # noqa: F401

@@ -1,0 +1,139 @@
+"""Table profiling: one-pass per-column statistics (the ``SUMMARIZE`` /
+data-quality audit surface an ingest engine runs before registering a
+table — null rates, cardinalities, ranges).
+
+Spark-first shape: ALL columns profile in ONE aggregate pass — a single
+job computes count / null-count / exact distinct / min / max for every
+column simultaneously (Catalyst expands multiple DISTINCT aggregates
+into one expand + two-stage hash aggregate), and the wide one-row result
+is unpivoted to a per-column relation with ``stack`` — still one scan of
+the table, no per-column jobs.  At 100 TB swap the exact
+``countDistinct`` for ``approx_count_distinct`` (HLL — same plan shape,
+constant state); exact is kept here because it is what the DuckDB oracle
+can replay bit-for-bit.
+
+Numeric ranges surface as doubles, string/timestamp ranges as their cast
+string form (ISO for timestamps) — identical casts on both engines.
+
+The reference registers tables blind (DDL from the README spec only,
+/root/reference/ncd/normal_table.py); profiling is the audit extension a
+100 TB ingest wants before MSCK.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+NUMERIC_TYPES = {"bigint", "int", "integer", "smallint", "double", "float"}
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Per-column profile of any DataFrame in one aggregate pass →
+    ``(col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str)``."""
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for name, dtype in df.dtypes:
+        numeric = dtype in NUMERIC_TYPES
+        aggs += [
+            F.sum(F.col(name).isNull().cast("long")).alias(f"{name}__nulls"),
+            F.countDistinct(name).alias(f"{name}__distinct"),
+            (
+                F.min(name).cast("double")
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias(f"{name}__min_num"),
+            (
+                F.max(name).cast("double")
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias(f"{name}__max_num"),
+            (
+                F.lit(None).cast("string")
+                if numeric
+                else F.min(name).cast("string")
+            ).alias(f"{name}__min_str"),
+            (
+                F.lit(None).cast("string")
+                if numeric
+                else F.max(name).cast("string")
+            ).alias(f"{name}__max_str"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nulls, {name}__distinct, "
+        f"{name}__min_num, {name}__max_num, {name}__min_str, {name}__max_str"
+        for name, _ in df.dtypes
+    )
+    n_cols = len(df.dtypes)
+    return wide.select(
+        F.expr(
+            f"stack({n_cols}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
+def _profile_oracle(columns: list[tuple[str, bool]]) -> str:
+    """UNION ALL of per-column profile rows — GENERATED from the column
+    list so the oracle can never desync from the Spark projection."""
+    parts = []
+    for name, numeric in columns:
+        if numeric:
+            mn, mx = f"CAST(MIN({name}) AS DOUBLE)", f"CAST(MAX({name}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = (
+                f"CAST(MIN({name}) AS VARCHAR)",
+                f"CAST(MAX({name}) AS VARCHAR)",
+            )
+        parts.append(
+            f"""SELECT '{name}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+               {mn} AS min_num, {mx} AS max_num,
+               {ms} AS min_str, {xs} AS max_str
+            FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_LINEITEM_COLS = [
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_linenumber", True),
+    ("l_quantity", True),
+    ("l_extendedprice", True),
+    ("l_discount", True),
+    ("l_tax", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+    ("l_shipdate", False),
+]
+
+
+@query("profile_lineitem", oracle=_profile_oracle(_LINEITEM_COLS))
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of ``lineitem`` (the audit an ingest
+    runs before registering a table).  See module docstring for the
+    single-scan plan shape."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return profile_table(li)
