@@ -31,6 +31,7 @@ import national_caseload_data_ingest_spark.operators.similarity  # noqa: F401
 import national_caseload_data_ingest_spark.operators.skew  # noqa: F401
 import national_caseload_data_ingest_spark.operators.temporal  # noqa: F401
 import national_caseload_data_ingest_spark.operators.text  # noqa: F401
+import national_caseload_data_ingest_spark.operators.timeseries  # noqa: F401
 import national_caseload_data_ingest_spark.operators.tpch_extra  # noqa: F401
 import national_caseload_data_ingest_spark.streaming.documents  # noqa: F401
 import national_caseload_data_ingest_spark.streaming.events  # noqa: F401

@@ -1,0 +1,220 @@
+"""Warehouse time-series operators over the ``events`` table: SCD
+type-2 interval building, dense hourly gap-fill with forward-fill, and
+range-interval rolling windows.
+
+Three shapes every event-warehouse needs that the plain window suite
+(analytic.py) doesn't cover:
+
+* **SCD2**: collapse an event stream into slowly-changing-dimension
+  type-2 validity intervals — one row per STATE CHANGE with
+  ``[valid_from, valid_to)`` and an ``is_current`` flag.  One window
+  per user (lag to detect changes, lead to close intervals); shuffle
+  keyed by user id, group size bounded by per-user history.
+* **Gap-fill**: aggregate to an hourly grid, then LEFT-join a generated
+  dense calendar (``sequence`` + ``explode`` of a broadcast one-row
+  min/max aggregate — no driver collect) so silent hours exist as rows;
+  zero-fill the additive measures and forward-fill the last observed
+  average (``last(..., ignorenulls=True)`` over an unbounded-preceding
+  window).  The calendar is O(hours × keys), independent of event
+  count, and joins broadcast.
+* **Rolling range frame**: per-event trailing-1-hour aggregates via
+  ``Window.orderBy(epoch).rangeBetween(-3600, 0)`` — a TIME-based frame
+  (rows don't matter, seconds do), which ``rowsBetween`` cannot
+  express.  One shuffle on user id; peers at identical timestamps are
+  frame-included identically in any engine, so the relation is
+  deterministic.
+
+All three carry DuckDB oracles (same windows, same casts; DuckDB's
+``RANGE BETWEEN`` and ``IGNORE NULLS`` match Spark's frame semantics).
+
+The reference (/root/reference/ncd/) has no temporal surface; this
+extends the build brief's query-surface band alongside as-of joins and
+sessionization (temporal.py, streaming/events.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key: str = "user_id",
+    state: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Event stream → SCD type-2 state intervals: one row per state
+    change, ``valid_to`` = next change (NULL while current)."""
+    order = [F.col(ts), F.col(tiebreak)]
+    w = Window.partitionBy(key).orderBy(*order)
+    changes = (
+        events.select(key, state, ts, tiebreak)
+        .withColumn("__prev", F.lag(state).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(state) != F.col("__prev"))
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        changes.withColumn("valid_to", F.lead(ts).over(w2))
+        .select(
+            F.col(key),
+            F.col(state).alias("state"),
+            F.col(ts).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+@query(
+    "scd2_user_segments",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM marked
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 intervals of each user's event-type state — the
+    dimension-history builder of a warehouse load.  See module docstring
+    for the plan shape."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return scd2_intervals(e)
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ),
+    grid AS (
+        SELECT t.typ AS event_type, g.h AS hour
+        FROM (SELECT DISTINCT event_type AS typ FROM events) t,
+             (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM bounds) g
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               SUM(value) AS sum_value,
+               COUNT(*) AS n_events,
+               SUM(value) / COUNT(*) AS avg_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour,
+           COALESCE(h.sum_value, 0.0) AS sum_value,
+           CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+           (h.hour IS NULL) AS gap_filled,
+           LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_avg_value
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.hour = h.hour
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-event-type series: zero-filled sums/counts on a
+    generated calendar plus forward-filled last observed hourly average.
+    See module docstring for the broadcast-calendar plan shape."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum("value").alias("sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("value") / F.count(F.lit(1))).alias("avg_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hourly_r = hourly.withColumnRenamed("hour", "hhour").withColumnRenamed(
+        "event_type", "htype"
+    )
+    joined = grid.join(
+        hourly_r,
+        (F.col("event_type") == F.col("htype"))
+        & (F.col("hour") == F.col("hhour")),
+        "left",
+    ).select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.col("hhour").isNull().alias("gap_filled"),
+        F.col("avg_value"),
+    )
+    return joined.withColumn(
+        "ffill_avg_value", F.last("avg_value", ignorenulls=True).over(w)
+    ).drop("avg_value")
+
+
+ROLL_SECONDS = 3600
+
+
+@query(
+    "rolling_hour_user_value",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           SUM(value) OVER w AS roll_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt,
+           SUM(value) OVER w / COUNT(*) OVER w AS roll_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN {ROLL_SECONDS} PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour per-user rolling sum/count/avg for every event —
+    a TIME-range frame (``rangeBetween`` on epoch seconds), not a row
+    frame.  See module docstring."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-ROLL_SECONDS, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum("value").over(w).alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_cnt"),
+        (F.sum("value").over(w) / F.count(F.lit(1)).over(w)).alias("roll_avg"),
+    )
