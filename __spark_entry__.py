@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Importing the operator modules populates the registry.
 import national_caseload_data_ingest_spark.operators.analytic  # noqa: F401
 import national_caseload_data_ingest_spark.operators.audio  # noqa: F401
+import national_caseload_data_ingest_spark.operators.behavior  # noqa: F401
 import national_caseload_data_ingest_spark.operators.bpe  # noqa: F401
 import national_caseload_data_ingest_spark.operators.classifier  # noqa: F401
 import national_caseload_data_ingest_spark.operators.curation  # noqa: F401

@@ -1,0 +1,232 @@
+"""Behavioral / product-analytics operators over the ``events`` table:
+ordered funnels, cohort retention, and robust (median/MAD) outlier
+detection.
+
+The event-analytics query band of a warehouse engine.  All three are
+pure DataFrame aggregate/join compositions with DuckDB oracles:
+
+* **Funnel** — ordered-sequence conversion (view → click → purchase,
+  each step strictly AFTER the previous step's first completion).  Each
+  step is one filtered aggregate keyed by user joined to the previous
+  step's first-completion times; step relations shrink monotonically,
+  and the final output is three one-row aggregates unioned with the
+  step-1 count broadcast for conversion rates.  Per-step cost: one scan
+  + one user-keyed shuffle; no window over the full history.
+* **Cohort retention** — users cohorted by first-activity day, one row
+  per (cohort_day, day_offset) with distinct active users and the
+  retention rate against the cohort size.  Two aggregates + one join,
+  all keyed by user/cohort; the output is calendar-bounded
+  (days × days), independent of event volume.
+* **Robust outliers** — per-type median and MAD (median absolute
+  deviation) flag events beyond ``MAD_K`` robust z-units.  Exact
+  percentiles sort per group (the oracle-checkable form; route to
+  ``approx_percentile`` at 100 TB, same caveat as
+  ``median_quantity_by_flag``, temporal.py); the two medians are two
+  small per-type aggregates broadcast back onto the stream, so the
+  event-sized passes stay narrow.
+
+The reference (/root/reference/ncd/) has no analytics surface; this
+extends the build brief's query-surface band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+MAD_K = 3.0
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...]) -> DataFrame:
+    """Ordered funnel: step k counts users whose first step-k event is
+    strictly after their first qualifying step-(k-1) event.  Returns
+    (step, step_name, users, conversion) with conversion relative to
+    step 1."""
+    prev: DataFrame | None = None
+    counts = []
+    for k, name in enumerate(steps, start=1):
+        stage = events.filter(F.col("event_type") == name)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").filter(
+                F.col("ts") > F.col("prev_ts")
+            )
+        cur = stage.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
+        counts.append(
+            cur.agg(
+                F.lit(k).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.count(F.lit(1)).alias("users"),
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    base = counts[0].select(F.col("users").alias("step1_users"))
+    return out.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_name",
+        "users",
+        (F.col("users").cast("double") / F.col("step1_users")).alias(
+            "conversion"
+        ),
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS users FROM s1
+        UNION ALL
+        SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM s3
+    )
+    SELECT step, step_name, CAST(users AS BIGINT) AS users,
+           CAST(users AS DOUBLE)
+           / (SELECT users FROM counts WHERE step = 1) AS conversion
+    FROM counts
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered conversion funnel (view → click → purchase).
+    See module docstring for the per-step plan shape."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return funnel(e, FUNNEL_STEPS)
+
+
+@query(
+    "daily_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    sizes AS (
+        SELECT cohort_day, COUNT(*) AS cohort_size
+        FROM cohorts GROUP BY cohort_day
+    )
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT)
+               AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size
+               AS retention
+    FROM activity a
+    JOIN cohorts c ON a.user_id = c.user_id
+    JOIN sizes s ON c.cohort_day = s.cohort_day
+    GROUP BY c.cohort_day, day_offset, s.cohort_size
+    """,
+)
+def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users cohorted by first-seen
+    day, per (cohort, offset) distinct-active counts and rates.  See
+    module docstring."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    cohorts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .join(sizes, "cohort_day")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+            "cohort_size",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "active_users",
+            "cohort_size",
+            (
+                F.col("active_users").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "event_value_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+           (e.value - m.med) / d.mad AS robust_z
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE abs(e.value - m.med) > {MAD_K} * d.mad
+    """,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers: |value − median| > {MAD_K}·MAD.  Two
+    tiny per-type aggregates broadcast onto the stream; the filter and
+    robust z-score are codegen.  See module docstring for the 100 TB
+    percentile route."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            ((F.col("value") - F.col("med")) / F.col("mad")).alias("robust_z"),
+        )
+    )
