@@ -21,8 +21,10 @@ import national_caseload_data_ingest_spark.operators.bpe  # noqa: F401
 import national_caseload_data_ingest_spark.operators.classifier  # noqa: F401
 import national_caseload_data_ingest_spark.operators.curation  # noqa: F401
 import national_caseload_data_ingest_spark.operators.dedup  # noqa: F401
+import national_caseload_data_ingest_spark.operators.embedding  # noqa: F401
 import national_caseload_data_ingest_spark.operators.formats  # noqa: F401
 import national_caseload_data_ingest_spark.operators.graph  # noqa: F401
+import national_caseload_data_ingest_spark.operators.incremental  # noqa: F401
 import national_caseload_data_ingest_spark.operators.linkage  # noqa: F401
 import national_caseload_data_ingest_spark.operators.lm  # noqa: F401
 import national_caseload_data_ingest_spark.operators.multimodal  # noqa: F401

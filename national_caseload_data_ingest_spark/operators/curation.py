@@ -912,3 +912,55 @@ def token_budget_shards_scaled(
         _shard_kernel(offsets, TOKENS_PER_SHARD),
         schema="doc_id bigint, lang string, n_tokens bigint, shard bigint",
     )
+
+
+# -- deterministic weighted sampling (Efraimidis–Spirakis) ----------------
+
+WEIGHTED_SAMPLE_K = 100
+
+# Knuth multiplicative hash → unit interval.  Chosen over xxhash64
+# because both engines reproduce the arithmetic exactly, which is what
+# makes the sample ORACLE-CHECKABLE; a production corpus with adversarial
+# doc_ids should swap in xxhash64 (same plan shape, rows-only check).
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           ln(CAST((doc_id * {_KNUTH}) % {_MOD} + 1 AS DOUBLE)
+              / {_MOD + 1}) / n_chars AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): draw {WEIGHTED_SAMPLE_K} docs with inclusion odds
+    proportional to length (``n_chars``) — the length-aware corpus-mixing
+    draw, as one pass.
+
+    Each doc gets key ln(u)/w for a deterministic unit uniform u; the
+    top-k keys ARE the weighted sample (u^(1/w) ordering, log form).
+    The whole operator is a codegen expression + ``TakeOrderedAndProject``
+    (per-partition heaps of k rows — no global sort, no shuffle of the
+    corpus), so it scales as a narrow scan at any size.  Ties broken by
+    doc_id for a stable relation."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    u = (
+        ((F.col("doc_id") * _KNUTH) % _MOD + 1).cast("double")
+        / F.lit(float(_MOD + 1))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.log(u) / F.col("n_chars")).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
