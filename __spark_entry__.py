@@ -23,6 +23,7 @@ import national_caseload_data_ingest_spark.operators.curation  # noqa: F401
 import national_caseload_data_ingest_spark.operators.dedup  # noqa: F401
 import national_caseload_data_ingest_spark.operators.embedding  # noqa: F401
 import national_caseload_data_ingest_spark.operators.formats  # noqa: F401
+import national_caseload_data_ingest_spark.operators.governance  # noqa: F401
 import national_caseload_data_ingest_spark.operators.graph  # noqa: F401
 import national_caseload_data_ingest_spark.operators.incremental  # noqa: F401
 import national_caseload_data_ingest_spark.operators.linkage  # noqa: F401

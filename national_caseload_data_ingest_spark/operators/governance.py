@@ -1,0 +1,237 @@
+"""Data-governance operators: constraint validation, snapshot diffing,
+and column-correlation profiling — the audit band an ingest engine runs
+around every load.
+
+* **Constraint validation** (dbt-test style): each rule is ONE aggregate
+  or anti-join counting violations — uniqueness, not-null, accepted
+  range, referential integrity — unioned into a (rule, violations,
+  passed) report.  Every rule is a scan-bounded aggregate; the RI check
+  is a broadcast-able anti join keyed on the FK.  A load gate reads one
+  tiny relation instead of eyeballing logs.
+* **Snapshot diff** — classify rows between two table versions as
+  added / removed / changed via one full-outer join on the key with a
+  row-hash comparison (md5 of the concatenated value columns, computed
+  identically in both engines).  The shuffle is keyed by the table key;
+  change classification is codegen.  This is the CDC-extraction
+  primitive when the upstream can't emit change streams.
+* **Correlation matrix** — Pearson correlation + sample covariance for
+  every numeric column pair of ``lineitem`` in ONE aggregate pass
+  (Catalyst fuses the co-moment accumulators), unpivoted to a
+  (col_a, col_b, corr, covar) relation.
+
+The reference loads blind and validates nothing
+(/root/reference/ncd/load_all.py); this is the audit extension of the
+build brief's DDL/maintenance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+
+@query(
+    "validate_orders_constraints",
+    oracle="""
+    SELECT 'orders_pk_unique' AS rule,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS violations
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) g
+    WHERE n > 1
+    UNION ALL
+    SELECT 'orders_key_not_null',
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report over orders/lineitem: five rules,
+    each one aggregate or anti join, unioned to (rule, violations).
+    See module docstring."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o, li = t["orders"], t["lineitem"]
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.lit("orders_pk_unique").alias("rule"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("violations"),
+        )
+    )
+    nn = o.agg(
+        F.lit("orders_key_not_null").alias("rule"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("violations"),
+    )
+    pos = o.agg(
+        F.lit("orders_price_positive").alias("rule"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("violations"),
+    )
+    acc = o.agg(
+        F.lit("orders_status_accepted").alias("rule"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("violations"),
+    )
+    fk = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(
+            F.lit("lineitem_fk_orders").alias("rule"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+    )
+    return dup.unionAll(nn).unionAll(pos).unionAll(acc).unionAll(fk)
+
+
+# Synthetic "previous snapshot" for the diff demo: drop every 7th order
+# (additions in the new snapshot) and bump every 5th price (changes).
+# The bump is plain IEEE +1.0 — engine-exact — so the oracle
+# reconstructs the identical old snapshot.
+_DIFF_DROP_MOD = 7
+_DIFF_BUMP_MOD = 5
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Classify rows between two snapshots: one full-outer join on
+    ``key`` + md5 row-hash comparison → (key, change) where change ∈
+    {added, removed, changed}.  Unchanged rows drop out in-plan."""
+    def rh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])).alias(
+                "rh"
+            ),
+        )
+
+    o = rh(old).withColumnRenamed("rh", "rh_old")
+    n = rh(new).withColumnRenamed("rh", "rh_new")
+    return (
+        o.join(n, key, "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("rh_old").isNull(), "added")
+            .when(F.col("rh_new").isNull(), "removed")
+            .when(F.col("rh_old") != F.col("rh_new"), "changed"),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(key, "change")
+    )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % {_DIFF_BUMP_MOD} = 0
+                    THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % {_DIFF_DROP_MOD} <> 0
+    ),
+    oh AS (
+        SELECT o_orderkey,
+               md5(concat_ws(chr(31), CAST(o_totalprice AS VARCHAR),
+                             o_orderstatus)) AS rh_old
+        FROM old
+    ),
+    nh AS (
+        SELECT o_orderkey,
+               md5(concat_ws(chr(31), CAST(o_totalprice AS VARCHAR),
+                             o_orderstatus)) AS rh_new
+        FROM orders
+    )
+    SELECT COALESCE(oh.o_orderkey, nh.o_orderkey) AS o_orderkey,
+           CASE WHEN oh.o_orderkey IS NULL THEN 'added'
+                WHEN nh.o_orderkey IS NULL THEN 'removed'
+                WHEN rh_old <> rh_new THEN 'changed' END AS change
+    FROM oh FULL OUTER JOIN nh ON oh.o_orderkey = nh.o_orderkey
+    WHERE (oh.o_orderkey IS NULL) OR (nh.o_orderkey IS NULL)
+          OR (rh_old <> rh_new)
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff of ``orders`` against a deterministically perturbed
+    previous version (every {_DIFF_DROP_MOD}th order absent → 'added',
+    every {_DIFF_BUMP_MOD}th price bumped → 'changed').  See module
+    docstring for the CDC-extraction plan shape."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    old = o.filter(F.col("o_orderkey") % _DIFF_DROP_MOD != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % _DIFF_BUMP_MOD == 0,
+            F.col("o_totalprice") + F.lit(1.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        old,
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        "o_orderkey",
+        ["o_totalprice", "o_orderstatus"],
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    parts = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            parts.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+                   corr({a}, {b}) AS corr,
+                   covar_samp({a}, {b}) AS covar
+                FROM lineitem"""
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("lineitem_correlations", oracle=_corr_oracle())
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance for every numeric column
+    pair of ``lineitem``, computed in ONE aggregate pass and unpivoted.
+    See module docstring."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    aggs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs += [
+                F.corr(a, b).alias(f"corr__{a}__{b}"),
+                F.covar_samp(a, b).alias(f"covar__{a}__{b}"),
+            ]
+    wide = li.agg(*aggs)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    stack = ", ".join(
+        f"'{a}', '{b}', corr__{a}__{b}, covar__{a}__{b}" for a, b in pairs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr, covar)"
+        )
+    )
