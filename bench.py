@@ -83,6 +83,10 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "cosine_topk_bruteforce",
     "multimodal_byte_features",
+    # round-6: the distributed-model text path (bigram-LM perplexity) —
+    # explode + two count shuffles + two model joins, the heaviest new
+    # plan family of the analytics expansion
+    "lm_perplexity",
 ]
 
 

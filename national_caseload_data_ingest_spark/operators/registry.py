@@ -35,22 +35,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The per-round driver verifies queries in dict-iteration order and caps at
 # the first 50 (the cap is empirical, see COVERAGE.md).  The window ROTATES
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
-# the whole catalog: after round 5 every one of the 109 then-registered
-# queries had at least one driver row, so the risk is now STALENESS, not
-# coverage.  Round 6 therefore front-loads the never-driver-checked round-6
-# operators (9), then, in oldest-row-first order, the 16 whose last row is
-# round 2, then 25 of the 43 whose last row is round 4.  The 18
-# round-4-checked queries that don't fit the 50-cap — simple scalar-
-# function/set/collection/events queries with three consecutive green
-# rounds behind them (string/date/math/conditional functions, vector_norms,
-# distinct_part_counts, set_union_all_party_nations, topk_expensive_orders,
-# array_agg_order_keys, json_extract_events, session_window_events,
-# user_lifetime_stats, events_enriched_segment, signup_purchase_within_hour,
-# doc_fingerprint, median_quantity_by_flag, token_count_by_source,
-# quality_score) — are deferred to the local
-# full-catalog replay (tools/check_oracle.py, same check, run at BOTH
-# sf0.01 and sf0.1 this round; COVERAGE.md records it) and are first in
-# line for the round-7 window.
+# the whole catalog: after round 5 every then-registered query had at
+# least one driver row, so the risk is STALENESS plus the NEW round-6
+# surface.  Round 6 registered 28 queries that have never had a driver
+# row (9 from the early-round codec/format/dedup work, 19 from the
+# analytics/LM/classifier/governance expansion); the window front-loads
+# all 28, then the 16 queries whose freshest row is round 2, then 6
+# category-diverse representatives from the 43 whose freshest row is
+# round 4.  The remaining 37 round-4-checked and all 50 round-5-checked
+# queries are covered by the local full-catalog replay
+# (tools/check_oracle.py at BOTH sf0.01 and sf0.1 each round; COVERAGE.md
+# records it) and the round-4 set is first in line for the round-7 window.
 CHECK_PRIORITY: list[str] = [
     # -- round-6 new operators (never driver-checked) ----------------------
     "gif_decode_features",  # native GIF/LZW decode E2E
@@ -62,6 +57,25 @@ CHECK_PRIORITY: list[str] = [
     "orc_roundtrip_lineitem",
     "csv_roundtrip_documents",
     "json_roundtrip_documents",
+    "lm_perplexity",  # bigram-LM held-out perplexity
+    "neardup_pagerank",  # PageRank over the near-dup graph
+    "audio_autocorr_features",  # integer-exact time-domain audio
+    "audio_spectrogram_stats",  # rows-only by design (FFT/libm)
+    "quality_classifier_scores",  # rows-only by design (float GD)
+    "profile_lineitem",  # one-pass per-column profile
+    "link_customer_records",  # blocked edit-distance ER
+    "scd2_user_segments",
+    "events_hourly_gapfill",
+    "rolling_hour_user_value",
+    "funnel_view_click_purchase",
+    "daily_cohort_retention",
+    "event_value_outliers",
+    "incremental_priority_stats",  # monoid merge == full recompute
+    "weighted_sample_docs",  # Efraimidis-Spirakis deterministic draw
+    "embedding_pca_projection",  # rows-only by design (eigh)
+    "validate_orders_constraints",
+    "snapshot_diff_orders",
+    "lineitem_correlations",
     # -- freshest driver row is round 2 ------------------------------------
     "window_running_total",
     "window_ntile_share",
@@ -79,32 +93,13 @@ CHECK_PRIORITY: list[str] = [
     "having_supplier_volume",
     "in_subquery_rich_customers",
     "cross_join_region_status",
-    # -- freshest driver row is round 4 ------------------------------------
+    # -- freshest driver row is round 4 (category representatives) ---------
     "window_rank_orders",
     "cube_returnflag_status",
-    "rollup_region_nation",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "embedding_cosine_neardup",
     "training_data_pipeline",
-    "neardup_clusters",
-    "decontaminate_overlap",
-    "token_budget_shards",
-    "multimodal_byte_features",
-    "q3_shipping_priority",
-    "q6_revenue_forecast",
-    "semi_join_urgent_customers",
-    "anti_join_customers_no_orders",
-    "outer_join_order_counts",
-    "full_outer_nation_activity",
-    "scalar_subquery_above_avg",
-    "exists_correlated_heavy_parts",
-    "theta_join_nation_pairs",
-    "range_join_value_bins",
-    "cosine_topk_bruteforce",
-    "ann_lsh_topk",  # rows-only by design (hash-seeded)
-    "ann_ivf_topk",  # rows-only by design (model-seeded)
-    "lang_id_heuristic",
 ]
 
 

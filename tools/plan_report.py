@@ -38,6 +38,24 @@ SHUFFLE_BUDGET = {
     # runtime when it is actually small and the local shuffle reader then
     # serves the probe side without network movement.
     "tfidf_top_terms": 5,
+    # round-6 composed pipelines — each count is the tuned plan, so a
+    # regression past it still flags:
+    # lm_perplexity's 6 = bigram-count groupBy + context groupBy + vocab
+    # countDistinct (2-phase) + model shuffle join + per-doc final agg —
+    # the price of keeping the LM a DISTRIBUTED relation instead of a
+    # broadcast vocabulary (the scale-correct choice, see lm.py).
+    "lm_perplexity": 6,
+    # funnel's 7 = three per-step user-keyed groupBys + three one-row
+    # step-count aggregates (single-partition exchanges) + the union;
+    # step joins are all broadcast (step relations shrink monotonically).
+    "funnel_view_click_purchase": 7,
+    # cohort's 6 = activity distinct + per-user cohort agg + cohort-size
+    # agg + final (cohort, offset) countDistinct (2-phase expand);
+    # all joins broadcast.
+    "daily_cohort_retention": 6,
+    # five independent validation rules = five aggregate exchanges + the
+    # dup-key groupBy; each rule is one scan-bounded pass by design.
+    "validate_orders_constraints": 6,
 }
 
 
