@@ -230,3 +230,71 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") - F.col("med")) / F.col("mad")).alias("robust_z"),
         )
     )
+
+
+def funnel_user_steps(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Per-user funnel progress: (user_id, step_reached, reached_ts) —
+    the user-level relation the step counts aggregate over, and the
+    batch twin of the ``transformWithState`` streaming funnel
+    (streaming/events.py).  Same per-step joins as :func:`funnel`."""
+    prev: DataFrame | None = None
+    reached: DataFrame | None = None
+    for k, name in enumerate(steps, start=1):
+        stage = events.filter(F.col("event_type") == name)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").filter(
+                F.col("ts") > F.col("prev_ts")
+            )
+        cur = stage.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
+        lvl = cur.select(
+            "user_id",
+            F.lit(k).alias("step_reached"),
+            F.col("prev_ts").alias("reached_ts"),
+        )
+        reached = lvl if reached is None else reached.unionAll(lvl)
+        prev = cur
+    return reached.groupBy("user_id").agg(
+        F.max("step_reached").alias("step_reached"),
+        F.max_by("reached_ts", "step_reached").alias("reached_ts"),
+    )
+
+
+
+@query(
+    "funnel_user_progress",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        GROUP BY e.user_id
+    ),
+    reached AS (
+        SELECT user_id, 1 AS k, t FROM s1
+        UNION ALL SELECT user_id, 2, t FROM s2
+        UNION ALL SELECT user_id, 3, t FROM s3
+    )
+    SELECT user_id,
+           CAST(MAX(k) AS INT) AS step_reached,
+           arg_max(t, k) AS reached_ts
+    FROM reached GROUP BY user_id
+    """,
+)
+def funnel_user_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel progress (furthest step + its first-completion
+    time) — the user-level relation behind the step counts, and the
+    batch twin of the streaming ``transformWithState`` funnel."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return funnel_user_steps(e, FUNNEL_STEPS)

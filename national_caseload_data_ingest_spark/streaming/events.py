@@ -668,3 +668,90 @@ def signup_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "signup"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: per-user ordered-sequence state machine
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUT = "user_id bigint, step_reached int, reached_us bigint"
+_FUNNEL_STATE = "step_reached int, reached_us bigint"
+
+
+def _funnel_update_factory(steps: tuple[str, ...]):
+    """GroupState kernel for the streaming funnel.
+
+    State: (step_reached, reached_us) — the furthest step and its
+    first-completion time in epoch micros.  Each batch walks the user's
+    new events in (ts, event_id) order and advances when the NEXT
+    step's event type arrives strictly after the current completion
+    time; a row is emitted only when the user advanced (update
+    semantics).
+
+    Greedy arrival-order advancement equals the batch min-time
+    semantics (`operators/behavior.funnel_user_steps`) when ingestion
+    is event-time ordered across batches — the standard append-log
+    case; out-of-order feeds want a watermark-delay buffer in front
+    (same caveat as any streaming sessionizer).  State is two scalars
+    per user: bounded by the user population, not history.
+
+    Note: Spark 4's ``transformWithStateInPandas`` expresses the same
+    machine with typed ValueState (a mixin sketch lived here briefly),
+    but its state server speaks protobuf and ``google.protobuf`` is not
+    in this container, so the shipped operator uses the GroupState API
+    — functionally identical for a single value-state machine.
+    """
+    step_names = list(steps)
+
+    def update(key, pdf_iter, state):
+        import pandas as pd  # noqa: PLC0415
+
+        if state.exists:
+            step, reached_us = state.get
+        else:
+            step, reached_us = 0, None
+        advanced = False
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                if step >= len(step_names):
+                    break
+                us = int(ts.value // 1000)
+                if et == step_names[step] and (
+                    reached_us is None or us > reached_us
+                ):
+                    step += 1
+                    reached_us = us
+                    advanced = True
+        if advanced:
+            state.update((step, reached_us))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "step_reached": step,
+                        "reached_us": reached_us,
+                    }
+                ]
+            )
+
+    return update
+
+
+def funnel_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming ordered funnel (view → click → purchase) — the
+    stateful twin of ``funnel_user_progress`` (operators/behavior.py).
+    Update mode: a user emits a row only in batches where they
+    advanced; the furthest row per user is the current position."""
+    from national_caseload_data_ingest_spark.operators.behavior import (  # noqa: PLC0415
+        FUNNEL_STEPS,
+    )
+
+    e = _events_stream(spark, events_dir)
+    return e.groupBy("user_id").applyInPandasWithState(
+        _funnel_update_factory(FUNNEL_STEPS),
+        outputStructType=FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -550,3 +550,103 @@ def test_streaming_lsh_recall_vs_exact_jaccard(spark):
     assert len(exact) > 0
     missed = exact - cands
     assert not missed, f"streaming LSH kernel missed ground-truth pairs: {missed}"
+
+
+def test_funnel_stream_equals_batch(spark):
+    """transformWithStateInPandas funnel ≡ the batch per-user funnel
+    relation on a single-batch feed."""
+    from national_caseload_data_ingest_spark.operators.behavior import (
+        FUNNEL_STEPS,
+        funnel_user_steps,
+    )
+    from national_caseload_data_ingest_spark.streaming.events import (
+        funnel_stream,
+    )
+
+    sdf = funnel_stream(spark, EVENTS_DIR)
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("funnel_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {}
+    for r in spark.sql("SELECT * FROM funnel_tws").collect():
+        prev = stream_rows.get(r["user_id"])
+        if prev is None or r["step_reached"] > prev["step_reached"]:
+            stream_rows[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r
+        for r in funnel_user_steps(
+            spark.read.parquet(EVENTS_DIR), FUNNEL_STEPS
+        ).collect()
+    }
+    assert set(stream_rows) == set(batch) and len(batch) > 0
+    for uid, b in batch.items():
+        s = stream_rows[uid]
+        assert s["step_reached"] == b["step_reached"], uid
+        assert s["reached_us"] == int(
+            b["reached_ts"].timestamp() * 1_000_000
+        ), uid
+
+
+def test_funnel_stream_multi_batch_in_order(spark, events_batch, tmp_path):
+    """Cross-batch state: an in-order two-batch split must produce the
+    same final funnel positions as one batch (state carries t1 across
+    the file boundary)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.operators.behavior import (
+        FUNNEL_STEPS,
+        funnel_user_steps,
+    )
+    from national_caseload_data_ingest_spark.streaming import events as sev
+
+    e = events_batch.orderBy("ts", "event_id")
+    rows = e.collect()
+    mid_ts = rows[len(rows) // 2]["ts"]
+    early = e.filter(F.col("ts") <= F.lit(mid_ts))
+    late = e.filter(F.col("ts") > F.lit(mid_ts))
+    d = str(tmp_path / "ev")
+    early.coalesce(1).write.parquet(os.path.join(d, "b0"))
+    late.coalesce(1).write.parquet(os.path.join(d, "b1"))
+
+    sdf = (
+        spark.readStream.schema(early.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "b*"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sev._funnel_update_factory(FUNNEL_STEPS),
+            outputStructType=sev.FUNNEL_OUT,
+            stateStructType=sev._FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("funnel_tws2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {}
+    for r in spark.sql("SELECT * FROM funnel_tws2").collect():
+        prev = stream_rows.get(r["user_id"])
+        if prev is None or r["step_reached"] > prev["step_reached"]:
+            stream_rows[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r
+        for r in funnel_user_steps(events_batch, FUNNEL_STEPS).collect()
+    }
+    assert set(stream_rows) == set(batch)
+    for uid, b in batch.items():
+        assert stream_rows[uid]["step_reached"] == b["step_reached"], uid
