@@ -37,12 +37,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
 # the whole catalog: after round 5 every then-registered query had at
 # least one driver row, so the risk is STALENESS plus the NEW round-6
-# surface.  Round 6 registered 28 queries that have never had a driver
-# row (9 from the early-round codec/format/dedup work, 19 from the
-# analytics/LM/classifier/governance expansion); the window front-loads
-# all 28, then the 16 queries whose freshest row is round 2, then 6
-# category-diverse representatives from the 43 whose freshest row is
-# round 4.  The remaining 37 round-4-checked and all 50 round-5-checked
+# surface.  Round 6 registered 29 queries that have never had a driver
+# row (9 from the early-round codec/format/dedup work, 20 from the
+# analytics/LM/classifier/governance/streaming-funnel expansion); the
+# window front-loads all 29, then the 16 queries whose freshest row is
+# round 2, then 5 category-diverse representatives from the 43 whose
+# freshest row is round 4 (the embedding family's slot is covered by
+# embedding_pca_projection above).  The remaining 38 round-4-checked and
+# all 50 round-5-checked
 # queries are covered by the local full-catalog replay
 # (tools/check_oracle.py at BOTH sf0.01 and sf0.1 each round; COVERAGE.md
 # records it) and the round-4 set is first in line for the round-7 window.
@@ -76,6 +78,7 @@ CHECK_PRIORITY: list[str] = [
     "validate_orders_constraints",
     "snapshot_diff_orders",
     "lineitem_correlations",
+    "funnel_user_progress",  # batch twin of the streaming funnel
     # -- freshest driver row is round 2 ------------------------------------
     "window_running_total",
     "window_ntile_share",
@@ -93,12 +96,12 @@ CHECK_PRIORITY: list[str] = [
     "having_supplier_volume",
     "in_subquery_rich_customers",
     "cross_join_region_status",
-    # -- freshest driver row is round 4 (category representatives) ---------
+    # -- freshest driver row is round 4 (category representatives; the
+    #    embedding family is represented by embedding_pca_projection above) --
     "window_rank_orders",
     "cube_returnflag_status",
     "dedup_exact",
     "ngram_jaccard_pairs",
-    "embedding_cosine_neardup",
     "training_data_pipeline",
 ]
 

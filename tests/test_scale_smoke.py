@@ -197,3 +197,80 @@ def test_ivf_assignment_spreads_large_corpus(spark):
     # at least half the cells in use (uniform corpus, loose bounds)
     assert max(r["n"] for r in sizes) < 10 * (N_DOCS / k), sizes
     assert len(sizes) >= k / 2, sizes
+
+
+def test_lm_model_stays_distributed_at_scale(spark, big_docs):
+    """Bigram-LM training on a 10⁵-doc corpus: the model relation must be
+    vocabulary-bounded (≪ corpus tokens), scoring must stay a join (no
+    broadcast of the bigram relation forced), and every held-out doc
+    gets a finite perplexity."""
+    from national_caseload_data_ingest_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    bigc, ctxc, vs = train_bigram_lm(big_docs)
+    n_bigrams = bigc.count()
+    # 5k-word vocab → ≤ 25M possible bigrams, but 3M observed tokens
+    # cap the distinct relation far below corpus scale
+    assert 0 < n_bigrams < 3_000_000
+    # no forced broadcast of the model in the plan (AQE may add one at
+    # runtime if it measures small — the point is we don't force it)
+    scored = score_perplexity(big_docs, bigc, ctxc, vs)
+    logical = scored._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ppl").alias("max_ppl"),
+        F.min("ppl").alias("min_ppl"),
+    ).collect()[0]
+    assert stats["n"] == N_DOCS // 5  # doc_id % 10 ∈ {8,9}
+    assert 1.0 <= stats["min_ppl"] <= stats["max_ppl"] < float("inf")
+
+
+def test_classifier_epoch_is_two_shuffles_at_scale(spark, big_docs):
+    """One GD epoch over a 10⁵-doc sparse feature relation: driver state
+    stays D+1 doubles, training converges on the length-signal task, and
+    the checkpointed relation keeps the per-epoch groupBy exchange-free."""
+    from national_caseload_data_ingest_spark.operators.classifier import (
+        HASH_DIM,
+        featurize,
+        score_logreg,
+        train_logreg,
+    )
+
+    # learnable surrogate: label by a token the doc actually contains
+    labels = big_docs.select(
+        "doc_id",
+        F.col("text").contains("w0 ").cast("double").alias("y"),
+    )
+    feats = featurize(big_docs)
+    w = train_logreg(feats, labels, epochs=4, lr=2.0)
+    assert len(w) == HASH_DIM + 1
+    scored = score_logreg(feats, w).join(labels, "doc_id")
+    acc = scored.select(
+        F.avg(((F.col("prob") >= 0.5) == (F.col("y") == 1.0)).cast("double"))
+    ).collect()[0][0]
+    # the w0-presence signal concentrates in one hash bucket — even 4
+    # epochs must beat the base rate decisively
+    base = labels.select(F.avg(F.greatest(F.col("y"), 1 - F.col("y")))).collect()[0][0]
+    assert acc > 0.6, (acc, base)
+
+
+def test_pagerank_rounds_are_bounded_at_scale(spark):
+    """PageRank on a 10⁵-edge preferential-attachment-ish graph: ranks
+    stay normalized and the hot hub gets the top rank — the AQE-skew
+    shape the docstring promises."""
+    from national_caseload_data_ingest_spark.operators.graph import pagerank
+
+    # star-heavy graph: node i attaches to i % 1000 (1000 hubs), plus a
+    # chain for diameter
+    edges = spark.range(1, 100_000).select(
+        F.col("id").alias("doc_a"), (F.col("id") % 1000).alias("doc_b")
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    pr = pagerank(edges, n_iter=5).persist()
+    total = pr.agg(F.sum("pr")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+    top = pr.orderBy(F.col("pr").desc()).limit(1).collect()[0]
+    pr.unpersist()
+    assert top["doc_id"] < 1000  # a hub, not a leaf
