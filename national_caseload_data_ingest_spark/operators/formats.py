@@ -157,3 +157,30 @@ def json_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.write.mode("overwrite").json(path)
     back = spark.read.schema(docs.schema).json(path)
     return _doc_digests(back)
+
+
+@query("avro_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
+def avro_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink+source fidelity through the engine's OWN pure-stdlib
+    Object Container File codec (`sources/avro.py` — Spark has no Avro
+    reader without the external spark-avro package, so the engine
+    carries one built from the public spec, deflate blocks included):
+    encode every documents partition into a self-contained container
+    payload, decode it back, and emit per-document digests from the
+    decoded copy.  The oracle digests the original parquet, so a
+    hash-match proves the zigzag-varint / union / deflate layers lost
+    nothing.  Both directions are narrow Arrow kernels; real file IO
+    (`write_avro`/`read_avro` over the binaryFile source) round-trips in
+    `tests/test_avro.py`."""
+    from national_caseload_data_ingest_spark.sources.avro import (  # noqa: PLC0415
+        decode_payloads,
+        encode_partitions,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = encode_partitions(docs, codec="deflate")
+    back = decode_payloads(
+        payloads,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return _doc_digests(back)

@@ -1,0 +1,114 @@
+"""Tests for the pure-stdlib Avro container codec (`sources/avro.py`):
+spec-structure checks, codec round-trips (null + deflate), property
+round-trips under hypothesis, and the distributed file write/read path."""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from national_caseload_data_ingest_spark.sources.avro import (
+    MAGIC,
+    avro_decode,
+    avro_encode,
+    read_avro,
+    write_avro,
+)
+
+FIELDS = [("id", "bigint"), ("name", "string"), ("score", "double"), ("ok", "boolean")]
+
+
+def test_container_structure_per_spec():
+    rows = [(1, "a", 0.5, True), (2, "b", 1.5, False)]
+    payload = avro_encode(rows, FIELDS, codec="null", block_records=1)
+    assert payload[:4] == MAGIC
+    # schema JSON must be embedded and declare nullable unions
+    assert b"avro.schema" in payload
+    i = payload.index(b'{"type": "record"')
+    schema = json.loads(payload[i : payload.index(b"avro.codec") - 1].split(b"}]}")[0] + b"}]}")
+    assert schema["fields"][0]["type"] == ["null", "long"]
+    # two blocks (block_records=1) → the 16-byte sync marker appears
+    # after the header and after each block = 3 times
+    fields, back = avro_decode(payload)
+    assert back == rows
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_with_nulls(codec):
+    rows = [
+        (None, None, None, None),
+        (-(2**62), "", -0.0, False),
+        (2**62, "naïve — ünïcode ✓", float("inf"), True),
+    ]
+    fields, back = avro_decode(avro_encode(rows, FIELDS, codec=codec))
+    assert back == rows
+    assert [t for _, t in fields] == ["long", "string", "double", "boolean"]
+
+
+def test_deflate_blocks_are_raw_rfc1951():
+    """The spec requires RAW deflate (no zlib wrapper, no checksum)."""
+    rows = [(i, "x" * 50, 1.0, True) for i in range(100)]
+    p_null = avro_encode(rows, FIELDS, codec="null")
+    p_defl = avro_encode(rows, FIELDS, codec="deflate")
+    assert len(p_defl) < len(p_null) // 2  # actually compressed
+    # a zlib-wrapped block would start with 0x78; raw deflate of this
+    # data must still decompress with wbits=-15 (done inside decode)
+    _, back = avro_decode(p_defl)
+    assert back == rows
+
+
+def test_corrupt_sync_marker_raises():
+    rows = [(1, "a", 0.5, True)]
+    payload = bytearray(avro_encode(rows, FIELDS, codec="null"))
+    payload[-1] ^= 0xFF  # flip a sync byte of the last block
+    with pytest.raises(ValueError, match="sync"):
+        avro_decode(bytes(payload))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, width=64),
+            ),
+            st.one_of(st.none(), st.booleans()),
+        ),
+        max_size=30,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+def test_property_roundtrip(rows, codec):
+    _, back = avro_decode(avro_encode(rows, FIELDS, codec=codec, block_records=7))
+    assert back == rows
+
+
+def test_distributed_file_roundtrip(spark, tmp_path):
+    """write_avro (one container per partition) → binaryFile read →
+    decode kernel must reproduce the table exactly."""
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", "documents")[
+        "documents"
+    ].repartition(4)
+    path = str(tmp_path / "docs_avro")
+    write_avro(docs, path)
+    import os
+
+    files = [f for f in os.listdir(path) if f.endswith(".avro")]
+    assert 1 <= len(files) <= 4  # ≤ one file per non-empty partition
+    back = read_avro(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b and len(a) > 0
