@@ -902,6 +902,18 @@ _JPEG_ZIGZAG = [
     53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
+# Annex K.2 chrominance quantization table (quality 50), natural order.
+_JPEG_QTABLE_C = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
 # Annex K.3 luminance Huffman specs: (BITS[1..16], HUFFVAL)
 _JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_DC_VALS = list(range(12))
@@ -927,6 +939,35 @@ _JPEG_AC_VALS = [
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+# Annex K.3 chrominance Huffman specs
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
 
@@ -1180,7 +1221,8 @@ def _jpeg_decode_impl(data: bytes):
     qtables: dict[int, object] = {}
     htables: dict[tuple[int, int], object] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
+    components: list[tuple[int, int]] = []  # (comp_id, tq) in SOF order
+    scan_tabs: dict[int, tuple[int, int]] = {}  # comp_id -> (dc, ac)
     restart_interval = 0
     pos = 2
     zz = np.asarray(_JPEG_ZIGZAG)
@@ -1220,12 +1262,20 @@ def _jpeg_decode_impl(data: bytes):
                 off += 17 + nvals
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             _prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    "jpeg: only single-component (grayscale) baseline "
-                    f"supported, got {ncomp} components"
+                    "jpeg: 1 (grayscale) or 3 (YCbCr 4:4:4) components "
+                    f"supported, got {ncomp}"
                 )
-            comp_q = seg[8]
+            components = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError(
+                        "jpeg: chroma subsampling not supported (4:4:4 "
+                        f"only), got sampling 0x{hv:02x}"
+                    )
+                components.append((cid, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -1236,51 +1286,209 @@ def _jpeg_decode_impl(data: bytes):
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != 1:
-                raise ValueError("jpeg: multi-component scan not supported")
-            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            if ns != len(components):
+                raise ValueError(
+                    "jpeg: partial-scan files not supported (scan must "
+                    "cover every frame component)"
+                )
+            for i in range(ns):
+                cid = seg[1 + 2 * i]
+                scan_tabs[cid] = (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
             pos += seglen
             break
         pos += seglen
-    if h is None:
+    if h is None or not components:
         raise ValueError("jpeg: missing SOF before SOS")
-    dc_tab = htables[(0, comp_dc)]
-    ac_tab = htables[(1, comp_ac)]
-    q = qtables[comp_q]
+    ncomp = len(components)
     c = _jpeg_dct_matrix()
     bh, bw_ = -(-h // 8), -(-w // 8)
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    planes = [
+        np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in components
+    ]
+    tabs = []
+    for cid, tq in components:
+        dc_id, ac_id = scan_tabs[cid]
+        tabs.append((htables[(0, dc_id)], htables[(1, ac_id)], qtables[tq]))
     br = _JpegBitReader(data, pos)
-    pred = 0
-    for bi in range(bh * bw_):
-        if restart_interval and bi and bi % restart_interval == 0:
+    preds = [0] * ncomp
+    for mcu in range(bh * bw_):
+        if restart_interval and mcu and mcu % restart_interval == 0:
             br.restart()
-            pred = 0
-        seq = np.zeros(64, dtype=np.int64)
-        size = _jpeg_huff_symbol(br, dc_tab)
-        diff = _jpeg_extend(br.receive(size), size) if size else 0
-        pred += diff
-        seq[0] = pred
-        k = 1
-        while k < 64:
-            rs = _jpeg_huff_symbol(br, ac_tab)
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += rs >> 4
-            size = rs & 0x0F
-            seq[k] = _jpeg_extend(br.receive(size), size)
-            k += 1
-        coef = np.zeros(64, dtype=np.float64)
-        coef[zz] = seq * q.reshape(64)[zz]
-        blk = c.T @ coef.reshape(8, 8) @ c + 128.0
-        y, x = divmod(bi, bw_)
-        out[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = np.clip(
-            np.round(blk), 0, 255
-        ).astype(np.uint8)
-    return out[:h, :w]
+            preds = [0] * ncomp
+        y, x = divmod(mcu, bw_)
+        for ci, (dc_tab, ac_tab, q) in enumerate(tabs):
+            seq = np.zeros(64, dtype=np.int64)
+            size = _jpeg_huff_symbol(br, dc_tab)
+            diff = _jpeg_extend(br.receive(size), size) if size else 0
+            preds[ci] += diff
+            seq[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _jpeg_huff_symbol(br, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0x0F
+                seq[k] = _jpeg_extend(br.receive(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[zz] = seq * q.reshape(64)[zz]
+            blk = c.T @ coef.reshape(8, 8) @ c + 128.0
+            planes[ci][y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = blk
+    if ncomp == 1:
+        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
+    return _ycbcr_to_rgb(ycc)
+
+
+# -- color (YCbCr 4:4:4) --------------------------------------------------
+
+def _rgb_to_ycbcr(rgb):
+    """JFIF BT.601 full-range RGB -> YCbCr, rounded to uint8 planes."""
+    import numpy as np  # noqa: PLC0415
+
+    f = rgb.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _ycbcr_to_rgb(ycc):
+    """YCbCr planes (float, pre-clip) -> uint8 RGB (JFIF BT.601)."""
+    import numpy as np  # noqa: PLC0415
+
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _jpeg_encode_block(bw, seq, pred, dc_huff, ac_huff):
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    import numpy as np  # noqa: PLC0415
+
+    diff = int(seq[0]) - pred
+    size, bits = _jpeg_magnitude(diff)
+    code, length = dc_huff[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(seq)[0])) if np.any(seq[1:]) else 0
+    for k in range(1, 64):
+        v = int(seq[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_huff[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _jpeg_magnitude(v)
+        code, length = ac_huff[run * 16 + size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_huff[0x00]  # EOB
+        bw.write(code, length)
+    return int(seq[0])
+
+
+def _jpeg_quantized_blocks(plane, q):
+    """uint8 plane -> quantized zigzag coefficient rows (n_blocks, 64),
+    edge-padded to 8x8 multiples."""
+    import numpy as np  # noqa: PLC0415
+
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    c = _jpeg_dct_matrix()
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ij,bjk,lk->bil", c, blocks, c)
+    quant = np.round(coef / np.asarray(q, dtype=np.float64).reshape(8, 8))
+    zz = np.asarray(_JPEG_ZIGZAG)
+    return quant.astype(np.int64).reshape(-1, 64)[:, zz]
+
+
+def jpeg_encode_color(rgb) -> bytes:
+    """Color baseline JFIF encoder: YCbCr 4:4:4, Annex K.1/K.2
+    quantization (luma/chroma), Annex K.3 Huffman (both table sets),
+    interleaved one-block-per-component MCUs.  Accepts any HxWx3 uint8
+    array (edges replicated to block multiples)."""
+    import numpy as np  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("jpeg_encode_color expects HxWx3 RGB")
+    h, w = rgb.shape[:2]
+    ycc = _rgb_to_ycbcr(rgb)
+    q_y = np.asarray(_JPEG_QTABLE, dtype=np.int64)
+    q_c = np.asarray(_JPEG_QTABLE_C, dtype=np.int64)
+    comp_blocks = [
+        _jpeg_quantized_blocks(ycc[..., 0], q_y),
+        _jpeg_quantized_blocks(ycc[..., 1], q_c),
+        _jpeg_quantized_blocks(ycc[..., 2], q_c),
+    ]
+    huff = [
+        (_jpeg_encode_huff(_JPEG_DC_BITS, _JPEG_DC_VALS),
+         _jpeg_encode_huff(_JPEG_AC_BITS, _JPEG_AC_VALS)),
+        (_jpeg_encode_huff(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+         _jpeg_encode_huff(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)),
+        (_jpeg_encode_huff(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+         _jpeg_encode_huff(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)),
+    ]
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for mcu in range(comp_blocks[0].shape[0]):
+        for ci in range(3):
+            preds[ci] = _jpeg_encode_block(
+                bw, comp_blocks[ci][mcu], preds[ci], huff[ci][0], huff[ci][1]
+            )
+    bw.flush()
+
+    zz = _JPEG_ZIGZAG
+    out = bytearray()
+    out += JPEG_SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, q_y), (1, q_c)):
+        zz_q = bytes(int(q[zz[k]]) for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz_q
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    for marker, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        (0x01, _JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+        (0x11, _JPEG_AC_BITS_C, _JPEG_AC_VALS_C),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([marker]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
+    out += b"\x01\x00" + b"\x02\x11" + b"\x03\x11"
+    out += b"\x00\x3f\x00"
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # JPEG geometry: 3x2 blocks of 8x8.  Block values are 128 + an EVEN offset,
@@ -1363,4 +1571,99 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return payloads.mapInPandas(
         decode_jpeg_features, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+def _synthesize_color_jpeg_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Gray-valued RGB (R=G=B = 128 + even offset per block) through the
+    FULL color pipeline: Y equals the gray value exactly and Cb=Cr=128
+    exactly (the BT.601 row sums are 1 and 0), so the chroma planes
+    quantize to all-zero blocks and the color decode is bit-exact —
+    letting a closed-form SQL oracle pin a 3-component lossy codec."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            b = np.arange(_JPEG_BLOCKS, dtype=np.int64)
+            vals = 128 + 2 * ((int(doc_id) + b) % 64 - 32)
+            px = (
+                vals.reshape(JPEG_H // 8, JPEG_W // 8)[:, None, :, None]
+                * np.ones((1, 8, 1, 8), dtype=np.int64)
+            ).reshape(JPEG_H, JPEG_W).astype(np.uint8)
+            payloads.append(jpeg_encode_color(np.stack([px] * 3, axis=-1)))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+def decode_color_jpeg_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Color-JPEG decode kernel: payload -> (dims, channels, per-channel
+    means) through the real 3-component Huffman/IDCT/YCbCr path."""
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("doc_id", "width", "height", "channels",
+                 "mean_r", "mean_g", "mean_b")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = jpeg_decode(bytes(payload))
+            rows["doc_id"].append(doc_id)
+            rows["height"].append(px.shape[0])
+            rows["width"].append(px.shape[1])
+            rows["channels"].append(px.shape[2])
+            for ci, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                rows[name].append(
+                    int(px[..., ci].sum(dtype="int64")) / (px.shape[0] * px.shape[1])
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "channels": pd.Series(rows["channels"], dtype="int32"),
+                "mean_r": pd.Series(rows["mean_r"], dtype="float64"),
+                "mean_g": pd.Series(rows["mean_g"], dtype="float64"),
+                "mean_b": pd.Series(rows["mean_b"], dtype="float64"),
+            }
+        )
+
+
+@query(
+    "jpeg_color_decode_features",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({JPEG_W} AS INTEGER) AS width,
+           CAST({JPEG_H} AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(SUM(128 + 2 * (((d.doc_id + t.k) % 64) - 32)) AS DOUBLE)
+               / {_JPEG_BLOCKS} AS mean_r,
+           CAST(SUM(128 + 2 * (((d.doc_id + t.k) % 64) - 32)) AS DOUBLE)
+               / {_JPEG_BLOCKS} AS mean_g,
+           CAST(SUM(128 + 2 * (((d.doc_id + t.k) % 64) - 32)) AS DOUBLE)
+               / {_JPEG_BLOCKS} AS mean_b
+    FROM documents d, range(0, {_JPEG_BLOCKS}) t(k)
+    GROUP BY d.doc_id
+    """,
+)
+def jpeg_color_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color (3-component YCbCr 4:4:4) JPEG decode E2E with a SQL oracle:
+    the gray-valued-RGB construction (see the synthesize kernel) drives
+    every color-path stage — both quantization tables, all four Annex
+    K.3 Huffman tables, interleaved MCUs, the YCbCr↔RGB transform —
+    while staying bit-exact, so the driver hash-gate covers a lossy
+    color codec.  Real-color fidelity is tolerance-tested in
+    `tests/test_jpeg.py`."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = d.select("doc_id").mapInPandas(
+        _synthesize_color_jpeg_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_color_jpeg_features,
+        schema=(
+            "doc_id bigint, width int, height int, channels int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
     )

@@ -184,3 +184,103 @@ def test_jpeg_decode_features_query(spark):
         px = _block_constant(r["doc_id"])
         assert (r["width"], r["height"], r["channels"]) == (JPEG_W, JPEG_H, 1)
         assert r["mean_pixel"] == int(px.sum(dtype="int64")) / px.size
+
+
+# -- color (YCbCr 4:4:4) --------------------------------------------------
+
+def test_jpeg_color_exact_on_gray_valued_even_offsets():
+    """Gray-valued RGB with even offsets exercises every color-path stage
+    (both quant tables, all four Huffman tables, interleaved MCUs,
+    YCbCr↔RGB) and must survive BIT-EXACT: Y equals the gray value and
+    the chroma planes quantize to all-zero blocks."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_color,
+    )
+
+    b = np.arange(6)
+    vals = (128 + 2 * ((b % 64) - 32)).astype(np.uint8)
+    px = vals.reshape(2, 3).repeat(8, 0).repeat(8, 1)
+    rgb = np.stack([px] * 3, axis=-1)
+    out = jpeg_decode(jpeg_encode_color(rgb))
+    assert out.shape == rgb.shape
+    assert np.array_equal(out, rgb)
+
+
+def test_jpeg_color_lossy_bounded():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_color,
+    )
+
+    rng = np.random.default_rng(5)
+    base = np.zeros((24, 32, 3), np.uint8)
+    base[:, :16] = [200, 40, 40]
+    base[:, 16:] = [30, 60, 190]
+    flat = jpeg_decode(jpeg_encode_color(base))
+    assert np.abs(flat.astype(int) - base.astype(int)).max() <= 4
+    noisy = np.clip(
+        base.astype(int) + rng.integers(-8, 9, base.shape), 0, 255
+    ).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode_color(noisy))
+    diff = np.abs(out.astype(int) - noisy.astype(int))
+    assert diff.mean() < 8 and diff.max() < 64
+
+
+def test_jpeg_color_header_structure():
+    """The container must declare 2 quant tables, 4 Huffman tables, and a
+    3-component SOF with 4:4:4 sampling."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_encode_color,
+    )
+
+    payload = jpeg_encode_color(np.zeros((8, 8, 3), np.uint8))
+    assert payload.count(b"\xff\xdb") == 2
+    assert payload.count(b"\xff\xc4") == 4
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 9] == 3  # ncomp
+    # every component 0x11 sampling
+    assert payload[sof + 11] == 0x11
+    assert payload[sof + 14] == 0x11
+    assert payload[sof + 17] == 0x11
+
+
+def test_jpeg_color_subsampled_rejected():
+    """A 4:2:0 SOF (sampling 0x22) must raise the honest-gating error,
+    not mis-decode."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_color,
+    )
+
+    payload = bytearray(jpeg_encode_color(np.zeros((8, 8, 3), np.uint8)))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 11] = 0x22  # luma sampling 2x2 → 4:2:0
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_decode(bytes(payload))
+
+
+def test_jpeg_color_odd_dimensions_crop():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_color,
+    )
+
+    rgb = np.full((11, 13, 3), 100, np.uint8)
+    out = jpeg_decode(jpeg_encode_color(rgb))
+    assert out.shape == (11, 13, 3)
+    assert np.abs(out.astype(int) - 100).max() <= 2
+
+
+def test_jpeg_color_decode_features_query(spark):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        JPEG_H,
+        JPEG_W,
+        jpeg_color_decode_features,
+    )
+
+    rows = jpeg_color_decode_features(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows[:5]:
+        assert (r["width"], r["height"], r["channels"]) == (JPEG_W, JPEG_H, 3)
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"]
