@@ -37,11 +37,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
 # the whole catalog: after round 5 every then-registered query had at
 # least one driver row, so the risk is STALENESS plus the NEW round-6
-# surface.  Round 6 registered 30 queries that have never had a driver
-# row (9 from the early-round codec/format/dedup work, 21 from the
+# surface.  Round 6 registered 31 queries that have never had a driver
+# row (9 from the early-round codec/format/dedup work, 22 from the
 # analytics/LM/classifier/governance/streaming-funnel expansion); the
-# window front-loads all 30, then the 16 queries whose freshest row is
-# round 2, then 4 category-diverse representatives from the 43 whose
+# window front-loads all 31, then the 16 queries whose freshest row is
+# round 2, then 3 category-diverse representatives from the 43 whose
 # freshest row is round 4 (the embedding family's slot is covered by
 # embedding_pca_projection above).  The remaining 38 round-4-checked and
 # all 50 round-5-checked
@@ -80,6 +80,7 @@ CHECK_PRIORITY: list[str] = [
     "lineitem_correlations",
     "funnel_user_progress",  # batch twin of the streaming funnel
     "avro_roundtrip_documents",  # stdlib Avro container codec E2E
+    "jpeg_color_decode_features",  # YCbCr 4:4:4 color JPEG E2E
     # -- freshest driver row is round 2 ------------------------------------
     "window_running_total",
     "window_ntile_share",
@@ -98,8 +99,8 @@ CHECK_PRIORITY: list[str] = [
     "in_subquery_rich_customers",
     "cross_join_region_status",
     # -- freshest driver row is round 4 (category representatives; the
-    #    embedding family is represented by embedding_pca_projection above) --
-    "window_rank_orders",
+    #    embedding/window families are represented by embedding_pca_projection
+    #    and window_running_total/window_ntile_share above) --
     "dedup_exact",
     "ngram_jaccard_pairs",
     "training_data_pipeline",
