@@ -32,6 +32,7 @@ import national_caseload_data_ingest_spark.operators.multimodal  # noqa: F401
 import national_caseload_data_ingest_spark.operators.profiling  # noqa: F401
 import national_caseload_data_ingest_spark.operators.relational  # noqa: F401
 import national_caseload_data_ingest_spark.operators.similarity  # noqa: F401
+import national_caseload_data_ingest_spark.operators.sketch  # noqa: F401
 import national_caseload_data_ingest_spark.operators.skew  # noqa: F401
 import national_caseload_data_ingest_spark.operators.temporal  # noqa: F401
 import national_caseload_data_ingest_spark.operators.text  # noqa: F401

@@ -1,0 +1,148 @@
+"""Mergeable frequency sketches: a Count-Min Sketch built as a pure
+DataFrame aggregate over the ``documents`` token stream.
+
+Spark ships HLL (``approx_count_distinct``) and KLL-style quantiles
+(``approx_percentile``) but no frequency sketch; Count-Min (Cormode &
+Muthukrishnan 2005) is the standard bounded-memory answer to "how often
+does key X occur?" over streams too wide for exact per-key state.
+
+Spark-first shape — the sketch IS a tiny relation, not a UDAF blob:
+
+* each token contributes one increment per hash row: ``explode`` →
+  ``d`` codegen'd bucket columns (``xxhash64`` with per-row salt,
+  ``% width``) → stack to (row, bucket) pairs → ONE ``groupBy`` count.
+  The result is a (depth × width)-row relation — d·w counters, fixed
+  size regardless of corpus — and it is MERGEABLE by construction:
+  sketches of two corpora union+sum to the sketch of the union (the
+  monoid property the incremental-aggregation operator relies on,
+  incremental.py).
+* point estimates are a broadcast join of the probe set's d bucket keys
+  against the counter relation + a ``min`` aggregate — no scan of the
+  corpus at query time.
+* guarantees: estimate ≥ true count always (counters only over-count),
+  and ≤ true + εN with probability 1−δ for ε = e/width, δ = e^−depth.
+
+Registered rows-only (the bucket layout is xxhash64-seeded — no other
+engine reproduces it); pinned by tests that rebuild the sketch from the
+same hash columns in numpy, assert the ≥-true invariant on every probe,
+the ε-bound, and binary mergeability (`tests/test_sketch.py`).
+
+The reference (/root/reference/ncd/) has no sketch surface; this is the
+"novel sketch" band of the build brief's custom-operator list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+
+# probe terms: a few frequent engine words + guaranteed-rare strings
+CMS_PROBES = (
+    "the", "spark", "table", "join", "data",
+    "zz_absent_token_1", "zz_absent_token_2",
+)
+
+
+def _bucket(col, row: int, width: int):
+    """Codegen bucket id for hash row ``row``: xxhash64 with a literal
+    per-row salt, folded into [0, width)."""
+    return F.pmod(F.xxhash64(F.lit(f"r{row}:"), col), F.lit(width)).cast("int")
+
+
+def cms_build(
+    tokens: DataFrame,
+    col: str = "tok",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Token stream → Count-Min counter relation (row, bucket, c).
+
+    One pass: d bucket columns per token, stacked in-plan, one groupBy.
+    The output has ≤ depth·width rows whatever the corpus size."""
+    cols = ", ".join(
+        f"{r}, __b{r}" for r in range(depth)
+    )
+    with_buckets = tokens.select(
+        *[_bucket(F.col(col), r, width).alias(f"__b{r}") for r in range(depth)]
+    )
+    stacked = with_buckets.select(
+        F.expr(f"stack({depth}, {cols}) AS (row, bucket)")
+    )
+    return stacked.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union+sum counter relations — sketch(A ∪ B) == merge(sk(A), sk(B))
+    exactly (the monoid property)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionAll(s)
+    return out.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: list[str],
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Point estimates for ``probes``: build their (row, bucket) keys as
+    a small literal relation, broadcast-join the counters, take the
+    row-wise min.  Absent buckets count 0 (a probe can miss every
+    counter only if nothing hashed there)."""
+    spark = sketch.sparkSession
+    probe_df = spark.createDataFrame([(p,) for p in probes], "tok string")
+    keys = probe_df.select(
+        "tok",
+        *[_bucket(F.col("tok"), r, width).alias(f"__b{r}") for r in range(depth)],
+    )
+    cols = ", ".join(f"{r}, __b{r}" for r in range(depth))
+    keyed = keys.select(
+        "tok", F.expr(f"stack({depth}, {cols}) AS (row, bucket)")
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+
+
+@query("cms_token_counts", oracle=None)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates vs exact counts for the probe terms over the
+    documents token stream: (tok, est, exact, overestimate).  The CMS
+    invariant est ≥ exact must hold on every row (the driver's rows-only
+    check is backed by invariant/bound/merge tests).  Exact counts here
+    are only for the report — the sketch never needs them."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    )
+    sketch = cms_build(toks)
+    est = cms_estimate(sketch, list(CMS_PROBES))
+    exact = (
+        toks.filter(F.col("tok").isin(*CMS_PROBES))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "tok", "left")
+        .select(
+            "tok",
+            "est",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            (F.col("est") - F.coalesce("exact", F.lit(0))).alias(
+                "overestimate"
+            ),
+        )
+    )
