@@ -37,11 +37,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
 # the whole catalog: after round 5 every then-registered query had at
 # least one driver row, so the risk is STALENESS plus the NEW round-6
-# surface.  Round 6 registered 31 queries that have never had a driver
-# row (9 from the early-round codec/format/dedup work, 22 from the
+# surface.  Round 6 registered 32 queries that have never had a driver
+# row (9 from the early-round codec/format/dedup work, 23 from the
 # analytics/LM/classifier/governance/streaming-funnel expansion); the
-# window front-loads all 31, then the 16 queries whose freshest row is
-# round 2, then 3 category-diverse representatives from the 43 whose
+# window front-loads all 32, then the 16 queries whose freshest row is
+# round 2, then 2 category-diverse representatives from the 43 whose
 # freshest row is round 4 (the embedding family's slot is covered by
 # embedding_pca_projection above).  The remaining 38 round-4-checked and
 # all 50 round-5-checked
@@ -81,6 +81,7 @@ CHECK_PRIORITY: list[str] = [
     "funnel_user_progress",  # batch twin of the streaming funnel
     "avro_roundtrip_documents",  # stdlib Avro container codec E2E
     "jpeg_color_decode_features",  # YCbCr 4:4:4 color JPEG E2E
+    "cms_token_counts",  # Count-Min sketch (rows-only: hash-seeded)
     # -- freshest driver row is round 2 ------------------------------------
     "window_running_total",
     "window_ntile_share",
@@ -99,9 +100,9 @@ CHECK_PRIORITY: list[str] = [
     "in_subquery_rich_customers",
     "cross_join_region_status",
     # -- freshest driver row is round 4 (category representatives; the
-    #    embedding/window families are represented by embedding_pca_projection
-    #    and window_running_total/window_ntile_share above) --
-    "dedup_exact",
+    #    embedding/window/exact-dedup families are represented by
+    #    embedding_pca_projection, window_running_total/window_ntile_share,
+    #    and dedup_exact_survivors above) --
     "ngram_jaccard_pairs",
     "training_data_pipeline",
 ]
