@@ -298,3 +298,51 @@ def funnel_user_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin of the streaming ``transformWithState`` funnel."""
     e = load_tables(spark, sf_dir, "events")["events"]
     return funnel_user_steps(e, FUNNEL_STEPS)
+
+
+TRIGRAM_TOP_K = 25
+
+
+@query(
+    "common_event_trigrams",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, trigram
+    LIMIT {TRIGRAM_TOP_K}
+    """,
+)
+def common_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the {TRIGRAM_TOP_K} most common
+    3-event paths across all users (lead windows over each user's
+    time-ordered stream → one count aggregate → per-partition top-k
+    heaps).  One user-keyed window shuffle + one trigram-keyed
+    aggregate; ``TakeOrderedAndProject`` caps the result without a
+    global sort.  The path-analysis primitive behind funnels users
+    actually take (vs the funnels you hypothesize)."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(TRIGRAM_TOP_K)
+    )

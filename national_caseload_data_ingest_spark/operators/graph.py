@@ -132,3 +132,66 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact")
     return pagerank(pairs.select("doc_a", "doc_b"))
+
+
+@query(
+    "neardup_triangle_count",
+    oracle=f"""
+    WITH {_CLUSTER_PAIRS_SQL},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    )
+    SELECT node AS doc_id, triangles FROM per_node
+    """,
+)
+def neardup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the near-dup graph — the local
+    clustering signal that separates tight duplicate cliques from
+    loose chains (a clique's members are interchangeable survivors; a
+    chain's are not).
+
+    Canonical-orientation triangle enumeration (each triangle found
+    exactly once via ``a<b`` edges joined x→y→z with the closing x→z
+    edge): two shuffle joins keyed by doc id, then one aggregate.  The
+    classic MapReduce-era optimization for skewed graphs — orienting
+    edges from lower to higher DEGREE instead of id — drops in by
+    re-keying the edge relation; id-orientation is kept here because the
+    oracle must enumerate the identical relation."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact").select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy(F.col("node").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("triangles")
+    )

@@ -218,3 +218,64 @@ def rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("roll_cnt"),
         (F.sum("value").over(w) / F.count(F.lit(1)).over(w)).alias("roll_avg"),
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM marked
+        WHERE prev IS NULL OR event_type <> prev
+    ),
+    scd2 AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           s.state AS state_at_event,
+           s.valid_from AS state_since
+    FROM events e JOIN scd2 s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join of purchase events against the SCD2
+    state dimension built from the same stream: which state interval was
+    each purchase made under?  The canonical warehouse temporal-join
+    shape — an equi join on the entity key with the interval-containment
+    predicate applied as a post-join codegen filter, so the shuffle is
+    keyed by user id and the per-key work is bounded by interval count
+    (never a cross join).  At 100 TB the dimension side is the compact
+    SCD2 table; a skewed entity's intervals are still one key group and
+    AQE splits hot keys."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    scd2 = scd2_intervals(e).select(
+        F.col("user_id").alias("s_user"), "state", "valid_from", "valid_to"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return (
+        purchases.join(
+            scd2,
+            (purchases.user_id == scd2.s_user)
+            & (purchases.ts >= scd2.valid_from)
+            & (scd2.valid_to.isNull() | (purchases.ts < scd2.valid_to)),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("state").alias("state_at_event"),
+            F.col("valid_from").alias("state_since"),
+        )
+    )
