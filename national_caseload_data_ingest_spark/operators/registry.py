@@ -37,17 +37,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
 # the whole catalog: after round 5 every then-registered query had at
 # least one driver row, so the risk is STALENESS plus the NEW round-6
-# surface.  Round 6 registered 32 queries that have never had a driver
+# surface.  Round 6 registered 35 queries that have never had a driver
 # row (9 from the early-round codec/format/dedup work, 23 from the
-# analytics/LM/classifier/governance/streaming-funnel expansion); the
-# window front-loads all 32, then the 16 queries whose freshest row is
-# round 2, then 2 category-diverse representatives from the 43 whose
-# freshest row is round 4 (the embedding family's slot is covered by
-# embedding_pca_projection above).  The remaining 38 round-4-checked and
-# all 50 round-5-checked
-# queries are covered by the local full-catalog replay
-# (tools/check_oracle.py at BOTH sf0.01 and sf0.1 each round; COVERAGE.md
-# records it) and the round-4 set is first in line for the round-7 window.
+# analytics/LM/classifier/governance/streaming-funnel expansion, and 3
+# late additions: SCD2 point-in-time join, event trigrams, near-dup
+# triangle count); the window front-loads all 35, then 13 of the 16
+# queries whose freshest row is round 2, then 2 category-diverse
+# representatives from the 43 whose freshest row is round 4 (the
+# embedding family's slot is covered by embedding_pca_projection above).
+# The 3 round-2 queries squeezed out by the late additions
+# (set_except_nations, cross_join_region_status, q18_large_orders — each
+# category-covered by another in-window member), the remaining 38
+# round-4-checked and all 50 round-5-checked queries are covered by the
+# local full-catalog replay (tools/check_oracle.py at BOTH sf0.01 and
+# sf0.1 each round; COVERAGE.md records it); the round-4 set plus those
+# 3 are first in line for the round-7 window.
 CHECK_PRIORITY: list[str] = [
     # -- round-6 new operators (never driver-checked) ----------------------
     "gif_decode_features",  # native GIF/LZW decode E2E
@@ -82,6 +86,9 @@ CHECK_PRIORITY: list[str] = [
     "avro_roundtrip_documents",  # stdlib Avro container codec E2E
     "jpeg_color_decode_features",  # YCbCr 4:4:4 color JPEG E2E
     "cms_token_counts",  # Count-Min sketch (rows-only: hash-seeded)
+    "scd2_point_in_time_join",  # AS OF temporal join against SCD2 intervals
+    "common_event_trigrams",  # per-user ordered event trigram mining
+    "neardup_triangle_count",  # triangle count on the near-dup graph
     # -- freshest driver row is round 2 ------------------------------------
     "window_running_total",
     "window_ntile_share",
@@ -92,13 +99,10 @@ CHECK_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "q5_local_supplier_volume",
     "q10_returned_items",
-    "q18_large_orders",
     "set_intersect_nations",
-    "set_except_nations",
     "approx_distinct_parts",  # rows-only by design (approximate)
     "having_supplier_volume",
     "in_subquery_rich_customers",
-    "cross_join_region_status",
     # -- freshest driver row is round 4 (category representatives; the
     #    embedding/window/exact-dedup families are represented by
     #    embedding_pca_projection, window_running_total/window_ntile_share,
