@@ -346,3 +346,104 @@ def common_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "trigram")
         .limit(TRIGRAM_TOP_K)
     )
+
+
+# MATCH_RECOGNIZE-lite: each event type is one character, so a user's
+# whole history is a compact string and sequence patterns are plain
+# string algebra — codegen'd, no state machine UDF.
+EVENT_TOKENS = {
+    "click": "c",
+    "error": "e",
+    "purchase": "p",
+    "signup": "s",
+    "view": "v",
+}
+# the pattern: view, then click, then purchase, ADJACENT (no other event
+# between) — the strict form of the funnel (funnel() allows gaps)
+PATTERN = "vcp"
+
+
+def _tok_col() -> F.Column:
+    expr = F.lit("?")
+    for name, tok in EVENT_TOKENS.items():
+        expr = F.when(F.col("event_type") == name, F.lit(tok)).otherwise(expr)
+    return expr
+
+
+def _tok_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{name}' THEN '{tok}'" for name, tok in EVENT_TOKENS.items()
+    )
+    return f"CASE event_type {arms} ELSE '?' END"
+
+
+def event_pattern_matches(events: DataFrame, pattern: str = PATTERN) -> DataFrame:
+    """Per-user sequence-pattern matching (MATCH_RECOGNIZE-lite).
+
+    Each user's time-ordered event stream becomes one character string
+    (one char per event type), and a fixed adjacent-step pattern is
+    counted with pure string functions: non-overlapping occurrences via
+    the length-delta-of-replace identity, first match position via
+    ``instr``.  The whole operator is ONE user-keyed aggregate
+    (``array_sort(collect_list(struct(ts, event_id, tok)))`` makes the
+    ordering deterministic and shuffle-count 1 — no window pass) plus
+    narrow string expressions; per-user state is O(events-per-user),
+    the same bound any per-user sessionization already pays.
+
+    Contrast with :func:`funnel`: the funnel admits gaps between steps
+    (first-completion ordering); this demands ADJACENCY — the user did
+    view→click→purchase with nothing in between — which funnels cannot
+    express but path analysis needs.  Greedy left-to-right
+    non-overlapping counting is the semantics of ``replace`` in every
+    engine, so the DuckDB oracle reproduces it exactly.
+    """
+    seq = (
+        events.select("user_id", "ts", "event_id", _tok_col().alias("tok"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    plen = len(pattern)
+    return seq.select(
+        "user_id",
+        F.length("path").cast("bigint").alias("n_events"),
+        (
+            (F.length("path") - F.length(F.replace(F.col("path"), F.lit(pattern))))
+            / F.lit(plen)
+        )
+        .cast("bigint")
+        .alias("n_matches"),
+        F.instr(F.col("path"), pattern).cast("bigint").alias("first_match_pos"),
+    )
+
+
+@query(
+    "event_pattern_matches",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg({_tok_sql()}, '' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(path) AS BIGINT) AS n_events,
+           CAST((length(path) - length(replace(path, '{PATTERN}', '')))
+                / {len(PATTERN)} AS BIGINT) AS n_matches,
+           CAST(strpos(path, '{PATTERN}') AS BIGINT) AS first_match_pos
+    FROM seq
+    """,
+)
+def event_pattern_matches_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration of :func:`event_pattern_matches` over the
+    events table with the adjacent view>click>purchase pattern."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return event_pattern_matches(e)

@@ -964,3 +964,93 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
     )
+
+
+# Leakage-safe split thresholds on the first 8 md5 hex digits of the
+# GROUP id: train 75% (< c0000000), validation 12.5% (< e0000000),
+# test 12.5%.  Hashing the group — not the document — is the point.
+SPLIT_TRAIN_HEX = "c0000000"
+SPLIT_VAL_HEX = "e0000000"
+
+
+def leakage_safe_split(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Group-aware train/validation/test split: every member of a
+    near-duplicate cluster lands in the SAME fold.
+
+    A document-level hash split leaks: near-duplicate pairs straddle
+    train and test, so held-out metrics measure memorization of
+    trainset twins rather than generalization (the failure mode
+    train-test decontamination papers exist for).  The fix is to hash
+    the near-dup CLUSTER id — singletons hash their own doc_id — so a
+    whole duplicate family moves between folds as one unit, while the
+    fold sizes still follow the hash-threshold proportions in
+    expectation.
+
+    Plan shape: the cluster assignment is the connected-components
+    output (O(log n) alternating-star rounds, curation.py); the split
+    itself is one LEFT broadcast-or-shuffle join (cluster relation ≪
+    corpus: only docs that HAVE a near-dup appear) plus a narrow
+    md5-threshold CASE — the same engine-reproducible
+    content-hash-split trick the sampling family uses, so fold
+    membership is stable across engines, runs, and partitionings.
+    """
+    md5_8 = F.substring(
+        F.md5(F.col("group_id").cast("string").cast("binary")), 1, 8
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "group_id",
+            F.when(md5_8 < SPLIT_TRAIN_HEX, "train")
+            .when(md5_8 < SPLIT_VAL_HEX, "validation")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CLUSTER_PAIRS_SQL},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    grouped AS (
+        SELECT d.doc_id, d.lang,
+               COALESCE(c.cluster_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, lang, group_id,
+           CASE WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 8)
+                     < '{SPLIT_TRAIN_HEX}' THEN 'train'
+                WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 8)
+                     < '{SPLIT_VAL_HEX}' THEN 'validation'
+                ELSE 'test' END AS split
+    FROM grouped
+    """,
+)
+def leakage_safe_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver registration: exact-mode near-dup clusters (the
+    oracle-checkable pair generator; swap ``neardup='lsh'`` for the
+    100 TB path, identical downstream) feeding the group-aware split."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    clusters = neardup_cluster_assignments(spark, sf_dir, neardup="exact")
+    return leakage_safe_split(d, clusters)

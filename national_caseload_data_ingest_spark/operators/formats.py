@@ -184,3 +184,74 @@ def avro_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
     return _doc_digests(back)
+
+
+def encode_arrow_ipc_partitions(df: DataFrame) -> DataFrame:
+    """Each partition → one self-contained Arrow IPC (Feather v2) file
+    payload, via ``mapInPandas`` (the Arrow batches Spark already ships
+    to Python are re-framed into the IPC container — no per-row work).
+    One output row per non-empty partition: ``payload binary``."""
+
+    def enc(pdfs):
+        import io  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+        import pyarrow as pa  # noqa: PLC0415
+
+        tables = [
+            pa.Table.from_pandas(pdf, preserve_index=False) for pdf in pdfs
+        ]
+        if not tables:
+            return
+        t = pa.concat_tables(tables)
+        sink = io.BytesIO()
+        with pa.ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+        yield pd.DataFrame({"payload": [sink.getvalue()]})
+
+    return df.mapInPandas(enc, "payload binary")
+
+
+def decode_arrow_ipc_payloads(payloads: DataFrame, ddl: str) -> DataFrame:
+    """Inverse of :func:`encode_arrow_ipc_partitions`: every payload row
+    decodes independently (each is a complete IPC file), so the decode
+    parallelizes across however many payload rows exist — at scale,
+    one task per original partition."""
+
+    def dec(pdfs):
+        import io  # noqa: PLC0415
+
+        import pyarrow as pa  # noqa: PLC0415
+
+        for pdf in pdfs:
+            for buf in pdf["payload"]:
+                t = pa.ipc.open_file(io.BytesIO(bytes(buf))).read_all()
+                yield t.to_pandas()
+
+    return payloads.mapInPandas(dec, ddl)
+
+
+@query("arrow_ipc_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
+def arrow_ipc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) sink+source fidelity: encode every
+    documents partition into a complete IPC file payload, decode it
+    back, and emit per-document digests from the decoded copy against
+    the parquet-reading oracle.
+
+    Arrow IPC is the zero-copy interchange format of the Python data
+    stack (pyarrow/pandas/polars/duckdb all mmap it directly) and the
+    natural hand-off when a Spark stage feeds a non-JVM consumer —
+    columnar like ORC/parquet, but with NO decode step on read.  The
+    trade: no predicate pushdown or compression-by-default, so it is a
+    hand-off format, not a storage format, and the docstring contract
+    says so.  Both directions are narrow Arrow kernels over the batches
+    Spark already materializes for Python interop; real file IO
+    round-trips via the binaryFile source in ``tests/test_formats.py``.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = encode_arrow_ipc_partitions(docs)
+    back = decode_arrow_ipc_payloads(
+        payloads,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return _doc_digests(back)

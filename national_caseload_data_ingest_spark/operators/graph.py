@@ -167,10 +167,18 @@ def neardup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic MapReduce-era optimization for skewed graphs — orienting
     edges from lower to higher DEGREE instead of id — drops in by
     re-keying the edge relation; id-orientation is kept here because the
-    oracle must enumerate the identical relation."""
+    oracle must enumerate the identical relation.
+
+    The edge relation is plain-``persist()``ed (the dedup-family
+    convention, dedup.py:507): it feeds all three join aliases, and
+    without the cache each alias re-runs the whole lang-blocked pair
+    kernel — 3× the dominant cost and a 10-exchange plan instead of
+    ≤ 4."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact").select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    pairs = (
+        neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact")
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
     )
     e1 = pairs.alias("e1")
     e2 = pairs.alias("e2")

@@ -146,3 +146,62 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+HLL_LGK = 12  # DataSketches lgConfigK: 4096 registers, ~1.6% rel. std err
+
+
+def hll_month_sketches(orders: DataFrame, lgk: int = HLL_LGK) -> DataFrame:
+    """Per-month HLL sketch of distinct customers: the persisted
+    incremental state (one binary sketch row per month, O(2^lgk) bytes
+    each regardless of order volume)."""
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(lgk)).alias("sketch"))
+    )
+
+
+def hll_merge_estimate(sketches: DataFrame) -> DataFrame:
+    """Fold the per-month sketches into one global distinct estimate —
+    the incremental-maintenance read path: a new month appends ONE
+    sketch row and the global answer re-merges the tiny sketch
+    relation, never rescanning history."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
+    )
+
+
+@query("hll_incremental_distinct", oracle=None)
+def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count maintenance over orders (Apache
+    DataSketches HllSketch, built into Spark as ``hll_sketch_agg`` /
+    ``hll_union_agg``): per-month sketches of distinct customers, plus
+    an 'ALL' row whose estimate comes from MERGING the monthly sketches
+    rather than rescanning the table.
+
+    This is the sketch the incremental-aggregation operator
+    (incremental.py) cannot express with plain monoid counters:
+    COUNT(DISTINCT) does not decompose, but HLL sketches do — union of
+    sketches IS the sketch of the union, so a 100 TB fact table keeps
+    one tiny sketch row per partition-grain and answers global distinct
+    queries from the sketch relation alone.  Registered rows-only (the
+    sketch registers are hash-seeded; no other engine reproduces the
+    estimates bit-for-bit); pinned by tests asserting the merged
+    estimate tracks the direct whole-table estimate within 1% (not
+    exactly equal — the DataSketches union gadget carries HLL_8
+    registers, a different internal representation than a directly
+    built sketch) and lands within HLL error bounds of the true
+    distinct count (`tests/test_round6_ops.py`)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    sk = hll_month_sketches(o)
+    monthly = sk.select(
+        "month",
+        F.hll_sketch_estimate("sketch").cast("bigint").alias("est_distinct"),
+    )
+    merged = hll_merge_estimate(sk).select(
+        F.lit("ALL").alias("month"),
+        F.col("estimate").cast("bigint").alias("est_distinct"),
+    )
+    return monthly.unionByName(merged).orderBy("month")

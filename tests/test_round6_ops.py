@@ -1,0 +1,244 @@
+"""Ground-truth tests for the round-6 late additions: the
+MATCH_RECOGNIZE-lite pattern matcher, the leakage-safe group split, the
+Arrow IPC round-trip, and the mergeable HLL distinct sketch."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.behavior import (
+    PATTERN,
+    event_pattern_matches,
+)
+from national_caseload_data_ingest_spark.operators.curation import (
+    SPLIT_TRAIN_HEX,
+    SPLIT_VAL_HEX,
+    leakage_safe_split,
+)
+from national_caseload_data_ingest_spark.operators.formats import (
+    decode_arrow_ipc_payloads,
+    encode_arrow_ipc_partitions,
+)
+from national_caseload_data_ingest_spark.operators.sketch import (
+    HLL_LGK,
+    hll_merge_estimate,
+    hll_month_sketches,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _events(spark, seqs: dict[int, str]):
+    """Build an events df from per-user token strings ('v'=view, ...)."""
+    names = {"v": "view", "c": "click", "p": "purchase", "e": "error", "s": "signup"}
+    rows = []
+    eid = 0
+    for uid, seq in seqs.items():
+        for i, tok in enumerate(seq):
+            rows.append((eid, T0 + datetime.timedelta(minutes=i), uid, names[tok], 1.0))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+# ---------------------------------------------------------------- pattern
+
+
+def test_pattern_counts_non_overlapping_adjacent(spark):
+    out = {
+        r["user_id"]: r
+        for r in event_pattern_matches(
+            _events(
+                spark,
+                {
+                    1: "vcpvcp",  # two clean adjacent matches
+                    2: "vcecp",  # gap (error between c and p): no match
+                    3: "vvcp",  # match starts at position 2
+                    4: "vcpcp",  # only one: second 'cp' lacks leading v
+                },
+            )
+        ).collect()
+    }
+    assert out[1]["n_matches"] == 2 and out[1]["first_match_pos"] == 1
+    assert out[2]["n_matches"] == 0 and out[2]["first_match_pos"] == 0
+    assert out[3]["n_matches"] == 1 and out[3]["first_match_pos"] == 2
+    assert out[4]["n_matches"] == 1
+    assert out[1]["n_events"] == 6
+
+
+def test_pattern_adjacency_is_stricter_than_funnel(spark):
+    """A user who completes the funnel WITH gaps matches the funnel but
+    not the adjacent pattern — the semantic the operator adds."""
+    from national_caseload_data_ingest_spark.operators.behavior import funnel
+
+    e = _events(spark, {7: "vecep"})  # view..click..purchase, gapped
+    f3 = funnel(e, ("view", "click", "purchase"))
+    assert {r["step"]: r["users"] for r in f3.collect()}[3] == 1  # funnel: yes
+    assert event_pattern_matches(e).collect()[0]["n_matches"] == 0  # adjacent: no
+
+
+def test_pattern_ordering_is_event_time_not_arrival(spark):
+    """Rows arriving shuffled still sequence by (ts, event_id)."""
+    rows = [
+        (2, T0 + datetime.timedelta(minutes=2), 1, "purchase", 1.0),
+        (0, T0, 1, "view", 1.0),
+        (1, T0 + datetime.timedelta(minutes=1), 1, "click", 1.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).repartition(3)
+    assert event_pattern_matches(e).collect()[0]["n_matches"] == 1
+
+
+# ------------------------------------------------------------------ split
+
+
+def _docs(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _clusters(spark, pairs: dict[int, int]):
+    return spark.createDataFrame(
+        list(pairs.items()), "doc_id long, cluster_id long"
+    )
+
+
+def test_split_keeps_clusters_whole_and_covers_all_docs(spark):
+    docs = _docs(spark, {i: f"doc {i}" for i in range(200)})
+    # three clusters: {0..9}, {20,21}, {30,31,32}; rest singletons
+    mapping = {i: 0 for i in range(10)}
+    mapping.update({20: 20, 21: 20, 30: 30, 31: 30, 32: 30})
+    out = leakage_safe_split(docs, _clusters(spark, mapping)).collect()
+    assert len(out) == 200 and {r["split"] for r in out} <= {"train", "validation", "test"}
+    by_group: dict[int, set] = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # no group straddles folds
+    # cluster members inherit the GROUP hash, singletons their own id
+    g = {r["doc_id"]: r["group_id"] for r in out}
+    assert g[5] == 0 and g[21] == 20 and g[32] == 30 and g[100] == 100
+
+
+def test_split_is_leakage_safe_where_doc_hash_split_is_not(spark):
+    """Construct a near-dup family whose members a doc-level md5 split
+    would scatter across folds; the group split keeps them together."""
+    import hashlib
+
+    def doc_fold(doc_id: int) -> str:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return "train" if h < SPLIT_TRAIN_HEX else ("validation" if h < SPLIT_VAL_HEX else "test")
+
+    # find doc ids whose own hashes disagree → a naive split would leak
+    ids = list(range(1000))
+    leaky = [i for i in ids if doc_fold(i) != doc_fold(ids[0])][:3] + [ids[0]]
+    docs = _docs(spark, {i: f"dup text {min(leaky)}" for i in leaky})
+    clusters = _clusters(spark, {i: min(leaky) for i in leaky})
+    out = leakage_safe_split(docs, clusters).collect()
+    assert len({r["split"] for r in out}) == 1  # group split: one fold
+    assert len({doc_fold(r["doc_id"]) for r in out}) > 1  # naive split: leaks
+
+
+def test_split_proportions_roughly_follow_thresholds(spark):
+    docs = _docs(spark, {i: f"doc {i}" for i in range(2000)})
+    empty = _clusters(spark, {})
+    frac = {
+        r["split"]: r["n"] / 2000
+        for r in leakage_safe_split(docs, empty)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.75) < 0.05
+    assert abs(frac.get("validation", 0) - 0.125) < 0.04
+    assert abs(frac.get("test", 0) - 0.125) < 0.04
+
+
+# -------------------------------------------------------------- arrow ipc
+
+
+def test_arrow_ipc_payload_roundtrip_lossless(spark):
+    docs = _docs(
+        spark,
+        {1: 'comma, "quote"\nnewline', 2: "", 3: "plain", 4: "x" * 4096},
+    ).repartition(3)
+    back = decode_arrow_ipc_payloads(
+        encode_arrow_ipc_partitions(docs),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    a = {r["doc_id"]: r for r in docs.collect()}
+    b = {r["doc_id"]: r for r in back.collect()}
+    assert set(a) == set(b)
+    assert all(a[k]["text"] == b[k]["text"] for k in a)
+
+
+def test_arrow_ipc_empty_partitions_yield_no_rows(spark):
+    docs = _docs(spark, {1: "one"}).repartition(8)
+    payloads = encode_arrow_ipc_partitions(docs)
+    assert payloads.count() <= 8  # empty partitions emit nothing
+    back = decode_arrow_ipc_payloads(
+        payloads,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert back.count() == 1
+
+
+def test_arrow_ipc_file_io_roundtrip(spark, tmp_path):
+    """Real file IO: payloads written as .arrow files, read back via the
+    binaryFile source — the cluster-mode hand-off path."""
+    docs = _docs(spark, {i: f"text {i}" for i in range(50)}).repartition(4)
+    out = tmp_path / "ipc"
+    out.mkdir()
+    for i, r in enumerate(encode_arrow_ipc_partitions(docs).collect()):
+        (out / f"part-{i:05d}.arrow").write_bytes(bytes(r["payload"]))
+    files = spark.read.format("binaryFile").load(f"file://{out}/*.arrow")
+    back = decode_arrow_ipc_payloads(
+        files.select(F.col("content").alias("payload")),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert back.count() == 50
+    assert back.agg(F.sum("doc_id")).collect()[0][0] == sum(range(50))
+
+
+# -------------------------------------------------------------------- hll
+
+
+@pytest.fixture(scope="module")
+def orders_like(spark):
+    rows = [
+        (i, i % 700, T0.date() + datetime.timedelta(days=i % 400)) for i in range(5000)
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date"
+    )
+
+
+def test_hll_merge_tracks_direct_estimate(spark, orders_like):
+    """Union of per-month sketches estimates what one whole-table sketch
+    estimates — the mergeability contract.  NOT exact equality: the
+    DataSketches union operator carries a different internal register
+    representation (HLL_8 gadget) than a directly-built sketch, so the
+    two estimates may differ by a hair; both stay inside the same error
+    envelope around the truth."""
+    merged = hll_merge_estimate(hll_month_sketches(orders_like)).collect()[0][0]
+    direct = orders_like.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("o_custkey", F.lit(HLL_LGK))
+        )
+    ).collect()[0][0]
+    assert abs(merged - direct) / direct < 0.01
+
+
+def test_hll_estimate_within_error_bounds(spark, orders_like):
+    merged = hll_merge_estimate(hll_month_sketches(orders_like)).collect()[0][0]
+    true = 700
+    assert abs(merged - true) / true < 0.05  # lgK=12 → ~1.6% rse, 3σ margin
+
+
+def test_hll_sketch_state_is_bounded(spark, orders_like):
+    sk = hll_month_sketches(orders_like).collect()
+    assert all(len(bytes(r["sketch"])) <= (1 << HLL_LGK) + 64 for r in sk)
