@@ -6,7 +6,8 @@ Model: a modality column is ``binary`` next to typed metadata columns
 payloads stay opaque to the planner and all pixel/sample work happens in
 vectorized Python batches via ``mapInPandas``.
 
-Codec status: PNG (decode/encode/resize), GIF (LZW decode/encode/resize),
+Codec status: PNG (decode/encode/resize), BMP (8/24-bpp DIB
+decode/encode/resize), GIF (LZW decode/encode/resize),
 and 16-bit PCM WAV (decode/encode) are REAL pure-stdlib implementations —
 tested without any codec library, with synthesize→decode E2E queries
 hash-checked against DuckDB oracles (``png_decode_features``,
@@ -141,6 +142,8 @@ def decode_image(payload: bytes) -> object:
         px = jpeg_decode(payload)
         h, w = px.shape
         return w, h, 1, px.reshape(h, w, 1)
+    if payload[:2] == BMP_SIGNATURE:
+        return bmp_decode(payload)
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as e:
@@ -371,6 +374,7 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         payload[:8] == PNG_SIGNATURE
         or payload[:6] in GIF_SIGNATURES
         or payload[:2] == JPEG_SOI
+        or payload[:2] == BMP_SIGNATURE
     ):
         w, h, _ch, px = decode_image(payload)
         ys = np.minimum((np.arange(height) * h) // height, h - 1)
@@ -1666,4 +1670,173 @@ def jpeg_color_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, width int, height int, channels int, "
             "mean_r double, mean_g double, mean_b double"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP: pure-stdlib uncompressed DIB codec + decode-features pipeline
+# ---------------------------------------------------------------------------
+
+BMP_SIGNATURE = b"BM"
+
+
+def bmp_encode(arr) -> bytes:
+    """Pure-stdlib BMP (Windows BITMAPINFOHEADER) encoder: uint8 array of
+    shape ``(h, w)`` → 8-bpp palettized grayscale (identity gray palette),
+    ``(h, w, 3)`` RGB → 24-bpp BI_RGB.  Rows are stored bottom-up and
+    padded to 4-byte boundaries per the DIB spec."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        bpp, palette = 8, b"".join(
+            struct.pack("<BBBB", g, g, g, 0) for g in range(256)
+        )
+        rows = a
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        bpp, palette = 24, b""
+        rows = a[:, :, ::-1].reshape(h, w * 3)  # RGB → BGR byte order
+    else:
+        raise ValueError("bmp_encode takes (h, w) gray or (h, w, 3) RGB")
+    stride = (rows.shape[1] + 3) & ~3
+    body = bytearray()
+    pad = b"\x00" * (stride - rows.shape[1])
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += rows[y].tobytes() + pad
+    offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835,
+        256 if bpp == 8 else 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    return header + info + palette + bytes(body)
+
+
+def bmp_decode(payload: bytes):
+    """Pure-stdlib BMP decoder for uncompressed (BI_RGB) 8-bpp palettized
+    and 24-bpp images, both bottom-up (positive height) and top-down
+    (negative) row orders: returns ``(width, height, channels, uint8
+    array (h, w, channels))``.  8-bpp payloads whose palette is the
+    identity gray ramp decode to one channel; any other palette expands
+    through it to RGB.  Compressed (RLE/bitfield) BMPs raise
+    ``NotImplementedError`` — same honest-gate contract as the other
+    codecs in this module."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:2] != BMP_SIGNATURE:
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed BI_RGB BMPs decode natively; got "
+            f"compression={compression}"
+        )
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"BMP bpp {bpp} not supported (8/24 only)")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = w * (bpp // 8)
+    stride = (row_bytes + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = data.reshape(h, stride)[:, :row_bytes]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return w, h, 3, np.ascontiguousarray(px)
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal = np.frombuffer(
+        payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+    ).reshape(n_colors, 4)[:, :3][:, ::-1]  # stored BGR0 → RGB
+    idx = rows.reshape(h, w)
+    gray_ramp = np.arange(n_colors, dtype=np.uint8)
+    if n_colors == 256 and (pal == gray_ramp[:, None]).all():
+        return w, h, 1, idx[..., None].copy()
+    px = pal[idx]
+    return w, h, 3, np.ascontiguousarray(px)
+
+
+def bmp_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """BMP decode kernel: payload → (dims, channels, exact-mean pixel),
+    same contract as the PNG/GIF kernels."""
+    for pdf in batches:
+        doc_ids, ws, hs, chs, means = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch, px = bmp_decode(bytes(payload))
+            doc_ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            chs.append(ch)
+            means.append(int(px.sum(dtype="int64")) / (w * h * ch))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "channels": pd.Series(chs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
+            }
+        )
+
+
+def _synthesize_bmp_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic BMP per doc: even doc_ids get the 8-bpp grayscale
+    gradient (pixel k = (doc_id + k) mod 256), odd doc_ids the 24-bpp RGB
+    form of the same gradient replicated across channels — both paths of
+    the decoder flow through the one query."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            px = ((int(doc_id) + k) % 256).astype(np.uint8).reshape(IMG_H, IMG_W)
+            if int(doc_id) % 2:
+                px = np.repeat(px[..., None], 3, axis=2)
+            payloads.append(bmp_encode(px))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "bmp_decode_features",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST(CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END AS INTEGER)
+               AS channels,
+           CAST(SUM((d.doc_id + t.k) % 256) AS DOUBLE) / {IMG_W * IMG_H}
+               AS mean_pixel
+    FROM documents d, range(0, {IMG_W * IMG_H}) t(k)
+    GROUP BY d.doc_id
+    """,
+)
+def bmp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode E2E with a SQL oracle — the uncompressed-DIB twin of
+    ``png_decode_features``: synthesize a deterministic BMP per document
+    (8-bpp palettized gray for even doc ids, 24-bpp BGR for odd — the
+    channel-replicated gradient keeps the mean identical, so the oracle
+    is one closed form), decode through the real :func:`bmp_decode`
+    path, emit per-payload features.  Two narrow ``mapInPandas`` passes,
+    no shuffle; payloads never leave the executor."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = d.select("doc_id").mapInPandas(
+        _synthesize_bmp_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        bmp_decode_features, schema=IMAGE_FEATURE_SCHEMA
     )

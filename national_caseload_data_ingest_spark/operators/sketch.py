@@ -1,5 +1,7 @@
-"""Mergeable frequency sketches: a Count-Min Sketch built as a pure
-DataFrame aggregate over the ``documents`` token stream.
+"""Mergeable sketches as relations: Count-Min (frequencies), DataSketches
+HLL (distincts), and an equi-width histogram (distribution/quantiles) —
+each a pure DataFrame aggregate whose output is a tiny mergeable relation,
+never a driver-side blob.
 
 Spark ships HLL (``approx_count_distinct``) and KLL-style quantiles
 (``approx_percentile``) but no frequency sketch; Count-Min (Cormode &
@@ -205,3 +207,97 @@ def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("estimate").cast("bigint").alias("est_distinct"),
     )
     return monthly.unionByName(merged).orderBy("month")
+
+
+HIST_WIDTH = 1000  # price-unit bucket width for the lineitem histogram
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_sketch(df: DataFrame, col: str, width: int) -> DataFrame:
+    """Equi-width histogram as a relation: ``(bucket, n)`` with
+    ``bucket = floor(col / width)``.  The third mergeable sketch in this
+    module (CMS: frequencies, HLL: distincts, histogram: distribution):
+    histograms of two corpora union+sum to the histogram of the union,
+    and unlike CMS/HLL every number here is integer-exact arithmetic —
+    an independent engine reproduces it bit-for-bit, so the quantile
+    estimates built on top stay ORACLE-checkable."""
+    return (
+        df.groupBy(
+            F.floor(F.col(col) / F.lit(width)).cast("bigint").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, width: int, qs: tuple[float, ...]
+) -> DataFrame:
+    """Quantile estimates from the histogram relation: for each q, the
+    first bucket whose cumulative count reaches ``ceil(q·N)``, reported
+    as the bucket's inclusive upper edge — an estimate within one bucket
+    width of the exact quantile, from state of size O(range/width)
+    regardless of row count.
+
+    The cumulative window runs over the HISTOGRAM relation (thousands of
+    rows at most), not the data, so the single-partition window is a
+    driver-sized sort, and the quantile probe is a broadcast of the
+    one-row total followed by one filter+min per q."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    cum = hist.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = hist.agg(F.sum("n").alias("total"))
+    qdf = cum.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    return (
+        qdf.crossJoin(F.broadcast(total))
+        .join(
+            cum,
+            F.col("cum") >= F.ceil(F.col("q") * F.col("total")),
+        )
+        .groupBy("q")
+        .agg(
+            ((F.min("bucket") + 1) * width).alias("upper_edge"),
+            F.any_value("total").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "histogram_price_quantiles",
+    oracle=f"""
+    WITH hist AS (
+        SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, n,
+               SUM(n) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    total AS (SELECT SUM(n) AS total FROM hist),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT q,
+           CAST((MIN(bucket) + 1) * {HIST_WIDTH} AS BIGINT) AS upper_edge,
+           CAST(ANY_VALUE(total) AS BIGINT) AS n_rows
+    FROM qs, total
+    JOIN cum ON cum.cum >= ceil(q * total)
+    GROUP BY q
+    """,
+)
+def histogram_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of ``l_extendedprice``: one exact
+    integer-arithmetic scan builds the bucket relation, then p50/p90/p99
+    come from the sketch alone — the scale path for percentiles over
+    data too big to sort (``median_quantity_by_flag``'s caveat), with a
+    PROVABLE ±{HIST_WIDTH} error bar instead of approx_percentile's
+    opaque one, and exact-reproducible output (oracle hash-match, unlike
+    any sampled sketch)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    hist = histogram_sketch(li, "l_extendedprice", HIST_WIDTH)
+    return histogram_quantiles(hist, HIST_WIDTH, HIST_QS)

@@ -755,3 +755,91 @@ def funnel_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def correlate_signup_purchase_outer(
+    signups: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """LEFT OUTER interval join: every signup, with its within-the-hour
+    purchases or nulls — the non-converter report the inner join
+    (:func:`correlate_signup_purchase`) cannot produce.
+
+    Streaming semantics worth naming: an unmatched signup's null-padded
+    row is emitted only once the PURCHASE side's watermark passes the
+    end of the signup's interval (before that, a match could still
+    arrive), so outer results trail the watermark delay — correctness
+    over latency, and the reason both sides MUST carry watermarks and a
+    time-range condition (Spark rejects an unbounded-state outer
+    stream-stream join outright).  The flush clock is the GLOBAL
+    watermark — the min over both sides' (max event time − delay), each
+    computed on its own filtered flow — so if one event type stops
+    hours before the other, null emission stalls at the quieter side's
+    clock (pinned in `tests/test_streaming.py`).  The same expression
+    runs unchanged on batch DataFrames, where the left join is just a
+    left join."""
+    s = signups.select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("s_user").alias("user_id"),
+        "signup_ts",
+        "purchase_ts",
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+        F.col("purchase_ts").isNotNull().alias("converted"),
+    )
+
+
+def signup_purchase_outer_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER twin: two watermarked streams off the
+    same file source; unmatched signups surface as null rows after the
+    watermark passes their hour."""
+    signups = (
+        _events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", WATERMARK)
+    )
+    purchases = (
+        _events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", WATERMARK)
+    )
+    return correlate_signup_purchase_outer(signups, purchases)
+
+
+@query(
+    "signup_purchase_outer",
+    oracle="""
+    SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+           CAST(p.value AS DOUBLE) AS purchase_value,
+           p.ts IS NOT NULL AS converted
+    FROM events s
+    LEFT JOIN events p ON p.user_id = s.user_id
+                      AND p.ts >= s.ts
+                      AND p.ts <= s.ts + INTERVAL 1 HOUR
+                      AND p.event_type = 'purchase'
+    WHERE s.event_type = 'signup'
+    """,
+)
+def signup_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER interval join — every signup with
+    conversion outcome.  Same single user-keyed shuffle as the inner
+    twin; the interval is a residual predicate on the join."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return correlate_signup_purchase_outer(
+        e.filter(F.col("event_type") == "signup"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

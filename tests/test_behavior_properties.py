@@ -43,6 +43,17 @@ def _mk_df(spark, evs):
 @settings(max_examples=15, deadline=None)
 @given(events_strategy)
 def test_scd2_invariants(spark, evs):
+    # one event per (user, minute): with equal timestamps the operator
+    # tiebreaks on event_id, but the OUTPUT carries no event_id, so the
+    # order of two zero-length intervals sharing a valid_from is not
+    # reconstructable from the result relation — that corner gets its
+    # own deterministic test below; the property here covers every
+    # observably-ordered sequence
+    seen: set[tuple[int, int]] = set()
+    evs = [
+        e for e in evs
+        if (e[0], e[2]) not in seen and not seen.add((e[0], e[2]))
+    ]
     rows = sorted(
         scd2_intervals(_mk_df(spark, evs)).collect(),
         key=lambda r: (r["user_id"], r["valid_from"], r["state"]),
@@ -68,6 +79,26 @@ def test_scd2_invariants(spark, evs):
             assert not a["is_current"]
             assert a["state"] != b["state"]
         assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+
+
+def test_scd2_equal_ts_tiebreak_on_event_id(spark):
+    """Two events at the SAME timestamp: the operator orders them by
+    event_id — the earlier id becomes a zero-length interval, the later
+    id the current state (the corner the property test scopes out)."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, 1, "view", t), (1, 1, "click", t)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    rows = scd2_intervals(df).collect()
+    assert len(rows) == 2
+    cur = next(r for r in rows if r["is_current"])
+    zero = next(r for r in rows if not r["is_current"])
+    assert cur["state"] == "click" and cur["valid_to"] is None
+    assert zero["state"] == "view"
+    assert zero["valid_from"] == zero["valid_to"] == t
 
 
 def _ref_funnel(evs, steps):

@@ -242,3 +242,60 @@ def test_hll_estimate_within_error_bounds(spark, orders_like):
 def test_hll_sketch_state_is_bounded(spark, orders_like):
     sk = hll_month_sketches(orders_like).collect()
     assert all(len(bytes(r["sketch"])) <= (1 << HLL_LGK) + 64 for r in sk)
+
+
+# -------------------------------------------------------------- histogram
+
+
+def test_histogram_merge_is_union(spark):
+    from national_caseload_data_ingest_spark.operators.sketch import (
+        histogram_sketch,
+    )
+
+    a = spark.createDataFrame([(float(v),) for v in range(0, 100)], "v double")
+    b = spark.createDataFrame([(float(v),) for v in range(50, 200)], "v double")
+    both = a.unionAll(b)
+    merged = (
+        histogram_sketch(a, "v", 10)
+        .unionAll(histogram_sketch(b, "v", 10))
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = histogram_sketch(both, "v", 10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_histogram_quantile_within_one_bucket_of_exact(spark):
+    from national_caseload_data_ingest_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    vals = [float(v) for v in range(1, 10001)]  # uniform 1..10000
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    width = 100
+    out = {
+        r["q"]: r["upper_edge"]
+        for r in histogram_quantiles(
+            histogram_sketch(df, "v", width), width, (0.5, 0.9, 0.99)
+        ).collect()
+    }
+    import math
+
+    n = len(vals)
+    for q, edge in out.items():
+        exact = sorted(vals)[math.ceil(q * n) - 1]
+        assert exact <= edge <= exact + width  # upper edge overshoots ≤ width
+
+
+def test_histogram_state_is_bounded_by_range(spark):
+    from national_caseload_data_ingest_spark.operators.sketch import (
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v % 500),) for v in range(20000)], "v double"
+    )
+    assert histogram_sketch(df, "v", 10).count() <= 50

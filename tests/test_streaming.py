@@ -650,3 +650,63 @@ def test_funnel_stream_multi_batch_in_order(spark, events_batch, tmp_path):
     assert set(stream_rows) == set(batch)
     for uid, b in batch.items():
         assert stream_rows[uid]["step_reached"] == b["step_reached"], uid
+
+
+def test_stream_stream_outer_join_matched_equals_batch_and_flushes_nulls(
+    spark, events_batch
+):
+    """LEFT OUTER stream-stream interval join: matched rows equal the
+    batch twin's matched rows exactly; null-padded non-converter rows
+    are emitted once the purchase-side watermark passes the signup's
+    hour (availableNow runs the no-data flush batch), so every signup
+    older than the watermark cutoff appears exactly once."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.streaming.events import (
+        correlate_signup_purchase_outer,
+        signup_purchase_outer_stream,
+    )
+
+    sdf = signup_purchase_outer_stream(spark, EVENTS_DIR)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ssouter_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssouter_mem").collect()
+    want = correlate_signup_purchase_outer(
+        events_batch.filter(F.col("event_type") == "signup"),
+        events_batch.filter(F.col("event_type") == "purchase"),
+    ).collect()
+
+    key = lambda r: (r["user_id"], r["signup_ts"], r["purchase_ts"])  # noqa: E731
+    got_matched = sorted(key(r) for r in got if r["converted"])
+    want_matched = sorted(key(r) for r in want if r["converted"])
+    assert got_matched == want_matched and len(got_matched) > 0
+
+    # null rows: the batch twin's non-converters whose interval closed
+    # before the final GLOBAL watermark — the min over both sides'
+    # (max event time - delay), because each stream watermarks its own
+    # filtered event flow (signups end hours before purchases here)
+    maxes = [
+        events_batch.filter(F.col("event_type") == t)
+        .agg(F.max("ts"))
+        .collect()[0][0]
+        for t in ("signup", "purchase")
+    ]
+    cutoff = min(maxes) - datetime.timedelta(minutes=10)
+    want_nulls = sorted(
+        key(r)
+        for r in want
+        if not r["converted"]
+        and r["signup_ts"] + datetime.timedelta(hours=1) < cutoff
+    )
+    got_nulls = sorted(key(r) for r in got if not r["converted"])
+    assert want_nulls  # fixture must actually exercise the flush path
+    assert set(want_nulls) <= set(got_nulls)  # all closed intervals flushed
+    assert set(got_nulls) <= {key(r) for r in want if not r["converted"]}
