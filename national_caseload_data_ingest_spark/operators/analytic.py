@@ -494,3 +494,53 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+BASKET_TOP_K = 25
+
+
+@query(
+    "frequent_part_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the {BASKET_TOP_K} part pairs
+    bought together in the most orders — A-Priori's pair-counting stage
+    expressed relationally (distinct basket items, basket-keyed self
+    join, one pair-keyed count, TakeOrderedAndProject cap).
+
+    Scale shape: the self join is keyed by the BASKET id, so the
+    quadratic term is per-basket (items-per-order² — single digits
+    squared for order data), never corpus²; the pair count is one
+    shuffle on the (a, b) key; the top-k never sorts globally.
+    Full A-Priori iterates this with a support-filtered candidate set —
+    the k=2 pass shown here is the one that dominates its cost."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )

@@ -120,3 +120,133 @@ def link_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_col="c_name",
         block_cols=["c_nationkey", "c_mktsegment"],
     )
+
+
+SNB_WINDOW = 4  # sorted-neighborhood width: pair ranks within w-1 of each other
+
+
+def link_records_snb(
+    records: DataFrame,
+    key_col: str,
+    name_col: str,
+    sort_col: str | None = None,
+    window: int = SNB_WINDOW,
+    max_dist: int = LINK_MAX_DIST,
+) -> DataFrame:
+    """Sorted-neighborhood linkage (Hernández & Stolfo, SIGMOD'95) — the
+    scale remedy the blocked join's guard message points at: candidate
+    volume is EXACTLY n·(window−1), whatever the key distribution, so
+    there is no block-skew failure mode at all.
+
+    Spark-first shape, no single-partition window anywhere:
+
+    1. **Global rank without a global window** — ``repartitionByRange``
+       on (sort, key) makes partitions contiguous ranges of the sort
+       order; a row_number window PARTITIONED BY the range-partition id
+       ranks locally (distributed), and a broadcast join against the
+       tiny per-partition count relation adds the offsets.  The result
+       equals ``ROW_NUMBER() OVER (ORDER BY sort, key)`` exactly
+       (the composite key is unique, so the total order is unambiguous)
+       — which is what keeps the operator oracle-checkable.
+    2. **Neighbor pairing as one equi join** — each row explodes into
+       ``window−1`` probe rows keyed by ``rank − i``; one integer-keyed
+       join attaches each row to its following neighbors, crossing any
+       partition boundary for free (no boundary-replication machinery).
+    3. The edit-distance filter is the same codegen ``levenshtein`` as
+       the blocked path.
+
+    Trade vs blocking: SNB only compares records whose SORT keys land
+    near each other — a typo in the first character defeats it (the
+    classic fix is multi-pass SNB over different sort keys, which is
+    just a union of this operator over each key).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    sort_col = sort_col or name_col
+    n_part = max(records.sparkSession.sparkContext.defaultParallelism, 2)
+    # persist() is load-bearing, not a cache hint: the count/offset
+    # relation and the ranked relation (used twice more below) are
+    # separate branches of this lineage, and repartitionByRange chooses
+    # its boundaries by SAMPLING — an independent recomputation may pick
+    # different boundaries, and offsets computed against one boundary
+    # set applied to row_numbers from another yield duplicate/gapped
+    # ranks.  Materializing the range-partitioned relation once pins a
+    # single boundary set for every consumer.  (Plain persist, the
+    # dedup-module convention — reclamation to the ContextCleaner.)
+    ranged = (
+        records.select(
+            F.col(key_col).alias("key"),
+            F.col(name_col).alias("name"),
+            F.col(sort_col).alias("__sort"),
+        )
+        .repartitionByRange(n_part, F.col("__sort"), F.col("key"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__pid",
+        (
+            F.sum("__n").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("__offset"),
+    ).fillna(0, subset=["__offset"])
+    local = Window.partitionBy("__pid").orderBy("__sort", "key")
+    ranked = (
+        ranged.withColumn("__local", F.row_number().over(local))
+        .join(F.broadcast(offsets), "__pid")
+        .select(
+            "key",
+            "name",
+            (F.col("__offset") + F.col("__local")).alias("rank"),
+        )
+    )
+    probes = ranked.select(
+        F.explode(
+            F.array(*[F.col("rank") - F.lit(i) for i in range(1, window)])
+        ).alias("anchor"),
+        F.col("key").alias("key_b"),
+        F.col("name").alias("name_b"),
+        F.col("rank").alias("rank_b"),
+    )
+    return (
+        ranked.join(probes, F.col("rank") == F.col("anchor"))
+        .withColumn("dist", F.levenshtein("name", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("key").alias("key_a"),
+            "key_b",
+            F.col("name").alias("name_a"),
+            "name_b",
+            "dist",
+            (F.col("rank_b") - F.col("rank")).cast("int").alias("rank_gap"),
+        )
+    )
+
+
+@query(
+    "link_customer_records_snb",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT c_custkey AS key, c_name AS name,
+               ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rank
+        FROM customer
+    )
+    SELECT a.key AS key_a, b.key AS key_b,
+           a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+           CAST(b.rank - a.rank AS INTEGER) AS rank_gap
+    FROM ranked a JOIN ranked b
+      ON b.rank - a.rank BETWEEN 1 AND {SNB_WINDOW - 1}
+    WHERE levenshtein(a.name, b.name) <= {LINK_MAX_DIST}
+    """,
+)
+def link_customer_records_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage of customers on the name sort order —
+    the skew-immune twin of ``link_customer_records`` (see
+    :func:`link_records_snb` for the rank/pairing plan)."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    return link_records_snb(c, key_col="c_custkey", name_col="c_name")

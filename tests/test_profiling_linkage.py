@@ -94,3 +94,119 @@ def test_linkage_blocks_via_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------- sorted-neighborhood
+
+
+def _recs(spark, names):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, nm string"
+    )
+
+
+def test_snb_matches_global_window_reference(spark):
+    """SNB pairing equals the single-global-window reference on a corpus
+    spanning many range-partition boundaries (40 rows, 32 partitions)."""
+    from pyspark.sql import Window
+
+    from national_caseload_data_ingest_spark.operators.linkage import (
+        link_records_snb,
+    )
+
+    names = [f"rec{i:03d}x" for i in range(40)]
+    df = _recs(spark, names)
+    got = {
+        (r["key_a"], r["key_b"], r["rank_gap"])
+        for r in link_records_snb(
+            df, key_col="id", name_col="nm", window=4, max_dist=2
+        ).collect()
+    }
+    w = Window.orderBy("nm", "id")
+    ranked = df.select("id", "nm", F.row_number().over(w).alias("r")).collect()
+    by_rank = {r["r"]: r for r in sorted(ranked, key=lambda r: r["r"])}
+    want = set()
+    for r, row in by_rank.items():
+        for gap in (1, 2, 3):
+            other = by_rank.get(r + gap)
+            if other is None:
+                continue
+            d = _lev(row["nm"], other["nm"])
+            if d <= 2:
+                want.add((row["id"], other["id"], gap))
+    assert got == want and len(want) > 0
+
+
+def _lev(a, b):
+    import numpy as np
+
+    m, n = len(a), len(b)
+    d = np.arange(n + 1)
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev, d[j] = d[j], min(
+                d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return int(d[n])
+
+
+def test_snb_is_skew_immune(spark):
+    """200 IDENTICAL names — the worst case that trips the blocked
+    path's guard — produce exactly n·(w−1) − (1+2+…+(w−2)+(w−1)) pairs:
+    linear, never quadratic."""
+    from national_caseload_data_ingest_spark.operators.linkage import (
+        link_records_snb,
+    )
+
+    n, w = 200, 4
+    df = _recs(spark, ["samename"] * n)
+    out = link_records_snb(df, key_col="id", name_col="nm", window=w)
+    assert out.count() == (n - 1) + (n - 2) + (n - 3)
+
+
+def test_snb_misses_first_char_typo_as_documented(spark):
+    """The documented trade: a first-character typo sorts far away and
+    is not paired (multi-pass SNB over other sort keys is the fix)."""
+    from national_caseload_data_ingest_spark.operators.linkage import (
+        link_records_snb,
+    )
+
+    names = ["aaaa0", "aaaa1", "aaaa2", "aaaa3", "zaaa0"] + [
+        f"mmm{i}" for i in range(10)
+    ]
+    out = link_records_snb(
+        _recs(spark, names), key_col="id", name_col="nm", window=3
+    ).collect()
+    # zaaa0 is 1 edit from aaaa0 but never paired with it
+    assert not any({r["key_a"], r["key_b"]} == {0, 4} for r in out)
+
+
+def test_frequent_part_pairs_matches_python_reference(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from national_caseload_data_ingest_spark.operators.analytic import (
+        BASKET_TOP_K,
+        frequent_part_pairs,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["part_a"], r["part_b"], r["n_orders"])
+        for r in frequent_part_pairs(spark, sf).collect()
+    ]
+    li = load_tables(spark, sf, "lineitem")["lineitem"]
+    baskets: dict[int, set] = {}
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    counts = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            counts[(a, b)] += 1
+    want = sorted(
+        ((a, b, c) for (a, b), c in counts.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:BASKET_TOP_K]
+    assert got == want and len(got) == BASKET_TOP_K
