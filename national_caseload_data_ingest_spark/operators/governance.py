@@ -235,3 +235,108 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr, covar)"
         )
     )
+
+
+CHECKSUM_BUCKETS = 64
+
+# canonical per-column string forms that BOTH engines render identically:
+# ints/strings cast directly, money through DECIMAL(18,2), dates via the
+# ISO default cast; NULL → a marker no real value contains
+_ORDER_CANON = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _canon_cols_spark() -> list:
+    out = []
+    for name, kind in _ORDER_CANON:
+        c = F.col(name)
+        if kind == "money":
+            c = c.cast("decimal(18,2)").cast("string")
+        else:
+            c = c.cast("string")
+        out.append(F.coalesce(c, F.lit("\\N")))
+    return out
+
+
+def _canon_cols_sql() -> list[str]:
+    out = []
+    for name, kind in _ORDER_CANON:
+        e = (
+            f"CAST(CAST({name} AS DECIMAL(18,2)) AS VARCHAR)"
+            if kind == "money"
+            else f"CAST({name} AS VARCHAR)"
+        )
+        out.append(f"COALESCE({e}, '\\N')")
+    return out
+
+
+def table_checksum(df: DataFrame, canon_cols: list, key, n_buckets: int) -> DataFrame:
+    """Partition-grain Merkle-style table digest: rows hash to a 60-bit
+    digest (md5 of the canonical row string), buckets are key-ranges
+    (``pmod(key, n_buckets)``), and each bucket folds its digests with
+    the order-independent ``bit_xor`` plus count/min/max.
+
+    The sync/audit primitive a 100 TB warehouse needs: comparing two
+    copies of a table costs one narrow scan per side plus a
+    ``n_buckets``-row diff, and a mismatch names WHICH bucket to
+    re-transfer or row-diff (``snapshot_diff`` is the row-grain drill-
+    down).  XOR is the right fold: commutative/associative (order- and
+    partitioning-independent), self-inverse (a bucket xor of two
+    identical copies is 0 row-by-row), and closed over int64 — unlike
+    SUM, which overflows bigint on ~10⁴ 60-bit digests and diverges
+    between engines (Spark wraps, DuckDB promotes to HUGEINT).  Digests
+    stay 60-bit so the hex→int conversion is exact in any engine."""
+    rowstr = F.concat_ws("|", *canon_cols)
+    digest = F.conv(F.substring(F.md5(rowstr.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        df.select(
+            F.pmod(key, F.lit(n_buckets)).cast("int").alias("bucket"),
+            digest.alias("d"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("d").alias("xor_digest"),
+            F.min("d").alias("min_digest"),
+            F.max("d").alias("max_digest"),
+        )
+    )
+
+
+@query(
+    "orders_bucket_checksums",
+    oracle=f"""
+    WITH canon AS (
+        SELECT CAST(o_orderkey % {CHECKSUM_BUCKETS} AS INTEGER) AS bucket,
+               CAST(concat('0x',
+                    substr(md5({" || '|' || ".join(_canon_cols_sql())}), 1, 15)
+               ) AS BIGINT) AS d
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(d) AS xor_digest,
+           MIN(d) AS min_digest,
+           MAX(d) AS max_digest
+    FROM canon
+    GROUP BY bucket
+    """,
+)
+def orders_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-grain checksum relation for orders ({CHECKSUM_BUCKETS}
+    buckets) — see :func:`table_checksum`.  The oracle recomputes the
+    digests independently, so a hash-match proves both the canonical row
+    rendering and the fold agree across engines — which is exactly the
+    property that makes the checksum usable for cross-system sync."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return table_checksum(
+        o, _canon_cols_spark(), F.col("o_orderkey"), CHECKSUM_BUCKETS
+    )

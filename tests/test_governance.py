@@ -100,3 +100,50 @@ def test_correlations_match_numpy(spark):
             covar = np.cov(x, y, ddof=1)[0, 1]
             assert got[(a, b)][0] == pytest.approx(corr, rel=1e-9)
             assert got[(a, b)][1] == pytest.approx(covar, rel=1e-9)
+
+
+def test_table_checksum_detects_single_row_change(spark):
+    """Flipping ONE value changes exactly the one bucket that row hashes
+    to — the property that makes bucket checksums a sync primitive."""
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.operators.governance import (
+        table_checksum,
+    )
+
+    rows = [(i, f"name{i}", float(i) * 1.5) for i in range(500)]
+    schema = "id long, nm string, val double"
+    a = spark.createDataFrame(rows, schema)
+    changed = list(rows)
+    changed[123] = (123, "name123", 999.0)
+    b = spark.createDataFrame(changed, schema)
+    canon = lambda: [  # noqa: E731
+        F.col("id").cast("string"),
+        F.col("nm"),
+        F.col("val").cast("decimal(18,2)").cast("string"),
+    ]
+    ca = {r["bucket"]: r for r in table_checksum(a, canon(), F.col("id"), 16).collect()}
+    cb = {r["bucket"]: r for r in table_checksum(b, canon(), F.col("id"), 16).collect()}
+    diff = [
+        k for k in ca
+        if (ca[k]["xor_digest"], ca[k]["n_rows"]) != (cb[k]["xor_digest"], cb[k]["n_rows"])
+    ]
+    assert diff == [123 % 16]
+    # identical copies agree on every bucket
+    cc = {r["bucket"]: r for r in table_checksum(a, canon(), F.col("id"), 16).collect()}
+    assert all(tuple(ca[k]) == tuple(cc[k]) for k in ca)
+
+
+def test_table_checksum_is_partitioning_independent(spark):
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.operators.governance import (
+        table_checksum,
+    )
+
+    rows = [(i, f"n{i}") for i in range(300)]
+    a = spark.createDataFrame(rows, "id long, nm string")
+    canon = [F.col("id").cast("string"), F.col("nm")]
+    one = sorted(map(tuple, table_checksum(a.coalesce(1), canon, F.col("id"), 8).collect()))
+    many = sorted(map(tuple, table_checksum(a.repartition(13), canon, F.col("id"), 8).collect()))
+    assert one == many
