@@ -274,3 +274,22 @@ def test_pagerank_rounds_are_bounded_at_scale(spark):
     top = pr.orderBy(F.col("pr").desc()).limit(1).collect()[0]
     pr.unpersist()
     assert top["doc_id"] < 1000  # a hub, not a leaf
+
+
+def test_snb_linkage_is_linear_under_total_skew(spark):
+    """10⁵ records with the SAME sort key — the input that makes blocked
+    linkage quadratic (10¹⁰ candidate pairs) — produce exactly
+    n·(w−1) − 6 SNB candidates and finish in one pass: the skew-immunity
+    claim of link_records_snb, measured."""
+    from national_caseload_data_ingest_spark.operators.linkage import (
+        SNB_WINDOW,
+        link_records_snb,
+    )
+
+    n = N_DOCS
+    df = spark.range(n).select(
+        F.col("id"), F.lit("identical-name").alias("nm")
+    )
+    out = link_records_snb(df, key_col="id", name_col="nm", window=SNB_WINDOW)
+    expect = sum(n - g for g in range(1, SNB_WINDOW))
+    assert out.count() == expect
