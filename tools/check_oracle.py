@@ -77,7 +77,19 @@ def main() -> int:
     import __spark_entry__ as ent
     from national_caseload_data_ingest_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_DRIVER_EMULATION"):
+        # bare session, engine configs absent — what the round driver
+        # builds; queries must self-configure via load_tables
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("driver-emulation")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
