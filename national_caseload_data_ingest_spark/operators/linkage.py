@@ -250,3 +250,45 @@ def link_customer_records_snb(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`link_records_snb` for the rank/pairing plan)."""
     c = load_tables(spark, sf_dir, "customer")["customer"]
     return link_records_snb(c, key_col="c_custkey", name_col="c_name")
+
+
+def link_records_snb_multipass(
+    records: DataFrame,
+    key_col: str,
+    name_col: str,
+    sort_exprs: list,
+    window: int = SNB_WINDOW,
+    max_dist: int = LINK_MAX_DIST,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood (the standard fix for single-sort
+    blindness): one SNB pass per sort expression, results unioned and
+    de-duplicated on the unordered pair.
+
+    A first-character typo defeats a single name-sorted pass — the
+    record sorts far from its twin — but survives a second pass sorted
+    by, e.g., the REVERSED name (or phonetic key, zip, birth year...).
+    Cost is additive: p passes = p sorted scans, candidates ≤ p·n·(w−1).
+    The pair key is normalized to (min, max) so the same match found by
+    two passes counts once; ``rank_gap`` is dropped (it is per-pass
+    bookkeeping, meaningless after the union)."""
+    outs = []
+    for i, expr in enumerate(sort_exprs):
+        tagged = records.withColumn(f"__sort_{i}", expr)
+        outs.append(
+            link_records_snb(
+                tagged,
+                key_col=key_col,
+                name_col=name_col,
+                sort_col=f"__sort_{i}",
+                window=window,
+                max_dist=max_dist,
+            ).select(
+                F.least("key_a", "key_b").alias("key_a"),
+                F.greatest("key_a", "key_b").alias("key_b"),
+                "dist",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.groupBy("key_a", "key_b").agg(F.min("dist").alias("dist"))

@@ -210,3 +210,53 @@ def test_frequent_part_pairs_matches_python_reference(spark):
         key=lambda t: (-t[2], t[0], t[1]),
     )[:BASKET_TOP_K]
     assert got == want and len(got) == BASKET_TOP_K
+
+
+def test_snb_multipass_catches_first_char_typo(spark):
+    """The reversed-name second pass finds the pair the single name-sort
+    pass documents as missed."""
+    from national_caseload_data_ingest_spark.operators.linkage import (
+        link_records_snb,
+        link_records_snb_multipass,
+    )
+
+    names = ["aaaa0", "aaaa1", "aaaa2", "aaaa3", "zaaa0"] + [
+        f"mmm{i}" for i in range(10)
+    ]
+    df = _recs(spark, names)
+    single = link_records_snb(df, key_col="id", name_col="nm", window=3).collect()
+    assert not any({r["key_a"], r["key_b"]} == {0, 4} for r in single)
+    multi = link_records_snb_multipass(
+        df,
+        key_col="id",
+        name_col="nm",
+        sort_exprs=[F.col("nm"), F.reverse(F.col("nm"))],
+        window=3,
+    ).collect()
+    assert any({r["key_a"], r["key_b"]} == {0, 4} for r in multi)
+    # union de-duplicates: no unordered pair appears twice
+    pairs = [(r["key_a"], r["key_b"]) for r in multi]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+
+
+def test_leakage_split_lsh_mode_matches_exact_on_test_corpus(spark):
+    """The split composes with either pair generator: LSH-mode cluster
+    assignments yield the identical fold map as exact mode on the
+    curation test corpus (same guarantee the corpus build pins)."""
+    from national_caseload_data_ingest_spark.operators.curation import (
+        leakage_safe_split,
+        neardup_cluster_assignments,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    d = load_tables(spark, sf, "documents")["documents"]
+    folds = {}
+    for mode in ("exact", "lsh"):
+        clusters = neardup_cluster_assignments(spark, sf, neardup=mode, threshold=0.3)
+        folds[mode] = {
+            r["doc_id"]: (r["group_id"], r["split"])
+            for r in leakage_safe_split(d, clusters).collect()
+        }
+    assert folds["exact"] == folds["lsh"] and len(folds["exact"]) == 500
