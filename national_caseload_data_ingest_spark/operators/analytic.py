@@ -544,3 +544,99 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(BASKET_TOP_K)
     )
+
+
+def prefix_max_by_order(df: DataFrame, order_col: str, val_col: str) -> DataFrame:
+    """EXCLUSIVE running max of ``val_col`` in ``order_col`` order,
+    with no single-partition window: the two-pass range-partition
+    pattern (repartitionByRange → local running max per partition →
+    broadcast per-partition prefix offsets — same machinery as
+    ``link_records_snb``'s global rank and the scaled token sharding).
+    Input must have unique ``order_col`` values (it is the range/sort
+    key); output adds ``prefix_max`` (NULL for the first row — nothing
+    precedes it).
+
+    persist() pins one boundary-sampling of the range exchange for the
+    stats branch and the ranked branch (see link_records_snb)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = (
+        df.repartitionByRange(n_part, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    pstats = ranged.groupBy("__pid").agg(F.max(val_col).alias("__pmax"))
+    offs = pstats.select(
+        "__pid",
+        F.max("__pmax")
+        .over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("__carry"),
+    )
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn("__local_max", F.max(val_col).over(local))
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(
+            "prefix_max", F.greatest(F.col("__local_max"), F.col("__carry"))
+        )
+        .drop("__pid", "__local_max", "__carry")
+    )
+
+
+@query(
+    "pareto_parts",
+    oracle="""
+    WITH pp AS (
+        SELECT p_retailprice, MAX(p_size) AS pmax
+        FROM part GROUP BY p_retailprice
+    ),
+    pref AS (
+        SELECT p_retailprice, pmax,
+               MAX(pmax) OVER (ORDER BY p_retailprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prefix_max
+        FROM pp
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN pref USING (p_retailprice)
+    WHERE NOT (COALESCE(pref.prefix_max >= p.p_size, false)
+               OR pref.pmax > p.p_size)
+    """,
+)
+def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts no other part beats on BOTH
+    price (lower-is-better) and size (higher-is-better) — the
+    multi-criteria shortlist query (Börzsönyi et al., ICDE'01).
+
+    The naive dominance test is an O(n²) NOT EXISTS self-join; the 2-D
+    case collapses to prefix algebra: p is dominated iff the max size
+    among STRICTLY cheaper parts reaches p's size, or an equal-price
+    part is strictly bigger.  Plan: one price-keyed aggregate (distinct
+    prices ≪ parts), the distributed exclusive prefix-max over price
+    order (:func:`prefix_max_by_order` — range-partition two-pass, no
+    single-partition window), and one broadcast-able join back.  Every
+    pass is linear; ties on both dimensions stay in the frontier
+    (neither dominates the other)."""
+    p = load_tables(spark, sf_dir, "part")["part"]
+    pp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("pmax"))
+    pref = prefix_max_by_order(pp, "p_retailprice", "pmax")
+    return (
+        p.select("p_partkey", "p_retailprice", "p_size")
+        .join(pref, "p_retailprice")
+        .filter(
+            ~(
+                F.coalesce(
+                    F.col("prefix_max") >= F.col("p_size"), F.lit(False)
+                )
+                | (F.col("pmax") > F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -37,30 +37,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
 # the whole catalog: after round 5 every then-registered query had at
 # least one driver row, so the risk is STALENESS plus the NEW round-6
-# surface.  Round 6 registered 45 queries that have never had a driver
+# surface.  Round 6 registered 46 queries that have never had a driver
 # row (9 from the early-round codec/format/dedup work, 23 from the
-# analytics/LM/classifier/governance/streaming-funnel expansion, and 13
+# analytics/LM/classifier/governance/streaming-funnel expansion, and 14
 # late additions: SCD2 point-in-time join, event trigrams, near-dup
 # triangle count, the MATCH_RECOGNIZE-lite pattern matcher, the
 # leakage-safe group split, the Arrow IPC round-trip, the HLL
 # incremental-distinct sketch, the histogram-sketch quantiles, the
 # outer interval join, the BMP decode, the sorted-neighborhood
-# linkage, the market-basket pair mining, and the bucket-checksum
-# digests); the window front-loads
-# all 45, then 3 of the 16 queries whose freshest row is round 2, then 2
+# linkage, the market-basket pair mining, the bucket-checksum
+# digests, and the Pareto skyline); the window front-loads
+# all 46, then 2 of the 16 queries whose freshest row is round 2, then 2
 # category-diverse representatives from the 43 whose freshest row is
 # round 4 (the embedding family's slot is covered by
-# embedding_pca_projection above).  The 13 round-2 queries squeezed out
+# embedding_pca_projection above).  The 14 round-2 queries squeezed out
 # by the late additions (set_except_nations, cross_join_region_status,
 # q18_large_orders, simhash_neardup, approx_distinct_parts,
 # multimodal_frame_sample, having_supplier_volume, sliding_window_events,
 # pivot_line_status, q10_returned_items, q5_local_supplier_volume,
-# window_ntile_share, set_intersect_nations — each
+# window_ntile_share, set_intersect_nations,
+# in_subquery_rich_customers — each
 # category-covered by another in-window member), the remaining 38
 # round-4-checked and all 50 round-5-checked queries are covered by the
 # local full-catalog replay (tools/check_oracle.py at BOTH sf0.01 and
 # sf0.1 each round; COVERAGE.md records it); the round-4 set plus those
-# 13 are first in line for the round-7 window.
+# 14 are first in line for the round-7 window.
 CHECK_PRIORITY: list[str] = [
     # -- round-6 new operators (never driver-checked) ----------------------
     "gif_decode_features",  # native GIF/LZW decode E2E
@@ -108,10 +109,10 @@ CHECK_PRIORITY: list[str] = [
     "link_customer_records_snb",  # sorted-neighborhood ER (skew-immune)
     "frequent_part_pairs",  # market-basket pair mining (A-Priori k=2)
     "orders_bucket_checksums",  # Merkle-style bucket digests (bit_xor fold)
+    "pareto_parts",  # 2-D skyline via distributed prefix-max
     # -- freshest driver row is round 2 ------------------------------------
     "window_running_total",
     "dedup_exact_survivors",
-    "in_subquery_rich_customers",
     # -- freshest driver row is round 4 (category representatives; the
     #    embedding/window/exact-dedup families are represented by
     #    embedding_pca_projection, window_running_total,

@@ -299,3 +299,96 @@ def test_histogram_state_is_bounded_by_range(spark):
         [(float(v % 500),) for v in range(20000)], "v double"
     )
     assert histogram_sketch(df, "v", 10).count() <= 50
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def _pareto_of(rows):
+    """Naive O(n²) dominance reference: (key, price, size) rows."""
+    out = []
+    for k, p, s in rows:
+        dominated = any(
+            (q_p <= p and q_s >= s and (q_p < p or q_s > s))
+            for _, q_p, q_s in rows
+        )
+        if not dominated:
+            out.append((k, p, s))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pareto_matches_naive_reference(spark, seed, monkeypatch, tmp_path):
+    import random
+
+    from national_caseload_data_ingest_spark.operators.analytic import (
+        prefix_max_by_order,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (i, round(rng.uniform(1, 50), 2), rng.randint(1, 30))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, price double, size int")
+    pp = df.groupBy("price").agg(F.max("size").alias("pmax"))
+    pref = prefix_max_by_order(pp, "price", "pmax")
+    got = sorted(
+        (r["k"], r["price"], r["size"])
+        for r in df.join(pref, "price")
+        .filter(
+            ~(
+                F.coalesce(F.col("prefix_max") >= F.col("size"), F.lit(False))
+                | (F.col("pmax") > F.col("size"))
+            )
+        )
+        .select("k", "price", "size")
+        .collect()
+    )
+    assert got == _pareto_of(rows) and len(got) > 0
+
+
+def test_pareto_keeps_exact_ties(spark):
+    """Two rows identical on BOTH dimensions: neither dominates, both
+    stay in the frontier."""
+    from national_caseload_data_ingest_spark.operators.analytic import (
+        prefix_max_by_order,
+    )
+
+    rows = [(1, 10.0, 5), (2, 10.0, 5), (3, 20.0, 4)]
+    df = spark.createDataFrame(rows, "k long, price double, size int")
+    pp = df.groupBy("price").agg(F.max("size").alias("pmax"))
+    pref = prefix_max_by_order(pp, "price", "pmax")
+    kept = sorted(
+        r["k"]
+        for r in df.join(pref, "price")
+        .filter(
+            ~(
+                F.coalesce(F.col("prefix_max") >= F.col("size"), F.lit(False))
+                | (F.col("pmax") > F.col("size"))
+            )
+        )
+        .collect()
+    )
+    assert kept == [1, 2]
+
+
+def test_prefix_max_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from national_caseload_data_ingest_spark.operators.analytic import (
+        prefix_max_by_order,
+    )
+
+    rows = [(float(i), (i * 37) % 101) for i in range(1000)]
+    df = spark.createDataFrame(rows, "o double, v int").repartition(17)
+    got = {
+        r["o"]: r["prefix_max"]
+        for r in prefix_max_by_order(df, "o", "v").collect()
+    }
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["o"]: r["pm"]
+        for r in df.withColumn("pm", F.max("v").over(w)).collect()
+    }
+    assert got == want
