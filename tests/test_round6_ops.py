@@ -392,3 +392,74 @@ def test_prefix_max_matches_global_window(spark):
         for r in df.withColumn("pm", F.max("v").over(w)).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------------------- ppjoin
+
+
+def test_ppjoin_candidates_contain_every_true_pair(spark):
+    """The prefix-filtering completeness theorem, checked against the
+    brute-force ground truth on a corpus with planted near-dups."""
+    from itertools import combinations
+
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        jaccard_verify_candidates,
+        ppjoin_candidates,
+        word_bigram_postings,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: base,
+        2: base,  # exact dup of 1
+        3: base.replace("zeta", "ZED"),  # near-dup of 1
+        4: "one two three four five six seven eight nine ten",
+        5: "one two three four five six SEVEN eight nine ten",
+        6: "totally different words everywhere nothing shared here at all ok",
+    }
+    docs = _docs(spark, texts)
+    postings = word_bigram_postings(docs)
+    t = 0.3
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in ppjoin_candidates(postings, t).collect()
+    }
+    # brute-force truth
+    grams = {}
+    for i, txt in texts.items():
+        toks = txt.lower().split()
+        grams[i] = set(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ) or {txt.lower()}
+    true_pairs = {
+        (a, b)
+        for a, b in combinations(sorted(texts), 2)
+        if len(grams[a] & grams[b]) / len(grams[a] | grams[b]) >= t
+    }
+    assert true_pairs  # fixture exercises the theorem
+    assert true_pairs <= cands  # completeness: no true pair pruned
+    # end-to-end: verified output == ground truth exactly
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_verify_candidates(postings, 
+            ppjoin_candidates(postings, t), t).collect()
+    }
+    assert got == true_pairs
+
+
+def test_ppjoin_prefix_filter_actually_prunes(spark):
+    """On a corpus of mostly-disjoint docs the candidate count must be
+    far below all-pairs — the point of the prefix filter."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        ppjoin_candidates,
+        word_bigram_postings,
+    )
+
+    n = 120
+    texts = {
+        i: " ".join(f"w{i}t{j}" for j in range(12)) + " shared tail"
+        for i in range(n)
+    }
+    docs = _docs(spark, texts)
+    cands = ppjoin_candidates(word_bigram_postings(docs), 0.3).count()
+    assert cands < n * (n - 1) / 2 / 4  # at least 4x below all-pairs
