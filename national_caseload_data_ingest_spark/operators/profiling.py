@@ -137,3 +137,103 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-scan plan shape."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     return profile_table(li)
+
+
+EST_BUCKETS = 64
+
+
+def join_size_stats(
+    left: DataFrame, right: DataFrame, lkey: str, rkey: str, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """Per-bucket join statistics: rows and exact distinct keys for each
+    side, bucketed by ``pmod(key, n_buckets)`` — the relation a
+    cost-based optimizer keeps per column (``catalog.analyze_table``
+    collects the table-grain version; this is the histogram-grain
+    twin)."""
+    la = left.groupBy(
+        F.pmod(F.col(lkey), F.lit(n_buckets)).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("na"),
+        F.countDistinct(lkey).alias("da"),
+    )
+    rb = right.groupBy(
+        F.pmod(F.col(rkey), F.lit(n_buckets)).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.countDistinct(rkey).alias("db"),
+    )
+    return la, rb
+
+
+@query(
+    "join_size_estimate_customer_orders",
+    oracle=f"""
+    WITH la AS (
+        SELECT CAST(o_custkey % {EST_BUCKETS} AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS na,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS da
+        FROM orders GROUP BY 1
+    ),
+    rb AS (
+        SELECT CAST(c_custkey % {EST_BUCKETS} AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS db
+        FROM customer GROUP BY 1
+    ),
+    truth AS (
+        SELECT CAST(o_custkey % {EST_BUCKETS} AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS true_rows
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+    SELECT la.bucket, na, da, nb, db,
+           CAST(na AS DOUBLE) * nb / GREATEST(da, db) AS est_rows,
+           COALESCE(true_rows, 0) AS true_rows
+    FROM la JOIN rb USING (bucket)
+    LEFT JOIN truth USING (bucket)
+    """,
+)
+def join_size_estimate_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from bucket statistics — the textbook
+    CBO estimator |A⋈B| ≈ n_a·n_b / max(d_a, d_b) applied per key
+    bucket, reported NEXT TO the true per-bucket join size so the
+    estimator's error is measurable, not asserted.
+
+    Why it matters at 100 TB: join ORDER and strategy decisions run on
+    estimates like this long before any data moves — the stats relation
+    is {EST_BUCKETS} rows per side (one scan each), while the truth
+    column here (a real join) exists only for the audit.  Under uniform
+    keys within a bucket the estimator is exact; skew inflates it,
+    which is the conservative direction for planning.  All-integer
+    inputs and one double division keep the output engine-exact."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    la, rb = join_size_stats(
+        t["orders"], t["customer"], "o_custkey", "c_custkey", EST_BUCKETS
+    )
+    truth = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.pmod(F.col("o_custkey"), F.lit(EST_BUCKETS))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("true_rows"))
+    )
+    return (
+        la.join(rb, "bucket")
+        .join(truth, "bucket", "left")
+        .select(
+            "bucket",
+            "na",
+            "da",
+            "nb",
+            "db",
+            (
+                F.col("na").cast("double")
+                * F.col("nb")
+                / F.greatest("da", "db")
+            ).alias("est_rows"),
+            F.coalesce("true_rows", F.lit(0)).alias("true_rows"),
+        )
+    )

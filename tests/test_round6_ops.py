@@ -463,3 +463,49 @@ def test_ppjoin_prefix_filter_actually_prunes(spark):
     docs = _docs(spark, texts)
     cands = ppjoin_candidates(word_bigram_postings(docs), 0.3).count()
     assert cands < n * (n - 1) / 2 / 4  # at least 4x below all-pairs
+
+
+# -------------------------------------------------------- join estimation
+
+
+def test_join_size_estimate_exact_under_uniform_keys(spark):
+    """FK join where every key appears k times on the left and once on
+    the right: the n·n/max(d,d) estimator is EXACT per bucket."""
+    from national_caseload_data_ingest_spark.operators.profiling import (
+        join_size_stats,
+    )
+
+    left = spark.range(3000).select((F.col("id") % 300).alias("k"))
+    right = spark.range(300).select(F.col("id").alias("k"))
+    la, rb = join_size_stats(left, right, "k", "k", 16)
+    est = {
+        r["bucket"]: r["na"] * r["nb"] / max(r["da"], r["db"])
+        for r in la.join(rb, "bucket").collect()
+    }
+    true = {
+        r["bucket"]: r["n"]
+        for r in left.join(right, "k")
+        .groupBy(F.pmod("k", F.lit(16)).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert est == true and sum(true.values()) == 3000
+
+
+def test_join_size_estimate_overestimates_under_skew(spark):
+    """Skew inflates the estimate (never deflates): the conservative
+    direction for join planning."""
+    from national_caseload_data_ingest_spark.operators.profiling import (
+        join_size_stats,
+    )
+
+    # left: one hot key (1000 rows) + 100 singleton keys, same bucket mix
+    left = spark.range(1100).select(
+        F.when(F.col("id") < 1000, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    right = spark.range(1100).select(F.col("id").alias("k"))
+    la, rb = join_size_stats(left, right, "k", "k", 4)
+    rows = la.join(rb, "bucket").collect()
+    est_total = sum(r["na"] * r["nb"] / max(r["da"], r["db"]) for r in rows)
+    true_total = left.join(right, "k").count()
+    assert est_total >= true_total

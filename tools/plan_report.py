@@ -56,6 +56,11 @@ SHUFFLE_BUDGET = {
     # five independent validation rules = five aggregate exchanges + the
     # dup-key groupBy; each rule is one scan-bounded pass by design.
     "validate_orders_constraints": 6,
+    # the estimator itself is two bucket-stat aggregates (2-phase
+    # countDistinct each); the 5th exchange is the TRUE join-size audit
+    # column, which exists only to measure the estimator's error — a
+    # production CBO reads the stats relation alone (2 exchanges).
+    "join_size_estimate_customer_orders": 5,
 }
 
 
