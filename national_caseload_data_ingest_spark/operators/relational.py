@@ -713,3 +713,65 @@ def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "region", "orders")
     statuses = t["orders"].select("o_orderstatus").distinct()
     return t["region"].select("r_name").crossJoin(statuses)
+
+
+CORE_PARTS = 5
+
+
+@query(
+    "customers_buying_all_core_parts",
+    oracle=f"""
+    WITH core AS (
+        SELECT l_partkey
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY COUNT(*) DESC, l_partkey
+        LIMIT {CORE_PARTS}
+    ),
+    purchases AS (
+        SELECT DISTINCT o_custkey, l_partkey
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_partkey IN (SELECT l_partkey FROM core)
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS core_parts_bought
+    FROM purchases
+    GROUP BY o_custkey
+    HAVING COUNT(*) = {CORE_PARTS}
+    """,
+)
+def customers_buying_all_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (the ÷ of relational algebra — 'for all'
+    queries): customers whose purchases cover EVERY one of the
+    {CORE_PARTS} most-ordered parts.
+
+    Division has no SQL keyword; the standard encodings are the double
+    NOT EXISTS or — as here — the count-matching form: semi-join the
+    fact rows to the divisor set (broadcast — it is top-k tiny by
+    construction), distinct on (customer, part), then one customer-
+    keyed aggregate keeping groups whose distinct-count equals the
+    divisor's cardinality.  Scale shape: the divisor is always
+    broadcast-able, the distinct and the aggregate share the customer
+    key, and nothing depends on the fact table's width — the same plan
+    covers 'users who triggered every alert type' or 'docs containing
+    every query term' (BM25's conjunctive-AND sibling)."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    core = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l_partkey")
+        .limit(CORE_PARTS)
+        .select("l_partkey")
+    )
+    purchases = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(core), "l_partkey", "semi")
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        purchases.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("core_parts_bought"))
+        .filter(F.col("core_parts_bought") == CORE_PARTS)
+    )
