@@ -509,3 +509,52 @@ def test_join_size_estimate_overestimates_under_skew(spark):
     est_total = sum(r["na"] * r["nb"] / max(r["da"], r["db"]) for r in rows)
     true_total = left.join(right, "k").count()
     assert est_total >= true_total
+
+
+# --------------------------------------------------------------- division
+
+
+def test_relational_division_requires_full_coverage(spark, tmp_path):
+    """Hand-built warehouse: only the customer covering ALL core parts
+    survives; partial coverage (4 of 5) does not."""
+    import pyspark.sql.functions as SF
+
+    from national_caseload_data_ingest_spark.operators.relational import (
+        customers_buying_all_core_parts,
+    )
+
+    # core parts 1..5 each ordered 10x (dominant); part 99 rare
+    orders, lineitem = [], []
+    ok = 0
+    # customer 1: buys parts 1-5 → qualifies; customer 2: parts 1-4 only
+    for cust, parts in [(1, [1, 2, 3, 4, 5]), (2, [1, 2, 3, 4])]:
+        for p in parts:
+            orders.append((ok, cust))
+            lineitem.append((ok, p))
+            ok += 1
+    # filler orders making 1..5 the top-5 parts
+    for rep in range(10):
+        for p in [1, 2, 3, 4, 5]:
+            orders.append((ok, 50 + rep))
+            lineitem.append((ok, p))
+            ok += 1
+    lineitem.append((0, 99))  # rare part, never core
+    sf = tmp_path / "wh"
+    spark.createDataFrame(
+        [(o, c, "O", 1.0, None, "1-URGENT") for o, c in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(o, p, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for o, p in lineitem],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r["c_custkey"]: r["core_parts_bought"]
+        for r in customers_buying_all_core_parts(spark, str(sf)).collect()
+    }
+    assert 1 in got and got[1] == 5
+    assert 2 not in got
+    assert all(v == 5 for v in got.values())
