@@ -640,3 +640,69 @@ def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+@query(
+    "nation_balance_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal, c_custkey) AS rk
+        FROM customer
+    ),
+    agg AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(CAST(rk AS DECIMAL(18,2)) * bal) AS rb,
+               SUM(bal) AS sb
+        FROM ranked GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n_customers,
+           CAST(sb AS DOUBLE) AS total_balance,
+           CAST(2.0 * CAST(rb AS DOUBLE)
+                / (n_customers * CAST(sb AS DOUBLE))
+                - (n_customers + 1.0) / n_customers AS DOUBLE) AS gini
+    FROM agg
+    """,
+)
+def nation_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer account balances — the
+    concentration/inequality metric (0 = perfectly even, →1 = one
+    account holds everything), by the rank formula
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted values.
+
+    The same operator answers the curation question 'is this corpus
+    dominated by a few sources?' (swap customer→documents, balance→
+    token count, nation→lang).  Plan shape: the rank window and the
+    aggregate share the group key — one shuffle, group size bounded by
+    per-nation membership; rank·value products and both sums run in
+    DECIMAL so the result is bit-reproducible (float accumulation order
+    never enters), with one double division at the end.  TPC-H balances
+    can be negative, where Gini is formally undefined — the formula
+    stays deterministic, which is all the parity gate needs."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    rk = F.row_number().over(
+        W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    )
+    ranked = c.select(
+        "c_nationkey",
+        dec("c_acctbal").alias("bal"),
+        rk.cast("decimal(18,2)").alias("rk"),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("rk") * F.col("bal")).alias("rb"),
+        F.sum("bal").alias("sb"),
+    )
+    return agg.select(
+        "c_nationkey",
+        "n_customers",
+        F.col("sb").cast("double").alias("total_balance"),
+        (
+            F.lit(2.0) * F.col("rb").cast("double")
+            / (F.col("n_customers") * F.col("sb").cast("double"))
+            - (F.col("n_customers") + F.lit(1.0)) / F.col("n_customers")
+        ).cast("double").alias("gini"),
+    )

@@ -37,9 +37,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
 # the whole catalog: after round 5 every then-registered query had at
 # least one driver row, so the risk is STALENESS plus the NEW round-6
-# surface.  Round 6 registered 49 queries that have never had a driver
+# surface.  Round 6 registered 50 queries that have never had a driver
 # row (9 from the early-round codec/format/dedup work, 23 from the
-# analytics/LM/classifier/governance/streaming-funnel expansion, and 17
+# analytics/LM/classifier/governance/streaming-funnel expansion, and 18
 # late additions: SCD2 point-in-time join, event trigrams, near-dup
 # triangle count, the MATCH_RECOGNIZE-lite pattern matcher, the
 # leakage-safe group split, the Arrow IPC round-trip, the HLL
@@ -47,14 +47,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # outer interval join, the BMP decode, the sorted-neighborhood
 # linkage, the market-basket pair mining, the bucket-checksum
 # digests, the Pareto skyline, the PPJoin exact similarity join, the
-# CBO join-size estimator, and the relational-division query); the
-# window front-loads all 49, then the round-4 flagship
-# training_data_pipeline (ngram_jaccard_pairs ceded its slot to
+# CBO join-size estimator, the relational-division query, and the
+# per-group Gini); the window is EXACTLY the 50 never-driver-checked
+# round-6 queries (ngram_jaccard_pairs ceded its slot to
 # ppjoin_neardup_pairs, which exercises the same exact-Jaccard family
-# through the scale plan; window_running_total's and
-# dedup_exact_survivors' family slots are covered by the
-# rolling/gap-fill/SCD2/lead entries and the corpus-build composition
-# respectively).  The 14 round-2 queries squeezed out
+# through the scale plan; the window/exact-dedup/composed-pipeline
+# family slots are covered by the rolling/gap-fill/SCD2/lead entries,
+# the corpus-build composition inside training_corpus_build's r5 row,
+# and the full local replay at both scales).  The 14 round-2 queries squeezed out
 # by the late additions (set_except_nations, cross_join_region_status,
 # q18_large_orders, simhash_neardup, approx_distinct_parts,
 # multimodal_frame_sample, having_supplier_volume, sliding_window_events,
@@ -117,12 +117,12 @@ CHECK_PRIORITY: list[str] = [
     "ppjoin_neardup_pairs",  # exact set-similarity join via prefix filtering
     "join_size_estimate_customer_orders",  # CBO bucket-stats estimator + audit
     "customers_buying_all_core_parts",  # relational division ('for all')
+    "nation_balance_gini",  # per-group Gini concentration (decimal-exact)
     # -- freshest driver row is round 2 ------------------------------------
     # -- freshest driver row is round 4 (category representatives; the
     #    embedding/window/exact-dedup families are represented by
     #    embedding_pca_projection, window_running_total,
     #    and dedup_exact_survivors above) --
-    "training_data_pipeline",
 ]
 
 

@@ -558,3 +558,30 @@ def test_relational_division_requires_full_coverage(spark, tmp_path):
     assert 1 in got and got[1] == 5
     assert 2 not in got
     assert all(v == 5 for v in got.values())
+
+
+# ------------------------------------------------------------------- gini
+
+
+def test_gini_known_values(spark):
+    """Uniform values → 0; single holder → (n−1)/n."""
+    from national_caseload_data_ingest_spark.operators.analytic import (
+        nation_balance_gini,
+    )
+
+    rows = [(i, 0, 100.0) for i in range(10)]  # nation 0: perfectly even
+    rows += [(100 + i, 1, 0.0) for i in range(9)] + [(109, 1, 500.0)]  # nation 1
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_acctbal double"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "customer.parquet"))
+        got = {
+            r["c_nationkey"]: r["gini"]
+            for r in nation_balance_gini(spark, d).collect()
+        }
+    assert abs(got[0] - 0.0) < 1e-12
+    assert abs(got[1] - 0.9) < 1e-12  # (n-1)/n with n=10
