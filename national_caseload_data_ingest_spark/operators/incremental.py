@@ -98,3 +98,67 @@ def incremental_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = partial_agg(o.filter(F.col("o_orderdate") < cutoff))
     delta = partial_agg(o.filter(F.col("o_orderdate") >= cutoff))
     return merge_states(state, delta)
+
+
+def join_view_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on,
+) -> DataFrame:
+    """The classic join-IVM delta rule: with A ← A ∪ dA and B ← B ∪ dB,
+
+        Δ(A ⋈ B) = (dA ⋈ B) ∪ (A ⋈ dB) ∪ (dA ⋈ dB)
+
+    (insert-only case).  Each term joins a DELTA against a stored side,
+    so per-load cost scales with the delta, never the view — the reason
+    a 100 TB materialized join is maintainable at all.  Deltas are the
+    small side by construction; Spark broadcasts them (AQE confirms at
+    runtime), so the base sides are scanned once each with no shuffle
+    of the stored relations."""
+    return (
+        delta_a.join(base_b, on)
+        .unionByName(base_a.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )
+
+
+@query(
+    "incremental_join_view",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS o_totalprice,
+           c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view, audited against a full
+    recompute: both inputs are split into base ∪ delta (orders on
+    ``o_orderkey % 10 = 0``, customer on ``c_custkey % 7 = 0`` — both
+    sides change), the stored view is base⋈base, and the updated view
+    is ``stored ∪ Δ`` via :func:`join_view_delta`.  The oracle is the
+    one-shot join of the FULL tables, so the driver hash-match proves
+    the delta rule reconstructs the view exactly — row for row, not
+    just in aggregate.  Complements ``incremental_priority_stats``
+    (monoid aggregates) with the join-shaped view IVM needs at
+    warehouse scale."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    o, c = t["orders"], t["customer"]
+    o_delta = o.filter(F.col("o_orderkey") % 10 == 0)
+    o_base = o.filter(F.col("o_orderkey") % 10 != 0)
+    c_delta = c.filter(F.col("c_custkey") % 7 == 0)
+    c_base = c.filter(F.col("c_custkey") % 7 != 0)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    cols = [
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+        .alias("o_totalprice"),
+        F.col("c_mktsegment"),
+    ]
+    stored = o_base.join(c_base, on).select(*cols)
+    delta = join_view_delta(o_base, o_delta, c_base, c_delta, on).select(*cols)
+    return stored.unionByName(delta)

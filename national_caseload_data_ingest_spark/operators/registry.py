@@ -47,9 +47,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # outer interval join, the BMP decode, the sorted-neighborhood
 # linkage, the market-basket pair mining, the bucket-checksum
 # digests, the Pareto skyline, the PPJoin exact similarity join, the
-# CBO join-size estimator, the relational-division query, and the
-# per-group Gini); the window is EXACTLY the 50 never-driver-checked
-# round-6 queries (ngram_jaccard_pairs ceded its slot to
+# CBO join-size estimator, the relational-division query, the
+# per-group Gini, and the join-IVM view); the window is 50 of the 51
+# never-driver-checked round-6 queries — cms_token_counts sits out
+# because its driver check is rows-only (hash-seeded) and adds nothing
+# over its invariant pytests, while every in-window query gives the
+# driver a full hash-match (ngram_jaccard_pairs ceded its slot to
 # ppjoin_neardup_pairs, which exercises the same exact-Jaccard family
 # through the scale plan; the window/exact-dedup/composed-pipeline
 # family slots are covered by the rolling/gap-fill/SCD2/lead entries,
@@ -99,7 +102,6 @@ CHECK_PRIORITY: list[str] = [
     "funnel_user_progress",  # batch twin of the streaming funnel
     "avro_roundtrip_documents",  # stdlib Avro container codec E2E
     "jpeg_color_decode_features",  # YCbCr 4:4:4 color JPEG E2E
-    "cms_token_counts",  # Count-Min sketch (rows-only: hash-seeded)
     "scd2_point_in_time_join",  # AS OF temporal join against SCD2 intervals
     "common_event_trigrams",  # per-user ordered event trigram mining
     "neardup_triangle_count",  # triangle count on the near-dup graph
@@ -118,6 +120,7 @@ CHECK_PRIORITY: list[str] = [
     "join_size_estimate_customer_orders",  # CBO bucket-stats estimator + audit
     "customers_buying_all_core_parts",  # relational division ('for all')
     "nation_balance_gini",  # per-group Gini concentration (decimal-exact)
+    "incremental_join_view",  # join-IVM delta rule, audited vs full recompute
     # -- freshest driver row is round 2 ------------------------------------
     # -- freshest driver row is round 4 (category representatives; the
     #    embedding/window/exact-dedup families are represented by

@@ -585,3 +585,35 @@ def test_gini_known_values(spark):
         }
     assert abs(got[0] - 0.0) < 1e-12
     assert abs(got[1] - 0.9) < 1e-12  # (n-1)/n with n=10
+
+
+# ------------------------------------------------------------------ ivm
+
+
+def test_join_view_delta_terms_are_disjoint_and_complete(spark):
+    """The three delta terms partition the NEW join rows: incremental
+    (stored + delta) equals the full recompute with no duplicates."""
+    from national_caseload_data_ingest_spark.operators.incremental import (
+        join_view_delta,
+    )
+
+    a = spark.createDataFrame(
+        [(i, i % 5) for i in range(40)], "aid long, k long"
+    )
+    b = spark.createDataFrame(
+        [(j, j % 5) for j in range(15)], "bid long, j long"
+    )
+    a_delta = a.filter(F.col("aid") % 3 == 0)
+    a_base = a.filter(F.col("aid") % 3 != 0)
+    b_delta = b.filter(F.col("bid") % 4 == 0)
+    b_base = b.filter(F.col("bid") % 4 != 0)
+    on = F.col("k") == F.col("j")
+    stored = a_base.join(b_base, on)
+    inc = stored.unionByName(
+        join_view_delta(a_base, a_delta, b_base, b_delta, on)
+    )
+    full = a.join(b, on)
+    inc_rows = sorted((r["aid"], r["bid"]) for r in inc.collect())
+    full_rows = sorted((r["aid"], r["bid"]) for r in full.collect())
+    assert inc_rows == full_rows  # complete AND duplicate-free
+    assert len(inc_rows) == len(set(inc_rows))
