@@ -6,10 +6,15 @@ Covers the SURVEY.md §2.2 rows: window functions, grouping sets, string fns,
 date fns, conditional, array/map/json — the Presto surface the reference's
 users reach via Athena.
 
-Scale notes: every window here partitions by a high-cardinality key
-(customer/user), so the single shuffle distributes evenly; no global-order
-window (``Window.orderBy`` without ``partitionBy``) appears anywhere — that
-shape collapses to one task and is banned in this engine.
+Scale notes: every window over DATA partitions by a high-cardinality key
+(customer/user), so the single shuffle distributes evenly.  The actual
+rule on global-order windows (``Window.orderBy`` without ``partitionBy``,
+which collapses to one task): they are allowed ONLY over bounded
+metadata-sized relations — per-partition stats (one row per partition,
+``prefix_max_by_order`` / the SNB offset relations), sketch buckets
+(``histogram_quantiles``) — never over a fact-sized relation.  The
+WindowExec single-partition warnings those emit are expected and benign:
+the input is O(#partitions) or O(#buckets) rows by construction.
 """
 
 from __future__ import annotations

@@ -188,47 +188,55 @@ def avro_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def encode_arrow_ipc_partitions(df: DataFrame) -> DataFrame:
     """Each partition → one self-contained Arrow IPC (Feather v2) file
-    payload, via ``mapInPandas`` (the Arrow batches Spark already ships
-    to Python are re-framed into the IPC container — no per-row work).
-    One output row per non-empty partition: ``payload binary``."""
+    payload, via ``mapInArrow`` (the Arrow batches Spark already ships to
+    Python are re-framed into the IPC container — no per-row work and no
+    pandas round-trip).  One output row per non-empty partition:
+    ``payload binary``.
 
-    def enc(pdfs):
+    Arrow-native on purpose (round-6 advice): the pandas bridge would
+    infer null type from an all-null string batch (concat mismatch) and
+    drift nullable int64 to float64 — lossy above 2^53.  ``mapInArrow``
+    keeps Spark's own Arrow schema end-to-end, so all-null and
+    nullable-int batches serialize exactly.
+    """
+
+    def enc(batches):
         import io  # noqa: PLC0415
 
-        import pandas as pd  # noqa: PLC0415
         import pyarrow as pa  # noqa: PLC0415
 
-        tables = [
-            pa.Table.from_pandas(pdf, preserve_index=False) for pdf in pdfs
-        ]
-        if not tables:
+        batches = list(batches)
+        if not batches:
             return
-        t = pa.concat_tables(tables)
+        t = pa.Table.from_batches(batches)
         sink = io.BytesIO()
         with pa.ipc.new_file(sink, t.schema) as w:
             w.write_table(t)
-        yield pd.DataFrame({"payload": [sink.getvalue()]})
+        yield pa.record_batch(
+            [pa.array([sink.getvalue()], type=pa.binary())], names=["payload"]
+        )
 
-    return df.mapInPandas(enc, "payload binary")
+    return df.mapInArrow(enc, "payload binary")
 
 
 def decode_arrow_ipc_payloads(payloads: DataFrame, ddl: str) -> DataFrame:
     """Inverse of :func:`encode_arrow_ipc_partitions`: every payload row
     decodes independently (each is a complete IPC file), so the decode
     parallelizes across however many payload rows exist — at scale,
-    one task per original partition."""
+    one task per original partition.  Arrow-native for the same
+    fidelity reasons as the encoder."""
 
-    def dec(pdfs):
+    def dec(batches):
         import io  # noqa: PLC0415
 
         import pyarrow as pa  # noqa: PLC0415
 
-        for pdf in pdfs:
-            for buf in pdf["payload"]:
-                t = pa.ipc.open_file(io.BytesIO(bytes(buf))).read_all()
-                yield t.to_pandas()
+        for batch in batches:
+            for buf in batch.column(0):
+                t = pa.ipc.open_file(io.BytesIO(buf.as_py())).read_all()
+                yield from t.to_batches()
 
-    return payloads.mapInPandas(dec, ddl)
+    return payloads.select("payload").mapInArrow(dec, ddl)
 
 
 @query("arrow_ipc_roundtrip_documents", oracle=_DOC_DIGEST_SQL)

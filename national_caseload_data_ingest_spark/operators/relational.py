@@ -7,9 +7,13 @@ set the reference reaches through ``Athena.execute_query``
 
 Scale notes (100 TB):
 
-- Fact-to-dim joins broadcast the dim side explicitly (``F.broadcast``) —
-  ``nation``/``region``/``supplier`` are KB-to-MB at any SF, so no shuffle of
-  the fact table is ever needed for them.
+- Broadcast hints are reserved for relations whose size is provably
+  bounded INDEPENDENT of SF: ``nation``/``region`` (constant 25/5 rows),
+  one-row scalar aggregates, and top-k results.  SF-scaling relations
+  (``customer``/``supplier``/``part``, filtered fact subsets, per-key
+  aggregates) are never hinted — AQE broadcasts them at test SFs from
+  measured runtime sizes and falls back to partitioned joins at cluster
+  scale, where a forced hint would OOM the build side.
 - Aggregations express partial (map-side) combine automatically via
   ``groupBy().agg()`` — no ``reduceByKey``-style hand-rolling.
 - Top-k uses ``orderBy().limit(k)`` which Spark executes as
@@ -115,10 +119,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → top-k by aggregate.
 
-    customer (filtered) broadcasts into orders; the orders→lineitem join is
-    the only shuffle.  ``orderBy(...).limit(10)`` compiles to
-    TakeOrderedAndProject (per-partition heaps, no global sort) — the
-    ``l_orderkey`` tie-break makes the k-selection deterministic.
+    customer is SF-scaling, so its (filtered) side carries no broadcast
+    hint — AQE broadcasts it at test SFs from the measured size and falls
+    back to a key-partitioned shuffle at cluster scale.  The orders→lineitem
+    join is the one unavoidable fact shuffle.  ``orderBy(...).limit(10)``
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort) — the ``l_orderkey`` tie-break makes the k-selection
+    deterministic.
     """
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
@@ -129,7 +136,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["orders"].filter(F.col("o_orderdate") < _ts("1998-03-15")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -159,8 +166,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join with a region filter.
 
-    supplier/nation/region are broadcast (constant-size dims at every SF);
-    the only shuffles are fact-fact (orders⋈lineitem, customer⋈orders).
+    nation/region are constant-cardinality (25/5 rows at ANY SF) and carry
+    explicit broadcast hints; supplier and customer are SF-scaling, so they
+    stay unhinted — AQE broadcasts them at test SFs and shuffles at cluster
+    scale.  The only guaranteed shuffles are fact-fact
+    (orders⋈lineitem, customer⋈orders).
     """
     t = load_tables(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
@@ -180,7 +190,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < _ts("1998-01-01"))
         )
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -296,8 +306,15 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the join.  Because ``o_orderkey`` is the grouping key, the outer
     per-(customer, order) SUM equals the subquery's per-order SUM, so the
     engine computes the aggregate ONCE and joins the filtered result to the
-    dims: one lineitem scan, one fact shuffle, then a broadcast-sized
-    survivor set (orders with >150 total quantity are rare at any SF).
+    dims: one lineitem scan, one fact shuffle.
+
+    The survivor set is NOT hinted: measured on the synthetic data, orders
+    with >150 total quantity are ~19.5% of ALL orders at both sf0.01 and
+    sf0.1 — a scale-linear relation, billions of rows at the 100 TB north
+    star.  A forced ``F.broadcast`` here would bypass AQE's size check and
+    OOM the build side; instead AQE picks broadcast vs shuffle from the
+    measured runtime size (broadcast at test SFs, shuffle at cluster
+    scale, where the join co-partitions on ``orderkey`` anyway).
     """
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
@@ -308,7 +325,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["orders"]
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
             # unhinted: AQE broadcasts customer at test SFs; at cluster
             # scale the (already survivor-filtered) left side is tiny, so
@@ -715,63 +732,56 @@ def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["region"].select("r_name").crossJoin(statuses)
 
 
-CORE_PARTS = 5
-
-
 @query(
     "customers_buying_all_core_parts",
-    oracle=f"""
-    WITH core AS (
-        SELECT l_partkey
-        FROM lineitem GROUP BY l_partkey
-        ORDER BY COUNT(*) DESC, l_partkey
-        LIMIT {CORE_PARTS}
+    oracle="""
+    WITH purchases AS (
+        SELECT DISTINCT o_custkey, p_brand
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN part     ON p_partkey = l_partkey
     ),
-    purchases AS (
-        SELECT DISTINCT o_custkey, l_partkey
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE l_partkey IN (SELECT l_partkey FROM core)
-    )
+    divisor AS (SELECT COUNT(DISTINCT p_brand) AS n_brands FROM part)
     SELECT o_custkey AS c_custkey,
            CAST(COUNT(*) AS BIGINT) AS core_parts_bought
     FROM purchases
     GROUP BY o_custkey
-    HAVING COUNT(*) = {CORE_PARTS}
+    HAVING COUNT(*) = (SELECT n_brands FROM divisor)
     """,
 )
 def customers_buying_all_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational DIVISION (the ÷ of relational algebra — 'for all'
-    queries): customers whose purchases cover EVERY one of the
-    {CORE_PARTS} most-ordered parts.
+    queries): customers whose purchases cover EVERY part brand.
 
     Division has no SQL keyword; the standard encodings are the double
-    NOT EXISTS or — as here — the count-matching form: semi-join the
-    fact rows to the divisor set (broadcast — it is top-k tiny by
-    construction), distinct on (customer, part), then one customer-
-    keyed aggregate keeping groups whose distinct-count equals the
-    divisor's cardinality.  Scale shape: the divisor is always
-    broadcast-able, the distinct and the aggregate share the customer
-    key, and nothing depends on the fact table's width — the same plan
-    covers 'users who triggered every alert type' or 'docs containing
-    every query term' (BM25's conjunctive-AND sibling)."""
-    t = load_tables(spark, sf_dir, "orders", "lineitem")
-    core = (
-        t["lineitem"]
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "l_partkey")
-        .limit(CORE_PARTS)
-        .select("l_partkey")
-    )
+    NOT EXISTS or — as here — the count-matching form: map fact rows to
+    the divisor attribute, distinct on (customer, brand), then one
+    customer-keyed aggregate keeping groups whose distinct-count equals
+    the divisor's cardinality (a one-row broadcast scalar).  The divisor
+    is the brand domain — constant cardinality (25) at ANY SF, like
+    ``nation`` — so the answer is non-empty at every catalog scale
+    (measured: 21 customers at sf0.01, 325 at sf0.1) and the driver's
+    hash-match exercises the HAVING count-match path, not a vacuous
+    empty set.  Scale shape: the distinct and the aggregate share the
+    customer key (one shuffle), the one-row divisor count broadcasts,
+    and nothing depends on the fact table's width — the same plan covers
+    'users who triggered every alert type' or 'docs containing every
+    query term' (BM25's conjunctive-AND sibling)."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem", "part")
     purchases = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(core), "l_partkey", "semi")
-        .select("o_custkey", "l_partkey")
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .select("o_custkey", "p_brand")
         .distinct()
     )
+    divisor = t["part"].agg(F.countDistinct("p_brand").alias("n_brands"))
     return (
         purchases.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.count(F.lit(1)).alias("core_parts_bought"))
-        .filter(F.col("core_parts_bought") == CORE_PARTS)
+        .join(
+            F.broadcast(divisor),
+            F.col("core_parts_bought") == F.col("n_brands"),
+        )
+        .drop("n_brands")
     )

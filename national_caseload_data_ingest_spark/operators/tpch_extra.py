@@ -16,10 +16,13 @@ query exercises an operator archetype the rest of the catalog doesn't:
 - q19: OR-of-ANDs predicate across both join sides
 - q22: scalar subquery threshold + anti join + aggregate
 
-Scale notes (100 TB): every dim here (nation, region, supplier, part at
-these SFs, per-part averages, per-supplier revenue) broadcasts; the only
-shuffles are fact-fact joins on their natural keys and the final small
-aggregations.  Money aggregates go through the exact-decimal helpers
+Scale notes (100 TB): broadcast hints are reserved for relations whose
+size is SF-independent — ``nation``/``region`` (constant 25/5 rows) and
+one-row scalar aggregates.  SF-scaling relations (``supplier``, ``part``,
+filtered subsets of either, per-part aggregates) carry NO hint: AQE
+broadcasts them at test SFs from measured runtime sizes and falls back to
+key-partitioned joins at cluster scale, where a pinned hint would OOM the
+build side (round-6 audit: supplier is ~10⁹ rows at SF≈100k).  Money aggregates go through the exact-decimal helpers
 (:mod:`national_caseload_data_ingest_spark.functions`) so results are
 deterministic cross-engine — see that module's docstring.
 """
@@ -74,9 +77,10 @@ _REV_SQL = (
 def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: nation joined twice under different roles.
 
-    Both nation copies broadcast; the disjunctive pair predicate runs after
+    Both nation copies broadcast (constant 25 rows); supplier is unhinted
+    (SF-scaling — AQE decides).  The disjunctive pair predicate runs after
     both dim joins so Catalyst can still push the shipdate range to the
-    scan.  Shuffles: lineitem⋈orders and orders⋈customer only.
+    scan.  Guaranteed shuffles: lineitem⋈orders and orders⋈customer only.
     """
     t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
     n1 = t["nation"].select(
@@ -97,7 +101,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
@@ -136,7 +140,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Numerator and denominator are both exact-decimal sums computed in ONE
     aggregation pass (a conditional sum, not a self-join); the ratio is a
-    single double division.  part/supplier/nation/region broadcast.
+    single double division.  nation/region broadcast (constant-size);
+    part/supplier are unhinted — AQE picks the strategy from real sizes.
     """
     t = load_tables(
         spark, sf_dir,
@@ -160,10 +165,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            t["part"].filter(F.col("p_type") == "ECONOMY"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(
             t["orders"].filter(
@@ -208,7 +213,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Without ``partsupp``, supply cost is modeled as 10% of retail price per
     unit — the expression shape (product minus product, aggregated exactly)
-    is what Q9 exercises.  part (LIKE-filtered), supplier, nation broadcast.
+    is what Q9 exercises.  nation broadcasts (constant-size); the
+    LIKE-filtered part and supplier are unhinted (SF-scaling).
     """
     t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
     amount = _revenue() - dec("p_retailprice") * dec("l_quantity") * F.lit(
@@ -217,10 +223,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("%gear%"))),
+            t["part"].filter(F.col("p_name").like("%gear%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
         )
@@ -285,8 +291,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: global conditional-aggregate ratio (promo share of
-    one month's revenue).  One broadcast join + one partial-agg reduction
-    to a single row; the month filter is pushed to the lineitem scan."""
+    one month's revenue).  One part join (unhinted — AQE broadcasts at
+    test SFs, partitions at scale) + one partial-agg reduction to a single
+    row; the month filter is pushed to the lineitem scan."""
     t = load_tables(spark, sf_dir, "lineitem", "part")
     vol = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
@@ -298,7 +305,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1997-09-01"))
             & (F.col("l_shipdate") < _ts("1997-10-01"))
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 (F.lit(100.0) * F.sum(promo).cast("double"))
@@ -329,8 +336,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The revenue view is computed once and reused for both the scalar MAX
     and the equality filter (same exact-decimal→double value on both
-    sides, so the double equality is deterministic).  The one-row MAX and
-    the supplier dim both broadcast.
+    sides, so the double equality is deterministic).  The one-row MAX
+    broadcasts (hinted — provably one row); supplier is unhinted.
     """
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
     revenue = (
@@ -346,7 +353,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             F.col("supplier_no") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "total_revenue")
@@ -375,21 +382,23 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand's parts (the join restricts parts, not lineitems, so the average
     matches the correlated-subquery semantics exactly).  Quantities are
     small integers, so the double AVG is order-independent and the `<`
-    threshold compare is deterministic cross-engine.  The averages relation
-    is |parts-of-brand| rows — broadcasts at any SF.
+    threshold compare is deterministic cross-engine.  The averages
+    relation is |parts-of-brand| rows — SF-scaling, so unhinted: AQE
+    broadcasts it at test SFs; at cluster scale the join co-partitions on
+    partkey with the aggregate that produced it (no extra shuffle).
     """
     t = load_tables(spark, sf_dir, "lineitem", "part")
     brand_parts = (
         t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     )
     li = t["lineitem"].join(
-        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
     )
     limits = li.groupBy(F.col("p_partkey").alias("lim_pk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
     )
     return (
-        li.join(F.broadcast(limits), F.col("p_partkey") == F.col("lim_pk"))
+        li.join(limits, F.col("p_partkey") == F.col("lim_pk"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -439,7 +448,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .filter(pred)
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
     )
@@ -554,7 +563,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     MIN over the raw price set is order-independent, so the double
     equality is exact in both engines.  The per-part minima relation is
-    |filtered parts| rows — broadcast.  Shuffle: the one supply groupBy.
+    |filtered parts| rows — SF-scaling, so unhinted (AQE broadcasts at
+    test SFs; at scale it co-partitions on partkey with the supply
+    aggregate).  Guaranteed shuffle: the one supply groupBy.
     """
     t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
     fparts = (
@@ -563,18 +574,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     supply = _supply(t).join(
-        F.broadcast(fparts), F.col("l_partkey") == F.col("p_partkey")
+        fparts, F.col("l_partkey") == F.col("p_partkey")
     )
     min_cost = supply.groupBy(F.col("l_partkey").alias("mc_pk")).agg(
         F.min("supplycost").alias("min_cost")
     )
     return (
         supply.join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("l_partkey") == F.col("mc_pk"))
             & (F.col("supplycost") == F.col("min_cost")),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "s_acctbal",
@@ -665,7 +676,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = (
         t["lineitem"]
-        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("value"))
     )
@@ -753,11 +764,11 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
     return (
         supply.join(
-            F.broadcast(excluded),
+            excluded,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(fparts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(fparts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -791,8 +802,10 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part, year) share above a per-part threshold.
 
     Share compare is exact-decimal on both sides.  The per-part totals
-    broadcast; the supplier dim is tiny, so the final IN is a broadcast
-    semi join.  Shuffle: the one (supplier, part) aggregation.
+    and the excess-supplier set are SF-scaling — both unhinted (AQE
+    broadcasts at test SFs; at scale the totals join co-partitions on
+    partkey and the semi join shuffles on suppkey).  Guaranteed shuffle:
+    the one (supplier, part) aggregation.
     """
     t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
     gear = t["part"].filter(F.col("p_name").like("%gear%")).select("p_partkey")
@@ -802,7 +815,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1997-01-01"))
             & (F.col("l_shipdate") < _ts("1998-01-01"))
         )
-        .join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .join(gear, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
     )
@@ -810,13 +823,13 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("part_qty")
     )
     excess = (
-        sp97.join(F.broadcast(ptot), F.col("l_partkey") == F.col("tp"))
+        sp97.join(ptot, F.col("l_partkey") == F.col("tp"))
         .filter(F.col("qty") > F.col("part_qty") * F.lit(0.15).cast("decimal(8,2)"))
         .select("l_suppkey")
     )
     return (
         t["supplier"]
-        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
     )
@@ -876,7 +889,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         flagged.filter(late & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )

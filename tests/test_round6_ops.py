@@ -176,6 +176,26 @@ def test_arrow_ipc_payload_roundtrip_lossless(spark):
     assert all(a[k]["text"] == b[k]["text"] for k in a)
 
 
+def test_arrow_ipc_allnull_and_nullable_int_batches(spark):
+    """Round-6 advice: the Arrow schema comes from the SPARK schema, so a
+    partition whose string column is ALL null must not infer null-type
+    (concat mismatch), and a nullable bigint must come back as an exact
+    int — not float64-drifted (values above 2^53 would round)."""
+    big = (1 << 55) + 1  # not representable in float64
+    df = spark.createDataFrame(
+        [(1, None, big), (2, None, None), (3, None, big + 2)],
+        "id bigint, tag string, amount bigint",
+    ).repartition(2)
+    back = decode_arrow_ipc_payloads(
+        encode_arrow_ipc_partitions(df), "id bigint, tag string, amount bigint"
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(rows[k]["tag"] is None for k in rows)
+    assert rows[1]["amount"] == big and rows[3]["amount"] == big + 2
+    assert rows[2]["amount"] is None
+
+
 def test_arrow_ipc_empty_partitions_yield_no_rows(spark):
     docs = _docs(spark, {1: "one"}).repartition(8)
     payloads = encode_arrow_ipc_partitions(docs)
@@ -515,30 +535,24 @@ def test_join_size_estimate_overestimates_under_skew(spark):
 
 
 def test_relational_division_requires_full_coverage(spark, tmp_path):
-    """Hand-built warehouse: only the customer covering ALL core parts
-    survives; partial coverage (4 of 5) does not."""
-    import pyspark.sql.functions as SF
-
+    """Hand-built warehouse: only the customer covering ALL part brands
+    survives; partial coverage (4 of 5 brands) does not — even when the
+    partial customer buys MORE distinct parts than the full one."""
     from national_caseload_data_ingest_spark.operators.relational import (
         customers_buying_all_core_parts,
     )
 
-    # core parts 1..5 each ordered 10x (dominant); part 99 rare
+    # 10 parts over 5 brands (part p has brand p % 5)
+    parts = [(p, f"Brand#{p % 5}") for p in range(10)]
     orders, lineitem = [], []
     ok = 0
-    # customer 1: buys parts 1-5 → qualifies; customer 2: parts 1-4 only
-    for cust, parts in [(1, [1, 2, 3, 4, 5]), (2, [1, 2, 3, 4])]:
-        for p in parts:
+    # customer 1: parts 0-4 → all 5 brands → qualifies
+    # customer 2: parts {0,1,2,3,5,6,7,8} → 8 parts but only brands 0-3
+    for cust, bought in [(1, [0, 1, 2, 3, 4]), (2, [0, 1, 2, 3, 5, 6, 7, 8])]:
+        for p in bought:
             orders.append((ok, cust))
             lineitem.append((ok, p))
             ok += 1
-    # filler orders making 1..5 the top-5 parts
-    for rep in range(10):
-        for p in [1, 2, 3, 4, 5]:
-            orders.append((ok, 50 + rep))
-            lineitem.append((ok, p))
-            ok += 1
-    lineitem.append((0, 99))  # rare part, never core
     sf = tmp_path / "wh"
     spark.createDataFrame(
         [(o, c, "O", 1.0, None, "1-URGENT") for o, c in orders],
@@ -551,13 +565,30 @@ def test_relational_division_requires_full_coverage(spark, tmp_path):
         "l_extendedprice double, l_discount double, l_tax double, "
         "l_returnflag string, l_linestatus string, l_shipdate timestamp",
     ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(p, f"part_{p}", b, "STANDARD", 1, 10.0) for p, b in parts],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{sf}/part.parquet")
     got = {
         r["c_custkey"]: r["core_parts_bought"]
         for r in customers_buying_all_core_parts(spark, str(sf)).collect()
     }
-    assert 1 in got and got[1] == 5
-    assert 2 not in got
-    assert all(v == 5 for v in got.values())
+    assert got == {1: 5}
+
+
+def test_relational_division_nonvacuous_at_catalog_scale(spark):
+    """The driver-gate retune: the division answer must be NON-empty at the
+    sf0.001 catalog scale so the cross-engine hash-match exercises the
+    count-match path (round-6 advice: the old top-5-parts divisor matched
+    on 0 rows)."""
+    from national_caseload_data_ingest_spark.operators.relational import (
+        customers_buying_all_core_parts,
+    )
+
+    rows = customers_buying_all_core_parts(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "division answer vacuously empty at sf0.001"
+    assert all(r["core_parts_bought"] == 25 for r in rows)
 
 
 # ------------------------------------------------------------------- gini
