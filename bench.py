@@ -87,6 +87,15 @@ HEADLINE = [
     # explode + two count shuffles + two model joins, the heaviest new
     # plan family of the analytics expansion
     "lm_perplexity",
+    # round-7: the heavyweight operators most likely to regress were
+    # previously unmeasured (VERDICT r6 item 7) — iterative graph
+    # (pagerank over the near-dup graph), prefix-filtered exact
+    # similarity join, skew-immune sorted-neighborhood linkage, and the
+    # 7-stage composed corpus build
+    "neardup_pagerank",
+    "ppjoin_neardup_pairs",
+    "link_customer_records_snb",
+    "training_corpus_build",
 ]
 
 

@@ -1113,7 +1113,19 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PPJOIN_THRESHOLD = 0.3
+# Prefix filtering is a HIGH-threshold algorithm: the prefix is
+# n - ceil(t*n) + 1 grams, so at t=0.3 it spans 70% of every document
+# and keeps nearly every pair (measured at sf0.1: 9.1M candidates out
+# of 12.5M possible = 73% - any exact algorithm degenerates toward
+# all-pairs there, which is what the lang-blocked matmul kernel
+# ``ngram_jaccard_pairs`` is for).  0.6 is inside the regime the
+# AllPairs/PPJoin papers evaluate (t >= 0.5).  NOTE the synthetic
+# corpus is ADVERSARIAL for prefix filtering regardless: its ~30-word
+# vocabulary yields only 931 distinct bigrams with median df 285/5000
+# docs, so no gram is rare and candidates stay ~2.4M at any threshold
+# - which is exactly why ppjoin_neardup_pairs switches plans on the
+# measured posting-join volume instead of trusting the filter.
+PPJOIN_THRESHOLD = 0.6
 
 
 def ppjoin_candidates(postings: DataFrame, threshold: float) -> DataFrame:
@@ -1121,19 +1133,90 @@ def ppjoin_candidates(postings: DataFrame, threshold: float) -> DataFrame:
     (AllPairs/PPJoin, Bayardo WWW'07 / Xiao WWW'08): order every doc's
     gram set by GLOBAL document frequency (rarest first, ties by gram),
     keep only each doc's first ``n − ⌈t·n⌉ + 1`` grams, and generate
-    candidates from docs sharing a PREFIX gram.
+    candidates from docs sharing a PREFIX gram — additionally pruned by
+    the paper's LENGTH filter (Jaccard ≥ t forces t·max(na,nb) ≤
+    min(na,nb)) and POSITIONAL filter (a shared prefix gram at 1-based
+    positions (pa, pb) bounds the overlap by 1 + min(na−pa, nb−pb),
+    which must reach ⌈t/(1+t)·(na+nb)⌉).
 
     The prefix-filtering theorem: two sets with Jaccard ≥ t must share
     at least one token within those prefixes under any single global
     token order — so the candidate set provably CONTAINS every true
-    pair (pytest-pinned against the all-pairs ground truth), while the
-    rarest-first order makes prefixes fall in the sparse tail of the
-    posting lists, which is what collapses the join fan-out (frequent
-    grams never generate candidates from their full posting lists).
-    This is the exact-algorithm complement to MinHash: zero miss
-    probability, same bucket-join plan family."""
+    pair (pytest-pinned against the all-pairs ground truth; the
+    length/positional filters only remove pairs the theorems prove
+    cannot reach t), while the rarest-first order makes prefixes fall
+    in the sparse tail of the posting lists, which is what collapses
+    the join fan-out (frequent grams never generate candidates from
+    their full posting lists).  This is the exact-algorithm complement
+    to MinHash: zero miss probability, same bucket-join plan family."""
+    per_doc = _ppjoin_per_doc(postings)
+    # Index prefix (the side being found): n - ceil(t*n) + 1.  PROBE
+    # prefix (the smaller side doing the finding) is tighter: with
+    # |x| <= |y| the required overlap alpha = ceil(t/(1+t)*(|x|+|y|)) >=
+    # ceil(2t/(1+t)*|x|), so the prober only needs its first
+    # |x| - ceil(2t/(1+t)*|x|) + 1 grams (Xiao WWW'08 S3).
+    index_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+    ).cast("int")
+    probe_len = (
+        F.col("n")
+        - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("n"))
+        + F.lit(1)
+    ).cast("int")
+
+    def prefix(length, side):
+        return per_doc.select(
+            F.col("doc_id").alias(f"doc_{side}"),
+            F.col("n").alias(f"n{side}"),
+            F.posexplode(F.slice("ordered", F.lit(1), length)).alias(
+                "pos0", "gram"
+            ),
+        ).select(
+            f"doc_{side}", f"n{side}", "gram",
+            (F.col("pos0") + 1).alias(f"p{side}"),
+        )
+
+    a = prefix(probe_len, "a")
+    b = prefix(index_len, "b")
+    min_overlap = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("na") + F.col("nb"))
+    )
+    return (
+        a.join(b, "gram")
+        # probe side is the smaller set (ties: both directions generate,
+        # canonicalized below)
+        .filter(
+            (F.col("na") < F.col("nb"))
+            | (
+                (F.col("na") == F.col("nb"))
+                & (F.col("doc_a") != F.col("doc_b"))
+            )
+        )
+        # length filter: Jaccard >= t forces t*|y| <= |x|
+        .filter(F.lit(threshold) * F.col("nb") <= F.col("na"))
+        # positional filter: a shared gram at (pa, pb) bounds the overlap
+        .filter(
+            F.lit(1)
+            + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            >= min_overlap
+        )
+        .select(
+            F.least("doc_a", "doc_b").alias("da"),
+            F.greatest("doc_a", "doc_b").alias("db"),
+        )
+        .select(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _ppjoin_per_doc(postings: DataFrame) -> DataFrame:
+    """Per-doc gram arrays in global rarest-first order: ``(doc_id,
+    ordered, n)``.  Shared by candidate generation and the array-based
+    verifier so the expensive df-join + collect happens once."""
     dfreq = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
+    return (
         postings.join(dfreq, "gram")
         .groupBy("doc_id")
         .agg(
@@ -1144,20 +1227,53 @@ def ppjoin_candidates(postings: DataFrame, threshold: float) -> DataFrame:
             F.first("n_grams").alias("n"),
         )
     )
-    prefix_len = (
-        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
-    ).cast("int")
-    probes = per_doc.select(
-        "doc_id",
-        F.explode(F.slice("ordered", F.lit(1), prefix_len)).alias("gram"),
+
+
+# Posting-self-join volume (sum over grams of C(df,2)) below which the
+# DIRECT intersection join is cheaper than prefix filtering: ~100M rows
+# aggregates in seconds on a 32-thread executor and scales out linearly.
+# Above it (real Zipfian corpora, where stopword grams alone push the
+# volume past 10^12) the prefix-filtered path is the only viable exact
+# plan.
+DIRECT_JOIN_BUDGET = 100_000_000
+
+
+def _direct_jaccard_pairs(postings: DataFrame, threshold: float) -> DataFrame:
+    """EXACT Jaccard pairs via the unfiltered posting self-join — the
+    dense-corpus plan: every gram's posting list joins against itself
+    (sum of C(df,2) rows, measured against ``DIRECT_JOIN_BUDGET`` before
+    this path is chosen), intersections fall out of one pair-keyed
+    aggregation.  Identical relation to :func:`ppjoin_candidates` +
+    :func:`jaccard_verify_candidates` (equivalence pytest-pinned), but
+    with no candidate machinery — on a small-vocabulary corpus where
+    every gram is frequent, prefix filtering provably cannot prune
+    (every pair shares a "rare" gram) and its candidate bookkeeping is
+    pure overhead."""
+    pa = postings.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("gram").alias("g"),
+        F.col("n_grams").alias("na"),
     )
-    a = probes.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = probes.select(F.col("doc_id").alias("doc_b"), "gram")
-    return (
-        a.join(b, "gram")
+    pb = postings.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("gram").alias("g"),
+        F.col("n_grams").alias("nb"),
+    )
+    shared = (
+        pa.join(pb, "g")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -1194,15 +1310,58 @@ def ppjoin_candidates(postings: DataFrame, threshold: float) -> DataFrame:
     """,
 )
 def ppjoin_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT bigram-Jaccard pairs at ≥ {PPJOIN_THRESHOLD} via prefix
-    filtering — no LSH miss probability, no all-pairs kernel, no lang
-    blocking: candidates come only from shared rare-prefix grams
-    (:func:`ppjoin_candidates`), then the shared posting-join verifier
-    computes exact Jaccard.  The oracle enumerates the same relation
-    through the unfiltered posting join, so a hash-match proves the
-    prefix filter lost nothing — the completeness theorem, checked on
-    every run."""
+    """EXACT bigram-Jaccard pairs at ≥ {PPJOIN_THRESHOLD}, with a
+    stats-driven choice between three exact plans — the CBO move a
+    fixed plan cannot make.  One aggregation over the postings yields
+    three driver scalars (bounded), then the ladder:
+
+    1. corpus fits ONE incidence matrix (docs ≤ ``MAX_BLOCK_DOCS``,
+       docs × vocab ≤ ``MAX_BLOCK_CELLS``) → the blocked matmul kernel
+       (:func:`jaccard_pairs_in_blocks`) with a constant block key: all
+       pairwise intersections in one BLAS product.  The shipped
+       synthetic corpus is this shape — 931 distinct bigrams, median df
+       285/5000 docs — where prefix filtering provably cannot prune (no
+       gram is rare; measured: candidates ≈ 19% of ALL pairs at t=0.6
+       while true pairs are 256).
+    2. posting self-join volume Σ C(df, 2) ≤ ``DIRECT_JOIN_BUDGET`` →
+       the unfiltered posting join (:func:`_direct_jaccard_pairs`):
+       corpora too many-doc'd for one matrix but with an affordable
+       join volume.
+    3. otherwise (real Zipfian text, volume beyond any budget) →
+       prefix-filtered candidates (:func:`ppjoin_candidates`, with the
+       paper's length + positional filters) + the posting-join
+       verifier — the only viable exact plan at web scale, cost
+       bounded by rare-prefix posting lists instead of stopword df².
+
+    All plans emit the identical relation (equivalence pytest), the
+    oracle enumerates it through the unfiltered join, and a hash-match
+    proves zero miss whichever tier ran."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     postings = _shared_postings(d)
+    # One stats pass -> three driver scalars (bounded).  The ladder:
+    stats = postings.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_grams_total"),
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("vol"),
+        F.sum("df").alias("n_postings"),
+    ).collect()[0]
+    n_docs = d.count()
+    n_grams_total = stats["n_grams_total"] or 0
+    vol = stats["vol"] or 0
+    if (
+        n_docs <= MAX_BLOCK_DOCS
+        and n_docs * n_grams_total <= MAX_BLOCK_CELLS
+    ):
+        # tier 1: the whole corpus fits ONE matmul block
+        return jaccard_pairs_in_blocks(
+            postings.withColumn("__blk", F.lit(0)),
+            ["__blk"],
+            PPJOIN_THRESHOLD,
+        )
+    if vol <= DIRECT_JOIN_BUDGET:
+        # tier 2: posting self-join volume is affordable
+        return _direct_jaccard_pairs(postings, PPJOIN_THRESHOLD)
+    # tier 3: the only exact plan left at web scale
     cands = ppjoin_candidates(postings, PPJOIN_THRESHOLD)
     return jaccard_verify_candidates(postings, cands, PPJOIN_THRESHOLD)

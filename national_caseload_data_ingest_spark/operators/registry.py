@@ -53,6 +53,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # already the round-8 plan.
 CHECK_PRIORITY: list[str] = [
     # -- round-7: new or semantics-changed this round -----------------------
+    "jpeg420_decode_features",  # native chroma-subsampled JPEG E2E (new)
+    "jpeg_progressive_decode_features",  # native SOF2 multi-scan E2E (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

@@ -146,6 +146,12 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Footers sniffed per directory: enough to catch a mixed-era rewrite
+# (old nanos parts + new micros parts) without touching every footer of a
+# 100k-file table.
+_SNIFF_FOOTERS = 8
+
+
 def parquet_nanos_columns(path: str) -> list[str]:
     """Columns stored as INT64 TIMESTAMP(NANOS) in the parquet footer.
 
@@ -155,32 +161,67 @@ def parquet_nanos_columns(path: str) -> list[str]:
     INT96 timestamps (Spark's own default writer output) also present as
     ``timestamp[ns]`` through ``pyarrow.read_schema`` but are decoded
     natively by Spark as TimestampType — treating them as nanos-as-long
-    breaks the read (physicalType INT96, logicalType bigint mismatch)."""
+    breaks the read (physicalType INT96, logicalType bigint mismatch).
+
+    Sniff contract (round-6 advice): a directory with NO part files warns
+    (the caller is about to default to the micros read path on an empty
+    table — correct, but worth a trace when the table fills in later); up
+    to ``_SNIFF_FOOTERS`` footers across the listing are checked, not just
+    the first; and footers that DISAGREE on the nanos column set raise —
+    a mixed-encoding directory cannot be read with one per-column
+    conversion rule and must be rewritten to a single encoding first."""
     import glob  # noqa: PLC0415
+    import warnings  # noqa: PLC0415
 
     import pyarrow.parquet as pq  # noqa: PLC0415
 
-    if os.path.isdir(path):
-        # Spark-written tables are directories of part files; any footer
-        # is representative (one writer, one schema).
-        parts = sorted(
-            glob.glob(os.path.join(path, "*.parquet"))
-        ) or sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
-        if not parts:
-            return []
-        path = parts[0]
-    sch = pq.ParquetFile(path).schema
-    return [
-        sch.column(i).path
-        for i in range(len(sch))
-        if sch.column(i).physical_type == "INT64"
-        and "nanoseconds" in str(sch.column(i).logical_type).lower()
-        # leaf paths only: a nested field would surface as "a.b", which
-        # withColumn cannot convert in place — flat schemas only (all
-        # engine tables are flat; a nested nanos field should fail loudly
-        # at read time rather than be silently half-converted here)
-        and "." not in sch.column(i).path
-    ]
+    def nanos_cols(one_file: str) -> tuple[str, ...]:
+        sch = pq.ParquetFile(one_file).schema
+        return tuple(
+            sch.column(i).path
+            for i in range(len(sch))
+            if sch.column(i).physical_type == "INT64"
+            and "nanoseconds" in str(sch.column(i).logical_type).lower()
+            # leaf paths only: a nested field would surface as "a.b",
+            # which withColumn cannot convert in place — flat schemas
+            # only (all engine tables are flat; a nested nanos field
+            # should fail loudly at read time rather than be silently
+            # half-converted here)
+            and "." not in sch.column(i).path
+        )
+
+    if not os.path.isdir(path):
+        return list(nanos_cols(path))
+    parts = sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    ) or sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    if not parts:
+        warnings.warn(
+            f"parquet_nanos_columns({path!r}): no part files found — "
+            "defaulting to the micros read path (no ns→µs conversion); "
+            "re-sniff once the table has data",
+            stacklevel=2,
+        )
+        return []
+    # First + last + evenly spread footers: one writer produces one
+    # schema, so disagreement means the directory mixes writer eras.
+    # First/last are ALWAYS sampled (a rewrite appends at one end of the
+    # name-sorted listing); the remaining budget spreads over the middle.
+    n = len(parts)
+    idx = {0, n - 1}
+    for k in range(1, _SNIFF_FOOTERS - 1):
+        idx.add(k * (n - 1) // (_SNIFF_FOOTERS - 1))
+    sniffed = {parts[i]: nanos_cols(parts[i]) for i in sorted(idx)}
+    distinct = set(sniffed.values())
+    if len(distinct) > 1:
+        detail = ", ".join(f"{os.path.basename(f)}→{list(c)}" for f, c in sniffed.items())
+        raise ValueError(
+            f"mixed parquet timestamp encodings under {path!r}: part files "
+            f"disagree on INT64-nanos columns ({detail}).  One per-column "
+            "conversion rule cannot read this directory — rewrite it to a "
+            "single encoding (e.g. read each era separately and UNION)."
+        )
+    return list(distinct.pop())
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:

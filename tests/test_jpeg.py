@@ -245,9 +245,80 @@ def test_jpeg_color_header_structure():
     assert payload[sof + 17] == 0x11
 
 
-def test_jpeg_color_subsampled_rejected():
-    """A 4:2:0 SOF (sampling 0x22) must raise the honest-gating error,
-    not mis-decode."""
+def test_jpeg_420_exact_on_macroblock_constant_gray():
+    """The 4:2:0 path is bit-exact on the 16×16-macroblock-constant
+    gray-valued construction (Y exact by the even-offset argument,
+    chroma constant 128 through downsample/quantize/upsample)."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_color,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = (128 + 2 * rng.integers(-32, 32, size=(3, 2))).astype(np.uint8)
+    px = np.repeat(np.repeat(vals, 16, axis=0), 16, axis=1)
+    rgb = np.stack([px] * 3, axis=-1)
+    out = jpeg_decode(jpeg_encode_color(rgb, subsampling="420"))
+    assert out.shape == rgb.shape
+    assert np.array_equal(out, rgb)
+
+
+def test_jpeg_420_header_structure():
+    """SOF advertises 0x22 luma / 0x11 chroma sampling."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_encode_color,
+    )
+
+    payload = jpeg_encode_color(
+        np.zeros((16, 16, 3), np.uint8), subsampling="420"
+    )
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 9] == 3  # ncomp
+    assert payload[sof + 11] == 0x22  # luma 2x2
+    assert payload[sof + 14] == 0x11
+    assert payload[sof + 17] == 0x11
+
+
+def test_jpeg_420_smooth_image_bounded():
+    """Real-color 4:2:0 round trip: quality-50 quantization + chroma
+    subsampling on a smooth gradient stays within a tight tolerance."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_color,
+    )
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    rgb = np.stack(
+        [
+            (yy * 2 + 40) % 200 // 2 + 50,
+            (xx * 2 + 80) % 200 // 2 + 30,
+            ((yy + xx) + 60) % 200 // 2 + 40,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode_color(rgb, subsampling="420"))
+    assert out.shape == rgb.shape
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    assert err.mean() < 8.0, err.mean()
+
+
+def test_jpeg_420_odd_dimensions_crop():
+    """Dims that are multiples of neither 8 nor 16 pad to the MCU grid
+    internally and crop back exactly."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_color,
+    )
+
+    rgb = np.full((19, 27, 3), 100, np.uint8)
+    out = jpeg_decode(jpeg_encode_color(rgb, subsampling="420"))
+    assert out.shape == (19, 27, 3)
+    assert np.abs(out.astype(int) - 100).max() <= 2
+
+
+def test_jpeg_non_integer_sampling_ratio_rejected():
+    """Sampling factor combinations with a non-integer upsampling ratio
+    (here 3:2) raise the honest gate before any entropy decoding."""
     from national_caseload_data_ingest_spark.operators.multimodal import (
         jpeg_decode,
         jpeg_encode_color,
@@ -255,9 +326,106 @@ def test_jpeg_color_subsampled_rejected():
 
     payload = bytearray(jpeg_encode_color(np.zeros((8, 8, 3), np.uint8)))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 11] = 0x22  # luma sampling 2x2 → 4:2:0
-    with pytest.raises(ValueError, match="subsampling"):
+    payload[sof + 11] = 0x33  # luma 3x3
+    payload[sof + 14] = 0x22  # chroma 2x2 → ratio 3/2
+    with pytest.raises(ValueError, match="non-integer"):
         jpeg_decode(bytes(payload))
+
+
+def test_jpeg_progressive_equals_baseline_everywhere():
+    """The anchor equality: the progressive encoder quantizes identically
+    to the baseline encoder, so decoding its SOF2 multi-scan stream must
+    reproduce the baseline decode BIT FOR BIT — gray, 4:4:4, and 4:2:0,
+    across shapes hitting every padding regime."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_color,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    for h, w in [(8, 8), (16, 16), (11, 29), (40, 24), (17, 50)]:
+        g = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode_progressive(g)),
+            jpeg_decode(jpeg_encode(g)),
+        ), (h, w, "gray")
+        rgb = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode_progressive(rgb)),
+            jpeg_decode(jpeg_encode_color(rgb)),
+        ), (h, w, "444")
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode_progressive(rgb, subsampling="420")),
+            jpeg_decode(jpeg_encode_color(rgb, subsampling="420")),
+        ), (h, w, "420")
+
+
+def test_jpeg_progressive_header_is_sof2_multiscan():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_encode_progressive,
+    )
+
+    payload = jpeg_encode_progressive(
+        np.zeros((16, 16, 3), np.uint8), subsampling="420"
+    )
+    assert b"\xff\xc2" in payload  # SOF2
+    assert b"\xff\xc0" not in payload
+    # DC first + 4 AC first + DC refine + 3 AC refine = 9 scans
+    assert payload.count(b"\xff\xda") == 9
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    """A constant image makes every AC-first scan a single maximal EOB
+    run across all blocks — the EOBRUN>1 decode path — and must still
+    reconstruct exactly (constant 128+even offset is quantization-exact)."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    img = np.full((64, 80), 140, np.uint8)  # 80 blocks → EOB run of 80
+    out = jpeg_decode(jpeg_encode_progressive(img))
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_progressive_decode_features_query(spark):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        JPEG420_H,
+        JPEG420_W,
+        jpeg_progressive_decode_features,
+    )
+
+    rows = jpeg_progressive_decode_features(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows[:5]:
+        assert (r["width"], r["height"], r["channels"]) == (
+            JPEG420_W,
+            JPEG420_H,
+            3,
+        )
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"]
+
+
+def test_jpeg420_decode_features_query(spark):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        JPEG420_H,
+        JPEG420_W,
+        jpeg420_decode_features,
+    )
+
+    rows = jpeg420_decode_features(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows[:5]:
+        assert (r["width"], r["height"], r["channels"]) == (
+            JPEG420_W,
+            JPEG420_H,
+            3,
+        )
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"]
 
 
 def test_jpeg_color_odd_dimensions_crop():

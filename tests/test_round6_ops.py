@@ -467,6 +467,54 @@ def test_ppjoin_candidates_contain_every_true_pair(spark):
     assert got == true_pairs
 
 
+def test_ppjoin_three_tiers_emit_identical_relation(spark):
+    """The stats ladder in ppjoin_neardup_pairs switches between three
+    exact plans; on one corpus all three must emit the SAME relation —
+    matmul block, direct posting join, and prefix-filter + verify."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _direct_jaccard_pairs,
+        jaccard_pairs_in_blocks,
+        jaccard_verify_candidates,
+        ppjoin_candidates,
+        word_bigram_postings,
+    )
+    from pyspark.sql import functions as SF
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: base,
+        2: base,
+        3: base.replace("zeta", "ZED"),
+        4: "one two three four five six seven eight nine ten",
+        5: "one two three four five six SEVEN eight nine ten",
+        6: "totally different words everywhere nothing shared here at all",
+        7: base + " lambda mu nu xi",
+    }
+    docs = _docs(spark, texts)
+    postings = word_bigram_postings(docs).persist()
+    t = 0.6
+
+    def rel(df):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in df.collect()
+        }
+
+    tier1 = rel(
+        jaccard_pairs_in_blocks(
+            postings.withColumn("__blk", SF.lit(0)), ["__blk"], t
+        )
+    )
+    tier2 = rel(_direct_jaccard_pairs(postings, t))
+    tier3 = rel(
+        jaccard_verify_candidates(
+            postings, ppjoin_candidates(postings, t), t
+        )
+    )
+    assert tier1, "fixture must produce pairs"
+    assert tier1 == tier2 == tier3
+
+
 def test_ppjoin_prefix_filter_actually_prunes(spark):
     """On a corpus of mostly-disjoint docs the candidate count must be
     far below all-pairs — the point of the prefix filter."""

@@ -652,6 +652,71 @@ def test_funnel_stream_multi_batch_in_order(spark, events_batch, tmp_path):
         assert stream_rows[uid]["step_reached"] == b["step_reached"], uid
 
 
+def test_funnel_stream_out_of_order_cross_batch_semantics(spark, tmp_path):
+    """Pins the documented out-of-order contract (VERDICT r6 item 8): the
+    funnel advances in ARRIVAL order, so a step-1 'view' arriving in a
+    LATER batch than an already-seen step-2 'click' advances the user to
+    step 1 only — the click was consumed while the user still awaited a
+    view and is not replayed.  The batch twin (which sees event-time
+    order) reaches step 2 on the same data.  This divergence is the
+    intended greedy semantics; event-time-correct streaming feeds must
+    put a watermark-delay buffer in front (the _funnel_update_factory
+    docstring's caveat), and this test is the executable statement of
+    exactly what goes wrong without one."""
+    import os
+
+    from national_caseload_data_ingest_spark.operators.behavior import (
+        FUNNEL_STEPS,
+        funnel_user_steps,
+    )
+    from national_caseload_data_ingest_spark.streaming import events as sev
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t = lambda s: __import__("datetime").datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    # batch 0: click@t10 (step-2 type, user still at step 0 → ignored)
+    # batch 1: late view@t5 (event-time BEFORE the click's)
+    b0 = spark.createDataFrame([(1, t(10), 7, "click", 1.0, "{}")], schema)
+    b1 = spark.createDataFrame([(2, t(5), 7, "view", 1.0, "{}")], schema)
+    d = str(tmp_path / "ooo")
+    b0.coalesce(1).write.parquet(os.path.join(d, "b0"))
+    b1.coalesce(1).write.parquet(os.path.join(d, "b1"))
+
+    sdf = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "b*"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sev._funnel_update_factory(FUNNEL_STEPS),
+            outputStructType=sev.FUNNEL_OUT,
+            stateStructType=sev._FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("funnel_ooo")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_ooo").collect()
+    final = max(rows, key=lambda r: r["step_reached"])
+    # streaming greedy: only the late view advanced (click pre-dated it in
+    # ARRIVAL order while the machine still awaited a view)
+    assert final["step_reached"] == 1
+    assert final["reached_us"] == int(t(5).timestamp() * 1_000_000)
+    # batch twin on the union sees event-time order → view@5 then click@10
+    batch = funnel_user_steps(b0.unionAll(b1), FUNNEL_STEPS).collect()
+    assert len(batch) == 1 and batch[0]["step_reached"] == 2
+
+
 def test_stream_stream_outer_join_matched_equals_batch_and_flushes_nulls(
     spark, events_batch
 ):
