@@ -711,3 +711,103 @@ def nation_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n_customers") + F.lit(1.0)) / F.col("n_customers")
         ).cast("double").alias("gini"),
     )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS biggest_order,
+           CAST(NTH_VALUE(o_orderkey, 2) OVER w AS BIGINT) AS second_order,
+           CAST(LAST_VALUE(o_orderkey)
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS BIGINT)
+               AS smallest_order,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window VALUE-function family the rank/aggregate queries don't
+    touch: first_value / nth_value / last_value (the latter with an
+    explicit UNBOUNDED FOLLOWING frame — the default frame stops at
+    CURRENT ROW and would return each row's own key, the classic
+    last_value trap) plus the distribution functions percent_rank and
+    cume_dist.  Deterministic under the (price DESC, orderkey) total
+    order; one customer-partitioned shuffle serves all five."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.first("o_orderkey").over(w).alias("biggest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.last("o_orderkey").over(wfull).alias("smallest_order"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "map_functions_priority",
+    oracle="""
+    WITH pc AS (
+        SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS INTEGER) AS n_priorities,
+           CAST(COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN n END), 0) AS BIGINT) AS n_urgent,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities_sorted,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM pc
+    GROUP BY o_custkey
+    """,
+)
+def map_functions_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP function family (the array/json rows of §2.2 cover the
+    other two collection kinds): per customer, build a
+    priority→count MAP with ``map_from_entries``, then consume it with
+    ``map_keys`` (sorted + joined for a deterministic projection),
+    ``element_at`` (missing-key → NULL, coalesced to 0), ``size``, and
+    ``map_values`` aggregated back to the order count.  The oracle
+    states the same relation without maps — the gate checks the map
+    round-trip loses nothing.  Plan: one partial-agg shuffle to the
+    (customer, priority) counts, then a map-side-combined groupBy to
+    one map row per customer; maps never shuffle as map-typed columns."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    pc = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = pc.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderpriority", "n"))
+            )
+        ).alias("pmap")
+    )
+    return m.select(
+        "o_custkey",
+        F.size("pmap").alias("n_priorities"),
+        F.coalesce(F.element_at("pmap", F.lit("1-URGENT")), F.lit(0)).alias(
+            "n_urgent"
+        ),
+        F.array_join(F.array_sort(F.map_keys("pmap")), ",").alias(
+            "priorities_sorted"
+        ),
+        F.aggregate(
+            F.map_values("pmap"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("n_orders"),
+    )

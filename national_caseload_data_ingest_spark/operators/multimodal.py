@@ -147,13 +147,16 @@ def decode_image(payload: bytes) -> object:
         return w, h, ch, px
     if payload[:2] == BMP_SIGNATURE:
         return bmp_decode(payload)
+    if payload[:4] in TIFF_SIGNATURES:
+        return tiff_decode(payload)
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG/GIF/JPEG/BMP image decode (WEBP, TIFF) requires PIL; "
-            "container has no codecs — PNG, GIF, BMP, and JPEG (baseline "
-            "and progressive, gray/color, subsampled) decode natively"
+            "non-PNG/GIF/JPEG/BMP/TIFF image decode (WEBP) requires PIL; "
+            "container has no codecs — PNG, GIF, BMP, TIFF (strips, "
+            "LZW/PackBits, predictor), and JPEG (baseline and "
+            "progressive, gray/color, subsampled) decode natively"
         ) from e
     import io  # noqa: PLC0415
 
@@ -2673,4 +2676,452 @@ def bmp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return payloads.mapInPandas(
         bmp_decode_features, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIFF: pure-stdlib baseline codec (uncompressed / LZW / PackBits strips,
+# horizontal-differencing predictor, II+MM byte orders) + decode pipeline.
+# Closes the last line of decode_image's PIL gate for still images other
+# than WEBP.  Format reference: TIFF 6.0 specification (public, Adobe
+# 1992) — §3 (IFD structure), §7 (PackBits), §13 (LZW with early change),
+# §14 (predictor).
+# ---------------------------------------------------------------------------
+
+TIFF_SIGNATURES = (b"II*\x00", b"MM\x00*")
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, codes start at 9 bits,
+    ClearCode 256 / EOI 257, EARLY code-width change (width bumps when
+    the next code to be assigned is 2^w − 1, one entry sooner than GIF's
+    LSB-first variant)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # Clear
+    s = b""
+    for ch in data:
+        c = bytes([ch])
+        if s + c in table:
+            s += c
+            continue
+        emit(table[s], width)
+        table[s + c] = next_code
+        next_code += 1
+        # early change (spec 13): bump when the NEXT code to assign is
+        # (1<<w)-1, so codes 511/1023/2047 are never written at the old
+        # width; at 12 bits, reset when NextCode reaches 4094
+        if width < 12 and next_code == (1 << width) - 1:
+            width += 1
+        elif next_code == 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        s = c
+    if s:
+        emit(table[s], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decompress(data: bytes) -> bytes:
+    """Inverse of :func:`_tiff_lzw_compress` (spec §13 pseudocode)."""
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+
+    def read_code():
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return 257  # truncated stream: treat as EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev = None
+    while True:
+        code = read_code()
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("tiff: corrupt LZW stream (code gap)")
+        out += entry
+        prev = entry
+        # early change, one entry EARLIER than the encoder's check: the
+        # decoder's table lags the encoder by one entry at the same code
+        # index (the encoder assigns after emitting code k, the decoder
+        # while processing code k+1), so it must widen at (1<<w)-2
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_compress(data: bytes) -> bytes:
+    """TIFF PackBits RLE (spec §7): literal runs and repeat runs of
+    ≤ 128 bytes.  Simple two-state encoder — repeats of ≥ 2 become
+    repeat runs, everything else literals."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _packbits_decompress(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat run of 257-n
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return bytes(out)
+
+
+_TIFF_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773}
+
+
+def tiff_encode(
+    arr,
+    compression: str = "none",
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Pure-stdlib little-endian TIFF encoder: ``(h, w)`` gray or
+    ``(h, w, 3)`` RGB uint8, chunky planar layout, multi-strip when
+    ``rows_per_strip`` is set, compression none/lzw/packbits, optional
+    horizontal-differencing predictor (tag 317 = 2, LZW's usual
+    companion)."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("tiff_encode takes (h, w) gray or (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    spp = 1 if gray else 3
+    comp = _TIFF_COMPRESSIONS[compression]
+    if predictor and compression == "none":
+        raise ValueError("predictor only meaningful with compression")
+    rps = rows_per_strip or h
+    px = a.reshape(h, w, spp)
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = px[y0 : y0 + rps]
+        if predictor:
+            rows = rows.astype(np.int16)
+            rows = np.concatenate(
+                [rows[:, :1, :], np.diff(rows, axis=1)], axis=1
+            ).astype(np.uint8)  # mod-256 horizontal differences per channel
+        raw = rows.tobytes()
+        if comp == 1:
+            strips.append(raw)
+        elif comp == 5:
+            strips.append(_tiff_lzw_compress(raw))
+        else:
+            strips.append(_packbits_compress(raw))
+
+    # layout: header(8) | strip data | bits-per-sample array (if RGB) |
+    # strip offset/count arrays (if >1 strip) | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    aux = bytearray()
+
+    def aux_offset(fmt_vals):
+        nonlocal pos
+        off = pos
+        b = struct.pack(f"<{len(fmt_vals)}{'H' if max(fmt_vals) < 65536 else 'I'}", *fmt_vals)
+        aux.extend(b)
+        pos += len(b)
+        return off
+
+    entries = []
+
+    def entry(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    entry(256, 3, 1, w)  # ImageWidth SHORT
+    entry(257, 3, 1, h)  # ImageLength
+    if spp == 1:
+        entry(258, 3, 1, 8)  # BitsPerSample
+    else:
+        bps_off = pos
+        aux.extend(struct.pack("<3H", 8, 8, 8))
+        pos += 6
+        entry(258, 3, 3, bps_off)
+    entry(259, 3, 1, comp)
+    entry(262, 3, 1, 1 if gray else 2)  # Photometric: BlackIsZero / RGB
+    if len(strips) == 1:
+        entry(273, 4, 1, strip_offsets[0])
+    else:
+        so_off = pos
+        aux.extend(struct.pack(f"<{len(strips)}I", *strip_offsets))
+        pos += 4 * len(strips)
+        entry(273, 4, len(strips), so_off)
+    entry(277, 3, 1, spp)
+    entry(278, 3, 1, rps)
+    if len(strips) == 1:
+        entry(279, 4, 1, len(strips[0]))
+    else:
+        sc_off = pos
+        aux.extend(struct.pack(f"<{len(strips)}I", *(len(s) for s in strips)))
+        pos += 4 * len(strips)
+        entry(279, 4, len(strips), sc_off)
+    entry(284, 3, 1, 1)  # PlanarConfiguration: chunky
+    if predictor:
+        entry(317, 3, 1, 2)
+    entries.sort()
+    ifd_off = pos
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", ifd_off)
+    for s in strips:
+        out += s
+    out += aux
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            out += struct.pack("<HH", value, 0)
+        else:
+            out += struct.pack("<I", value)
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def tiff_decode(payload: bytes):
+    """Pure-stdlib TIFF decoder: returns ``(w, h, channels, uint8 array
+    (h, w, channels))``.  Supports both byte orders, 8-bit gray (photometric
+    0/1) and RGB, chunky planar layout, strips (any RowsPerStrip),
+    compression none/LZW/PackBits, and the horizontal-differencing
+    predictor.  Tiled, paletted, planar, >8-bit, and JPEG-in-TIFF
+    layouts raise (``NotImplementedError`` for honest gates,
+    ``ValueError`` for corrupt structure)."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] not in TIFF_SIGNATURES:
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", payload[base : base + 8])
+        (raw_value,) = struct.unpack(bo + "I", payload[base + 8 : base + 12])
+        tags[tag] = (typ, count, base + 8)
+
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def values(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"tiff: missing required tag {tag}")
+            return default
+        typ, count, vpos = tags[tag]
+        if typ not in type_fmt:
+            raise NotImplementedError(f"tiff: tag {tag} type {typ} unsupported")
+        total = type_size[typ] * count
+        if total <= 4:
+            src = payload[vpos : vpos + total]
+        else:
+            (off,) = struct.unpack(bo + "I", payload[vpos : vpos + 4])
+            src = payload[off : off + total]
+        return list(struct.unpack(f"{bo}{count}{type_fmt[typ]}", src))
+
+    w = values(256)[0]
+    h = values(257)[0]
+    spp = values(277, [1])[0]
+    bits = values(258, [8] * spp)
+    comp = values(259, [1])[0]
+    photo = values(262)[0]
+    planar = values(284, [1])[0]
+    predictor = values(317, [1])[0]
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiff: tiled layout not supported")
+    if photo == 3:
+        raise NotImplementedError("tiff: paletted images not supported")
+    if planar != 1:
+        raise NotImplementedError("tiff: planar configuration 2 not supported")
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise NotImplementedError(
+            f"tiff: only 8-bit gray/RGB supported (bits={bits}, spp={spp})"
+        )
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"tiff: compression {comp} not supported (none/LZW/PackBits only)"
+        )
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"tiff: predictor {predictor} unsupported")
+    offsets = values(273)
+    counts = values(279)
+    rps = values(278, [h])[0]
+    if len(offsets) != len(counts):
+        raise ValueError("tiff: strip offset/count mismatch")
+    rows = []
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        n_rows = min(rps, h - i * rps)
+        expected = n_rows * w * spp
+        raw = payload[off : off + cnt]
+        if comp == 5:
+            raw = _tiff_lzw_decompress(raw)[:expected]
+        elif comp == 32773:
+            raw = _packbits_decompress(raw, expected)
+        if len(raw) < expected:
+            raise ValueError("tiff: strip shorter than expected")
+        strip = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(
+            n_rows, w, spp
+        )
+        if predictor == 2:
+            strip = np.cumsum(strip.astype(np.int64), axis=1).astype(
+                np.uint8
+            )  # mod-256 undo of horizontal differencing
+        rows.append(strip)
+    px = np.concatenate(rows, axis=0)
+    if photo == 0:  # WhiteIsZero: invert to BlackIsZero convention
+        px = 255 - px
+    return w, h, spp, px
+
+
+def tiff_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """TIFF-decode kernel: payload -> (dims, channels, mean pixel)."""
+    for pdf in batches:
+        doc_ids, ws, hs, chs, means = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch, px = tiff_decode(bytes(payload))
+            doc_ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            chs.append(ch)
+            means.append(int(px.sum(dtype="int64")) / px.size)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "channels": pd.Series(chs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
+            }
+        )
+
+
+def _synthesize_tiff_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One deterministic TIFF per document, rotating the codec surface by
+    doc id: compression none / LZW / PackBits (id mod 3), gray or RGB
+    (id mod 2), multi-strip (5 rows/strip), predictor on for the LZW
+    variants — so the corpus-level decode exercises every supported
+    combination, not one happy path.  The pixel ramp ``(doc_id + k) mod
+    256`` is channel-replicated for RGB, keeping one closed-form mean."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            gray = ((did + k) % 256).reshape(IMG_H, IMG_W).astype(np.uint8)
+            arr = gray if did % 2 == 0 else np.stack([gray] * 3, axis=-1)
+            compression = ("none", "lzw", "packbits")[did % 3]
+            payloads.append(
+                tiff_encode(
+                    arr,
+                    compression=compression,
+                    predictor=(compression == "lzw"),
+                    rows_per_strip=5,
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "tiff_decode_features",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST(CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END AS INTEGER)
+               AS channels,
+           CAST(SUM((d.doc_id + t.k) % 256) AS DOUBLE) / {IMG_W * IMG_H}
+               AS mean_pixel
+    FROM documents d, range(0, {IMG_W * IMG_H}) t(k)
+    GROUP BY d.doc_id
+    """,
+)
+def tiff_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode E2E with a SQL oracle: per document, synthesize a
+    deterministic TIFF rotating through compression none/LZW/PackBits,
+    gray/RGB, 5-row strips, and the horizontal predictor (see the
+    synthesize kernel), decode through the real strip/LZW/predictor
+    path, and hash-match the closed-form pixel statistics.  Lossless
+    end to end, so the oracle is exact for every variant.  Two narrow
+    ``mapInPandas`` passes, no shuffle — the same 100 TB shape as the
+    other codec pipelines."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = d.select("doc_id").mapInPandas(
+        _synthesize_tiff_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        tiff_decode_features, schema=IMAGE_FEATURE_SCHEMA
     )

@@ -55,6 +55,13 @@ CHECK_PRIORITY: list[str] = [
     # -- round-7: new or semantics-changed this round -----------------------
     "jpeg420_decode_features",  # native chroma-subsampled JPEG E2E (new)
     "jpeg_progressive_decode_features",  # native SOF2 multi-scan E2E (new)
+    "ppjoin_neardup_pairs",  # threshold+planner change (r7) — re-certify
+    "set_except_cheap_orders",  # non-vacuous EXCEPT gate (new)
+    "set_except_all_priorities",  # EXCEPT ALL bag semantics (new)
+    "set_intersect_all_priorities",  # INTERSECT ALL bag semantics (new)
+    "window_value_functions",  # first/nth/last_value, percent_rank, cume_dist (new)
+    "map_functions_priority",  # map_from_entries/element_at/map_keys round-trip (new)
+    "tiff_decode_features",  # native TIFF strips/LZW/PackBits/predictor E2E (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

@@ -524,12 +524,94 @@ def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics): nations with customers but no suppliers."""
+    """EXCEPT (distinct semantics): nations with customers but no
+    suppliers.  NOTE: empty at every shipped SF (all 25 nations have
+    both) — the driver hash-match is vacuous here by data accident;
+    ``set_except_cheap_orders`` below is the non-vacuous EXCEPT gate."""
     t = load_tables(spark, sf_dir, "customer", "supplier")
     return (
         t["customer"]
         .select(F.col("c_nationkey").alias("nationkey"))
         .subtract(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@query(
+    "set_except_cheap_orders",
+    oracle="""
+    SELECT l_orderkey AS orderkey FROM lineitem
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_except_cheap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT with a NON-vacuous answer at every SF (~20% of orders are
+    below the price cut; measured 308 / 2,915 / 29,330 rows at
+    sf0.001/0.01/0.1) AND real dedup work: the left side arrives with
+    ~4× multiplicity (one row per lineitem), so the hash-match proves
+    the distinct-set semantics, not just the subtraction.  One shuffle
+    per side on the key; at scale EXCEPT compiles to a left-anti join
+    over pre-aggregated keys — never a sort of either fact table."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    return (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("orderkey"))
+        .subtract(
+            t["orders"]
+            .filter(F.col("o_totalprice") > 100000)
+            .select(F.col("o_orderkey").alias("orderkey"))
+        )
+    )
+
+
+@query(
+    "set_except_all_priorities",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG semantics: each priority survives with
+    multiplicity max(0, count_O − count_F), so the result CONTAINS
+    DUPLICATE ROWS and the order-insensitive hash gate verifies the
+    multiplicities themselves (non-empty at every SF: 40 / 77 / 477
+    rows).  Spark plans ``exceptAll`` as a per-row ±1 counter aggregate
+    + generate — one shuffle on the value, no join."""
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderpriority")
+        .exceptAll(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+        )
+    )
+
+
+@query(
+    "set_intersect_all_priorities",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all_priorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERSECT ALL — bag semantics sibling of
+    ``set_except_all_priorities``: each priority survives with
+    multiplicity min(count_O, count_F)."""
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderpriority")
+        .intersectAll(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+        )
     )
 
 

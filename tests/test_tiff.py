@@ -1,0 +1,149 @@
+"""TIFF codec (pure stdlib/numpy): strips, LZW (early change + table
+reset), PackBits, horizontal predictor, both photometric conventions,
+honest gates for unsupported layouts, and the oracle-checked query.
+Format reference: TIFF 6.0 specification §3/§7/§13/§14."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from national_caseload_data_ingest_spark.operators.multimodal import (
+    IMG_H,
+    IMG_W,
+    _packbits_compress,
+    _packbits_decompress,
+    _tiff_lzw_compress,
+    _tiff_lzw_decompress,
+    decode_image,
+    tiff_decode,
+    tiff_encode,
+)
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"x",
+        b"abcabcabc" * 500,
+        bytes(5000),
+        bytes(range(256)) * 64,
+    ],
+    ids=["empty", "one", "repetitive", "zeros", "ramp"],
+)
+def test_lzw_roundtrip(data):
+    assert _tiff_lzw_decompress(_tiff_lzw_compress(data)) == data
+
+
+def test_lzw_roundtrip_incompressible_crosses_all_widths_and_resets():
+    """Random bytes grow the code table through every width boundary
+    (9→10→11→12) and past the 4094 ClearCode reset — twice."""
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 256, 200_000, dtype=np.uint8))
+    comp = _tiff_lzw_compress(data)
+    assert _tiff_lzw_decompress(comp) == data
+    assert comp.count(b"") >= 0 and len(comp) > len(data)  # incompressible
+
+
+@pytest.mark.parametrize(
+    "data",
+    [b"", b"a" * 300, b"ab" * 200, bytes(range(200))],
+)
+def test_packbits_roundtrip(data):
+    assert _packbits_decompress(_packbits_compress(data), len(data)) == data
+
+
+@pytest.mark.parametrize("compression", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("shape", [(12, 16), (12, 16, 3), (7, 5), (33, 13, 3)])
+@pytest.mark.parametrize("rps", [None, 5])
+def test_tiff_roundtrip_matrix(compression, shape, rps):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    for predictor in [False, True] if compression != "none" else [False]:
+        payload = tiff_encode(
+            a, compression=compression, predictor=predictor, rows_per_strip=rps
+        )
+        w, h, ch, px = tiff_decode(payload)
+        exp = a.reshape(a.shape[0], a.shape[1], -1)
+        assert (w, h, ch) == (a.shape[1], a.shape[0], exp.shape[2])
+        assert np.array_equal(px, exp)
+
+
+def test_tiff_big_endian_decodes():
+    """An MM (big-endian) file with the same pixels decodes identically —
+    built by re-packing a little-endian single-strip uncompressed file."""
+    a = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    le = tiff_encode(a)
+    # translate header + IFD to big-endian (values are all SHORT/LONG)
+    (ifd_off,) = struct.unpack("<I", le[4:8])
+    out = bytearray(b"MM\x00*")
+    out += struct.pack(">I", ifd_off)
+    out += le[8:ifd_off]
+    (n,) = struct.unpack("<H", le[ifd_off : ifd_off + 2])
+    out += struct.pack(">H", n)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack("<HHI", le[base : base + 8])
+        out += struct.pack(">HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            (v, _pad) = struct.unpack("<HH", le[base + 8 : base + 12])
+            out += struct.pack(">HH", v, 0)
+        else:
+            (v,) = struct.unpack("<I", le[base + 8 : base + 12])
+            out += struct.pack(">I", v)
+    out += struct.pack(">I", 0)
+    w, h, ch, px = tiff_decode(bytes(out))
+    assert (w, h, ch) == (8, 6, 1)
+    assert np.array_equal(px[:, :, 0], a)
+
+
+def test_tiff_whiteiszero_inverts():
+    a = np.full((4, 4), 10, np.uint8)
+    payload = bytearray(tiff_encode(a))
+    # photometric tag (262) SHORT value 1 → 0 (WhiteIsZero)
+    idx = payload.find(struct.pack("<HHI", 262, 3, 1))
+    assert idx != -1
+    payload[idx + 8 : idx + 10] = struct.pack("<H", 0)
+    _w, _h, _ch, px = tiff_decode(bytes(payload))
+    assert np.all(px == 245)
+
+
+def test_tiff_honest_gates():
+    a = np.zeros((4, 4), np.uint8)
+    payload = bytearray(tiff_encode(a))
+
+    def patched(tag, new_val):
+        p = bytearray(payload)
+        idx = p.find(struct.pack("<HHI", tag, 3, 1))
+        assert idx != -1, tag
+        p[idx + 8 : idx + 10] = struct.pack("<H", new_val)
+        return bytes(p)
+
+    with pytest.raises(NotImplementedError, match="compression"):
+        tiff_decode(patched(259, 7))  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="paletted"):
+        tiff_decode(patched(262, 3))
+    with pytest.raises(NotImplementedError, match="planar"):
+        tiff_decode(patched(284, 2))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        tiff_decode(b"GARBAGE!")
+
+
+def test_decode_image_dispatches_tiff_without_pil():
+    a = np.arange(192, dtype=np.uint8).reshape(12, 16)
+    w, h, ch, px = decode_image(tiff_encode(a, compression="lzw", predictor=True))
+    assert (w, h, ch) == (16, 12, 1)
+    assert np.array_equal(px[:, :, 0], a)
+
+
+def test_tiff_decode_features_query(spark):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_decode_features_query,
+    )
+
+    rows = tiff_decode_features_query(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows[:8]:
+        assert (r["width"], r["height"]) == (IMG_W, IMG_H)
+        assert r["channels"] == (3 if r["doc_id"] % 2 else 1)
