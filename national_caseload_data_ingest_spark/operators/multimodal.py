@@ -149,14 +149,21 @@ def decode_image(payload: bytes) -> object:
         return bmp_decode(payload)
     if payload[:4] in TIFF_SIGNATURES:
         return tiff_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from national_caseload_data_ingest_spark.operators.webp import (  # noqa: PLC0415
+            webp_decode,
+        )
+
+        return webp_decode(payload)
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG/GIF/JPEG/BMP/TIFF image decode (WEBP) requires PIL; "
-            "container has no codecs — PNG, GIF, BMP, TIFF (strips, "
-            "LZW/PackBits, predictor), and JPEG (baseline and "
-            "progressive, gray/color, subsampled) decode natively"
+            "unrecognized image payload and PIL absent; every format this "
+            "engine claims decodes natively — PNG, GIF, BMP, TIFF "
+            "(strips, LZW/PackBits, predictor), JPEG (baseline and "
+            "progressive, gray/color, subsampled), and WEBP-lossless "
+            "(VP8L); lossy-VP8 WEBP raises its own gate"
         ) from e
     import io  # noqa: PLC0415
 
@@ -3125,3 +3132,104 @@ def tiff_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         tiff_decode_features, schema=IMAGE_FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# WEBP (VP8L lossless) decode pipeline — codec lives in operators/webp.py
+# ---------------------------------------------------------------------------
+
+
+def _synthesize_webp_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One deterministic VP8L WEBP per document, rotating the encoder
+    surface by doc id: plain literals, LZ77, color cache, subtract-green,
+    a predictor transform, or the palette transform (id mod 6) — so the
+    corpus-level decode exercises every transform inverse and entropy
+    path.  The channel-replicated ramp keeps one closed-form mean; the
+    palette variant quantizes the ramp to 16 levels ((v//16)*16), whose
+    mean the oracle states exactly."""
+    import numpy as np  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.operators.webp import (  # noqa: PLC0415
+        webp_encode,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            gray = ((did + k) % 256).reshape(IMG_H, IMG_W).astype(np.uint8)
+            mode = did % 6
+            if mode == 5:
+                gray = (gray // 16) * 16  # ≤16 colors → palette-able
+            rgb = np.stack([gray] * 3, axis=-1)
+            kw = [
+                {"use_lz77": False},
+                {"use_lz77": True},
+                {"cache_bits": 5},
+                {"subtract_green": True},
+                {"predictor_mode": 11},
+                {"palette": True},
+            ][mode]
+            payloads.append(webp_encode(rgb, **kw))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "webp_decode_features",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(SUM(CASE WHEN d.doc_id % 6 = 5
+                         THEN ((d.doc_id + t.k) % 256) // 16 * 16
+                         ELSE (d.doc_id + t.k) % 256 END) AS DOUBLE)
+               / {IMG_W * IMG_H} AS mean_pixel
+    FROM documents d, range(0, {IMG_W * IMG_H}) t(k)
+    GROUP BY d.doc_id
+    """,
+)
+def webp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBP (VP8L lossless) decode E2E with a SQL oracle — the final
+    still-image format gate: per document, synthesize a VP8L stream
+    rotating through literal/LZ77/color-cache entropy modes and the
+    subtract-green/predictor/palette transforms (see the synthesize
+    kernel), decode through the real RIFF→VP8L→inverse-transform path
+    (``operators/webp.py``), and hash-match the closed-form pixel
+    statistics.  Lossless end to end, exact for every variant.  Two
+    narrow ``mapInPandas`` passes, no shuffle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = d.select("doc_id").mapInPandas(
+        _synthesize_webp_payloads, schema="doc_id bigint, payload binary"
+    )
+
+    def decode_features(batches):
+        from national_caseload_data_ingest_spark.operators.webp import (  # noqa: PLC0415
+            webp_decode,
+        )
+
+        for pdf in batches:
+            doc_ids, ws, hs, chs, means = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = webp_decode(bytes(payload))
+                doc_ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                means.append(
+                    int(px[..., 0].astype("int64").sum()) / (w * h)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return payloads.mapInPandas(decode_features, schema=IMAGE_FEATURE_SCHEMA)

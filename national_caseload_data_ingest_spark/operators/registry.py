@@ -62,6 +62,7 @@ CHECK_PRIORITY: list[str] = [
     "window_value_functions",  # first/nth/last_value, percent_rank, cume_dist (new)
     "map_functions_priority",  # map_from_entries/element_at/map_keys round-trip (new)
     "tiff_decode_features",  # native TIFF strips/LZW/PackBits/predictor E2E (new)
+    "webp_decode_features",  # native VP8L lossless WEBP E2E (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

@@ -1,0 +1,237 @@
+"""WEBP lossless (VP8L) codec: prefix machinery, the short-distance
+table against the spec's published constants, every transform inverse,
+LZ77/cache paths, a hand-crafted meta-prefix-group stream, honest gates,
+and the oracle-checked query.  Format reference: RFC 9649."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from national_caseload_data_ingest_spark.operators.webp import (
+    _DIST_MAP,
+    _BitReader,
+    _BitWriter,
+    _build_huffman_lengths,
+    _encode_image_stream,
+    _plane_code_to_distance,
+    _PrefixDecoder,
+    _PrefixEncoder,
+    _read_prefix_lengths,
+    _write_prefix_code,
+    webp_decode,
+    webp_encode,
+)
+
+RNG = np.random.default_rng(13)
+
+
+def _roundtrip(arr, **kw):
+    w, h, ch, out = webp_decode(webp_encode(arr, **kw))
+    assert (w, h, ch) == (arr.shape[1], arr.shape[0], arr.shape[2])
+    assert np.array_equal(out, arr)
+
+
+# ------------------------------------------------------------- primitives
+
+
+def test_distance_map_matches_spec_prefix():
+    """First 24 entries of the published table (webp-lossless-bitstream-
+    spec §4.2.2 'the mapping between distance codes and neighboring
+    pixel offsets')."""
+    spec_prefix = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    ]
+    assert _DIST_MAP[: len(spec_prefix)] == spec_prefix
+    assert len(_DIST_MAP) == 120
+    assert len(set(_DIST_MAP)) == 120
+
+
+def test_plane_code_mapping():
+    # code > 120: literal distance
+    assert _plane_code_to_distance(50, 121) == 1
+    assert _plane_code_to_distance(50, 200) == 80
+    # code 1 = (0,1): one row up
+    assert _plane_code_to_distance(50, 1) == 50
+    # code 2 = (1,0): previous pixel
+    assert _plane_code_to_distance(50, 2) == 1
+    # code 4 = (-1,1): row up, one right → w + 1
+    assert _plane_code_to_distance(50, 4) == 51
+
+
+def test_prefix_code_roundtrip_random():
+    for _ in range(10):
+        nsym = int(RNG.integers(2, 250))
+        syms = sorted(RNG.choice(280, size=nsym, replace=False).tolist())
+        lengths = _build_huffman_lengths(
+            {s: int(RNG.integers(1, 100)) for s in syms}
+        )
+        bw = _BitWriter()
+        codes = _write_prefix_code(bw, lengths, 280)
+        enc = _PrefixEncoder(bw, codes)
+        stream = [int(s) for s in RNG.choice(syms, size=200)]
+        for s in stream:
+            enc.write(s)
+        br = _BitReader(bw.flush() + b"\x00" * 4)
+        assert _read_prefix_lengths(br, 280) == lengths
+        # decode continues from the same reader position
+        dec = _PrefixDecoder(lengths)
+        assert [dec.decode(br) for _ in stream] == stream
+
+
+def test_kraft_sum_always_complete():
+    """VP8L requires complete prefix codes; the length-limiter must keep
+    the Kraft sum exactly 1 even for skewed frequencies."""
+    for _ in range(20):
+        nsym = int(RNG.integers(2, 280))
+        freqs = {
+            s: int(RNG.integers(1, 10)) ** int(RNG.integers(1, 7))
+            for s in range(nsym)
+        }
+        lengths = _build_huffman_lengths(freqs)
+        assert sum(2.0 ** -l for l in lengths.values()) == pytest.approx(1.0)
+        assert max(lengths.values()) <= 15
+
+
+# ------------------------------------------------------------- roundtrips
+
+
+def test_roundtrip_literals_and_lz77():
+    a = RNG.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    _roundtrip(a, use_lz77=False)
+    _roundtrip(a, use_lz77=True)
+
+
+def test_roundtrip_repetitive_exercises_copies():
+    tile = RNG.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    _roundtrip(np.tile(tile, (5, 6, 1)))
+
+
+def test_roundtrip_rgba():
+    _roundtrip(RNG.integers(0, 256, (9, 11, 4), dtype=np.uint8))
+
+
+def test_roundtrip_color_cache():
+    tile = RNG.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    _roundtrip(np.tile(tile, (4, 4, 1)), cache_bits=6)
+
+
+def test_roundtrip_subtract_green():
+    _roundtrip(RNG.integers(0, 256, (8, 21, 3), dtype=np.uint8),
+               subtract_green=True)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_roundtrip_every_predictor_mode(mode):
+    a = RNG.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    _roundtrip(a, predictor_mode=mode)
+    _roundtrip(a, predictor_mode=mode, subtract_green=True)
+
+
+@pytest.mark.parametrize("ncolors", [2, 3, 4, 7, 16, 17, 130])
+def test_roundtrip_palette_all_packings(ncolors):
+    """Palette sizes straddling every width_bits boundary (8/4/2/1
+    indices per packed pixel)."""
+    pal = RNG.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = RNG.integers(0, ncolors, (11, 23))
+    _roundtrip(pal[idx], palette=True)
+
+
+def test_roundtrip_smooth_image_predictor_compresses():
+    """Sanity: the predictor transform on a smooth gradient shrinks the
+    stream vs raw literals (the point of the transform)."""
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    plain = webp_encode(img, use_lz77=False)
+    pred = webp_encode(img, use_lz77=False, predictor_mode=12)
+    _roundtrip(img, predictor_mode=12)
+    assert len(pred) < len(plain)
+
+
+def test_meta_prefix_groups_hand_crafted():
+    """Two prefix-code groups selected by a meta image: group 0 encodes
+    the left half, group 1 the right half.  Hand-assembled stream —
+    the encoder never emits meta groups, so this pins the decode path."""
+    w = h = 16
+    left_px = 0xFF112233
+    right_px = 0xFF445566
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix present
+    bw.write(0, 3)  # huffman_bits = 3 → 8x8 tiles → 2x2 meta image
+    # meta image stream (2x2, is_level0=False): pixels (g<<8)|... hold
+    # group ids 0,1,0,1 (left column group 0, right column group 1)
+    meta_px = [0xFF000000, 0xFF000100, 0xFF000000, 0xFF000100]
+    _encode_image_stream(bw, meta_px, 2, False, use_lz77=False)
+    # two code groups, each a set of 'simple' codes pinning one color
+    for px in (left_px, right_px):
+        for chan in ((px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF,
+                     (px >> 24) & 0xFF, 0):
+            bw.write(1, 1)  # simple
+            bw.write(0, 1)  # 1 symbol
+            bw.write(1, 1)  # 8-bit
+            bw.write(chan, 8)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    w_, h_, ch, out = webp_decode(payload)
+    assert (w_, h_, ch) == (16, 16, 3)
+    assert np.array_equal(out[0, 0], [0x11, 0x22, 0x33])
+    assert np.array_equal(out[0, 8], [0x44, 0x55, 0x66])
+    assert np.array_equal(out[15, 7], [0x11, 0x22, 0x33])
+    assert np.array_equal(out[15, 15], [0x44, 0x55, 0x66])
+
+
+# ------------------------------------------------------------------ gates
+
+
+def test_lossy_vp8_raises():
+    payload = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError, match="lossy"):
+        webp_decode(payload)
+
+
+def test_garbage_raises():
+    with pytest.raises(ValueError, match="not a WEBP"):
+        webp_decode(b"NOTAWEBPFILE")
+
+
+def test_decode_image_dispatches_webp():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    a = RNG.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    w, h, ch, out = decode_image(webp_encode(a))
+    assert (w, h, ch) == (7, 6, 3)
+    assert np.array_equal(out, a)
+
+
+# ------------------------------------------------------------------ query
+
+
+def test_webp_decode_features_query(spark):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        webp_decode_features_query,
+    )
+
+    rows = webp_decode_features_query(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows[:8]:
+        assert (r["width"], r["height"], r["channels"]) == (IMG_W, IMG_H, 3)
