@@ -223,3 +223,287 @@ def audio_spectrogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         spectrogram_stats_kernel, schema=SPECTRO_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Telephony codecs: G.711 mu-law / A-law (exact, SQL-oracle-able) and
+# IMA ADPCM (stateful recurrence, recursive-CTE oracle).
+# Format reference: ITU-T G.711 (public) and the IMA ADPCM reference
+# algorithm (IMA Digital Audio Focus and Technical Working Groups, 1992).
+# ---------------------------------------------------------------------------
+
+
+def ulaw_decode(codes):
+    """G.711 mu-law codewords (uint8) -> int16 samples, exact integer
+    arithmetic (the inverse table every telephony stack agrees on)."""
+    import numpy as np  # noqa: PLC0415
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int64)
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def ulaw_encode(samples):
+    """int16 -> G.711 mu-law uint8 (bias 0x84, clip 32635)."""
+    import numpy as np  # noqa: PLC0415
+
+    s = np.asarray(samples, dtype=np.int64)
+    sign = (s < 0).astype(np.int64)
+    mag = np.minimum(np.abs(s), 32635) + 0x84
+    exp = np.int64(7) - (np.int64(0x4000) > mag) * 0
+    # exponent = position of highest set bit above bit 7
+    exp = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exp = np.where((mag >> (e + 7)) & 1, np.maximum(exp, e), exp)
+    mant = (mag >> (exp + 3)) & 0x0F
+    code = (sign << 7) | (exp << 4) | mant
+    return (~code & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(codes):
+    """G.711 A-law codewords (uint8) -> int16 samples, exact."""
+    import numpy as np  # noqa: PLC0415
+
+    a = np.asarray(codes, dtype=np.int64) ^ 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def alaw_encode(samples):
+    """int16 -> G.711 A-law uint8."""
+    import numpy as np  # noqa: PLC0415
+
+    s = np.asarray(samples, dtype=np.int64)
+    sign = (s >= 0).astype(np.int64)
+    mag = np.minimum(np.abs(s), 32767)
+    exp = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exp = np.where((mag >> (e + 7)) & 1, np.maximum(exp, e), exp)
+    mant = np.where(exp == 0, (mag >> 4) & 0x0F, (mag >> (exp + 3)) & 0x0F)
+    code = (sign << 7) | (exp << 4) | mant
+    return (code ^ 0x55).astype(np.uint8)
+
+
+# IMA ADPCM reference tables (public)
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def ima_adpcm_decode(nibbles, predictor: int = 0, index: int = 0):
+    """IMA ADPCM 4-bit nibble stream -> int16 samples (the reference
+    decoder recurrence: step-scaled magnitude reconstruction, predictor
+    clamp, index walk through the 89-entry step table)."""
+    import numpy as np  # noqa: PLC0415
+
+    out = []
+    for n in nibbles:
+        step = IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        predictor = predictor - diff if n & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + IMA_INDEX_TABLE[n & 7]))
+        out.append(predictor)
+    return np.asarray(out, dtype=np.int16)
+
+
+def ima_adpcm_encode(samples):
+    """int16 -> IMA ADPCM nibbles (reference encoder: choose the nibble
+    whose reconstruction lands nearest, using the decoder recurrence for
+    state so encode/decode stay in lockstep)."""
+    predictor, index = 0, 0
+    nibbles = []
+    for s in [int(x) for x in samples]:
+        step = IMA_STEP_TABLE[index]
+        delta = s - predictor
+        n = 8 if delta < 0 else 0
+        delta = abs(delta)
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        nibbles.append(n)
+        # replicate decoder state transition
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        predictor = predictor - diff if n & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + IMA_INDEX_TABLE[n & 7]))
+    return nibbles
+
+
+G711_N = 256  # codewords per clip in the synthesized corpus
+
+
+@query(
+    "g711_audio_features",
+    oracle=f"""
+    WITH codes AS (
+        SELECT d.doc_id, t.k, (d.doc_id + t.k) % 256 AS c
+        FROM documents d, range(0, {G711_N}) t(k)
+    ),
+    dec AS (
+        SELECT doc_id, k,
+          CASE WHEN doc_id % 2 = 0 THEN
+            -- mu-law expansion (ITU-T G.711): u = ~c
+            CASE WHEN (255 - c) & 128 != 0
+                 THEN 132 - ((((255 - c) & 15) * 8 + 132)
+                             * (1 << (((255 - c) >> 4) & 7)))
+                 ELSE ((((255 - c) & 15) * 8 + 132)
+                       * (1 << (((255 - c) >> 4) & 7))) - 132 END
+          ELSE
+            -- A-law expansion: a = c XOR 0x55
+            CASE WHEN xor(c, 85) & 128 != 0
+                 THEN CASE WHEN ((xor(c, 85) >> 4) & 7) = 0
+                           THEN ((xor(c, 85) & 15) * 16) + 8
+                           ELSE (((xor(c, 85) & 15) * 16) + 264)
+                                * (1 << (((xor(c, 85) >> 4) & 7) - 1)) END
+                 ELSE -(CASE WHEN ((xor(c, 85) >> 4) & 7) = 0
+                             THEN ((xor(c, 85) & 15) * 16) + 8
+                             ELSE (((xor(c, 85) & 15) * 16) + 264)
+                                  * (1 << (((xor(c, 85) >> 4) & 7) - 1)) END)
+          END END AS sample
+        FROM codes
+    )
+    SELECT doc_id,
+           CAST({G711_N} AS INTEGER) AS n_samples,
+           CAST(SUM(sample) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS(sample)) AS BIGINT) AS peak
+    FROM dec
+    GROUP BY doc_id
+    """,
+)
+def g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony-codec decode E2E with a SQL oracle: per document,
+    synthesize the full 256-codeword sweep (every mu-law or A-law code
+    appears — exhaustive coverage of both expansion tables), decode with
+    the exact integer transforms, and hash-match the closed-form sample
+    statistics (the oracle re-states both expansions in SQL bit
+    arithmetic).  Even doc ids take mu-law, odd take A-law.  One narrow
+    ``mapInPandas`` pass."""
+    import numpy as np  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_ids, sums, peaks = [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                codes = (did + np.arange(G711_N)) % 256
+                dec = (
+                    ulaw_decode(codes) if did % 2 == 0 else alaw_decode(codes)
+                ).astype(np.int64)
+                doc_ids.append(did)
+                sums.append(int(dec.sum()))
+                peaks.append(int(np.abs(dec).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "n_samples": pd.Series([G711_N] * len(doc_ids), dtype="int32"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_samples int, sample_sum bigint, peak bigint",
+    )
+
+
+ADPCM_N = 64  # recurrence steps per clip (bounds the recursive-CTE oracle)
+
+
+@query(
+    "adpcm_audio_features",
+    oracle=f"""
+    WITH RECURSIVE steps(doc_id, k, predictor, idx) AS (
+        SELECT doc_id, 0, 0, 0 FROM documents
+        UNION ALL
+        SELECT s.doc_id, s.k + 1,
+               GREATEST(-32768, LEAST(32767,
+                 s.predictor
+                 + CASE WHEN ((s.doc_id + s.k) % 16) & 8 != 0 THEN -1 ELSE 1 END
+                   * ( (st.step >> 3)
+                     + CASE WHEN ((s.doc_id + s.k) % 16) & 1 != 0
+                            THEN st.step >> 2 ELSE 0 END
+                     + CASE WHEN ((s.doc_id + s.k) % 16) & 2 != 0
+                            THEN st.step >> 1 ELSE 0 END
+                     + CASE WHEN ((s.doc_id + s.k) % 16) & 4 != 0
+                            THEN st.step ELSE 0 END))),
+               GREATEST(0, LEAST(88,
+                 s.idx + ([-1,-1,-1,-1,2,4,6,8])[(((s.doc_id + s.k) % 16) & 7) + 1]))
+        FROM steps s
+        JOIN (SELECT ({list(IMA_STEP_TABLE)})[i.idx + 1] AS step, i.idx
+              FROM (SELECT unnest(range(0, 89)) AS idx) i) st
+          ON st.idx = s.idx
+        WHERE s.k < {ADPCM_N}
+    )
+    SELECT doc_id,
+           CAST({ADPCM_N} AS INTEGER) AS n_samples,
+           CAST(SUM(predictor) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS(predictor)) AS BIGINT) AS peak
+    FROM steps WHERE k > 0
+    GROUP BY doc_id
+    """,
+)
+def adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM decode E2E with a RECURSIVE-CTE oracle: the 4-bit
+    nibble stream ``(doc_id + k) mod 16`` drives the reference decoder
+    recurrence (step-table walk + predictor clamp), and DuckDB replays
+    the SAME recurrence as a recursive CTE carrying (predictor, index)
+    state — the stateful-codec analogue of the connected-components
+    iteration twin.  A hash-match proves every branch of the magnitude
+    reconstruction and both clamps.  One narrow ``mapInPandas`` pass."""
+    import numpy as np  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_ids, sums, peaks = [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nibbles = [(did + k) % 16 for k in range(ADPCM_N)]
+                dec = ima_adpcm_decode(nibbles).astype(np.int64)
+                doc_ids.append(did)
+                sums.append(int(dec.sum()))
+                peaks.append(int(np.abs(dec).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "n_samples": pd.Series([ADPCM_N] * len(doc_ids), dtype="int32"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_samples int, sample_sum bigint, peak bigint",
+    )

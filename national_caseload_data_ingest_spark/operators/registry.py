@@ -63,6 +63,9 @@ CHECK_PRIORITY: list[str] = [
     "map_functions_priority",  # map_from_entries/element_at/map_keys round-trip (new)
     "tiff_decode_features",  # native TIFF strips/LZW/PackBits/predictor E2E (new)
     "webp_decode_features",  # native VP8L lossless WEBP E2E (new)
+    "mjpeg_frame_features",  # AVI container + decoded frame sampling (new)
+    "g711_audio_features",  # mu-law/A-law exact expansion E2E (new)
+    "adpcm_audio_features",  # IMA ADPCM vs recursive-CTE state twin (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

@@ -127,3 +127,113 @@ def test_spectrogram_spark_plan_is_narrow(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert df.count() > 0
+
+
+# ------------------------------------------------------- telephony codecs
+
+
+def test_g711_decode_known_extremes():
+    """Spec anchors: the loudest mu-law code decodes to +-32124, A-law to
+    +-32256, and both quiet codes decode near zero."""
+    import numpy as np
+
+    from national_caseload_data_ingest_spark.operators.audio import (
+        alaw_decode,
+        ulaw_decode,
+    )
+
+    u = ulaw_decode(np.arange(256))
+    a = alaw_decode(np.arange(256))
+    assert int(u.max()) == 32124 and int(u.min()) == -32124
+    assert int(a.max()) == 32256 and int(a.min()) == -32256
+    # code 0xFF is mu-law positive zero; 0xD5 is A-law +8 (quietest)
+    assert int(ulaw_decode([0xFF])[0]) == 0
+    assert int(alaw_decode([0xD5])[0]) == 8
+
+
+def test_g711_reencode_is_canonical():
+    """encode(decode(c)) == c for every A-law code and all mu-law codes
+    except the +-0 pair (0x7F/0xFF both decode to 0 — the spec's known
+    collision)."""
+    import numpy as np
+
+    from national_caseload_data_ingest_spark.operators.audio import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (alaw_encode(alaw_decode(codes)) == codes).all()
+    ru = ulaw_encode(ulaw_decode(codes))
+    mismatch = np.nonzero(ru != codes)[0]
+    assert list(mismatch) == [0x7F]
+    assert int(ulaw_decode([0x7F])[0]) == 0  # decodes identically to 0xFF
+
+
+def test_g711_encode_quantization_error_bounded():
+    """Expansion of the compressed code must land within the segment's
+    step of the original (logarithmic companding error bound)."""
+    import numpy as np
+
+    from national_caseload_data_ingest_spark.operators.audio import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32000, 32000, 4000).astype(np.int16)
+    for enc, dec, limit in (
+        (ulaw_encode, ulaw_decode, 1024),  # top mu-law segment step
+        (alaw_encode, alaw_decode, 1024),
+    ):
+        err = np.abs(dec(enc(s)).astype(np.int64) - s)
+        assert int(err.max()) <= limit
+
+
+def test_ima_adpcm_tables_and_roundtrip():
+    import numpy as np
+
+    from national_caseload_data_ingest_spark.operators.audio import (
+        IMA_STEP_TABLE,
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    assert len(IMA_STEP_TABLE) == 89
+    assert IMA_STEP_TABLE[0] == 7 and IMA_STEP_TABLE[-1] == 32767
+    assert all(a < b for a, b in zip(IMA_STEP_TABLE, IMA_STEP_TABLE[1:]))
+    t = np.arange(512)
+    sig = (8000 * np.sin(2 * np.pi * t / 37)).astype(np.int16)
+    dec = ima_adpcm_decode(ima_adpcm_encode(sig))
+    err = dec.astype(float) - sig.astype(float)
+    snr = 10 * np.log10((sig.astype(float) ** 2).mean() / (err**2).mean())
+    assert snr > 15.0, snr  # reference IMA quality on a mid-level sine
+
+
+def test_ima_adpcm_decoder_clamps():
+    """A run of maximal-magnitude nibbles must clamp at int16 extremes,
+    never wrap."""
+    from national_caseload_data_ingest_spark.operators.audio import (
+        ima_adpcm_decode,
+    )
+
+    up = ima_adpcm_decode([7] * 200)
+    down = ima_adpcm_decode([15] * 200)
+    assert int(up.max()) == 32767 and int(up.min()) >= 0
+    assert int(down.min()) == -32768
+
+
+def test_g711_and_adpcm_queries(spark):
+    from national_caseload_data_ingest_spark.operators.audio import (
+        adpcm_audio_features,
+        g711_audio_features,
+    )
+
+    g = g711_audio_features(spark, "/root/testdata/sf0.001").collect()
+    assert g and all(r["n_samples"] == 256 for r in g)
+    a = adpcm_audio_features(spark, "/root/testdata/sf0.001").collect()
+    assert a and all(r["n_samples"] == 64 for r in a)
