@@ -190,3 +190,170 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     bigram_counts, ctx_counts, vocab_size = train_bigram_lm(d)
     return score_perplexity(d, bigram_counts, ctx_counts, vocab_size)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney (the production n-gram smoother; Kneser & Ney
+# 1995, Chen & Goodman 1998 — public)
+# ---------------------------------------------------------------------------
+
+KN_D = 0.75  # absolute discount; keep in sync with the oracle SQL
+KN_FLOOR_K = 0.5  # add-k on the continuation distribution (zero-prob floor)
+
+
+def train_kneser_ney(docs: DataFrame):
+    """KN bigram statistics from the training split: returns
+    ``(bigram_counts, ctx_stats, cont_counts, totals)`` where
+
+    * ``ctx_stats``  — (w1, c1, n1p_fw): context total and the number of
+      DISTINCT continuations (the discount mass fan-out),
+    * ``cont_counts`` — (w2, n1p_bw): in how many distinct contexts w2
+      appears (the novel-continuation numerator — KN's insight: 'Francisco'
+      is frequent but only ever follows 'San'),
+    * ``totals`` — one row (n1p_all, v): distinct bigram types and vocab.
+
+    Everything derives from ONE bigram aggregation; the three side
+    relations are small re-aggregations of it, not corpus rescans."""
+    train = _bigrams(
+        _tokens(docs.filter(F.col("doc_id") % 10 < LM_TRAIN_MOD))
+    )
+    bigram_counts = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ctx_stats = bigram_counts.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p_fw")
+    )
+    cont_counts = bigram_counts.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1p_bw")
+    )
+    vocab = (
+        _tokens(docs.filter(F.col("doc_id") % 10 < LM_TRAIN_MOD))
+        .select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    totals = bigram_counts.agg(F.count(F.lit(1)).alias("n1p_all")).crossJoin(
+        F.broadcast(vocab)
+    )
+    return bigram_counts, ctx_stats, cont_counts, totals
+
+
+# CAST(.. AS DOUBLE) on every fractional literal: Spark parses bare
+# decimal literals as DECIMAL and its decimal division ROUNDS at a
+# finite scale (measured 1.1e-5 per-row drift vs DuckDB's double
+# arithmetic); the cast makes both engines evaluate the identical IEEE
+# double expression.
+_D = f"CAST({KN_D} AS DOUBLE)"
+_K = f"CAST({KN_FLOOR_K} AS DOUBLE)"
+_KN_PCONT = (
+    f"(coalesce(n1p_bw, 0) + {_K}) / (n1p_all + {_K} * v)"
+)
+_KN_LOGP = (
+    "ln(CASE WHEN c1 IS NULL OR c1 = 0 THEN " + _KN_PCONT + " ELSE "
+    f"(greatest(coalesce(c, 0) - {_D}, CAST(0 AS DOUBLE)) / c1)"
+    f" + (({_D} * n1p_fw / c1) * ({_KN_PCONT}))"
+    " END)"
+)
+
+
+@query(
+    "lm_kneser_ney_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    train_big AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM toks WHERE doc_id % 10 < {LM_TRAIN_MOD}
+    ),
+    bigram_counts AS (
+        SELECT split_part(bg, ' ', 1) AS w1,
+               split_part(bg, ' ', 2) AS w2,
+               COUNT(*) AS c
+        FROM train_big GROUP BY 1, 2
+    ),
+    ctx AS (SELECT w1, SUM(c) AS c1, COUNT(*) AS n1p_fw
+            FROM bigram_counts GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1p_bw FROM bigram_counts GROUP BY w2),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM bigram_counts) AS n1p_all,
+               (SELECT COUNT(DISTINCT tok) FROM
+                  (SELECT unnest(t) AS tok FROM toks
+                   WHERE doc_id % 10 < {LM_TRAIN_MOD})) AS v
+    ),
+    held AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM toks WHERE doc_id % 10 >= {LM_TRAIN_MOD}
+    ),
+    scored AS (
+        SELECT h.doc_id, b.c,
+               {_KN_LOGP} AS logp
+        FROM held h
+        LEFT JOIN bigram_counts b
+          ON split_part(h.bg, ' ', 1) = b.w1
+         AND split_part(h.bg, ' ', 2) = b.w2
+        LEFT JOIN ctx x ON split_part(h.bg, ' ', 1) = x.w1
+        LEFT JOIN cont n ON split_part(h.bg, ' ', 2) = n.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           AVG(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS unseen_frac,
+           -(CAST(SUM(CAST(round(logp, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(*)) AS avg_nll,
+           exp(-(CAST(SUM(CAST(round(logp, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*))) AS ppl
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def lm_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity under INTERPOLATED KNESER-NEY — the smoother
+    production n-gram LMs actually use (absolute discount D={KN_D}
+    redistributed over the context's distinct-continuation fan-out,
+    backing off to the continuation distribution 'how many contexts does
+    w2 complete' rather than raw unigram frequency).  The continuation
+    distribution itself carries an add-k floor so unseen words keep
+    positive mass — the standard open-vocabulary guard, and what keeps
+    every log finite for the cross-engine hash.
+
+    Plan shape (same scale contract as ``lm_perplexity``): the model
+    stays DISTRIBUTED — bigram, context, and continuation relations
+    attach to the held-out stream via three shuffle joins (AQE
+    broadcasts them when genuinely small); the only driver-sized value
+    is the one-row (n1p_all, v) totals broadcast.  Everything after the
+    joins is codegen'd arithmetic; identical parenthesization on both
+    engines makes the doubles hash-match."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bigram_counts, ctx_stats, cont_counts, totals = train_kneser_ney(d)
+    held = _bigrams(
+        _tokens(d.filter(F.col("doc_id") % 10 >= LM_TRAIN_MOD))
+    )
+    scored = (
+        held.join(bigram_counts, ["w1", "w2"], "left")
+        .join(ctx_stats, ["w1"], "left")
+        .join(cont_counts, ["w2"], "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("logp", F.expr(_KN_LOGP))
+    )
+    # Quantize each logp to 9 decimals and SUM as exact decimal: float
+    # addition is order-dependent and the engines aggregate in different
+    # orders, so a raw AVG drifts past the 1e-6 hash precision once
+    # exp() amplifies it; the decimal sum is order-independent and both
+    # engines divide/exp the identical exact total (measured: raw AVG
+    # diverged at 2.4e-5 in ppl on sf0.001).
+    logp_dec = F.round(F.col("logp"), 9).cast("decimal(28,9)")
+    cnt = F.count(F.lit(1))
+    nll = -(F.sum(logp_dec).cast("double") / cnt)
+    return scored.groupBy("doc_id").agg(
+        cnt.alias("n_bigrams"),
+        F.avg(F.when(F.col("c").isNull(), 1).otherwise(0)).alias(
+            "unseen_frac"
+        ),
+        nll.alias("avg_nll"),
+        F.exp(nll).alias("ppl"),
+    )

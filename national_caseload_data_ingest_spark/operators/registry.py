@@ -66,6 +66,8 @@ CHECK_PRIORITY: list[str] = [
     "mjpeg_frame_features",  # AVI container + decoded frame sampling (new)
     "g711_audio_features",  # mu-law/A-law exact expansion E2E (new)
     "adpcm_audio_features",  # IMA ADPCM vs recursive-CTE state twin (new)
+    "lm_kneser_ney_perplexity",  # interpolated KN smoothing (new)
+    "neardup_kcore",  # iterative k-core peel vs unrolled-CTE twin (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

@@ -78,3 +78,40 @@ def test_pagerank_no_udfs_in_plan(spark, edges_df):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_kcore_hand_built_graph(spark):
+    """Triangle + tail: the triangle is the 2-core; the tail peels in
+    two rounds (node 4 first, then 3 loses its second neighbor — the
+    cascade the iteration exists for)."""
+    from national_caseload_data_ingest_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_extra_rounds_idempotent(spark):
+    """Fixed unroll == run-to-convergence: more rounds than the
+    fixpoint change nothing (the hash-equality argument)."""
+    from national_caseload_data_ingest_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)],
+        "doc_a long, doc_b long",
+    )
+    r3 = sorted(map(tuple, kcore(edges, k=2, rounds=3).collect()))
+    r8 = sorted(map(tuple, kcore(edges, k=2, rounds=8).collect()))
+    assert r3 == r8 == [(0, 2), (1, 2), (2, 2)]
+
+
+def test_kcore_empty_core(spark):
+    from national_caseload_data_ingest_spark.operators.graph import kcore
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    assert kcore(chain, k=2).count() == 0
