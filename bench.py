@@ -96,6 +96,11 @@ HEADLINE = [
     "ppjoin_neardup_pairs",
     "link_customer_records_snb",
     "training_corpus_build",
+    # round-7: codec representatives — the pure-Python Arrow kernels
+    # (multi-scan JPEG assembly, AVI parse + per-frame decode) are the
+    # paths most likely to regress without a wall-clock signal
+    "jpeg_progressive_decode_features",
+    "mjpeg_frame_features",
 ]
 
 
