@@ -507,3 +507,88 @@ def adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="doc_id bigint, n_samples int, sample_sum bigint, peak bigint",
     )
+
+
+FLAC_N = 600  # samples per synthesized clip (spans two rice partitions)
+
+
+@query(
+    "flac_audio_features",
+    oracle=f"""
+    WITH base AS (
+        SELECT d.doc_id, t.k,
+               ((d.doc_id * 7 + t.k * t.k) % 4001) - 2000 AS l,
+               ((d.doc_id * 11 + 3 * t.k) % 3001) - 1500 AS r
+        FROM documents d, range(0, {FLAC_N}) t(k)
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INTEGER)
+               AS channels,
+           CAST({FLAC_N} AS INTEGER) AS n_samples,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN SUM(l)
+                     ELSE SUM(l) + SUM(r) END AS BIGINT) AS sample_sum,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN MAX(ABS(l))
+                     ELSE GREATEST(MAX(ABS(l)), MAX(ABS(r))) END AS BIGINT)
+               AS peak
+    FROM base
+    GROUP BY doc_id
+    """,
+)
+def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode E2E with a SQL oracle — the lossless-audio capstone
+    (``operators/flac.py``): per document, synthesize a deterministic
+    int16 waveform, encode through the real FLAC path (doc id rotates
+    mono and all three stereo-decorrelation channel assignments:
+    left/side, right/side, mid/side), decode it back — CRC-8/CRC-16
+    verified, fixed predictors restored, Rice partitions expanded — and
+    hash-match the closed-form sample statistics.  Lossless end to end,
+    so the oracle is exact for every mode.  One narrow ``mapInPandas``
+    pass."""
+    import numpy as np  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.operators.flac import (  # noqa: PLC0415
+        flac_decode,
+        flac_encode,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_ids, chs, sums, peaks = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                k = np.arange(FLAC_N, dtype=np.int64)
+                left = ((did * 7 + k * k) % 4001) - 2000
+                mode = did % 5
+                if mode == 0:
+                    payload = flac_encode(left.astype(np.int16))
+                else:
+                    right = ((did * 11 + 3 * k) % 3001) - 1500
+                    st = np.stack([left, right], axis=-1).astype(np.int16)
+                    stereo = ["independent", "left_side", "right_side",
+                              "mid_side"][mode - 1]
+                    payload = flac_encode(st, stereo_mode=stereo)
+                _rate, ch, out = flac_decode(payload)
+                o = out.astype(np.int64)
+                doc_ids.append(did)
+                chs.append(ch)
+                sums.append(int(o.sum()))
+                peaks.append(int(np.abs(o).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "n_samples": pd.Series([FLAC_N] * len(doc_ids), dtype="int32"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return d.select("doc_id").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, channels int, n_samples int, "
+            "sample_sum bigint, peak bigint"
+        ),
+    )

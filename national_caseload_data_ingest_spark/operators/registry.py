@@ -68,6 +68,7 @@ CHECK_PRIORITY: list[str] = [
     "adpcm_audio_features",  # IMA ADPCM vs recursive-CTE state twin (new)
     "lm_kneser_ney_perplexity",  # interpolated KN smoothing (new)
     "neardup_kcore",  # iterative k-core peel vs unrolled-CTE twin (new)
+    "flac_audio_features",  # native FLAC subset decode E2E (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

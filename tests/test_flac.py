@@ -1,0 +1,108 @@
+"""FLAC subset codec (pure stdlib/numpy): bit IO, UTF-8 frame numbers,
+CRC verification, fixed predictors, Rice partitions + escapes, all four
+channel assignments, honest gates, and the oracle-checked query.
+Format reference: the public FLAC specification (RFC 9639)."""
+
+import numpy as np
+import pytest
+
+from national_caseload_data_ingest_spark.operators.flac import (
+    _crc8,
+    _crc16,
+    _MsbReader,
+    _read_utf8_number,
+    _utf8_number,
+    flac_decode,
+    flac_encode,
+)
+
+RNG = np.random.default_rng(21)
+
+
+@pytest.mark.parametrize(
+    "n", [0, 1, 127, 128, 300, 2047, 2048, 65535, 1 << 20, (1 << 31) - 1]
+)
+def test_utf8_frame_number_roundtrip(n):
+    assert _read_utf8_number(_MsbReader(_utf8_number(n))) == n
+
+
+def test_crc_known_vectors():
+    """CRC-8 poly 0x07 and CRC-16 poly 0x8005 standard check values."""
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8  # CRC-16/BUYPASS (init 0)
+
+
+@pytest.mark.parametrize(
+    "name,sig",
+    [
+        ("constant", np.full(1000, 123, np.int16)),
+        ("ramp", (np.arange(5000) % 4000 - 2000).astype(np.int16)),
+        ("noise", RNG.integers(-30000, 30000, 9000).astype(np.int16)),
+        ("sine", (12000 * np.sin(np.arange(10000) / 17.0)).astype(np.int16)),
+        ("tiny", np.array([5, -3, 7], np.int16)),
+        ("alternating-extremes",
+         np.where(np.arange(8192) % 2, 30000, -30000).astype(np.int16)),
+        ("odd-tail", RNG.integers(-100, 100, 4097).astype(np.int16)),
+        ("int16-extremes",
+         np.array([-32768, 32767] * 300, np.int16)),
+    ],
+)
+def test_mono_roundtrip(name, sig):
+    rate, ch, out = flac_decode(flac_encode(sig, 8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(out[:, 0], sig)
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_stereo_roundtrip_all_channel_assignments(mode):
+    st = np.stack(
+        [
+            (9000 * np.sin(np.arange(6000) / 23.0)).astype(np.int16),
+            RNG.integers(-20000, 20000, 6000).astype(np.int16),
+        ],
+        axis=-1,
+    )
+    rate, ch, out = flac_decode(flac_encode(st, 44100, stereo_mode=mode))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(out, st)
+
+
+def test_crc_corruption_detected():
+    sig = RNG.integers(-1000, 1000, 500).astype(np.int16)
+    payload = bytearray(flac_encode(sig))
+    payload[-10] ^= 0x40  # flip a bit inside the last frame body
+    with pytest.raises(ValueError, match="CRC"):
+        flac_decode(bytes(payload))
+
+
+def test_lpc_gate():
+    sig = RNG.integers(-1000, 1000, 500).astype(np.int16)
+    payload = bytearray(flac_encode(sig))
+    # frame starts right after the 4+4+34 byte header; its first subframe
+    # header byte sits after the 32-bit frame header + 1-byte frame no +
+    # 2-byte blocksize + CRC8 = offset 8 within the frame
+    frame_off = 4 + 4 + 34
+    sub_hdr = frame_off + 4 + 1 + 2 + 1
+    payload[sub_hdr] = 0x40  # 0 + type 32 (LPC order 1) + wasted 0
+    with pytest.raises((NotImplementedError, ValueError)):
+        flac_decode(bytes(payload))
+
+
+def test_garbage_rejected():
+    with pytest.raises(ValueError, match="not a FLAC"):
+        flac_decode(b"NOTFLAC!")
+
+
+def test_flac_audio_features_query(spark):
+    from national_caseload_data_ingest_spark.operators.audio import (
+        FLAC_N,
+        flac_audio_features,
+    )
+
+    rows = flac_audio_features(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:10]:
+        assert r["n_samples"] == FLAC_N
+        assert r["channels"] == (1 if r["doc_id"] % 5 == 0 else 2)
