@@ -19,6 +19,7 @@ import national_caseload_data_ingest_spark.operators.audio  # noqa: F401
 import national_caseload_data_ingest_spark.operators.behavior  # noqa: F401
 import national_caseload_data_ingest_spark.operators.bpe  # noqa: F401
 import national_caseload_data_ingest_spark.operators.classifier  # noqa: F401
+import national_caseload_data_ingest_spark.operators.cleaning  # noqa: F401
 import national_caseload_data_ingest_spark.operators.curation  # noqa: F401
 import national_caseload_data_ingest_spark.operators.dedup  # noqa: F401
 import national_caseload_data_ingest_spark.operators.embedding  # noqa: F401

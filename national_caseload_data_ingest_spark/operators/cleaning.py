@@ -1,0 +1,480 @@
+"""Corpus-cleaning operators: C4-style line filtering, corpus-wide
+line-level deduplication, Aho–Corasick multi-keyword tagging, and greedy
+sequence packing — the text-cleaning band of a pretraining-data pipeline
+(C4 / Raffel et al. 2020; Gopher rules; the packing stage every trainer
+runs before batching).
+
+The synthetic ``documents`` corpus is single-space word salad with no
+newlines or punctuation, so (pii_scrub convention, text.py) the line
+structure is *constructed deterministically* from (doc_id, word index)
+inside BOTH engines: the words are chunked into fixed-width lines and a
+seeded subset of lines is decorated (terminal period, an appended
+``javascript`` token, a truncated too-short line) so every C4 rule fires
+non-vacuously.  The construction is pure column algebra on each side —
+the thing under test is the FILTER/DEDUP/PACKING relation, which both
+engines must reproduce bit-for-bit.
+
+Scale notes are per-operator; none of these shapes materializes an
+all-pairs relation or a driver-side loop over data.
+
+The reference (/root/reference/ncd/) has no text-cleaning surface; this
+extends the build brief's LLM-pipeline band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# shared deterministic line construction (documented above)
+# ---------------------------------------------------------------------------
+
+C4_LINE_WORDS = 6  # words per constructed line (C4 filter)
+DEDUP_LINE_WORDS = 3  # shorter lines -> real cross-doc collisions (dedup)
+
+
+def _lines_expr(words_per_line: int, decorate: bool):
+    """Spark column: array of constructed lines for one document row.
+
+    Line ``i`` is words ``[i*w, i*w + w)`` joined by a space; with
+    ``decorate`` (the C4 query), three seeded rules fire:
+
+    * ``(doc_id*31 + i) % 11 == 0`` — truncate to the first 2 words
+      (the too-short line C4's >=3-words rule rejects);
+    * ``(doc_id + i) % 7 == 0`` — append the token ``javascript``
+      (C4 drops any line containing it);
+    * ``(doc_id + i) % 3 != 0`` — append a terminal ``.`` (C4 keeps
+      only lines ending in terminal punctuation, so the ``== 0`` third
+      stays bare and is rejected).
+    """
+    ws = F.split(F.trim(F.col("text")), " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(float(words_per_line))).cast("int")
+    idx = F.sequence(F.lit(0), n_lines - 1)
+
+    def build(i):
+        base = F.array_join(
+            F.slice(ws, i * words_per_line + 1, words_per_line), " "
+        )
+        if not decorate:
+            return base
+        short = F.array_join(F.slice(ws, i * words_per_line + 1, 2), " ")
+        line = F.when((F.col("doc_id") * 31 + i) % 11 == 0, short).otherwise(
+            base
+        )
+        line = F.when(
+            (F.col("doc_id") + i) % 7 == 0, F.concat(line, F.lit(" javascript"))
+        ).otherwise(line)
+        return F.when(
+            (F.col("doc_id") + i) % 3 != 0, F.concat(line, F.lit("."))
+        ).otherwise(line)
+
+    return F.transform(idx, build)
+
+
+def _lines_sql(words_per_line: int, decorate: bool) -> str:
+    """DuckDB twin of :func:`_lines_expr`: a ``(doc_id, i, line)``
+    relation named ``lines`` (callers prepend ``WITH``)."""
+    w = words_per_line
+    base = f"array_to_string(ws[i*{w}+1 : i*{w}+{w}], ' ')"
+    if decorate:
+        short = f"array_to_string(ws[i*{w}+1 : i*{w}+2], ' ')"
+        line = f"""
+            CASE WHEN (doc_id + i) % 3 != 0 THEN
+                CASE WHEN (doc_id + i) % 7 = 0
+                     THEN (CASE WHEN (doc_id*31 + i) % 11 = 0 THEN {short}
+                                ELSE {base} END) || ' javascript'
+                     ELSE (CASE WHEN (doc_id*31 + i) % 11 = 0 THEN {short}
+                                ELSE {base} END) END || '.'
+            ELSE
+                CASE WHEN (doc_id + i) % 7 = 0
+                     THEN (CASE WHEN (doc_id*31 + i) % 11 = 0 THEN {short}
+                                ELSE {base} END) || ' javascript'
+                     ELSE (CASE WHEN (doc_id*31 + i) % 11 = 0 THEN {short}
+                                ELSE {base} END) END
+            END"""
+    else:
+        line = base
+    return f"""
+    wsplit AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS i, {line} AS line
+        FROM wsplit,
+             unnest(range(0, CAST(ceil(len(ws) / {float(w)}) AS BIGINT)))
+                 AS t(i)
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filter
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 3  # C4 keeps lines with at least this many words
+C4_MIN_KEPT_LINES = 3  # C4 drops pages with fewer surviving lines
+
+
+@query(
+    "c4_line_filter",
+    oracle=f"""
+    WITH {_lines_sql(C4_LINE_WORDS, decorate=True)},
+    judged AS (
+        SELECT doc_id, line,
+               (line LIKE '%.'
+                AND length(line) - length(replace(line, ' ', '')) + 1
+                    >= {C4_MIN_WORDS}
+                AND line NOT LIKE '%javascript%') AS keep
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN length(line) ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                    >= {C4_MIN_KEPT_LINES} AS INTEGER) AS doc_kept
+    FROM judged
+    GROUP BY doc_id
+    """,
+)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020 §2.2), line rules over the
+    constructed line structure: keep a line only if it ends in terminal
+    punctuation, has >= {C4_MIN_WORDS} words, and does not contain
+    ``javascript``; keep a document only if >= {C4_MIN_KEPT_LINES} lines
+    survive.
+
+    Shape: one narrow projection builds the line array per document,
+    ``posexplode`` + a codegen filter judges each line, one
+    ``groupBy(doc_id)`` re-aggregates.  No UDF anywhere; the explode is
+    within-row (array of ~n_words/6 lines), so the single shuffle is the
+    doc-keyed aggregation — at 100 TB this partitions by doc_id with no
+    skew (every document contributes the same O(words) rows)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    lines = d.select(
+        "doc_id", F.posexplode(_lines_expr(C4_LINE_WORDS, True)).alias("i", "line")
+    )
+    n_words = (
+        F.length("line") - F.length(F.regexp_replace("line", " ", "")) + 1
+    )
+    keep = (
+        F.col("line").endswith(".")
+        & (n_words >= C4_MIN_WORDS)
+        & ~F.col("line").contains("javascript")
+    )
+    return lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(keep.cast("int")).cast("int").alias("n_kept"),
+        F.sum(F.when(keep, F.length("line")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        (F.sum(keep.cast("int")) >= C4_MIN_KEPT_LINES)
+        .cast("int")
+        .alias("doc_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "line_dedup_survivors",
+    oracle=f"""
+    WITH {_lines_sql(DEDUP_LINE_WORDS, decorate=False)},
+    keyed AS (
+        SELECT doc_id, i, line, doc_id * 1000000 + i AS occ_key
+        FROM lines
+    ),
+    firsts AS (
+        SELECT line, MIN(occ_key) AS first_key, COUNT(*) AS copies
+        FROM keyed GROUP BY line
+    )
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_lines,
+           CAST(SUM(CASE WHEN k.occ_key = f.first_key THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_surviving,
+           CAST(SUM(CASE WHEN f.copies > 1 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_duplicated
+    FROM keyed k JOIN firsts f ON k.line = f.line
+    GROUP BY k.doc_id
+    """,
+)
+def line_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line deduplication (the line-level half of C4's
+    span dedup): across ALL documents, every distinct line keeps exactly
+    one survivor occurrence — the smallest ``(doc_id, line_index)`` —
+    and the per-document report counts its total / surviving /
+    duplicated-somewhere lines.
+
+    Shape: explode to the line relation once, one ``groupBy(line)`` to
+    pick the global survivor key and copy count, one line-keyed join
+    back, one doc-keyed re-aggregation — two shuffles on the line hash,
+    one on doc_id.  At 100 TB the line-keyed shuffle is the canonical
+    exact-dedup shape (same as ``dedup_exact``); boilerplate lines that
+    repeat millions of times skew the line key, and the groupBy side is
+    a pure aggregation (partial combine absorbs the skew map-side).
+    Uses the undecorated {DEDUP_LINE_WORDS}-word construction: ~19% of
+    lines have a cross-document twin at sf0.01, so the relation is
+    non-vacuous."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    keyed = d.select(
+        "doc_id",
+        F.posexplode(_lines_expr(DEDUP_LINE_WORDS, False)).alias("i", "line"),
+    ).withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("i"))
+    firsts = keyed.groupBy("line").agg(
+        F.min("occ_key").alias("first_key"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+    return (
+        keyed.join(firsts, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum((F.col("occ_key") == F.col("first_key")).cast("int"))
+            .cast("int")
+            .alias("n_surviving"),
+            F.sum((F.col("copies") > 1).cast("int"))
+            .cast("int")
+            .alias("n_duplicated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aho–Corasick multi-keyword tagging
+# ---------------------------------------------------------------------------
+
+# Deliberately overlapping/nested patterns: 'windo' is a prefix of
+# 'window', 'able' is inside 'table', 'alue' inside 'value' — these only
+# count correctly if the automaton follows dict-suffix links, which is
+# exactly what the oracle's per-pattern substring counts verify.
+KEYWORDS = (
+    "scan",
+    "spark",
+    "join",
+    "filter",
+    "row",
+    "window",
+    "windo",
+    "table",
+    "able",
+    "value",
+    "alue",
+    "key",
+)
+
+
+def _build_aho_corasick(patterns):
+    """Build an Aho–Corasick automaton as flat dicts (goto, fail,
+    output-counts) — stdlib only.  Matching a text of length n costs
+    O(n + matches) regardless of pattern count; the automaton for a
+    realistic blocklist (thousands of phrases) is a few MB, shipped once
+    per executor inside the task closure."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for pi, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(pi)
+    # BFS failure links; merge output sets along them (dict-suffix links)
+    from collections import deque
+
+    fail = [0] * len(goto)
+    dq = deque()
+    for ch, s in goto[0].items():
+        dq.append(s)
+    while dq:
+        r = dq.popleft()
+        for ch, s in goto[r].items():
+            dq.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def _oracle_keyword_terms() -> tuple[str, str]:
+    hits = " + ".join(
+        f"(length(text) - length(replace(text, '{p}', ''))) // {len(p)}"
+        for p in KEYWORDS
+    )
+    distinct = " + ".join(
+        f"CASE WHEN text LIKE '%{p}%' THEN 1 ELSE 0 END" for p in KEYWORDS
+    )
+    return hits, distinct
+
+
+_HITS_SQL, _DISTINCT_SQL = _oracle_keyword_terms()
+
+
+@query(
+    "keyword_tag_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_HITS_SQL} AS BIGINT) AS total_hits,
+           CAST({_DISTINCT_SQL} AS INTEGER) AS distinct_patterns
+    FROM documents
+    """,
+)
+def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern keyword tagging via one Aho–Corasick pass — the
+    blocklist / topic-tagging stage of a corpus pipeline, where scanning
+    each document once against thousands of patterns beats per-pattern
+    ``contains`` by the pattern count.
+
+    Counts every occurrence of every pattern (overlaps and nested
+    patterns included — see KEYWORDS) plus the distinct-pattern tally.
+    The oracle restates the same totals as per-pattern substring counts,
+    so a broken failure/output link in the automaton hash-mismatches.
+
+    Shape: ``mapInPandas`` (Arrow-batched); the automaton is built once
+    per task from the closure-shipped pattern list.  Per-doc cost is
+    O(n_chars + matches), embarrassingly parallel, no shuffle at all."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    patterns = KEYWORDS
+
+    def kernel(batches):
+        goto, fail, out = _build_aho_corasick(patterns)
+        for pdf in batches:
+            totals, distincts = [], []
+            for text in pdf["text"]:
+                s = 0
+                total = 0
+                seen: set[int] = set()
+                for ch in text:
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    hits = out[s]
+                    if hits:
+                        total += len(hits)
+                        seen.update(hits)
+                totals.append(total)
+                distincts.append(len(seen))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "total_hits": pd.Series(totals, dtype="int64"),
+                    "distinct_patterns": pd.Series(distincts, dtype="int32"),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id bigint, total_hits bigint, distinct_patterns int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 120  # tokens per packed sequence (context-window budget)
+
+
+@query(
+    "sequence_pack_docs",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rk
+        FROM documents
+    ),
+    pack AS (
+        SELECT doc_id, source, n_tokens, rk,
+               0 AS bin_id, n_tokens AS bin_fill
+        FROM toks WHERE rk = 1
+        UNION ALL
+        SELECT t.doc_id, t.source, t.n_tokens, t.rk,
+               CASE WHEN p.bin_fill + t.n_tokens <= {PACK_CAPACITY}
+                    THEN p.bin_id ELSE p.bin_id + 1 END,
+               CASE WHEN p.bin_fill + t.n_tokens <= {PACK_CAPACITY}
+                    THEN p.bin_fill + t.n_tokens ELSE t.n_tokens END
+        FROM pack p JOIN toks t
+          ON t.source = p.source AND t.rk = p.rk + 1
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(bin_id AS INTEGER) AS bin_id,
+           CAST(bin_fill AS INTEGER) AS bin_fill
+    FROM pack
+    """,
+)
+def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing: within each source, documents in
+    doc_id order fill a {PACK_CAPACITY}-token context window; a document
+    that would overflow the current window opens the next one (an
+    oversized document gets a window to itself).  This is the packing
+    stage that turns a cleaned corpus into fixed-budget training
+    sequences; next-fit (vs first-fit-decreasing) is the streaming-
+    friendly variant whose state is a single (bin, fill) pair.
+
+    The packing recurrence is inherently sequential per source, so the
+    Spark shape is ``applyInPandas`` per source group — state never
+    leaves the executor, one shuffle on the source key.  At 100 TB a
+    single source can exceed one task: the documented remedy is
+    hierarchical packing (pre-shard each source by doc_id range, pack
+    shards independently, renumber bins by shard offset — same recurrence,
+    one extra constant column), not a bigger task.  The oracle replays
+    the identical state machine as a recursive CTE (the ADPCM-decoder
+    convention, audio.py)."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        first = True
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if first:
+                bin_id, fill, first = 0, t, False
+            elif fill + t <= PACK_CAPACITY:
+                fill += t
+            else:
+                bin_id += 1
+                fill = t
+            bins.append(bin_id)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "source": pdf["source"],
+                "n_tokens": pdf["n_tokens"].astype("int32"),
+                "bin_id": pd.Series(bins, dtype="int32"),
+                "bin_fill": pd.Series(fills, dtype="int32"),
+            }
+        )
+
+    return toks.groupBy("source").applyInPandas(
+        pack,
+        schema=(
+            "doc_id bigint, source string, n_tokens int, "
+            "bin_id int, bin_fill int"
+        ),
+    )

@@ -69,6 +69,12 @@ CHECK_PRIORITY: list[str] = [
     "lm_kneser_ney_perplexity",  # interpolated KN smoothing (new)
     "neardup_kcore",  # iterative k-core peel vs unrolled-CTE twin (new)
     "flac_audio_features",  # native FLAC subset decode E2E (new)
+    "c4_line_filter",  # C4 line rules over constructed lines (new)
+    "line_dedup_survivors",  # corpus-wide exact line dedup (new)
+    "keyword_tag_docs",  # Aho-Corasick multi-pattern counts (new)
+    "sequence_pack_docs",  # next-fit packing vs recursive-CTE twin (new)
+    "link_customer_records_jw",  # Jaro-Winkler ER vs DuckDB's builtin (new)
+    "ewma_daily_revenue",  # banded-bucket weighted rollup, exact weights (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

@@ -279,3 +279,154 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from").alias("state_since"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing over the daily revenue series
+# ---------------------------------------------------------------------------
+
+EWMA_BAND_DAYS = 14  # truncated EWMA window (weights below ~0.23 dropped)
+# Exact integer weights: 0.9**diff scaled by 10**EWMA_BAND_DAYS —
+# 0.9**d * 10**14 == 9**d * 10**(14-d), an exact int64 for d in [0, 14].
+# Both engines index the same literal table, so the weighted sums are
+# EXACT decimal arithmetic end to end; only the final num/den division
+# happens in floating point (relative error ~1e-15 on a ~1e6 result,
+# far inside the 6-decimal hash normalization).
+EWMA_WEIGHTS = [9**d * 10 ** (EWMA_BAND_DAYS - d) for d in range(EWMA_BAND_DAYS + 1)]
+
+_EWMA_WEIGHT_SQL = "CASE " + " ".join(
+    f"WHEN dd = {d} THEN CAST({w} AS BIGINT)"
+    for d, w in enumerate(EWMA_WEIGHTS)
+) + " END"
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS day,
+               datediff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) AS dnum,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    banded AS (
+        SELECT a.priority, a.day, a.rev,
+               a.dnum - b.dnum AS dd, b.rev AS rev_b
+        FROM daily a JOIN daily b
+          ON a.priority = b.priority
+         AND b.dnum BETWEEN a.dnum - {EWMA_BAND_DAYS} AND a.dnum
+    ),
+    agged AS (
+        SELECT priority, day,
+               MAX(rev) AS rev,
+               SUM(CAST(rev_b * 100 AS HUGEINT) * ({_EWMA_WEIGHT_SQL}))
+                   AS num_c,
+               CAST(SUM({_EWMA_WEIGHT_SQL}) AS HUGEINT) AS den
+        FROM banded
+        GROUP BY priority, day
+    )
+    SELECT priority,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(rev AS DOUBLE) AS daily_rev,
+           CAST((num_c * 20000 + den) // (2 * den) AS DOUBLE) / 1000000.0
+               AS ewma
+    FROM agged
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha-decay 0.9/day,
+    truncated at {EWMA_BAND_DAYS} days) of daily order revenue per
+    priority — the smoothing stage of an anomaly/trend monitor.
+
+    A weighted moving window is NOT a plain window aggregate (the weight
+    depends on the row-to-frame-head distance), and the textbook
+    algebraic trick (one running sum of ``x*alpha**-t``) overflows after
+    a few hundred days.  The scalable shape is a BANDED SELF-JOIN
+    expressed as an equi join: each probe day explodes into the <= 2
+    coarse buckets (width {EWMA_BAND_DAYS}+1 days) that can contain its
+    band, the join is equi on (priority, bucket) — shuffle-partitioned,
+    no range-join fallback, no single-partition window — and the exact
+    band filter runs inside the joined stage.  At 100 TB the daily
+    relation is O(keys x days), already tiny relative to facts; the same
+    shape holds for any banded weighted rollup over a keyed series.
+
+    Weighted sums use exact integer weights over DECIMAL revenue (see
+    EWMA_WEIGHTS) so both engines agree bit-for-bit before one final
+    float division."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    width = EWMA_BAND_DAYS + 1
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .withColumn("dnum", F.datediff("day", F.lit("1992-01-01")))
+    )
+    # probe side: each day looks at buckets floor((d-B)/W) .. floor(d/W)
+    # (at most two distinct values since the band is narrower than the
+    # bucket width)
+    probe = daily.select(
+        "priority",
+        "day",
+        "rev",
+        "dnum",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("dnum") - EWMA_BAND_DAYS) / width),
+                    F.floor(F.col("dnum") / width),
+                )
+            )
+        ).alias("bucket"),
+    )
+    build = daily.select(
+        F.col("priority").alias("b_priority"),
+        F.col("dnum").alias("b_dnum"),
+        F.col("rev").alias("b_rev"),
+        F.floor(F.col("dnum") / width).alias("b_bucket"),
+    )
+    w_arr = F.array(*[F.lit(w) for w in EWMA_WEIGHTS])
+    joined = (
+        probe.join(
+            build,
+            (F.col("priority") == F.col("b_priority"))
+            & (F.col("bucket") == F.col("b_bucket")),
+        )
+        .where(
+            (F.col("b_dnum") >= F.col("dnum") - EWMA_BAND_DAYS)
+            & (F.col("b_dnum") <= F.col("dnum"))
+        )
+        .withColumn(
+            "w", F.element_at(w_arr, (F.col("dnum") - F.col("b_dnum") + 1).cast("int"))
+        )
+    )
+    # Weighted sums stay EXACT integers (revenue cents x integer weight,
+    # DECIMAL(38,0) here / HUGEINT in the oracle); the 6-decimal value is
+    # then a half-up integer floor-division — round_half_up(a/b) ==
+    # (2a + b) div (2b) — so no floating-point operation participates in
+    # the rounding decision and both engines emit the identical double.
+    agged = joined.groupBy(
+        "priority", F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("rev").cast("double").alias("daily_rev"),
+        F.sum(
+            (F.col("b_rev") * 100).cast("decimal(38,0)") * F.col("w")
+        ).alias("num_c"),
+        F.sum("w").cast("decimal(38,0)").alias("den"),
+    )
+    return agged.select(
+        "priority",
+        "day",
+        "daily_rev",
+        (
+            F.expr(
+                "(num_c * CAST(20000 AS DECIMAL(38,0)) + den) div (2 * den)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("ewma"),
+    )

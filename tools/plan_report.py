@@ -61,6 +61,14 @@ SHUFFLE_BUDGET = {
     # column, which exists only to measure the estimator's error — a
     # production CBO reads the stats relation alone (2 exchanges).
     "join_size_estimate_customer_orders": 5,
+    # interpolated KN keeps the MODEL DISTRIBUTED (the lm.py scale
+    # contract): 10 = bigram-count groupBy + context groupBy + the
+    # continuation relation's 2-phase distinct-then-count + TWO one-row
+    # totals that are each a 2-phase global distinct (n1p_all over
+    # bigrams, v over tokens) + the final per-doc agg.  Every model
+    # relation reaches the held-out stream via AQE-chosen joins; the
+    # only forced broadcast is the one-row totals.
+    "lm_kneser_ney_perplexity": 10,
 }
 
 
