@@ -478,3 +478,96 @@ def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_id int, bin_fill int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization
+# ---------------------------------------------------------------------------
+
+# Deterministic injection (the pii_scrub convention, text.py): the
+# synthetic corpus is pure ASCII, so every 3rd document gains a DECOMPOSED
+# suffix (e + U+0301 combining acute), every 3rd+1 the PRECOMPOSED
+# equivalent (U+00E9), and the rest stay ASCII — NFC must collapse the
+# first class, fix nothing in the second, and leave the third alone.
+NFC_DECOMPOSED_SUFFIX = " cafe\u0301"  # e + COMBINING ACUTE ACCENT
+NFC_PRECOMPOSED_SUFFIX = " caf\u00e9"  # LATIN SMALL LETTER E WITH ACUTE
+
+
+@query(
+    "nfc_normalize_docs",
+    oracle="""
+    WITH decorated AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                        THEN text || ' caf' || 'e' || chr(769)
+                    WHEN doc_id % 3 = 1
+                        THEN text || ' caf' || chr(233)
+                    ELSE text END AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+           CAST(nfc_normalize(raw) != raw AS INTEGER) AS changed,
+           substr(nfc_normalize(raw), length(nfc_normalize(raw)), 1)
+               AS last_char
+    FROM decorated
+    """,
+)
+def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step a
+    multilingual corpus needs before ANY exact dedup or tokenization
+    (decomposed ``e`` + COMBINING ACUTE and precomposed ``é`` are equal
+    text but different byte strings; unnormalized they defeat hash
+    dedup and split token statistics).
+
+    Per document: character lengths before/after, whether NFC changed
+    the string, and the final character (é for both injected classes —
+    composed from two codepoints in one, already composed in the other).
+    Python's ``unicodedata.normalize('NFC', ...)`` and DuckDB's
+    ``nfc_normalize`` implement the same Unicode algorithm, so the
+    relation hash-matches.  Narrow ``mapInPandas`` pass, no shuffle;
+    at 100 TB this pipelines with the scan."""
+    import pandas as pd  # noqa: PLC0415
+    import unicodedata  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    decorated = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(NFC_DECOMPOSED_SUFFIX)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(NFC_PRECOMPOSED_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            nfc = [unicodedata.normalize("NFC", t) for t in pdf["raw"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "len_raw": pd.Series(
+                        [len(t) for t in pdf["raw"]], dtype="int64"
+                    ),
+                    "len_nfc": pd.Series([len(t) for t in nfc], dtype="int64"),
+                    "changed": pd.Series(
+                        [int(a != b) for a, b in zip(nfc, pdf["raw"])],
+                        dtype="int32",
+                    ),
+                    "last_char": pd.Series([t[-1] for t in nfc]),
+                }
+            )
+
+    return decorated.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, len_raw bigint, len_nfc bigint, "
+            "changed int, last_char string"
+        ),
+    )

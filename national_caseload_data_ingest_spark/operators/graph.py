@@ -311,3 +311,106 @@ def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact")
     return kcore(pairs.select("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4  # fixed synchronous rounds (deterministic, oracle-unrollable)
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    DETERMINISTIC tie-break: each round every node adopts the label most
+    frequent among its neighbors, ties resolved to the smallest label.
+    Unlike min-label propagation (== connected components), mode-based
+    LPA splits a component into densely-linked communities.
+
+    Per round: one edge⋈label shuffle join, one (node, label) count
+    aggregate, one per-node window pick (partitioned by node — never
+    global), then ``localCheckpoint`` to truncate lineage (the pagerank
+    convention above).  All shuffles are keyed by node id; a hub node is
+    one hot key that AQE skew-splits.  Synchronous + deterministic is
+    what keeps the relation oracle-checkable; asynchronous LPA converges
+    faster but is schedule-dependent."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    pick = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            neigh.withColumn("rk", F.row_number().over(pick))
+            .where(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Chained-CTE unrolling of the synchronous LPA recurrence —
+    generated from ``rounds`` so the oracle can never desync from the
+    Spark loop when LPA_ROUNDS changes."""
+    its = []
+    for t in range(rounds):
+        prev = f"l{t}"
+        its.append(
+            f"""l{t + 1} AS (
+        SELECT node, label FROM (
+            SELECT e.src AS node, r.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.src
+                       ORDER BY COUNT(*) DESC, r.label ASC) AS rk
+            FROM edges e JOIN {prev} r ON e.dst = r.node
+            GROUP BY e.src, r.label
+        ) WHERE rk = 1
+    )"""
+        )
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH {_CLUSTER_PAIRS_SQL},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {chain}
+    SELECT f.node AS doc_id, f.label,
+           CAST(s.sz AS BIGINT) AS community_size
+    FROM l{rounds} f JOIN (
+        SELECT label, COUNT(*) AS sz FROM l{rounds} GROUP BY label
+    ) s ON f.label = s.label
+    """
+
+
+@query("neardup_labelprop", oracle=_lpa_oracle(LPA_ROUNDS))
+def neardup_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the near-duplicate graph under {LPA_ROUNDS}
+    synchronous label-propagation rounds, with each node's final label
+    and its community's size — the cluster-granularity alternative to
+    ``neardup_clusters`` (connected components): CC merges everything
+    reachable, LPA keeps densely-linked groups apart inside a sparse
+    component.  Oracle = the identical recurrence unrolled as chained
+    CTEs (the pagerank/k-core convention)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact")
+    labels = label_propagation(pairs.select("doc_a", "doc_b"), LPA_ROUNDS)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        "label",
+        F.col("sz").cast("bigint").alias("community_size"),
+    )

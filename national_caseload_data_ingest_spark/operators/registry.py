@@ -75,6 +75,9 @@ CHECK_PRIORITY: list[str] = [
     "sequence_pack_docs",  # next-fit packing vs recursive-CTE twin (new)
     "link_customer_records_jw",  # Jaro-Winkler ER vs DuckDB's builtin (new)
     "ewma_daily_revenue",  # banded-bucket weighted rollup, exact weights (new)
+    "heavy_hitter_tokens",  # two-pass Misra-Gries exact frequent items (new)
+    "neardup_labelprop",  # synchronous LPA vs unrolled-CTE twin (new)
+    "nfc_normalize_docs",  # Unicode NFC vs DuckDB nfc_normalize (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

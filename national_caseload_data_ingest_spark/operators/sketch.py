@@ -301,3 +301,101 @@ def histogram_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     hist = histogram_sketch(li, "l_extendedprice", HIST_WIDTH)
     return histogram_quantiles(hist, HIST_WIDTH, HIST_QS)
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters via a Misra-Gries candidate pass
+# ---------------------------------------------------------------------------
+
+MG_K = 30  # Misra-Gries counters per partition; threshold phi = 1/K
+
+
+def misra_gries_candidates(tokens: DataFrame, k: int = MG_K) -> DataFrame:
+    """Per-partition Misra–Gries summaries (Misra & Gries 1982), merged
+    by a token-keyed sum → ``(tok, w)`` candidate relation.
+
+    Guarantee used downstream: any token with GLOBAL count > N/k must
+    exceed n_j/k in at least one partition j (else its total would be
+    ≤ Σ n_j/k = N/k), and MG with k counters retains every such local
+    heavy hitter — so the union of per-partition summaries is a provable
+    SUPERSET of the global > N/k set.  The relation is bounded by
+    k × #partitions rows whatever the data distribution, which is what
+    makes the second pass broadcast-joinable at any scale."""
+    import pandas as pd  # noqa: PLC0415
+
+    def kernel(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    # decrement-all; drop zeros (the classic MG step)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {
+                "tok": list(counters.keys()),
+                "w": pd.Series(list(counters.values()), dtype="int64"),
+            }
+        )
+
+    return (
+        tokens.mapInPandas(kernel, schema="tok string, w bigint")
+        .groupBy("tok")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM t)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM t CROSS JOIN n
+    GROUP BY tok, n
+    HAVING {MG_K} * COUNT(*) > n
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent tokens (count > N/{MG_K}) via the classic two-pass
+    scheme: pass 1 runs Misra–Gries per partition (bounded memory, no
+    shuffle of the raw stream) and merges the k×partitions candidate
+    rows; pass 2 semi-joins the stream against the tiny candidate set
+    and counts exactly, keeping tokens above the threshold.
+
+    Why not one groupBy: at 100 TB a full token groupBy shuffles the
+    entire stream; here the only stream-sized shuffle carries just the
+    CANDIDATE-matched subset (and the candidate join broadcasts by
+    construction — the relation is provably ≤ k × #partitions rows).
+    The MG superset guarantee (see ``misra_gries_candidates``) makes the
+    two-pass result EXACTLY the > N/{MG_K} set, so the oracle is plain
+    SQL with an integer threshold compare (no float boundary).  The
+    threshold ties to the corpus vocabulary: ~half the words clear it at
+    the test scales, so both HAVING branches are exercised."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    cands = misra_gries_candidates(toks, MG_K)
+    n_row = toks.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        toks.join(F.broadcast(cands.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_row))
+        .where(F.lit(MG_K) * F.col("c") > F.col("n"))
+        .select("tok", "c")
+    )

@@ -127,3 +127,135 @@ def test_ewma_single_day_is_identity(spark):
         ]
         if len(prior) == 0:
             assert first.ewma == pytest.approx(first.daily_rev, abs=1e-6)
+
+
+# ------------------------------------------------------ Misra-Gries HH
+
+
+def test_mg_superset_guarantee_on_skewed_stream(spark):
+    """Hand-built skewed stream across several partitions: the two-pass
+    result must be EXACTLY the > N/k set."""
+    from collections import Counter
+
+    from national_caseload_data_ingest_spark.operators.sketch import (
+        misra_gries_candidates,
+    )
+    import pyspark.sql.functions as F
+
+    rng = random.Random(3)
+    # zipf-ish: token 'hot0'..'hot2' dominate, long tail of rares
+    stream = (
+        ["hot0"] * 500 + ["hot1"] * 300 + ["hot2"] * 150
+        + [f"rare{i}" for i in range(400)]
+    )
+    rng.shuffle(stream)
+    toks = spark.createDataFrame(
+        [(t,) for t in stream], "tok string"
+    ).repartition(8)
+    k = 10
+    n = len(stream)
+    cands = {r.tok for r in misra_gries_candidates(toks, k).collect()}
+    true_counts = Counter(stream)
+    heavy = {t for t, c in true_counts.items() if c > n / k}
+    assert heavy <= cands, "MG candidates missed a true heavy hitter"
+    # two-pass exactness: filter candidates by exact counts
+    exact = {t for t in cands if true_counts[t] * k > n}
+    assert exact == heavy
+
+
+def test_heavy_hitter_query_is_exact(spark):
+    from national_caseload_data_ingest_spark.operators.sketch import (
+        MG_K,
+        heavy_hitter_tokens,
+    )
+    import pyspark.sql.functions as F
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    got = {r.tok: r.c for r in heavy_hitter_tokens(spark, SF_DIR).collect()}
+    d = load_tables(spark, SF_DIR, "documents")["documents"]
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+    n = toks.count()
+    truth = {
+        r.tok: r.c
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r.c * MG_K > n
+    }
+    assert got == truth
+    assert 0 < len(got), "threshold selects nothing - vacuous"
+    # the threshold must also REJECT something, or the filter is vacuous
+    all_toks = toks.select("tok").distinct().count()
+    assert len(got) < all_toks
+
+
+# ------------------------------------------------------ label propagation
+
+
+def test_lpa_splits_sparse_bridge_cc_does_not(spark):
+    """Two 4-cliques joined by one bridge edge: CC gives one component,
+    LPA (mode + min tie-break) keeps two communities."""
+    from national_caseload_data_ingest_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(
+        cl1 + cl2 + bridge, "doc_a long, doc_b long"
+    )
+    labels = {r.node: r.label for r in label_propagation(edges, 4).collect()}
+    # both cliques collapse to their own min label
+    assert len({labels[n] for n in range(4)}) == 1
+    assert len({labels[n] for n in range(10, 14)}) == 1
+    assert labels[0] != labels[12], "LPA merged across the sparse bridge"
+
+
+def test_lpa_deterministic(spark):
+    from national_caseload_data_ingest_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (2, 5)],
+        "doc_a long, doc_b long",
+    )
+    a = sorted((r.node, r.label) for r in label_propagation(edges, 4).collect())
+    b = sorted((r.node, r.label) for r in label_propagation(edges, 4).collect())
+    assert a == b
+
+
+# ------------------------------------------------------ NFC
+
+
+def test_nfc_constants_are_canonically_equal():
+    import unicodedata
+
+    from national_caseload_data_ingest_spark.operators.cleaning import (
+        NFC_DECOMPOSED_SUFFIX,
+        NFC_PRECOMPOSED_SUFFIX,
+    )
+
+    assert NFC_DECOMPOSED_SUFFIX != NFC_PRECOMPOSED_SUFFIX
+    assert len(NFC_DECOMPOSED_SUFFIX) == len(NFC_PRECOMPOSED_SUFFIX) + 1
+    assert (
+        unicodedata.normalize("NFC", NFC_DECOMPOSED_SUFFIX)
+        == NFC_PRECOMPOSED_SUFFIX
+    )
+
+
+def test_nfc_query_classes(spark):
+    from national_caseload_data_ingest_spark.operators.cleaning import (
+        nfc_normalize_docs,
+    )
+
+    rows = {r.doc_id: r for r in nfc_normalize_docs(spark, SF_DIR).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        if doc_id % 3 == 0:  # decomposed suffix: NFC shrinks by 1 char
+            assert r.changed == 1 and r.len_nfc == r.len_raw - 1
+            assert r.last_char == "é"
+        elif doc_id % 3 == 1:  # precomposed: already NFC
+            assert r.changed == 0 and r.len_nfc == r.len_raw
+            assert r.last_char == "é"
+        else:  # untouched ASCII
+            assert r.changed == 0 and r.len_nfc == r.len_raw
