@@ -427,3 +427,120 @@ def link_customer_records_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("__sim", 6).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# golden-record survivorship (the ER end-game)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "golden_customer_records",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= {LINK_MAX_DIST}
+    ),
+    edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
+              UNION ALL SELECT key_b, key_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    members AS (
+        SELECT c.*, COALESCE(cc.cluster_id, c.c_custkey) AS cluster_id
+        FROM customer c LEFT JOIN cc ON c.c_custkey = cc.node
+    ),
+    ranked AS (
+        SELECT m.*,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+               SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                   OVER (PARTITION BY cluster_id) AS bal_sum,
+               MIN(c_custkey) OVER (PARTITION BY cluster_id) AS golden_key
+        FROM members m
+    )
+    SELECT cluster_id,
+           CAST(n_members AS INTEGER) AS n_members,
+           golden_key,
+           c_name AS golden_name,
+           c_nationkey,
+           c_mktsegment,
+           CAST(bal_sum AS DOUBLE) AS total_acctbal
+    FROM ranked WHERE rk = 1
+    """,
+)
+def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction — the survivorship stage that turns
+    linkage PAIRS into one merged entity per duplicate cluster:
+
+    1. blocked edit-distance pairs (the ``link_customer_records``
+       relation, same in-plan block guard);
+    2. connected components over the pairs (large-star/small-star,
+       O(log n) rounds — curation.py), singletons kept as their own
+       trivial cluster via a left join + coalesce;
+    3. survivorship per cluster: canonical key = min member key, name
+       taken from the RICHEST member (max account balance, ties to the
+       smallest key — deterministic), exact-decimal balance rollup.
+
+    Every shuffle is keyed by customer or cluster id; the survivorship
+    window partitions by cluster (bounded by the largest duplicate
+    cluster, 152 members at sf0.1 — never global).  The oracle replays
+    the identical pipeline: recursive-CTE closure for the components,
+    the same two-key window pick.  Blocking guarantees nation/segment
+    are constant within a cluster, so the golden row's attributes are
+    well-defined."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.operators.curation import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    pairs = link_records(
+        c,
+        key_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+    ).select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
+    cc = connected_components(pairs)
+    members = c.join(
+        cc, c.c_custkey == cc.doc_id, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.coalesce("cluster_id", "c_custkey").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    pick = w.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    ranked = members.select(
+        "cluster_id",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.row_number().over(pick).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w).alias("bal_sum"),
+        F.min("c_custkey").over(w).alias("golden_key"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("n_members").cast("int").alias("n_members"),
+        "golden_key",
+        F.col("c_name").alias("golden_name"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("bal_sum").cast("double").alias("total_acctbal"),
+    )

@@ -259,3 +259,75 @@ def test_nfc_query_classes(spark):
             assert r.last_char == "é"
         else:  # untouched ASCII
             assert r.changed == 0 and r.len_nfc == r.len_raw
+
+
+# ------------------------------------------------------ golden records
+
+
+def test_golden_records_survivorship(spark):
+    """Hand-checkable invariants: cluster ids are member minima, the
+    golden name belongs to the richest member, singletons pass through."""
+    from national_caseload_data_ingest_spark.operators.linkage import (
+        golden_customer_records,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    out = {r.cluster_id: r for r in golden_customer_records(spark, SF_DIR).collect()}
+    assert out
+    cust = {
+        r.c_custkey: r
+        for r in load_tables(spark, SF_DIR, "customer")["customer"].collect()
+    }
+    # every customer lands in exactly one cluster
+    assert sum(r.n_members for r in out.values()) == len(cust)
+    assert any(r.n_members > 1 for r in out.values()), "no multi-member cluster"
+    assert any(r.n_members == 1 for r in out.values()), "no singleton"
+    for cid, r in out.items():
+        assert r.golden_key >= cid  # cluster id is the min member key
+        if r.n_members == 1:
+            c = cust[cid]
+            assert r.golden_name == c.c_name
+            assert r.total_acctbal == pytest.approx(c.c_acctbal, abs=1e-6)
+
+
+def test_golden_records_richest_name(spark):
+    """For a multi-member cluster, golden_name must be the name of the
+    member with the max balance (ties to min key)."""
+    from national_caseload_data_ingest_spark.operators.linkage import (
+        golden_customer_records,
+        link_customer_records,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    out = [r for r in golden_customer_records(spark, SF_DIR).collect() if r.n_members > 1]
+    cust = {
+        r.c_custkey: r
+        for r in load_tables(spark, SF_DIR, "customer")["customer"].collect()
+    }
+    pairs = [
+        (r.key_a, r.key_b) for r in link_customer_records(spark, SF_DIR).collect()
+    ]
+    # rebuild components driver-side
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for k in parent:
+        members.setdefault(find(k), []).append(k)
+    for r in out:
+        mem = members[r.cluster_id]
+        assert len(mem) == r.n_members
+        best = min(mem, key=lambda k: (-cust[k].c_acctbal, k))
+        assert r.golden_name == cust[best].c_name
+        assert r.total_acctbal == pytest.approx(
+            sum(cust[k].c_acctbal for k in mem), abs=1e-6
+        )
