@@ -27,6 +27,7 @@ import national_caseload_data_ingest_spark.operators.formats  # noqa: F401
 import national_caseload_data_ingest_spark.operators.governance  # noqa: F401
 import national_caseload_data_ingest_spark.operators.graph  # noqa: F401
 import national_caseload_data_ingest_spark.operators.incremental  # noqa: F401
+import national_caseload_data_ingest_spark.operators.layout  # noqa: F401
 import national_caseload_data_ingest_spark.operators.linkage  # noqa: F401
 import national_caseload_data_ingest_spark.operators.lm  # noqa: F401
 import national_caseload_data_ingest_spark.operators.multimodal  # noqa: F401

@@ -1,0 +1,154 @@
+"""Data-layout and routing operators: Z-order clustering keys and
+Highest-Random-Weight (rendezvous) shard assignment.
+
+Both are the *deterministic key computations* behind physical data
+management at scale — Z-ordering is what lakehouse ``OPTIMIZE ZORDER BY``
+clusters files with (multi-column range queries then prune most files
+because the interleaved key preserves locality in every dimension), and
+HRW hashing is the stateless router that assigns documents to shards /
+embedding-index partitions with minimal movement when the shard set
+changes (only keys whose argmax shard disappeared move — the classic
+rendezvous property, Thaler & Ravishankar 1998).
+
+Both kernels are pure integer/hash column algebra — no UDF, no shuffle
+beyond what the caller asks for — so at 100 TB they pipeline with the
+scan that reads the data being laid out.
+
+The reference (/root/reference/ncd/) partitions output only by district
+(catalog.py twin); these operators extend the layout band to
+multi-dimensional clustering and stateless routing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+Z_BITS = 16  # bits per dimension interleaved into the 32-bit z-value
+Z_DIM_MASK = (1 << Z_BITS) - 1
+# Bucket on the HIGH z-bits that the test dims actually populate
+# (custkey < 2^14, day-number < 2^12 at the largest test SF, so the
+# interleaved key tops out near 2^27; a 32-16 shift would put every row
+# in bucket 0 — vacuous).  A real writer derives this shift from column
+# stats the same way.
+Z_BUCKET_SHIFT = 22
+
+
+def _z_terms(col: str, offset: int) -> str:
+    """SQL for one dimension's interleave: bit i of ``col`` lands at
+    position 2*i + offset.  Shared verbatim by both engines.  The bit is
+    MULTIPLIED by a precomputed 64-bit literal rather than left-shifted:
+    ``1 << 31`` overflows DuckDB's INT32 literal arithmetic, while a
+    big integer literal parses as BIGINT in both engines."""
+    return " + ".join(
+        f"((({col} >> {i}) & 1) * {1 << (2 * i + offset)})"
+        for i in range(Z_BITS)
+    )
+
+
+_Z_EXPR = f"({_z_terms('zx', 0)}) + ({_z_terms('zy', 1)})"
+
+
+@query(
+    "zorder_orders_layout",
+    oracle=f"""
+    WITH dims AS (
+        SELECT o_orderkey,
+               o_custkey % {Z_DIM_MASK + 1} AS zx,
+               datediff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) % {Z_DIM_MASK + 1} AS zy
+        FROM orders
+    )
+    SELECT o_orderkey, zx, zy,
+           CAST({_Z_EXPR} AS BIGINT) AS zvalue,
+           CAST(({_Z_EXPR}) >> {Z_BUCKET_SHIFT} AS INTEGER) AS zbucket
+    FROM dims
+    """,
+)
+def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day): bit i
+    of each dimension interleaves to positions 2i / 2i+1, so records
+    close in EITHER dimension stay close in the single sort key — the
+    property that lets one file layout serve range predicates on both
+    columns (a lexicographic sort serves only its leading column).
+    ``zbucket`` (top {64} z-ranges) is what a writer would
+    ``repartitionByRange`` on before writing files.
+
+    The interleave is {Z_BITS} generated shift-and-mask terms per
+    dimension — pure codegen integer algebra from one shared SQL string,
+    so the engines cannot disagree.  Narrow projection, zero shuffles;
+    at 100 TB the cost is the scan itself."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    dims = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % (Z_DIM_MASK + 1)).cast("bigint").alias("zx"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+            % (Z_DIM_MASK + 1)
+        )
+        .cast("bigint")
+        .alias("zy"),
+    )
+    return dims.select(
+        "o_orderkey",
+        "zx",
+        "zy",
+        F.expr(_Z_EXPR).cast("bigint").alias("zvalue"),
+        F.expr(f"({_Z_EXPR}) >> {Z_BUCKET_SHIFT}").cast("int").alias("zbucket"),
+    )
+
+
+HRW_SHARDS = 8  # shard count for the rendezvous router
+
+
+def _hrw_score_sql(shard: int) -> str:
+    return f"md5(CAST(doc_id AS VARCHAR) || ':shard:' || '{shard}')"
+
+
+_HRW_GREATEST = "GREATEST(" + ", ".join(
+    _hrw_score_sql(s) for s in range(HRW_SHARDS)
+) + ")"
+
+_HRW_CASE = "CASE " + " ".join(
+    f"WHEN {_hrw_score_sql(s)} = {_HRW_GREATEST} THEN {s}"
+    for s in range(HRW_SHARDS)
+) + " END"
+
+
+@query(
+    "hrw_shard_routing",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_HRW_CASE} AS INTEGER) AS shard
+    FROM documents
+    """,
+)
+def hrw_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard assignment: each document scores every
+    shard with ``md5(doc_id || ':shard:' || s)`` and routes to the
+    highest score.  Stateless (any worker computes the same answer with
+    no directory service), uniform, and minimally disruptive: removing a
+    shard moves ONLY the documents whose argmax it was (~1/{HRW_SHARDS}
+    of keys), unlike modulo hashing which reshuffles almost everything —
+    the router a distributed embedding index or document store wants.
+
+    {HRW_SHARDS} md5 calls per row is deliberate: for small shard counts
+    HRW beats maintaining a consistent-hash ring, and the scoring is
+    branch-free codegen (the first WHEN hit is the max — md5 collisions
+    across distinct inputs do not occur in any realistic corpus).  Both
+    engines compare the same lowercase-hex strings, so argmax is
+    bit-identical.  Narrow projection, zero shuffles."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.expr(
+            _HRW_CASE.replace(
+                "CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)"
+            )
+        )
+        .cast("int")
+        .alias("shard"),
+    )

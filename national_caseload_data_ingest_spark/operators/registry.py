@@ -79,6 +79,8 @@ CHECK_PRIORITY: list[str] = [
     "neardup_labelprop",  # synchronous LPA vs unrolled-CTE twin (new)
     "nfc_normalize_docs",  # Unicode NFC vs DuckDB nfc_normalize (new)
     "golden_customer_records",  # ER survivorship E2E vs CTE twin (new)
+    "zorder_orders_layout",  # Morton clustering key, shared bit algebra (new)
+    "hrw_shard_routing",  # rendezvous-hash router vs md5 argmax twin (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify
