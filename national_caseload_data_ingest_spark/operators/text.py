@@ -1150,3 +1150,99 @@ def html_extract_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.contains(extracted, F.lit("STYLELEAK"))
         ).alias("boilerplate_gone"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source distribution drift: KL divergence + entropy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_token_drift",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+    ),
+    src_tot AS (
+        SELECT source, SUM(c) AS ns FROM per_src GROUP BY source
+    ),
+    corpus AS (
+        SELECT tok, SUM(c) AS cq FROM per_src GROUP BY tok
+    ),
+    corpus_tot AS (SELECT SUM(cq) AS nq FROM corpus),
+    terms AS (
+        SELECT p.source,
+               -- p_s(t) * ln(p_s(t)/q(t)) and -p_s(t) * ln(p_s(t)),
+               -- each quantized to 9 decimals BEFORE the sum (lm.py
+               -- convention) so engine-order float addition cannot
+               -- drift the per-source totals
+               CAST(round(
+                   (CAST(p.c AS DOUBLE) / s.ns)
+                   * ln((CAST(p.c AS DOUBLE) / s.ns)
+                        / (CAST(q.cq AS DOUBLE) / t.nq)), 9)
+                   AS DECIMAL(28,9)) AS kl_term,
+               CAST(round(
+                   -(CAST(p.c AS DOUBLE) / s.ns)
+                   * ln(CAST(p.c AS DOUBLE) / s.ns), 9)
+                   AS DECIMAL(28,9)) AS ent_term
+        FROM per_src p
+        JOIN src_tot s ON p.source = s.source
+        JOIN corpus q ON p.tok = q.tok
+        CROSS JOIN corpus_tot t
+    )
+    SELECT source,
+           CAST(SUM(kl_term) AS DOUBLE) AS kl_from_corpus,
+           CAST(SUM(ent_term) AS DOUBLE) AS entropy
+    FROM terms GROUP BY source
+    """,
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source || P_corpus) over the
+    token distributions, plus each source's Shannon entropy — the
+    screen that catches a contaminated / off-domain / template source
+    before it pollutes a training mix (drifted sources show high KL;
+    template sources show collapsed entropy).
+
+    KL is finite by construction: every source token exists in the
+    corpus distribution (Q is the mixture of all sources), so q(t) > 0
+    wherever p(t) > 0 — no smoothing needed.
+
+    Shapes: one (source, token) aggregation — bounded by sources x
+    vocabulary, partial-combined map-side — then source-keyed and
+    token-keyed rollups of that SMALL relation; the corpus total joins
+    as a broadcast one-row aggregate.  No token row crosses the wire
+    un-combined (the lexical_diversity contract above).  Each log term
+    is quantized to 9 decimals and summed as exact DECIMAL(28,9) — the
+    lm.py convention — so both engines aggregate in any order and still
+    emit the identical doubles."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    per_src = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("ns"))
+    corpus = per_src.groupBy("tok").agg(F.sum("c").alias("cq"))
+    corpus_tot = corpus.agg(F.sum("cq").alias("nq"))
+    p = F.col("c").cast("double") / F.col("ns")
+    q = F.col("cq").cast("double") / F.col("nq")
+    kl_term = F.round(p * F.log(p / q), 9).cast("decimal(28,9)")
+    ent_term = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+    return (
+        per_src.join(src_tot, "source")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select("source", kl_term.alias("kl_term"), ent_term.alias("ent_term"))
+        .groupBy("source")
+        .agg(
+            F.sum("kl_term").cast("double").alias("kl_from_corpus"),
+            F.sum("ent_term").cast("double").alias("entropy"),
+        )
+    )

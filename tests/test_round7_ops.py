@@ -407,3 +407,59 @@ def test_hrw_minimal_disruption(spark):
             assert best_wo == shard
     # balance sanity: every shard gets something
     assert len(set(got.values())) == HRW_SHARDS
+
+
+# ------------------------------------------------------ KL drift
+
+
+def test_source_kl_nonnegative_and_entropy_bounds(spark):
+    """Gibbs: KL >= 0 always; entropy in [0, ln(vocab)]."""
+    import math
+
+    from national_caseload_data_ingest_spark.operators.text import (
+        source_token_drift,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+    import pyspark.sql.functions as F
+
+    rows = source_token_drift(spark, SF_DIR).collect()
+    assert rows
+    d = load_tables(spark, SF_DIR, "documents")["documents"]
+    vocab = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r.kl_from_corpus >= -1e-7, r
+        assert -1e-7 <= r.entropy <= math.log(vocab) + 1e-7, r
+
+
+def test_source_kl_matches_scipy_style_recompute(spark):
+    """Driver-side float recompute of one source's KL and entropy."""
+    import math
+    from collections import Counter
+
+    from national_caseload_data_ingest_spark.operators.text import (
+        source_token_drift,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    got = {r.source: r for r in source_token_drift(spark, SF_DIR).collect()}
+    docs = load_tables(spark, SF_DIR, "documents")["documents"].collect()
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for r in docs:
+        toks = r.text.strip().split(" ")
+        per_src.setdefault(r.source, Counter()).update(toks)
+        corpus.update(toks)
+    nq = sum(corpus.values())
+    for src, cnt in per_src.items():
+        ns = sum(cnt.values())
+        kl = sum(
+            (c / ns) * math.log((c / ns) / (corpus[t] / nq))
+            for t, c in cnt.items()
+        )
+        ent = -sum((c / ns) * math.log(c / ns) for c, in [(v,) for v in cnt.values()])
+        assert got[src].kl_from_corpus == pytest.approx(kl, abs=1e-6)
+        assert got[src].entropy == pytest.approx(ent, abs=1e-6)
