@@ -42,7 +42,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    with no driver row in ANY round, and customers_buying_all_core_parts,
 #    whose divisor was retuned from top-5 parts (vacuous 0-row match) to
 #    the constant-cardinality brand domain (non-empty at every SF);
-# 2. then the 16 queries whose freshest driver row is ROUND 2
+# 2. then the 14 queries whose freshest driver row is ROUND 2
 #    (approx_distinct .. window_running_total below);
 # 3. then the 43 whose freshest row is ROUND 4, in name order — the tail
 #    past the 50-cap (plus the r5/r6 sets) is covered by the local
