@@ -571,3 +571,177 @@ def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changed int, last_char string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_LEN = 4  # integer cross-multiplied: letters >= 4 * n_words
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_TOP_BIGRAM_PCT = 18  # top-bigram chars <= 18% of document chars
+GOPHER_DUP_BIGRAM_PCT = 15  # duplicated-bigram chars <= 15% of document chars
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               length(trim(text)) AS nc,
+               len(string_split(trim(text), ' ')) AS nw,
+               string_split(trim(text), ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT b.doc_id, b.ws[t.i] || ' ' || b.ws[t.i + 1] AS g
+        FROM base b, unnest(range(1, b.nw)) AS t(i)
+        WHERE b.nw >= 2
+    ),
+    gc AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(length(g) AS BIGINT) AS glen
+        FROM grams GROUP BY 1, 2
+    ),
+    rep AS (
+        SELECT doc_id,
+               CAST(MAX(cnt * glen) AS BIGINT) AS top_chars,
+               CAST(SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * glen
+                             ELSE 0 END) AS BIGINT) AS dup_chars
+        FROM gc GROUP BY 1
+    )
+    SELECT b.doc_id, b.source,
+           CAST(b.nw AS INTEGER) AS n_words,
+           CAST(b.nc - (b.nw - 1) AS DOUBLE) / b.nw AS mean_word_len,
+           CAST(COALESCE(r.top_chars, 0) AS DOUBLE) / b.nc AS top_bigram_frac,
+           CAST(COALESCE(r.dup_chars, 0) AS DOUBLE) / b.nc AS dup_bigram_frac,
+           CAST(b.nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AS INTEGER) AS r_wordcount,
+           CAST(b.nc - (b.nw - 1) >= {GOPHER_MIN_MEAN_LEN} * b.nw
+                AND b.nc - (b.nw - 1) <= {GOPHER_MAX_MEAN_LEN} * b.nw
+                AS INTEGER) AS r_mean_len,
+           CAST(list_contains(b.ws, 'a') AND list_contains(b.ws, 'the')
+                AS INTEGER) AS r_stopwords,
+           CAST(100 * COALESCE(r.top_chars, 0) <= {GOPHER_TOP_BIGRAM_PCT} * b.nc
+                AS INTEGER) AS r_top_bigram,
+           CAST(100 * COALESCE(r.dup_chars, 0) <= {GOPHER_DUP_BIGRAM_PCT} * b.nc
+                AS INTEGER) AS r_dup_bigram,
+           CAST(b.nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND b.nc - (b.nw - 1) >= {GOPHER_MIN_MEAN_LEN} * b.nw
+                AND b.nc - (b.nw - 1) <= {GOPHER_MAX_MEAN_LEN} * b.nw
+                AND list_contains(b.ws, 'a') AND list_contains(b.ws, 'the')
+                AND 100 * COALESCE(r.top_chars, 0)
+                    <= {GOPHER_TOP_BIGRAM_PCT} * b.nc
+                AND 100 * COALESCE(r.dup_chars, 0)
+                    <= {GOPHER_DUP_BIGRAM_PCT} * b.nc
+                AS INTEGER) AS kept
+    FROM base b LEFT JOIN rep r USING (doc_id)
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, MassiveText
+    filtering, Table A1), adapted to the synthetic corpus: word-count
+    bounds, mean-word-length bounds, a function-word requirement, and the
+    two repetition rules (characters inside the most frequent word bigram
+    and inside duplicated bigrams, as fractions of document characters).
+    Emits one row per document with each rule's verdict plus the combined
+    ``kept`` flag, so the filter is a plain threshold scan downstream and
+    per-rule rejection rates are one aggregation away.
+
+    Adaptations (documented, not hidden): the stop-word set is {{'a',
+    'the'}} (the only function words the 31-word synthetic vocabulary
+    contains) with BOTH required, standing in for Gopher's >=2-of-8 rule;
+    thresholds are tuned so every rule fires non-vacuously at the test
+    scales (word count 10-99, mean word length 3.7-5.3, top-bigram
+    fraction up to 0.33 measured at sf0.01).
+
+    Exactness: every rule compares cross-multiplied exact integers (no
+    float threshold can land on a boundary); the emitted fractions are
+    single IEEE divisions of those same integers, so both engines agree
+    bit-for-bit.
+
+    Shape: one narrow projection computes the per-doc scalars; the bigram
+    explode is within-row; the repetition stats are a (doc_id, gram)
+    count-aggregate followed by a doc-keyed re-aggregate and a doc-keyed
+    left join back to the scalars — both shuffles key on doc_id (+gram),
+    skew-free because every document contributes O(words) rows with a
+    hard per-doc bound.  At 100 TB nothing here is all-pairs, driver-side,
+    or broadcast; long-document corpora keep the same plan because the
+    explode never amplifies a row beyond its own word count."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), " ")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.length(F.trim(F.col("text"))).alias("nc"),
+        F.size(toks).alias("nw"),
+        (F.array_contains(toks, "a") & F.array_contains(toks, "the"))
+        .cast("int")
+        .alias("has_stops"),
+        toks.alias("ws"),
+    )
+    grams = (
+        docs.filter(F.col("nw") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("nw") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ws"), i),
+                        F.element_at(F.col("ws"), i + 1),
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    glen = F.length("g").cast("bigint")
+    rep = gc.groupBy("doc_id").agg(
+        F.max(F.col("cnt") * glen).alias("top_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * glen).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("dup_chars"),
+    )
+    letters = F.col("nc") - (F.col("nw") - 1)
+    top_chars = F.coalesce(F.col("top_chars"), F.lit(0).cast("bigint"))
+    dup_chars = F.coalesce(F.col("dup_chars"), F.lit(0).cast("bigint"))
+    r_wordcount = (F.col("nw") >= GOPHER_MIN_WORDS) & (
+        F.col("nw") <= GOPHER_MAX_WORDS
+    )
+    r_mean_len = (letters >= GOPHER_MIN_MEAN_LEN * F.col("nw")) & (
+        letters <= GOPHER_MAX_MEAN_LEN * F.col("nw")
+    )
+    r_stopwords = F.col("has_stops") == 1
+    r_top_bigram = 100 * top_chars <= GOPHER_TOP_BIGRAM_PCT * F.col("nc")
+    r_dup_bigram = 100 * dup_chars <= GOPHER_DUP_BIGRAM_PCT * F.col("nc")
+    return (
+        docs.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("nw").cast("int").alias("n_words"),
+            (letters.cast("double") / F.col("nw")).alias("mean_word_len"),
+            (top_chars.cast("double") / F.col("nc")).alias("top_bigram_frac"),
+            (dup_chars.cast("double") / F.col("nc")).alias("dup_bigram_frac"),
+            r_wordcount.cast("int").alias("r_wordcount"),
+            r_mean_len.cast("int").alias("r_mean_len"),
+            r_stopwords.cast("int").alias("r_stopwords"),
+            r_top_bigram.cast("int").alias("r_top_bigram"),
+            r_dup_bigram.cast("int").alias("r_dup_bigram"),
+            (
+                r_wordcount
+                & r_mean_len
+                & r_stopwords
+                & r_top_bigram
+                & r_dup_bigram
+            )
+            .cast("int")
+            .alias("kept"),
+        )
+    )

@@ -176,3 +176,75 @@ def test_keyword_tag_nonvacuous(spark):
     assert rows
     assert any(r.total_hits > r.distinct_patterns for r in rows)
     assert all(r.distinct_patterns <= len(KEYWORDS) for r in rows)
+
+
+# ------------------------------------------------------------ Gopher rules
+
+
+def test_gopher_rules_consistent(spark):
+    from collections import Counter
+
+    from national_caseload_data_ingest_spark.operators.cleaning import (
+        GOPHER_DUP_BIGRAM_PCT,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_WORDS,
+        GOPHER_TOP_BIGRAM_PCT,
+        gopher_quality_filter,
+    )
+
+    rows = gopher_quality_filter(spark, SF_DIR).collect()
+    assert rows, "gopher_quality_filter returned nothing"
+    # the combined verdict must be exactly the conjunction of the rules,
+    # and each rule must agree with a driver-side recompute from the
+    # emitted scalars (integer cross-multiplication, no float thresholds)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r.kept == (
+            r.r_wordcount
+            & r.r_mean_len
+            & r.r_stopwords
+            & r.r_top_bigram
+            & r.r_dup_bigram
+        )
+        ws = docs[r.doc_id].strip().split(" ")
+        nc = len(docs[r.doc_id].strip())
+        assert r.n_words == len(ws)
+        letters = nc - (len(ws) - 1)
+        assert r.r_wordcount == int(
+            GOPHER_MIN_WORDS <= len(ws) <= GOPHER_MAX_WORDS
+        )
+        assert r.r_mean_len == int(
+            GOPHER_MIN_MEAN_LEN * len(ws)
+            <= letters
+            <= GOPHER_MAX_MEAN_LEN * len(ws)
+        )
+        assert r.r_stopwords == int("a" in ws and "the" in ws)
+        grams = Counter(
+            f"{a} {b}" for a, b in zip(ws, ws[1:])
+        )
+        top = max((c * len(g) for g, c in grams.items()), default=0)
+        dup = sum((c - 1) * len(g) for g, c in grams.items() if c > 1)
+        assert r.r_top_bigram == int(100 * top <= GOPHER_TOP_BIGRAM_PCT * nc)
+        assert r.r_dup_bigram == int(100 * dup <= GOPHER_DUP_BIGRAM_PCT * nc)
+        assert abs(r.top_bigram_frac - top / nc) < 1e-12
+        assert abs(r.dup_bigram_frac - dup / nc) < 1e-12
+
+
+def test_gopher_rules_nonvacuous(spark):
+    from national_caseload_data_ingest_spark.operators.cleaning import (
+        gopher_quality_filter,
+    )
+
+    rows = gopher_quality_filter(spark, SF_DIR).collect()
+    for flag in (
+        "r_wordcount",
+        "r_stopwords",
+        "kept",
+    ):
+        vals = {getattr(r, flag) for r in rows}
+        assert vals == {0, 1}, f"{flag} is vacuous at sf0.001: {vals}"
