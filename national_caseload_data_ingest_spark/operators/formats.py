@@ -263,3 +263,106 @@ def arrow_ipc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
     return _doc_digests(back)
+
+
+def encode_tar_partitions(df: DataFrame) -> DataFrame:
+    """Each partition → one POSIX ustar archive payload: one member per
+    document, the text as the member body (UTF-8) and the metadata
+    columns carried in the member name (``doc_id|lang|source|n_chars``
+    — all short, well inside ustar's 100-char name field).  Member
+    mtimes are pinned to 0 so the payload bytes are a pure function of
+    the rows.  One ``mapInPandas`` pass, one output row per non-empty
+    partition — the encode never shuffles."""
+
+    def enc(batches):
+        import io  # noqa: PLC0415
+        import tarfile  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        sink = io.BytesIO()
+        tf = tarfile.open(
+            fileobj=sink, mode="w", format=tarfile.USTAR_FORMAT
+        )
+        n = 0
+        for pdf in batches:
+            for doc_id, text, lang, source, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"],
+                pdf["n_chars"],
+            ):
+                body = str(text).encode("utf-8")
+                info = tarfile.TarInfo(
+                    name=f"{int(doc_id)}|{lang}|{source}|{int(n_chars)}"
+                )
+                info.size = len(body)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(body))
+                n += 1
+        tf.close()
+        if n:
+            yield pd.DataFrame({"payload": [sink.getvalue()]})
+
+    return df.mapInPandas(enc, "payload binary")
+
+
+def decode_tar_payloads(payloads: DataFrame) -> DataFrame:
+    """Inverse of :func:`encode_tar_partitions`: every payload row is a
+    complete archive, so decode parallelizes one task per original
+    partition; member order inside an archive is irrelevant to the
+    relation (the driver hash is order-insensitive)."""
+
+    def dec(batches):
+        import io  # noqa: PLC0415
+        import tarfile  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            for payload in pdf["payload"]:
+                tf = tarfile.open(fileobj=io.BytesIO(bytes(payload)), mode="r")
+                rows = {"doc_id": [], "text": [], "lang": [], "source": [],
+                        "n_chars": []}
+                for m in tf.getmembers():
+                    doc_id, lang, source, n_chars = m.name.split("|")
+                    rows["doc_id"].append(int(doc_id))
+                    rows["text"].append(
+                        tf.extractfile(m).read().decode("utf-8")
+                    )
+                    rows["lang"].append(lang)
+                    rows["source"].append(source)
+                    rows["n_chars"].append(int(n_chars))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                        "text": pd.Series(rows["text"], dtype="object"),
+                        "lang": pd.Series(rows["lang"], dtype="object"),
+                        "source": pd.Series(rows["source"], dtype="object"),
+                        "n_chars": pd.Series(rows["n_chars"], dtype="int64"),
+                    }
+                )
+
+    return payloads.select("payload").mapInPandas(
+        dec,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+@query("tar_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
+def tar_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSIX tar sink+source fidelity through the stdlib ``tarfile``
+    module: encode every documents partition into a member-per-document
+    ustar archive, decode it back, and emit per-document digests from
+    the decoded copy against the parquet-reading oracle.
+
+    Tar-of-text-members is how web-scale corpora actually ship
+    (WebDataset shards, Common Crawl derivatives, HF dataset dumps), so
+    an engine claiming the LLM-ingest band needs the archive codec as a
+    first-class source/sink, not a preprocessing shell script.  Scale
+    shape: both directions are single ``mapInPandas`` passes — encode
+    emits one bounded payload per partition (a writer sizes partitions
+    to the shard size it wants), decode fans one task per archive; no
+    shuffle, no driver-side archive handling, and member bodies stream
+    through ``BytesIO`` without a per-member Python subprocess."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    back = decode_tar_payloads(encode_tar_partitions(docs))
+    return _doc_digests(back)

@@ -83,6 +83,7 @@ CHECK_PRIORITY: list[str] = [
     "hrw_shard_routing",  # rendezvous-hash router vs md5 argmax twin (new)
     "source_token_drift",  # per-source KL + entropy, quantized-sum (new)
     "gopher_quality_filter",  # Gopher rule battery, integer-exact flags (new)
+    "tar_roundtrip_documents",  # POSIX ustar member-per-doc codec (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

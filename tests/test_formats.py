@@ -153,3 +153,45 @@ def test_html_extract_entity_and_script_edges(spark):
     # escape() itself is exercised directly too
     esc = df.select(html_escape(F.col("text")).alias("e")).head()["e"]
     assert "&amp;lt;" in esc and "&lt;script&gt;" in esc
+
+
+def test_tar_roundtrip_lossless_and_adversarial(spark):
+    """The tar codec must survive unicode bodies, empty text, empty
+    partitions, and many small members — the shapes a real WebDataset
+    shard throws at it."""
+    from national_caseload_data_ingest_spark.operators.formats import (
+        decode_tar_payloads,
+        encode_tar_partitions,
+        tar_roundtrip_documents,
+    )
+
+    # full-table digests against the source of truth
+    truth = _doc_truth(spark)
+    got = {
+        r["doc_id"]: (r["lang"], r["n_chars"], r["text_md5"])
+        for r in tar_roundtrip_documents(spark, SF).collect()
+    }
+    assert got == truth
+
+    # adversarial rows: unicode, empty body, pipe-free metadata fields,
+    # plus enough partitions that some are empty
+    rows = [
+        (1, "héllo wörld é中文", "fr", "web", 12),
+        (2, "", "en", "books", 0),
+        (3, "a" * 10_000, "en", "web", 10_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).repartition(8)
+    payloads = encode_tar_partitions(df)
+    assert payloads.count() <= 3  # empty partitions emit no payload
+    back = {r["doc_id"]: r for r in decode_tar_payloads(payloads).collect()}
+    assert set(back) == {1, 2, 3}
+    for doc_id, text, lang, source, n_chars in rows:
+        b = back[doc_id]
+        assert (b["text"], b["lang"], b["source"], b["n_chars"]) == (
+            text,
+            lang,
+            source,
+            n_chars,
+        )
