@@ -56,10 +56,20 @@ def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS) -> DataFrame:
     PR_0(u) = 1/N;  PR_{t+1}(u) = 0.15/N + 0.85·Σ_{v∈Γ(u)} PR_t(v)/deg(v)
     over nodes appearing in at least one edge (N = |nodes|).
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Materialize the symmetrized edges ONCE: the loop below re-scans this
+    # relation every iteration, and without a barrier Spark recomputes its
+    # full upstream lineage (here: the exact near-dup verification kernel)
+    # n_iter times — measured at ~10× the whole query's wall time at
+    # sf0.1.  localCheckpoint caches into executor block storage; use
+    # reliable checkpoint on a real cluster (kcore below, same convention).
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -336,10 +346,17 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     faster but is schedule-dependent."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        # one-time barrier: the loop re-scans sym every round (pagerank
+        # convention above — without it the upstream pair kernel reruns
+        # per round)
+        .localCheckpoint(eager=False)
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")

@@ -69,6 +69,14 @@ SHUFFLE_BUDGET = {
     # relation reaches the held-out stream via AQE-chosen joins; the
     # only forced broadcast is the one-row totals.
     "lm_kneser_ney_perplexity": 10,
+    # drift's 6 = the (source, token) partial-combined agg + source-total
+    # agg + token-marginal agg + the token-keyed model join exchange +
+    # the one-row corpus total + the final per-source sum.  Every
+    # exchange after the first moves the vocabulary-sized count relation,
+    # never raw tokens (lexical_diversity contract); the tok join stays a
+    # shuffle join deliberately — web-scale vocabularies exceed broadcast
+    # limits (VERDICT r4 #3).
+    "source_token_drift": 6,
 }
 
 
