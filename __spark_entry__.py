@@ -31,6 +31,7 @@ import national_caseload_data_ingest_spark.operators.layout  # noqa: F401
 import national_caseload_data_ingest_spark.operators.linkage  # noqa: F401
 import national_caseload_data_ingest_spark.operators.lm  # noqa: F401
 import national_caseload_data_ingest_spark.operators.multimodal  # noqa: F401
+import national_caseload_data_ingest_spark.operators.pq  # noqa: F401
 import national_caseload_data_ingest_spark.operators.profiling  # noqa: F401
 import national_caseload_data_ingest_spark.operators.relational  # noqa: F401
 import national_caseload_data_ingest_spark.operators.similarity  # noqa: F401
