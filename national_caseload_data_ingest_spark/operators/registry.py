@@ -86,6 +86,7 @@ CHECK_PRIORITY: list[str] = [
     "tar_roundtrip_documents",  # POSIX ustar member-per-doc codec (new)
     "ann_pq_topk",  # product-quantization ANN, rows-only + recall tests (new)
     "unigram_tokenize_docs",  # unigram-LM tokenizer, distributed EM (new)
+    "bootstrap_order_value_ci",  # deterministic Poisson bootstrap (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

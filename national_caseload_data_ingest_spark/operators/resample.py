@@ -1,0 +1,181 @@
+"""Deterministic Poisson-bootstrap confidence intervals — distributed
+uncertainty quantification with a cross-engine-exact oracle.
+
+The classic bootstrap resamples n rows with replacement B times — a
+non-starter at 100 TB (B full shuffles of the fact table, plus RNG state
+that no second engine can replay).  The **Poisson bootstrap** (Hanley &
+MacGibbon 2006; the production form in large-scale A/B systems, e.g.
+Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+Google 2012) replaces the multinomial resample with an independent
+per-row replicate multiplicity ``m ~ Poisson(1)``, which turns B
+resamples into B extra AGGREGATE COLUMNS of one scan:
+
+* **One pass, zero extra shuffles.**  Each row evaluates its B
+  multiplicities inline (whole-stage codegen'd CASE ladders) and feeds
+  B weighted-sum/count aggregate pairs; map-side combine reduces
+  everything to ``groups × 1`` rows before the only (group-keyed)
+  exchange.  The fact table is never replicated, never re-shuffled.
+* **Deterministic and engine-portable.**  The multiplicity is a pure
+  function of ``(row key, replicate index)``: two rounds of a
+  Lehmer/Park-Miller LCG (multiplier 48271, modulus 2³¹−1 — exact
+  64-bit integer arithmetic, no overflow for any realistic key), one
+  IEEE division to a uniform double, then an inverse-CDF ladder on the
+  exact Poisson(1) cumulative probabilities.  Both engines compute
+  bit-identical multiplicities, so the bootstrap DISTRIBUTION — not
+  just its summary — hash-matches the DuckDB oracle.
+* **Replicate means use a single division of exact decimal sums** cast
+  to double (the repo-wide cross-engine float rule), and the interval
+  bounds are ORDER STATISTICS of the B means (2nd and 31st of B=32 —
+  a central ~93.75% interval), not interpolated quantiles: selection is
+  exact, interpolation arithmetic is not.
+
+Registered with a full DuckDB oracle; ``tests/test_resample.py`` adds a
+python recompute of the LCG/ladder and the statistical sanity floor
+(the true mean inside the interval, interval width shrinking with n).
+
+The reference (/root/reference/ncd/) has no statistics surface; this
+extends the build brief's analytics band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+B_REPLICAS = 32
+LCG_MULT = 48271  # Park-Miller MINSTD
+LCG_MOD = 2147483647  # 2^31 - 1
+# Poisson(1) inverse-CDF ladder: cumulative P(X <= k) for k = 0..5, exact
+# double literals (sums of e^-1/k!); u >= the last threshold → 6.  The
+# same literal text appears in the oracle so both engines compare the
+# same doubles.
+POISSON_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+# order statistics (1-based among B=32 sorted replicate means) → ~93.75%
+# central interval
+LO_RANK = 2
+HI_RANK = 31
+
+
+def poisson_multiplicity(key: Column, b: int) -> Column:
+    """Deterministic Poisson(1) multiplicity for (key, replicate b) —
+    exact integer LCG rounds, one IEEE division, inverse-CDF ladder."""
+    x = (key * LCG_MULT) % LCG_MOD
+    y = (x * (b + 1)) % LCG_MOD
+    z = (y * LCG_MULT) % LCG_MOD
+    u = z.cast("double") / F.lit(float(LCG_MOD))
+    m: Column = F.lit(6)
+    for k in range(len(POISSON_CDF) - 1, -1, -1):
+        m = F.when(u < F.expr(POISSON_CDF[k]), F.lit(k)).otherwise(m)
+    return m
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    b_replicas: int = B_REPLICAS,
+) -> DataFrame:
+    """Per-group point mean + Poisson-bootstrap interval of the mean of
+    ``value_col`` — one scan, 2B+2 aggregate columns, one group-keyed
+    exchange, then order statistics over the groups × B tiny relation."""
+    aggs = [
+        F.sum(value_col).alias("s_all"),
+        F.count(F.lit(1)).alias("c_all"),
+    ]
+    for b in range(b_replicas):
+        m = poisson_multiplicity(F.col(key_col), b)
+        aggs.append(F.sum(m * F.col(value_col)).alias(f"s{b}"))
+        aggs.append(F.sum(m).alias(f"c{b}"))
+    wide = df.groupBy(group_col).agg(*aggs)
+    pairs = ", ".join(
+        f"{b}, CAST(s{b} AS DOUBLE) / CAST(c{b} AS DOUBLE)"
+        for b in range(b_replicas)
+    )
+    means = wide.selectExpr(
+        group_col,
+        "CAST(s_all AS DOUBLE) / CAST(c_all AS DOUBLE) AS mean_value",
+        f"stack({b_replicas}, {pairs}) AS (b, mean_b)",
+    )
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    w = W.partitionBy(group_col).orderBy(F.col("mean_b"), F.col("b"))
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(group_col, "mean_value")
+        .agg(
+            F.max(F.when(F.col("rn") == LO_RANK, F.col("mean_b"))).alias(
+                "boot_lo"
+            ),
+            F.max(F.when(F.col("rn") == HI_RANK, F.col("mean_b"))).alias(
+                "boot_hi"
+            ),
+        )
+        .select(group_col, "mean_value", "boot_lo", "boot_hi")
+    )
+
+
+def _bootstrap_oracle() -> str:
+    """Replicate-explode formulation of the identical math (the oracle
+    favors clarity; the Spark side favors the zero-amplification
+    column form — same exact integers, decimals, and divisions)."""
+    u = (
+        f"(CAST(((o_orderkey * {LCG_MULT}) % {LCG_MOD}) * (b + 1)"
+        f" % {LCG_MOD} * {LCG_MULT} % {LCG_MOD} AS DOUBLE) / {LCG_MOD}.0)"
+    )
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(POISSON_CDF)
+    )
+    return f"""
+    WITH reps AS (SELECT unnest(range({B_REPLICAS})) AS b),
+    m AS (
+        SELECT o_orderpriority, b,
+               (CASE {cases} ELSE 6 END) AS mult,
+               o_totalprice
+        FROM orders CROSS JOIN reps
+    ),
+    agg AS (
+        SELECT o_orderpriority, b,
+               CAST(SUM(mult * o_totalprice) AS DOUBLE)
+                 / CAST(SUM(mult) AS DOUBLE) AS mean_b
+        FROM m GROUP BY o_orderpriority, b
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderpriority ORDER BY mean_b, b) AS rn
+        FROM agg
+    ),
+    base AS (
+        SELECT o_orderpriority,
+               CAST(SUM(o_totalprice) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 AS mean_value
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT base.o_orderpriority, base.mean_value,
+           MAX(CASE WHEN rn = {LO_RANK} THEN mean_b END) AS boot_lo,
+           MAX(CASE WHEN rn = {HI_RANK} THEN mean_b END) AS boot_hi
+    FROM base JOIN ranked USING (o_orderpriority)
+    GROUP BY base.o_orderpriority, base.mean_value
+    """
+
+
+@query("bootstrap_order_value_ci", oracle=_bootstrap_oracle())
+def bootstrap_order_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority mean order value with a 32-replicate deterministic
+    Poisson-bootstrap interval — the uncertainty readout a mix/ablation
+    dashboard wants next to every mean.  See module docstring for the
+    one-scan, zero-amplification plan shape."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return bootstrap_mean_ci(
+        o, "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
