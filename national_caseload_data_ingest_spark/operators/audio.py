@@ -39,6 +39,7 @@ from national_caseload_data_ingest_spark.operators.multimodal import (
     AUDIO_N_SAMPLES,
     AUDIO_RATE,
     _synthesize_wav_payloads,
+    fan_out,
     wav_decode,
 )
 from national_caseload_data_ingest_spark.operators.registry import query
@@ -144,7 +145,7 @@ def audio_autocorr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAV path and verified bit-for-bit by an integer-arithmetic SQL
     oracle.  Two narrow ``mapInPandas`` passes, no shuffle."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_wav_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -217,7 +218,7 @@ def audio_spectrogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash); pinned by a pytest against an independent O(n²)
     direct-DFT reference (`tests/test_audio.py`)."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_wav_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -430,7 +431,7 @@ def g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel,
         schema="doc_id bigint, n_samples int, sample_sum bigint, peak bigint",
     )
@@ -503,7 +504,7 @@ def adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel,
         schema="doc_id bigint, n_samples int, sample_sum bigint, peak bigint",
     )
@@ -585,7 +586,7 @@ def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.select("doc_id").mapInPandas(
+    return fan_out(d.select("doc_id")).mapInPandas(
         kernel,
         schema=(
             "doc_id bigint, channels int, n_samples int, "

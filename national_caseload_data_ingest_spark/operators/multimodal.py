@@ -41,6 +41,24 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
 
+def fan_out(df):
+    """Spread a skinny driver relation across the session's cores before a
+    CPU-bound Arrow kernel chain.
+
+    The codec queries inherit their parallelism from the upstream SCAN,
+    and a single-row-group parquet file scans as ONE partition — which
+    silently serialized every synthesize+decode kernel onto one core
+    (measured: the progressive-JPEG and MJPEG headline queries ran 10-30×
+    under the machine's parallelism).  The input here is the doc_id
+    relation (8 bytes/row), so a round-robin repartition is a near-free
+    exchange that buys full fan-out.  At 100 TB real binary columns
+    arrive in thousands of scan partitions and this becomes a no-op-cost
+    straggler guard; the pathology it fixes is the small-file/one-row-
+    group regime."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def png_decode(payload: bytes):
     """Pure-stdlib PNG decoder (zlib + struct, no codec libraries): returns
     ``(width, height, channels, pixels)`` with ``pixels`` a uint8 numpy
@@ -366,7 +384,7 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthesize stage swaps for real stored payloads; the decode stage
     is unchanged — payloads never leave the executor, only features."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_png_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -676,7 +694,7 @@ def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     RGB mean equals index mean).  Two narrow ``mapInPandas`` passes, no
     shuffle; payloads never leave the executor."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_gif_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -808,7 +826,7 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two narrow ``mapInPandas`` passes, no shuffle; payloads never leave
     the executor."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_wav_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -1973,7 +1991,7 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthesize stage swaps for stored crawl payloads and the decode
     stage is unchanged."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_jpeg_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -2064,7 +2082,7 @@ def jpeg_color_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     color codec.  Real-color fidelity is tolerance-tested in
     `tests/test_jpeg.py`."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_color_jpeg_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -2431,7 +2449,7 @@ def jpeg420_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; at 100 TB the synthesize stage swaps for stored crawl
     payloads and the decode stage is unchanged."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_jpeg420_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -2504,7 +2522,7 @@ def jpeg_progressive_decode_features(
     Randomized progressive≡baseline equality (every decoded pixel, any
     shape) is pinned in `tests/test_jpeg.py`."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_progressive_jpeg_payloads,
         schema="doc_id bigint, payload binary",
     )
@@ -2678,7 +2696,7 @@ def bmp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, emit per-payload features.  Two narrow ``mapInPandas`` passes,
     no shuffle; payloads never leave the executor."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_bmp_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -3126,7 +3144,7 @@ def tiff_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` passes, no shuffle — the same 100 TB shape as the
     other codec pipelines."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_tiff_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
@@ -3202,7 +3220,7 @@ def webp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics.  Lossless end to end, exact for every variant.  Two
     narrow ``mapInPandas`` passes, no shuffle."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_webp_payloads, schema="doc_id bigint, payload binary"
     )
 

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -227,7 +228,7 @@ def mjpeg_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes; the frame explosion happens inside the Arrow kernel, so no
     shuffle carries pixel data."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_mjpeg_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
