@@ -106,3 +106,92 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join — sideways information passing made explicit
+# ---------------------------------------------------------------------------
+
+# Survivor slice for the demo query: urgent orders from one quarter —
+# ~0.7% of orders at every SF (uniform date/priority distributions), so
+# the probe-side prune is the plan's whole story.
+_BLOOM_JOIN_LO = "1995-01-01"
+_BLOOM_JOIN_HI = "1995-04-01"
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    fact_key: str,
+    build: DataFrame,
+    build_key: str,
+) -> DataFrame:
+    """Inner equi-join where the fact side is pre-screened by a Bloom
+    bitmap of the build side's keys BEFORE any exchange — the "sideways
+    information passing" / runtime-filter pattern (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects the same shape
+    when its heuristics fire; building it from relational primitives
+    keeps it deterministic, engine-portable, and unconditional).
+
+    Scale regimes (the decontaminate_overlap/bloom split, applied to the
+    relational surface):
+
+    * build side broadcastable → AQE's broadcast join already skips the
+      fact shuffle; the screen is still a cheap scan-speed prune of the
+      probe input.
+    * build side TOO BIG to broadcast (a 10⁹-row survivor set at SF≈10⁵)
+      → the join must shuffle BOTH sides, and the fixed-size bitmap
+      (m/8 bytes regardless of build cardinality) is the only way to
+      keep ~99% of the fact table out of that exchange.  False positives
+      leak through the screen at the Bloom FPP and are removed by the
+      exact join; false negatives are impossible, so the result equals
+      the plain join bit-for-bit (the oracle).
+    """
+    from national_caseload_data_ingest_spark.operators.curation import (  # noqa: PLC0415
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    keys = build.select(F.col(build_key).alias("gram"))
+    bitmap = bloom_bitmap(keys)
+    screened = fact.filter(bloom_might_contain(F.col(fact_key), bitmap))
+    return screened.join(build, screened[fact_key] == build[build_key])
+
+
+@query(
+    "bloom_pruned_join_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '{_BLOOM_JOIN_LO} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{_BLOOM_JOIN_HI} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag / line status for lineitems of urgent
+    Q1-1995 orders,
+    routed through :func:`bloom_pruned_join` — the oracle is the PLAIN
+    join, proving the Bloom screen changes the plan (fact rows pruned at
+    scan speed before the exchange), never the answer."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    surv = t["orders"].filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit(_BLOOM_JOIN_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_BLOOM_JOIN_HI).cast("timestamp"))
+    )
+    joined = bloom_pruned_join(
+        t["lineitem"], "l_orderkey", surv.select("o_orderkey"), "o_orderkey"
+    )
+    return joined.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -463,3 +463,68 @@ def test_source_kl_matches_scipy_style_recompute(spark):
         ent = -sum((c / ns) * math.log(c / ns) for c, in [(v,) for v in cnt.values()])
         assert got[src].kl_from_corpus == pytest.approx(kl, abs=1e-6)
         assert got[src].entropy == pytest.approx(ent, abs=1e-6)
+
+
+# ------------------------------------------------------ Bloom-pruned join
+
+
+def test_bloom_screen_prunes_but_never_drops(spark):
+    """The Bloom screen must (a) pass EVERY true-match fact row (no false
+    negatives — the join result equals the plain join), (b) actually
+    prune: the screened fact relation is a small fraction of the full
+    scan (true matches + the documented ~1% FP leak)."""
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.operators.curation import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01", "lineitem", "orders")
+    surv = t["orders"].filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey")
+    bitmap = bloom_bitmap(surv.select(F.col("o_orderkey").alias("gram")))
+    screened = t["lineitem"].filter(
+        bloom_might_contain(F.col("l_orderkey"), bitmap)
+    )
+    n_full = t["lineitem"].count()
+    n_screened = screened.count()
+    n_true = (
+        t["lineitem"].join(surv, F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert n_true <= n_screened  # no false negatives
+    assert n_screened < n_full * 0.10  # the prune is real (~1% survivors)
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    """Row-for-row equality with the unscreened join (false positives are
+    removed by the exact join; false negatives are impossible)."""
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.operators.skew import (
+        bloom_pruned_join,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, "lineitem", "orders")
+    surv = t["orders"].filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in bloom_pruned_join(
+            t["lineitem"], "l_orderkey", surv, "o_orderkey"
+        ).collect()
+    )
+    want = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in t["lineitem"]
+        .join(surv, F.col("l_orderkey") == F.col("o_orderkey"))
+        .collect()
+    )
+    assert got == want and got
