@@ -101,6 +101,12 @@ HEADLINE = [
     # paths most likely to regress without a wall-clock signal
     "jpeg_progressive_decode_features",
     "mjpeg_frame_features",
+    # round-7 closing additions: trained-model paths (PQ codebooks,
+    # unigram EM) whose iteration structure could silently regress, and
+    # the one-scan bootstrap whose 64-aggregate plan is codegen-heavy
+    "ann_pq_topk",
+    "unigram_tokenize_docs",
+    "bootstrap_order_value_ci",
 ]
 
 

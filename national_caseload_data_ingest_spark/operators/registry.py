@@ -43,11 +43,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    whose divisor was retuned from top-5 parts (vacuous 0-row match) to
 #    the constant-cardinality brand domain (non-empty at every SF);
 # 2. then the 14 queries whose freshest driver row is ROUND 2
-#    (approx_distinct .. window_running_total below);
+#    (approx_distinct .. window_running_total below) — with 35 round-7
+#    entries ahead of them, only the first ~10 fit under the 50-cap; the
+#    spilled four lead the round-8 window;
 # 3. then the 43 whose freshest row is ROUND 4, in name order — the tail
 #    past the 50-cap (plus the r5/r6 sets) is covered by the local
 #    full-catalog replay at sf0.01 AND sf0.1 (tools/check_oracle.py,
-#    COVERAGE.md) and leads the round-8 window.
+#    COVERAGE.md) and follows in round 8.
 #
 # Entries past the driver's 50-cap are deliberately listed so the order is
 # already the round-8 plan.
