@@ -399,3 +399,115 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.lit(MG_K) * F.col("c") > F.col("n"))
         .select("tok", "c")
     )
+
+
+# ---------------------------------------------------------------------------
+# MRL quantile summary — the rank sketch completing the family
+# (CMS = frequencies, HLL = distincts, histogram = fixed buckets,
+#  MRL = distribution-free quantiles with a computed error certificate)
+# ---------------------------------------------------------------------------
+
+MRL_S = 512  # samples kept per partition
+MRL_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def _mrl_kernel(col: str, s: int):
+    """Per-partition systematic rank sample: sort the partition, keep
+    every k-th element (k = ceil(n_p / s)) at sorted positions k−1,
+    2k−1, …, each carrying weight k.  For any threshold v the sample
+    weight below v differs from the true below-v count by < k, so the
+    union of all partitions' samples answers any rank query within
+    Σ_p (k_p − 1) — an ERROR CERTIFICATE computed from the data, not
+    assumed.  Emits (pid, value, weight); ≤ s rows per partition."""
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        vals = []
+        for pdf in batches:
+            if len(pdf):
+                vals.append(pdf[col].to_numpy(dtype=np.float64))
+        if not vals:
+            return
+        v = np.sort(np.concatenate(vals))
+        n = len(v)
+        k = -(-n // s)  # ceil
+        picks = v[k - 1 :: k]
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {
+                "pid": np.full(len(picks), pid, dtype=np.int64),
+                "value": picks,
+                "weight": np.full(len(picks), k, dtype=np.int64),
+            }
+        )
+
+    return gen
+
+
+def mrl_sketch(df: DataFrame, col: str, s: int = MRL_S) -> DataFrame:
+    """(pid, value, weight) sample relation — ≤ s rows per partition,
+    mergeable by plain UNION (two corpora's samples are a valid sample
+    of the union, with certificates adding)."""
+    return df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+        _mrl_kernel(col, s), schema="pid bigint, value double, weight bigint"
+    )
+
+
+def mrl_quantiles(
+    sketch: DataFrame, qs: tuple[float, ...] = MRL_QS
+) -> DataFrame:
+    """Quantile estimates + the rank-error certificate from a sample
+    relation: global cumulative weight over the BOUNDED sample relation
+    (≤ partitions × s rows — the metadata-sized-relation exception to
+    the no-global-window rule, analytic.py), pick the first value whose
+    cumulative weight reaches ⌈q·N⌉, attach rank_err = Σ(k_p − 1) + k_max
+    (certificate + selection granularity)."""
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    per_pid = sketch.groupBy("pid").agg(F.first("weight").alias("k"))
+    cert = per_pid.agg(
+        (F.sum(F.col("k") - F.lit(1)) + F.max("k")).alias("rank_err"),
+    )
+    n_row = sketch.agg(F.sum("weight").alias("n_w"))
+    w = W.orderBy("value", "pid").rowsBetween(W.unboundedPreceding, 0)
+    cum = sketch.withColumn("cw", F.sum("weight").over(w))
+    spec = F.array(*[F.lit(q) for q in qs])
+    targets = (
+        n_row.crossJoin(cert)
+        .select(
+            F.explode(spec).alias("q"), "n_w", "rank_err"
+        )
+        .withColumn(
+            "target", F.ceil(F.col("q") * F.col("n_w")).cast("bigint")
+        )
+    )
+    est = (
+        cum.join(
+            F.broadcast(targets), F.col("cw") >= F.col("target"), "inner"
+        )
+        .groupBy("q", "n_w", "rank_err")
+        .agg(F.min("value").alias("estimate"))
+    )
+    return est.select(
+        "q",
+        "estimate",
+        F.col("rank_err").cast("bigint").alias("rank_err"),
+        F.col("n_w").cast("bigint").alias("n_sampled"),
+    )
+
+
+@query("mrl_price_quantiles", oracle=None)  # partitioning-dependent sample;
+# certificate + exact-rank pytest is the gate (tests/test_sketch.py)
+def mrl_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free quantiles of l_extendedprice from the MRL
+    systematic-sample relation, with a per-run rank-error CERTIFICATE:
+    every estimate's true rank is provably within ``rank_err`` of
+    ⌈q·N⌉, and the pytest checks that claim against exact ranks.  Unlike
+    the equi-width histogram above, no value-range assumption; unlike
+    ``approx_percentile``, the sample relation is inspectable, mergeable
+    by UNION, and its error is certified per run rather than quoted."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return mrl_quantiles(mrl_sketch(li, "l_extendedprice"))
