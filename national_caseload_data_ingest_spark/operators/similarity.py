@@ -659,3 +659,83 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted exact clones always collapse to one survivor."""
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return semdedup(e, eps=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension evaluation
+# ---------------------------------------------------------------------------
+
+MRL_PREFIX_DIM = 16  # evaluated truncation (of d=64) — 4× cheaper vectors
+
+
+@query(
+    "matryoshka_prefix_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    full_rank AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))) DESC,
+                   c.vec_id) AS rk
+        FROM e q JOIN e c
+          ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    pfx AS (SELECT vec_id, v[1:{MRL_PREFIX_DIM}] AS v FROM e),
+    prefix_rank AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))) DESC,
+                   c.vec_id) AS rk
+        FROM pfx q JOIN pfx c
+          ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT f.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(p.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM full_rank f
+    LEFT JOIN prefix_rank p
+      ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+         AND p.rk <= {TOP_K}
+    WHERE f.rk <= {TOP_K}
+    GROUP BY f.query_id
+    """,
+)
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al. 2022): how
+    much of the TRUE cosine top-k does a 16-of-64-dim PREFIX ranking retain, per query?  This is the measurement that
+    decides whether a 4× cheaper prefix index (coarse stage of an
+    adaptive retrieval cascade) is safe for a corpus.
+
+    Both rankings run the shared screen+exact-rerank path (the corpus
+    streams through the numpy matmul screen once per ranking; survivors
+    are re-scored by the sequential fold that is bitwise-equal to
+    DuckDB's list_dot_product), so ranks — and therefore the integer
+    overlap counts — hash-match the SQL oracle exactly.  One broadcast
+    join of two k-row-per-query relations; no corpus shuffle."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    full = brute_topk(e)
+    pfx = e.select(
+        "vec_id", F.slice("embedding", 1, MRL_PREFIX_DIM).alias("embedding")
+    )
+    prefix = brute_topk(pfx)
+    return (
+        full.alias("f")
+        .join(
+            F.broadcast(prefix.alias("p")),
+            (F.col("f.query_id") == F.col("p.query_id"))
+            & (F.col("f.neighbor_id") == F.col("p.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("f.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("p.neighbor_id")).alias("n_overlap"),
+            (F.count(F.col("p.neighbor_id")).cast("double") / F.lit(TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )

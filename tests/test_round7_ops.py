@@ -528,3 +528,40 @@ def test_bloom_pruned_join_equals_plain_join(spark):
         .collect()
     )
     assert got == want and got
+
+
+# ------------------------------------------------- Matryoshka prefix recall
+
+
+def test_matryoshka_overlap_counts_are_set_intersections(spark):
+    """n_overlap must equal the literal intersection of the two top-k
+    neighbor sets computed independently via brute_topk."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as ent
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        MRL_PREFIX_DIM,
+        brute_topk,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    full = {}
+    for r in brute_topk(e).collect():
+        full.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    pfx = {}
+    prefixed = e.select(
+        "vec_id", F.slice("embedding", 1, MRL_PREFIX_DIM).alias("embedding")
+    )
+    for r in brute_topk(prefixed).collect():
+        pfx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {
+        r["query_id"]: r["n_overlap"]
+        for r in ent.queries()["matryoshka_prefix_recall"](spark, sf).collect()
+    }
+    assert set(got) == set(full)
+    for qid in full:
+        assert got[qid] == len(full[qid] & pfx[qid]), qid
+    # non-vacuous at this corpus: truncation loses SOME but not ALL hits
+    assert 0 < sum(got.values()) < 10 * len(got)
