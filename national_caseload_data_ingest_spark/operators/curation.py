@@ -1054,3 +1054,121 @@ def leakage_safe_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     clusters = neardup_cluster_assignments(spark, sf_dir, neardup="exact")
     return leakage_safe_split(d, clusters)
+
+
+# ---------------------------------------------------------------------------
+# α-weighted mixture allocation (multilingual/source rebalancing)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET = 1000  # documents to sample across sources
+# α = 0.5: the exponent that up-weights small sources relative to
+# proportional sampling (Conneau & Lample 2019 / XLM-R convention —
+# p_s ∝ n_s^α).  0.5 = sqrt, which is IEEE-correctly-rounded in every
+# engine, keeping the whole allocation cross-engine exact.
+
+
+@query(
+    "alpha_mixture_allocation",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_tokens,
+               CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9)
+                    AS DECIMAL(28,9)) AS wgt
+        FROM tok
+    ),
+    tot AS (SELECT SUM(wgt) AS wsum, SUM(n_tokens) AS ntot FROM w),
+    quota AS (
+        SELECT source, n_tokens,
+               CAST(wgt AS DOUBLE) * {MIX_BUDGET} / CAST(t.wsum AS DOUBLE)
+                 AS q,
+               t.ntot
+        FROM w CROSS JOIN tot t
+    ),
+    fl AS (
+        SELECT source, n_tokens, ntot, q,
+               CAST(FLOOR(q) AS BIGINT) AS base,
+               q - FLOOR(q) AS rem
+        FROM quota
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+               {MIX_BUDGET} - SUM(base) OVER () AS leftover
+        FROM fl
+    )
+    SELECT source, n_tokens,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def alpha_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document budget under α = 0.5 mixture reweighting
+    (p_s ∝ n_tokens^α — the multilingual rebalancing rule that
+    up-weights small sources), apportioned to EXACT integers by the
+    largest-remainder (Hamilton) method, ties to the lexicographically
+    first source.  Σ alloc == MIX_BUDGET always.
+
+    Cross-engine exactness: weights are sqrt's correctly-rounded doubles
+    quantized to DECIMAL(28,9) before the order-independent exact sum
+    (the lm.py convention); each quota is one multiply + one divide of
+    the same doubles; floors and the remainder ranking are then integer/
+    deterministic — so the full allocation hash-matches the oracle.
+
+    Shapes: one token-count aggregation (the only corpus-touching
+    stage, map-side combined), then window + apportionment over the
+    SOURCES relation — thousands of rows at worst (the global-order
+    window rides the bounded-metadata exception, analytic.py)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    w = tok.withColumn(
+        "wgt",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 9).cast(
+            "decimal(28,9)"
+        ),
+    )
+    tot = w.agg(F.sum("wgt").alias("wsum"))
+    quota = w.crossJoin(F.broadcast(tot)).withColumn(
+        "q",
+        F.col("wgt").cast("double")
+        * F.lit(MIX_BUDGET)
+        / F.col("wsum").cast("double"),
+    )
+    fl = quota.select(
+        "source",
+        "n_tokens",
+        F.floor("q").cast("bigint").alias("base"),
+        (F.col("q") - F.floor("q")).alias("rem"),
+    )
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    ranked = fl.select(
+        "source",
+        "n_tokens",
+        "base",
+        F.row_number()
+        .over(W.orderBy(F.col("rem").desc(), F.col("source")))
+        .alias("rk"),
+        (F.lit(MIX_BUDGET) - F.sum("base").over(W.partitionBy()))
+        .alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

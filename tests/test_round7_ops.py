@@ -565,3 +565,43 @@ def test_matryoshka_overlap_counts_are_set_intersections(spark):
         assert got[qid] == len(full[qid] & pfx[qid]), qid
     # non-vacuous at this corpus: truncation loses SOME but not ALL hits
     assert 0 < sum(got.values()) < 10 * len(got)
+
+
+# -------------------------------------------------- α-mixture allocation
+
+
+def test_alpha_mixture_sums_to_budget_and_fires_both_branches(spark):
+    """Σ alloc == MIX_BUDGET exactly, every source gets > 0, the
+    apportionment's +1 branch fires for SOME but not ALL sources
+    (non-vacuous largest-remainder step), and small sources get MORE
+    than their proportional share (the point of α = 0.5)."""
+    import math
+
+    import __spark_entry__ as ent
+    from national_caseload_data_ingest_spark.operators.curation import (
+        MIX_BUDGET,
+    )
+
+    rows = ent.queries()["alpha_mixture_allocation"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sum(r["alloc"] for r in rows) == MIX_BUDGET
+    assert all(r["alloc"] > 0 for r in rows)
+    # recompute the floor quotas: the +1 remainder seats must be a
+    # proper nonempty subset
+    wsum = sum(round(math.sqrt(r["n_tokens"]), 9) for r in rows)
+    plus_one = sum(
+        1
+        for r in rows
+        if r["alloc"]
+        == math.floor(
+            round(math.sqrt(r["n_tokens"]), 9) * MIX_BUDGET / wsum
+        )
+        + 1
+    )
+    assert 0 < plus_one < len(rows)
+    # α-rebalancing: the smallest source's share of the budget exceeds
+    # its share of the tokens
+    ntot = sum(r["n_tokens"] for r in rows)
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    assert smallest["alloc"] / MIX_BUDGET > smallest["n_tokens"] / ntot
