@@ -431,3 +431,93 @@ def neardup_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("sz").cast("bigint").alias("community_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction — common-neighbor / neighborhood-Jaccard scores
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "neardup_link_prediction",
+    oracle=f"""
+    WITH {_CLUSTER_PAIRS_SQL},
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e GROUP BY u),
+    cand AS (
+        SELECT e1.u AS a, e2.v AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM e e1 JOIN e e2 ON e1.v = e2.u AND e1.u < e2.v
+        GROUP BY e1.u, e2.v
+    ),
+    nonadj AS (
+        SELECT c.a, c.b, c.n_common
+        FROM cand c
+        LEFT JOIN e ON e.u = c.a AND e.v = c.b
+        WHERE e.u IS NULL
+    )
+    SELECT n.a AS doc_a, n.b AS doc_b, n.n_common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST(n.n_common AS DOUBLE)
+             / (da.deg + db.deg - n.n_common) AS nbr_jaccard
+    FROM nonadj n
+    JOIN deg da ON da.node = n.a
+    JOIN deg db ON db.node = n.b
+    """,
+)
+def neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the near-dup graph: every NON-adjacent pair
+    with ≥ 1 common neighbor, scored by common-neighbor count and
+    neighborhood Jaccard (Liben-Nowell & Kleinberg 2003) — the "these
+    two documents are probably near-dups the threshold missed" triage
+    relation a curation loop reviews before lowering its threshold.
+
+    Exactness: counts and degrees are integers; the Jaccard is ONE
+    division of exact integers (the repo-wide float rule), so the
+    relation hash-matches the oracle.  Shapes: the wedge join
+    (edges ⋈ edges on the middle node) costs Σ deg² — bounded on a
+    near-dup graph whose components are dup clusters; a viral hub is
+    one hot middle key that AQE's skew split handles, and the adjacency
+    anti-join + two degree joins are all node-keyed.  No float
+    accumulation anywhere."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact").select(
+        "doc_a", "doc_b"
+    )
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=False)  # reused 4× below — one materialization
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = sym.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    e2 = sym.select(F.col("u").alias("mid2"), F.col("v").alias("b"))
+    cand = (
+        e1.join(e2, (F.col("mid") == F.col("mid2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    adj = sym.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    nonadj = cand.join(adj, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            ).alias("nbr_jaccard"),
+        )
+    )

@@ -115,3 +115,55 @@ def test_kcore_empty_core(spark):
         [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
     )
     assert kcore(chain, k=2).count() == 0
+
+
+def test_link_prediction_matches_networkx_style_recompute(spark):
+    """Driver recompute from the raw edge set: candidates = non-adjacent
+    pairs with >= 1 common neighbor; counts, degrees, and the
+    single-division Jaccard must match exactly."""
+    from itertools import combinations
+
+    import __spark_entry__ as ent
+    from national_caseload_data_ingest_spark.operators.curation import (
+        CLUSTER_THRESHOLD,
+    )
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        neardup_pairs,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    d = load_tables(spark, sf, "documents")["documents"]
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for a, b in combinations(sorted(nbrs), 2):
+        if b in nbrs[a]:
+            continue
+        common = len(nbrs[a] & nbrs[b])
+        if common:
+            want[(a, b)] = (
+                common,
+                len(nbrs[a]),
+                len(nbrs[b]),
+                common / (len(nbrs[a]) + len(nbrs[b]) - common),
+            )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_common"],
+            r["deg_a"],
+            r["deg_b"],
+            r["nbr_jaccard"],
+        )
+        for r in ent.queries()["neardup_link_prediction"](spark, sf).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous at sf0.01
