@@ -68,14 +68,28 @@ HI_RANK = 31
 
 def poisson_multiplicity(key: Column, b: int) -> Column:
     """Deterministic Poisson(1) multiplicity for (key, replicate b) —
-    exact integer LCG rounds, one IEEE division, inverse-CDF ladder."""
+    exact integer LCG rounds, one IEEE division, inverse-CDF ladder.
+
+    The ladder is the FLAT indicator sum Σ_k [u ≥ c_k] rather than a
+    nested CASE: identical value for every u (boundaries included —
+    u == c_k contributes exactly the k+1 lower indicators either way),
+    but the expression tree embeds the LCG subtree once per comparison
+    instead of once per nested branch — with B = 32 replicates the
+    nested form cost ~4 s of driver-side analysis per query build."""
     x = (key * LCG_MULT) % LCG_MOD
+    return _ladder_from_first_round(x, b)
+
+
+def _ladder_from_first_round(x: Column, b: int) -> Column:
+    """Multiplicity from the precomputed first LCG round (shared across
+    all B replicates by ``bootstrap_mean_ci`` — the per-key round does
+    not depend on b, so it is computed once, not B times)."""
     y = (x * (b + 1)) % LCG_MOD
     z = (y * LCG_MULT) % LCG_MOD
     u = z.cast("double") / F.lit(float(LCG_MOD))
-    m: Column = F.lit(6)
-    for k in range(len(POISSON_CDF) - 1, -1, -1):
-        m = F.when(u < F.expr(POISSON_CDF[k]), F.lit(k)).otherwise(m)
+    m: Column = F.lit(0)
+    for c in POISSON_CDF:
+        m = m + (u >= F.expr(c)).cast("int")
     return m
 
 
@@ -89,15 +103,31 @@ def bootstrap_mean_ci(
     """Per-group point mean + Poisson-bootstrap interval of the mean of
     ``value_col`` — one scan, 2B+2 aggregate columns, one group-keyed
     exchange, then order statistics over the groups × B tiny relation."""
+    pre = df.select(
+        group_col,
+        value_col,
+        ((F.col(key_col) * LCG_MULT) % LCG_MOD).alias("__lcg_x"),
+    )
+    # The B×(ladder + 2 sums) aggregate forest is built as SQL text and
+    # parsed JVM-side in one call per expression: building the same tree
+    # from Column operators costs one py4j round-trip per NODE — measured
+    # ~4 s of driver time per query build at B = 32 before any data moved.
     aggs = [
         F.sum(value_col).alias("s_all"),
         F.count(F.lit(1)).alias("c_all"),
     ]
     for b in range(b_replicas):
-        m = poisson_multiplicity(F.col(key_col), b)
-        aggs.append(F.sum(m * F.col(value_col)).alias(f"s{b}"))
-        aggs.append(F.sum(m).alias(f"c{b}"))
-    wide = df.groupBy(group_col).agg(*aggs)
+        u = (
+            f"(CAST(__lcg_x * {b + 1} % {LCG_MOD}"
+            f" * {LCG_MULT} % {LCG_MOD} AS DOUBLE) / {LCG_MOD}.0)"
+        )
+        m = "(" + " + ".join(
+            f"(CASE WHEN {u} >= {c} THEN 1 ELSE 0 END)"
+            for c in POISSON_CDF
+        ) + ")"
+        aggs.append(F.expr(f"SUM({m} * {value_col})").alias(f"s{b}"))
+        aggs.append(F.expr(f"SUM({m})").alias(f"c{b}"))
+    wide = pre.groupBy(group_col).agg(*aggs)
     pairs = ", ".join(
         f"{b}, CAST(s{b} AS DOUBLE) / CAST(c{b} AS DOUBLE)"
         for b in range(b_replicas)
@@ -133,14 +163,16 @@ def _bootstrap_oracle() -> str:
         f"(CAST(((o_orderkey * {LCG_MULT}) % {LCG_MOD}) * (b + 1)"
         f" % {LCG_MOD} * {LCG_MULT} % {LCG_MOD} AS DOUBLE) / {LCG_MOD}.0)"
     )
-    cases = " ".join(
-        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(POISSON_CDF)
+    # flat indicator sum — same value as a nested inverse-CDF CASE for
+    # every u including the boundaries, mirroring the Spark side
+    ladder = " + ".join(
+        f"(CASE WHEN {u} >= {c} THEN 1 ELSE 0 END)" for c in POISSON_CDF
     )
     return f"""
     WITH reps AS (SELECT unnest(range({B_REPLICAS})) AS b),
     m AS (
         SELECT o_orderpriority, b,
-               (CASE {cases} ELSE 6 END) AS mult,
+               ({ladder}) AS mult,
                o_totalprice
         FROM orders CROSS JOIN reps
     ),
