@@ -1246,3 +1246,70 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ent_term").cast("double").alias("entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# conjunctive boolean retrieval
+# ---------------------------------------------------------------------------
+
+# AND-query terms: chosen for selectivity structure at the test scales —
+# "dup" hits ~5% of docs, the others ~75%, so the conjunction keeps a
+# nonempty minority and every predicate actually prunes.
+SEARCH_TERMS = ("dup", "fast", "key")
+
+
+@query(
+    "conjunctive_term_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM tok
+        WHERE tok IN {SEARCH_TERMS!r}
+        GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM hits
+    GROUP BY doc_id
+    HAVING COUNT(*) = {len(SEARCH_TERMS)}
+    """,
+)
+def conjunctive_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval: documents containing EVERY query term, with
+    the total occurrence count of the terms (the selection stage a
+    keyword-filtered corpus slice or a boolean pre-filter before BM25
+    ranking runs).
+
+    Spark-first shape: no materialized inverted index — the term set
+    pushes into the scan as an ``IN`` filter on the exploded tokens
+    (whole-stage codegen; everything not matching a query term dies
+    before any exchange), then ONE doc-keyed partial-combined aggregate
+    counts distinct matched terms and keeps docs matching all of them.
+    This beats the textbook df-ascending posting-list semi-join chain on
+    Spark whenever the index would be built from the same scan (one pass
+    either way, and the chain's K−1 joins become a single aggregate); a
+    PREBUILT posting index would instead start from its (term, doc)
+    relation — same aggregate, no scan.  Integer-exact throughout."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok").isin(*SEARCH_TERMS))
+    return (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_terms") == len(SEARCH_TERMS))
+        .select("doc_id", "n_occurrences")
+    )

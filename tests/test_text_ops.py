@@ -149,3 +149,36 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
 
     for doc_id, text, _, _ in rows:
         assert fps.get(doc_id, set()) == ref_fps(text), doc_id
+
+
+def test_conjunctive_search_requires_all_terms(spark):
+    """Driver recompute: a doc is returned iff it contains EVERY query
+    term; n_occurrences is the total count of the terms; and the HAVING
+    branch is non-vacuous (some docs match a proper subset of terms)."""
+    import __spark_entry__ as ent
+    from national_caseload_data_ingest_spark.operators.text import (
+        SEARCH_TERMS,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    rows = (
+        load_tables(spark, sf, "documents")["documents"]
+        .select("doc_id", "text")
+        .collect()
+    )
+    want = {}
+    partial = 0
+    for r in rows:
+        toks = r["text"].strip().lower().split()
+        present = {t for t in SEARCH_TERMS if t in toks}
+        if present == set(SEARCH_TERMS):
+            want[r["doc_id"]] = sum(toks.count(t) for t in SEARCH_TERMS)
+        elif present:
+            partial += 1
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in ent.queries()["conjunctive_term_search"](spark, sf).collect()
+    }
+    assert got == want and got
+    assert partial > 0  # the all-terms filter actually excludes docs
