@@ -95,6 +95,7 @@ CHECK_PRIORITY: list[str] = [
     "alpha_mixture_allocation",  # n^0.5 source reweighting, exact Hamilton (new)
     "neardup_link_prediction",  # common-neighbor Jaccard, integer-exact (new)
     "conjunctive_term_search",  # boolean AND retrieval, scan-pushed (new)
+    "phrase_search_positions",  # positional phrase intersect (new)
     "cms_token_counts",  # the 1/160 query with no driver row in any round
     "customers_buying_all_core_parts",  # division retuned: brand-domain divisor
     "q18_large_orders",  # broadcast hint dropped (r6 weak item) — re-certify

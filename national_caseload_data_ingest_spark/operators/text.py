@@ -1313,3 +1313,59 @@ def conjunctive_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_terms") == len(SEARCH_TERMS))
         .select("doc_id", "n_occurrences")
     )
+
+
+# Phrase query for the positional path: adjacent-token match, present in
+# ~9% of docs at the test scales with both 1- and 2-occurrence documents.
+PHRASE_TERMS = ("table", "hash")
+
+
+@query(
+    "phrase_search_positions",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+        FROM t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM pos
+    WHERE toks[i] = '{PHRASE_TERMS[0]}' AND toks[i + 1] = '{PHRASE_TERMS[1]}'
+    GROUP BY doc_id
+    """,
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval via POSITIONAL postings — the capability
+    boolean AND (``conjunctive_term_search`` above) cannot express:
+    "table hash" must match only ADJACENT occurrences, so the index
+    needs token positions, not just memberships.
+
+    Spark-first: ``posexplode`` emits (doc_id, pos, tok); each phrase
+    term's posting stream is filtered AT THE SCAN (only the two query
+    terms survive into the join), and adjacency is one equi-join keyed
+    (doc_id, pos + 1) = (doc_id, pos) — the standard positional-index
+    intersect, shuffling only the two terms' postings, never the corpus.
+    K-term phrases chain K−1 of these joins, rarest term first.
+    Integer-exact counts hash-match the array-indexing oracle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    posts = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    p0 = posts.filter(F.col("tok") == PHRASE_TERMS[0]).select(
+        "doc_id", (F.col("pos") + 1).alias("next_pos")
+    )
+    p1 = posts.filter(F.col("tok") == PHRASE_TERMS[1]).select(
+        "doc_id", F.col("pos").alias("next_pos")
+    )
+    return (
+        p0.join(p1, ["doc_id", "next_pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )

@@ -182,3 +182,42 @@ def test_conjunctive_search_requires_all_terms(spark):
     }
     assert got == want and got
     assert partial > 0  # the all-terms filter actually excludes docs
+
+
+def test_phrase_search_adjacency_semantics(spark):
+    """Driver recompute: n_matches counts ADJACENT occurrences only —
+    docs containing both words non-adjacently must be absent, and at
+    least one doc has 2+ matches (multi-occurrence branch fires)."""
+    import __spark_entry__ as ent
+    from national_caseload_data_ingest_spark.operators.text import (
+        PHRASE_TERMS,
+    )
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    rows = (
+        load_tables(spark, sf, "documents")["documents"]
+        .select("doc_id", "text")
+        .collect()
+    )
+    want = {}
+    both_words_non_adjacent = 0
+    a, b = PHRASE_TERMS
+    for r in rows:
+        toks = r["text"].strip().lower().split()
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == a and toks[i + 1] == b
+        )
+        if n:
+            want[r["doc_id"]] = n
+        elif a in toks and b in toks:
+            both_words_non_adjacent += 1
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in ent.queries()["phrase_search_positions"](spark, sf).collect()
+    }
+    assert got == want and got
+    assert both_words_non_adjacent > 0  # adjacency is doing real work
+    assert max(want.values()) >= 2  # multi-occurrence docs exist
