@@ -437,6 +437,109 @@ def neardup_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # link prediction — common-neighbor / neighborhood-Jaccard scores
 # ---------------------------------------------------------------------------
 
+# Upper bound on the wedge-join output Σ C(deg, 2) (candidate rows emitted
+# before the groupBy).  Chosen like DIRECT_JOIN_BUDGET in dedup.py: the
+# volume a 32-thread local run folds in seconds and a cluster folds per
+# task without spill; one template-farm hub of degree 10⁶ alone would emit
+# 5·10¹¹ rows, which no AQE skew split can bound — the guard catches it
+# from one O(|V|) stats aggregation before any wedge row is produced.
+WEDGE_VOLUME_BUDGET = 200_000_000
+
+
+def link_prediction_scores(
+    pairs: DataFrame,
+    wedge_budget: int = WEDGE_VOLUME_BUDGET,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor / neighborhood-Jaccard scores for every
+    NON-adjacent pair of an undirected graph ``(doc_a, doc_b)``.
+
+    The wedge join (edges ⋈ edges on the middle node) emits exactly
+    Σ_v C(deg(v), 2) candidate rows.  House rule (SCALING.md: "never
+    silent O(n²)"): that volume is measured FIRST with one stats
+    aggregation over the degree relation — the exact pattern of the
+    PPJoin planner's Σ C(df, 2) probe (dedup.py) — and
+
+    * volume ≤ ``wedge_budget`` → run the exact wedge join;
+    * volume >  ``wedge_budget`` and ``max_degree`` is None → raise
+      with routing guidance (fail fast, never silently quadratic);
+    * ``max_degree`` set → cap each node's neighbor list to its
+      ``max_degree`` smallest neighbor ids (deterministic top-k via one
+      row_number window) before wedging, and re-check the now-bounded
+      volume ≤ |V|·C(max_degree, 2).  Scores computed on the capped
+      graph are a lower bound on n_common for hub-adjacent pairs; the
+      emitted relation carries true (uncapped) degrees so nbr_jaccard
+      stays interpretable.
+    """
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=False)  # reused 5× below — one materialization
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # one bounded stats row: the wedge output volume, known BEFORE the join
+    vol = (
+        deg.agg(
+            F.sum(
+                F.col("deg").cast("bigint") * (F.col("deg") - F.lit(1)) / 2
+            ).alias("vol")
+        ).collect()[0]["vol"]
+        or 0
+    )
+    wedge_src = sym
+    if vol > wedge_budget:
+        if max_degree is None:
+            raise ValueError(
+                "link_prediction_scores: wedge-join volume sum(C(deg,2)) = "
+                f"{int(vol):,} exceeds wedge_budget={wedge_budget:,} — the "
+                "graph has hub nodes whose wedge enumeration would be "
+                "quadratic in degree.  Route around it: pass max_degree=k "
+                "to score on a deterministic k-nearest-neighbor-capped "
+                "graph, raise wedge_budget if the cluster can fold the "
+                "volume, or pre-filter the edge relation (e.g. drop "
+                "degree > d hubs, which are template boilerplate in a "
+                "near-dup graph, not content)."
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("u").orderBy("v")
+        wedge_src = (
+            sym.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_degree)
+            .drop("__rn")
+            .localCheckpoint(eager=False)
+        )
+    e1 = wedge_src.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    e2 = wedge_src.select(F.col("u").alias("mid2"), F.col("v").alias("b"))
+    cand = (
+        e1.join(e2, (F.col("mid") == F.col("mid2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    adj = sym.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    nonadj = cand.join(adj, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            ).alias("nbr_jaccard"),
+        )
+    )
+
 
 @query(
     "neardup_link_prediction",
@@ -475,49 +578,14 @@ def neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts and degrees are integers; the Jaccard is ONE
     division of exact integers (the repo-wide float rule), so the
-    relation hash-matches the oracle.  Shapes: the wedge join
-    (edges ⋈ edges on the middle node) costs Σ deg² — bounded on a
-    near-dup graph whose components are dup clusters; a viral hub is
-    one hot middle key that AQE's skew split handles, and the adjacency
-    anti-join + two degree joins are all node-keyed.  No float
-    accumulation anywhere."""
+    relation hash-matches the oracle.  Shapes: the wedge join's
+    Σ C(deg, 2) output volume is MEASURED by one stats aggregation
+    before any wedge row is produced, and the kernel fails fast with
+    routing guidance over :data:`WEDGE_VOLUME_BUDGET` (see
+    :func:`link_prediction_scores`) — the adjacency anti-join + two
+    degree joins are all node-keyed.  No float accumulation anywhere."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = neardup_pairs(d, CLUSTER_THRESHOLD, mode="exact").select(
         "doc_a", "doc_b"
     )
-    sym = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        )
-        .localCheckpoint(eager=False)  # reused 4× below — one materialization
-    )
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    e1 = sym.select(F.col("u").alias("a"), F.col("v").alias("mid"))
-    e2 = sym.select(F.col("u").alias("mid2"), F.col("v").alias("b"))
-    cand = (
-        e1.join(e2, (F.col("mid") == F.col("mid2")) & (F.col("a") < F.col("b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    adj = sym.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    nonadj = cand.join(adj, ["a", "b"], "left_anti")
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    return (
-        nonadj.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.col("a").alias("doc_a"),
-            F.col("b").alias("doc_b"),
-            "n_common",
-            "deg_a",
-            "deg_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
-            ).alias("nbr_jaccard"),
-        )
-    )
+    return link_prediction_scores(pairs)

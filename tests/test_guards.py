@@ -236,3 +236,83 @@ def test_salted_join_left_matches_plain_join(spark):
         t["orders"], t["customer"], "o_custkey", "c_custkey", how="left"
     )
     assert salted.count() == plain.count()
+
+
+# ---------------------------------------------------------------------------
+# link-prediction wedge-join guard (graph.py) — the Σ C(deg,2) budget
+# ---------------------------------------------------------------------------
+
+
+def _star_graph(spark, n_leaves):
+    """A hub of degree n_leaves: wedge volume = C(n_leaves, 2)."""
+    rows = [(0, i) for i in range(1, n_leaves + 1)]
+    return spark.createDataFrame(rows, ["doc_a", "doc_b"])
+
+
+def test_wedge_guard_raises_on_hub_graph(spark):
+    """A hub whose sum C(deg,2) exceeds the budget must fail fast with
+    routing guidance before any wedge row is produced — AQE splits the
+    partition but cannot bound the output."""
+    from national_caseload_data_ingest_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    pairs = _star_graph(spark, 12)  # hub degree 12 -> 66 wedges
+    with pytest.raises(ValueError, match="wedge-join volume"):
+        link_prediction_scores(pairs, wedge_budget=50)
+
+
+def test_wedge_guard_at_bound_succeeds(spark):
+    """Exactly at the budget the exact plan runs (guard is >, not >=),
+    and the star's leaves score n_common=1 against each other."""
+    from national_caseload_data_ingest_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    pairs = _star_graph(spark, 12)
+    # leaves have deg 1 -> C(1,2)=0 each; hub C(12,2)=66
+    out = link_prediction_scores(pairs, wedge_budget=66).collect()
+    assert len(out) == 66  # every leaf pair, non-adjacent, 1 common nbr
+    assert all(r["n_common"] == 1 for r in out)
+
+
+def test_wedge_guard_max_degree_routes_capped_variant(spark):
+    """Over budget WITH max_degree set -> deterministic k-smallest
+    neighbor cap bounds the wedge volume; true (uncapped) degrees are
+    still reported."""
+    from national_caseload_data_ingest_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    pairs = _star_graph(spark, 12)
+    out = link_prediction_scores(
+        pairs, wedge_budget=10, max_degree=3
+    ).collect()
+    # hub capped to neighbors {1,2,3} -> only C(3,2)=3 leaf pairs scored
+    assert sorted((r["doc_a"], r["doc_b"]) for r in out) == [
+        (1, 2), (1, 3), (2, 3)
+    ]
+    # degrees come from the UNCAPPED graph: every leaf has true deg 1
+    assert all(r["deg_a"] == 1 and r["deg_b"] == 1 for r in out)
+    assert all(r["n_common"] == 1 for r in out)
+
+
+def test_wedge_default_budget_passes_corpus(spark, documents):
+    """The registered query's default budget comfortably admits the real
+    near-dup graph (regression: the guard must not break the oracle
+    query)."""
+    from national_caseload_data_ingest_spark.operators.curation import (
+        CLUSTER_THRESHOLD,
+    )
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        neardup_pairs,
+    )
+    from national_caseload_data_ingest_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    pairs = neardup_pairs(documents, CLUSTER_THRESHOLD, mode="exact").select(
+        "doc_a", "doc_b"
+    )
+    out = link_prediction_scores(pairs)
+    assert out.count() >= 0  # executes without tripping the guard
