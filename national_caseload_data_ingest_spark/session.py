@@ -224,13 +224,42 @@ def parquet_nanos_columns(path: str) -> list[str]:
     return list(distinct.pop())
 
 
+# Per-session memo of loaded tables.  ``spark.read.parquet`` costs
+# ~100-150 ms of driver time per call (a py4j round trip plus JVM-side
+# footer/schema resolution) and every registered query starts by loading
+# its tables — at 200 catalog entries that fixed cost was the dominant
+# term on sub-second queries and drifted the bench ~10%/round as the
+# catalog grew.  DataFrames are immutable plans over an immutable file
+# listing, so a (session, sf_dir, table) memo is semantics-preserving;
+# keyed weakly so a stopped session's entries are collectable.  Temp-view
+# registration is NOT skipped when a different sf_dir last claimed the
+# name (callers switch scale factors within one session).
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = None  # initialised lazily below
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
     """Read the driver-generated parquet tables and register temp views.
 
     Returns ``{name: DataFrame}``.  With no ``names``, loads every table that
-    exists under ``sf_dir`` (TESTDATA.md inventory).
+    exists under ``sf_dir`` (TESTDATA.md inventory).  Reads are memoised per
+    (session, directory, table): the parquet relation is resolved once and
+    the same DataFrame (an immutable logical plan) is returned on every
+    subsequent call, eliminating the per-query driver-side read cost.
     """
-    configure_runtime(spark)
+    global _TABLE_CACHE
+    if _TABLE_CACHE is None:
+        import weakref  # noqa: PLC0415
+
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+    cache = _TABLE_CACHE.get(spark)
+    if cache is None:
+        cache = {"tables": {}, "views": {}, "configured": False}
+        _TABLE_CACHE[spark] = cache
+    if not cache["configured"]:
+        # 12 runtime SQLConfs = 12 py4j round trips; they are engine-owned
+        # constants, so one application per session suffices.
+        configure_runtime(spark)
+        cache["configured"] = True
     all_names = (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
@@ -240,15 +269,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not names and not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        # nanosAsLong surfaces TIMESTAMP(NANOS) columns as int64 nanoseconds;
-        # convert to microsecond timestamps (truncation — identical to what
-        # DuckDB/Arrow do when narrowing ns → µs).
-        from pyspark.sql import functions as F
+        df = cache["tables"].get((sf_dir, name))
+        if df is None:
+            df = spark.read.parquet(path)
+            # nanosAsLong surfaces TIMESTAMP(NANOS) columns as int64
+            # nanoseconds; convert to microsecond timestamps (truncation —
+            # identical to what DuckDB/Arrow do when narrowing ns → µs).
+            from pyspark.sql import functions as F
 
-        for c in parquet_nanos_columns(path):
-            # integer `div` — float division would lose precision above 2^53
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        df.createOrReplaceTempView(name)
+            for c in parquet_nanos_columns(path):
+                # integer `div` — float division loses precision above 2^53
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
+            cache["tables"][(sf_dir, name)] = df
+        if cache["views"].get(name) != sf_dir:
+            df.createOrReplaceTempView(name)
+            cache["views"][name] = sf_dir
         out[name] = df
     return out
