@@ -2909,15 +2909,6 @@ def tiff_encode(
         strip_offsets.append(pos)
         pos += len(s)
     aux = bytearray()
-
-    def aux_offset(fmt_vals):
-        nonlocal pos
-        off = pos
-        b = struct.pack(f"<{len(fmt_vals)}{'H' if max(fmt_vals) < 65536 else 'I'}", *fmt_vals)
-        aux.extend(b)
-        pos += len(b)
-        return off
-
     entries = []
 
     def entry(tag, typ, count, value):

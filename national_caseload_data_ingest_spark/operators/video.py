@@ -80,11 +80,18 @@ def avi_encode_mjpeg(frames: list[bytes], fps: int = 10,
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def avi_extract_frames(payload: bytes, stream: int = 0) -> list[bytes]:
-    """Walk the RIFF tree and return the raw per-frame payloads of video
-    stream ``stream`` (``NNdc``/``NNdb`` chunks inside ``movi``, in file
-    order — also inside ``rec `` groups, which interleaved AVIs use).
-    Raises ``ValueError`` on structural corruption and
+def avi_extract_frames(
+    payload: bytes,
+    stream: int = 0,
+    kinds: tuple[str, ...] = ("dc", "db"),
+) -> list[bytes]:
+    """Walk the RIFF tree and return the raw per-chunk payloads of
+    stream ``stream`` (chunks inside ``movi``, in file order — also
+    inside ``rec `` groups, which interleaved AVIs use).  ``kinds``
+    selects the chunk flavors: the default ``("dc", "db")`` is
+    video-only (compressed/uncompressed frames) so downstream JPEG
+    decoding never sees audio bytes; pass ``("wb",)`` to pull an audio
+    stream instead.  Raises ``ValueError`` on structural corruption and
     ``NotImplementedError`` for non-AVI RIFF files."""
     if payload[:4] != b"RIFF":
         raise ValueError("not a RIFF container")
@@ -92,11 +99,7 @@ def avi_extract_frames(payload: bytes, stream: int = 0) -> list[bytes]:
         raise NotImplementedError(
             f"RIFF form {payload[8:12]!r} is not AVI"
         )
-    want = {
-        f"{stream:02d}dc".encode(),  # compressed video
-        f"{stream:02d}db".encode(),  # uncompressed video
-        f"{stream:02d}wb".encode(),  # audio (generic stream extraction)
-    }
+    want = {f"{stream:02d}{k}".encode() for k in kinds}
     frames: list[bytes] = []
 
     def walk(data: bytes, pos: int, end: int) -> None:

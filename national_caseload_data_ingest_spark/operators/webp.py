@@ -168,16 +168,20 @@ def _build_huffman_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int
                 key=lambda s: lengths[s])
         kraft -= 1 << (max_len - lengths[s] - 1)
         lengths[s] += 1
-    while kraft < full:  # incomplete: raise the deepest leaf
-        s = max(lengths, key=lambda s: lengths[s])
-        if lengths[s] <= 1:
-            break
+    while kraft < full:  # incomplete: shorten the deepest leaf
+        # Exact by construction: every kraft term is a multiple of the
+        # deepest leaf's contribution g = 2^(max_len - l_max), and so
+        # is `full`, hence g divides (full - kraft) and g <= deficit —
+        # each step closes the gap without overshooting.  l_max == 1
+        # with a deficit is impossible (two length-1 leaves already sum
+        # to full), so the decrement never reaches length 0.
+        s = max(lengths, key=lambda s: (lengths[s], s))
+        if lengths[s] <= 1:  # defensive: cannot happen (see above)
+            raise AssertionError("huffman: deficit with all leaves at depth 1")
+        kraft += 1 << (max_len - lengths[s])
         lengths[s] -= 1
-        kraft += 1 << (max_len - lengths[s] - 1)
-        if kraft > full:  # overshoot: undo and pad with a sibling split
-            lengths[s] += 1
-            kraft -= 1 << (max_len - lengths[s])
-            break
+    if kraft != full:
+        raise AssertionError("huffman: Kraft sum not exactly 1 after repair")
     return lengths
 
 
@@ -572,7 +576,11 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
             a = (ave >> shift) & 0xFF
             b = (tl >> shift) & 0xFF
             d = a - b
-            v = a + (d - (d < 0)) // 2 if d < 0 else a + d // 2  # trunc /2
+            # C `(a - b) / 2` truncates TOWARD ZERO (libwebp
+            # AddSubtractComponentHalf); Python // floors, so the
+            # negative branch needs (d + 1) // 2: d=-4 → -2 (not -3),
+            # d=-5 → -2, d=-1 → 0.
+            v = a + ((d + 1) // 2 if d < 0 else d // 2)
             out |= max(0, min(255, v)) << shift
         return out
     raise ValueError(f"vp8l: invalid predictor mode {mode}")

@@ -75,7 +75,19 @@ def test_rec_groups_and_other_streams_skipped():
     movi = chunk(b"LIST", b"movi" + rec)
     payload = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
     assert avi_extract_frames(payload) == frames
-    assert avi_extract_frames(payload, stream=1) == [b"AUDIO"]
+    # default kinds are video-only: stream 1 carries no dc/db chunks
+    assert avi_extract_frames(payload, stream=1) == []
+    assert avi_extract_frames(payload, stream=1, kinds=("wb",)) == [b"AUDIO"]
+    # an audio chunk mislabeled into stream 0 must NOT reach the video list
+    rec_bad = chunk(
+        b"LIST",
+        b"rec " + chunk(b"00dc", frames[0]) + chunk(b"00wb", b"AUDIO"),
+    )
+    movi_bad = chunk(b"LIST", b"movi" + rec_bad)
+    payload_bad = (
+        b"RIFF" + struct.pack("<I", 4 + len(movi_bad)) + b"AVI " + movi_bad
+    )
+    assert avi_extract_frames(payload_bad) == [frames[0]]
 
 
 def test_gates():

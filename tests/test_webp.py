@@ -95,6 +95,22 @@ def test_kraft_sum_always_complete():
         assert max(lengths.values()) <= 15
 
 
+def test_kraft_exact_under_forced_clamping():
+    """Fibonacci frequencies build the deepest possible Huffman tree, so
+    alphabets past ~17 symbols force the max_len clamp and both repair
+    loops; the sum must land on EXACTLY 1 (integer arithmetic), never
+    an incomplete code — VP8L decoders reject under-subscribed codes."""
+    fib = [1, 1]
+    while len(fib) < 40:
+        fib.append(fib[-1] + fib[-2])
+    for n in range(18, 41):
+        lengths = _build_huffman_lengths({s: fib[s] for s in range(n)})
+        kraft = sum(1 << (15 - l) for l in lengths.values())
+        assert kraft == 1 << 15, (n, kraft)
+        assert max(lengths.values()) <= 15
+        assert min(lengths.values()) >= 1
+
+
 # ------------------------------------------------------------- roundtrips
 
 
@@ -150,6 +166,74 @@ def test_roundtrip_smooth_image_predictor_compresses():
     pred = webp_encode(img, use_lz77=False, predictor_mode=12)
     _roundtrip(img, predictor_mode=12)
     assert len(pred) < len(plain)
+
+
+def test_clamp_add_subtract_half_truncates_toward_zero():
+    """Predictor 13 (ClampAddSubtractHalf) against clean-room libwebp
+    semantics: C ``(a - b) / 2`` truncates TOWARD ZERO, so negative
+    deltas must use ``(d + 1) // 2``, never floor.  Hard constants
+    first (the exact cases the pre-fix code got wrong), then a sweep
+    vs an independent ``int(d / 2)`` reimplementation."""
+    from national_caseload_data_ingest_spark.operators.webp import (
+        _avg2,
+        _predict,
+    )
+
+    def pack(v):  # same value in every channel
+        return (v << 24) | (v << 16) | (v << 8) | v
+
+    # (left, top, tl) -> expected channel value per libwebp:
+    #   ave = (left + top) >> 1; clip255(ave + trunc((ave - tl) / 2))
+    hard = [
+        (10, 10, 14),  # d = -4 -> 10 + (-2) = 8   (floor bug gave 7)
+        (10, 10, 13),  # d = -3 -> 10 + (-1) = 9
+        (10, 10, 15),  # d = -5 -> 10 + (-2) = 8   (floor bug gave 7)
+        (10, 10, 11),  # d = -1 -> 10 + 0 = 10     (floor bug gave 9)
+        (10, 10, 12),  # d = -2 -> 10 + (-1) = 9
+        (10, 10, 6),   # d = +4 -> 12
+        (0, 0, 255),   # d = -255 -> clip(0 - 127) = 0
+        (255, 255, 0), # d = +255 -> clip(255 + 127) = 255
+    ]
+    expect = [8, 9, 8, 10, 9, 12, 0, 255]
+    for (l, t, tl), e in zip(hard, expect):
+        got = _predict(13, pack(l), pack(t), pack(tl), 0) & 0xFF
+        assert got == e, (l, t, tl, got, e)
+    # exhaustive single-channel sweep vs clean-room trunc division
+    for left in range(0, 256, 17):
+        for top in range(3, 256, 23):
+            for tl in range(5, 256, 19):
+                ave = (left + top) // 2
+                ref = max(0, min(255, ave + int((ave - tl) / 2)))
+                got = _predict(13, pack(left), pack(top), pack(tl), 0)
+                assert got & 0xFF == ref
+
+
+# Frozen mode-13 stream: 8x10 descending-gradient RGB encoded with
+# predictor_mode=13 AFTER the truncation fix, then pinned as bytes.
+# Generation-time validation (tools/, round 9): the decode path hit 189
+# negative deltas (63 odd, 126 even) and a decode with the pre-fix
+# floor formula differed in 189 bytes — the vector is non-vacuous and
+# NOT a shared-_predict round-trip (the bytes can never re-agree with a
+# future regression on either side).
+MODE13_WEBP_HEX = (
+    "524946465a000000574542505650384c4d0000002f09c00100893644f43f4010"
+    "6c9af2774ca58f40d334d6bf999d3e2113348df5ef63b93d18b1adaaaaaaaaaa"
+    "aafa0f000080ff000000f80f000080ff000000f80f000080ff000000f80f0000"
+    "0000"
+)
+
+
+def test_mode13_frozen_byte_vector():
+    payload = bytes.fromhex(MODE13_WEBP_HEX)
+    w, h, ch, out = webp_decode(payload)
+    assert (w, h, ch) == (10, 8, 3)
+    expected = np.zeros((8, 10, 3), dtype=np.uint8)
+    for y in range(8):
+        for x in range(10):
+            expected[y, x, 0] = (200 - 5 * x - 3 * y) % 256
+            expected[y, x, 1] = (220 - 2 * x - 3 * y) % 256
+            expected[y, x, 2] = (180 - 7 * x - 1 * y) % 256
+    assert np.array_equal(out, expected)
 
 
 def test_meta_prefix_groups_hand_crafted():
