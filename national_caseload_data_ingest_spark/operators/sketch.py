@@ -324,22 +324,28 @@ def misra_gries_candidates(tokens: DataFrame, k: int = MG_K) -> DataFrame:
     import pandas as pd  # noqa: PLC0415
 
     def kernel(batches):
+        # WEIGHTED Misra–Gries over per-batch (token, count) pairs:
+        # value_counts() collapses each Arrow batch C-side, so the
+        # Python loop runs once per DISTINCT token per batch, not once
+        # per token occurrence.  The merge step generalizes the classic
+        # decrement: inserting (x, w) into a full table subtracts the
+        # table minimum m from every entry and drops the non-positive
+        # ones (≥1 eviction per step).  Analysis is unchanged: each
+        # step removes m·(k+1) ≤ inserted mass, so total undercount per
+        # token ≤ n_j/(k+1) < n_j/k — every local count > n_j/k keeps a
+        # positive counter, preserving the superset guarantee below.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for tok in pdf["tok"]:
+            for tok, w in pdf["tok"].value_counts().items():
                 if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < k:
-                    counters[tok] = 1
-                else:
-                    # decrement-all; drop zeros (the classic MG step)
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+                    counters[tok] += int(w)
+                    continue
+                counters[tok] = int(w)
+                if len(counters) > k:
+                    m = min(counters.values())
+                    counters = {
+                        t: c - m for t, c in counters.items() if c > m
+                    }
         yield pd.DataFrame(
             {
                 "tok": list(counters.keys()),
