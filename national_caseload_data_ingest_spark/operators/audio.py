@@ -540,11 +540,13 @@ def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/flac.py``): per document, synthesize a deterministic
     int16 waveform, encode through the real FLAC path (doc id rotates
     mono and all three stereo-decorrelation channel assignments:
-    left/side, right/side, mid/side), decode it back — CRC-8/CRC-16
-    verified, fixed predictors restored, Rice partitions expanded — and
-    hash-match the closed-form sample statistics.  Lossless end to end,
-    so the oracle is exact for every mode.  One narrow ``mapInPandas``
-    pass."""
+    left/side, right/side, mid/side; odd doc ids additionally force
+    order-8 quantized-LPC subframes — the dominant real-world coding
+    mode — so the driver row certifies the LPC restore path too),
+    decode it back — CRC-8/CRC-16 verified, fixed and LPC predictors
+    restored, Rice partitions expanded — and hash-match the closed-form
+    sample statistics.  Lossless end to end, so the oracle is exact for
+    every mode.  One narrow ``mapInPandas`` pass."""
     import numpy as np  # noqa: PLC0415
 
     from national_caseload_data_ingest_spark.operators.flac import (  # noqa: PLC0415
@@ -562,14 +564,16 @@ def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = np.arange(FLAC_N, dtype=np.int64)
                 left = ((did * 7 + k * k) % 4001) - 2000
                 mode = did % 5
+                lpc = 8 if did % 2 else None
                 if mode == 0:
-                    payload = flac_encode(left.astype(np.int16))
+                    payload = flac_encode(left.astype(np.int16), lpc_order=lpc)
                 else:
                     right = ((did * 11 + 3 * k) % 3001) - 1500
                     st = np.stack([left, right], axis=-1).astype(np.int16)
                     stereo = ["independent", "left_side", "right_side",
                               "mid_side"][mode - 1]
-                    payload = flac_encode(st, stereo_mode=stereo)
+                    payload = flac_encode(st, stereo_mode=stereo,
+                                          lpc_order=lpc)
                 _rate, ch, out = flac_decode(payload)
                 o = out.astype(np.int64)
                 doc_ids.append(did)

@@ -10,16 +10,22 @@ files commonly contain):
 - fLaC magic + STREAMINFO (and skipping any other metadata block),
 - frames with UTF-8-coded frame numbers, CRC-8 header / CRC-16 frame
   checks (verified, not just parsed),
-- subframe types CONSTANT, VERBATIM, and FIXED orders 0-4,
+- subframe types CONSTANT, VERBATIM, FIXED orders 0-4, and LPC orders
+  1-32 (quantized-coefficient linear prediction — the dominant coding
+  mode in real-world FLAC; encoder computes coefficients via
+  Levinson–Durbin and quantizes with error feedback, decoder restores
+  with exact integer arithmetic and the spec's arithmetic right shift),
 - Rice-coded residuals (both 4- and 5-bit parameter methods, partition
-  orders, escape-to-raw partitions),
+  orders, escape-to-raw partitions — the escape is reachable from the
+  encoder for large-residual signals, with the raw width sized to the
+  partition's widest value),
 - channel assignments: independent mono/stereo plus the left/side,
   right/side, and mid/side decorrelation modes.
 
-LPC subframes (type 32-63) raise ``NotImplementedError`` — an honest
-gate: everything this module claims to decode it decodes bit-exactly
-(roundtrip property tests in ``tests/test_flac.py``), and what it does
-not, it refuses loudly.
+Remaining honest gates: bit depths other than 16, more than two
+channels, reserved subframe/residual types — everything this module
+claims to decode it decodes bit-exactly (roundtrip property tests in
+``tests/test_flac.py``), and what it does not, it refuses loudly.
 """
 
 from __future__ import annotations
@@ -181,6 +187,85 @@ def _restore_fixed(warmup, residual, order: int):
     return np.asarray(out, dtype=np.int64)
 
 
+def _lpc_quantized(samples, order: int, precision: int = 12):
+    """Levinson–Durbin LPC coefficients, quantized libFLAC-style.
+
+    Returns ``(qcoefs, shift, precision)`` with ``qcoefs`` integer
+    coefficients of ``precision`` bits and ``shift`` the right-shift
+    applied after the integer dot product, or ``None`` when the signal
+    is degenerate (constant/zero autocorrelation, unstable recursion) —
+    the caller then falls back to a FIXED subframe.  Quantization
+    carries the rounding error forward (error feedback), matching the
+    reference encoder's approach; floats appear ONLY here on the
+    encoder side — the emitted stream and the decoder are pure
+    integers, so the codec stays lossless regardless."""
+    import numpy as np  # noqa: PLC0415
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
+    if n <= order:
+        return None
+    autoc = np.array(
+        [float(np.dot(x[: n - i], x[i:])) for i in range(order + 1)]
+    )
+    if autoc[0] <= 0:
+        return None
+    err = autoc[0]
+    a = np.zeros(0)
+    for i in range(order):
+        acc = autoc[i + 1]
+        if i:
+            acc -= float(np.dot(a, autoc[i:0:-1]))
+        k = acc / err
+        a = (
+            np.concatenate([a - k * a[::-1], [k]]) if i else np.array([k])
+        )
+        err *= 1.0 - k * k
+        if err <= 0 or not np.isfinite(err):
+            return None
+    cmax = float(np.max(np.abs(a)))
+    if cmax <= 0 or not np.isfinite(cmax):
+        return None
+    import math  # noqa: PLC0415
+
+    shift = precision - 1 - int(math.floor(math.log2(cmax))) - 1
+    shift = max(0, min(15, shift))
+    qmax = (1 << (precision - 1)) - 1
+    qmin = -(1 << (precision - 1))
+    q = []
+    e = 0.0
+    for c in a:
+        v = c * (1 << shift) + e
+        qi = max(qmin, min(qmax, int(round(v))))
+        e = v - qi
+        q.append(qi)
+    if not any(q):
+        return None
+    return q, shift, precision
+
+
+def _lpc_residual(samples, qcoefs, shift: int):
+    import numpy as np  # noqa: PLC0415
+
+    s = np.asarray(samples, dtype=np.int64)
+    order = len(qcoefs)
+    acc = np.zeros(len(s) - order, dtype=np.int64)
+    for i, c in enumerate(qcoefs):
+        acc += c * s[order - 1 - i : len(s) - 1 - i]
+    # numpy >> on int64 is the arithmetic shift the spec requires
+    return s[order:] - (acc >> shift)
+
+
+def _restore_lpc(warmup, residual, qcoefs, shift: int):
+    import numpy as np  # noqa: PLC0415
+
+    out = [int(x) for x in warmup]
+    for r in residual:
+        acc = sum(c * out[-i - 1] for i, c in enumerate(qcoefs))
+        out.append(int(r) + (acc >> shift))
+    return np.asarray(out, dtype=np.int64)
+
+
 def _write_rice_partition(bw: _MsbWriter, residual, param: int) -> None:
     if param > 30:  # escape: raw 5-bit-chosen width (encoder uses 17)
         raise ValueError("rice param too large")
@@ -198,12 +283,42 @@ def _best_rice_param(residual) -> int:
         return 0
     mean = float(np.mean([abs(int(r)) for r in residual]))
     p = 0
-    while (1 << p) < mean and p < 14:
+    while (1 << p) < mean and p < 30:
         p += 1
     return p
 
 
-def _encode_subframe(bw: _MsbWriter, samples, bps: int) -> None:
+def _write_residual(bw: _MsbWriter, res, bs: int, order: int) -> None:
+    """Residual coding method 0 (4-bit params): partition order 1 on big
+    even blocks (exercises per-partition params in the decoder), else 0.
+    A partition whose best Rice parameter would not fit the 4-bit field
+    escapes to raw, with the width sized to the widest signed value in
+    the partition (the spec's verbatim-partition path)."""
+    porder = 1 if (bs % 2 == 0 and bs >= 256 and order < bs // 2) else 0
+    bw.write(0, 2)
+    bw.write(porder, 4)
+    start = 0
+    for part in range(1 << porder):
+        count = (bs >> porder) - (order if part == 0 else 0)
+        chunk = res[start : start + count]
+        start += count
+        param = _best_rice_param(chunk)
+        if param >= 15:
+            width = max(
+                (int(r).bit_length() + 1 for r in chunk), default=1
+            )
+            bw.write(15, 4)  # escape
+            bw.write(width, 5)  # raw width
+            for r in chunk:
+                bw.write(int(r) & ((1 << width) - 1), width)
+        else:
+            bw.write(param, 4)
+            _write_rice_partition(bw, chunk, param)
+
+
+def _encode_subframe(
+    bw: _MsbWriter, samples, bps: int, lpc_order: int | None = None
+) -> None:
     import numpy as np  # noqa: PLC0415
 
     s = np.asarray(samples, dtype=np.int64)
@@ -213,6 +328,23 @@ def _encode_subframe(bw: _MsbWriter, samples, bps: int) -> None:
         bw.write(0, 1)  # no wasted bits
         bw.write(int(s[0]) & ((1 << bps) - 1), bps)
         return
+    bs = len(s)
+    if lpc_order is not None and 1 <= lpc_order <= 32 and bs > lpc_order:
+        lpc = _lpc_quantized(s, lpc_order)
+        if lpc is not None:
+            qcoefs, shift, precision = lpc
+            res = _lpc_residual(s, qcoefs, shift)
+            if int(np.abs(res).max()) < (1 << 28):
+                bw.write(32 + lpc_order - 1, 6)  # LPC, order encoded -1
+                bw.write(0, 1)  # no wasted bits
+                for w in s[:lpc_order]:
+                    bw.write(int(w) & ((1 << bps) - 1), bps)
+                bw.write(precision - 1, 4)
+                bw.write(shift, 5)  # nonnegative, fits signed 5-bit
+                for c in qcoefs:
+                    bw.write(c & ((1 << precision) - 1), precision)
+                _write_residual(bw, res, bs, lpc_order)
+                return
     # pick the fixed order with the smallest residual magnitude sum
     best_order, best_cost = 0, None
     for order in range(0, 5):
@@ -236,34 +368,23 @@ def _encode_subframe(bw: _MsbWriter, samples, bps: int) -> None:
     bw.write(0, 1)  # no wasted bits
     for w in s[:order]:
         bw.write(int(w) & ((1 << bps) - 1), bps)
-    # residual: method 0 (4-bit params); partition order 1 on big even
-    # blocks (exercises per-partition params in the decoder), else 0
-    bs = len(s)
-    porder = 1 if (bs % 2 == 0 and bs >= 256 and order < bs // 2) else 0
-    bw.write(0, 2)
-    bw.write(porder, 4)
-    start = 0
-    for part in range(1 << porder):
-        count = (bs >> porder) - (order if part == 0 else 0)
-        chunk = res[start : start + count]
-        start += count
-        param = _best_rice_param(chunk)
-        if param >= 15:
-            bw.write(15, 4)  # escape
-            bw.write(17, 5)  # raw width
-            for r in chunk:
-                bw.write(int(r) & ((1 << 17) - 1), 17)
-        else:
-            bw.write(param, 4)
-            _write_rice_partition(bw, chunk, param)
+    _write_residual(bw, res, bs, order)
 
 
-def flac_encode(samples, sample_rate: int = 8000, stereo_mode: str = "independent") -> bytes:
+def flac_encode(
+    samples,
+    sample_rate: int = 8000,
+    stereo_mode: str = "independent",
+    lpc_order: int | None = None,
+) -> bytes:
     """int16 array ``(n,)`` mono or ``(n, 2)`` stereo → FLAC bytes.
 
     ``stereo_mode``: ``independent``, ``left_side``, ``right_side`` or
     ``mid_side`` — emits the corresponding channel assignment so the
-    decoder's decorrelation paths are exercised."""
+    decoder's decorrelation paths are exercised.  ``lpc_order`` (1-32)
+    forces quantized-LPC subframes of that order (falling back to FIXED
+    only on degenerate signals); ``None`` keeps the fixed-predictor
+    search."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -308,21 +429,21 @@ def flac_encode(samples, sample_rate: int = 8000, stereo_mode: str = "independen
         head += bytes([_crc8(head)])
         body = _MsbWriter()
         if ch == 1:
-            _encode_subframe(body, blk[:, 0], bps)
+            _encode_subframe(body, blk[:, 0], bps, lpc_order)
         else:
             left, right = blk[:, 0], blk[:, 1]
             if chan_assign == 1:
-                _encode_subframe(body, left, bps)
-                _encode_subframe(body, right, bps)
+                _encode_subframe(body, left, bps, lpc_order)
+                _encode_subframe(body, right, bps, lpc_order)
             elif chan_assign == 8:  # left + side(=l-r)
-                _encode_subframe(body, left, bps)
-                _encode_subframe(body, left - right, bps + 1)
+                _encode_subframe(body, left, bps, lpc_order)
+                _encode_subframe(body, left - right, bps + 1, lpc_order)
             elif chan_assign == 9:  # side + right
-                _encode_subframe(body, left - right, bps + 1)
-                _encode_subframe(body, right, bps)
+                _encode_subframe(body, left - right, bps + 1, lpc_order)
+                _encode_subframe(body, right, bps, lpc_order)
             else:  # mid + side: mid = (l+r)>>1
-                _encode_subframe(body, (left + right) >> 1, bps)
-                _encode_subframe(body, left - right, bps + 1)
+                _encode_subframe(body, (left + right) >> 1, bps, lpc_order)
+                _encode_subframe(body, left - right, bps + 1, lpc_order)
         body.align()
         frame = head + body.bytes()
         frame += struct.pack(">H", _crc16(frame))
@@ -368,11 +489,19 @@ def _decode_subframe(br: _MsbReader, bs: int, bps: int):
         warmup = [br.read_signed(bps) for _ in range(order)]
         res = _decode_residual(br, bs, order)
         out = _restore_fixed(warmup, res, order)
-    elif stype >= 32:
-        raise NotImplementedError(
-            "flac: LPC subframes not supported (CONSTANT/VERBATIM/FIXED "
-            "subset only)"
-        )
+    elif stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 31) + 1
+        warmup = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4)
+        if precision == 0b1111:
+            raise ValueError("flac: invalid qlp precision code")
+        precision += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative qlp shift is reserved")
+        qcoefs = [br.read_signed(precision) for _ in range(order)]
+        res = _decode_residual(br, bs, order)
+        out = _restore_lpc(warmup, res, qcoefs, shift)
     else:
         raise ValueError(f"flac: reserved subframe type {stype}")
     return out << wasted if wasted else out

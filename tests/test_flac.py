@@ -77,7 +77,93 @@ def test_crc_corruption_detected():
         flac_decode(bytes(payload))
 
 
-def test_lpc_gate():
+@pytest.mark.parametrize("order", [1, 2, 4, 8, 12, 32])
+def test_lpc_mono_roundtrip(order):
+    t = np.arange(9000)
+    sig = (
+        8000 * np.sin(t / 23.0)
+        + 4000 * np.sin(t / 7.1)
+        + RNG.integers(-50, 50, 9000)
+    ).astype(np.int16)
+    rate, ch, out = flac_decode(flac_encode(sig, 8000, lpc_order=order))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(out[:, 0], sig)
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_lpc_stereo_roundtrip_all_channel_assignments(mode):
+    t = np.arange(6000)
+    left = (9000 * np.sin(t / 23.0)).astype(np.int16)
+    st = np.stack([left, np.roll(left, 3)], axis=-1)
+    rate, ch, out = flac_decode(
+        flac_encode(st, 44100, stereo_mode=mode, lpc_order=8)
+    )
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(out, st)
+
+
+def test_lpc_roundtrip_on_noise_and_extremes():
+    """LPC must stay bit-exact even on signals it predicts badly."""
+    for sig in (
+        RNG.integers(-32768, 32768, 5000).astype(np.int16),
+        np.array([-32768, 32767] * 300, np.int16),
+    ):
+        _, _, out = flac_decode(flac_encode(sig, lpc_order=8))
+        assert np.array_equal(out[:, 0], sig)
+
+
+def test_lpc_subframes_actually_emitted():
+    """Non-vacuity: the lpc_order stream must CONTAIN an LPC subframe
+    (type >= 32) and the fixed stream must not — checked at the subframe
+    level so a silent fall-back to FIXED can't pass the roundtrips."""
+    from national_caseload_data_ingest_spark.operators.flac import (
+        _encode_subframe,
+        _MsbWriter,
+    )
+
+    t = np.arange(4096)
+    sig = (6000 * np.sin(t / 19.0)).astype(np.int64)
+    for lpc_order, expect_lpc in ((8, True), (None, False)):
+        bw = _MsbWriter()
+        _encode_subframe(bw, sig, 16, lpc_order)
+        bw.align()
+        br = _MsbReader(bw.bytes())
+        assert br.read(1) == 0
+        stype = br.read(6)
+        assert (stype >= 32) == expect_lpc, stype
+
+
+def test_lpc_compresses_tonal_signal_beyond_fixed():
+    rng = np.random.default_rng(7)
+    t = np.arange(9000)
+    sig = (
+        8000 * np.sin(t / 23.0)
+        + 4000 * np.sin(t / 7.1)
+        + rng.integers(-50, 50, 9000)
+    ).astype(np.int16)
+    assert len(flac_encode(sig, lpc_order=8)) < len(flac_encode(sig))
+
+
+def test_rice_escape_partition_roundtrip():
+    """Residual magnitudes past the largest 4-bit Rice parameter force
+    the escape-to-raw partition path on BOTH sides (the encoder picks
+    param >= 15 for mean |residual| >= 2^15 and the decoder reads the
+    raw-width branch)."""
+    from national_caseload_data_ingest_spark.operators.flac import (
+        _best_rice_param,
+        _fixed_residual,
+    )
+
+    alt = np.tile(np.array([30000, -30000], dtype=np.int16), 300)
+    # the chosen fixed order's residuals really do escape
+    assert _best_rice_param(_fixed_residual(alt.astype(np.int64), 0)) >= 15
+    _, _, out = flac_decode(flac_encode(alt))
+    assert np.array_equal(out[:, 0], alt)
+
+
+def test_reserved_subframe_type_rejected():
     sig = RNG.integers(-1000, 1000, 500).astype(np.int16)
     payload = bytearray(flac_encode(sig))
     # frame starts right after the 4+4+34 byte header; its first subframe
@@ -85,8 +171,8 @@ def test_lpc_gate():
     # 2-byte blocksize + CRC8 = offset 8 within the frame
     frame_off = 4 + 4 + 34
     sub_hdr = frame_off + 4 + 1 + 2 + 1
-    payload[sub_hdr] = 0x40  # 0 + type 32 (LPC order 1) + wasted 0
-    with pytest.raises((NotImplementedError, ValueError)):
+    payload[sub_hdr] = 0x04  # 0 + type 2 (reserved) + wasted 0
+    with pytest.raises(ValueError):
         flac_decode(bytes(payload))
 
 
