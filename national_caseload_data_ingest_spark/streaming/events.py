@@ -691,9 +691,11 @@ def _funnel_update_factory(steps: tuple[str, ...]):
     Greedy arrival-order advancement equals the batch min-time
     semantics (`operators/behavior.funnel_user_steps`) when ingestion
     is event-time ordered across batches — the standard append-log
-    case; out-of-order feeds want a watermark-delay buffer in front
-    (same caveat as any streaming sessionizer).  State is two scalars
-    per user: bounded by the user population, not history.
+    case; out-of-order feeds should use the reorder-buffered variant
+    (:func:`_funnel_buffered_update_factory` /
+    :func:`funnel_stream_buffered`), which releases events only after
+    the watermark passes them.  State here is two scalars per user:
+    bounded by the user population, not history.
 
     Note: Spark 4's ``transformWithStateInPandas`` expresses the same
     machine with typed ValueState (a mixin sketch lived here briefly),
@@ -754,6 +756,115 @@ def funnel_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         stateStructType=_FUNNEL_STATE,
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+
+
+_FUNNEL_BUF_STATE = (
+    "step_reached int, reached_us bigint, buf_ts array<bigint>, "
+    "buf_eid array<bigint>, buf_type array<string>"
+)
+
+
+def _funnel_buffered_update_factory(steps: tuple[str, ...]):
+    """Event-time-correct funnel kernel: a WATERMARK-DELAY REORDER
+    BUFFER in front of the same step machine as
+    :func:`_funnel_update_factory`.
+
+    Each batch appends the user's new events to a buffered
+    ``(ts_us, event_id, event_type)`` list held in state; only events
+    whose timestamp is strictly BELOW the current event-time watermark
+    are released — in ``(ts, event_id)`` order — into the step machine.
+    The watermark guarantees no earlier event can still arrive, so the
+    released prefix is in true event-time order and the machine's
+    output equals the batch twin (``operators/behavior.
+    funnel_user_steps``) on every feed whose disorder is bounded by the
+    watermark delay — exactly the divergence case the greedy kernel
+    documents.  Events inside the delay horizon stay buffered; an
+    event-time timeout (min buffered ts + 1 ms) re-invokes the group
+    when the watermark passes them, including availableNow's final
+    no-data flush batch.
+
+    State is (two scalars) + O(events within the delay window) per
+    user — the price of reordering, bounded by the watermark delay and
+    the user's event rate, NOT by history.  Requires ``withWatermark``
+    upstream and ``timeoutConf="EventTimeTimeout"``."""
+    step_names = list(steps)
+
+    def update(key, pdf_iter, state):
+        import pandas as pd  # noqa: PLC0415
+
+        if state.exists:
+            step, reached_us, buf_ts, buf_eid, buf_type = state.get
+            buf = [
+                (int(t), int(e), str(y))
+                for t, e, y in zip(buf_ts, buf_eid, buf_type)
+            ]
+        else:
+            step, reached_us, buf = 0, None, []
+        for pdf in pdf_iter:
+            for ts, eid, et in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                buf.append((int(ts.value // 1000), int(eid), str(et)))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()
+        ready = [b for b in buf if b[0] < wm_us]
+        hold = [b for b in buf if b[0] >= wm_us]
+        advanced = False
+        for us, _eid, et in ready:
+            if step >= len(step_names):
+                break
+            if et == step_names[step] and (
+                reached_us is None or us > reached_us
+            ):
+                step += 1
+                reached_us = us
+                advanced = True
+        state.update(
+            (
+                step,
+                reached_us,
+                [b[0] for b in hold],
+                [b[1] for b in hold],
+                [b[2] for b in hold],
+            )
+        )
+        if hold:
+            # strictly above the current watermark by construction
+            state.setTimeoutTimestamp(hold[0][0] // 1000 + 1)
+        if advanced:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "step_reached": step,
+                        "reached_us": reached_us,
+                    }
+                ]
+            )
+
+    return update
+
+
+def funnel_stream_buffered(
+    spark: SparkSession, events_dir: str, delay: str = WATERMARK
+) -> DataFrame:
+    """Event-time-correct streaming funnel: watermarked input feeding
+    the reorder-buffered kernel.  Output matches the batch twin on any
+    feed whose out-of-orderness is bounded by ``delay`` (events still
+    inside the delay horizon when the stream ends remain buffered —
+    correctness over completeness, the standard watermark trade)."""
+    from national_caseload_data_ingest_spark.operators.behavior import (  # noqa: PLC0415
+        FUNNEL_STEPS,
+    )
+
+    e = _events_stream(spark, events_dir).withWatermark("ts", delay)
+    return e.groupBy("user_id").applyInPandasWithState(
+        _funnel_buffered_update_factory(FUNNEL_STEPS),
+        outputStructType=FUNNEL_OUT,
+        stateStructType=_FUNNEL_BUF_STATE,
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
     )
 
 

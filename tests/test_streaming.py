@@ -717,6 +717,93 @@ def test_funnel_stream_out_of_order_cross_batch_semantics(spark, tmp_path):
     assert len(batch) == 1 and batch[0]["step_reached"] == 2
 
 
+def test_funnel_stream_buffered_matches_batch_on_out_of_order_feed(
+    spark, tmp_path
+):
+    """The reorder-buffered funnel fixes EXACTLY the divergence the
+    greedy pin above documents: the same out-of-order feed (step-2
+    click arriving a batch before the step-1 view it should follow) now
+    reaches step 3, matching the batch twin, because events are held in
+    the watermark-delay buffer and released in event-time order.  A
+    later heartbeat event from another user pushes the watermark past
+    the funnel events so the final availableNow flush batch releases
+    them (that heartbeat itself stays buffered — inside the delay
+    horizon when the stream ends, the documented trade)."""
+    import os
+
+    from national_caseload_data_ingest_spark.operators.behavior import (
+        FUNNEL_STEPS,
+        funnel_user_steps,
+    )
+    from national_caseload_data_ingest_spark.streaming import events as sev
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t = lambda s: __import__("datetime").datetime(  # noqa: E731
+        2024, 1, 1, 0, s // 60, s % 60
+    )
+    # same shape as the greedy pin: click@t10 arrives BEFORE view@t5,
+    # then purchase@t20; heartbeat@t60 (user 99) drives the watermark
+    b0 = spark.createDataFrame([(1, t(10), 7, "click", 1.0, "{}")], schema)
+    b1 = spark.createDataFrame([(2, t(5), 7, "view", 1.0, "{}")], schema)
+    b2 = spark.createDataFrame(
+        [
+            (3, t(20), 7, "purchase", 1.0, "{}"),
+            (4, t(60), 99, "view", 1.0, "{}"),
+        ],
+        schema,
+    )
+    d = str(tmp_path / "ooo_buf")
+    b0.coalesce(1).write.parquet(os.path.join(d, "b0"))
+    b1.coalesce(1).write.parquet(os.path.join(d, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(d, "b2"))
+
+    sdf = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "b*"))
+        .withWatermark("ts", "10 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sev._funnel_buffered_update_factory(FUNNEL_STEPS),
+            outputStructType=sev.FUNNEL_OUT,
+            stateStructType=sev._FUNNEL_BUF_STATE,
+            outputMode="update",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("funnel_buf")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_buf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_buf").collect()
+    by_user = {}
+    for r in rows:
+        prev = by_user.get(r["user_id"])
+        if prev is None or r["step_reached"] > prev["step_reached"]:
+            by_user[r["user_id"]] = r
+    # user 7 matches the batch twin on the funnel events
+    funnel_events = b0.unionAll(b1).unionAll(
+        b2.filter("user_id = 7")
+    )
+    batch = {
+        r["user_id"]: r
+        for r in funnel_user_steps(funnel_events, FUNNEL_STEPS).collect()
+    }
+    assert batch[7]["step_reached"] == 3
+    assert by_user[7]["step_reached"] == 3
+    assert by_user[7]["reached_us"] == int(t(20).timestamp() * 1_000_000)
+    # the heartbeat user's own event never cleared the watermark
+    assert 99 not in by_user
+
+
 def test_stream_stream_outer_join_matched_equals_batch_and_flushes_nulls(
     spark, events_batch
 ):
