@@ -137,25 +137,50 @@ def main() -> None:
         runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     except ValueError:
         runs = 3
+    # Steal gate (VERDICT r8 ask #6): a per-run sample counts as CLEAN
+    # when the host stole < 0.5% of the run's CPU window.  Each query
+    # retries (bounded) until it has at least one clean sample, and the
+    # sum of per-query clean minima is emitted as `clean_total` — the
+    # first-class cross-round number; `steal_dirty` names any query
+    # that never got a clean window so a reader knows exactly which
+    # entries of `queries_clean` fell back to a stolen sample.
+    clean_frac = 0.005
+    try:
+        extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4")))
+    except ValueError:
+        extra = 4
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    cleans: dict[str, float] = {}
+    steal_dirty: list[str] = []
     query_steal: dict[str, float] = {}
     load_start = _loadavg()
     cpu_start = _cpu_sample()
     for name in names:
         samples = []
+        clean_samples = []
         steal = []
-        for _ in range(runs):
+        attempts = 0
+        while attempts < runs or (not clean_samples and attempts < runs + extra):
+            attempts += 1
             c0 = _cpu_sample()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            samples.append(time.time() - t0)
+            elapsed = time.time() - t0
+            samples.append(elapsed)
             d = _cpu_delta(c0, _cpu_sample())
             if d is not None:
                 steal.append(d["steal_sec"])
+                if d["steal_frac"] < clean_frac:
+                    clean_samples.append(elapsed)
         samples.sort()
         timings[name] = round(samples[0], 3)
         medians[name] = round(samples[len(samples) // 2], 3)
+        if clean_samples:
+            cleans[name] = round(min(clean_samples), 3)
+        else:
+            steal_dirty.append(name)
+            cleans[name] = timings[name]
         if steal:
             query_steal[name] = round(sum(steal), 3)
 
@@ -176,6 +201,9 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "median_total": round(sum(medians.values()), 3),
+                "queries_clean": cleans,
+                "clean_total": round(sum(cleans.values()), 3),
+                "steal_dirty": steal_dirty,
                 "env": env,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
