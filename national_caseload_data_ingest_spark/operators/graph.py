@@ -454,6 +454,14 @@ def link_prediction_scores(
     """Common-neighbor / neighborhood-Jaccard scores for every
     NON-adjacent pair of an undirected graph ``(doc_a, doc_b)``.
 
+    Precondition: ``pairs`` must be a DISTINCT canonical edge list
+    (one row per undirected edge, ``doc_a < doc_b``).  Duplicate rows
+    or both orientations would double degrees, inflate ``n_common``,
+    and skew ``nbr_jaccard`` — the function does not deduplicate
+    (that would shuffle every caller to protect against malformed
+    input; the registered query's pair relation is canonical by
+    construction).
+
     The wedge join (edges ⋈ edges on the middle node) emits exactly
     Σ_v C(deg(v), 2) candidate rows.  House rule (SCALING.md: "never
     silent O(n²)"): that volume is measured FIRST with one stats
@@ -463,13 +471,17 @@ def link_prediction_scores(
     * volume ≤ ``wedge_budget`` → run the exact wedge join;
     * volume >  ``wedge_budget`` and ``max_degree`` is None → raise
       with routing guidance (fail fast, never silently quadratic);
-    * ``max_degree`` set → cap each node's neighbor list to its
-      ``max_degree`` smallest neighbor ids (deterministic top-k via one
-      row_number window) before wedging, and re-check the now-bounded
-      volume ≤ |V|·C(max_degree, 2).  Scores computed on the capped
-      graph are a lower bound on n_common for hub-adjacent pairs; the
-      emitted relation carries true (uncapped) degrees so nbr_jaccard
-      stays interpretable.
+    * ``max_degree`` set → cap each node's OUTGOING neighbor list to
+      its ``max_degree`` smallest neighbor ids (deterministic top-k via
+      one row_number window) before wedging.  The cap bounds each
+      middle node's e2 fan-out at ``max_degree`` but NOT its e1 fan-in
+      (a hub can survive in many other nodes' capped lists), so the
+      capped volume is RE-MEASURED exactly — Σ_mid in(mid)·out(mid)
+      over the capped lists — and the function still raises if that
+      exceeds ``wedge_budget`` (lower ``max_degree`` or raise the
+      budget).  Scores computed on the capped graph are a lower bound
+      on n_common for hub-adjacent pairs; the emitted relation carries
+      true (uncapped) degrees so nbr_jaccard stays interpretable.
     """
     sym = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -513,6 +525,35 @@ def link_prediction_scores(
             .drop("__rn")
             .localCheckpoint(eager=False)
         )
+        # re-measure on the CAPPED lists: the cap bounds out-degree at
+        # max_degree but not in-degree (hubs survive in other nodes'
+        # lists), so the wedge volume is Σ_mid in(mid)·out(mid) — one
+        # more bounded stats row before any wedge row exists
+        capped_vol = (
+            wedge_src.select(F.col("v").alias("mid"))
+            .groupBy("mid")
+            .agg(F.count(F.lit(1)).alias("ind"))
+            .join(
+                wedge_src.select(F.col("u").alias("mid"))
+                .groupBy("mid")
+                .agg(F.count(F.lit(1)).alias("outd")),
+                "mid",
+            )
+            .agg(
+                F.sum(F.col("ind").cast("bigint") * F.col("outd")).alias("v")
+            )
+            .collect()[0]["v"]
+            or 0
+        )
+        if capped_vol > wedge_budget:
+            raise ValueError(
+                "link_prediction_scores: even with max_degree="
+                f"{max_degree}, the capped wedge volume Σ in(mid)·out(mid) "
+                f"= {int(capped_vol):,} exceeds wedge_budget="
+                f"{wedge_budget:,} (hub nodes survive in many capped "
+                "lists).  Lower max_degree, raise wedge_budget, or "
+                "pre-filter high-degree hubs out of the edge relation."
+            )
     e1 = wedge_src.select(F.col("u").alias("a"), F.col("v").alias("mid"))
     e2 = wedge_src.select(F.col("u").alias("mid2"), F.col("v").alias("b"))
     cand = (

@@ -122,6 +122,9 @@ def get_spark(
 RUNTIME_CONFS = {
     # Applied per-session even when the caller (e.g. the driver harness)
     # built its own SparkSession: these are all runtime-settable SQLConfs.
+    # Asserted ONCE per session (load_tables memoises the application) —
+    # callers must not mutate these keys mid-session; exploratory
+    # spark.conf.set on other keys is fine.
     "spark.sql.ansi.enabled": "false",
     "spark.sql.legacy.timeParserPolicy": "LEGACY",
     "spark.sql.session.timeZone": "UTC",
@@ -237,6 +240,23 @@ def parquet_nanos_columns(path: str) -> list[str]:
 _TABLE_CACHE: "weakref.WeakKeyDictionary" = None  # initialised lazily below
 
 
+def clear_table_cache(spark: SparkSession | None = None) -> None:
+    """Invalidate the per-session table/view memo (one session, or all).
+
+    The memo assumes ``sf_dir`` directories are immutable; a caller
+    that rewrites one in place (test-data regeneration, a
+    stage-and-rename compaction) must call this so the next
+    ``load_tables`` re-resolves the file listing instead of returning a
+    plan over deleted files."""
+    global _TABLE_CACHE
+    if _TABLE_CACHE is None:
+        return
+    if spark is None:
+        _TABLE_CACHE = None
+    else:
+        _TABLE_CACHE.pop(spark, None)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
     """Read the driver-generated parquet tables and register temp views.
 
@@ -245,6 +265,15 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
     (session, directory, table): the parquet relation is resolved once and
     the same DataFrame (an immutable logical plan) is returned on every
     subsequent call, eliminating the per-query driver-side read cost.
+
+    Contract notes (the price of the memo, each an explicit trade):
+    * directories are assumed immutable — rewriting one in place
+      requires :func:`clear_table_cache` first;
+    * temp-view registration is skipped when this function last
+      registered the same (name, sf_dir), so a caller that DROPs or
+      replaces one of these views does not get it repaired on the next
+      call (nothing in the repo does; external callers re-registering
+      views should use different names or clear the cache).
     """
     global _TABLE_CACHE
     if _TABLE_CACHE is None:

@@ -279,14 +279,18 @@ def test_wedge_guard_at_bound_succeeds(spark):
 def test_wedge_guard_max_degree_routes_capped_variant(spark):
     """Over budget WITH max_degree set -> deterministic k-smallest
     neighbor cap bounds the wedge volume; true (uncapped) degrees are
-    still reported."""
+    still reported.  The capped volume is RE-MEASURED (sum over middle
+    nodes of in*out on the capped lists): here the hub keeps out-degree
+    3 but stays in all 12 leaves' lists, so in(hub)*out(hub)=36 plus
+    3 leaf middles = 39 — a budget of 39 admits it, and the uncapped
+    volume C(12,2)=66 proves the capped route (not the exact one) ran."""
     from national_caseload_data_ingest_spark.operators.graph import (
         link_prediction_scores,
     )
 
     pairs = _star_graph(spark, 12)
     out = link_prediction_scores(
-        pairs, wedge_budget=10, max_degree=3
+        pairs, wedge_budget=39, max_degree=3
     ).collect()
     # hub capped to neighbors {1,2,3} -> only C(3,2)=3 leaf pairs scored
     assert sorted((r["doc_a"], r["doc_b"]) for r in out) == [
@@ -295,6 +299,20 @@ def test_wedge_guard_max_degree_routes_capped_variant(spark):
     # degrees come from the UNCAPPED graph: every leaf has true deg 1
     assert all(r["deg_a"] == 1 and r["deg_b"] == 1 for r in out)
     assert all(r["n_common"] == 1 for r in out)
+
+
+def test_wedge_guard_recheck_raises_when_cap_insufficient(spark):
+    """The capped-volume re-check is real: a hub that survives in every
+    leaf's capped list keeps the measured volume (39 here) above a
+    tighter budget, and the function raises instead of running a wedge
+    join bigger than promised."""
+    from national_caseload_data_ingest_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    pairs = _star_graph(spark, 12)
+    with pytest.raises(ValueError, match="capped wedge volume"):
+        link_prediction_scores(pairs, wedge_budget=10, max_degree=3)
 
 
 def test_wedge_default_budget_passes_corpus(spark, documents):
