@@ -3242,3 +3242,186 @@ def webp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(decode_features, schema=IMAGE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# codec gate report — quantify what the honest gates exclude
+# ---------------------------------------------------------------------------
+
+
+def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
+    """Route one payload through the native decoders WITHOUT failing the
+    job: ``(fmt, status, reason)``.
+
+    ``status`` is ``decoded`` (the native path produced pixels/samples),
+    ``gated`` (structurally recognized but outside the implemented
+    subset — the decoder's ``NotImplementedError``, whose message is the
+    ``reason``), ``corrupt`` (structural ``ValueError``), or
+    ``unrouted`` (no native decoder claims the container).  This is the
+    routing hook SCALING.md promises in front of a codec host: at
+    corpus scale, ``group by fmt, status, reason`` quantifies exactly
+    which payload population each gate excludes, so the decision to
+    build/route a decoder (e.g. lossy VP8, inter-coded video) is made
+    from measured volume, not guesswork — and gated payloads become a
+    work queue instead of a job failure."""
+    from national_caseload_data_ingest_spark.operators.flac import (  # noqa: PLC0415
+        FLAC_MAGIC,
+        flac_decode,
+    )
+    from national_caseload_data_ingest_spark.operators.video import (  # noqa: PLC0415
+        avi_extract_frames,
+    )
+    import struct  # noqa: PLC0415
+
+    fmt = "unknown"
+    try:
+        if payload[:4] == FLAC_MAGIC:
+            fmt = "flac"
+            flac_decode(payload)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            fmt = "avi"
+            avi_extract_frames(payload)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            fmt = "webp"
+            decode_image(payload)
+        elif payload[:8] == PNG_SIGNATURE:
+            fmt = "png"
+            decode_image(payload)
+        elif payload[:6] in GIF_SIGNATURES:
+            fmt = "gif"
+            decode_image(payload)
+        elif payload[:2] == JPEG_SOI:
+            fmt = "jpeg"
+            decode_image(payload)
+        elif payload[:2] == BMP_SIGNATURE:
+            fmt = "bmp"
+            decode_image(payload)
+        elif payload[:4] in TIFF_SIGNATURES:
+            fmt = "tiff"
+            decode_image(payload)
+        else:
+            return ("unknown", "unrouted",
+                    "no native decoder claims this container")
+        return (fmt, "decoded", "")
+    except NotImplementedError as e:
+        return (fmt, "gated", str(e))
+    except ValueError as e:
+        return (fmt, "corrupt", str(e))
+    except (IndexError, EOFError, struct.error) as e:
+        # truncated payloads surface as reads past the buffer inside
+        # the decoders — corruption, phrased by the failing primitive
+        return (fmt, "corrupt", str(e) or "truncated payload")
+
+
+def _gate_report_payloads() -> list[bytes]:
+    """The six deterministic payload classes the report query rotates
+    through (index = doc_id % 6): a decodable grayscale JPEG, a
+    decodable VP8L WEBP, a GATED lossy-VP8 WEBP, a GATED 8-bps FLAC, a
+    CORRUPT VP8L stream, and an unrecognized container."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.operators.flac import (  # noqa: PLC0415
+        FLAC_MAGIC,
+        _MsbWriter,
+    )
+    from national_caseload_data_ingest_spark.operators.webp import (  # noqa: PLC0415
+        webp_encode,
+    )
+
+    jpeg = jpeg_encode(
+        (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    )
+    vp8l = webp_encode(
+        np.arange(48, dtype=np.uint8).reshape(4, 4, 3), use_lz77=False
+    )
+    vp8_lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x9d\x01\x2a\x00"
+    )
+    info = _MsbWriter()
+    info.write(4096, 16)
+    info.write(4096, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(8000, 20)  # sample rate
+    info.write(0, 3)  # mono
+    info.write(7, 5)  # bps - 1 = 7 -> 8 bps: the decoder's depth gate
+    info.write(0, 36)
+    info.align()
+    flac_8bps = (
+        FLAC_MAGIC + bytes([0x80]) + (34).to_bytes(3, "big")
+        + info.bytes() + b"\x00" * 16
+    )
+    bad_vp8l_body = b"\x00" + b"\x00" * 8  # signature byte must be 0x2f
+    corrupt = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_vp8l_body)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(bad_vp8l_body)) + bad_vp8l_body
+        + b"\x00"
+    )
+    unknown = b"\x00NOTAFORMAT\x00\x00\x00\x00"
+    return [jpeg, vp8l, vp8_lossy, flac_8bps, corrupt, unknown]
+
+
+@query(
+    "codec_gate_report",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 6 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'webp'
+                WHEN 2 THEN 'webp' WHEN 3 THEN 'flac'
+                WHEN 4 THEN 'webp' ELSE 'unknown' END AS fmt,
+           CASE doc_id % 6 WHEN 0 THEN 'decoded' WHEN 1 THEN 'decoded'
+                WHEN 2 THEN 'gated' WHEN 3 THEN 'gated'
+                WHEN 4 THEN 'corrupt' ELSE 'unrouted' END AS status,
+           CASE doc_id % 6
+                WHEN 2 THEN 'webp: lossy VP8 not supported (VP8L lossless only)'
+                WHEN 3 THEN 'flac: only 16 bps supported, got 8'
+                WHEN 4 THEN 'vp8l: bad signature byte'
+                WHEN 5 THEN 'no native decoder claims this container'
+                ELSE '' END AS reason
+    FROM documents
+    """,
+)
+def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload gate report: (doc_id, fmt, status, reason) — the
+    measured answer to "what do the honest codec gates exclude?".
+
+    Each document is assigned one of six deterministic payload classes
+    (decodable JPEG and VP8L WEBP; gated lossy-VP8 WEBP and 8-bps FLAC;
+    a corrupt VP8L stream; an unrecognized container) and routed
+    through :func:`classify_codec_payload`; gates and corruption become
+    ROWS, not job failures.  At 100 TB the same kernel runs over a real
+    binary-payload column and ``GROUP BY fmt, status, reason`` sizes
+    each gate's excluded population — the routing decision SCALING.md
+    defers to a codec host starts from this relation.  Oracle: the
+    class → (fmt, status, reason) map is a closed-form CASE over
+    doc_id, including the exact gate messages (they are part of the
+    operator contract)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        classes = _gate_report_payloads()
+        for pdf in batches:
+            ids, fmts, stats, reasons = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                fmt, status, reason = classify_codec_payload(
+                    classes[did % 6]
+                )
+                ids.append(did)
+                fmts.append(fmt)
+                stats.append(status)
+                reasons.append(reason)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fmt": fmts,
+                    "status": stats,
+                    "reason": reasons,
+                }
+            )
+
+    return fan_out(d.select("doc_id")).mapInPandas(
+        kernel, schema="doc_id bigint, fmt string, status string, reason string"
+    )

@@ -47,7 +47,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    the r5/r6-fresh tail) is covered every round by the local
 #    full-catalog replay at sf0.01 and sf0.1 (tools/check_oracle.py).
 CHECK_PRIORITY: list[str] = [
-    # -- round-9: semantics changed this round ------------------------------
+    # -- round-9: new or semantics changed this round ------------------------
+    "codec_gate_report",  # payload -> gate-reason routing relation (new)
     "webp_decode_features",  # VP8L mode-13 predictor fixed (r9) — re-certify
     "mjpeg_frame_features",  # AVI walk now video-only kinds (r9) — re-certify
     "flac_audio_features",  # LPC subframes land in r9 — re-certify
