@@ -67,3 +67,115 @@ def test_codec_gate_report_query(spark):
     assert all(len(v) == 1 for v in by_class.values())
     statuses = {next(iter(v))[1] for v in by_class.values()}
     assert statuses == {"decoded", "gated", "corrupt", "unrouted"}
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization family: int8 (global scale) + binary sign
+# ---------------------------------------------------------------------------
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _emb_matrix():
+    import duckdb
+
+    rows = duckdb.sql(
+        f"select vec_id, embedding from '{EMB}' order by vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, x
+
+
+def test_int8_quantizer_matches_reference_map():
+    """The kernel's codes equal an independent recompute of
+    floor(v*127/MX + 0.5), stay in [-127, 127], and an all-zero corpus
+    maps to zero codes."""
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        _int8_quantize_np,
+    )
+
+    _, x = _emb_matrix()
+    x32 = x.astype(np.float32)
+    mx = float(np.abs(x32).max())
+    q = _int8_quantize_np(x32, mx)
+    ref = np.floor(x32.astype(np.float64) * 127.0 / mx + 0.5).astype(
+        np.int64
+    )
+    assert np.array_equal(q, ref)
+    assert q.min() >= -127 and q.max() <= 127
+    assert np.array_equal(
+        _int8_quantize_np(np.zeros((3, 4), np.float32), 0.0),
+        np.zeros((3, 4), np.int64),
+    )
+
+
+def _recall(spark, fn, baseline_pairs):
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    return len(got & baseline_pairs) / len(baseline_pairs)
+
+
+def test_int8_ann_recall_floor_vs_float_dot(spark):
+    """Global-scale int8 MIPS keeps >= 0.8 recall@10 against the exact
+    float dot-product ranking (measured 0.90; per-vector scaling, the
+    bug this floor guards against, measured 0.68)."""
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        ann_int8_topk,
+    )
+
+    ids, x = _emb_matrix()
+    dots = x @ x[:5].T
+    dots[np.arange(len(ids))[:, None] == np.arange(5)[None, :]] = -np.inf
+    base = {
+        (q, int(ids[i]))
+        for q in range(5)
+        for i in np.argsort(-dots[:, q], kind="stable")[:10]
+    }
+    assert _recall(spark, ann_int8_topk, base) >= 0.8
+
+
+def test_binary_ann_recall_floor_vs_cosine(spark):
+    """1-bit sign codes approximate the ANGLE: recall@10 vs exact cosine
+    stays >= 0.2 at d=64 (measured 0.26-0.32 across SFs — the documented
+    32x-compression trade; production uses wider codes)."""
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        ann_binary_topk,
+        cosine_topk_bruteforce,
+    )
+
+    base = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert _recall(spark, ann_binary_topk, base) >= 0.2
+
+
+def test_binary_hamming_values_exact(spark):
+    """Every emitted Hamming distance equals the independent numpy
+    recompute on sign bits, and ranks are (hamming, neighbor_id)-sorted."""
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        ann_binary_topk,
+    )
+
+    ids, x = _emb_matrix()
+    signs = x > 0.0
+    pos = {int(v): i for i, v in enumerate(ids)}
+    rows = ann_binary_topk(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        expect = int(
+            (signs[pos[r.query_id]] != signs[pos[r.neighbor_id]]).sum()
+        )
+        assert r.hamming == expect
+    for q in {r.query_id for r in rows}:
+        mine = sorted(
+            (r.rk, r.hamming, r.neighbor_id) for r in rows if r.query_id == q
+        )
+        assert mine == sorted(
+            mine, key=lambda t: (t[1], t[2])
+        )
