@@ -1365,3 +1365,113 @@ def ppjoin_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tier 3: the only exact plan left at web scale
     cands = ppjoin_candidates(postings, PPJOIN_THRESHOLD)
     return jaccard_verify_candidates(postings, cands, PPJOIN_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment join — quote / subset-document detection
+# ---------------------------------------------------------------------------
+
+# containment(a -> b) = |grams(a) ∩ grams(b)| / |grams(a)| >= 1/2,
+# compared cross-multiplied (2*c >= n_a) so the predicate is integer-exact.
+CONTAINMENT_NUM = 1
+CONTAINMENT_DEN = 2
+
+
+@query(
+    "containment_quote_pairs",
+    oracle=f"""
+    WITH tokd AS (
+        SELECT doc_id, lower(trim(text)) AS lt,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])
+                    ELSE [lt] END) AS grams
+        FROM tokd
+    ),
+    posts AS (
+        SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM sh
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(ANY_VALUE(a.n) AS BIGINT) AS n_a
+        FROM posts a JOIN posts b
+          ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, n_a,
+           CAST(n_common AS DOUBLE) / n_a AS containment
+    FROM inter
+    WHERE {CONTAINMENT_DEN} * n_common >= {CONTAINMENT_NUM} * n_a
+    """,
+)
+def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC set-containment join: ordered pairs where at least
+    half of ``doc_a``'s distinct word bigrams also occur in ``doc_b`` —
+    the quote / subset-document / boilerplate-inclusion detector that
+    the symmetric Jaccard family structurally cannot express (a short
+    quote inside a long document has high containment but near-zero
+    Jaccard, so no Jaccard threshold finds it).
+
+    Plan: the SAME cached postings relation as the Jaccard band
+    (:func:`_shared_postings` — one narrow shingling pass, shared plan
+    cache), one gram-keyed equi-join + pair-keyed count, and the
+    integer cross-multiplied predicate ``2·c ≥ n_a`` (no float
+    boundary).  House guard: the ordered join volume Σ df·(df−1) is
+    measured FIRST against ``DIRECT_JOIN_BUDGET``; past it the function
+    raises with routing guidance (at web scale the exact plan is the
+    prefix-filtered containment join — order by df ascending and probe
+    the ⌈(1−t)·n_a⌉+1 rarest grams — same candidate machinery as
+    :func:`ppjoin_candidates` with the asymmetric bound).  The corpus
+    at test SFs emits both FULL (c = n_a) and partial containments, so
+    the threshold is exercised from both sides."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    postings = _shared_postings(d)
+    vol = (
+        postings.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum(F.col("df").cast("bigint") * (F.col("df") - 1)).alias("v")
+        )
+        .collect()[0]["v"]
+        or 0
+    )
+    if vol > DIRECT_JOIN_BUDGET:
+        raise ValueError(
+            "containment_quote_pairs: ordered posting-join volume "
+            f"sum(df*(df-1)) = {int(vol):,} exceeds DIRECT_JOIN_BUDGET="
+            f"{DIRECT_JOIN_BUDGET:,}.  Route around it: prefix-filter on "
+            "the (1-t)*n_a + 1 rarest grams per doc (ppjoin_candidates "
+            "with the asymmetric bound), drop stop-grams above a df cap, "
+            "or raise the budget if the cluster can fold the volume."
+        )
+    pa = postings.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("gram").alias("g"),
+        F.col("n_grams").alias("n_a"),
+    )
+    pb = postings.select(F.col("doc_id").alias("doc_b"), F.col("gram").alias("g"))
+    inter = (
+        pa.join(pb, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+        )
+    )
+    return inter.filter(
+        F.lit(CONTAINMENT_DEN) * F.col("n_common")
+        >= F.lit(CONTAINMENT_NUM) * F.col("n_a")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        (F.col("n_common").cast("double") / F.col("n_a")).alias("containment"),
+    )

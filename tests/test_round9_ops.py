@@ -179,3 +179,84 @@ def test_binary_hamming_values_exact(spark):
         assert mine == sorted(
             mine, key=lambda t: (t[1], t[2])
         )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment join
+# ---------------------------------------------------------------------------
+
+
+def test_containment_asymmetric_and_nonvacuous(spark):
+    """The relation is genuinely asymmetric (ordered pairs), emits both
+    FULL (c == n_a) and partial containments, and every row satisfies
+    the integer threshold."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        containment_quote_pairs,
+    )
+
+    rows = containment_quote_pairs(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    full = [r for r in rows if r.n_common == r.n_a]
+    partial = [r for r in rows if r.n_common < r.n_a]
+    assert full and partial
+    for r in rows:
+        assert 2 * r.n_common >= r.n_a
+        assert r.containment == r.n_common / r.n_a
+    # asymmetry: at least one ordered pair present whose reverse is not
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert any((b, a) not in pairs for a, b in pairs)
+
+
+def test_containment_volume_guard_trips(spark):
+    """Past the measured posting-join budget the operator raises with
+    routing guidance instead of running a silently quadratic join."""
+    from national_caseload_data_ingest_spark.operators import dedup
+
+    orig = dedup.DIRECT_JOIN_BUDGET
+    dedup.DIRECT_JOIN_BUDGET = 1
+    try:
+        with pytest.raises(ValueError, match="posting-join volume"):
+            dedup.containment_quote_pairs(spark, "/root/testdata/sf0.001")
+    finally:
+        dedup.DIRECT_JOIN_BUDGET = orig
+
+
+def test_containment_finds_quote_jaccard_misses(spark):
+    """The semantic point: a short doc quoted inside a long one has
+    containment 1.0 but Jaccard far below any near-dup threshold —
+    construct exactly that and check the ordered pair appears with the
+    right direction."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        CONTAINMENT_DEN,
+        CONTAINMENT_NUM,
+        _shared_postings,
+    )
+    from pyspark.sql import functions as F
+
+    short = "alpha beta gamma delta"
+    filler = " ".join(f"w{i} w{i}x" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short, "en"), (2, short + " " + filler, "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    posts = _shared_postings(docs)
+    pa = posts.select(
+        F.col("doc_id").alias("a"), "gram", F.col("n_grams").alias("na")
+    )
+    pb = posts.select(F.col("doc_id").alias("b"), "gram")
+    inter = (
+        pa.join(pb, "gram")
+        .filter("a != b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"), F.first("na").alias("na"))
+        .collect()
+    )
+    by_dir = {(r.a, r.b): (r.c, r.na) for r in inter}
+    c12, na1 = by_dir[(1, 2)]
+    c21, na2 = by_dir[(2, 1)]
+    assert c12 == na1  # short fully contained in long
+    assert CONTAINMENT_DEN * c12 >= CONTAINMENT_NUM * na1
+    assert CONTAINMENT_DEN * c21 < CONTAINMENT_NUM * na2  # reverse fails
+    # and Jaccard would miss it entirely at the near-dup threshold
+    jac = c12 / (na1 + na2 - c12)
+    assert jac < 0.2
