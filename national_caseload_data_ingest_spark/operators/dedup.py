@@ -1475,3 +1475,172 @@ def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("bigint").alias("n_a"),
         (F.col("n_common").cast("double") / F.col("n_a")).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-substring spans — substring-level dedup reporting
+# ---------------------------------------------------------------------------
+
+SPAN_L = 6  # tokens per window; a span is any maximal run of repeated windows
+_SPAN_HEADER = "common header alpha beta gamma delta epsilon zeta "
+_SPAN_FOOTER = " shared footer one two three four five six"
+
+
+@query(
+    "repeated_span_report",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_HEADER}' ELSE '' END
+               || text ||
+               CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_FOOTER}' ELSE '' END
+                   AS text
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS tk
+        FROM aug
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(list_slice(tk, i, i + {SPAN_L} - 1), ' '))
+                   AS h
+        FROM t, unnest(range(1, len(tk) - {SPAN_L} + 2)) s(i)
+        WHERE len(tk) >= {SPAN_L}
+    ),
+    rep AS (
+        SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    m AS (SELECT doc_id, pos FROM g JOIN rep USING (h)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {SPAN_L}
+                    THEN 0 ELSE 1 END AS brk
+        FROM m
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(pos) AS a, MAX(pos) + {SPAN_L} - 1 AS b
+        FROM runs GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_spans,
+               CAST(SUM(b - a + 1) AS BIGINT) AS covered_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(covered_tokens, 0) AS covered_tokens,
+           CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / len(tk)
+               AS covered_frac
+    FROM t LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def repeated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT repeated-substring spans per document — substring-level
+    dedup reporting in the style of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): a token position is
+    repeated when SOME {SPAN_L}-token window covering it also occurs in
+    another document; maximal runs of repeated windows merge into
+    spans, and the report gives per-doc span count, covered tokens, and
+    covered fraction — the relation a substring-cut pass consumes.
+
+    The synthetic corpus's only cross-doc repeats are whole-document
+    duplicates, so (pii_scrub-style) deterministic shared passages are
+    first INJECTED — every 4th doc gains a common header, every 3rd a
+    common footer — making the islands machinery non-vacuous: the
+    output mixes zero-span docs, single spans (including fully-covered
+    exact dups), and two-island docs whose unique middle separates
+    header from footer.
+
+    Plan shape (the distributable equivalent of the paper's suffix
+    array): stride-1 window hashes via one explode — LINEAR in corpus
+    tokens, never quadratic, so no volume guard is needed; the only
+    stream-scale shuffles are the hash-keyed repeat count and the
+    semi-join back, both carrying 16-byte md5 keys instead of text; the
+    gaps-and-islands merge is one per-doc window (lag + running sum),
+    all integer arithmetic, so the oracle hash-matches exactly."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    aug = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_SPAN_HEADER)).otherwise(
+            F.lit("")
+        ),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_SPAN_FOOTER)).otherwise(
+            F.lit("")
+        ),
+    )
+    t = d.select(
+        "doc_id", F.split(F.lower(F.trim(aug)), r"\s+").alias("tk")
+    ).withColumn("n", F.size("tk"))
+    g = (
+        t.filter(F.col("n") >= SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - F.lit(SPAN_L - 1))
+            ).alias("pos"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr(f"slice(tk, pos, {SPAN_L})")
+                ).cast("binary")
+            ).alias("h"),
+        )
+    )
+    rep = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    m = g.join(rep, "h").select("doc_id", "pos")
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        m.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= SPAN_L, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    spans = runs.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("a"),
+        (F.max("pos") + F.lit(SPAN_L - 1)).alias("b"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum(F.col("b") - F.col("a") + 1).cast("bigint").alias(
+            "covered_tokens"
+        ),
+    )
+    return (
+        t.select("doc_id", "n")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            (
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+                / F.col("n")
+            ).alias("covered_frac"),
+        )
+    )

@@ -260,3 +260,82 @@ def test_containment_finds_quote_jaccard_misses(spark):
     # and Jaccard would miss it entirely at the near-dup threshold
     jac = c12 / (na1 + na2 - c12)
     assert jac < 0.2
+
+
+# ---------------------------------------------------------------------------
+# repeated-substring spans
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_span_report_islands(spark):
+    """The span machinery is non-vacuous: zero-span docs, single spans
+    (incl. fully-covered exact dups), and two-island docs all occur, and
+    every covered count is consistent with its span count (each span
+    covers at least SPAN_L tokens, spans never overlap)."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        SPAN_L,
+        repeated_span_report,
+    )
+
+    rows = repeated_span_report(spark, "/root/testdata/sf0.01").collect()
+    by_spans = {}
+    for r in rows:
+        by_spans.setdefault(r.n_spans, []).append(r)
+    assert set(by_spans) >= {0, 1, 2}
+    assert any(
+        r.covered_tokens == r.n_tokens for r in by_spans[1]
+    )  # full-coverage dups
+    assert all(r.covered_tokens == 0 for r in by_spans[0])
+    for r in rows:
+        if r.n_spans:
+            assert r.covered_tokens >= r.n_spans * SPAN_L
+            assert r.covered_tokens <= r.n_tokens
+            assert r.covered_frac == r.covered_tokens / r.n_tokens
+
+
+def test_repeated_span_driver_recompute(spark):
+    """Driver-side recompute on a handful of docs: re-derive each doc's
+    covered positions from the raw window hashes and compare."""
+    from collections import defaultdict
+
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        SPAN_L,
+        _SPAN_FOOTER,
+        _SPAN_HEADER,
+        repeated_span_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(sf + "/documents.parquet").collect()
+    texts = {}
+    for r in d:
+        t = (
+            (_SPAN_HEADER if r.doc_id % 4 == 0 else "")
+            + r.text
+            + (_SPAN_FOOTER if r.doc_id % 3 == 0 else "")
+        )
+        texts[r.doc_id] = t.strip().lower().split()
+    grams = defaultdict(set)
+    for did, tk in texts.items():
+        for i in range(len(tk) - SPAN_L + 1):
+            grams[" ".join(tk[i : i + SPAN_L])].add(did)
+    expected = {}
+    for did, tk in texts.items():
+        covered = set()
+        for i in range(len(tk) - SPAN_L + 1):
+            g = " ".join(tk[i : i + SPAN_L])
+            if len(grams[g]) >= 2:
+                covered.update(range(i, i + SPAN_L))
+        # count islands over covered positions
+        spans = 0
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        expected[did] = (len(tk), spans, len(covered))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.covered_tokens)
+        for r in repeated_span_report(spark, sf).collect()
+    }
+    assert got == expected
