@@ -934,6 +934,11 @@ def _int_topk(
     screened = e.select("vec_id", "embedding").mapInPandas(
         _int_topk_kernel(qids, qmat, k, score_fn),
         schema="query_id bigint, neighbor_id bigint, score bigint",
+    ).filter(
+        # a masked self-pair (score = int64 min) survives the batch cut
+        # when its batch holds <= k rows; on a corpus with < k real
+        # candidates it could otherwise leak into the final window
+        F.col("query_id") != F.col("neighbor_id")
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
