@@ -152,3 +152,90 @@ def hrw_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed global row numbering (two-phase zipWithIndex)
+# ---------------------------------------------------------------------------
+
+INDEX_PARTITIONS = 32
+
+
+def global_row_index(
+    df: DataFrame, *order_cols: str, n_partitions: int = INDEX_PARTITIONS
+) -> DataFrame:
+    """Dense 0-based global index in ``order_cols`` order WITHOUT a
+    single-task global window.
+
+    ``Window.orderBy(...)`` with no partition key — the obvious way to
+    write ROW_NUMBER() OVER (ORDER BY ...) — funnels the ENTIRE relation
+    through one task (Spark even warns).  The scale-correct plan is the
+    classic two-phase zipWithIndex:
+
+    1. range-partition by the order columns (so partition p holds a
+       contiguous key range, and partitions are mutually ordered);
+    2. ONE bounded collect of per-partition row counts
+       (``n_partitions`` rows — a driver-side model, house pattern);
+    3. per-partition local row_number + the partition's exclusive
+       prefix-sum offset, joined back via a broadcast of the tiny
+       offset relation.
+
+    The relation is ``persist()``-ed between the range partitioning and
+    the two consumers — MANDATORY, not an optimization:
+    ``repartitionByRange`` picks boundaries by SAMPLING per execution,
+    so if the count branch and the row_number branch each recomputed
+    the shuffle they could see DIFFERENT boundaries and the offset
+    arithmetic would silently corrupt (duplicate/absent indices — the
+    round-7 ``link_records_snb`` lesson).
+
+    ``order_cols`` must be a total order (include a unique key) for the
+    index to be deterministic."""
+    ordered = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(n_partitions, *ordered).persist()
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    with_pid = part.withColumn("__pid", F.spark_partition_id())
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+    w = Window.partitionBy("__pid").orderBy(*ordered)
+    return (
+        with_pid.withColumn("__local", F.row_number().over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn(
+            "row_index", (F.col("__offset") + F.col("__local") - 1)
+        )
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+@query(
+    "global_order_index",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+               AS row_index
+    FROM orders
+    """,
+)
+def global_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global index over ``orders`` by key — the two-phase
+    zipWithIndex primitive (:func:`global_row_index`) proven equal to
+    the oracle's single-reducer ROW_NUMBER.  Downstream uses in this
+    repo's domain: deterministic example numbering for training-data
+    manifests, offset assignment for packed-sequence shards, and stable
+    pagination keys — anywhere a total order is needed over data too
+    big for one task to sort."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return global_row_index(o.select("o_orderkey"), "o_orderkey").select(
+        "o_orderkey", "row_index"
+    )

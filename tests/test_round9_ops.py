@@ -339,3 +339,43 @@ def test_repeated_span_driver_recompute(spark):
         for r in repeated_span_report(spark, sf).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# distributed global row numbering
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_index_dense_and_ordered(spark):
+    """The emitted index is exactly 0..n-1 (dense, no duplicates) and
+    monotone in the order columns — including with a multi-column total
+    order."""
+    from national_caseload_data_ingest_spark.operators.layout import (
+        global_row_index,
+    )
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber")
+    )
+    n = li.count()
+    out = global_row_index(li, "l_orderkey", "l_linenumber").collect()
+    assert sorted(r.row_index for r in out) == list(range(n))
+    by_key = sorted(out, key=lambda r: (r.l_orderkey, r.l_linenumber))
+    assert [r.row_index for r in by_key] == list(range(n))
+
+
+def test_global_row_index_avoids_single_task_sort(spark):
+    """The scale property itself: the physical plan must contain NO
+    empty-key SinglePartition window exchange (the one-task global sort
+    this primitive exists to avoid) — the window runs per range
+    partition."""
+    from national_caseload_data_ingest_spark.operators.layout import (
+        global_order_index,
+    )
+
+    plan = global_order_index(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
