@@ -3425,3 +3425,100 @@ def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(d.select("doc_id")).mapInPandas(
         kernel, schema="doc_id bigint, fmt string, status string, reason string"
     )
+
+
+ANIM_W, ANIM_H = 16, 12  # animation canvas (192 px)
+
+
+@query(
+    "webp_animation_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(3 AS INTEGER) AS n_frames,
+           CAST(150 + 3 * (doc_id % 5) AS BIGINT) AS total_duration_ms,
+           CAST((doc_id % 256) * 160
+                + CASE WHEN doc_id % 2 = 0 THEN 99 * 16 ELSE 0 END
+                AS BIGINT) AS r_sum,
+           CAST(((doc_id * 3) % 256) * 160 + 77 * 16 AS BIGINT) AS g_sum,
+           CAST(255 * (192 - CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 16 END)
+                AS BIGINT) AS a_sum
+    FROM documents
+    """,
+)
+def webp_animation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WEBP decode E2E (VP8X + ANIM + ANMF compositing,
+    ``operators/webp.py``): per document, synthesize a deterministic
+    3-frame animation — a full-canvas base frame, a moving 4x4 patch
+    whose DISPOSE bit depends on doc parity (odd docs dispose it to
+    transparent, leaving a hole in the final canvas), and a fixed
+    second patch — encode through the real container writer, decode
+    through the compositing demuxer, and hash-match closed-form channel
+    sums of the final presented canvas plus the summed frame durations.
+    Lossless VP8L frames keep every expectation exact, and the parity
+    split makes BOTH dispose paths load-bearing in the oracle.  One
+    narrow ``mapInPandas`` pass per doc; zero shuffle."""
+    import numpy as np  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.operators.webp import (  # noqa: PLC0415
+        webp_decode_animated,
+        webp_encode_animated,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, nfs, durs, rs, gs, als = [], [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                base = np.zeros((ANIM_H, ANIM_W, 4), np.uint8)
+                base[..., 0] = did % 256
+                base[..., 1] = (did * 3) % 256
+                base[..., 2] = (did * 5) % 256
+                base[..., 3] = 255
+                p1 = np.zeros((4, 4, 4), np.uint8)
+                p1[..., 0] = 99
+                p1[..., 3] = 255
+                p2 = np.zeros((4, 4, 4), np.uint8)
+                p2[..., 1] = 77
+                p2[..., 3] = 255
+                extra = did % 5
+                payload = webp_encode_animated(
+                    ANIM_W,
+                    ANIM_H,
+                    [
+                        dict(x=0, y=0, rgba=base,
+                             duration_ms=40 + extra, blend=1),
+                        dict(x=(did % 3) * 4, y=4, rgba=p1,
+                             duration_ms=50 + extra, blend=1,
+                             dispose=did % 2),
+                        dict(x=12, y=0, rgba=p2,
+                             duration_ms=60 + extra, blend=1),
+                    ],
+                )
+                w, h, frames = webp_decode_animated(payload)
+                final = frames[-1][1].astype(np.int64)
+                ids.append(did)
+                nfs.append(len(frames))
+                durs.append(sum(dur for dur, _ in frames))
+                rs.append(int(final[..., 0].sum()))
+                gs.append(int(final[..., 1].sum()))
+                als.append(int(final[..., 3].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "total_duration_ms": pd.Series(durs, dtype="int64"),
+                    "r_sum": pd.Series(rs, dtype="int64"),
+                    "g_sum": pd.Series(gs, dtype="int64"),
+                    "a_sum": pd.Series(als, dtype="int64"),
+                }
+            )
+
+    return fan_out(d.select("doc_id")).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, n_frames int, total_duration_ms bigint, "
+            "r_sum bigint, g_sum bigint, a_sum bigint"
+        ),
+    )

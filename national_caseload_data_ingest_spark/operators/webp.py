@@ -2,10 +2,13 @@
 
 Closes the LAST line of ``decode_image``'s PIL gate: with this module
 every still-image format the engine claims is decoded natively (PNG,
-GIF, BMP, TIFF, JPEG baseline+progressive, WEBP-lossless).  Lossy WEBP
-(VP8 intra frames: boolean arithmetic coder + DCT + loop filter) is NOT
-implemented and raises an honest ``NotImplementedError`` — a corpus
-pipeline must route those payloads to a real codec host.
+GIF, BMP, TIFF, JPEG baseline+progressive, WEBP-lossless), and ANIMATED
+WEBP (VP8X + ANIM + ANMF) decodes with full per-frame compositing
+(src-over alpha blend / overwrite, dispose-to-transparent) as long as
+the frames are VP8L.  Lossy WEBP (VP8 intra frames: boolean arithmetic
+coder + DCT + loop filter) is NOT implemented and raises an honest
+``NotImplementedError`` — a corpus pipeline routes those payloads to a
+real codec host via ``codec_gate_report``.
 
 Format reference: the public WebP Lossless Bitstream Specification
 (RFC 9649 / Google "webp-lossless-bitstream-spec"), structure:
@@ -586,12 +589,39 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
     raise ValueError(f"vp8l: invalid predictor mode {mode}")
 
 
+def _decode_vp8l(vp8l: bytes):
+    """Bare VP8L bitstream → ``(w, h, rgba uint8 (h, w, 4),
+    alpha_hint)`` — shared by the still decoder and the per-ANMF frame
+    decode of the animation path."""
+    import numpy as np  # noqa: PLC0415
+
+    if vp8l[0] != 0x2F:
+        raise ValueError("vp8l: bad signature byte")
+    br = _BitReader(vp8l[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    alpha_hint = br.read_bit()
+    version = br.read(3)
+    if version != 0:
+        raise ValueError(f"vp8l: unsupported version {version}")
+    pixels, transforms = _decode_image_stream(br, w, h, True)
+    pixels = _apply_inverse_transforms(pixels, w, h, transforms)
+    a = ((pixels >> 24) & 0xFF).astype(np.uint8).reshape(h, w)
+    r = ((pixels >> 16) & 0xFF).astype(np.uint8).reshape(h, w)
+    g = ((pixels >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+    b = (pixels & 0xFF).astype(np.uint8).reshape(h, w)
+    return w, h, np.stack([r, g, b, a], axis=-1), alpha_hint
+
+
 def webp_decode(payload: bytes):
     """WEBP → ``(w, h, channels, uint8 array (h, w, channels))``.
 
-    VP8L (lossless) decodes natively; lossy VP8 and animated/extended
-    (VP8X with frames) raise ``NotImplementedError`` (honest gate —
-    route those to a codec host at 100 TB)."""
+    VP8L (lossless) decodes natively, including behind a still-image
+    VP8X header; animated files decode via :func:`webp_decode_animated`
+    (this still-image entry point refuses them so a caller can't
+    silently read frame 1 as "the image"); lossy VP8 raises
+    ``NotImplementedError`` (honest gate — route via
+    ``codec_gate_report`` to a codec host at 100 TB)."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -611,30 +641,21 @@ def webp_decode(payload: bytes):
             raise NotImplementedError(
                 "webp: lossy VP8 not supported (VP8L lossless only)"
             )
+        if fourcc == b"ANMF":
+            raise NotImplementedError(
+                "webp: animated file — use webp_decode_animated"
+            )
         if fourcc == b"VP8X":
             pos += 8 + size + (size & 1)
             continue
         pos += 8 + size + (size & 1)
     if vp8l is None:
         raise NotImplementedError("webp: no VP8L chunk (lossless only)")
-    if vp8l[0] != 0x2F:
-        raise ValueError("vp8l: bad signature byte")
-    br = _BitReader(vp8l[1:])
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    alpha_hint = br.read_bit()
-    version = br.read(3)
-    if version != 0:
-        raise ValueError(f"vp8l: unsupported version {version}")
-    pixels, transforms = _decode_image_stream(br, w, h, True)
-    pixels = _apply_inverse_transforms(pixels, w, h, transforms)
-    a = ((pixels >> 24) & 0xFF).astype(np.uint8).reshape(h, w)
-    r = ((pixels >> 16) & 0xFF).astype(np.uint8).reshape(h, w)
-    g = ((pixels >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
-    b = (pixels & 0xFF).astype(np.uint8).reshape(h, w)
+    w, h, rgba, alpha_hint = _decode_vp8l(vp8l)
+    a = rgba[..., 3]
     if alpha_hint or not bool((a == 255).all()):
-        return w, h, 4, np.stack([r, g, b, a], axis=-1)
-    return w, h, 3, np.stack([r, g, b], axis=-1)
+        return w, h, 4, rgba
+    return w, h, 3, rgba[..., :3]
 
 
 # ---------------------------------------------------------------------------
@@ -1067,3 +1088,162 @@ def webp_encode(
         chunk += b"\x00"
     riff = WEBP_RIFF + struct.pack("<I", 4 + len(chunk)) + WEBP_FOURCC + chunk
     return riff
+
+
+# ---------------------------------------------------------------------------
+# Animated WEBP (VP8X + ANIM + ANMF, VP8L frame payloads)
+# ---------------------------------------------------------------------------
+
+
+def _bare_vp8l_chunk(rgba, **encode_kw) -> bytes:
+    """Encode one frame through :func:`webp_encode` and slice out its
+    VP8L chunk (header + padded body) for embedding inside ANMF."""
+    import struct  # noqa: PLC0415
+
+    riff = webp_encode(rgba, **encode_kw)
+    pos = 12
+    while pos + 8 <= len(riff):
+        fourcc = riff[pos : pos + 4]
+        (size,) = struct.unpack("<I", riff[pos + 4 : pos + 8])
+        if fourcc == b"VP8L":
+            return riff[pos : pos + 8 + size + (size & 1)]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("encoder produced no VP8L chunk")
+
+
+def webp_encode_animated(
+    canvas_w: int,
+    canvas_h: int,
+    frames,
+    loop_count: int = 0,
+    background_bgra: int = 0,
+) -> bytes:
+    """Animated WEBP from ``frames`` = iterable of dicts with keys
+    ``x, y`` (even canvas offsets — the container stores them /2),
+    ``rgba`` (uint8 array (h, w, 3|4)), ``duration_ms``, and optional
+    ``dispose`` (0 keep / 1 dispose-to-transparent) and ``blend``
+    (0 alpha-blend / 1 overwrite, the ANMF flag polarity).
+
+    Container layout per RFC 9649 §2.5-2.7: VP8X (animation flag,
+    24-bit canvas minus-one sizes), ANIM (background BGRA + 16-bit loop
+    count), one ANMF per frame (24-bit x/2, y/2, w-1, h-1, duration;
+    1 flag byte: bit1 = blend=do-not-blend, bit0 = dispose) wrapping the
+    frame's VP8L chunk."""
+    import struct  # noqa: PLC0415
+
+    def u24(v: int) -> bytes:
+        return int(v).to_bytes(3, "little")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    body = bytearray()
+    vp8x = bytes([0x02]) + b"\x00\x00\x00" + u24(canvas_w - 1) + u24(canvas_h - 1)
+    body += chunk(b"VP8X", vp8x)
+    body += chunk(
+        b"ANIM", struct.pack("<I", background_bgra) + struct.pack("<H", loop_count)
+    )
+    for f in frames:
+        x, y = int(f["x"]), int(f["y"])
+        if x % 2 or y % 2:
+            raise ValueError("webp anim: frame offsets must be even")
+        rgba = f["rgba"]
+        fh, fw = rgba.shape[0], rgba.shape[1]
+        if x + fw > canvas_w or y + fh > canvas_h:
+            raise ValueError("webp anim: frame exceeds canvas")
+        flags = (0x02 if f.get("blend", 1) else 0x00) | (
+            0x01 if f.get("dispose", 0) else 0x00
+        )
+        anmf = (
+            u24(x // 2)
+            + u24(y // 2)
+            + u24(fw - 1)
+            + u24(fh - 1)
+            + u24(int(f["duration_ms"]))
+            + bytes([flags])
+            + _bare_vp8l_chunk(rgba)
+        )
+        body += chunk(b"ANMF", anmf)
+    riff_body = WEBP_FOURCC + bytes(body)
+    return WEBP_RIFF + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def webp_decode_animated(payload: bytes):
+    """Animated WEBP → ``(canvas_w, canvas_h, [(duration_ms, rgba
+    (canvas_h, canvas_w, 4)), ...])`` — each entry the PRESENTED canvas
+    after compositing that frame (src-over alpha blend or overwrite per
+    the ANMF blend bit; dispose-to-transparent applied to the frame
+    rect before the NEXT frame, per the dispose bit).  The canvas
+    starts fully transparent (the ANIM background color is a
+    player hint, matching libwebp's demuxer).  VP8L frame payloads
+    only — a lossy-VP8 frame raises the same honest gate as the still
+    path."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] != WEBP_RIFF or payload[8:12] != WEBP_FOURCC:
+        raise ValueError("not a WEBP payload")
+    pos = 12
+    canvas = None
+    out = []
+    saw_vp8x = False
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if fourcc == b"VP8X":
+            saw_vp8x = True
+            if not body[0] & 0x02:
+                raise ValueError("webp anim: VP8X animation flag not set")
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("webp anim: ANMF before VP8X")
+            x = int.from_bytes(body[0:3], "little") * 2
+            y = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            duration = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            sub = body[16:]
+            sub_fourcc = sub[0:4]
+            (sub_size,) = struct.unpack("<I", sub[4:8])
+            if sub_fourcc == b"VP8 ":
+                raise NotImplementedError(
+                    "webp: lossy VP8 not supported (VP8L lossless only)"
+                )
+            if sub_fourcc != b"VP8L":
+                raise ValueError(
+                    f"webp anim: unsupported frame chunk {sub_fourcc!r}"
+                )
+            w, h, rgba, _ = _decode_vp8l(sub[8 : 8 + sub_size])
+            if (w, h) != (fw, fh):
+                raise ValueError("webp anim: frame size mismatch")
+            if y + fh > canvas.shape[0] or x + fw > canvas.shape[1]:
+                raise ValueError("webp anim: frame exceeds canvas")
+            region = canvas[y : y + fh, x : x + fw]
+            if flags & 0x02:  # do-not-blend: overwrite the rect
+                region[:] = rgba
+            else:  # src-over alpha blend (integer, floor — deterministic)
+                a_s = rgba[..., 3:4].astype(np.int64)
+                a_d = region[..., 3:4].astype(np.int64)
+                a_out = a_s + a_d * (255 - a_s) // 255
+                num = rgba[..., :3].astype(np.int64) * a_s * 255 + region[
+                    ..., :3
+                ].astype(np.int64) * a_d * (255 - a_s)
+                den = np.maximum(a_out * 255, 1)
+                region[..., :3] = (num // den).astype(np.uint8)
+                region[..., 3:4] = a_out.astype(np.uint8)
+            out.append((duration, canvas.copy()))
+            if flags & 0x01:  # dispose-to-background: clear the rect
+                canvas[y : y + fh, x : x + fw] = 0
+    if not saw_vp8x:
+        raise ValueError("webp anim: no VP8X chunk")
+    if not out:
+        raise ValueError("webp anim: no ANMF frames")
+    return canvas.shape[1], canvas.shape[0], out

@@ -319,3 +319,128 @@ def test_webp_decode_features_query(spark):
     assert len(rows) > 0
     for r in rows[:8]:
         assert (r["width"], r["height"], r["channels"]) == (IMG_W, IMG_H, 3)
+
+
+# ------------------------------------------------------------------ animation
+
+
+def test_animated_roundtrip_and_compositing():
+    """Overwrite-blend frames composite onto a transparent canvas; the
+    dispose bit clears exactly the frame rect before the next frame."""
+    from national_caseload_data_ingest_spark.operators.webp import (
+        webp_decode_animated,
+        webp_encode_animated,
+    )
+
+    base = np.full((12, 16, 4), 200, np.uint8)
+    p1 = np.zeros((4, 4, 4), np.uint8)
+    p1[..., 0] = 99
+    p1[..., 3] = 255
+    payload = webp_encode_animated(
+        16,
+        12,
+        [
+            dict(x=0, y=0, rgba=base, duration_ms=40, blend=1),
+            dict(x=4, y=4, rgba=p1, duration_ms=50, blend=1, dispose=1),
+            dict(x=12, y=0, rgba=p1, duration_ms=60, blend=1),
+        ],
+    )
+    w, h, frames = webp_decode_animated(payload)
+    assert (w, h) == (16, 12)
+    assert [d for d, _ in frames] == [40, 50, 60]
+    assert np.array_equal(frames[0][1], base)
+    # frame 2 presents the patch; frame 3's canvas has the disposed hole
+    assert frames[1][1][5, 5, 0] == 99
+    f3 = frames[2][1]
+    assert f3[5, 5].tolist() == [0, 0, 0, 0]
+    assert f3[1, 13, 0] == 99
+    assert f3[0, 0, 0] == 200
+
+
+def test_animated_alpha_blend_matches_src_over():
+    """blend=0 frames alpha-composite: a 50%-alpha red over opaque blue
+    equals the integer src-over reference computed here independently."""
+    from national_caseload_data_ingest_spark.operators.webp import (
+        webp_decode_animated,
+        webp_encode_animated,
+    )
+
+    blue = np.zeros((4, 4, 4), np.uint8)
+    blue[..., 2] = 200
+    blue[..., 3] = 255
+    red = np.zeros((4, 4, 4), np.uint8)
+    red[..., 0] = 100
+    red[..., 3] = 128
+    payload = webp_encode_animated(
+        4,
+        4,
+        [
+            dict(x=0, y=0, rgba=blue, duration_ms=10, blend=1),
+            dict(x=0, y=0, rgba=red, duration_ms=10, blend=0),
+        ],
+    )
+    _, _, frames = webp_decode_animated(payload)
+    got = frames[1][1][0, 0]
+    a_s, a_d = 128, 255
+    a_out = a_s + a_d * (255 - a_s) // 255
+    r = (100 * a_s * 255 + 0 * a_d * (255 - a_s)) // (a_out * 255)
+    b = (0 * a_s * 255 + 200 * a_d * (255 - a_s)) // (a_out * 255)
+    assert got.tolist() == [r, 0, b, a_out]
+
+
+def test_animated_gates_and_structure():
+    from national_caseload_data_ingest_spark.operators.webp import (
+        webp_decode_animated,
+        webp_encode_animated,
+    )
+
+    f = np.full((4, 4, 4), 7, np.uint8)
+    payload = webp_encode_animated(
+        8, 8, [dict(x=0, y=0, rgba=f, duration_ms=5)]
+    )
+    # the still-image entry point refuses animated files loudly
+    with pytest.raises(NotImplementedError, match="animated"):
+        webp_decode(payload)
+    # odd offsets are unrepresentable (container stores x/2)
+    with pytest.raises(ValueError, match="even"):
+        webp_encode_animated(8, 8, [dict(x=1, y=0, rgba=f, duration_ms=5)])
+    # frame exceeding the canvas
+    with pytest.raises(ValueError, match="canvas"):
+        webp_encode_animated(4, 4, [dict(x=2, y=0, rgba=f, duration_ms=5)])
+    # a lossy VP8 frame inside ANMF trips the codec gate
+    import struct
+
+    anmf = (
+        b"\x00\x00\x00" * 2
+        + (3).to_bytes(3, "little")
+        + (3).to_bytes(3, "little")
+        + (5).to_bytes(3, "little")
+        + b"\x02"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    vp8x = bytes([0x02]) + b"\x00\x00\x00" + (7).to_bytes(3, "little") + (
+        7
+    ).to_bytes(3, "little")
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANMF", anmf)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="lossy"):
+        webp_decode_animated(payload)
+
+
+def test_webp_animation_features_query(spark):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        webp_animation_features,
+    )
+
+    rows = webp_animation_features(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:10]:
+        assert r["n_frames"] == 3
+        # odd docs disposed the moving patch: 16 transparent pixels
+        expect_a = 255 * (192 - (16 if r["doc_id"] % 2 else 0))
+        assert r["a_sum"] == expect_a
