@@ -3283,7 +3283,18 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
             avi_extract_frames(payload)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             fmt = "webp"
-            decode_image(payload)
+            try:
+                decode_image(payload)
+            except NotImplementedError as e:
+                if "animated" not in str(e):
+                    raise
+                # real routing, not a gate: animated files decode via
+                # the compositing demuxer
+                from national_caseload_data_ingest_spark.operators.webp import (  # noqa: PLC0415
+                    webp_decode_animated,
+                )
+
+                webp_decode_animated(payload)
         elif payload[:8] == PNG_SIGNATURE:
             fmt = "png"
             decode_image(payload)
@@ -3314,10 +3325,12 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
 
 
 def _gate_report_payloads() -> list[bytes]:
-    """The six deterministic payload classes the report query rotates
-    through (index = doc_id % 6): a decodable grayscale JPEG, a
+    """The seven deterministic payload classes the report query rotates
+    through (index = doc_id % 7): a decodable grayscale JPEG, a
     decodable VP8L WEBP, a GATED lossy-VP8 WEBP, a GATED 8-bps FLAC, a
-    CORRUPT VP8L stream, and an unrecognized container."""
+    CORRUPT VP8L stream, an unrecognized container, and a decodable
+    ANIMATED WEBP (routed through the compositing demuxer — proof the
+    classifier routes rather than gates once a decoder exists)."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -3361,20 +3374,30 @@ def _gate_report_payloads() -> list[bytes]:
         + b"\x00"
     )
     unknown = b"\x00NOTAFORMAT\x00\x00\x00\x00"
-    return [jpeg, vp8l, vp8_lossy, flac_8bps, corrupt, unknown]
+    from national_caseload_data_ingest_spark.operators.webp import (  # noqa: PLC0415
+        webp_encode_animated,
+    )
+
+    frame = np.full((4, 4, 4), 9, np.uint8)
+    animated = webp_encode_animated(
+        4, 4, [dict(x=0, y=0, rgba=frame, duration_ms=10)]
+    )
+    return [jpeg, vp8l, vp8_lossy, flac_8bps, corrupt, unknown, animated]
 
 
 @query(
     "codec_gate_report",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 6 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'webp'
+           CASE doc_id % 7 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'webp'
                 WHEN 2 THEN 'webp' WHEN 3 THEN 'flac'
-                WHEN 4 THEN 'webp' ELSE 'unknown' END AS fmt,
-           CASE doc_id % 6 WHEN 0 THEN 'decoded' WHEN 1 THEN 'decoded'
+                WHEN 4 THEN 'webp' WHEN 5 THEN 'unknown'
+                ELSE 'webp' END AS fmt,
+           CASE doc_id % 7 WHEN 0 THEN 'decoded' WHEN 1 THEN 'decoded'
                 WHEN 2 THEN 'gated' WHEN 3 THEN 'gated'
-                WHEN 4 THEN 'corrupt' ELSE 'unrouted' END AS status,
-           CASE doc_id % 6
+                WHEN 4 THEN 'corrupt' WHEN 5 THEN 'unrouted'
+                ELSE 'decoded' END AS status,
+           CASE doc_id % 7
                 WHEN 2 THEN 'webp: lossy VP8 not supported (VP8L lossless only)'
                 WHEN 3 THEN 'flac: only 16 bps supported, got 8'
                 WHEN 4 THEN 'vp8l: bad signature byte'
@@ -3387,9 +3410,10 @@ def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload gate report: (doc_id, fmt, status, reason) — the
     measured answer to "what do the honest codec gates exclude?".
 
-    Each document is assigned one of six deterministic payload classes
-    (decodable JPEG and VP8L WEBP; gated lossy-VP8 WEBP and 8-bps FLAC;
-    a corrupt VP8L stream; an unrecognized container) and routed
+    Each document is assigned one of seven deterministic payload
+    classes (decodable JPEG, VP8L WEBP, and animated WEBP; gated
+    lossy-VP8 WEBP and 8-bps FLAC; a corrupt VP8L stream; an
+    unrecognized container) and routed
     through :func:`classify_codec_payload`; gates and corruption become
     ROWS, not job failures.  At 100 TB the same kernel runs over a real
     binary-payload column and ``GROUP BY fmt, status, reason`` sizes
@@ -3407,7 +3431,7 @@ def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 fmt, status, reason = classify_codec_payload(
-                    classes[did % 6]
+                    classes[did % 7]
                 )
                 ids.append(did)
                 fmts.append(fmt)

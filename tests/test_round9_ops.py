@@ -25,6 +25,8 @@ def test_classifier_covers_all_statuses():
         ("flac", "gated", "flac: only 16 bps supported, got 8"),
         ("webp", "corrupt", "vp8l: bad signature byte"),
         ("unknown", "unrouted", "no native decoder claims this container"),
+        # animated: ROUTED to the compositing demuxer, not gated
+        ("webp", "decoded", ""),
     ]
 
 
@@ -59,11 +61,11 @@ def test_codec_gate_report_query(spark):
     assert len(rows) > 0
     by_class = {}
     for r in rows:
-        by_class.setdefault(r["doc_id"] % 6, set()).add(
+        by_class.setdefault(r["doc_id"] % 7, set()).add(
             (r["fmt"], r["status"], r["reason"])
         )
     # every class present and deterministic (one distinct triple each)
-    assert set(by_class) == set(range(6))
+    assert set(by_class) == set(range(7))
     assert all(len(v) == 1 for v in by_class.values())
     statuses = {next(iter(v))[1] for v in by_class.values()}
     assert statuses == {"decoded", "gated", "corrupt", "unrouted"}
