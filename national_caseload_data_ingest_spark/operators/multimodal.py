@@ -560,6 +560,173 @@ def gif_encode(arr) -> bytes:
     return bytes(out)
 
 
+def gif_encode_animated(
+    screen_w: int,
+    screen_h: int,
+    frames,
+    bg_index: int = 17,
+    loop_count: int = 0,
+) -> bytes:
+    """Animated GIF89a from ``frames`` = iterable of dicts with keys
+    ``left, top`` (pixel offsets), ``idx`` (2-D uint8 palette-index
+    array; the global palette is 256-level grayscale, index == gray),
+    ``delay_cs`` (hundredths of a second), and optional ``disposal``
+    (1 keep / 2 restore-to-background / 3 restore-to-previous),
+    ``transparent_idx`` (pixels of this index leave the canvas
+    untouched), and ``interlace`` (store rows in the spec's 4-pass
+    order).  Emits the NETSCAPE2.0 loop extension and one Graphic
+    Control Extension per frame."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", screen_w, screen_h, 0xF7, bg_index, 0)
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += (
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        + struct.pack("<H", loop_count)
+        + b"\x00"
+    )
+    for f in frames:
+        idx = np.asarray(f["idx"], dtype=np.uint8)
+        ih, iw = idx.shape
+        left, top = int(f["left"]), int(f["top"])
+        if left + iw > screen_w or top + ih > screen_h:
+            raise ValueError("gif anim: frame exceeds screen")
+        t_idx = f.get("transparent_idx")
+        packed = (int(f.get("disposal", 1)) & 0x07) << 2 | (
+            1 if t_idx is not None else 0
+        )
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += struct.pack("<H", int(f["delay_cs"]))
+        out += bytes([t_idx or 0, 0])
+        ipacked = 0x40 if f.get("interlace") else 0
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, ipacked)
+        if f.get("interlace"):
+            idx = idx[_gif_interlace_order(ih)]
+        out.append(8)
+        compressed = _lzw_compress(idx.tobytes(), 8)
+        for i in range(0, len(compressed), 255):
+            block = compressed[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode_animated(payload: bytes):
+    """Animated GIF → ``(screen_w, screen_h, [(delay_cs, rgb
+    (screen_h, screen_w, 3)), ...])`` — each entry the PRESENTED canvas
+    after compositing that frame.
+
+    Compositing per GIF89a: the canvas starts filled with the
+    background color (the logical screen descriptor's background index
+    through the global palette); pixels equal to the frame's
+    transparent index leave the canvas untouched; after presentation,
+    disposal 2 restores the frame rect to the background color and
+    disposal 3 restores the canvas to its pre-frame state (0/1 keep).
+    Interlaced frames are deinterlaced.  Local color tables override
+    the global one per frame."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF payload")
+    pos = 6
+    sw, sh, packed, bg_index, _aspect = struct.unpack_from(
+        "<HHBBB", payload, pos
+    )
+    pos += 7
+    global_palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_palette = np.frombuffer(
+            payload, np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    if global_palette is None:
+        raise ValueError("gif anim: no global color table")
+    bg_rgb = global_palette[bg_index % len(global_palette)]
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    out = []
+    # pending graphic-control state for the next image
+    delay_cs, disposal, t_idx = 0, 1, None
+    while pos < len(payload):
+        introducer = payload[pos]
+        pos += 1
+        if introducer == 0x3B:
+            break
+        if introducer == 0x21:
+            label = payload[pos]
+            pos += 1
+            blocks = []
+            while payload[pos]:
+                ln = payload[pos]
+                blocks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and blocks:
+                gce = blocks[0]
+                disposal = (gce[0] >> 2) & 0x07
+                (delay_cs,) = struct.unpack_from("<H", gce, 1)
+                t_idx = gce[3] if gce[0] & 0x01 else None
+            continue
+        if introducer != 0x2C:
+            raise ValueError(
+                f"unknown GIF block introducer 0x{introducer:02x}"
+            )
+        left, top, iw, ih, ipacked = struct.unpack_from(
+            "<HHHHB", payload, pos
+        )
+        pos += 9
+        palette = global_palette
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                payload, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        min_code_size = payload[pos]
+        pos += 1
+        blocks = []
+        while payload[pos]:
+            ln = payload[pos]
+            blocks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        indices = np.frombuffer(
+            _lzw_decompress(b"".join(blocks), min_code_size), np.uint8
+        )
+        if len(indices) != iw * ih:
+            raise ValueError("gif anim: pixel data has wrong length")
+        rows = indices.reshape(ih, iw)
+        if ipacked & 0x40:
+            rows = _gif_deinterlace(rows)
+        if top + ih > sh or left + iw > sw:
+            raise ValueError("gif anim: frame exceeds screen")
+        before = canvas[top : top + ih, left : left + iw].copy()
+        region = canvas[top : top + ih, left : left + iw]
+        px = palette[rows]
+        if t_idx is None:
+            region[:] = px
+        else:
+            opaque = rows != t_idx
+            region[opaque] = px[opaque]
+        out.append((delay_cs, canvas.copy()))
+        if disposal == 2:
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        elif disposal == 3:
+            canvas[top : top + ih, left : left + iw] = before
+        delay_cs, disposal, t_idx = 0, 1, None
+    if not out:
+        raise ValueError("GIF stream contains no image")
+    return sw, sh, out
+
+
 def gif_decode(payload: bytes):
     """Pure-stdlib GIF decoder (LZW + struct): returns ``(width, height,
     channels, pixels)`` with ``pixels`` a uint8 RGB array of shape
@@ -568,9 +735,10 @@ def gif_decode(payload: bytes):
 
     Supports the still-image profile: GIF87a/89a, global or local color
     table, extension blocks skipped (graphic control, comment,
-    application), non-interlaced.  Interlaced images and transparency
-    compositing raise ``NotImplementedError`` — the same honest-gating
-    contract as :func:`png_decode`'s baseline profile."""
+    application), interlaced or not (deinterlacing is the spec's 4-pass
+    row permutation).  Transparency/disposal are ANIMATION concerns —
+    multi-frame streams composite through :func:`gif_decode_animated`;
+    this entry point reads the first image."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -602,8 +770,6 @@ def gif_decode(payload: bytes):
             raise ValueError(f"unknown GIF block introducer 0x{introducer:02x}")
         _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF images not supported")
         if ipacked & 0x80:  # local color table overrides the global one
             n = 2 << (ipacked & 0x07)
             palette = np.frombuffer(
@@ -626,9 +792,31 @@ def gif_decode(payload: bytes):
             raise ValueError(
                 f"GIF pixel data has wrong length: {len(indices)} != {iw * ih}"
             )
-        px = palette[indices.reshape(ih, iw)]
+        rows = indices.reshape(ih, iw)
+        if ipacked & 0x40:
+            rows = _gif_deinterlace(rows)
+        px = palette[rows]
         return iw, ih, 3, px
     raise ValueError("GIF stream contains no image")
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Row order of an interlaced GIF's stored data (the spec's 4-pass
+    scheme: every 8th row from 0, from 4, every 4th from 2, every 2nd
+    from 1)."""
+    return [
+        r
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, h, step)
+    ]
+
+
+def _gif_deinterlace(rows):
+    import numpy as np  # noqa: PLC0415
+
+    out = np.empty_like(rows)
+    out[_gif_interlace_order(rows.shape[0])] = rows
+    return out
 
 
 def _synthesize_gif_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3544,5 +3732,81 @@ def webp_animation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id bigint, n_frames int, total_duration_ms bigint, "
             "r_sum bigint, g_sum bigint, a_sum bigint"
+        ),
+    )
+
+
+@query(
+    "gif_animation_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS INTEGER) AS n_frames,
+           CAST(12 + 3 * (doc_id % 5) AS BIGINT) AS total_delay_cs,
+           CAST((doc_id % 251) * 168
+                + CASE WHEN doc_id % 2 = 1 THEN 17 * 16 ELSE 199 * 16 END
+                + 77 * 8 AS BIGINT) AS gray_sum
+    FROM documents
+    """,
+)
+def gif_animation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF decode E2E (GCE compositing, ``gif_decode_animated``):
+    per document, synthesize a 3-frame animation — an INTERLACED
+    full-canvas base, a patch whose disposal method flips on doc parity
+    (odd docs restore its rect to the background color), and a patch
+    with a transparent-index column pair that must leave the base
+    visible — then decode and hash-match the closed-form gray sum of
+    the final presented canvas plus summed delays.  All three GIF89a
+    animation mechanisms (interlace, disposal-to-background,
+    transparency) are load-bearing in the oracle.  One narrow
+    ``mapInPandas`` pass; zero shuffle."""
+    import numpy as np  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, nfs, dls, gss = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                b = did % 251
+                delay = 4 + did % 5
+                base = np.full((ANIM_H, ANIM_W), b, np.uint8)
+                p1 = np.full((4, 4), 199, np.uint8)
+                p2 = np.full((4, 4), 77, np.uint8)
+                p2[:, :2] = 0
+                payload = gif_encode_animated(
+                    ANIM_W,
+                    ANIM_H,
+                    [
+                        dict(left=0, top=0, idx=base, delay_cs=delay,
+                             interlace=True),
+                        dict(left=(did % 3) * 4, top=4, idx=p1,
+                             delay_cs=delay,
+                             disposal=2 if did % 2 else 1),
+                        dict(left=12, top=0, idx=p2, delay_cs=delay,
+                             transparent_idx=0),
+                    ],
+                    bg_index=17,
+                )
+                w, h, frames = gif_decode_animated(payload)
+                final = frames[-1][1].astype(np.int64)
+                ids.append(did)
+                nfs.append(len(frames))
+                dls.append(sum(dcs for dcs, _ in frames))
+                gss.append(int(final[..., 0].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "total_delay_cs": pd.Series(dls, dtype="int64"),
+                    "gray_sum": pd.Series(gss, dtype="int64"),
+                }
+            )
+
+    return fan_out(d.select("doc_id")).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, n_frames int, total_delay_cs bigint, "
+            "gray_sum bigint"
         ),
     )

@@ -56,6 +56,7 @@ CHECK_PRIORITY: list[str] = [
     "repeated_span_report",  # exact substring-dedup spans, Lee et al. style (new)
     "global_order_index",  # two-phase zipWithIndex, no single-task sort (new)
     "webp_animation_features",  # VP8X/ANIM/ANMF compositing E2E (new)
+    "gif_animation_features",  # GCE disposal/transparency/interlace E2E (new)
     "webp_decode_features",  # VP8L mode-13 predictor fixed (r9) — re-certify
     "mjpeg_frame_features",  # AVI walk now video-only kinds (r9) — re-certify
     "flac_audio_features",  # LPC subframes land in r9 — re-certify

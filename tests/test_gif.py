@@ -72,13 +72,22 @@ def test_gif_decode_skips_extension_blocks():
 def test_gif_decode_rejects_bad_input():
     with pytest.raises(ValueError, match="not a GIF"):
         gif_decode(b"\x89PNG\r\n\x1a\n rest")
-    # interlace flag set → explicit honest gate
-    payload = bytearray(gif_encode(np.zeros((2, 2), dtype=np.uint8)))
+    # interlace flag on sequentially-stored rows applies the spec's
+    # 4-pass deinterlace permutation (the flag is honored, not gated:
+    # round-trip coverage lives in test_round9_ops / the animated path)
+    arr = np.tile(np.arange(8, dtype=np.uint8)[:, None], (1, 2))
+    payload = bytearray(gif_encode(arr))
     desc = 6 + 7 + 256 * 3  # image descriptor offset
     assert payload[desc] == 0x2C
     payload[desc + 9] |= 0x40  # interlace bit in the image packed field
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        gif_decode(bytes(payload))
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        _gif_interlace_order,
+    )
+
+    _, _, _, px = gif_decode(bytes(payload))
+    expect = np.empty_like(arr)
+    expect[_gif_interlace_order(8)] = arr
+    assert np.array_equal(px[..., 0], expect)
     # truncated LZW stream (no EOI)
     with pytest.raises(ValueError, match="EOI"):
         _lzw_decompress(b"", 8)

@@ -381,3 +381,74 @@ def test_global_row_index_avoids_single_task_sort(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# animated GIF
+# ---------------------------------------------------------------------------
+
+
+def test_gif_animation_compositing_and_disposal():
+    """All three GIF89a animation mechanisms: interlaced base frame,
+    transparency leaving the underlying canvas, disposal-to-background,
+    and disposal-to-previous restoring the pre-frame canvas."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        gif_decode,
+        gif_decode_animated,
+        gif_encode_animated,
+    )
+
+    base = np.full((12, 16), 200, np.uint8)
+    p1 = np.full((4, 4), 199, np.uint8)
+    p2 = np.full((4, 4), 77, np.uint8)
+    p2[:, :2] = 0
+    payload = gif_encode_animated(
+        16,
+        12,
+        [
+            dict(left=0, top=0, idx=base, delay_cs=4, interlace=True),
+            dict(left=4, top=4, idx=p1, delay_cs=5, disposal=2),
+            dict(left=12, top=0, idx=p2, delay_cs=6, transparent_idx=0),
+        ],
+        bg_index=17,
+    )
+    w, h, frames = gif_decode_animated(payload)
+    assert (w, h) == (16, 12)
+    assert [d for d, _ in frames] == [4, 5, 6]
+    f3 = frames[2][1]
+    assert f3[5, 5, 0] == 17  # disposal 2 -> background color
+    assert f3[1, 12, 0] == 200  # transparent columns show the base
+    assert f3[1, 14, 0] == 77
+    assert frames[1][1][5, 5, 0] == 199
+    # still decoder deinterlaces the same first frame
+    _, _, _, px = gif_decode(payload)
+    assert np.array_equal(px[..., 0], base)
+    # disposal 3 restores the pre-frame canvas
+    p3 = gif_encode_animated(
+        8,
+        8,
+        [
+            dict(left=0, top=0, idx=np.full((8, 8), 10, np.uint8), delay_cs=1),
+            dict(left=2, top=2, idx=np.full((2, 2), 99, np.uint8),
+                 delay_cs=1, disposal=3),
+            dict(left=0, top=0, idx=np.full((1, 1), 50, np.uint8), delay_cs=1),
+        ],
+    )
+    _, _, fr = gif_decode_animated(p3)
+    assert fr[1][1][2, 2, 0] == 99
+    assert fr[2][1][2, 2, 0] == 10
+    assert fr[2][1][0, 0, 0] == 50
+
+
+def test_gif_animation_features_query(spark):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        gif_animation_features,
+    )
+
+    rows = gif_animation_features(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:10]:
+        assert r["n_frames"] == 3
+        b = r["doc_id"] % 251
+        patch = 17 * 16 if r["doc_id"] % 2 else 199 * 16
+        assert r["gray_sum"] == b * 168 + patch + 77 * 8
