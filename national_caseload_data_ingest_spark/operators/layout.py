@@ -170,43 +170,56 @@ def global_row_index(
     ``Window.orderBy(...)`` with no partition key — the obvious way to
     write ROW_NUMBER() OVER (ORDER BY ...) — funnels the ENTIRE relation
     through one task (Spark even warns).  The scale-correct plan is the
-    classic two-phase zipWithIndex:
+    classic two-phase zipWithIndex, expressed as ONE query plan:
 
     1. range-partition by the order columns (so partition p holds a
        contiguous key range, and partitions are mutually ordered);
-    2. ONE bounded collect of per-partition row counts
-       (``n_partitions`` rows — a driver-side model, house pattern);
-    3. per-partition local row_number + the partition's exclusive
-       prefix-sum offset, joined back via a broadcast of the tiny
-       offset relation.
+    2. per-partition row counts → exclusive prefix-sum offsets, as a
+       window over the TINY (``n_partitions``-row) counts relation —
+       the single-task window there is over 32 rows, not the data;
+    3. per-partition local row_number + the partition's offset, joined
+       back via a broadcast of the tiny offset relation.
 
-    The relation is ``persist()``-ed between the range partitioning and
-    the two consumers — MANDATORY, not an optimization:
-    ``repartitionByRange`` picks boundaries by SAMPLING per execution,
-    so if the count branch and the row_number branch each recomputed
-    the shuffle they could see DIFFERENT boundaries and the offset
-    arithmetic would silently corrupt (duplicate/absent indices — the
-    round-7 ``link_records_snb`` lesson).
+    Both consumers of the range shuffle (the counts branch and the
+    row_number branch) live in the SAME plan, so Catalyst/AQE replace
+    the second scan with a ``ReusedExchange`` and the sampled shuffle
+    executes exactly ONCE — which is what makes the offset arithmetic
+    sound: ``repartitionByRange`` picks boundaries by SAMPLING per
+    execution, so two independent executions could see DIFFERENT
+    boundaries and silently corrupt the index (duplicate/absent
+    indices — the round-7 ``link_records_snb`` lesson).  Earlier
+    rounds pinned the boundaries with persist()/localCheckpoint, which
+    leaks session-lifetime cache entries (SQL-level checkpoints are
+    never GC-reaped — measured on 4.1.2); single-plan exchange reuse
+    needs no materialization at all.  A plan test asserts exactly one
+    range exchange executes; the dense+ordered pytest would catch any
+    reuse regression as duplicate/missing indices.  The explicit
+    ``n_partitions`` also matters: REPARTITION_BY_NUM pins the shuffle
+    out-degree, so AQE cannot coalesce the two reads differently
+    (which would skew ``spark_partition_id`` between branches).
 
     ``order_cols`` must be a total order (include a unique key) for the
     index to be deterministic."""
-    ordered = [F.col(c) for c in order_cols]
-    part = df.repartitionByRange(n_partitions, *ordered).persist()
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    with_pid = part.withColumn("__pid", F.spark_partition_id())
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in with_pid.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+    ordered = [F.col(c) for c in order_cols]
+    with_pid = df.repartitionByRange(n_partitions, *ordered).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
-    spark = df.sparkSession
-    off = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias(
+                "__offset"
+            ),
+        )
+    )
     w = Window.partitionBy("__pid").orderBy(*ordered)
     return (
         with_pid.withColumn("__local", F.row_number().over(w))

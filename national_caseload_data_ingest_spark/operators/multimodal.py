@@ -616,6 +616,53 @@ def gif_encode_animated(
     return bytes(out)
 
 
+def gif_image_count(payload: bytes) -> int:
+    """Count image descriptors in a GIF stream WITHOUT decoding pixel
+    data — a block-structure walk that skips color tables and
+    sub-blocks.  Used to route multi-frame streams through
+    :func:`gif_decode_animated` (compositing semantics) while
+    single-frame stills take :func:`gif_decode`."""
+    import struct  # noqa: PLC0415
+
+    if payload[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF payload")
+    pos = 6
+    if len(payload) < pos + 7:
+        raise ValueError("gif: truncated payload")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, pos)
+    pos += 7
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    count = 0
+    while pos < len(payload):
+        introducer = payload[pos]
+        pos += 1
+        if introducer == 0x3B:
+            break
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if introducer != 0x2C:
+            raise ValueError(
+                f"unknown GIF block introducer 0x{introducer:02x}"
+            )
+        count += 1
+        if pos + 9 > len(payload):
+            raise ValueError("gif: truncated payload")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW minimum code size
+        while pos < len(payload) and payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    return count
+
+
 def gif_decode_animated(payload: bytes):
     """Animated GIF → ``(screen_w, screen_h, [(delay_cs, rgb
     (screen_h, screen_w, 3)), ...])`` — each entry the PRESENTED canvas
@@ -636,6 +683,8 @@ def gif_decode_animated(payload: bytes):
     if payload[:6] not in GIF_SIGNATURES:
         raise ValueError("not a GIF payload")
     pos = 6
+    if len(payload) < pos + 7:
+        raise ValueError("gif anim: truncated payload")
     sw, sh, packed, bg_index, _aspect = struct.unpack_from(
         "<HHBBB", payload, pos
     )
@@ -661,13 +710,19 @@ def gif_decode_animated(payload: bytes):
         if introducer == 0x3B:
             break
         if introducer == 0x21:
+            if pos >= len(payload):
+                raise ValueError("gif anim: truncated payload")
             label = payload[pos]
             pos += 1
             blocks = []
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 ln = payload[pos]
+                if pos + 1 + ln > len(payload):
+                    raise ValueError("gif anim: truncated payload")
                 blocks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("gif anim: truncated payload")
             pos += 1
             if label == 0xF9 and blocks:
                 gce = blocks[0]
@@ -690,13 +745,19 @@ def gif_decode_animated(payload: bytes):
                 payload, np.uint8, count=3 * n, offset=pos
             ).reshape(n, 3)
             pos += 3 * n
+        if pos >= len(payload):
+            raise ValueError("gif anim: truncated payload")
         min_code_size = payload[pos]
         pos += 1
         blocks = []
-        while payload[pos]:
+        while pos < len(payload) and payload[pos]:
             ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("gif anim: truncated payload")
             blocks.append(payload[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("gif anim: truncated payload")
         pos += 1
         indices = np.frombuffer(
             _lzw_decompress(b"".join(blocks), min_code_size), np.uint8
@@ -3488,7 +3549,13 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
             decode_image(payload)
         elif payload[:6] in GIF_SIGNATURES:
             fmt = "gif"
-            decode_image(payload)
+            # real routing, not a gate: multi-frame streams decode via
+            # the compositing demuxer (first-frame-only would overstate
+            # decode coverage when corruption/gates hide past frame 1)
+            if gif_image_count(payload) > 1:
+                gif_decode_animated(payload)
+            else:
+                decode_image(payload)
         elif payload[:2] == JPEG_SOI:
             fmt = "jpeg"
             decode_image(payload)

@@ -880,7 +880,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _int_topk_kernel(qids, qmat, kk: int, score_fn):
+def _int_topk_kernel(qids, kk: int, score_fn):
     """Shared integer-scored screen: per Arrow batch keep, for every
     query, ALL rows scoring >= the batch's kk-th best (integer ties are
     closed by construction, so the global window can never miss a
@@ -932,7 +932,7 @@ def _int_topk(
     qmat = np.array([list(r["embedding"]) for r in rows], dtype=np.float32)
     score_fn = score_fn_builder(qmat)
     screened = e.select("vec_id", "embedding").mapInPandas(
-        _int_topk_kernel(qids, qmat, k, score_fn),
+        _int_topk_kernel(qids, k, score_fn),
         schema="query_id bigint, neighbor_id bigint, score bigint",
     ).filter(
         # a masked self-pair (score = int64 min) survives the batch cut

@@ -368,19 +368,44 @@ def test_global_row_index_dense_and_ordered(spark):
 
 
 def test_global_row_index_avoids_single_task_sort(spark):
-    """The scale property itself: the physical plan must contain NO
-    empty-key SinglePartition window exchange (the one-task global sort
-    this primitive exists to avoid) — the window runs per range
-    partition."""
+    """The scale properties: (a) the DATA window runs per range
+    partition — any SinglePartition exchange sits over the tiny
+    n_partitions-row counts aggregate, never under the row_number
+    window; (b) the sampled range shuffle executes exactly ONCE, with
+    the counts branch reading it via ReusedExchange (two independent
+    executions could sample different boundaries and corrupt the
+    index); (c) nothing is persisted — the single-plan design needs no
+    boundary-pinning cache (round-10 ADVICE fix)."""
     from national_caseload_data_ingest_spark.operators.layout import (
         global_order_index,
     )
 
-    plan = global_order_index(
-        spark, "/root/testdata/sf0.001"
-    )._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    df = global_order_index(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "rangepartitioning" in final.lower()
+    # the range exchange is materialized once and reused (the
+    # ReusedExchange line re-prints the reused exchange's description,
+    # so count executions per-line)
+    executed = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(executed) == 1
+    assert "ReusedExchange" in final
+    # exactly one SinglePartition exchange: the <=n_partitions-row
+    # counts relation feeding the prefix-sum window (bounded by
+    # construction); the data-side row_number window is __pid-keyed
+    assert final.count("SinglePartition") == 1
+    assert "windowspecdefinition(__pid" in final
+    assert "row_number() windowspecdefinition(__pid" in final
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        == baseline
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -452,3 +477,97 @@ def test_gif_animation_features_query(spark):
         b = r["doc_id"] % 251
         patch = 17 * 16 if r["doc_id"] % 2 else 199 * 16
         assert r["gray_sum"] == b * 168 + patch + 77 * 8
+
+
+def test_classifier_routes_multiframe_gif_through_compositor():
+    """Round-10 ADVICE fix: a multi-frame GIF must classify via the
+    full compositing demuxer, so corruption hidden past frame 1 surfaces
+    as 'corrupt' instead of the first-frame decoder reporting
+    'decoded'."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        gif_encode_animated,
+        gif_image_count,
+    )
+
+    good = gif_encode_animated(
+        8,
+        8,
+        [
+            dict(left=0, top=0, idx=np.full((8, 8), 10, np.uint8), delay_cs=1),
+            dict(left=2, top=2, idx=np.full((2, 2), 99, np.uint8), delay_cs=1),
+        ],
+    )
+    assert gif_image_count(good) == 2
+    assert classify_codec_payload(good) == ("gif", "decoded", "")
+    # truncate INSIDE frame 2's pixel data: frame 1 still decodes, so a
+    # first-frame-only classifier would wrongly say 'decoded'
+    cut = good[: len(good) - 6]
+    fmt, status, reason = classify_codec_payload(cut)
+    assert (fmt, status) == ("gif", "corrupt")
+    assert reason
+    # single-frame stills keep the plain decode path
+    still = gif_encode_animated(
+        4, 4, [dict(left=0, top=0, idx=np.full((4, 4), 3, np.uint8),
+                    delay_cs=1)]
+    )
+    assert gif_image_count(still) == 1
+    assert classify_codec_payload(still) == ("gif", "decoded", "")
+
+
+def test_gif_animated_truncation_raises_valueerror():
+    """Round-10 ADVICE fix: truncated animated payloads raise the
+    structural-corruption ValueError every other decoder raises — never
+    a bare IndexError from the sub-block loops."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        gif_decode_animated,
+        gif_encode_animated,
+    )
+
+    payload = gif_encode_animated(
+        6,
+        6,
+        [
+            dict(left=0, top=0, idx=np.full((6, 6), 1, np.uint8), delay_cs=2),
+            dict(left=1, top=1, idx=np.full((3, 3), 2, np.uint8), delay_cs=2),
+        ],
+    )
+    saw_value_error = 0
+    for n in range(7, len(payload) - 1):
+        try:
+            gif_decode_animated(payload[:n])
+        except ValueError:
+            saw_value_error += 1
+        except IndexError as e:  # pragma: no cover - the bug class
+            raise AssertionError(f"bare IndexError at cut {n}") from e
+        except Exception:
+            pass  # struct.error etc. are caught by the classifier
+    assert saw_value_error > 0
+
+
+def test_global_row_index_accumulates_no_cache_entries(spark):
+    """Round-10 ADVICE fix: the single-plan exchange-reuse design needs
+    no boundary-pinning persist/localCheckpoint, so repeated calls over
+    distinct relations leave ZERO session-lifetime cache entries.
+    (Measured on 4.1.2: SQL-level localCheckpoint RDDs are never
+    GC-reaped, so explicit-zero is the only non-leaky contract.)"""
+    from national_caseload_data_ingest_spark.operators.layout import (
+        global_row_index,
+    )
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    baseline = n_persistent()
+    for i in range(3):
+        out = global_row_index(li.limit(500 + i), "l_orderkey",
+                               "l_linenumber")
+        assert out.count() == 500 + i
+        # each call is still a correct dense index
+        got = sorted(r.row_index for r in out.collect())
+        assert got == list(range(500 + i))
+    assert n_persistent() == baseline, (
+        "global_row_index left persisted partitions behind"
+    )
