@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output: the FULL record (all timing variants + the env/steal block) as
+one JSON line, then a COMPACT contract-shaped line {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: median_sec},
+"sf": ...} printed LAST, sized to survive the driver's byte-bounded
+tail capture (the r9 record was truncated mid-JSON).  The full record
+is also written to BENCH_FULL.json next to this script.
 
 Each query is executed once with a count-style action that materializes the
 full result (foreach-noop would skip result construction; collect would bill
@@ -192,24 +197,46 @@ def main() -> None:
         "queries_steal_sec": query_steal,
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "median_total": round(sum(medians.values()), 3),
-                "queries_clean": cleans,
-                "clean_total": round(sum(cleans.values()), 3),
-                "steal_dirty": steal_dirty,
-                "env": env,
-                "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "median_total": round(sum(medians.values()), 3),
+        "queries_clean": cleans,
+        "clean_total": round(sum(cleans.values()), 3),
+        "steal_dirty": steal_dirty,
+        "env": env,
+        "runs": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The full record also lands in a side file: the driver captures
+    # only a byte-bounded TAIL of stdout, which truncated the r9 record
+    # mid-JSON.  The full line prints FIRST (humans/logs), then a
+    # compact contract-shaped line prints LAST so the tail window
+    # always ends with parseable JSON.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f)
+            f.write("\n")
+    except OSError:
+        full_path = None
+    print(json.dumps(record))
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "clean_total": record["clean_total"],
+        "steal_dirty": steal_dirty,
+        "sf": record["sf"],
+        "full_record": full_path,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
