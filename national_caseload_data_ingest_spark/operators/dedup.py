@@ -1377,6 +1377,136 @@ CONTAINMENT_NUM = 1
 CONTAINMENT_DEN = 2
 
 
+def _containment_direct_pairs(postings: DataFrame) -> DataFrame:
+    """Containment tier 1: the unfiltered ordered posting join — every
+    gram's posting list joins against itself (Σ df·(df−1) ordered rows,
+    measured against ``DIRECT_JOIN_BUDGET`` before this path is
+    chosen), intersections fall out of one ordered-pair aggregation."""
+    pa = postings.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("gram").alias("g"),
+        F.col("n_grams").alias("n_a"),
+    )
+    pb = postings.select(
+        F.col("doc_id").alias("doc_b"), F.col("gram").alias("g")
+    )
+    inter = (
+        pa.join(pb, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+        )
+    )
+    return inter.filter(
+        F.lit(CONTAINMENT_DEN) * F.col("n_common")
+        >= F.lit(CONTAINMENT_NUM) * F.col("n_a")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        (F.col("n_common").cast("double") / F.col("n_a")).alias(
+            "containment"
+        ),
+    )
+
+
+def _containment_prefix_pairs(postings: DataFrame) -> DataFrame:
+    """Containment tier 2: the prefix-filtered asymmetric plan — the
+    web-scale route the tier-1 budget guard used to merely RECOMMEND in
+    its error message (round-10 close of that advisory).
+
+    The asymmetric prefix theorem (pigeonhole, no ordering assumptions
+    needed): containment(a→b) ≥ t forces the overlap α = ⌈t·n_a⌉, so at
+    most n_a − α of A's grams miss B — any fixed ``n_a − α + 1``-gram
+    subset of A must hit B.  Ordering every doc's grams rarest-first
+    (the shared :func:`_ppjoin_per_doc` order) makes that probe prefix
+    land in the sparse tail of the posting lists, so candidate fan-out
+    is bounded by rare-gram document frequencies instead of stopword
+    df² — the same collapse PPJoin buys the symmetric band.  Only the
+    PROBE side (a) is prefix-limited; the index side (b) carries its
+    full gram array because α depends on n_a, which the index cannot
+    know.  Two filters prune further, both theorems, both
+    integer-exact:
+
+    - size: α ≤ |A∩B| ≤ n_b  ⇒  den·n_b ≥ num·n_a;
+    - positional: for the FIRST shared gram at 1-based positions
+      (pa, pb) in the common global order, every common gram sits at
+      ≥ pa in A and ≥ pb in B, so α ≤ 1 + min(n_a − pa, n_b − pb); the
+      pair survives if ANY generated row passes, and the
+      first-shared-gram row always does for a true pair.
+
+    Verification intersects the per-doc gram ARRAYS (distinct grams, so
+    ``array_intersect`` size is the exact overlap) — cost proportional
+    to candidate pairs, not the corpus.  α is computed as
+    ``(num·n_a + den − 1) div den`` (integer ceil — no float
+    boundary), and the emitted relation is bit-identical to tier 1
+    (equivalence pytest-pinned)."""
+    num, den = CONTAINMENT_NUM, CONTAINMENT_DEN
+    per_doc = _ppjoin_per_doc(postings)
+    alpha = F.expr(f"({num} * n + {den - 1}) div {den}")
+    prefix_len = (F.col("n") - alpha + F.lit(1)).cast("int")
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.posexplode(F.slice("ordered", F.lit(1), prefix_len)).alias(
+            "pos0", "gram"
+        ),
+    ).select(
+        "doc_a", "n_a", "gram", (F.col("pos0") + 1).alias("pa")
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.posexplode("ordered").alias("pos0", "gram"),
+    ).select(
+        "doc_b", "n_b", "gram", (F.col("pos0") + 1).alias("pb")
+    )
+    alpha_a = F.expr(f"({num} * n_a + {den - 1}) div {den}")
+    cands = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        # size filter: B must be able to hold the required overlap
+        .filter(F.lit(den) * F.col("n_b") >= F.lit(num) * F.col("n_a"))
+        # positional filter (valid via the first-shared-gram row)
+        .filter(
+            F.lit(1)
+            + F.least(F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb"))
+            >= alpha_a
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ordered").alias("grams_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("ordered").alias("grams_b")
+    )
+    verified = (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("grams_a", "grams_b"))
+        )
+    )
+    return verified.filter(
+        F.lit(den) * F.col("n_common") >= F.lit(num) * F.col("n_a")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        (F.col("n_common").cast("double") / F.col("n_a")).alias(
+            "containment"
+        ),
+    )
+
+
 @query(
     "containment_quote_pairs",
     oracle=f"""
@@ -1420,16 +1550,21 @@ def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the SAME cached postings relation as the Jaccard band
     (:func:`_shared_postings` — one narrow shingling pass, shared plan
-    cache), one gram-keyed equi-join + pair-keyed count, and the
-    integer cross-multiplied predicate ``2·c ≥ n_a`` (no float
-    boundary).  House guard: the ordered join volume Σ df·(df−1) is
-    measured FIRST against ``DIRECT_JOIN_BUDGET``; past it the function
-    raises with routing guidance (at web scale the exact plan is the
-    prefix-filtered containment join — order by df ascending and probe
-    the ⌈(1−t)·n_a⌉+1 rarest grams — same candidate machinery as
-    :func:`ppjoin_candidates` with the asymmetric bound).  The corpus
-    at test SFs emits both FULL (c = n_a) and partial containments, so
-    the threshold is exercised from both sides."""
+    cache), then a two-tier stats ladder (the Jaccard band's CBO move,
+    asymmetric edition): the ordered join volume Σ df·(df−1) is
+    measured FIRST, and at or below ``DIRECT_JOIN_BUDGET`` the
+    unfiltered posting join runs (:func:`_containment_direct_pairs` —
+    one gram-keyed equi-join + pair-keyed count); past the budget the
+    prefix-filtered asymmetric plan runs instead
+    (:func:`_containment_prefix_pairs` — probe the rarest
+    ``n_a − ⌈t·n_a⌉ + 1`` grams per doc against the full postings,
+    with the size and positional pruning theorems), whose candidate
+    cost is bounded by rare-gram document frequencies rather than
+    stopword df².  Both tiers apply the integer cross-multiplied
+    predicate ``2·c ≥ n_a`` (no float boundary) and emit the identical
+    relation (equivalence pytest).  The corpus at test SFs emits both
+    FULL (c = n_a) and partial containments, so the threshold is
+    exercised from both sides."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     postings = _shared_postings(d)
     vol = (
@@ -1442,39 +1577,8 @@ def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         or 0
     )
     if vol > DIRECT_JOIN_BUDGET:
-        raise ValueError(
-            "containment_quote_pairs: ordered posting-join volume "
-            f"sum(df*(df-1)) = {int(vol):,} exceeds DIRECT_JOIN_BUDGET="
-            f"{DIRECT_JOIN_BUDGET:,}.  Route around it: prefix-filter on "
-            "the (1-t)*n_a + 1 rarest grams per doc (ppjoin_candidates "
-            "with the asymmetric bound), drop stop-grams above a df cap, "
-            "or raise the budget if the cluster can fold the volume."
-        )
-    pa = postings.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("gram").alias("g"),
-        F.col("n_grams").alias("n_a"),
-    )
-    pb = postings.select(F.col("doc_id").alias("doc_b"), F.col("gram").alias("g"))
-    inter = (
-        pa.join(pb, "g")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("n_a").alias("n_a"),
-        )
-    )
-    return inter.filter(
-        F.lit(CONTAINMENT_DEN) * F.col("n_common")
-        >= F.lit(CONTAINMENT_NUM) * F.col("n_a")
-    ).select(
-        "doc_a",
-        "doc_b",
-        F.col("n_common").cast("bigint").alias("n_common"),
-        F.col("n_a").cast("bigint").alias("n_a"),
-        (F.col("n_common").cast("double") / F.col("n_a")).alias("containment"),
-    )
+        return _containment_prefix_pairs(postings)
+    return _containment_direct_pairs(postings)
 
 
 # ---------------------------------------------------------------------------

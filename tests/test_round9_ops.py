@@ -209,18 +209,78 @@ def test_containment_asymmetric_and_nonvacuous(spark):
     assert any((b, a) not in pairs for a, b in pairs)
 
 
-def test_containment_volume_guard_trips(spark):
-    """Past the measured posting-join budget the operator raises with
-    routing guidance instead of running a silently quadratic join."""
+def test_containment_volume_guard_routes_to_prefix_tier(spark):
+    """Past the measured posting-join budget the operator ROUTES to the
+    prefix-filtered asymmetric plan (round-10: the raise-message's
+    escape route is now code) — and that plan's output matches the
+    direct tier's exactly on the same corpus."""
     from national_caseload_data_ingest_spark.operators import dedup
 
+    def rel(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_common, r.n_a, round(r.containment, 12))
+            for r in df.collect()
+        )
+
+    direct = rel(
+        dedup.containment_quote_pairs(spark, "/root/testdata/sf0.001")
+    )
+    assert direct
     orig = dedup.DIRECT_JOIN_BUDGET
     dedup.DIRECT_JOIN_BUDGET = 1
     try:
-        with pytest.raises(ValueError, match="posting-join volume"):
+        routed = rel(
             dedup.containment_quote_pairs(spark, "/root/testdata/sf0.001")
+        )
     finally:
         dedup.DIRECT_JOIN_BUDGET = orig
+    assert routed == direct
+
+
+def test_containment_prefix_tier_equals_direct_on_planted_quotes(spark):
+    """Tier equivalence on a fixture with planted containments of every
+    flavor: full quote (short inside long), partial (exactly at the 1/2
+    threshold boundary from both sides), and disjoint docs.  The prefix
+    tier must emit the identical relation, and its candidate set must
+    genuinely prune (fewer candidates than ordered all-pairs)."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _containment_direct_pairs,
+        _containment_prefix_pairs,
+        _shared_postings,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"u{i} v{i}" for i in range(30))
+    texts = {
+        1: short,                               # quoted inside 2 and 3
+        2: short + " " + filler,
+        3: filler + " " + short,
+        4: "alpha beta gamma zzz qqq",          # partial overlap with 1
+        5: " ".join(f"w{i} x{i}" for i in range(25)),  # disjoint
+        6: short,                               # exact dup of 1
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in texts.items()],
+        "doc_id bigint, text string, lang string",
+    )
+    postings = _shared_postings(docs).persist()
+    try:
+        def rel(df):
+            return sorted(
+                (r.doc_a, r.doc_b, r.n_common, r.n_a,
+                 round(r.containment, 12))
+                for r in df.collect()
+            )
+
+        direct = rel(_containment_direct_pairs(postings))
+        prefix = rel(_containment_prefix_pairs(postings))
+        assert direct == prefix
+        pairs = {(a, b) for a, b, *_ in direct}
+        # both directions of the full quote, plus the exact dup
+        assert (1, 2) in pairs and (1, 3) in pairs and (1, 6) in pairs
+        assert (2, 1) not in pairs  # asymmetry: long not contained in short
+    finally:
+        postings.unpersist()
 
 
 def test_containment_finds_quote_jaccard_misses(spark):
