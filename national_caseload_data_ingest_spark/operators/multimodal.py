@@ -59,56 +59,35 @@ def fan_out(df):
     return df.repartition(sc.defaultParallelism)
 
 
-def png_decode(payload: bytes):
-    """Pure-stdlib PNG decoder (zlib + struct, no codec libraries): returns
-    ``(width, height, channels, pixels)`` with ``pixels`` a uint8 numpy
-    array of shape ``(height, width, channels)``.
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2 —
+# pass p covers pixels (x0 + i*dx, y0 + j*dy); passes with an empty
+# pixel grid contribute NO scanlines to the stream.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Supports the baseline still-image profile — 8-bit depth, color types
-    0/2/4/6, non-interlaced — with all five scanline filters (None, Sub,
-    Up, Average, Paeth) per the PNG spec (RFC 2083 §6).  The Up filter is
-    fully vectorized (uint8 addition wraps mod 256); Sub/Average/Paeth
-    carry a left-neighbor dependency and walk the row in Python — fine for
-    a per-payload kernel whose rows are Arrow-batched above it.
-    """
-    import struct  # noqa: PLC0415
-    import zlib  # noqa: PLC0415
 
+def _png_defilter(raw: bytes, offset: int, n_rows: int, width: int, ch: int):
+    """Undo the five scanline filters over ``n_rows`` consecutive
+    scanlines starting at ``offset`` in the decompressed stream; returns
+    ``(rows (n_rows, width*ch) uint8, next_offset)``.  One (sub)image's
+    filtering is self-contained — Adam7 passes reset the Up/Paeth
+    ``prev`` row, which is why this helper exists."""
     import numpy as np  # noqa: PLC0415
 
-    if payload[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG payload")
-    pos, idat, header = 8, [], None
-    while pos + 8 <= len(payload):
-        (length,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[
-            pos + 4 : pos + 8
-        ]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if typ == b"IHDR":
-            header = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if header is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = header
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"png_decode supports 8-bit non-interlaced color types "
-            f"{sorted(_PNG_CHANNELS)}; got depth={depth} color={color} "
-            f"interlace={interlace}"
-        )
-    ch = _PNG_CHANNELS[color]
-    stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    stride = width * ch
+    if offset + n_rows * (stride + 1) > len(raw):
         raise ValueError("PNG scanline data has wrong length")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        base = y * (stride + 1)
+    for y in range(n_rows):
+        base = offset + y * (stride + 1)
         f = raw[base]
         row = np.frombuffer(raw[base + 1 : base + 1 + stride], np.uint8).copy()
         if f == 0:
@@ -140,7 +119,73 @@ def png_decode(payload: bytes):
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = row
         prev = row
-    return w, h, ch, out.reshape(h, w, ch)
+    return out, offset + n_rows * (stride + 1)
+
+
+def png_decode(payload: bytes):
+    """Pure-stdlib PNG decoder (zlib + struct, no codec libraries): returns
+    ``(width, height, channels, pixels)`` with ``pixels`` a uint8 numpy
+    array of shape ``(height, width, channels)``.
+
+    Supports the baseline still-image profile — 8-bit depth, color types
+    0/2/4/6, non-interlaced OR Adam7-interlaced — with all five scanline
+    filters (None, Sub, Up, Average, Paeth) per the PNG spec (RFC 2083
+    §6).  The Up filter is fully vectorized (uint8 addition wraps mod
+    256); Sub/Average/Paeth carry a left-neighbor dependency and walk the
+    row in Python — fine for a per-payload kernel whose rows are
+    Arrow-batched above it.  Adam7 (spec §8.2): seven consecutive
+    sub-images in one zlib stream, each filtered independently (the
+    ``prev`` row resets per pass), placed on the strided pixel grid;
+    empty passes contribute no scanlines.
+    """
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, idat, header = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if header is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = header
+    if depth != 8 or interlace not in (0, 1) or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"png_decode supports 8-bit color types "
+            f"{sorted(_PNG_CHANNELS)} with interlace 0/1; got "
+            f"depth={depth} color={color} interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        rows, end = _png_defilter(raw, 0, h, w, ch)
+        if end != len(raw):
+            raise ValueError("PNG scanline data has wrong length")
+        return w, h, ch, rows.reshape(h, w, ch)
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, offset = _png_defilter(raw, offset, ph, pw, ch)
+        out[y0::dy, x0::dx] = rows.reshape(ph, pw, ch)
+    if offset != len(raw):
+        raise ValueError("PNG scanline data has wrong length")
+    return w, h, ch, out
 
 
 def decode_image(payload: bytes) -> object:
@@ -188,28 +233,17 @@ def decode_image(payload: bytes) -> object:
     return Image.open(io.BytesIO(payload))
 
 
-def png_encode(arr, filter_type: int = 0) -> bytes:
-    """Pure-stdlib PNG encoder (inverse of :func:`png_decode`): uint8 array
-    of shape ``(h, w)`` or ``(h, w, channels)`` → PNG bytes, applying the
-    given scanline filter to every row.  Exists so the decoder's five
-    filter paths are testable without any codec library, and to synthesize
-    image payloads for the decode-pipeline E2E query.  Filters operate on
-    the RAW neighbor bytes (not the filtered output), per RFC 2083 §6.5."""
-    import struct  # noqa: PLC0415
-    import zlib  # noqa: PLC0415
-
+def _png_filter(flat, ch: int, filter_type: int) -> bytes:
+    """Apply one scanline filter to every row of a ``(n, stride)`` uint8
+    (sub)image — the encode twin of :func:`_png_defilter`, with the same
+    per-(sub)image ``prev`` reset.  Filters operate on the RAW neighbor
+    bytes (not the filtered output), per RFC 2083 §6.5."""
     import numpy as np  # noqa: PLC0415
 
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = arr.reshape(h, w * ch)
-    stride = w * ch
+    n, stride = flat.shape
     prev = np.zeros(stride, dtype=np.uint8)
     lines = []
-    for y in range(h):
+    for y in range(n):
         row = flat[y]
         f = filter_type
         res = np.empty(stride, dtype=np.uint8)
@@ -237,7 +271,41 @@ def png_encode(arr, filter_type: int = 0) -> bytes:
             raise ValueError(f"unknown PNG filter type {f}")
         lines.append(bytes([f]) + res.tobytes())
         prev = row
-    raw = zlib.compress(b"".join(lines))
+    return b"".join(lines)
+
+
+def png_encode(arr, filter_type: int = 0, interlace: bool = False) -> bytes:
+    """Pure-stdlib PNG encoder (inverse of :func:`png_decode`): uint8 array
+    of shape ``(h, w)`` or ``(h, w, channels)`` → PNG bytes, applying the
+    given scanline filter to every row.  Exists so the decoder's five
+    filter paths are testable without any codec library, and to synthesize
+    image payloads for the decode-pipeline E2E query.  With
+    ``interlace=True`` the stream is Adam7: the seven strided sub-images
+    are filtered independently and concatenated in pass order inside one
+    zlib stream (spec §8.2)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            flat = sub.reshape(sub.shape[0], sub.shape[1] * ch)
+            parts.append(_png_filter(flat, ch, filter_type))
+        raw = zlib.compress(b"".join(parts))
+    else:
+        raw = zlib.compress(
+            _png_filter(arr.reshape(h, w * ch), ch, filter_type)
+        )
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -247,7 +315,7 @@ def png_encode(arr, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (
         PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
         + chunk(b"IEND", b"")
@@ -318,20 +386,32 @@ IMAGE_FEATURE_SCHEMA = (
 )
 
 
+PNG_FEATURE_SCHEMA = IMAGE_FEATURE_SCHEMA + ", weighted_sum bigint"
+
+
 def decode_image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Real image-decode kernel: PNG binary payload → (dims, channels,
-    mean pixel) via the pure-stdlib decoder.  The mean divides an exact
-    integer pixel sum by the pixel count in float64, so it's reproducible
-    against any engine computing AVG over the same integers."""
+    mean pixel, position-weighted sum) via the pure-stdlib decoder.  The
+    mean divides an exact integer pixel sum by the pixel count in
+    float64, so it's reproducible against any engine computing AVG over
+    the same integers.  ``weighted_sum`` = Σ k·px[k] over the row-major
+    flattened pixels — position-SENSITIVE where the mean is
+    permutation-invariant, so a decoder that produces the right pixel
+    multiset at the wrong positions (the Adam7 bug class) still breaks
+    the oracle hash."""
+    import numpy as np  # noqa: PLC0415
+
     for pdf in batches:
-        doc_ids, ws, hs, chs, means = [], [], [], [], []
+        doc_ids, ws, hs, chs, means, wsum = [], [], [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             w, h, ch, px = png_decode(bytes(payload))
             doc_ids.append(doc_id)
             ws.append(w)
             hs.append(h)
             chs.append(ch)
-            means.append(int(px.sum(dtype="int64")) / (w * h * ch))
+            flat = px.reshape(-1).astype(np.int64)
+            means.append(int(flat.sum()) / (w * h * ch))
+            wsum.append(int((np.arange(flat.size, dtype=np.int64) * flat).sum()))
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(doc_ids, dtype="int64"),
@@ -339,14 +419,17 @@ def decode_image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 "height": pd.Series(hs, dtype="int32"),
                 "channels": pd.Series(chs, dtype="int32"),
                 "mean_pixel": pd.Series(means, dtype="float64"),
+                "weighted_sum": pd.Series(wsum, dtype="int64"),
             }
         )
 
 
 def _synthesize_png_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic grayscale PNG per doc: pixel k = (doc_id + k) mod 256,
-    encoded with scanline filter ``doc_id mod 5`` — every filter type flows
-    through the production decode path."""
+    encoded with scanline filter ``doc_id mod 5`` and Adam7 interlacing
+    for odd doc_ids — every filter type AND both interlace layouts flow
+    through the production decode path (the rotations are coprime, so
+    all ten filter x layout combinations occur)."""
     import numpy as np  # noqa: PLC0415
 
     for pdf in batches:
@@ -354,7 +437,13 @@ def _synthesize_png_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
         for doc_id in pdf["doc_id"]:
             k = np.arange(IMG_W * IMG_H, dtype=np.int64)
             px = ((int(doc_id) + k) % 256).astype(np.uint8).reshape(IMG_H, IMG_W)
-            payloads.append(png_encode(px, filter_type=int(doc_id) % 5))
+            payloads.append(
+                png_encode(
+                    px,
+                    filter_type=int(doc_id) % 5,
+                    interlace=bool(doc_id % 2),
+                )
+            )
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
         )
@@ -368,7 +457,9 @@ def _synthesize_png_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
            CAST({IMG_H} AS INTEGER) AS height,
            CAST(1 AS INTEGER) AS channels,
            CAST(SUM((d.doc_id + t.k) % 256) AS DOUBLE) / {IMG_W * IMG_H}
-               AS mean_pixel
+               AS mean_pixel,
+           CAST(SUM(t.k * ((d.doc_id + t.k) % 256)) AS BIGINT)
+               AS weighted_sum
     FROM documents d, range(0, {IMG_W * IMG_H}) t(k)
     GROUP BY d.doc_id
     """,
@@ -376,19 +467,23 @@ def _synthesize_png_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
 def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode E2E with a SQL oracle: synthesize a deterministic PNG
     per document (gradient pixels, filter type rotating over all five
-    scanline filters), then run the REAL decode through
+    scanline filters, Adam7 interlacing on odd doc_ids), then run the
+    REAL decode through
     :func:`decode_image_features` — two narrow ``mapInPandas`` passes, no
     shuffle.  The oracle recomputes the pixel statistics from the closed
     form, so a single flipped byte anywhere in encode, zlib framing,
-    unfiltering, or the Arrow plumbing breaks the hash match.  At 100 TB
-    the synthesize stage swaps for real stored payloads; the decode stage
-    is unchanged — payloads never leave the executor, only features."""
+    unfiltering, deinterlacing, or the Arrow plumbing breaks the hash
+    match — and ``weighted_sum`` is position-sensitive, so Adam7 pixels
+    landing anywhere but their strided grid cell break it too.  At 100
+    TB the synthesize stage swaps for real stored payloads; the decode
+    stage is unchanged — payloads never leave the executor, only
+    features."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_png_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
-        decode_image_features, schema=IMAGE_FEATURE_SCHEMA
+        decode_image_features, schema=PNG_FEATURE_SCHEMA
     )
 
 

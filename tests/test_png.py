@@ -252,3 +252,66 @@ def test_png_decode_features_query(spark):
         want = sum((doc_id + k) % 256 for k in range(n)) / n
         assert (r["width"], r["height"], r["channels"]) == (IMG_W, IMG_H, 1)
         assert r["mean_pixel"] == pytest.approx(want, abs=0)
+
+
+@pytest.mark.parametrize("size", [(1, 1), (3, 5), (5, 3), (7, 9), (8, 8),
+                                  (16, 12), (17, 13)])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_png_adam7_roundtrip_exact(size, channels):
+    """Adam7 interlaced streams decode to EXACTLY the source pixels at
+    every geometry class — including sizes where several passes are
+    empty (1x1 keeps only pass 1) and sizes not divisible by 8."""
+    h, w = size
+    rng = np.random.default_rng(h * 31 + w * 7 + channels)
+    arr = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    for filter_type in range(5):
+        payload = png_encode(arr, filter_type=filter_type, interlace=True)
+        dw, dh, ch, px = png_decode(payload)
+        assert (dw, dh, ch) == (w, h, channels)
+        assert np.array_equal(px, arr)
+
+
+def test_png_adam7_pass_permutation():
+    """Position-coded pixels prove the SEVEN passes land on exactly the
+    spec's strided grid cells: encode an image whose pixel (x, y) value
+    is its Adam7 pass number, decode, and check every pixel announces
+    the pass that should own it — any swapped or shifted pass breaks
+    this, while multiset-preserving bugs would pass a mean check."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        _ADAM7,
+    )
+
+    h, w = 16, 16
+    owner = np.zeros((h, w), dtype=np.uint8)
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        owner[y0::dy, x0::dx] = p * 10
+    # every pass owns at least one pixel at 16x16, and pass 1's cell is
+    # only (0,0) scaled
+    assert set(np.unique(owner)) == {10, 20, 30, 40, 50, 60, 70}
+    payload = png_encode(owner, filter_type=1, interlace=True)
+    _, _, _, px = png_decode(payload)
+    assert np.array_equal(px[:, :, 0], owner)
+    # interlaced and sequential encodings of the same pixels decode
+    # identically
+    seq = png_decode(png_encode(owner, filter_type=1))[3]
+    assert np.array_equal(px, seq)
+
+
+def test_png_adam7_weighted_sum_detects_misplacement():
+    """The query-level guard: weighted_sum is position-sensitive, so a
+    decoder producing the right pixel MULTISET at wrong positions (the
+    Adam7 bug class the permutation-invariant mean cannot see) changes
+    it."""
+    arr = (np.arange(IMG_W * IMG_H, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).reshape(IMG_H, IMG_W)
+    _, _, _, good = png_decode(png_encode(arr, filter_type=0,
+                                          interlace=True))
+    k = np.arange(arr.size, dtype=np.int64)
+    ws_good = int((k * good.reshape(-1).astype(np.int64)).sum())
+    ws_seq = int((k * arr.reshape(-1).astype(np.int64)).sum())
+    assert ws_good == ws_seq  # correct decode reproduces positions
+    # a pass-order scramble preserves the multiset but not weighted_sum
+    scrambled = good.reshape(-1).copy()
+    scrambled[:50] = scrambled[:50][::-1]
+    assert int((k * scrambled.astype(np.int64)).sum()) != ws_good
