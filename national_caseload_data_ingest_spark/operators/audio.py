@@ -516,15 +516,25 @@ FLAC_N = 600  # samples per synthesized clip (spans two rice partitions)
 @query(
     "flac_audio_features",
     oracle=f"""
-    WITH base AS (
-        SELECT d.doc_id, t.k,
-               ((d.doc_id * 7 + t.k * t.k) % 4001) - 2000 AS l,
-               ((d.doc_id * 11 + 3 * t.k) % 3001) - 1500 AS r
-        FROM documents d, range(0, {FLAC_N}) t(k)
+    WITH amp AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 2000 WHEN 1 THEN 100
+                    ELSE 500000 END AS al,
+               CASE doc_id % 3 WHEN 0 THEN 1500 WHEN 1 THEN 80
+                    ELSE 400000 END AS ar
+        FROM documents
+    ),
+    base AS (
+        SELECT a.doc_id, t.k,
+               ((a.doc_id * 7 + t.k * t.k) % (2 * al + 1)) - al AS l,
+               ((a.doc_id * 11 + 3 * t.k) % (2 * ar + 1)) - ar AS r
+        FROM amp a, range(0, {FLAC_N}) t(k)
     )
     SELECT doc_id,
            CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INTEGER)
                AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8
+                ELSE 24 END AS INTEGER) AS bit_depth,
            CAST({FLAC_N} AS INTEGER) AS n_samples,
            CAST(CASE WHEN doc_id % 5 = 0 THEN SUM(l)
                      ELSE SUM(l) + SUM(r) END AS BIGINT) AS sample_sum,
@@ -538,15 +548,16 @@ FLAC_N = 600  # samples per synthesized clip (spans two rice partitions)
 def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC decode E2E with a SQL oracle — the lossless-audio capstone
     (``operators/flac.py``): per document, synthesize a deterministic
-    int16 waveform, encode through the real FLAC path (doc id rotates
-    mono and all three stereo-decorrelation channel assignments:
-    left/side, right/side, mid/side; odd doc ids additionally force
-    order-8 quantized-LPC subframes — the dominant real-world coding
-    mode — so the driver row certifies the LPC restore path too),
-    decode it back — CRC-8/CRC-16 verified, fixed and LPC predictors
-    restored, Rice partitions expanded — and hash-match the closed-form
-    sample statistics.  Lossless end to end, so the oracle is exact for
-    every mode.  One narrow ``mapInPandas`` pass."""
+    waveform, encode through the real FLAC path (doc id rotates mono
+    and all three stereo-decorrelation channel assignments: left/side,
+    right/side, mid/side; odd doc ids additionally force order-8
+    quantized-LPC subframes — the dominant real-world coding mode — and
+    doc_id % 3 rotates the BIT DEPTH over 16/8/24 with depth-scaled
+    amplitudes, closing the round-9 depth gate), decode it back —
+    CRC-8/CRC-16 verified, fixed and LPC predictors restored, Rice
+    partitions expanded — and hash-match the closed-form sample
+    statistics.  Lossless end to end, so the oracle is exact for every
+    mode × depth.  One narrow ``mapInPandas`` pass."""
     import numpy as np  # noqa: PLC0415
 
     from national_caseload_data_ingest_spark.operators.flac import (  # noqa: PLC0415
@@ -558,32 +569,37 @@ def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
-            doc_ids, chs, sums, peaks = [], [], [], []
+            doc_ids, chs, depths, sums, peaks = [], [], [], [], []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 k = np.arange(FLAC_N, dtype=np.int64)
-                left = ((did * 7 + k * k) % 4001) - 2000
+                bps = [16, 8, 24][did % 3]
+                al = {16: 2000, 8: 100, 24: 500000}[bps]
+                ar = {16: 1500, 8: 80, 24: 400000}[bps]
+                left = ((did * 7 + k * k) % (2 * al + 1)) - al
                 mode = did % 5
                 lpc = 8 if did % 2 else None
                 if mode == 0:
-                    payload = flac_encode(left.astype(np.int16), lpc_order=lpc)
+                    payload = flac_encode(left, lpc_order=lpc, bps=bps)
                 else:
-                    right = ((did * 11 + 3 * k) % 3001) - 1500
-                    st = np.stack([left, right], axis=-1).astype(np.int16)
+                    right = ((did * 11 + 3 * k) % (2 * ar + 1)) - ar
+                    st = np.stack([left, right], axis=-1)
                     stereo = ["independent", "left_side", "right_side",
                               "mid_side"][mode - 1]
                     payload = flac_encode(st, stereo_mode=stereo,
-                                          lpc_order=lpc)
+                                          lpc_order=lpc, bps=bps)
                 _rate, ch, out = flac_decode(payload)
                 o = out.astype(np.int64)
                 doc_ids.append(did)
                 chs.append(ch)
+                depths.append(bps)
                 sums.append(int(o.sum()))
                 peaks.append(int(np.abs(o).max()))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(doc_ids, dtype="int64"),
                     "channels": pd.Series(chs, dtype="int32"),
+                    "bit_depth": pd.Series(depths, dtype="int32"),
                     "n_samples": pd.Series([FLAC_N] * len(doc_ids), dtype="int32"),
                     "sample_sum": pd.Series(sums, dtype="int64"),
                     "peak": pd.Series(peaks, dtype="int64"),
@@ -593,7 +609,7 @@ def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(d.select("doc_id")).mapInPandas(
         kernel,
         schema=(
-            "doc_id bigint, channels int, n_samples int, "
+            "doc_id bigint, channels int, bit_depth int, n_samples int, "
             "sample_sum bigint, peak bigint"
         ),
     )

@@ -4,8 +4,8 @@ The flagship lossless audio format, completing the audio band next to
 PCM WAV, G.711, and IMA ADPCM.  Format reference: the public FLAC
 format specification (xiph.org / RFC 9639).
 
-Implemented subset (what the encoder here emits and real 16-bit FLAC
-files commonly contain):
+Implemented subset (what the encoder here emits and real FLAC files
+commonly contain — 8/16/24-bit depths):
 
 - fLaC magic + STREAMINFO (and skipping any other metadata block),
 - frames with UTF-8-coded frame numbers, CRC-8 header / CRC-16 frame
@@ -22,7 +22,7 @@ files commonly contain):
 - channel assignments: independent mono/stereo plus the left/side,
   right/side, and mid/side decorrelation modes.
 
-Remaining honest gates: bit depths other than 16, more than two
+Remaining honest gates: bit depths other than 8/16/24, more than two
 channels, reserved subframe/residual types — everything this module
 claims to decode it decodes bit-exactly (roundtrip property tests in
 ``tests/test_flac.py``), and what it does not, it refuses loudly.
@@ -371,24 +371,32 @@ def _encode_subframe(
     _write_residual(bw, res, bs, order)
 
 
+_BPS_CODES = {8: 0b001, 16: 0b100, 24: 0b110}  # frame-header sample sizes
+
+
 def flac_encode(
     samples,
     sample_rate: int = 8000,
     stereo_mode: str = "independent",
     lpc_order: int | None = None,
+    bps: int = 16,
 ) -> bytes:
-    """int16 array ``(n,)`` mono or ``(n, 2)`` stereo → FLAC bytes.
+    """integer array ``(n,)`` mono or ``(n, 2)`` stereo → FLAC bytes.
 
     ``stereo_mode``: ``independent``, ``left_side``, ``right_side`` or
     ``mid_side`` — emits the corresponding channel assignment so the
     decoder's decorrelation paths are exercised.  ``lpc_order`` (1-32)
     forces quantized-LPC subframes of that order (falling back to FIXED
     only on degenerate signals); ``None`` keeps the fixed-predictor
-    search."""
+    search.  ``bps`` selects the sample depth — 8, 16, or 24 bits (the
+    depths real audio corpora carry); samples must fit the signed
+    range."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
 
+    if bps not in _BPS_CODES:
+        raise ValueError(f"flac_encode: bps must be one of 8/16/24, got {bps}")
     s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
@@ -397,7 +405,10 @@ def flac_encode(
         raise ValueError("flac_encode: 1 or 2 channels")
     if ch == 1 and stereo_mode != "independent":
         raise ValueError("stereo_mode needs 2 channels")
-    bps = 16
+    if n and (
+        int(s.max()) >= (1 << (bps - 1)) or int(s.min()) < -(1 << (bps - 1))
+    ):
+        raise ValueError(f"flac_encode: samples exceed signed {bps}-bit range")
     block_size = 4096
     frames = bytearray()
     frame_no = 0
@@ -421,7 +432,7 @@ def flac_encode(
         else:
             chan_assign = 10  # mid_side
         hdr.write(chan_assign, 4)
-        hdr.write(0b100, 3)  # 16 bps
+        hdr.write(_BPS_CODES[bps], 3)  # sample size
         hdr.write(0, 1)  # reserved
         hdr.align()
         head = hdr.bytes() + _utf8_number(frame_no)
@@ -533,11 +544,13 @@ def _decode_residual(br: _MsbReader, bs: int, order: int):
 
 
 def flac_decode(payload: bytes):
-    """FLAC → ``(sample_rate, channels, int16 samples (n, ch))``.
+    """FLAC → ``(sample_rate, channels, samples (n, ch))`` — int16 for
+    8/16-bit streams, int32 for 24-bit.
 
     Verifies the frame header CRC-8 and whole-frame CRC-16; raises
-    ``ValueError`` on corruption and ``NotImplementedError`` on LPC
-    subframes or unsupported stream shapes."""
+    ``ValueError`` on corruption and ``NotImplementedError`` on
+    unsupported stream shapes (depths outside 8/16/24, more than two
+    channels)."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -567,8 +580,10 @@ def flac_decode(payload: bytes):
     ch = si.read(3) + 1
     bps = si.read(5) + 1
     total = si.read(36)
-    if bps != 16:
-        raise NotImplementedError(f"flac: only 16 bps supported, got {bps}")
+    if bps not in (8, 16, 24):
+        raise NotImplementedError(
+            f"flac: only 8/16/24 bps supported, got {bps}"
+        )
     if ch > 2:
         raise NotImplementedError("flac: mono/stereo subset only")
 
@@ -605,25 +620,29 @@ def flac_decode(payload: bytes):
         crc8 = br.read(8)
         if _crc8(head) != crc8:
             raise ValueError("flac: frame header CRC-8 mismatch")
-        if bps_code not in (0, 0b100):
+        # frame sample-size code must be "from STREAMINFO" or agree
+        # with it; a genuine per-frame override is a gate
+        code_bits = {0b001: 8, 0b010: 12, 0b100: 16,
+                     0b101: 20, 0b110: 24, 0b111: 32}
+        if bps_code != 0 and code_bits.get(bps_code) != bps:
             raise NotImplementedError("flac: frame bps override unsupported")
         if chan_assign <= 7:
             n_sub = chan_assign + 1
             if n_sub != ch:
                 raise ValueError("flac: channel count mismatch")
-            subs = [_decode_subframe(br, bs, 16) for _ in range(n_sub)]
+            subs = [_decode_subframe(br, bs, bps) for _ in range(n_sub)]
             outs = subs
         elif chan_assign == 8:  # left/side
-            left = _decode_subframe(br, bs, 16)
-            side = _decode_subframe(br, bs, 17)
+            left = _decode_subframe(br, bs, bps)
+            side = _decode_subframe(br, bs, bps + 1)
             outs = [left, left - side]
         elif chan_assign == 9:  # side/right
-            side = _decode_subframe(br, bs, 17)
-            right = _decode_subframe(br, bs, 16)
+            side = _decode_subframe(br, bs, bps + 1)
+            right = _decode_subframe(br, bs, bps)
             outs = [right + side, right]
         elif chan_assign == 10:  # mid/side
-            mid = _decode_subframe(br, bs, 16)
-            side = _decode_subframe(br, bs, 17)
+            mid = _decode_subframe(br, bs, bps)
+            side = _decode_subframe(br, bs, bps + 1)
             left = ((mid << 1) | (side & 1)) + side
             outs = [left >> 1, (left >> 1) - side]
         else:
@@ -640,4 +659,4 @@ def flac_decode(payload: bytes):
     data = np.stack(
         [np.asarray(c[:total], dtype=np.int64) for c in chans], axis=-1
     )
-    return sample_rate, ch, data.astype(np.int16)
+    return sample_rate, ch, data.astype(np.int32 if bps > 16 else np.int16)

@@ -3677,7 +3677,7 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
 def _gate_report_payloads() -> list[bytes]:
     """The seven deterministic payload classes the report query rotates
     through (index = doc_id % 7): a decodable grayscale JPEG, a
-    decodable VP8L WEBP, a GATED lossy-VP8 WEBP, a GATED 8-bps FLAC, a
+    decodable VP8L WEBP, a GATED lossy-VP8 WEBP, a GATED 12-bps FLAC, a
     CORRUPT VP8L stream, an unrecognized container, and a decodable
     ANIMATED WEBP (routed through the compositing demuxer — proof the
     classifier routes rather than gates once a decoder exists)."""
@@ -3710,7 +3710,7 @@ def _gate_report_payloads() -> list[bytes]:
     info.write(0, 24)
     info.write(8000, 20)  # sample rate
     info.write(0, 3)  # mono
-    info.write(7, 5)  # bps - 1 = 7 -> 8 bps: the decoder's depth gate
+    info.write(11, 5)  # bps - 1 = 11 -> 12 bps: the decoder's depth gate
     info.write(0, 36)
     info.align()
     flac_8bps = (
@@ -3749,7 +3749,7 @@ def _gate_report_payloads() -> list[bytes]:
                 ELSE 'decoded' END AS status,
            CASE doc_id % 7
                 WHEN 2 THEN 'webp: lossy VP8 not supported (VP8L lossless only)'
-                WHEN 3 THEN 'flac: only 16 bps supported, got 8'
+                WHEN 3 THEN 'flac: only 8/16/24 bps supported, got 12'
                 WHEN 4 THEN 'vp8l: bad signature byte'
                 WHEN 5 THEN 'no native decoder claims this container'
                 ELSE '' END AS reason

@@ -192,3 +192,71 @@ def test_flac_audio_features_query(spark):
     for r in rows[:10]:
         assert r["n_samples"] == FLAC_N
         assert r["channels"] == (1 if r["doc_id"] % 5 == 0 else 2)
+
+
+# ---------------------------------------------------------------------------
+# 8- and 24-bit depths (round-10: the depth gate narrows to exotic widths)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bps,amp", [(8, 127), (24, 8_000_000)])
+@pytest.mark.parametrize("lpc", [None, 8])
+def test_mono_roundtrip_8_and_24_bit(bps, amp, lpc):
+    """Bit-exact round trip at both non-16 depths, fixed and LPC
+    subframes, including the signed extremes of each width."""
+    sig = RNG.integers(-amp - 1, amp, 5000).astype(np.int64)
+    sig[:4] = [-(1 << (bps - 1)), (1 << (bps - 1)) - 1, 0, -1]
+    rate, ch, out = flac_decode(flac_encode(sig, 8000, lpc_order=lpc,
+                                            bps=bps))
+    assert (rate, ch) == (8000, 1)
+    assert out.dtype == (np.int32 if bps == 24 else np.int16)
+    assert np.array_equal(out[:, 0].astype(np.int64), sig)
+
+
+@pytest.mark.parametrize("bps", [8, 24])
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_stereo_roundtrip_8_and_24_bit(bps, mode):
+    """All four channel assignments round-trip at 8 and 24 bits — the
+    side channel carries bps+1 bits at every depth."""
+    amp = (1 << (bps - 1)) - 1
+    st = np.stack(
+        [
+            RNG.integers(-amp - 1, amp + 1, 3000),
+            RNG.integers(-amp - 1, amp + 1, 3000),
+        ],
+        axis=-1,
+    ).astype(np.int64)
+    rate, ch, out = flac_decode(flac_encode(st, 44100, stereo_mode=mode,
+                                            bps=bps))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(out.astype(np.int64), st)
+
+
+def test_flac_depth_gates_and_range_checks():
+    """Depths outside 8/16/24 still gate loudly on decode; the encoder
+    rejects unsupported widths and out-of-range samples."""
+    from national_caseload_data_ingest_spark.operators.flac import (
+        _MsbWriter,
+        FLAC_MAGIC,
+    )
+
+    with pytest.raises(ValueError, match="bps must be one of 8/16/24"):
+        flac_encode(np.zeros(10, np.int64), bps=12)
+    with pytest.raises(ValueError, match="exceed signed 8-bit range"):
+        flac_encode(np.array([200], np.int64), bps=8)
+    info = _MsbWriter()
+    info.write(4096, 16)
+    info.write(4096, 16)
+    info.write(0, 48)
+    info.write(8000, 20)
+    info.write(0, 3)
+    info.write(19, 5)  # 20 bps -> still a gate
+    info.write(0, 36)
+    info.align()
+    payload = (FLAC_MAGIC + bytes([0x80]) + (34).to_bytes(3, "big")
+               + info.bytes() + b"\x00" * 16)
+    with pytest.raises(NotImplementedError,
+                       match="only 8/16/24 bps supported, got 20"):
+        flac_decode(payload)

@@ -22,7 +22,7 @@ def test_classifier_covers_all_statuses():
         ("jpeg", "decoded", ""),
         ("webp", "decoded", ""),
         ("webp", "gated", "webp: lossy VP8 not supported (VP8L lossless only)"),
-        ("flac", "gated", "flac: only 16 bps supported, got 8"),
+        ("flac", "gated", "flac: only 8/16/24 bps supported, got 12"),
         ("webp", "corrupt", "vp8l: bad signature byte"),
         ("unknown", "unrouted", "no native decoder claims this container"),
         # animated: ROUTED to the compositing demuxer, not gated
