@@ -3614,6 +3614,7 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
     )
     from national_caseload_data_ingest_spark.operators.video import (  # noqa: PLC0415
         avi_extract_frames,
+        avi_video_fourcc,
     )
     import struct  # noqa: PLC0415
 
@@ -3624,7 +3625,21 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
             flac_decode(payload)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             fmt = "avi"
-            avi_extract_frames(payload)
+            # codec-aware routing (not just a container walk): MJPG
+            # decodes natively frame-by-frame; inter-coded handlers
+            # gate with the SCALING.md route-to-host policy reason
+            handler = avi_video_fourcc(payload)
+            frames = avi_extract_frames(payload)
+            if handler is not None and handler.upper() not in (
+                b"MJPG", b"\x00\x00\x00\x00"
+            ):
+                name = handler.decode("ascii", "replace").strip()
+                raise NotImplementedError(
+                    f"avi: codec '{name}' is inter-coded; route to "
+                    "decoder host (SCALING.md video routing policy)"
+                )
+            for f in frames[:1]:
+                jpeg_decode(f)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             fmt = "webp"
             try:
@@ -3675,12 +3690,14 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
 
 
 def _gate_report_payloads() -> list[bytes]:
-    """The seven deterministic payload classes the report query rotates
-    through (index = doc_id % 7): a decodable grayscale JPEG, a
+    """The eight deterministic payload classes the report query rotates
+    through (index = doc_id % 8): a decodable grayscale JPEG, a
     decodable VP8L WEBP, a GATED lossy-VP8 WEBP, a GATED 12-bps FLAC, a
-    CORRUPT VP8L stream, an unrecognized container, and a decodable
+    CORRUPT VP8L stream, an unrecognized container, a decodable
     ANIMATED WEBP (routed through the compositing demuxer — proof the
-    classifier routes rather than gates once a decoder exists)."""
+    classifier routes rather than gates once a decoder exists), and a
+    GATED inter-coded AVI (H264 handler — the reason string names the
+    SCALING.md route-to-host policy)."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -3732,26 +3749,35 @@ def _gate_report_payloads() -> list[bytes]:
     animated = webp_encode_animated(
         4, 4, [dict(x=0, y=0, rgba=frame, duration_ms=10)]
     )
-    return [jpeg, vp8l, vp8_lossy, flac_8bps, corrupt, unknown, animated]
+    from national_caseload_data_ingest_spark.operators.video import (  # noqa: PLC0415
+        avi_encode_mjpeg,
+    )
+
+    inter_avi = avi_encode_mjpeg([b"\x00" * 16], width=4, height=4).replace(
+        b"MJPG", b"H264"
+    )
+    return [jpeg, vp8l, vp8_lossy, flac_8bps, corrupt, unknown, animated,
+            inter_avi]
 
 
 @query(
     "codec_gate_report",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 7 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'webp'
+           CASE doc_id % 8 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'webp'
                 WHEN 2 THEN 'webp' WHEN 3 THEN 'flac'
                 WHEN 4 THEN 'webp' WHEN 5 THEN 'unknown'
-                ELSE 'webp' END AS fmt,
-           CASE doc_id % 7 WHEN 0 THEN 'decoded' WHEN 1 THEN 'decoded'
+                WHEN 6 THEN 'webp' ELSE 'avi' END AS fmt,
+           CASE doc_id % 8 WHEN 0 THEN 'decoded' WHEN 1 THEN 'decoded'
                 WHEN 2 THEN 'gated' WHEN 3 THEN 'gated'
                 WHEN 4 THEN 'corrupt' WHEN 5 THEN 'unrouted'
-                ELSE 'decoded' END AS status,
-           CASE doc_id % 7
+                WHEN 6 THEN 'decoded' ELSE 'gated' END AS status,
+           CASE doc_id % 8
                 WHEN 2 THEN 'webp: lossy VP8 not supported (VP8L lossless only)'
                 WHEN 3 THEN 'flac: only 8/16/24 bps supported, got 12'
                 WHEN 4 THEN 'vp8l: bad signature byte'
                 WHEN 5 THEN 'no native decoder claims this container'
+                WHEN 7 THEN 'avi: codec ''H264'' is inter-coded; route to decoder host (SCALING.md video routing policy)'
                 ELSE '' END AS reason
     FROM documents
     """,
@@ -3760,10 +3786,10 @@ def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload gate report: (doc_id, fmt, status, reason) — the
     measured answer to "what do the honest codec gates exclude?".
 
-    Each document is assigned one of seven deterministic payload
+    Each document is assigned one of eight deterministic payload
     classes (decodable JPEG, VP8L WEBP, and animated WEBP; gated
-    lossy-VP8 WEBP and 8-bps FLAC; a corrupt VP8L stream; an
-    unrecognized container) and routed
+    lossy-VP8 WEBP, 12-bps FLAC, and inter-coded AVI; a corrupt VP8L
+    stream; an unrecognized container) and routed
     through :func:`classify_codec_payload`; gates and corruption become
     ROWS, not job failures.  At 100 TB the same kernel runs over a real
     binary-payload column and ``GROUP BY fmt, status, reason`` sizes
@@ -3781,7 +3807,7 @@ def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 fmt, status, reason = classify_codec_payload(
-                    classes[did % 7]
+                    classes[did % 8]
                 )
                 ids.append(did)
                 fmts.append(fmt)

@@ -80,6 +80,37 @@ def avi_encode_mjpeg(frames: list[bytes], fps: int = 10,
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def avi_video_fourcc(payload: bytes) -> bytes | None:
+    """The first video stream's codec handler fourcc (``strh`` with
+    fccType ``vids``), or None when no video stream header exists.
+    This is the routing key for the gate report's video policy
+    (SCALING.md): MJPG decodes natively; inter-coded handlers route to
+    a decoder host by documented decision."""
+    if payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF container")
+    if payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            f"RIFF form {payload[8:12]!r} is not AVI"
+        )
+    found: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end and not found:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > len(data):
+                raise ValueError("avi: chunk overruns file")
+            if fourcc == b"LIST":
+                walk(data, body_start + 4, body_start + size)
+            elif fourcc == b"strh" and data[body_start : body_start + 4] == b"vids":
+                found.append(data[body_start + 4 : body_start + 8])
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    return found[0] if found else None
+
+
 def avi_extract_frames(
     payload: bytes,
     stream: int = 0,

@@ -27,6 +27,10 @@ def test_classifier_covers_all_statuses():
         ("unknown", "unrouted", "no native decoder claims this container"),
         # animated: ROUTED to the compositing demuxer, not gated
         ("webp", "decoded", ""),
+        # inter-coded video: gated with the route-to-host policy reason
+        ("avi", "gated",
+         "avi: codec 'H264' is inter-coded; route to decoder host "
+         "(SCALING.md video routing policy)"),
     ]
 
 
@@ -61,11 +65,11 @@ def test_codec_gate_report_query(spark):
     assert len(rows) > 0
     by_class = {}
     for r in rows:
-        by_class.setdefault(r["doc_id"] % 7, set()).add(
+        by_class.setdefault(r["doc_id"] % 8, set()).add(
             (r["fmt"], r["status"], r["reason"])
         )
     # every class present and deterministic (one distinct triple each)
-    assert set(by_class) == set(range(7))
+    assert set(by_class) == set(range(8))
     assert all(len(v) == 1 for v in by_class.values())
     statuses = {next(iter(v))[1] for v in by_class.values()}
     assert statuses == {"decoded", "gated", "corrupt", "unrouted"}

@@ -112,3 +112,32 @@ def test_mjpeg_frame_features_query(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
         assert (r["width"], r["height"]) == (JPEG_W, JPEG_H)
     assert all(sorted(v) == [0, 2, 4, 6] for v in by_doc.values())
+
+
+def test_classifier_avi_codec_routing():
+    """Round-10: the classifier is codec-AWARE for AVI — an MJPG stream
+    decodes (first frame through the real JPEG decoder), an inter-coded
+    handler gates with the SCALING.md policy reason, and a corrupt
+    MJPG frame reports corrupt rather than decoded."""
+    import numpy as np
+
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        classify_codec_payload,
+        jpeg_encode,
+    )
+    from national_caseload_data_ingest_spark.operators.video import (
+        avi_encode_mjpeg,
+        avi_video_fourcc,
+    )
+
+    frame = jpeg_encode(np.full((8, 8), 77, np.uint8))
+    good = avi_encode_mjpeg([frame], width=8, height=8)
+    assert avi_video_fourcc(good) == b"MJPG"
+    assert classify_codec_payload(good) == ("avi", "decoded", "")
+    inter = good.replace(b"MJPG", b"VP90")
+    fmt, status, reason = classify_codec_payload(inter)
+    assert (fmt, status) == ("avi", "gated")
+    assert "VP90" in reason and "route to decoder host" in reason
+    bad = avi_encode_mjpeg([b"\xff\xd8junk"], width=8, height=8)
+    fmt, status, _ = classify_codec_payload(bad)
+    assert (fmt, status) == ("avi", "corrupt")
