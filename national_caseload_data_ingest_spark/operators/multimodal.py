@@ -226,7 +226,7 @@ def decode_image(payload: bytes) -> object:
             "engine claims decodes natively — PNG, GIF, BMP, TIFF "
             "(strips, LZW/PackBits, predictor), JPEG (baseline and "
             "progressive, gray/color, subsampled), and WEBP-lossless "
-            "(VP8L); lossy-VP8 WEBP raises its own gate"
+            "(VP8L) and lossy key-frame VP8"
         ) from e
     import io  # noqa: PLC0415
 
@@ -3588,6 +3588,133 @@ def webp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_features, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def _synthesize_lossy_webp_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """One deterministic lossy (VP8 key-frame) WEBP per document: a
+    2x2-macroblock frame, all DC-predicted, where MB k carries the Y2
+    DC token (doc_id + k) % 4 at quantizer index [10, 20, 30, 40]
+    [doc_id % 4] — tokens of 0 take the macroblock SKIP path, and the
+    DC cascade through IWHT, IDCT, and DC prediction is a hand-derived
+    closed form the oracle restates (see ``vp8_decode_features``)."""
+    from national_caseload_data_ingest_spark.operators.vp8 import (  # noqa: PLC0415
+        vp8_build_keyframe,
+    )
+    from national_caseload_data_ingest_spark.operators.vp8_tables import (  # noqa: PLC0415
+        DC_PRED,
+    )
+    from national_caseload_data_ingest_spark.operators.webp import (  # noqa: PLC0415
+        webp_encode_lossy,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            qi = [10, 20, 30, 40][did % 4]
+            mbs = [
+                dict(
+                    ymode=DC_PRED,
+                    uv_mode=DC_PRED,
+                    y2=[(did + k) % 4] + [0] * 15,
+                )
+                for k in range(4)
+            ]
+            payloads.append(
+                webp_encode_lossy(vp8_build_keyframe(32, 32, mbs,
+                                                     y_ac_qi=qi))
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "vp8_decode_features",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 13 WHEN 1 THEN 21
+                    WHEN 2 THEN 27 ELSE 37 END AS dcq
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id,
+               (((((doc_id + 0) % 4) * 2 * dcq + 3) // 8) + 4) // 8 AS d0,
+               (((((doc_id + 1) % 4) * 2 * dcq + 3) // 8) + 4) // 8 AS d1,
+               (((((doc_id + 2) % 4) * 2 * dcq + 3) // 8) + 4) // 8 AS d2,
+               (((((doc_id + 3) % 4) * 2 * dcq + 3) // 8) + 4) // 8 AS d3
+        FROM q
+    ),
+    v AS (
+        SELECT doc_id,
+               128 + d0 AS v00, 128 + d0 + d1 AS v01, 128 + d0 + d2 AS v10,
+               ((256 + 2 * d0 + d1 + d2 + 1) // 2) + d3 AS v11
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(32 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(256 * ((298 * (v00 - 16) + 128) // 256
+                     + (298 * (v01 - 16) + 128) // 256
+                     + (298 * (v10 - 16) + 128) // 256
+                     + (298 * (v11 - 16) + 128) // 256) AS BIGINT)
+               AS r_sum
+    FROM v
+    """,
+)
+def vp8_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY WebP (VP8 key-frame) decode E2E with a FULL value oracle —
+    the round-10 close of the engine's last mainstream image gate: per
+    document, synthesize a 2x2-macroblock VP8 key frame (Y2 DC tokens
+    (doc_id+k) % 4 per MB — token 0 exercises the SKIP path — at
+    quantizer index rotating over 10/20/30/40), wrap it in RIFF, decode
+    through the real ``decode_image`` → ``webp_decode`` →
+    ``vp8_decode_rgb`` chain, and hash-match the hand-derived closed
+    form: the Y2 DC cascades through dequant (2·dc_q), IWHT
+    ((x+3)>>3), IDCT DC ((x+4)>>3), and DC-prediction propagation
+    (top-left MB predicts 128; right/below MBs inherit; the interior
+    MB averages its two neighbors with (a+b+1)>>1), then the integer
+    BT.601 conversion maps Y to the R channel.  Every bitstream stage —
+    bool decoder, header, mode trees, token trees, skip flags,
+    transforms, prediction — must be exact for the hash to match.  Two
+    narrow ``mapInPandas`` passes, zero shuffle; at 100 TB the
+    synthesize stage swaps for real stored payloads."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
+        _synthesize_lossy_webp_payloads, schema="doc_id bigint, payload binary"
+    )
+
+    def decode_features(batches):
+        for pdf in batches:
+            doc_ids, ws, hs, chs, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = decode_image(bytes(payload))
+                doc_ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                sums.append(int(px[..., 0].astype("int64").sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "r_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode_features,
+        schema=(
+            "doc_id bigint, width int, height int, channels int, "
+            "r_sum bigint"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # codec gate report — quantify what the honest gates exclude
 # ---------------------------------------------------------------------------
@@ -3605,7 +3732,7 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
     routing hook SCALING.md promises in front of a codec host: at
     corpus scale, ``group by fmt, status, reason`` quantifies exactly
     which payload population each gate excludes, so the decision to
-    build/route a decoder (e.g. lossy VP8, inter-coded video) is made
+    build/route a decoder (e.g. inter-coded video) is made
     from measured volume, not guesswork — and gated payloads become a
     work queue instead of a job failure."""
     from national_caseload_data_ingest_spark.operators.flac import (  # noqa: PLC0415
@@ -3692,11 +3819,12 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
 def _gate_report_payloads() -> list[bytes]:
     """The eight deterministic payload classes the report query rotates
     through (index = doc_id % 8): a decodable grayscale JPEG, a
-    decodable VP8L WEBP, a GATED lossy-VP8 WEBP, a GATED 12-bps FLAC, a
-    CORRUPT VP8L stream, an unrecognized container, a decodable
-    ANIMATED WEBP (routed through the compositing demuxer — proof the
-    classifier routes rather than gates once a decoder exists), and a
-    GATED inter-coded AVI (H264 handler — the reason string names the
+    decodable VP8L WEBP, a GATED inter-frame VP8 WEBP (lossy KEY frames
+    decode natively since round 10), a GATED 12-bps FLAC, a CORRUPT
+    VP8L stream, an unrecognized container, a decodable ANIMATED WEBP
+    (routed through the compositing demuxer — proof the classifier
+    routes rather than gates once a decoder exists), and a GATED
+    inter-coded AVI (H264 handler — the reason string names the
     SCALING.md route-to-host policy)."""
     import struct  # noqa: PLC0415
 
@@ -3716,10 +3844,26 @@ def _gate_report_payloads() -> list[bytes]:
     vp8l = webp_encode(
         np.arange(48, dtype=np.uint8).reshape(4, 4, 3), use_lz77=False
     )
-    vp8_lossy = (
-        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
-        + b"VP8 " + struct.pack("<I", 4) + b"\x9d\x01\x2a\x00"
+    from national_caseload_data_ingest_spark.operators.vp8 import (  # noqa: PLC0415
+        vp8_build_keyframe,
     )
+    from national_caseload_data_ingest_spark.operators.vp8_tables import (  # noqa: PLC0415
+        DC_PRED,
+    )
+    from national_caseload_data_ingest_spark.operators.webp import (  # noqa: PLC0415
+        webp_encode_lossy,
+    )
+
+    # inter-coded VP8: a conformant key frame with the frame-type bit
+    # flipped — the decoder's route-to-host gate (lossy KEY frames now
+    # decode natively, so the gated class is the inter frame)
+    kf = bytearray(
+        vp8_build_keyframe(
+            16, 16, [dict(ymode=DC_PRED, uv_mode=DC_PRED)]
+        )
+    )
+    kf[0] |= 1
+    vp8_inter = webp_encode_lossy(bytes(kf))
     info = _MsbWriter()
     info.write(4096, 16)
     info.write(4096, 16)
@@ -3756,7 +3900,7 @@ def _gate_report_payloads() -> list[bytes]:
     inter_avi = avi_encode_mjpeg([b"\x00" * 16], width=4, height=4).replace(
         b"MJPG", b"H264"
     )
-    return [jpeg, vp8l, vp8_lossy, flac_8bps, corrupt, unknown, animated,
+    return [jpeg, vp8l, vp8_inter, flac_8bps, corrupt, unknown, animated,
             inter_avi]
 
 
@@ -3773,7 +3917,7 @@ def _gate_report_payloads() -> list[bytes]:
                 WHEN 4 THEN 'corrupt' WHEN 5 THEN 'unrouted'
                 WHEN 6 THEN 'decoded' ELSE 'gated' END AS status,
            CASE doc_id % 8
-                WHEN 2 THEN 'webp: lossy VP8 not supported (VP8L lossless only)'
+                WHEN 2 THEN 'vp8: inter frame requires reference buffers; route to decoder host (SCALING.md video routing policy)'
                 WHEN 3 THEN 'flac: only 8/16/24 bps supported, got 12'
                 WHEN 4 THEN 'vp8l: bad signature byte'
                 WHEN 5 THEN 'no native decoder claims this container'
@@ -3788,8 +3932,8 @@ def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each document is assigned one of eight deterministic payload
     classes (decodable JPEG, VP8L WEBP, and animated WEBP; gated
-    lossy-VP8 WEBP, 12-bps FLAC, and inter-coded AVI; a corrupt VP8L
-    stream; an unrecognized container) and routed
+    inter-frame VP8 WEBP, 12-bps FLAC, and inter-coded AVI; a corrupt
+    VP8L stream; an unrecognized container) and routed
     through :func:`classify_codec_payload`; gates and corruption become
     ROWS, not job failures.  At 100 TB the same kernel runs over a real
     binary-payload column and ``GROUP BY fmt, status, reason`` sizes

@@ -47,20 +47,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    the r5/r6-fresh tail) is covered every round by the local
 #    full-catalog replay at sf0.01 and sf0.1 (tools/check_oracle.py).
 CHECK_PRIORITY: list[str] = [
-    # -- round-9: new or semantics changed this round ------------------------
-    "codec_gate_report",  # payload -> gate-reason routing relation (new)
-    "embedding_int8_quantize",  # global-scale int8 codes, exact stats (new)
-    "ann_int8_topk",  # int8 MIPS with a full value oracle (new)
-    "ann_binary_topk",  # 1-bit sign + Hamming, full value oracle (new)
-    "containment_quote_pairs",  # asymmetric set-containment join (new)
-    "repeated_span_report",  # exact substring-dedup spans, Lee et al. style (new)
-    "global_order_index",  # two-phase zipWithIndex, no single-task sort (new)
-    "webp_animation_features",  # VP8X/ANIM/ANMF compositing E2E (new)
-    "gif_animation_features",  # GCE disposal/transparency/interlace E2E (new)
-    "webp_decode_features",  # VP8L mode-13 predictor fixed (r9) — re-certify
-    "mjpeg_frame_features",  # AVI walk now video-only kinds (r9) — re-certify
-    "flac_audio_features",  # LPC subframes land in r9 — re-certify
-    "heavy_hitter_tokens",  # MG pass-1 vectorized in r9 — re-certify
+    # -- round-10: new or semantics changed this round -----------------------
+    "vp8_decode_features",  # lossy-WebP VP8 key-frame decode E2E (new)
+    "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
+    "png_decode_features",  # Adam7 interlace + weighted_sum column (changed)
+    "flac_audio_features",  # 8/16/24-bit depth rotation (changed)
+    "containment_quote_pairs",  # prefix-filtered tier past budget (changed)
+    "global_order_index",  # single-plan ReusedExchange, no persist (changed)
+    "gif_animation_features",  # truncation hardening + anim routing (changed)
+    # -- round-9: still freshest for these ----------------------------------
+    "embedding_int8_quantize",  # global-scale int8 codes, exact stats
+    "ann_int8_topk",  # int8 MIPS with a full value oracle
+    "ann_binary_topk",  # 1-bit sign + Hamming, full value oracle
+    "repeated_span_report",  # exact substring-dedup spans, Lee et al. style
+    "webp_animation_features",  # VP8X/ANIM/ANMF compositing E2E
+    "webp_decode_features",  # VP8L mode-13 predictor fixed (r9)
+    "mjpeg_frame_features",  # AVI walk video-only kinds (r9)
+    "heavy_hitter_tokens",  # MG pass-1 vectorized in r9
     # -- freshest driver row is round 2 ------------------------------------
     "in_subquery_rich_customers",
     "multimodal_frame_sample",

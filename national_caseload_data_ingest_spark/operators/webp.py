@@ -4,11 +4,12 @@ Closes the LAST line of ``decode_image``'s PIL gate: with this module
 every still-image format the engine claims is decoded natively (PNG,
 GIF, BMP, TIFF, JPEG baseline+progressive, WEBP-lossless), and ANIMATED
 WEBP (VP8X + ANIM + ANMF) decodes with full per-frame compositing
-(src-over alpha blend / overwrite, dispose-to-transparent) as long as
-the frames are VP8L.  Lossy WEBP (VP8 intra frames: boolean arithmetic
-coder + DCT + loop filter) is NOT implemented and raises an honest
-``NotImplementedError`` — a corpus pipeline routes those payloads to a
-real codec host via ``codec_gate_report``.
+(src-over alpha blend / overwrite, dispose-to-transparent).  Lossy WEBP
+KEY frames (VP8 intra: boolean arithmetic coder + DCT + loop filter)
+decode natively via ``operators/vp8.py`` since round 10 — still images
+and ANMF frames alike; inter-coded VP8 raises an honest
+``NotImplementedError`` that ``codec_gate_report`` routes to a codec
+host per the SCALING.md video policy.
 
 Format reference: the public WebP Lossless Bitstream Specification
 (RFC 9649 / Google "webp-lossless-bitstream-spec"), structure:
@@ -617,11 +618,14 @@ def webp_decode(payload: bytes):
     """WEBP → ``(w, h, channels, uint8 array (h, w, channels))``.
 
     VP8L (lossless) decodes natively, including behind a still-image
-    VP8X header; animated files decode via :func:`webp_decode_animated`
-    (this still-image entry point refuses them so a caller can't
-    silently read frame 1 as "the image"); lossy VP8 raises
-    ``NotImplementedError`` (honest gate — route via
-    ``codec_gate_report`` to a codec host at 100 TB)."""
+    VP8X header; lossy VP8 KEY frames decode natively via the RFC 6386
+    intra decoder (``operators/vp8.py`` — spec-exact YUV, the engine's
+    documented integer RGB conversion); animated files decode via
+    :func:`webp_decode_animated` (this still-image entry point refuses
+    them so a caller can't silently read frame 1 as "the image");
+    inter-coded VP8 frames raise ``NotImplementedError`` (route via
+    ``codec_gate_report`` to a codec host per the SCALING.md video
+    policy)."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -630,6 +634,7 @@ def webp_decode(payload: bytes):
         raise ValueError("not a WEBP payload")
     pos = 12
     vp8l = None
+    vp8 = None
     while pos + 8 <= len(payload):
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -638,9 +643,8 @@ def webp_decode(payload: bytes):
             vp8l = body
             break
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "webp: lossy VP8 not supported (VP8L lossless only)"
-            )
+            vp8 = body
+            break
         if fourcc == b"ANMF":
             raise NotImplementedError(
                 "webp: animated file — use webp_decode_animated"
@@ -649,8 +653,15 @@ def webp_decode(payload: bytes):
             pos += 8 + size + (size & 1)
             continue
         pos += 8 + size + (size & 1)
+    if vp8 is not None:
+        from national_caseload_data_ingest_spark.operators.vp8 import (  # noqa: PLC0415
+            vp8_decode_rgb,
+        )
+
+        w, h, rgb = vp8_decode_rgb(vp8)
+        return w, h, 3, rgb
     if vp8l is None:
-        raise NotImplementedError("webp: no VP8L chunk (lossless only)")
+        raise NotImplementedError("webp: no VP8L or VP8 image chunk")
     w, h, rgba, alpha_hint = _decode_vp8l(vp8l)
     a = rgba[..., 3]
     if alpha_hint or not bool((a == 255).all()):
@@ -1111,6 +1122,19 @@ def _bare_vp8l_chunk(rgba, **encode_kw) -> bytes:
     raise AssertionError("encoder produced no VP8L chunk")
 
 
+def webp_encode_lossy(vp8_payload: bytes) -> bytes:
+    """Wrap a raw VP8 frame (e.g. from ``vp8.vp8_build_keyframe``) in a
+    minimal lossy-WEBP RIFF container."""
+    import struct  # noqa: PLC0415
+
+    chunk = b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
+    if len(vp8_payload) & 1:
+        chunk += b"\x00"
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    )
+
+
 def webp_encode_animated(
     canvas_w: int,
     canvas_h: int,
@@ -1177,7 +1201,7 @@ def webp_decode_animated(payload: bytes):
     rect before the NEXT frame, per the dispose bit).  The canvas
     starts fully transparent (the ANIM background color is a
     player hint, matching libwebp's demuxer).  VP8L frame payloads
-    only — a lossy-VP8 frame raises the same honest gate as the still
+    only — lossy key-frame ANMF frames decode via the VP8 intra
     path."""
     import struct  # noqa: PLC0415
 
@@ -1214,14 +1238,22 @@ def webp_decode_animated(payload: bytes):
             sub_fourcc = sub[0:4]
             (sub_size,) = struct.unpack("<I", sub[4:8])
             if sub_fourcc == b"VP8 ":
-                raise NotImplementedError(
-                    "webp: lossy VP8 not supported (VP8L lossless only)"
+                # lossy ANMF frames are intra-only in practice: decode
+                # via the VP8 key-frame decoder, fully opaque
+                from national_caseload_data_ingest_spark.operators.vp8 import (  # noqa: PLC0415
+                    vp8_decode_rgb,
                 )
-            if sub_fourcc != b"VP8L":
+
+                w, h, rgb = vp8_decode_rgb(sub[8 : 8 + sub_size])
+                rgba = np.concatenate(
+                    [rgb, np.full((h, w, 1), 255, np.uint8)], axis=-1
+                )
+            elif sub_fourcc == b"VP8L":
+                w, h, rgba, _ = _decode_vp8l(sub[8 : 8 + sub_size])
+            else:
                 raise ValueError(
                     f"webp anim: unsupported frame chunk {sub_fourcc!r}"
                 )
-            w, h, rgba, _ = _decode_vp8l(sub[8 : 8 + sub_size])
             if (w, h) != (fw, fh):
                 raise ValueError("webp anim: frame size mismatch")
             if y + fh > canvas.shape[0] or x + fw > canvas.shape[1]:

@@ -21,7 +21,9 @@ def test_classifier_covers_all_statuses():
     assert got == [
         ("jpeg", "decoded", ""),
         ("webp", "decoded", ""),
-        ("webp", "gated", "webp: lossy VP8 not supported (VP8L lossless only)"),
+        ("webp", "gated",
+         "vp8: inter frame requires reference buffers; route to decoder "
+         "host (SCALING.md video routing policy)"),
         ("flac", "gated", "flac: only 8/16/24 bps supported, got 12"),
         ("webp", "corrupt", "vp8l: bad signature byte"),
         ("unknown", "unrouted", "no native decoder claims this container"),

@@ -280,12 +280,15 @@ def test_meta_prefix_groups_hand_crafted():
 # ------------------------------------------------------------------ gates
 
 
-def test_lossy_vp8_raises():
+def test_truncated_vp8_chunk_is_corruption_not_gate():
+    """Round 10: lossy VP8 key frames DECODE natively, so a truncated
+    VP8 chunk is structural corruption (ValueError), no longer the old
+    'lossy not supported' gate."""
     payload = (
         b"RIFF" + struct.pack("<I", 16) + b"WEBP"
         + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
     )
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises(ValueError, match="vp8"):
         webp_decode(payload)
 
 
@@ -407,7 +410,9 @@ def test_animated_gates_and_structure():
     # frame exceeding the canvas
     with pytest.raises(ValueError, match="canvas"):
         webp_encode_animated(4, 4, [dict(x=2, y=0, rgba=f, duration_ms=5)])
-    # a lossy VP8 frame inside ANMF trips the codec gate
+    # a TRUNCATED lossy VP8 frame inside ANMF is corruption (round 10:
+    # valid lossy key frames decode — see
+    # test_animated_webp_with_lossy_frames_composites)
     import struct
 
     anmf = (
@@ -428,7 +433,7 @@ def test_animated_gates_and_structure():
 
     body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANMF", anmf)
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises(ValueError, match="vp8"):
         webp_decode_animated(payload)
 
 
@@ -444,3 +449,93 @@ def test_webp_animation_features_query(spark):
         # odd docs disposed the moving patch: 16 transparent pixels
         expect_a = 255 * (192 - (16 if r["doc_id"] % 2 else 0))
         assert r["a_sum"] == expect_a
+
+
+# ---------------------------------------------------------------------------
+# lossy (VP8 key-frame) WebP — round 10
+# ---------------------------------------------------------------------------
+
+
+def test_lossy_webp_decodes_through_container():
+    from national_caseload_data_ingest_spark.operators.vp8 import (
+        vp8_build_keyframe,
+    )
+    from national_caseload_data_ingest_spark.operators.vp8_tables import (
+        DC_PRED, TM_PRED,
+    )
+    from national_caseload_data_ingest_spark.operators.webp import (
+        webp_decode, webp_encode_lossy,
+    )
+
+    mbs = [dict(ymode=[DC_PRED, TM_PRED][k % 2], uv_mode=DC_PRED,
+                y2=[k + 1] + [0] * 15) for k in range(4)]
+    payload = webp_encode_lossy(vp8_build_keyframe(32, 32, mbs, y_ac_qi=20))
+    w, h, ch, px = webp_decode(payload)
+    assert (w, h, ch) == (32, 32, 3)
+    assert px.shape == (32, 32, 3)
+    # flat chroma at 128 -> all three channels equal
+    assert np.array_equal(px[..., 0], px[..., 1])
+    assert np.array_equal(px[..., 0], px[..., 2])
+
+
+def test_lossy_webp_inter_frame_gates():
+    from national_caseload_data_ingest_spark.operators.vp8 import (
+        vp8_build_keyframe,
+    )
+    from national_caseload_data_ingest_spark.operators.vp8_tables import (
+        DC_PRED,
+    )
+    from national_caseload_data_ingest_spark.operators.webp import (
+        webp_decode, webp_encode_lossy,
+    )
+
+    kf = bytearray(vp8_build_keyframe(
+        16, 16, [dict(ymode=DC_PRED, uv_mode=DC_PRED)]))
+    kf[0] |= 1  # inter frame
+    with pytest.raises(NotImplementedError, match="inter frame"):
+        webp_decode(webp_encode_lossy(bytes(kf)))
+
+
+def test_animated_webp_with_lossy_frames_composites():
+    """ANMF frames carrying VP8 key frames decode and composite (fully
+    opaque) next to VP8L frames in the same animation."""
+    import struct
+
+    from national_caseload_data_ingest_spark.operators.vp8 import (
+        vp8_build_keyframe,
+    )
+    from national_caseload_data_ingest_spark.operators.vp8_tables import (
+        DC_PRED,
+    )
+    from national_caseload_data_ingest_spark.operators.webp import (
+        _bare_vp8l_chunk, webp_decode_animated,
+    )
+
+    # hand-assemble VP8X/ANIM + one VP8L frame + one lossy VP8 frame
+    def u24(v):
+        return v.to_bytes(3, "little")
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    cw = ch = 32
+    vp8x = chunk(b"VP8X", bytes([0x02, 0, 0, 0]) + u24(cw - 1) + u24(ch - 1))
+    anim = chunk(b"ANIM", b"\x00\x00\x00\x00\x00\x00")
+    rgba = np.full((32, 32, 4), 9, np.uint8)
+    f1 = chunk(b"ANMF", u24(0) + u24(0) + u24(31) + u24(31) + u24(40)
+               + bytes([0x02]) + _bare_vp8l_chunk(rgba))
+    mbs = [dict(ymode=DC_PRED, uv_mode=DC_PRED, y2=[2] + [0] * 15)
+           for _ in range(4)]
+    vp8 = vp8_build_keyframe(32, 32, mbs, y_ac_qi=20)
+    f2 = chunk(b"ANMF", u24(0) + u24(0) + u24(31) + u24(31) + u24(50)
+               + bytes([0x02]) + chunk(b"VP8 ", vp8))
+    body = vp8x + anim + f1 + f2
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    w, h, frames = webp_decode_animated(payload)
+    assert (w, h) == (32, 32)
+    assert [d for d, _ in frames] == [40, 50]
+    assert np.unique(frames[0][1][..., 0]).tolist() == [9]
+    # frame 2 replaced the canvas with the decoded lossy pixels (opaque)
+    assert np.unique(frames[1][1][..., 3]).tolist() == [255]
+    assert frames[1][1][..., 0].mean() > 100
