@@ -1138,6 +1138,8 @@ def vp8_build_keyframe(
     sharpness: int = 0,
     n_partitions: int = 1,
     mb_no_coeff_skip: bool = True,
+    segmentation=None,
+    lf_deltas=None,
 ) -> bytes:
     """Construct a conformant VP8 key-frame stream from explicit per-MB
     choices — the fixture generator (no rate-distortion search: tests
@@ -1148,7 +1150,15 @@ def vp8_build_keyframe(
     ``ymode`` (DC/V/H/TM_PRED or B_PRED), ``sub_modes`` (4x4 list,
     required iff B_PRED), ``uv_mode``, ``y2`` (16 quantized coeffs or
     None), ``y`` (16 blocks x 16 raster coeffs), ``u``/``v`` (4 blocks
-    each).  Omitted coefficient arrays mean all-zero."""
+    each), and — when segmentation is on — ``segment`` (0-3).  Omitted
+    coefficient arrays mean all-zero.
+
+    ``segmentation``: None, or a dict with ``q_deltas`` (4 ints),
+    ``lf_deltas`` (4 ints), and optional ``abs_delta`` (bool) — enables
+    the §9.3 segment feature data AND the per-MB segment-id map (tree
+    probs fixed at 128).  ``lf_deltas``: None, or a dict with ``ref``
+    (4 ints) and ``mode`` (4 ints) — the §9.4 loop-filter adjustments
+    (index 0 = intra / B_PRED on key frames)."""
     from national_caseload_data_ingest_spark.operators import (  # noqa: PLC0415
         vp8_tables as T,
     )
@@ -1171,11 +1181,32 @@ def vp8_build_keyframe(
     be = _BoolEncoder()
     be.put_literal(0, 1)  # color space
     be.put_literal(0, 1)  # clamping
-    be.put(0, 128)  # segmentation disabled
+    if segmentation is not None:
+        be.put(1, 128)  # segmentation enabled
+        be.put(1, 128)  # update mb segmentation map
+        be.put(1, 128)  # update segment feature data
+        be.put(1 if segmentation.get("abs_delta") else 0, 128)
+        for v in segmentation.get("q_deltas", [0, 0, 0, 0]):
+            be.put_flagged_signed(v, 7)
+        for v in segmentation.get("lf_deltas", [0, 0, 0, 0]):
+            be.put_flagged_signed(v, 6)
+        for _ in range(3):  # segment tree probs: explicit 128s
+            be.put(1, 128)
+            be.put_literal(128, 8)
+    else:
+        be.put(0, 128)  # segmentation disabled
     be.put_literal(filter_type & 1, 1)
     be.put_literal(filter_level, 6)
     be.put_literal(sharpness, 3)
-    be.put(0, 128)  # lf deltas disabled
+    if lf_deltas is not None:
+        be.put(1, 128)  # lf delta enabled
+        be.put(1, 128)  # update
+        for v in lf_deltas.get("ref", [0, 0, 0, 0]):
+            be.put_flagged_signed(v, 6)
+        for v in lf_deltas.get("mode", [0, 0, 0, 0]):
+            be.put_flagged_signed(v, 6)
+    else:
+        be.put(0, 128)  # lf deltas disabled
     be.put_literal({1: 0, 2: 1, 4: 2, 8: 3}[n_partitions], 2)
     be.put_literal(y_ac_qi, 7)
     for _ in range(5):
@@ -1227,6 +1258,9 @@ def vp8_build_keyframe(
                 and not any(any(b) for b in u_blocks + v_blocks)
             )
             skip = mb_no_coeff_skip and all_zero
+            if segmentation is not None:
+                be.put_tree(_SEGMENT_TREE, (128, 128, 128),
+                            m.get("segment", 0))
             if mb_no_coeff_skip:
                 be.put(1 if skip else 0, skip_prob)
             be.put_tree(T.KF_YMODE_TREE, T.KF_YMODE_PROB, ymode)

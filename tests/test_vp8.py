@@ -447,3 +447,49 @@ def test_frozen_fixture_bytes_and_pixel_hash():
 
 FROZEN_STREAM_SHA = '0b0935a8c3e4341961040d4eda5e76321ea7b5771c3d119aaf0ee25732d9b932'
 FROZEN_PIXEL_SHA = '74a293406b52d8de953a313bca5b28f814a3e981ca58e1a877a96682efad755f'
+
+
+def test_segmentation_per_segment_quantizers():
+    """Segment-id map + per-segment quantizer deltas (both delta and
+    absolute modes): MBs in different segments dequantize the same
+    token differently, with analytic expected values through the DC
+    cascade."""
+    mbs = [dict(ymode=T.DC_PRED, uv_mode=T.DC_PRED, segment=0,
+                y2=[3] + [0] * 15),
+           dict(ymode=T.DC_PRED, uv_mode=T.DC_PRED, segment=2,
+                y2=[3] + [0] * 15)]
+    seg = dict(q_deltas=[0, 0, 60, 0], lf_deltas=[0, 0, 0, 0])
+    _, _, (y, _, _) = vp8_decode_keyframe(
+        vp8_build_keyframe(32, 16, mbs, y_ac_qi=10, segmentation=seg)
+    )
+    q0 = T.DC_QLOOKUP[10] * 2
+    q2 = T.DC_QLOOKUP[70] * 2
+    d0 = ((((3 * q0) + 3) >> 3) + 4) >> 3
+    d2 = ((((3 * q2) + 3) >> 3) + 4) >> 3
+    assert np.unique(y[:, :16]).tolist() == [128 + d0]
+    assert np.unique(y[:, 16:]).tolist() == [128 + d0 + d2]
+    # absolute mode ignores the frame qi entirely
+    seg = dict(q_deltas=[10, 0, 70, 0], lf_deltas=[0, 0, 0, 0],
+               abs_delta=True)
+    _, _, (ya, _, _) = vp8_decode_keyframe(
+        vp8_build_keyframe(32, 16, mbs, y_ac_qi=99, segmentation=seg)
+    )
+    assert np.unique(ya[:, :16]).tolist() == [128 + d0]
+    assert np.unique(ya[:, 16:]).tolist() == [128 + d0 + d2]
+
+
+def test_lf_delta_raises_effective_filter_level():
+    """ref_lf_deltas[0] (intra) adds to the frame level: with frame
+    level 0 a positive delta turns filtering ON."""
+    mbs = [dict(ymode=T.DC_PRED, uv_mode=T.DC_PRED),
+           dict(ymode=T.DC_PRED, uv_mode=T.DC_PRED, y2=[6] + [0] * 15)]
+    base = vp8_decode_keyframe(
+        vp8_build_keyframe(32, 16, mbs, y_ac_qi=30, filter_level=0)
+    )[2]
+    filt = vp8_decode_keyframe(
+        vp8_build_keyframe(
+            32, 16, mbs, y_ac_qi=30, filter_level=0,
+            lf_deltas=dict(ref=[20, 0, 0, 0], mode=[0, 0, 0, 0]),
+        )
+    )[2]
+    assert not np.array_equal(base[0], filt[0])
