@@ -112,6 +112,10 @@ HEADLINE = [
     "ann_pq_topk",
     "unigram_tokenize_docs",
     "bootstrap_order_value_ci",
+    # round-10: the VP8 key-frame decode chain (bool decoder + token
+    # trees + prediction + transforms per payload) is the heaviest
+    # pure-Python codec kernel yet — wall-clock signal required
+    "vp8_decode_features",
 ]
 
 

@@ -49,6 +49,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 CHECK_PRIORITY: list[str] = [
     # -- round-10: new or semantics changed this round -----------------------
     "vp8_decode_features",  # lossy-WebP VP8 key-frame decode E2E (new)
+    "kmeans_int8_assign",  # integer Lloyd's with a full value oracle (new)
     "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
     "png_decode_features",  # Adam7 interlace + weighted_sum column (changed)
     "flac_audio_features",  # 8/16/24-bit depth rotation (changed)

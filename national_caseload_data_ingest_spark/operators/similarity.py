@@ -1050,3 +1050,190 @@ def ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return score
 
     return _int_topk(e, builder, TOP_K, negate=True, out_col="hamming")
+
+
+# ---------------------------------------------------------------------------
+# integer-exact k-means over the int8 codes — clustering with a FULL
+# value oracle (the family's LSH/IVF/SemDeDup members are rows-only
+# because float k-means models are engine-specific; integer codes make
+# Lloyd's iterations cross-engine exact)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+_EMB_D = 64
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled-CTE twin of the distributed Lloyd's loop: c0 = codes of
+    vec_id 0..K-1; each iteration assigns by integer squared distance
+    (ties to the smallest centroid id) and recomputes centroids as the
+    FLOOR of the per-dimension mean — written as
+    ``(sm - ((sm % n + n) % n)) // n`` so the numerator is exactly
+    divisible and DuckDB's truncating ``//`` equals Python's floor.
+    Empty clusters keep their previous centroid."""
+    k, iters, d = KMEANS_K, KMEANS_ITERS, _EMB_D
+    parts = [
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS j, qv AS cv "
+        f"FROM q8 WHERE vec_id < {k})"
+    ]
+    prev = "c0"
+    for t in range(1, iters + 2):
+        parts.append(f"""
+    d{t} AS (
+        SELECT q.vec_id, c.j,
+               CAST(list_sum(list_transform(range(1, {d + 1}), i ->
+                    (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))
+                    AS BIGINT) AS dist2
+        FROM q8 q CROSS JOIN {prev} c
+    ),
+    a{t} AS (
+        SELECT vec_id, j AS cluster, dist2 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dist2, j) AS rk
+            FROM d{t}
+        ) WHERE rk = 1
+    )""")
+        if t <= iters:
+            parts.append(f"""
+    s{t} AS (
+        SELECT a.cluster AS j, t.i,
+               CAST(SUM(q.qv[t.i]) AS BIGINT) AS sm,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM a{t} a JOIN q8 q USING (vec_id), range(1, {d + 1}) t(i)
+        GROUP BY a.cluster, t.i
+    ),
+    c{t} AS (
+        SELECT p.j, COALESCE(u.cv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN (
+            SELECT j, list((sm - (((sm % n) + n) % n)) // n ORDER BY i)
+                       AS cv
+            FROM s{t} GROUP BY j
+        ) u USING (j)
+    )""")
+            prev = f"c{t}"
+    final = iters + 1
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT vec_id, cluster, dist2 FROM a{final}"""
+    )
+
+
+@query(
+    "kmeans_int8_assign",
+    oracle=f"""
+    WITH {_Q8_SQL},
+    {_kmeans_oracle_sql()}
+    """,
+)
+def kmeans_int8_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the GLOBAL-scale int8 codes,
+    with a FULL value oracle — the clustering member of the
+    quantization family (k = {KMEANS_K}, {KMEANS_ITERS} iterations,
+    init = codes of vec_id 0..k-1): per iteration one narrow Arrow pass
+    computes per-batch partial (cluster, count, sum-vector) aggregates,
+    a map-side-combined groupBy folds them, and the driver holds only
+    the k x d integer centroid model (bounded, house pattern);
+    assignment is integer squared distance with ties to the smallest
+    centroid id, and the centroid update is the exact floor of the
+    per-dimension mean, so every iteration is reproducible bit-for-bit
+    in any engine — the property float k-means (engine-specific sums)
+    can never give, and why IVF/SemDeDup remain rows-only while THIS
+    relation hash-matches.  At 100 TB: k·d ints broadcast per
+    iteration, one corpus scan each, shuffles carry k×d partial rows
+    per task.  Downstream: cluster-balanced sampling, SemDeDup-style
+    per-cluster dedup, IVF cell assignment."""
+    import numpy as np  # noqa: PLC0415
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    mx = _global_abs_max(e)
+    init_rows = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    init_rows.sort(key=lambda r: r["vec_id"])
+    cents = _int8_quantize_np(
+        np.array([list(r["embedding"]) for r in init_rows], np.float32), mx
+    )
+
+    def partials_kernel(C):
+        Cl = C.copy()
+
+        def gen(batches):
+            import pandas as pd  # noqa: PLC0415
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = _int8_quantize_np(_vec_matrix32(pdf["embedding"]), mx)
+                d2 = ((q[:, None, :] - Cl[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)  # ties -> smallest j on exact ints
+                cl, cnt, sums = [], [], []
+                for j in range(KMEANS_K):
+                    mask = assign == j
+                    if not mask.any():
+                        continue
+                    cl.append(j)
+                    cnt.append(int(mask.sum()))
+                    sums.append(q[mask].sum(0).tolist())
+                yield pd.DataFrame(
+                    {"cluster": pd.Series(cl, dtype="int32"),
+                     "cnt": pd.Series(cnt, dtype="int64"),
+                     "sums": sums}
+                )
+
+        return gen
+
+    for _ in range(KMEANS_ITERS):
+        partial = e.select("embedding").mapInPandas(
+            partials_kernel(cents),
+            schema="cluster int, cnt bigint, sums array<bigint>",
+        )
+        rows = (
+            partial.select(
+                "cluster", "cnt", F.posexplode("sums").alias("pos", "s")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
+            .collect()
+        )  # bounded: K x d rows — the centroid model, house pattern
+        new = cents.copy()
+        counts = {}
+        sums = np.zeros((KMEANS_K, _EMB_D), dtype=np.int64)
+        for r in rows:
+            # cnt was repeated per pos within a batch row; per (cluster,
+            # pos) the n column sums cnt over batches — identical for
+            # every pos of a cluster
+            sums[r["cluster"], r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        for j in range(KMEANS_K):
+            n = counts.get(j, 0)
+            if n > 0:
+                new[j] = sums[j] // n  # numpy int64 floor division
+        cents = new
+
+    def final_kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        C = cents
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _int8_quantize_np(_vec_matrix32(pdf["embedding"]), mx)
+            d2 = ((q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cluster": pd.Series(assign, dtype="int32"),
+                    "dist2": pd.Series(
+                        d2[np.arange(len(assign)), assign], dtype="int64"
+                    ),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        final_kernel, schema="vec_id bigint, cluster int, dist2 bigint"
+    )

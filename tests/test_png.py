@@ -84,14 +84,14 @@ def test_png_decode_rejects_bad_input():
 
 
 def test_decode_image_dispatches_png_without_pil():
-    """decode_image no longer raises on PNG — honest gates remain only
-    for sub-formats without a native path (PNG/GIF/JPEG/VP8L all decode
-    natively now; lossy VP8 is the WEBP module's own gate)."""
+    """decode_image no longer raises on PNG — every still-image format
+    decodes natively now, including lossy key-frame VP8 (round 10), so
+    a malformed VP8 chunk fails as CORRUPTION, not a format gate."""
     arr = np.full((3, 3, 3), 200, dtype=np.uint8)
     w, h, ch, px = decode_image(png_encode(arr))
     assert (w, h, ch) == (3, 3, 3)
     assert np.array_equal(px, arr)
-    with pytest.raises(NotImplementedError, match="lossy VP8"):
+    with pytest.raises(ValueError, match="vp8"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 fake webp bytes")
     # truncated JPEG dispatches to the native decoder and fails LOUDLY
     # with a codec error, not an IndexError

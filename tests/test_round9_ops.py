@@ -637,3 +637,49 @@ def test_global_row_index_accumulates_no_cache_entries(spark):
     assert n_persistent() == baseline, (
         "global_row_index left persisted partitions behind"
     )
+
+
+def test_kmeans_int8_nonvacuous_and_matches_driver_recompute(spark):
+    """Integer k-means: >= 2 occupied clusters, every dist2 equals the
+    independent numpy recompute against the SAME Lloyd's iterations run
+    driver-side, and the iterations genuinely move the centroids (the
+    final assignment differs from the init-centroid assignment for at
+    least one vector)."""
+    from national_caseload_data_ingest_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_int8_assign,
+    )
+
+    ids, x = _emb_matrix()
+    mx = float(np.abs(x.astype(np.float32)).max())
+    q = np.floor(x.astype(np.float64) * 127.0 / mx + 0.5).astype(np.int64)
+    order = np.argsort(ids)
+    q = q[order]
+    ids_sorted = ids[order]
+    pos = {int(v): i for i, v in enumerate(ids_sorted)}
+    cents = q[[pos[j] for j in range(KMEANS_K)]].copy()
+    init_assign = (
+        ((q[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+    )
+    for _ in range(KMEANS_ITERS):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(KMEANS_K):
+            m = assign == j
+            if m.any():
+                cents[j] = q[m].sum(0) // int(m.sum())
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    want_assign = d2.argmin(1)
+    want_d2 = d2[np.arange(len(q)), want_assign]
+
+    rows = kmeans_int8_assign(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(q)
+    for r in rows:
+        i = pos[r.vec_id]
+        assert r.cluster == want_assign[i], r
+        assert r.dist2 == want_d2[i], r
+    assert len({r.cluster for r in rows}) >= 2
+    assert (want_assign != init_assign).any(), (
+        "iterations never moved an assignment — vacuous fixture"
+    )
