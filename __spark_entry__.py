@@ -35,6 +35,7 @@ import national_caseload_data_ingest_spark.operators.pq  # noqa: F401
 import national_caseload_data_ingest_spark.operators.profiling  # noqa: F401
 import national_caseload_data_ingest_spark.operators.relational  # noqa: F401
 import national_caseload_data_ingest_spark.operators.resample  # noqa: F401
+import national_caseload_data_ingest_spark.operators.selection  # noqa: F401
 import national_caseload_data_ingest_spark.operators.similarity  # noqa: F401
 import national_caseload_data_ingest_spark.operators.sketch  # noqa: F401
 import national_caseload_data_ingest_spark.operators.skew  # noqa: F401

@@ -50,9 +50,11 @@ CHECK_PRIORITY: list[str] = [
     # -- round-10: new or semantics changed this round -----------------------
     "vp8_decode_features",  # lossy-WebP VP8 key-frame decode E2E (new)
     "kmeans_int8_assign",  # integer Lloyd's with a full value oracle (new)
+    "dsir_importance_weights",  # hashed-bigram DSIR weights (new)
+    "dsir_selected_docs",  # DSIR top-k selection cut (new)
     "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
     "png_decode_features",  # Adam7 interlace + weighted_sum column (changed)
-    "flac_audio_features",  # 8/16/24-bit depth rotation (changed)
+    "flac_audio_features",  # depth + 1-8 channel-layout rotation (changed)
     "containment_quote_pairs",  # prefix-filtered tier past budget (changed)
     "global_order_index",  # single-plan ReusedExchange, no persist (changed)
     "gif_animation_features",  # truncation hardening + anim routing (changed)

@@ -1,0 +1,94 @@
+"""Round-10 operators: DSIR importance resampling (hashed-bigram data
+selection, arXiv:2302.03169)."""
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from national_caseload_data_ingest_spark.operators.selection import (
+    DSIR_BUCKETS,
+    DSIR_SELECT_K,
+    DSIR_TARGET_LANG,
+    dsir_importance_weights,
+    dsir_selected_docs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_bucket(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+
+def _py_weights(rows):
+    """Pure-Python DSIR reference: (doc_id -> (n_grams, weight))."""
+    doc_buckets = {}
+    pool = Counter()
+    tgt = Counter()
+    for doc_id, text, lang in rows:
+        toks = re.split(r"\s+", text.strip().lower())
+        bs = [
+            _py_bucket(f"{toks[i]} {toks[i + 1]}")
+            for i in range(len(toks) - 1)
+        ]
+        doc_buckets[doc_id] = bs
+        pool.update(bs)
+        if lang == DSIR_TARGET_LANG:
+            tgt.update(bs)
+    pool_total = sum(pool.values())
+    tgt_total = sum(tgt.values())
+    ratio = {
+        b: math.log((tgt[b] + 1) / (tgt_total + DSIR_BUCKETS))
+        - math.log((pool[b] + 1) / (pool_total + DSIR_BUCKETS))
+        for b in pool
+    }
+    return {
+        doc_id: (len(bs), sum(ratio[b] for b in bs))
+        for doc_id, bs in doc_buckets.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def dsir_rows(spark):
+    return {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(spark, SF_DIR).collect()
+    }
+
+
+def test_dsir_weights_match_python_reference(spark, dsir_rows):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    expected = _py_weights([(r["doc_id"], r["text"], r["lang"]) for r in docs])
+    assert set(dsir_rows) == set(expected)
+    for doc_id, (n_grams, weight) in expected.items():
+        got = dsir_rows[doc_id]
+        assert got["n_grams"] == n_grams
+        assert got["dsir_log_weight"] == pytest.approx(weight, abs=1e-9)
+
+
+def test_dsir_discriminates_target_language(dsir_rows):
+    """The estimator's point: target-language docs average a higher
+    importance weight than the rest of the pool."""
+    tgt = [r["dsir_log_weight"] for r in dsir_rows.values()
+           if r["lang"] == DSIR_TARGET_LANG]
+    rest = [r["dsir_log_weight"] for r in dsir_rows.values()
+            if r["lang"] != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_dsir_selection_is_topk_of_weights(spark, dsir_rows):
+    sel = dsir_selected_docs(spark, SF_DIR).collect()
+    assert len(sel) == min(DSIR_SELECT_K, len(dsir_rows))
+    expected = sorted(
+        dsir_rows.values(), key=lambda r: (-r["dsir_log_weight"], r["doc_id"])
+    )[: len(sel)]
+    assert [r["doc_id"] for r in sel] == [r["doc_id"] for r in expected]
+
+
+def test_dsir_selection_plan_is_topk_not_global_sort(spark):
+    plan = dsir_selected_docs(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
