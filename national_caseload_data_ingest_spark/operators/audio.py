@@ -518,6 +518,8 @@ FLAC_N = 600  # samples per synthesized clip (spans two rice partitions)
     oracle=f"""
     WITH amp AS (
         SELECT doc_id,
+               CASE doc_id % 7 WHEN 0 THEN 1 WHEN 5 THEN 6 WHEN 6 THEN 8
+                    ELSE 2 END AS nch,
                CASE doc_id % 3 WHEN 0 THEN 2000 WHEN 1 THEN 100
                     ELSE 500000 END AS al,
                CASE doc_id % 3 WHEN 0 THEN 1500 WHEN 1 THEN 80
@@ -525,39 +527,40 @@ FLAC_N = 600  # samples per synthesized clip (spans two rice partitions)
         FROM documents
     ),
     base AS (
-        SELECT a.doc_id, t.k,
-               ((a.doc_id * 7 + t.k * t.k) % (2 * al + 1)) - al AS l,
-               ((a.doc_id * 11 + 3 * t.k) % (2 * ar + 1)) - ar AS r
-        FROM amp a, range(0, {FLAC_N}) t(k)
+        SELECT a.doc_id, a.nch,
+               ((a.doc_id * (7 + 4 * c.c)
+                 + CASE WHEN c.c % 2 = 0 THEN t.k * t.k ELSE 3 * t.k END
+                 + (c.c // 2) * t.k)
+                % (2 * (CASE WHEN c.c % 2 = 0 THEN al ELSE ar END) + 1))
+               - (CASE WHEN c.c % 2 = 0 THEN al ELSE ar END) AS x
+        FROM amp a, range(0, {FLAC_N}) t(k), range(0, 8) c(c)
+        WHERE c.c < a.nch
     )
     SELECT doc_id,
-           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INTEGER)
-               AS channels,
+           CAST(nch AS INTEGER) AS channels,
            CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8
                 ELSE 24 END AS INTEGER) AS bit_depth,
            CAST({FLAC_N} AS INTEGER) AS n_samples,
-           CAST(CASE WHEN doc_id % 5 = 0 THEN SUM(l)
-                     ELSE SUM(l) + SUM(r) END AS BIGINT) AS sample_sum,
-           CAST(CASE WHEN doc_id % 5 = 0 THEN MAX(ABS(l))
-                     ELSE GREATEST(MAX(ABS(l)), MAX(ABS(r))) END AS BIGINT)
-               AS peak
+           CAST(SUM(x) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS(x)) AS BIGINT) AS peak
     FROM base
-    GROUP BY doc_id
+    GROUP BY doc_id, nch
     """,
 )
 def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC decode E2E with a SQL oracle — the lossless-audio capstone
     (``operators/flac.py``): per document, synthesize a deterministic
-    waveform, encode through the real FLAC path (doc id rotates mono
-    and all three stereo-decorrelation channel assignments: left/side,
-    right/side, mid/side; odd doc ids additionally force order-8
-    quantized-LPC subframes — the dominant real-world coding mode — and
-    doc_id % 3 rotates the BIT DEPTH over 16/8/24 with depth-scaled
-    amplitudes, closing the round-9 depth gate), decode it back —
+    waveform, encode through the real FLAC path (doc_id % 7 rotates the
+    CHANNEL LAYOUT over mono, the four stereo assignments — independent,
+    left/side, right/side, mid/side — and multichannel 5.1 (6ch) and
+    7.1 (8ch) independent frames, closing the round-9 channel gate; odd
+    doc ids additionally force order-8 quantized-LPC subframes — the
+    dominant real-world coding mode — and doc_id % 3 rotates the BIT
+    DEPTH over 16/8/24 with depth-scaled amplitudes), decode it back —
     CRC-8/CRC-16 verified, fixed and LPC predictors restored, Rice
     partitions expanded — and hash-match the closed-form sample
     statistics.  Lossless end to end, so the oracle is exact for every
-    mode × depth.  One narrow ``mapInPandas`` pass."""
+    layout × mode × depth.  One narrow ``mapInPandas`` pass."""
     import numpy as np  # noqa: PLC0415
 
     from national_caseload_data_ingest_spark.operators.flac import (  # noqa: PLC0415
@@ -576,17 +579,29 @@ def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bps = [16, 8, 24][did % 3]
                 al = {16: 2000, 8: 100, 24: 500000}[bps]
                 ar = {16: 1500, 8: 80, 24: 400000}[bps]
-                left = ((did * 7 + k * k) % (2 * al + 1)) - al
-                mode = did % 5
+                mode = did % 7
+                nch = {0: 1, 5: 6, 6: 8}.get(mode, 2)
                 lpc = 8 if did % 2 else None
-                if mode == 0:
-                    payload = flac_encode(left, lpc_order=lpc, bps=bps)
+                cols = []
+                for c in range(nch):
+                    a = al if c % 2 == 0 else ar
+                    base = (
+                        did * (7 + 4 * c)
+                        + (k * k if c % 2 == 0 else 3 * k)
+                        + (c // 2) * k
+                    )
+                    cols.append((base % (2 * a + 1)) - a)
+                if nch == 1:
+                    payload = flac_encode(cols[0], lpc_order=lpc, bps=bps)
                 else:
-                    right = ((did * 11 + 3 * k) % (2 * ar + 1)) - ar
-                    st = np.stack([left, right], axis=-1)
-                    stereo = ["independent", "left_side", "right_side",
-                              "mid_side"][mode - 1]
-                    payload = flac_encode(st, stereo_mode=stereo,
+                    sig = np.stack(cols, axis=-1)
+                    stereo = (
+                        ["independent", "left_side", "right_side",
+                         "mid_side"][mode - 1]
+                        if nch == 2
+                        else "independent"
+                    )
+                    payload = flac_encode(sig, stereo_mode=stereo,
                                           lpc_order=lpc, bps=bps)
                 _rate, ch, out = flac_decode(payload)
                 o = out.astype(np.int64)

@@ -19,11 +19,12 @@ commonly contain — 8/16/24-bit depths):
   orders, escape-to-raw partitions — the escape is reachable from the
   encoder for large-residual signals, with the raw width sized to the
   partition's widest value),
-- channel assignments: independent mono/stereo plus the left/side,
-  right/side, and mid/side decorrelation modes.
+- channel assignments: independent 1-8 channels (mono through 7.1 —
+  FLAC's whole channel range) plus the left/side, right/side, and
+  mid/side stereo decorrelation modes.
 
-Remaining honest gates: bit depths other than 8/16/24, more than two
-channels, reserved subframe/residual types — everything this module
+Remaining honest gates: bit depths other than 8/16/24 and reserved
+subframe/residual types — everything this module
 claims to decode it decodes bit-exactly (roundtrip property tests in
 ``tests/test_flac.py``), and what it does not, it refuses loudly.
 """
@@ -381,13 +382,15 @@ def flac_encode(
     lpc_order: int | None = None,
     bps: int = 16,
 ) -> bytes:
-    """integer array ``(n,)`` mono or ``(n, 2)`` stereo → FLAC bytes.
+    """integer array ``(n,)`` mono or ``(n, ch)`` (ch ≤ 8) → FLAC bytes.
 
     ``stereo_mode``: ``independent``, ``left_side``, ``right_side`` or
     ``mid_side`` — emits the corresponding channel assignment so the
-    decoder's decorrelation paths are exercised.  ``lpc_order`` (1-32)
-    forces quantized-LPC subframes of that order (falling back to FIXED
-    only on degenerate signals); ``None`` keeps the fixed-predictor
+    decoder's decorrelation paths are exercised.  Beyond two channels
+    FLAC defines only the independent assignment (chan_assign = ch-1),
+    which is what multichannel (5.1 / 7.1) streams carry.  ``lpc_order``
+    (1-32) forces quantized-LPC subframes of that order (falling back to
+    FIXED only on degenerate signals); ``None`` keeps the fixed-predictor
     search.  ``bps`` selects the sample depth — 8, 16, or 24 bits (the
     depths real audio corpora carry); samples must fit the signed
     range."""
@@ -401,10 +404,10 @@ def flac_encode(
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
-    if ch not in (1, 2):
-        raise ValueError("flac_encode: 1 or 2 channels")
-    if ch == 1 and stereo_mode != "independent":
-        raise ValueError("stereo_mode needs 2 channels")
+    if not 1 <= ch <= 8:
+        raise ValueError("flac_encode: 1-8 channels")
+    if ch != 2 and stereo_mode != "independent":
+        raise ValueError("stereo_mode needs exactly 2 channels")
     if n and (
         int(s.max()) >= (1 << (bps - 1)) or int(s.min()) < -(1 << (bps - 1))
     ):
@@ -421,10 +424,8 @@ def flac_encode(
         hdr.write(0, 1)  # fixed blocksize stream
         hdr.write(0b0111, 4)  # block size: 16-bit value - 1 follows
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
-        if ch == 1:
-            chan_assign = 0
-        elif stereo_mode == "independent":
-            chan_assign = 1
+        if ch != 2 or stereo_mode == "independent":
+            chan_assign = ch - 1
         elif stereo_mode == "left_side":
             chan_assign = 8
         elif stereo_mode == "right_side":
@@ -439,14 +440,12 @@ def flac_encode(
         head += struct.pack(">H", bs - 1)
         head += bytes([_crc8(head)])
         body = _MsbWriter()
-        if ch == 1:
-            _encode_subframe(body, blk[:, 0], bps, lpc_order)
+        if chan_assign <= 7:
+            for c in range(ch):
+                _encode_subframe(body, blk[:, c], bps, lpc_order)
         else:
             left, right = blk[:, 0], blk[:, 1]
-            if chan_assign == 1:
-                _encode_subframe(body, left, bps, lpc_order)
-                _encode_subframe(body, right, bps, lpc_order)
-            elif chan_assign == 8:  # left + side(=l-r)
+            if chan_assign == 8:  # left + side(=l-r)
                 _encode_subframe(body, left, bps, lpc_order)
                 _encode_subframe(body, left - right, bps + 1, lpc_order)
             elif chan_assign == 9:  # side + right
@@ -549,8 +548,7 @@ def flac_decode(payload: bytes):
 
     Verifies the frame header CRC-8 and whole-frame CRC-16; raises
     ``ValueError`` on corruption and ``NotImplementedError`` on
-    unsupported stream shapes (depths outside 8/16/24, more than two
-    channels)."""
+    unsupported stream shapes (depths outside 8/16/24)."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -584,8 +582,6 @@ def flac_decode(payload: bytes):
         raise NotImplementedError(
             f"flac: only 8/16/24 bps supported, got {bps}"
         )
-    if ch > 2:
-        raise NotImplementedError("flac: mono/stereo subset only")
 
     chans = [[] for _ in range(ch)]
     decoded = 0

@@ -189,9 +189,10 @@ def test_flac_audio_features_query(spark):
 
     rows = flac_audio_features(spark, "/root/testdata/sf0.001").collect()
     assert rows
-    for r in rows[:10]:
+    for r in rows[:14]:
         assert r["n_samples"] == FLAC_N
-        assert r["channels"] == (1 if r["doc_id"] % 5 == 0 else 2)
+        mode = r["doc_id"] % 7
+        assert r["channels"] == {0: 1, 5: 6, 6: 8}.get(mode, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -260,3 +261,33 @@ def test_flac_depth_gates_and_range_checks():
     with pytest.raises(NotImplementedError,
                        match="only 8/16/24 bps supported, got 20"):
         flac_decode(payload)
+
+
+# ---------------------------------------------------------------------------
+# multichannel (round-10: the channel gate is gone — 1-8 channels decode)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nch", [3, 6, 8])
+@pytest.mark.parametrize("bps,amp", [(8, 127), (16, 30000), (24, 8_000_000)])
+def test_multichannel_roundtrip(nch, bps, amp):
+    """Independent-assignment multichannel frames (the only layout FLAC
+    defines past stereo) round-trip bit-exactly at every depth."""
+    sig = RNG.integers(-amp - 1, amp + 1, (3000, nch)).astype(np.int64)
+    sig[0, :] = -(1 << (bps - 1))
+    sig[1, :] = (1 << (bps - 1)) - 1
+    rate, ch, out = flac_decode(flac_encode(sig, 48000, bps=bps))
+    assert (rate, ch) == (48000, nch)
+    assert np.array_equal(out.astype(np.int64), sig)
+
+
+def test_multichannel_lpc_roundtrip():
+    sig = RNG.integers(-20000, 20000, (4097, 6)).astype(np.int64)
+    _, ch, out = flac_decode(flac_encode(sig, 8000, lpc_order=8))
+    assert ch == 6
+    assert np.array_equal(out.astype(np.int64), sig)
+
+
+def test_encoder_rejects_over_8_channels():
+    with pytest.raises(ValueError, match="1-8 channels"):
+        flac_encode(np.zeros((100, 9), np.int64))
