@@ -52,6 +52,7 @@ CHECK_PRIORITY: list[str] = [
     "kmeans_int8_assign",  # integer Lloyd's with a full value oracle (new)
     "dsir_importance_weights",  # hashed-bigram DSIR weights (new)
     "dsir_selected_docs",  # DSIR top-k selection cut (new)
+    "wordpiece_tokenize_docs",  # greedy matcher with a recursive-CTE oracle (new)
     "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
     "png_decode_features",  # Adam7 interlace + weighted_sum column (changed)
     "flac_audio_features",  # depth + 1-8 channel-layout rotation (changed)
