@@ -252,3 +252,67 @@ def global_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_index(o.select("o_orderkey"), "o_orderkey").select(
         "o_orderkey", "row_index"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle (epoch-seeded global permutation + shards)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCH = 1
+SHUFFLE_SHARDS = 16
+
+
+@query(
+    "corpus_shuffle_index",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('epoch:{SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR))
+                   AS shuffle_key
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, shuffle_key,
+               ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+                   AS row_index
+        FROM keyed
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(row_index AS BIGINT) AS row_index,
+           CAST(row_index % {SHUFFLE_SHARDS} AS INTEGER) AS shard
+    FROM idx
+    """,
+)
+def corpus_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the permutation pass a
+    training pipeline runs before packing/sharding so examples arrive in
+    pseudo-random order every epoch, REPRODUCIBLY (no ``rand()``: the
+    order is a pure function of doc_id and the epoch constant, so a
+    re-run, a retry, or a different engine produces the identical
+    permutation — change ``SHUFFLE_EPOCH`` to reshuffle).
+
+    The permutation key is ``md5('epoch:E:' || doc_id)`` (the catalog's
+    cross-engine hash convention); the dense position comes from
+    :func:`global_row_index` — the two-phase zipWithIndex, NOT a
+    single-reducer ROW_NUMBER, so the sort of the permuted corpus is
+    range-partitioned and fully parallel at 100 TB.  ``shard = position
+    mod {SHUFFLE_SHARDS}`` deals the permuted order round-robin into
+    equal shards: every shard is itself an unbiased sample of the
+    corpus, which is what data-parallel trainers want from a shard
+    manifest."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(f"epoch:{SHUFFLE_EPOCH}:"),
+                F.col("doc_id").cast("string"),
+            ).cast("binary")
+        ).alias("shuffle_key"),
+    )
+    return global_row_index(keyed, "shuffle_key", "doc_id").select(
+        "doc_id",
+        "shuffle_key",
+        F.col("row_index").cast("bigint").alias("row_index"),
+        (F.col("row_index") % SHUFFLE_SHARDS).cast("int").alias("shard"),
+    )

@@ -53,6 +53,8 @@ CHECK_PRIORITY: list[str] = [
     "dsir_importance_weights",  # hashed-bigram DSIR weights (new)
     "dsir_selected_docs",  # DSIR top-k selection cut (new)
     "wordpiece_tokenize_docs",  # greedy matcher with a recursive-CTE oracle (new)
+    "corpus_shuffle_index",  # epoch-seeded global permutation + shards (new)
+    "compression_ratio_quality",  # zlib repetition signal, rows-only (new)
     "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
     "png_decode_features",  # Adam7 interlace + weighted_sum column (changed)
     "flac_audio_features",  # depth + 1-8 channel-layout rotation (changed)

@@ -1369,3 +1369,61 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (zlib)
+# ---------------------------------------------------------------------------
+
+ZLIB_LEVEL = 6  # zlib default — fixed so the signal is run-reproducible
+REPETITIVE_RATIO = 0.35  # below this the text is mostly self-similar
+
+
+@query("compression_ratio_quality")  # no SQL engine exposes zlib — parity
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    "boilerplate/repetition" quality signal (used alongside the Gopher
+    battery in public web-corpus pipelines: text that compresses far
+    below natural-language entropy is template spam, repeated
+    navigation, or degenerate generation).
+
+    ``compression_ratio = deflate_len / raw_utf8_len`` at the fixed
+    ``ZLIB_LEVEL``; ``repetitive`` flags documents under
+    ``REPETITIVE_RATIO``.  One narrow Arrow ``mapInPandas`` pass —
+    CPU-bound per byte with zero shuffle, so at 100 TB it scales exactly
+    like the decode kernels (linear, partition-parallel, no skew beyond
+    document length).  Oracle-less: SQL engines expose no deflate;
+    ``tests/test_round10_ops.py`` pins exact byte counts against direct
+    ``zlib`` on every fixture doc."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        import pandas as pd  # noqa: PLC0415
+        import zlib  # noqa: PLC0415
+
+        for pdf in batches:
+            raw = [str(t).encode("utf-8") for t in pdf["text"]]
+            zlens = [len(zlib.compress(b, ZLIB_LEVEL)) for b in raw]
+            rlens = [len(b) for b in raw]
+            ratio = [
+                (z / r) if r else 1.0 for z, r in zip(zlens, rlens)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "raw_len": pd.Series(rlens, dtype="int64"),
+                    "zlib_len": pd.Series(zlens, dtype="int64"),
+                    "compression_ratio": pd.Series(ratio, dtype="float64"),
+                    "repetitive": pd.Series(
+                        [x < REPETITIVE_RATIO for x in ratio], dtype="bool"
+                    ),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, raw_len bigint, zlib_len bigint, "
+            "compression_ratio double, repetitive boolean"
+        ),
+    )
