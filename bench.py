@@ -116,6 +116,11 @@ HEADLINE = [
     # trees + prediction + transforms per payload) is the heaviest
     # pure-Python codec kernel yet — wall-clock signal required
     "vp8_decode_features",
+    # round-10: DSIR (two gram shuffles + broadcast model rejoin) and
+    # the WordPiece greedy-encode Arrow kernel — the new text-pipeline
+    # paths whose regressions wall-clock alone would catch
+    "dsir_importance_weights",
+    "wordpiece_tokenize_docs",
 ]
 
 
