@@ -122,6 +122,65 @@ def _png_defilter(raw: bytes, offset: int, n_rows: int, width: int, ch: int):
     return out, offset + n_rows * (stride + 1)
 
 
+def _unpack_indices(rows, pw: int, depth: int):
+    """``(n, rowbytes)`` packed scanline bytes → ``(n, pw)`` palette
+    indices.  Sub-byte samples pack MSB-first within each byte (RFC 2083
+    §2.3); trailing pad bits in the last byte are discarded."""
+    import numpy as np  # noqa: PLC0415
+
+    if depth == 8:
+        return rows[:, :pw]
+    bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+    groups = bits.reshape(rows.shape[0], pw, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=2).astype(np.uint8)
+
+
+def _png_decode_palette(idat, w, h, depth, interlace, plte, trns):
+    """Color-type-3 path: defilter the packed index plane (filters act on
+    BYTES with left-neighbor distance 1 for sub-byte depths, §6.5),
+    unpack to indices, then map through PLTE (+ tRNS alpha → RGBA)."""
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if plte is None or len(plte) == 0 or len(plte) % 3:
+        raise ValueError("PNG palette image missing or malformed PLTE")
+    raw = zlib.decompress(idat)
+
+    def rowbytes(pw: int) -> int:
+        return (pw * depth + 7) // 8
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    if interlace == 0:
+        rows, end = _png_defilter(raw, 0, h, rowbytes(w), 1)
+        if end != len(raw):
+            raise ValueError("PNG scanline data has wrong length")
+        idx = _unpack_indices(rows, w, depth)
+    else:
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, offset = _png_defilter(raw, offset, ph, rowbytes(pw), 1)
+            idx[y0::dy, x0::dx] = _unpack_indices(rows, pw, depth)
+        if offset != len(raw):
+            raise ValueError("PNG scanline data has wrong length")
+
+    n_entries = len(plte) // 3
+    if int(idx.max(initial=0)) >= n_entries:
+        raise ValueError("PNG palette index out of range")
+    palette = np.frombuffer(plte, np.uint8).reshape(n_entries, 3)
+    rgb = palette[idx]
+    if trns is None:
+        return w, h, 3, rgb
+    alpha = np.full(n_entries, 255, dtype=np.uint8)
+    alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+    return w, h, 4, np.dstack([rgb, alpha[idx]])
+
+
 def png_decode(payload: bytes):
     """Pure-stdlib PNG decoder (zlib + struct, no codec libraries): returns
     ``(width, height, channels, pixels)`` with ``pixels`` a uint8 numpy
@@ -145,7 +204,7 @@ def png_decode(payload: bytes):
 
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
-    pos, idat, header = 8, [], None
+    pos, idat, header, plte, trns = 8, [], None, None, None
     while pos + 8 <= len(payload):
         (length,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[
             pos + 4 : pos + 8
@@ -154,6 +213,10 @@ def png_decode(payload: bytes):
         pos += 12 + length  # length + type + data + crc
         if typ == b"IHDR":
             header = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -161,10 +224,20 @@ def png_decode(payload: bytes):
     if header is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = header
+    if color == 3:
+        if depth not in (1, 2, 4, 8) or interlace not in (0, 1):
+            raise NotImplementedError(
+                f"png_decode palette images need depth 1/2/4/8 with "
+                f"interlace 0/1; got depth={depth} interlace={interlace}"
+            )
+        return _png_decode_palette(
+            b"".join(idat), w, h, depth, interlace, plte, trns
+        )
     if depth != 8 or interlace not in (0, 1) or color not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"png_decode supports 8-bit color types "
-            f"{sorted(_PNG_CHANNELS)} with interlace 0/1; got "
+            f"{sorted(_PNG_CHANNELS)} + 3 (paletted, any depth) with "
+            f"interlace 0/1; got "
             f"depth={depth} color={color} interlace={interlace}"
         )
     ch = _PNG_CHANNELS[color]
@@ -320,6 +393,77 @@ def png_encode(arr, filter_type: int = 0, interlace: bool = False) -> bytes:
         PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
         + chunk(b"IEND", b"")
     )
+
+
+def _pack_indices(idx_rows, depth: int) -> "object":
+    """``(n, pw)`` palette indices → ``(n, rowbytes)`` packed bytes
+    (MSB-first sub-byte packing) — the encode twin of
+    :func:`_unpack_indices`."""
+    import numpy as np  # noqa: PLC0415
+
+    if depth == 8:
+        return idx_rows
+    n, pw = idx_rows.shape
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    bits = ((idx_rows[:, :, None] & weights) > 0).astype(np.uint8)
+    return np.packbits(bits.reshape(n, pw * depth), axis=1)
+
+
+def png_encode_palette(
+    indices,
+    palette,
+    trns=None,
+    depth: int = 8,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Paletted (color type 3) PNG encoder: ``(h, w)`` uint8 index array
+    + ``(n, 3)`` RGB palette (+ optional per-entry ``trns`` alpha list)
+    → PNG bytes at bit depth 1/2/4/8.  Exists so the decoder's palette,
+    sub-byte unpacking, and tRNS paths are testable without a codec
+    library and to synthesize fixture payloads for the E2E query."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("png_encode_palette: depth must be 1/2/4/8")
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if int(idx.max(initial=0)) >= min(len(pal), 1 << depth):
+        raise ValueError("png_encode_palette: index exceeds palette/depth")
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _png_filter(_pack_indices(sub, depth), 1, filter_type)
+            )
+        raw = zlib.compress(b"".join(parts))
+    else:
+        raw = zlib.compress(
+            _png_filter(_pack_indices(idx, depth), 1, filter_type)
+        )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0
+    )
+    out = PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(bytearray(trns)))
+    return out + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 
 def extract_byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -481,6 +625,98 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_png_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_image_features, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+def _synthesize_palette_png_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic paletted PNG per doc: index k = (doc_id + k) mod 2^d
+    with the bit depth rotating over 8/1/2/4 (doc_id mod 4), palette
+    entry j = (7j, 11j, 13j) mod 256, tRNS alpha (5j mod 256) on doc_id
+    mod 3 == 0, scanline filter doc_id mod 5, Adam7 on odd doc_ids — the
+    rotations are coprime, so every depth × filter × layout × alpha
+    combination occurs."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            depth = [8, 1, 2, 4][did % 4]
+            m = 1 << depth
+            j = np.arange(m, dtype=np.int64)
+            pal = np.stack(
+                [(j * 7) % 256, (j * 11) % 256, (j * 13) % 256], axis=-1
+            ).astype(np.uint8)
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            idx = ((did + k) % m).astype(np.uint8).reshape(IMG_H, IMG_W)
+            trns = ((j * 5) % 256).tolist() if did % 3 == 0 else None
+            payloads.append(
+                png_encode_palette(
+                    idx,
+                    pal,
+                    trns=trns,
+                    depth=depth,
+                    filter_type=did % 5,
+                    interlace=bool(did % 2),
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "png_palette_decode_features",
+    oracle=f"""
+    WITH geom AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 256 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 ELSE 16 END AS m,
+               CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS nch
+        FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id, g.nch, t.k, c.c,
+               CASE c.c
+                 WHEN 0 THEN (((g.doc_id + t.k) % g.m) * 7) % 256
+                 WHEN 1 THEN (((g.doc_id + t.k) % g.m) * 11) % 256
+                 WHEN 2 THEN (((g.doc_id + t.k) % g.m) * 13) % 256
+                 ELSE (((g.doc_id + t.k) % g.m) * 5) % 256
+               END AS v
+        FROM geom g, range(0, {IMG_W * IMG_H}) t(k), range(0, 4) c(c)
+        WHERE c.c < g.nch
+    )
+    SELECT doc_id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST(nch AS INTEGER) AS channels,
+           CAST(SUM(v) AS DOUBLE) / ({IMG_W * IMG_H} * nch) AS mean_pixel,
+           CAST(SUM((t_k_c) * v) AS BIGINT) AS weighted_sum
+    FROM (SELECT doc_id, nch, v, k * nch + c AS t_k_c FROM px)
+    GROUP BY doc_id, nch
+    """,
+)
+def png_palette_decode_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paletted-PNG decode E2E (color type 3 — the round-10 gate close):
+    synthesize an indexed-color PNG per document with the bit depth
+    rotating over 8/1/2/4, tRNS alpha on every third doc, all five
+    scanline filters, and Adam7 on odd doc_ids; decode through the real
+    path (packed sub-byte defilter → index unpack → palette map →
+    optional alpha) and hash-match the closed-form per-channel pixel
+    statistics.  ``weighted_sum`` is position-AND-channel-sensitive, so
+    a palette entry applied to the wrong pixel, a mis-unpacked sub-byte
+    group, or a dropped alpha plane all break the match.  Two narrow
+    ``mapInPandas`` passes, no shuffle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
+        _synthesize_palette_png_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
         decode_image_features, schema=PNG_FEATURE_SCHEMA

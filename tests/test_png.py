@@ -315,3 +315,119 @@ def test_png_adam7_weighted_sum_detects_misplacement():
     scrambled = good.reshape(-1).copy()
     scrambled[:50] = scrambled[:50][::-1]
     assert int((k * scrambled.astype(np.int64)).sum()) != ws_good
+
+
+# ---------------------------------------------------------------------------
+# paletted PNGs (round-10: color type 3, depths 1/2/4/8, tRNS alpha)
+# ---------------------------------------------------------------------------
+
+
+def _pal(m):
+    j = np.arange(m, dtype=np.int64)
+    return np.stack([(j * 7) % 256, (j * 11) % 256, (j * 13) % 256],
+                    axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_palette_roundtrip(depth, filter_type, interlace):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        png_encode_palette,
+    )
+
+    rng = np.random.default_rng(depth * 10 + filter_type)
+    m = 1 << depth
+    idx = rng.integers(0, m, (11, 13)).astype(np.uint8)
+    p = png_encode_palette(idx, _pal(m), depth=depth,
+                           filter_type=filter_type, interlace=interlace)
+    w, h, ch, px = png_decode(p)
+    assert (w, h, ch) == (13, 11, 3)
+    assert np.array_equal(px, _pal(m)[idx])
+
+
+@pytest.mark.parametrize("depth", [1, 4, 8])
+def test_png_palette_trns_alpha(depth):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        png_encode_palette,
+    )
+
+    m = 1 << depth
+    idx = (np.arange(9 * 7, dtype=np.int64) % m).astype(
+        np.uint8).reshape(9, 7)
+    trns = [(j * 5) % 256 for j in range(m)]
+    p = png_encode_palette(idx, _pal(m), trns=trns, depth=depth)
+    w, h, ch, px = png_decode(p)
+    assert ch == 4
+    assert np.array_equal(px[:, :, :3], _pal(m)[idx])
+    assert np.array_equal(px[:, :, 3], np.array(trns, np.uint8)[idx])
+
+
+def test_png_palette_short_trns_pads_opaque():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        png_encode_palette,
+    )
+
+    idx = np.array([[0, 1, 2, 3]], np.uint8)
+    p = png_encode_palette(idx, _pal(4), trns=[0, 128], depth=2)
+    _, _, ch, px = png_decode(p)
+    assert ch == 4
+    assert px[0, :, 3].tolist() == [0, 128, 255, 255]
+
+
+def test_png_palette_rejects_bad_streams():
+    import struct
+    import zlib
+
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        png_encode_palette,
+    )
+
+    # index out of palette range
+    idx = np.array([[3]], np.uint8)
+    with pytest.raises(ValueError, match="index exceeds"):
+        png_encode_palette(idx, _pal(2), depth=2)
+
+    # hand-build a stream whose PLTE is missing
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x00")
+    payload = (PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(payload)
+
+    # 16-bit palette depth is a loud gate
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    payload16 = (PNG_SIGNATURE + chunk(b"IHDR", ihdr16)
+                 + chunk(b"PLTE", b"\x00" * 6) + chunk(b"IDAT", raw)
+                 + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth 1/2/4/8"):
+        png_decode(payload16)
+
+
+def test_png_palette_index_out_of_plte_range_detected():
+    """A stream whose indices exceed the PLTE entry count is corrupt,
+    not a crash."""
+    import struct
+    import zlib
+
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+    )
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x05")  # filter 0, index 5 with 2 entries
+    payload = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", b"\x00" * 6) + chunk(b"IDAT", raw)
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index out of range"):
+        png_decode(payload)
