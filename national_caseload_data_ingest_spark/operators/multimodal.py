@@ -3285,6 +3285,370 @@ def bmp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ICO (favicon): directory of DIB- or PNG-encoded images.  The dominant
+# small-image container in a web crawl (every site root serves one), and
+# pure routing + composition over machinery this module already has: PNG
+# entries go through png_decode, DIB entries through the BMP pixel path
+# plus the ICO-specific doubled-height AND transparency mask.  Format
+# reference: the public ICONDIR/ICONDIRENTRY layout (Win32 resource
+# format; PNG entries allowed since Vista).
+# ---------------------------------------------------------------------------
+
+ICO_SIGNATURE = b"\x00\x00\x01\x00"
+CUR_SIGNATURE = b"\x00\x00\x02\x00"
+
+
+def _ico_dib_decode(entry: bytes):
+    """One ICO DIB entry → ``(w, h, 4, uint8 RGBA)``.
+
+    The entry is a BITMAPINFOHEADER whose ``biHeight`` is DOUBLED: the
+    bottom-up XOR color plane (1/4/8 bpp through a BGR0 palette, 24 bpp
+    BGR, 32 bpp BGRA) is followed by a bottom-up 1-bpp AND transparency
+    mask, each row padded to 4 bytes.  For ≤24 bpp the AND mask IS the
+    alpha plane (set bit = transparent); 32-bpp entries carry their own
+    alpha channel and the mask is ignored (the Vista+ convention)."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if len(entry) < 40:
+        raise ValueError("ico: truncated DIB entry")
+    hdr_size, w, h2 = struct.unpack_from("<Iii", entry, 0)
+    bpp = struct.unpack_from("<H", entry, 14)[0]
+    compression = struct.unpack_from("<I", entry, 16)[0]
+    if hdr_size != 40:
+        raise NotImplementedError(
+            f"ico: DIB header size {hdr_size} not supported (40 only)"
+        )
+    if compression != 0:
+        raise NotImplementedError(
+            f"ico: compressed DIB entries not supported "
+            f"(compression={compression})"
+        )
+    if h2 <= 0 or h2 % 2 or w <= 0:
+        raise ValueError("ico: DIB entry needs positive doubled height")
+    if bpp not in (1, 2, 4, 8, 24, 32):
+        raise NotImplementedError(f"ico: DIB bpp {bpp} not supported")
+    h = h2 // 2
+
+    def plane(offset: int, bits_per_px: int, n_rows: int):
+        stride = ((w * bits_per_px + 31) // 32) * 4
+        end = offset + stride * n_rows
+        if end > len(entry):
+            raise ValueError("ico: truncated DIB pixel data")
+        rows = np.frombuffer(
+            entry, np.uint8, count=stride * n_rows, offset=offset
+        ).reshape(n_rows, stride)
+        return rows[::-1], end  # bottom-up → top-down
+
+    pos = 40
+    if bpp <= 8:
+        n_colors = struct.unpack_from("<I", entry, 32)[0] or (1 << bpp)
+        pal_end = pos + n_colors * 4
+        if pal_end > len(entry):
+            raise ValueError("ico: truncated DIB palette")
+        pal = np.frombuffer(
+            entry, np.uint8, count=n_colors * 4, offset=pos
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGR0 → RGB
+        rows, pos = plane(pal_end, bpp, h)
+        idx = _unpack_indices(rows[:, : (w * bpp + 7) // 8], w, bpp)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("ico: palette index out of range")
+        rgb = pal[idx]
+    elif bpp == 24:
+        rows, pos = plane(pos, 24, h)
+        rgb = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    else:  # 32
+        rows, pos = plane(pos, 32, h)
+        bgra = rows[:, : w * 4].reshape(h, w, 4)
+        rgba = np.ascontiguousarray(bgra[:, :, [2, 1, 0, 3]])
+        # consume the (ignored) AND mask so truncation still surfaces
+        plane(pos, 1, h)
+        return w, h, 4, rgba
+    mask_rows, _ = plane(pos, 1, h)
+    bits = np.unpackbits(mask_rows, axis=1)[:, :w]
+    alpha = np.where(bits == 0, 255, 0).astype(np.uint8)
+    return w, h, 4, np.dstack([rgb, alpha])
+
+
+def ico_decode_entries(payload: bytes):
+    """Decode EVERY image in an ICO container: list of ``(w, h,
+    channels, pixels)``, PNG entries through :func:`png_decode` (their
+    native channel count), DIB entries through :func:`_ico_dib_decode`
+    (always RGBA).  Cursor files (``.cur``, type 2) share the layout but
+    repurpose directory fields as hotspot coordinates — an honest gate
+    until a corpus shows they matter."""
+    import struct  # noqa: PLC0415
+
+    if payload[:4] == CUR_SIGNATURE:
+        raise NotImplementedError(
+            "ico: .cur cursor files not supported (hotspot semantics)"
+        )
+    if payload[:4] != ICO_SIGNATURE:
+        raise ValueError("not an ICO payload")
+    count = struct.unpack_from("<H", payload, 4)[0]
+    if count == 0:
+        raise ValueError("ico: empty image directory")
+    out = []
+    for i in range(count):
+        base = 6 + 16 * i
+        if base + 16 > len(payload):
+            raise ValueError("ico: truncated image directory")
+        size, offset = struct.unpack_from("<II", payload, base + 8)
+        if offset + size > len(payload):
+            raise ValueError("ico: entry data out of bounds")
+        data = payload[offset : offset + size]
+        if data[:8] == PNG_SIGNATURE:
+            out.append(png_decode(data))
+        else:
+            out.append(_ico_dib_decode(data))
+    return out
+
+
+def ico_decode(payload: bytes):
+    """Best-image ICO decode: the largest entry by pixel area (ties →
+    first in directory order), matching what a browser picks when it
+    needs one representative icon."""
+    entries = ico_decode_entries(payload)
+    best = max(
+        range(len(entries)),
+        key=lambda i: (entries[i][0] * entries[i][1], -i),
+    )
+    return entries[best]
+
+
+def _ico_dib_encode(
+    *, idx=None, palette=None, rgb=None, rgba=None, transparent=None, bpp=None
+):
+    """Build one DIB entry blob (the decoder's testable twin): pass
+    ``idx``+``palette`` for 1/2/4/8 bpp, ``rgb`` for 24, ``rgba`` for 32;
+    ``transparent`` is an optional (h, w) bool AND-mask (ignored for
+    32 bpp, where alpha rides the pixel plane).  Returns ``(blob, w, h)``."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    def pad4(rows):
+        n, rb = rows.shape
+        stride = (rb + 3) & ~3
+        out = np.zeros((n, stride), np.uint8)
+        out[:, :rb] = rows
+        return out[::-1].tobytes()  # top-down → bottom-up
+
+    if rgba is not None:
+        arr = np.asarray(rgba, np.uint8)
+        h, w = arr.shape[:2]
+        bpp = 32
+        pal_bytes = b""
+        body = pad4(arr[:, :, [2, 1, 0, 3]].reshape(h, w * 4))
+    elif rgb is not None:
+        arr = np.asarray(rgb, np.uint8)
+        h, w = arr.shape[:2]
+        bpp = 24
+        pal_bytes = b""
+        body = pad4(arr[:, :, ::-1].reshape(h, w * 3))
+    else:
+        arr = np.asarray(idx, np.uint8)
+        pal = np.asarray(palette, np.uint8)
+        h, w = arr.shape
+        if bpp is None:
+            bpp = 8
+        if int(arr.max(initial=0)) >= min(len(pal), 1 << bpp):
+            raise ValueError("ico encode: index exceeds palette/depth")
+        quads = np.zeros((len(pal), 4), np.uint8)
+        quads[:, :3] = pal[:, ::-1]  # RGB → BGR0
+        pal_bytes = quads.tobytes()
+        body = pad4(_pack_indices(arr, bpp))
+    if transparent is None:
+        transparent = np.zeros((h, w), bool)
+    mask = pad4(np.packbits(np.asarray(transparent, np.uint8), axis=1))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * 2, 1, bpp, 0,
+        len(body) + len(mask), 0, 0,
+        len(pal_bytes) // 4, 0,
+    )
+    return info + pal_bytes + body + mask, w, h
+
+
+def ico_encode(entries) -> bytes:
+    """Assemble an ICO container from ``(blob, w, h)`` entry tuples —
+    the output of :func:`_ico_dib_encode`, or ``(png_bytes, w, h)`` for
+    embedded-PNG entries."""
+    import struct  # noqa: PLC0415
+
+    out = bytearray(ICO_SIGNATURE + struct.pack("<H", len(entries)))
+    offset = 6 + 16 * len(entries)
+    for blob, w, h in entries:
+        out += struct.pack(
+            "<BBBBHHII",
+            w if w < 256 else 0,
+            h if h < 256 else 0,
+            0, 0, 1, 0, len(blob), offset,
+        )
+        offset += len(blob)
+    for blob, _w, _h in entries:
+        out += blob
+    return bytes(out)
+
+
+_ICO_BPP_ROTATION = (32, 1, 4, 8, 24)  # doc_id % 5 → DIB entry bpp
+
+
+def _synthesize_ico_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic two-entry favicon per doc.  Entry 0 is a DIB at bpp
+    rotating over 32/1/4/8/24 (doc_id mod 5) with base value b(k) =
+    (doc_id + k) mod m (m = 2^bpp for paletted, 256 otherwise), channel
+    c = (b·p_c) mod 256 for p = (7, 11, 13); alpha is (b·5) mod 256 on
+    the 32-bpp pixel plane and the AND mask (transparent ⇔ (doc_id + k)
+    mod 3 = 0) otherwise.  Entry 1 is an embedded RGB PNG at half size
+    with b(k) = (doc_id + 2k) mod 256 and the same channel formula."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            bpp = _ICO_BPP_ROTATION[did % 5]
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            transparent = (
+                ((did + k) % 3 == 0).reshape(IMG_H, IMG_W)
+            )
+            if bpp == 32:
+                b = ((did + k) % 256).reshape(IMG_H, IMG_W)
+                rgba = np.stack(
+                    [(b * p) % 256 for p in (7, 11, 13, 5)], axis=-1
+                ).astype(np.uint8)
+                dib = _ico_dib_encode(rgba=rgba)
+            elif bpp == 24:
+                b = ((did + k) % 256).reshape(IMG_H, IMG_W)
+                rgb = np.stack(
+                    [(b * p) % 256 for p in (7, 11, 13)], axis=-1
+                ).astype(np.uint8)
+                dib = _ico_dib_encode(rgb=rgb, transparent=transparent)
+            else:
+                m = 1 << bpp
+                j = np.arange(m, dtype=np.int64)
+                pal = np.stack(
+                    [(j * 7) % 256, (j * 11) % 256, (j * 13) % 256], axis=-1
+                ).astype(np.uint8)
+                idx = ((did + k) % m).astype(np.uint8).reshape(IMG_H, IMG_W)
+                dib = _ico_dib_encode(
+                    idx=idx, palette=pal, bpp=bpp, transparent=transparent
+                )
+            k2 = np.arange((IMG_W // 2) * (IMG_H // 2), dtype=np.int64)
+            b2 = ((did + 2 * k2) % 256).reshape(IMG_H // 2, IMG_W // 2)
+            png_px = np.stack(
+                [(b2 * p) % 256 for p in (7, 11, 13)], axis=-1
+            ).astype(np.uint8)
+            png = png_encode(png_px)
+            payloads.append(
+                ico_encode([dib, (png, IMG_W // 2, IMG_H // 2)])
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "ico_decode_features",
+    oracle=f"""
+    WITH geom AS (
+        SELECT doc_id, e.entry,
+               CASE WHEN e.entry = 0 THEN {IMG_W} ELSE {IMG_W // 2} END AS w,
+               CASE WHEN e.entry = 0 THEN {IMG_H} ELSE {IMG_H // 2} END AS h,
+               CASE WHEN e.entry = 0 THEN 4 ELSE 3 END AS nch,
+               CASE WHEN e.entry = 1 OR doc_id % 5 IN (0, 3, 4) THEN 256
+                    WHEN doc_id % 5 = 1 THEN 2 ELSE 16 END AS m
+        FROM documents, (VALUES (0), (1)) e(entry)
+    ),
+    px AS (
+        SELECT g.doc_id, g.entry, g.w, g.h, g.nch, t.k, c.c,
+               CASE
+                 WHEN c.c < 3 THEN
+                   (((g.doc_id + CASE WHEN g.entry = 1 THEN 2 * t.k
+                                      ELSE t.k END) % g.m)
+                    * CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END)
+                   % 256
+                 WHEN g.doc_id % 5 = 0 THEN
+                   (((g.doc_id + t.k) % 256) * 5) % 256
+                 WHEN (g.doc_id + t.k) % 3 = 0 THEN 0
+                 ELSE 255
+               END AS v
+        FROM geom g, range(0, {IMG_W * IMG_H}) t(k), range(0, 4) c(c)
+        WHERE c.c < g.nch AND t.k < g.w * g.h
+    )
+    SELECT doc_id,
+           CAST(entry AS INTEGER) AS entry,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(nch AS INTEGER) AS channels,
+           CAST(SUM(v) AS DOUBLE) / (w * h * nch) AS mean_pixel,
+           CAST(SUM((k * nch + c) * v) AS BIGINT) AS weighted_sum
+    FROM px
+    GROUP BY doc_id, entry, w, h, nch
+    """,
+)
+def ico_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Favicon decode E2E: synthesize a two-entry ICO per document (a
+    DIB whose bpp rotates over 32/1/4/8/24 with AND-mask or pixel-plane
+    alpha, plus an embedded half-size PNG) and decode EVERY entry through
+    the real directory walk, emitting one row per (doc, entry) with the
+    channel- and position-sensitive pixel statistics.  A palette mapped
+    to the wrong pixel, a mis-oriented bottom-up plane, a dropped AND
+    mask, or a PNG entry routed down the DIB path all break the hash.
+    Two narrow ``mapInPandas`` passes, no shuffle — at 100 TB this is
+    the favicon-column scan, embarrassingly parallel per payload."""
+    import numpy as np  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
+        _synthesize_ico_payloads, schema="doc_id bigint, payload binary"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ents, ws, hs, chs, means, wsums = (
+                [], [], [], [], [], [], []
+            )
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for entry, (w, h, ch, px) in enumerate(
+                    ico_decode_entries(bytes(payload))
+                ):
+                    flat = px.reshape(-1).astype(np.int64)
+                    ids.append(int(doc_id))
+                    ents.append(entry)
+                    ws.append(w)
+                    hs.append(h)
+                    chs.append(ch)
+                    means.append(int(flat.sum()) / flat.size)
+                    wsums.append(
+                        int((np.arange(flat.size, dtype=np.int64) * flat)
+                            .sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "entry": pd.Series(ents, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                    "weighted_sum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, entry int, width int, height int, "
+            "channels int, mean_pixel double, weighted_sum bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TIFF: pure-stdlib baseline codec (uncompressed / LZW / PackBits strips,
 # horizontal-differencing predictor, II+MM byte orders) + decode pipeline.
 # Closes the last line of decode_image's PIL gate for still images other
@@ -4038,6 +4402,11 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
         elif payload[:4] in TIFF_SIGNATURES:
             fmt = "tiff"
             decode_image(payload)
+        elif payload[:4] in (ICO_SIGNATURE, CUR_SIGNATURE):
+            fmt = "ico"
+            # every entry must decode — a first-entry-only walk would
+            # overstate coverage exactly like the GIF case above
+            ico_decode_entries(payload)
         else:
             return ("unknown", "unrouted",
                     "no native decoder claims this container")

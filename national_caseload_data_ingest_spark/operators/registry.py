@@ -56,6 +56,8 @@ CHECK_PRIORITY: list[str] = [
     "corpus_shuffle_index",  # epoch-seeded global permutation + shards (new)
     "compression_ratio_quality",  # zlib repetition signal, rows-only (new)
     "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
+    "ico_decode_features",  # favicon container: DIB + PNG entries (new)
+    "png_palette_decode_features",  # color-type-3 sub-byte + tRNS (new)
     "png_decode_features",  # Adam7 interlace + weighted_sum column (changed)
     "flac_audio_features",  # depth + 1-8 channel-layout rotation (changed)
     "containment_quote_pairs",  # prefix-filtered tier past budget (changed)
