@@ -183,11 +183,15 @@ def _png_decode_palette(idat, w, h, depth, interlace, plte, trns):
 
 def png_decode(payload: bytes):
     """Pure-stdlib PNG decoder (zlib + struct, no codec libraries): returns
-    ``(width, height, channels, pixels)`` with ``pixels`` a uint8 numpy
-    array of shape ``(height, width, channels)``.
+    ``(width, height, channels, pixels)`` with ``pixels`` a numpy array
+    of shape ``(height, width, channels)`` — uint8 everywhere except
+    16-bit streams, which return their true uint16 samples.
 
-    Supports the baseline still-image profile — 8-bit depth, color types
-    0/2/4/6, non-interlaced OR Adam7-interlaced — with all five scanline
+    Supports the full still-image profile — color types 0/2/4/6 at
+    depth 8 and 16, grayscale additionally at 1/2/4 (expanded to 8-bit
+    by the exact max-value rescale), paletted (type 3) at 1/2/4/8 with
+    optional tRNS alpha, non-interlaced OR Adam7-interlaced — with all
+    five scanline
     filters (None, Sub, Up, Average, Paeth) per the PNG spec (RFC 2083
     §6).  The Up filter is fully vectorized (uint8 addition wraps mod
     256); Sub/Average/Paeth carry a left-neighbor dependency and walk the
@@ -233,29 +237,60 @@ def png_decode(payload: bytes):
         return _png_decode_palette(
             b"".join(idat), w, h, depth, interlace, plte, trns
         )
-    if depth != 8 or interlace not in (0, 1) or color not in _PNG_CHANNELS:
+    valid_depth = depth in (8, 16) or (color == 0 and depth in (1, 2, 4))
+    if color not in _PNG_CHANNELS or interlace not in (0, 1) or not valid_depth:
         raise NotImplementedError(
-            f"png_decode supports 8-bit color types "
-            f"{sorted(_PNG_CHANNELS)} + 3 (paletted, any depth) with "
-            f"interlace 0/1; got "
+            f"png_decode supports color types {sorted(_PNG_CHANNELS)} at "
+            f"depth 8/16 (grayscale also 1/2/4) + 3 (paletted, 1/2/4/8) "
+            f"with interlace 0/1; got "
             f"depth={depth} color={color} interlace={interlace}"
         )
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
+    if depth < 8:
+        # sub-byte grayscale: filters act on the PACKED bytes with
+        # left-neighbor distance 1 (spec §6.5, like the palette plane);
+        # samples expand to 8-bit by exact max-value rescale (255 is
+        # divisible by 1/3/15, so v·255/(2^d−1) is integer-exact)
+        scale = np.uint8(255 // ((1 << depth) - 1))
+
+        def plane(offset: int, pw: int, ph: int):
+            rows, end = _png_defilter(raw, offset, ph, (pw * depth + 7) // 8, 1)
+            return (_unpack_indices(rows, pw, depth) * scale)[..., None], end
+
+        dtype = np.uint8
+    elif depth == 8:
+
+        def plane(offset: int, pw: int, ph: int):
+            rows, end = _png_defilter(raw, offset, ph, pw, ch)
+            return rows.reshape(ph, pw, ch), end
+
+        dtype = np.uint8
+    else:
+        # 16-bit samples, big-endian pairs; filter distance is BYTES per
+        # pixel (spec §6.2), so the byte-wise defilter runs at 2·ch —
+        # the decode returns the true uint16 samples, no precision loss
+
+        def plane(offset: int, pw: int, ph: int):
+            rows, end = _png_defilter(raw, offset, ph, pw, ch * 2)
+            pairs = rows.reshape(ph, pw, ch, 2).astype(np.uint16)
+            return (pairs[..., 0] << 8) | pairs[..., 1], end
+
+        dtype = np.uint16
     if interlace == 0:
-        rows, end = _png_defilter(raw, 0, h, w, ch)
+        px, end = plane(0, w, h)
         if end != len(raw):
             raise ValueError("PNG scanline data has wrong length")
-        return w, h, ch, rows.reshape(h, w, ch)
-    out = np.zeros((h, w, ch), dtype=np.uint8)
+        return w, h, ch, px
+    out = np.zeros((h, w, ch), dtype=dtype)
     offset = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        rows, offset = _png_defilter(raw, offset, ph, pw, ch)
-        out[y0::dy, x0::dx] = rows.reshape(ph, pw, ch)
+        px, offset = plane(offset, pw, ph)
+        out[y0::dy, x0::dx] = px
     if offset != len(raw):
         raise ValueError("PNG scanline data has wrong length")
     return w, h, ch, out
@@ -347,38 +382,70 @@ def _png_filter(flat, ch: int, filter_type: int) -> bytes:
     return b"".join(lines)
 
 
-def png_encode(arr, filter_type: int = 0, interlace: bool = False) -> bytes:
-    """Pure-stdlib PNG encoder (inverse of :func:`png_decode`): uint8 array
-    of shape ``(h, w)`` or ``(h, w, channels)`` → PNG bytes, applying the
-    given scanline filter to every row.  Exists so the decoder's five
-    filter paths are testable without any codec library, and to synthesize
-    image payloads for the decode-pipeline E2E query.  With
-    ``interlace=True`` the stream is Adam7: the seven strided sub-images
-    are filtered independently and concatenated in pass order inside one
-    zlib stream (spec §8.2)."""
+def png_encode(
+    arr, filter_type: int = 0, interlace: bool = False, depth: int = None
+) -> bytes:
+    """Pure-stdlib PNG encoder (inverse of :func:`png_decode`): array of
+    shape ``(h, w)`` or ``(h, w, channels)`` → PNG bytes, applying the
+    given scanline filter to every row.  ``depth`` defaults to 8 for a
+    uint8 array and 16 for uint16; grayscale additionally accepts 1/2/4
+    (the array then holds RAW samples 0..2^d−1, packed MSB-first).
+    Exists so the decoder's filter/depth paths are testable without any
+    codec library, and to synthesize image payloads for the
+    decode-pipeline E2E queries.  With ``interlace=True`` the stream is
+    Adam7: the seven strided sub-images are filtered independently and
+    concatenated in pass order inside one zlib stream (spec §8.2)."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
 
-    arr = np.asarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr)
+    if depth is None:
+        depth = 16 if arr.dtype == np.uint16 else 8
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if depth == 16:
+        arr = np.asarray(arr, dtype=np.uint16)
+
+        def rows_of(sub):
+            ph, pw = sub.shape[:2]
+            be = sub.astype(">u2").view(np.uint8)
+            return be.reshape(ph, pw * ch * 2), ch * 2
+
+    elif depth == 8:
+        arr = np.asarray(arr, dtype=np.uint8)
+
+        def rows_of(sub):
+            ph, pw = sub.shape[:2]
+            return sub.reshape(ph, pw * ch), ch
+
+    else:
+        if ch != 1 or depth not in (1, 2, 4):
+            raise ValueError(
+                "png_encode: sub-byte depth needs a single-channel array"
+            )
+        arr = np.asarray(arr, dtype=np.uint8)
+        if int(arr.max(initial=0)) >= 1 << depth:
+            raise ValueError("png_encode: sample exceeds bit depth")
+
+        def rows_of(sub):
+            return _pack_indices(sub[:, :, 0], depth), 1
+
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
             sub = arr[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            flat = sub.reshape(sub.shape[0], sub.shape[1] * ch)
-            parts.append(_png_filter(flat, ch, filter_type))
+            flat, dist = rows_of(sub)
+            parts.append(_png_filter(flat, dist, filter_type))
         raw = zlib.compress(b"".join(parts))
     else:
-        raw = zlib.compress(
-            _png_filter(arr.reshape(h, w * ch), ch, filter_type)
-        )
+        flat, dist = rows_of(arr)
+        raw = zlib.compress(_png_filter(flat, dist, filter_type))
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -388,7 +455,9 @@ def png_encode(arr, filter_type: int = 0, interlace: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
         + chunk(b"IEND", b"")
@@ -717,6 +786,86 @@ def png_palette_decode_features(
     d = load_tables(spark, sf_dir, "documents")["documents"]
     payloads = fan_out(d.select("doc_id")).mapInPandas(
         _synthesize_palette_png_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode_image_features, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+def _synthesize_depth_png_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic grayscale PNG per doc with the bit depth rotating
+    over 16/1/2/4 (doc_id mod 4): 16-bit sample k = ((doc_id + k)·771)
+    mod 65536 (771 = 3·257 exercises both bytes), sub-byte raw sample =
+    (doc_id + k) mod 2^d; scanline filter doc_id mod 5, Adam7 on odd
+    doc_ids — coprime rotations, every depth × filter × layout occurs."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            depth = [16, 1, 2, 4][did % 4]
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            if depth == 16:
+                px = (((did + k) * 771) % 65536).astype(
+                    np.uint16).reshape(IMG_H, IMG_W)
+            else:
+                px = ((did + k) % (1 << depth)).astype(
+                    np.uint8).reshape(IMG_H, IMG_W)
+            payloads.append(
+                png_encode(
+                    px,
+                    filter_type=did % 5,
+                    interlace=bool(did % 2),
+                    depth=depth,
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "png_depth_decode_features",
+    oracle=f"""
+    WITH geom AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 65536 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 ELSE 16 END AS m
+        FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id, g.m, t.k,
+               CASE WHEN g.m = 65536
+                    THEN ((g.doc_id + t.k) * 771) % 65536
+                    ELSE ((g.doc_id + t.k) % g.m) * (255 // (g.m - 1))
+               END AS v
+        FROM geom g, range(0, {IMG_W * IMG_H}) t(k)
+    )
+    SELECT doc_id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(SUM(v) AS DOUBLE) / {IMG_W * IMG_H} AS mean_pixel,
+           CAST(SUM(k * v) AS BIGINT) AS weighted_sum
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def png_depth_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-8-bit PNG decode E2E (the round-10 depth-gate close): each
+    document gets a grayscale PNG whose depth rotates over 16/1/2/4,
+    decoded through the real path — 16-bit big-endian pairs defiltered
+    at byte distance 2, sub-byte packed samples defiltered at distance
+    1 then exactly rescaled — and hash-matched against the closed-form
+    sample statistics.  ``weighted_sum`` is position-sensitive, so a
+    byte-swapped 16-bit read or a mis-unpacked sample group breaks the
+    match.  Two narrow ``mapInPandas`` passes, no shuffle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
+        _synthesize_depth_png_payloads, schema="doc_id bigint, payload binary"
     )
     return payloads.mapInPandas(
         decode_image_features, schema=PNG_FEATURE_SCHEMA

@@ -58,6 +58,7 @@ CHECK_PRIORITY: list[str] = [
     "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
     "ico_decode_features",  # favicon container: DIB + PNG entries (new)
     "png_palette_decode_features",  # color-type-3 sub-byte + tRNS (new)
+    "png_depth_decode_features",  # 16-bit + sub-byte grayscale (new)
     "png_decode_features",  # Adam7 interlace + weighted_sum column (changed)
     "flac_audio_features",  # depth + 1-8 channel-layout rotation (changed)
     "containment_quote_pairs",  # prefix-filtered tier past budget (changed)

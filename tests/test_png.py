@@ -67,11 +67,12 @@ def test_png_decode_multi_idat_and_grayscale_2d():
 def test_png_decode_rejects_bad_input():
     with pytest.raises(ValueError, match="not a PNG"):
         png_decode(b"GIF89a....")
-    # 16-bit depth is outside the baseline profile — explicit raise
+    # sub-byte depth on a non-grayscale color type is a spec violation
+    # (16-bit decodes natively since round 10) — explicit raise
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 6, 0, 0, 0)
     payload = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
@@ -79,7 +80,7 @@ def test_png_decode_rejects_bad_input():
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    with pytest.raises(NotImplementedError, match="depth=4 color=6"):
         png_decode(payload)
 
 
@@ -430,4 +431,72 @@ def test_png_palette_index_out_of_plte_range_detected():
                + chunk(b"PLTE", b"\x00" * 6) + chunk(b"IDAT", raw)
                + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="palette index out of range"):
+        png_decode(payload)
+
+
+# ---------------------------------------------------------------------------
+# non-8-bit sample depths (round-10: 16-bit everywhere, 1/2/4 grayscale)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_subbyte_gray_roundtrip(depth, filter_type, interlace):
+    rng = np.random.default_rng(depth * 100 + filter_type)
+    a = rng.integers(0, 1 << depth, (11, 13)).astype(np.uint8)
+    p = png_encode(a, filter_type=filter_type, interlace=interlace,
+                   depth=depth)
+    w, h, ch, px = png_decode(p)
+    assert (w, h, ch) == (13, 11, 1)
+    # exact max-value rescale: 255 divisible by 1/3/15
+    assert np.array_equal(px[:, :, 0], a * (255 // ((1 << depth) - 1)))
+
+
+@pytest.mark.parametrize("nch", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_16bit_roundtrip(nch, filter_type, interlace):
+    rng = np.random.default_rng(nch * 100 + filter_type)
+    a = rng.integers(0, 65536, (9, 7, nch)).astype(np.uint16)
+    p = png_encode(a, filter_type=filter_type, interlace=interlace)
+    w, h, ch, px = png_decode(p)
+    assert (w, h, ch) == (7, 9, nch)
+    assert px.dtype == np.uint16
+    assert np.array_equal(px, a)
+
+
+def test_png_16bit_is_not_byteswapped():
+    """A value whose two bytes differ pins the big-endian read."""
+    a = np.array([[0x0102]], np.uint16)
+    _, _, _, px = png_decode(png_encode(a))
+    assert int(px[0, 0, 0]) == 0x0102
+
+
+def test_png_encode_subbyte_rejects_bad_input():
+    with pytest.raises(ValueError, match="single-channel"):
+        png_encode(np.zeros((2, 2, 3), np.uint8), depth=4)
+    with pytest.raises(ValueError, match="exceeds bit depth"):
+        png_encode(np.array([[4]], np.uint8), depth=2)
+
+
+def test_png_subbyte_color_types_still_gate():
+    """Sub-byte depths are grayscale-only per the spec; an RGB stream
+    claiming depth 4 is a loud gate, not a silent mis-decode."""
+    import struct
+    import zlib
+
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+    )
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x00\x00")
+    payload = (PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw)
+               + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth=4 color=2"):
         png_decode(payload)
