@@ -3307,15 +3307,135 @@ def bmp_encode(arr) -> bytes:
     return header + info + palette + bytes(body)
 
 
+def _bmp_wrap(bpp: int, w: int, h: int, compression: int,
+              palette: bytes, body: bytes) -> bytes:
+    """Assemble BITMAPFILEHEADER + BITMAPINFOHEADER around a pixel body."""
+    import struct  # noqa: PLC0415
+
+    offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(body),
+        2835, 2835, len(palette) // 4, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    return header + info + palette + body
+
+
+def bmp_encode_paletted(idx, palette, bpp: int = 8, rle: bool = False) -> bytes:
+    """Paletted BMP encoder (the extended decoder's testable twin):
+    ``(h, w)`` index array + ``(n, 3)`` RGB palette → BI_RGB at bpp
+    1/4/8, or BI_RLE8/BI_RLE4 (``rle=True`` with bpp 8/4) as
+    maximal-run encoded mode with per-row EOL and a final EOB."""
+    import numpy as np  # noqa: PLC0415
+
+    a = np.asarray(idx, np.uint8)
+    pal = np.asarray(palette, np.uint8)
+    h, w = a.shape
+    if int(a.max(initial=0)) >= min(len(pal), 1 << bpp):
+        raise ValueError("bmp encode: index exceeds palette/depth")
+    quads = np.zeros((len(pal), 4), np.uint8)
+    quads[:, :3] = pal[:, ::-1]  # RGB → BGR0
+    if rle:
+        if bpp not in (4, 8):
+            raise ValueError("bmp encode: RLE needs bpp 4 or 8")
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # file order = bottom-up
+            x = 0
+            row = a[y]
+            while x < w:
+                n = 1
+                while x + n < w and n < 255 and row[x + n] == row[x]:
+                    n += 1
+                p = int(row[x])
+                body += bytes([n, p * 17 if bpp == 4 else p])
+                x += n
+            body += b"\x00\x00" if y else b"\x00\x01"  # EOL / EOB
+        return _bmp_wrap(
+            bpp, w, h, 1 if bpp == 8 else 2, quads.tobytes(), bytes(body)
+        )
+    packed = _pack_indices(a, bpp)
+    stride = (packed.shape[1] + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : packed.shape[1]] = packed
+    return _bmp_wrap(bpp, w, h, 0, quads.tobytes(), rows[::-1].tobytes())
+
+
+def bmp_encode_32(rgb) -> bytes:
+    """32-bpp BGRX BI_RGB encoder (pad byte zero), bottom-up rows."""
+    import numpy as np  # noqa: PLC0415
+
+    a = np.asarray(rgb, np.uint8)
+    h, w = a.shape[:2]
+    body = np.zeros((h, w, 4), np.uint8)
+    body[:, :, :3] = a[:, :, ::-1]  # RGB → BGR
+    return _bmp_wrap(32, w, h, 0, b"", body[::-1].tobytes())
+
+
+def _bmp_rle_decode(payload: bytes, offset: int, w: int, h: int, rle4: bool):
+    """BI_RLE8 / BI_RLE4 → (h, w) uint8 index plane in FILE row order
+    (bottom-up).  The three escape codes (0 = end of line, 1 = end of
+    bitmap, 2 = delta) and absolute mode follow the public Windows DIB
+    spec; pixels skipped by EOL/delta stay index 0 (the conventional
+    background).  Structural overruns raise ``ValueError``."""
+    import numpy as np  # noqa: PLC0415
+
+    img = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i, end = offset, len(payload)
+    while True:
+        if i + 2 > end:
+            raise ValueError("bmp rle: truncated stream")
+        n, v = payload[i], payload[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise ValueError("bmp rle: run overflows row")
+            if rle4:
+                pair = np.array([v >> 4, v & 15], np.uint8)
+                img[y, x : x + n] = np.tile(pair, (n + 1) // 2)[:n]
+            else:
+                img[y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return img
+        elif v == 2:  # delta
+            if i + 2 > end:
+                raise ValueError("bmp rle: truncated delta")
+            x += payload[i]
+            y += payload[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("bmp rle: delta out of bounds")
+        else:  # absolute mode: v literal pixels, data padded to 2 bytes
+            if y >= h or x + v > w:
+                raise ValueError("bmp rle: absolute run overflows row")
+            nbytes = (v + 1) // 2 if rle4 else v
+            if i + nbytes > end:
+                raise ValueError("bmp rle: truncated absolute run")
+            raw = np.frombuffer(payload, np.uint8, count=nbytes, offset=i)
+            if rle4:
+                px = np.empty(nbytes * 2, np.uint8)
+                px[0::2] = raw >> 4
+                px[1::2] = raw & 15
+                img[y, x : x + v] = px[:v]
+            else:
+                img[y, x : x + v] = raw
+            x += v
+            i += (nbytes + 1) & ~1  # word-aligned
+
+
 def bmp_decode(payload: bytes):
-    """Pure-stdlib BMP decoder for uncompressed (BI_RGB) 8-bpp palettized
-    and 24-bpp images, both bottom-up (positive height) and top-down
-    (negative) row orders: returns ``(width, height, channels, uint8
-    array (h, w, channels))``.  8-bpp payloads whose palette is the
-    identity gray ramp decode to one channel; any other palette expands
-    through it to RGB.  Compressed (RLE/bitfield) BMPs raise
-    ``NotImplementedError`` — same honest-gate contract as the other
-    codecs in this module."""
+    """Pure-stdlib BMP decoder: BI_RGB at 1/4/8/24/32 bpp plus BI_RLE8
+    and BI_RLE4 compression, both bottom-up (positive height) and
+    top-down (negative) row orders — returns ``(width, height,
+    channels, uint8 array (h, w, channels))``.  Sub-byte pixels unpack
+    MSB-first; paletted pixels expand through the BGR0 color table to
+    RGB, except 8-bpp identity-gray-ramp payloads, which collapse to
+    one channel; 32-bpp BI_RGB is BGRX (the pad byte is not alpha) and
+    decodes to RGB.  Bitfield compression and BITMAPCOREHEADER remain
+    honest gates."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -3329,17 +3449,39 @@ def bmp_decode(payload: bytes):
     w, h_signed = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0:
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"only uncompressed BI_RGB BMPs decode natively; got "
-            f"compression={compression}"
+            f"BMP compression {compression} not supported "
+            f"(BI_RGB / BI_RLE8 / BI_RLE4 only)"
         )
-    if bpp not in (8, 24):
-        raise NotImplementedError(f"BMP bpp {bpp} not supported (8/24 only)")
+    if compression and (h_signed < 0 or bpp != (8 if compression == 1 else 4)):
+        raise ValueError("bmp rle: needs bottom-up rows at the matching bpp")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(
+            f"BMP bpp {bpp} not supported (1/4/8/24/32 only)"
+        )
     top_down = h_signed < 0
     h = abs(h_signed)
-    row_bytes = w * (bpp // 8)
+
+    def palette():
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # stored BGR0 → RGB
+        return pal, n_colors
+
+    if compression:
+        idx = _bmp_rle_decode(payload, offset, w, h, rle4=compression == 2)[
+            ::-1
+        ]
+        pal, n_colors = palette()
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("bmp: palette index out of range")
+        return w, h, 3, np.ascontiguousarray(pal[idx])
+    row_bytes = (w * bpp + 7) // 8
     stride = (row_bytes + 3) & ~3
+    if offset + stride * h > len(payload):
+        raise ValueError("bmp: truncated pixel data")
     data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
     rows = data.reshape(h, stride)[:, :row_bytes]
     if not top_down:
@@ -3347,16 +3489,17 @@ def bmp_decode(payload: bytes):
     if bpp == 24:
         px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
         return w, h, 3, np.ascontiguousarray(px)
-    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
-    pal = np.frombuffer(
-        payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
-    ).reshape(n_colors, 4)[:, :3][:, ::-1]  # stored BGR0 → RGB
-    idx = rows.reshape(h, w)
+    if bpp == 32:
+        px = rows.reshape(h, w, 4)[:, :, [2, 1, 0]]  # BGRX → RGB
+        return w, h, 3, np.ascontiguousarray(px)
+    pal, n_colors = palette()
+    idx = _unpack_indices(rows, w, bpp) if bpp < 8 else rows.reshape(h, w)
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ValueError("bmp: palette index out of range")
     gray_ramp = np.arange(n_colors, dtype=np.uint8)
-    if n_colors == 256 and (pal == gray_ramp[:, None]).all():
+    if bpp == 8 and n_colors == 256 and (pal == gray_ramp[:, None]).all():
         return w, h, 1, idx[..., None].copy()
-    px = pal[idx]
-    return w, h, 3, np.ascontiguousarray(px)
+    return w, h, 3, np.ascontiguousarray(pal[idx])
 
 
 def bmp_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3431,6 +3574,119 @@ def bmp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         bmp_decode_features, schema=IMAGE_FEATURE_SCHEMA
     )
+
+
+_BMP_EXT_CLASSES = ("1bpp", "4bpp", "rle8", "rle4", "32bpp")  # doc_id % 5
+
+
+def _synthesize_bmp_ext_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic BMP per doc over the round-10 decoder extensions
+    (doc_id mod 5 → 1-bpp, 4-bpp, BI_RLE8, BI_RLE4, 32-bpp BGRX): base
+    value b(k) = ((doc_id + k) ÷ 3) mod m for the RLE classes (runs of
+    three, so encoded-run mode is load-bearing) and (doc_id + k) mod m
+    otherwise; palette entry j = (7j, 11j, 13j) mod 256 and the 32-bpp
+    channels use the same multipliers directly."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            cls = _BMP_EXT_CLASSES[did % 5]
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            if cls == "32bpp":
+                b = ((did + k) % 256).reshape(IMG_H, IMG_W)
+                rgb = np.stack(
+                    [(b * p) % 256 for p in (7, 11, 13)], axis=-1
+                ).astype(np.uint8)
+                payloads.append(bmp_encode_32(rgb))
+            else:
+                bpp = {"1bpp": 1, "4bpp": 4, "rle8": 8, "rle4": 4}[cls]
+                rle = cls.startswith("rle")
+                m = 1 << bpp
+                base = (did + k) // 3 if rle else did + k
+                idx = (base % m).astype(np.uint8).reshape(IMG_H, IMG_W)
+                j = np.arange(m, dtype=np.int64)
+                pal = np.stack(
+                    [(j * 7) % 256, (j * 11) % 256, (j * 13) % 256], axis=-1
+                ).astype(np.uint8)
+                payloads.append(
+                    bmp_encode_paletted(idx, pal, bpp=bpp, rle=rle)
+                )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "bmp_ext_decode_features",
+    oracle=f"""
+    WITH geom AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 16
+                    WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 256 END AS m,
+               CASE WHEN doc_id % 5 IN (2, 3) THEN 3 ELSE 1 END AS rdiv
+        FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id, t.k, c.c,
+               ((((g.doc_id + t.k) // g.rdiv) % g.m)
+                * CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END)
+               % 256 AS v
+        FROM geom g, range(0, {IMG_W * IMG_H}) t(k), range(0, 3) c(c)
+    )
+    SELECT doc_id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(SUM(v) AS DOUBLE) / {IMG_W * IMG_H * 3} AS mean_pixel,
+           CAST(SUM((k * 3 + c) * v) AS BIGINT) AS weighted_sum
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def bmp_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-BMP decode E2E (the round-10 gate close): each document
+    gets a BMP from the five newly decodable classes — 1-bpp and 4-bpp
+    packed palettes, BI_RLE8 and BI_RLE4 run-length streams (runs of
+    three so the encoded-run path is load-bearing), and 32-bpp BGRX —
+    and the per-channel, position-sensitive pixel statistics hash-match
+    the closed form.  Two narrow ``mapInPandas`` passes, no shuffle."""
+    import numpy as np  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
+        _synthesize_bmp_ext_payloads, schema="doc_id bigint, payload binary"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ws, hs, chs, means, wsums = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = bmp_decode(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                means.append(int(flat.sum()) / flat.size)
+                wsums.append(
+                    int((np.arange(flat.size, dtype=np.int64) * flat).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                    "weighted_sum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(kernel, schema=PNG_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -78,8 +78,128 @@ def test_bmp_dispatch_and_resize():
 def test_bmp_honest_gates():
     px = np.zeros((2, 2), dtype=np.uint8)
     payload = bytearray(bmp_encode(px))
-    struct.pack_into("<I", payload, 30, 1)  # BI_RLE8
+    struct.pack_into("<I", payload, 30, 3)  # BI_BITFIELDS still gates
     with pytest.raises(NotImplementedError):
         bmp_decode(bytes(payload))
     with pytest.raises(ValueError):
         bmp_decode(b"XX" + bytes(payload[2:]))
+
+
+# ---------------------------------------------------------------------------
+# round-10 extensions: 1/4-bpp packed palettes, BI_RLE8/BI_RLE4, 32-bpp
+# ---------------------------------------------------------------------------
+
+
+def _pal(m):
+    j = np.arange(m, dtype=np.int64)
+    return np.stack(
+        [(j * 7) % 256, (j * 11) % 256, (j * 13) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("bpp", [1, 4, 8])
+def test_bmp_packed_palette_roundtrip(bpp):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_paletted,
+    )
+
+    rng = np.random.default_rng(bpp)
+    m = 1 << bpp
+    idx = rng.integers(0, m, (9, 13)).astype(np.uint8)
+    w, h, ch, px = bmp_decode(bmp_encode_paletted(idx, _pal(m), bpp=bpp))
+    assert (w, h, ch) == (13, 9, 3)
+    assert np.array_equal(px, _pal(m)[idx])
+
+
+@pytest.mark.parametrize("bpp", [4, 8])
+def test_bmp_rle_roundtrip(bpp):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_paletted,
+    )
+
+    rng = np.random.default_rng(bpp + 50)
+    m = 1 << bpp
+    idx = np.repeat(rng.integers(0, m, (6, 5)), 3, axis=1).astype(np.uint8)
+    w, h, ch, px = bmp_decode(
+        bmp_encode_paletted(idx, _pal(m), bpp=bpp, rle=True)
+    )
+    assert (w, h, ch) == (15, 6, 3)
+    assert np.array_equal(px, _pal(m)[idx])
+
+
+def test_bmp_32bpp_ignores_pad_byte():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_32,
+    )
+
+    rng = np.random.default_rng(32)
+    rgb = rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+    payload = bytearray(bmp_encode_32(rgb))
+    # scribble over the X bytes: decode must not change
+    body_off = struct.unpack_from("<I", payload, 10)[0]
+    for i in range(body_off + 3, len(payload), 4):
+        payload[i] = 0xAB
+    w, h, ch, px = bmp_decode(bytes(payload))
+    assert (w, h, ch) == (7, 5, 3)
+    assert np.array_equal(px, rgb)
+
+
+def _rle_wrap(body, w, h, bpp):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        _bmp_wrap,
+    )
+
+    quads = np.zeros((1 << bpp, 4), np.uint8)
+    quads[:, :3] = _pal(1 << bpp)[:, ::-1]
+    return _bmp_wrap(bpp, w, h, 1 if bpp == 8 else 2, quads.tobytes(), body)
+
+
+def test_bmp_rle8_absolute_delta_and_skip():
+    """Hand-built stream: absolute mode, a delta jump, and an early EOB
+    leave skipped pixels at index 0 (background)."""
+    # 4x2 image, file order bottom-up: row0(file) = image row 1
+    body = bytes(
+        [
+            0x00, 0x03, 5, 6, 7, 0x00,  # absolute run of 3 (padded to word)
+            0x00, 0x02, 0, 1,           # delta: same x, next file row
+            0x01, 9,                    # encoded run: 1 px of 9 at (1, 3)
+            0x00, 0x01,                 # EOB — rest stays background 0
+        ]
+    )
+    w, h, ch, px = bmp_decode(_rle_wrap(body, 4, 2, 8))
+    pal = _pal(256)
+    # file rows are bottom-up: file row 0 = image row 1
+    exp_idx = np.array([[0, 0, 0, 9], [5, 6, 7, 0]], np.uint8)
+    assert np.array_equal(px, pal[exp_idx])
+
+
+def test_bmp_rle4_alternating_run():
+    """An encoded RLE4 run alternates the byte's two nibbles."""
+    body = bytes([0x05, 0x2A, 0x00, 0x01])  # 5 px of pattern 2,10,2,10,2
+    w, h, ch, px = bmp_decode(_rle_wrap(body, 5, 1, 4))
+    exp_idx = np.array([[2, 10, 2, 10, 2]], np.uint8)
+    assert np.array_equal(px, _pal(16)[exp_idx])
+
+
+def test_bmp_rle_corruption_is_valueerror():
+    with pytest.raises(ValueError, match="truncated stream"):
+        bmp_decode(_rle_wrap(bytes([0x05]), 5, 1, 8))
+    with pytest.raises(ValueError, match="overflows row"):
+        bmp_decode(_rle_wrap(bytes([0x09, 0x01, 0x00, 0x01]), 5, 1, 8))
+    with pytest.raises(ValueError, match="delta out of bounds"):
+        bmp_decode(_rle_wrap(bytes([0x00, 0x02, 9, 9, 0x00, 0x01]), 5, 1, 8))
+    with pytest.raises(ValueError, match="truncated absolute"):
+        bmp_decode(_rle_wrap(bytes([0x00, 0x04, 1, 1]), 5, 1, 8))
+    # RLE flag on a top-down or wrong-bpp header is structural nonsense
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_paletted,
+    )
+
+    good = bytearray(
+        bmp_encode_paletted(
+            np.zeros((2, 2), np.uint8), _pal(256), bpp=8, rle=True
+        )
+    )
+    struct.pack_into("<H", good, 28, 4)  # claim bpp 4 under BI_RLE8
+    with pytest.raises(ValueError, match="matching bpp"):
+        bmp_decode(bytes(good))
