@@ -4311,14 +4311,160 @@ def tiff_encode(
     return bytes(out)
 
 
+def tiff_encode_ext(
+    arr,
+    *,
+    palette=None,
+    bits: int = 8,
+    planar: int = 1,
+    tile=None,
+    compression: str = "none",
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Extended little-endian TIFF encoder (the round-10 decoder
+    extensions' testable twin): ``palette`` ((n, 3) uint16 ColorMap
+    values, ``arr`` then being a (h, w) index plane at ``bits``
+    1/2/4/8), ``planar=2`` (per-plane RGB segments), and
+    ``tile=(tw, tl)`` (tile layout, edge tiles padded to full size per
+    spec §15) — composable with none/lzw/packbits compression and the
+    horizontal predictor."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    a = np.asarray(arr, dtype=np.uint8)
+    comp = _TIFF_COMPRESSIONS[compression]
+    if palette is not None:
+        if a.ndim != 2 or bits not in (1, 2, 4, 8):
+            raise ValueError("palette needs (h, w) indices at bits 1/2/4/8")
+        if int(a.max(initial=0)) >= 1 << bits:
+            raise ValueError("palette index exceeds bit depth")
+        spp, photo = 1, 3
+    elif a.ndim == 2:
+        spp, photo, bits = 1, 1, 8
+    elif a.ndim == 3 and a.shape[2] == 3:
+        spp, photo, bits = 3, 2, 8
+    else:
+        raise ValueError("takes (h, w) gray/indices or (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    n_planes = spp if (planar == 2 and spp > 1) else 1
+    seg_ch = spp // n_planes
+    px = a.reshape(h, w, spp)
+
+    def encode_rows(rows):  # (n, width, seg_ch) → compressed segment
+        if predictor:
+            rows = rows.astype(np.int16)
+            rows = np.concatenate(
+                [rows[:, :1, :], np.diff(rows, axis=1)], axis=1
+            ).astype(np.uint8)
+        if bits < 8:
+            flat = _pack_indices(rows[:, :, 0], bits)
+        else:
+            flat = rows.reshape(rows.shape[0], rows.shape[1] * seg_ch)
+        raw = np.ascontiguousarray(flat).tobytes()
+        if comp == 5:
+            return _tiff_lzw_compress(raw)
+        if comp == 32773:
+            return _packbits_compress(raw)
+        return raw
+
+    segments = []
+    if tile is not None:
+        tw, tl = tile
+        ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+        for p in range(n_planes):
+            plane = px[:, :, p * seg_ch : (p + 1) * seg_ch]
+            full = np.zeros((td * tl, ta * tw, seg_ch), np.uint8)
+            full[:h, :w] = plane
+            for t in range(ta * td):
+                ty, tx = divmod(t, ta)
+                segments.append(
+                    encode_rows(
+                        full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                    )
+                )
+    else:
+        rps = rows_per_strip or h
+        for p in range(n_planes):
+            plane = px[:, :, p * seg_ch : (p + 1) * seg_ch]
+            for y0 in range(0, h, rps):
+                segments.append(encode_rows(plane[y0 : y0 + rps]))
+
+    pos = 8
+    seg_offsets = []
+    for s in segments:
+        seg_offsets.append(pos)
+        pos += len(s)
+    aux = bytearray()
+    entries = []
+
+    def array_entry(tag, typ, vals):
+        nonlocal pos
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ]
+        if len(vals) * size <= 4:
+            packed = struct.pack(f"<{len(vals)}{fmt}", *vals)
+            entries.append(
+                (tag, typ, len(vals), struct.unpack(
+                    "<I", packed.ljust(4, b"\x00"))[0])
+            )
+        else:
+            entries.append((tag, typ, len(vals), pos))
+            aux.extend(struct.pack(f"<{len(vals)}{fmt}", *vals))
+            pos += len(vals) * size
+
+    entries.append((256, 3, 1, w))
+    entries.append((257, 3, 1, h))
+    array_entry(258, 3, [bits] * spp)
+    entries.append((259, 3, 1, comp))
+    entries.append((262, 3, 1, photo))
+    entries.append((277, 3, 1, spp))
+    entries.append((284, 3, 1, planar))
+    if predictor:
+        entries.append((317, 3, 1, 2))
+    if palette is not None:
+        pal = np.asarray(palette, np.uint16)
+        n = 1 << bits
+        cm = np.zeros((n, 3), np.uint16)
+        cm[: len(pal)] = pal
+        array_entry(320, 3, [int(v) for v in cm.T.reshape(-1)])
+    if tile is not None:
+        entries.append((322, 3, 1, tile[0]))
+        entries.append((323, 3, 1, tile[1]))
+        array_entry(324, 4, seg_offsets)
+        array_entry(325, 4, [len(s) for s in segments])
+    else:
+        entries.append((278, 3, 1, rows_per_strip or h))
+        array_entry(273, 4, seg_offsets)
+        array_entry(279, 4, [len(s) for s in segments])
+    entries.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", pos))
+    for s in segments:
+        out += s
+    out += aux
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            out += struct.pack("<HH", value, 0)
+        else:
+            out += struct.pack("<I", value)
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
 def tiff_decode(payload: bytes):
-    """Pure-stdlib TIFF decoder: returns ``(w, h, channels, uint8 array
-    (h, w, channels))``.  Supports both byte orders, 8-bit gray (photometric
-    0/1) and RGB, chunky planar layout, strips (any RowsPerStrip),
-    compression none/LZW/PackBits, and the horizontal-differencing
-    predictor.  Tiled, paletted, planar, >8-bit, and JPEG-in-TIFF
-    layouts raise (``NotImplementedError`` for honest gates,
-    ``ValueError`` for corrupt structure)."""
+    """Pure-stdlib TIFF decoder: returns ``(w, h, channels, array
+    (h, w, channels))`` — uint8, except paletted images, whose 16-bit
+    ColorMap samples return as uint16.  Supports both byte orders,
+    8-bit gray (photometric 0/1) and RGB, paletted (photometric 3) at
+    1/2/4/8 bits, strip AND tile layouts (any RowsPerStrip; edge tiles
+    encoded full-size per spec §15), chunky AND per-plane (planar
+    configuration 2) sample order, compression none/LZW/PackBits, and
+    the horizontal-differencing predictor.  >8-bit samples and
+    JPEG-in-TIFF raise ``NotImplementedError`` (honest gates);
+    structural damage raises ``ValueError``."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -4362,13 +4508,19 @@ def tiff_decode(payload: bytes):
     photo = values(262)[0]
     planar = values(284, [1])[0]
     predictor = values(317, [1])[0]
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiff: tiled layout not supported")
+    tiled = 322 in tags or 323 in tags
+    bits0 = bits[0]
     if photo == 3:
-        raise NotImplementedError("tiff: paletted images not supported")
-    if planar != 1:
-        raise NotImplementedError("tiff: planar configuration 2 not supported")
-    if any(b != 8 for b in bits) or spp not in (1, 3):
+        if spp != 1 or bits0 not in (1, 2, 4, 8):
+            raise NotImplementedError(
+                f"tiff: paletted needs a single 1/2/4/8-bit sample "
+                f"(bits={bits}, spp={spp})"
+            )
+        cmap = values(320)
+        n_cmap = 1 << bits0
+        if len(cmap) != 3 * n_cmap:
+            raise ValueError("tiff: colormap size mismatch")
+    elif any(b != 8 for b in bits) or spp not in (1, 3):
         raise NotImplementedError(
             f"tiff: only 8-bit gray/RGB supported (bits={bits}, spp={spp})"
         )
@@ -4378,33 +4530,90 @@ def tiff_decode(payload: bytes):
         )
     if predictor not in (1, 2):
         raise NotImplementedError(f"tiff: predictor {predictor} unsupported")
-    offsets = values(273)
-    counts = values(279)
-    rps = values(278, [h])[0]
-    if len(offsets) != len(counts):
-        raise ValueError("tiff: strip offset/count mismatch")
-    rows = []
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        n_rows = min(rps, h - i * rps)
-        expected = n_rows * w * spp
+    if predictor == 2 and bits0 < 8:
+        raise ValueError("tiff: predictor needs whole-byte samples")
+    if planar not in (1, 2):
+        raise ValueError(f"tiff: bad planar configuration {planar}")
+    n_planes = spp if (planar == 2 and spp > 1) else 1
+    seg_ch = spp // n_planes  # samples interleaved within one segment
+
+    def seg_rowbytes(width: int) -> int:
+        return (width * seg_ch * bits0 + 7) // 8
+
+    def decode_segment(off: int, cnt: int, n_rows: int, width: int):
+        expected = n_rows * seg_rowbytes(width)
         raw = payload[off : off + cnt]
         if comp == 5:
             raw = _tiff_lzw_decompress(raw)[:expected]
         elif comp == 32773:
             raw = _packbits_decompress(raw, expected)
         if len(raw) < expected:
-            raise ValueError("tiff: strip shorter than expected")
-        strip = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(
-            n_rows, w, spp
+            raise ValueError("tiff: segment shorter than expected")
+        data = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(
+            n_rows, seg_rowbytes(width)
         )
+        if bits0 < 8:
+            seg = _unpack_indices(data, width, bits0)[:, :, None]
+        else:
+            seg = data.reshape(n_rows, width, seg_ch)
         if predictor == 2:
-            strip = np.cumsum(strip.astype(np.int64), axis=1).astype(
+            seg = np.cumsum(seg.astype(np.int64), axis=1).astype(
                 np.uint8
             )  # mod-256 undo of horizontal differencing
-        rows.append(strip)
-    px = np.concatenate(rows, axis=0)
+        return seg
+
+    if tiled:
+        tw = values(322)[0]
+        tl = values(323)[0]
+        offsets = values(324)
+        counts = values(325)
+        if tw <= 0 or tl <= 0:
+            raise ValueError("tiff: bad tile geometry")
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+        per_plane = ta * td
+        if len(offsets) != len(counts) or len(offsets) != per_plane * n_planes:
+            raise ValueError("tiff: tile offset/count mismatch")
+        planes = []
+        for p in range(n_planes):
+            canvas = np.zeros((td * tl, ta * tw, seg_ch), dtype=np.uint8)
+            for t in range(per_plane):
+                ty, tx = divmod(t, ta)
+                i = p * per_plane + t
+                # edge tiles are encoded at FULL tile size (spec §15),
+                # then cropped by the canvas slice below
+                canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = (
+                    decode_segment(offsets[i], counts[i], tl, tw)
+                )
+            planes.append(canvas[:h, :w])
+        px = planes[0] if n_planes == 1 else np.concatenate(planes, axis=2)
+    else:
+        offsets = values(273)
+        counts = values(279)
+        rps = values(278, [h])[0]
+        per_plane = (h + rps - 1) // rps
+        if len(offsets) != len(counts) or len(offsets) != per_plane * n_planes:
+            raise ValueError("tiff: strip offset/count mismatch")
+        planes = []
+        for p in range(n_planes):
+            rows = [
+                decode_segment(
+                    offsets[p * per_plane + i],
+                    counts[p * per_plane + i],
+                    min(rps, h - i * rps),
+                    w,
+                )
+                for i in range(per_plane)
+            ]
+            planes.append(np.concatenate(rows, axis=0))
+        px = planes[0] if n_planes == 1 else np.concatenate(planes, axis=2)
     if photo == 0:  # WhiteIsZero: invert to BlackIsZero convention
         px = 255 - px
+    if photo == 3:
+        # ColorMap entries are 16-bit (spec §5): return the true uint16
+        # samples, the same no-precision-loss contract as 16-bit PNG
+        cm = np.array(cmap, dtype=np.uint16).reshape(3, n_cmap).T
+        return w, h, 3, np.ascontiguousarray(cm[px[:, :, 0]])
     return w, h, spp, px
 
 
@@ -4490,6 +4699,138 @@ def tiff_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         tiff_decode_features, schema=IMAGE_FEATURE_SCHEMA
     )
+
+
+def _synthesize_tiff_ext_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic TIFF per doc over the round-10 layout extensions
+    (doc_id mod 5): 8-bit palette + LZW strips, 4-bit palette +
+    PackBits, tiled LZW+predictor RGB, planar-2 RGB strips, 1-bit
+    palette tiled.  Palette entry j = (771j, 1031j, 1297j) mod 65536
+    (true 16-bit ColorMap samples); RGB channel c of pixel k =
+    (((doc_id + k) mod 256)·p_c) mod 256 for p = (7, 11, 13)."""
+    import numpy as np  # noqa: PLC0415
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            did = int(doc_id)
+            cls = did % 5
+            k = np.arange(IMG_W * IMG_H, dtype=np.int64)
+            if cls in (0, 1, 4):
+                bits = {0: 8, 1: 4, 4: 1}[cls]
+                m = 1 << bits
+                j = np.arange(m, dtype=np.int64)
+                pal = np.stack(
+                    [(j * 771) % 65536, (j * 1031) % 65536,
+                     (j * 1297) % 65536],
+                    axis=-1,
+                ).astype(np.uint16)
+                idx = ((did + k) % m).astype(np.uint8).reshape(IMG_H, IMG_W)
+                kw = {
+                    0: dict(compression="lzw", rows_per_strip=5),
+                    1: dict(compression="packbits", rows_per_strip=4),
+                    4: dict(tile=(8, 8)),
+                }[cls]
+                payloads.append(
+                    tiff_encode_ext(idx, palette=pal, bits=bits, **kw)
+                )
+            else:
+                b = ((did + k) % 256).reshape(IMG_H, IMG_W)
+                rgb = np.stack(
+                    [(b * p) % 256 for p in (7, 11, 13)], axis=-1
+                ).astype(np.uint8)
+                if cls == 2:
+                    payloads.append(
+                        tiff_encode_ext(
+                            rgb, tile=(8, 4), compression="lzw",
+                            predictor=True,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        tiff_encode_ext(rgb, planar=2, rows_per_strip=5)
+                    )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "tiff_ext_decode_features",
+    oracle=f"""
+    WITH geom AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 256 WHEN 1 THEN 16
+                    WHEN 4 THEN 2 ELSE 0 END AS m
+        FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id, t.k, c.c,
+               CASE WHEN g.m > 0 THEN
+                 (((g.doc_id + t.k) % g.m)
+                  * CASE c.c WHEN 0 THEN 771 WHEN 1 THEN 1031
+                         ELSE 1297 END) % 65536
+               ELSE
+                 (((g.doc_id + t.k) % 256)
+                  * CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11
+                         ELSE 13 END) % 256
+               END AS v
+        FROM geom g, range(0, {IMG_W * IMG_H}) t(k), range(0, 3) c(c)
+    )
+    SELECT doc_id,
+           CAST({IMG_W} AS INTEGER) AS width,
+           CAST({IMG_H} AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(SUM(v) AS DOUBLE) / {IMG_W * IMG_H * 3} AS mean_pixel,
+           CAST(SUM((k * 3 + c) * v) AS BIGINT) AS weighted_sum
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def tiff_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-TIFF decode E2E (the round-10 layout-gate close): each
+    document gets a TIFF from the five newly decodable classes —
+    paletted at 8/4/1 bits (true uint16 ColorMap samples), tiled
+    LZW+predictor RGB with cropped edge tiles, and planar-configuration-2
+    RGB — and the channel- and position-sensitive statistics hash-match
+    the closed form.  A tile placed at the wrong origin, a plane stacked
+    in the wrong order, or an 8-bit-truncated ColorMap read all break
+    the oracle.  Two narrow ``mapInPandas`` passes, no shuffle."""
+    import numpy as np  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    payloads = fan_out(d.select("doc_id")).mapInPandas(
+        _synthesize_tiff_ext_payloads, schema="doc_id bigint, payload binary"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ws, hs, chs, means, wsums = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = tiff_decode(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                means.append(int(flat.sum()) / flat.size)
+                wsums.append(
+                    int((np.arange(flat.size, dtype=np.int64) * flat).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                    "weighted_sum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(kernel, schema=PNG_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -122,12 +122,103 @@ def test_tiff_honest_gates():
 
     with pytest.raises(NotImplementedError, match="compression"):
         tiff_decode(patched(259, 7))  # JPEG-in-TIFF
-    with pytest.raises(NotImplementedError, match="paletted"):
+    # photometric 3 without a ColorMap tag is structural corruption
+    # (paletted images themselves decode since round 10)
+    with pytest.raises(ValueError, match="tag 320"):
         tiff_decode(patched(262, 3))
-    with pytest.raises(NotImplementedError, match="planar"):
-        tiff_decode(patched(284, 2))
+    # planar 2 with one sample is chunky in practice — still decodes
+    _w, _h, ch, _px = tiff_decode(patched(284, 2))
+    assert ch == 1
     with pytest.raises(ValueError, match="not a TIFF"):
         tiff_decode(b"GARBAGE!")
+    with pytest.raises(NotImplementedError, match="gray/RGB"):
+        tiff_decode(patched(258, 16))  # 16-bit samples still gate
+
+
+# ---------------------------------------------------------------------------
+# round-10 extensions: paletted / tiled / planar-2 layouts
+# ---------------------------------------------------------------------------
+
+
+def _pal16(m):
+    j = np.arange(m, dtype=np.int64)
+    return np.stack(
+        [(j * 771) % 65536, (j * 1031) % 65536, (j * 1297) % 65536], axis=-1
+    ).astype(np.uint16)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4, 8])
+@pytest.mark.parametrize("compression", ["none", "lzw", "packbits"])
+def test_tiff_palette_roundtrip(bits, compression):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    rng = np.random.default_rng(bits * 10)
+    m = 1 << bits
+    idx = rng.integers(0, m, (10, 13)).astype(np.uint8)
+    p = tiff_encode_ext(
+        idx, palette=_pal16(m), bits=bits, compression=compression,
+        rows_per_strip=4,
+    )
+    w, h, ch, px = tiff_decode(p)
+    assert (w, h, ch) == (13, 10, 3)
+    assert px.dtype == np.uint16  # true 16-bit ColorMap samples
+    assert np.array_equal(px, _pal16(m)[idx])
+
+
+@pytest.mark.parametrize("planar", [1, 2])
+@pytest.mark.parametrize("tile", [None, (4, 4)])
+def test_tiff_rgb_layouts_roundtrip(planar, tile):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    rng = np.random.default_rng(planar * 7 + (0 if tile is None else 1))
+    c = rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+    p = tiff_encode_ext(
+        c, planar=planar, tile=tile, rows_per_strip=3,
+        compression="lzw", predictor=True,
+    )
+    w, h, ch, px = tiff_decode(p)
+    assert (w, h, ch) == (11, 9, 3)
+    assert np.array_equal(px, c)
+
+
+def test_tiff_tiled_edge_crop():
+    """Edge tiles are encoded full-size and cropped on decode — a
+    position-dependent image catches misplaced tile origins."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    g = (np.arange(10 * 13, dtype=np.int64) % 256).astype(
+        np.uint8).reshape(10, 13)
+    w, h, ch, px = tiff_decode(tiff_encode_ext(g, tile=(8, 4)))
+    assert (w, h, ch) == (13, 10, 1)
+    assert np.array_equal(px[:, :, 0], g)
+
+
+def test_tiff_ext_corruption_is_valueerror():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    idx = np.zeros((4, 4), np.uint8)
+    payload = bytearray(tiff_encode_ext(idx, palette=_pal16(2), bits=1))
+    i = payload.find(struct.pack("<HHI", 320, 3, 6))
+    assert i != -1
+    struct.pack_into("<HHI", payload, i, 320, 3, 5)  # wrong count
+    with pytest.raises(ValueError, match="colormap size"):
+        tiff_decode(bytes(payload))
+
+    tiled = bytearray(tiff_encode_ext(idx, tile=(4, 4)))
+    i = tiled.find(struct.pack("<HHI", 322, 3, 1))
+    assert i != -1
+    struct.pack_into("<HHI", tiled, i, 322, 3, 1)
+    struct.pack_into("<H", tiled, i + 8, 0)  # TileWidth = 0
+    with pytest.raises(ValueError, match="tile geometry"):
+        tiff_decode(bytes(tiled))
 
 
 def test_decode_image_dispatches_tiff_without_pil():
