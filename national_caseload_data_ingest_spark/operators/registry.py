@@ -58,6 +58,8 @@ CHECK_PRIORITY: list[str] = [
     "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
     "bmp_ext_decode_features",  # 1/4-bpp, BI_RLE8/4, 32-bpp BGRX (new)
     "tiff_ext_decode_features",  # paletted/tiled/planar-2 layouts (new)
+    "url_canonical_features",  # crawl-manifest canonicalization (new)
+    "domain_doc_counts",  # registered-domain rollup (new)
     "ico_decode_features",  # favicon container: DIB + PNG entries (new)
     "png_palette_decode_features",  # color-type-3 sub-byte + tRNS (new)
     "png_depth_decode_features",  # 16-bit + sub-byte grayscale (new)

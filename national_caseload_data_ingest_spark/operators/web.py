@@ -1,0 +1,202 @@
+"""Web-crawl curation operators: URL canonicalization and
+registered-domain statistics — the curation band every crawl-derived
+pretraining corpus runs before dedup (URL-level dedup needs canonical
+forms; domain-level filtering/quotas need the registered-domain
+relation; CCNet/RefinedWeb/FineWeb all start here).
+
+The synthetic ``documents`` corpus has no URL column, so (codec-fixture
+convention, multimodal.py) a deterministic URL is CONSTRUCTED from
+doc_id inside Spark — mixed-case host, default/explicit/absent port,
+1-3 path segments, optional query and fragment, every rotation coprime
+so all combinations occur — and then PARSED BACK through the real
+column pipeline (``parse_url`` + string algebra, all JVM-side inside
+whole-stage codegen, zero UDFs).  The DuckDB oracle derives the
+EXPECTED canonical fields directly from doc_id in closed form, so a
+parser that keeps the fragment, drops a non-default port, forgets to
+lowercase, or miscounts path depth breaks the hash.
+
+Scale: ``url_canonical_features`` is a narrow per-row projection — no
+shuffle, embarrassingly parallel, exactly the shape of a 100 TB crawl
+manifest scan.  ``domain_doc_counts`` adds one hash-partial GROUP BY on
+the registered domain (39 distinct keys here; a real crawl has ~10^7 —
+still a bounded-cardinality aggregate with map-side combine).
+
+The reference (/root/reference/ncd/) has no web-curation surface; this
+extends the build brief's LLM-pipeline band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from national_caseload_data_ingest_spark.operators.registry import query
+from national_caseload_data_ingest_spark.session import load_tables
+
+# rotations: 2 (scheme), 7 (subdomain), 13 (domain), 3 (tld), 9 (port),
+# 3 (path depth via 1+doc_id%3), 10 (segment names), 5 (query), 11
+# (fragment) — pairwise coprime where it matters, so every combination
+# of scheme x port-kind x query x fragment occurs in any 990-doc window
+_TLDS = ("com", "org", "net")
+
+
+def _synth_url() -> "F.Column":
+    """Deterministic mixed-case URL from doc_id (pure column algebra)."""
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, "http").otherwise("https")
+    host = F.concat(
+        F.lit("W"),
+        (did % 7).cast("string"),
+        F.lit(".Example"),
+        (did % 13).cast("string"),
+        F.lit("."),
+        F.element_at(F.array(*[F.lit(t) for t in _TLDS]), (did % 3 + 1).cast("int")),
+    )
+    port = (
+        F.when((did % 9 == 0) & (did % 2 == 0), ":80")
+        .when((did % 9 == 0) & (did % 2 == 1), ":443")
+        .when(did % 9 == 1, ":8080")
+        .otherwise("")
+    )
+    seg = [
+        F.concat(F.lit(f"/seg"), ((did + i) % 10).cast("string"))
+        for i in range(3)
+    ]
+    path = F.concat(
+        seg[0],
+        F.when(did % 3 >= 1, seg[1]).otherwise(""),
+        F.when(did % 3 >= 2, seg[2]).otherwise(""),
+    )
+    q = F.when(
+        did % 5 == 0, F.concat(F.lit("?q="), (did % 17).cast("string"))
+    ).otherwise("")
+    frag = F.when(
+        did % 11 == 0, F.concat(F.lit("#frag"), (did % 6).cast("string"))
+    ).otherwise("")
+    return F.concat(scheme, F.lit("://"), host, port, path, q, frag)
+
+
+def _canonical_fields(urls: DataFrame) -> DataFrame:
+    """The real pipeline under test: parse_url + string algebra →
+    (scheme, host, registered_domain, port, path_depth, has_query,
+    canonical_url).  Canonicalization = lowercase host, drop the
+    fragment, drop the DEFAULT port (80/http, 443/https), keep
+    everything else byte-for-byte."""
+    u = F.col("url")
+    proto = F.parse_url(u, F.lit("PROTOCOL"))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    authority = F.parse_url(u, F.lit("AUTHORITY"))
+    # AUTHORITY keeps the port, HOST strips it (Hive parse_url contract)
+    port = F.when(
+        F.length(authority) > F.length(F.parse_url(u, F.lit("HOST"))),
+        F.substring_index(authority, ":", -1).cast("int"),
+    )
+    default_port = F.when(proto == "http", 80).otherwise(443)
+    kept_port = F.when(port.isNotNull() & (port != default_port), port)
+    path = F.parse_url(u, F.lit("PATH"))
+    qs = F.parse_url(u, F.lit("QUERY"))
+    canonical = F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        F.when(
+            kept_port.isNotNull(),
+            F.concat(F.lit(":"), kept_port.cast("string")),
+        ).otherwise(""),
+        path,
+        F.when(qs.isNotNull(), F.concat(F.lit("?"), qs)).otherwise(""),
+    )
+    return urls.select(
+        "doc_id",
+        proto.alias("scheme"),
+        host.alias("host"),
+        F.substring_index(host, ".", -2).alias("registered_domain"),
+        F.coalesce(kept_port, F.lit(0)).cast("int").alias("port"),
+        (F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit(""))))
+        .cast("int")
+        .alias("path_depth"),
+        qs.isNotNull().cast("int").alias("has_query"),
+        canonical.alias("canonical_url"),
+    )
+
+
+# the oracle's closed-form twins of the construction above
+_ORACLE_HOST = (
+    "'w' || (doc_id % 7) || '.example' || (doc_id % 13) || '.' || "
+    "CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END"
+)
+_ORACLE_PATH = (
+    "'/seg' || ((doc_id + 0) % 10)"
+    " || CASE WHEN doc_id % 3 >= 1 THEN '/seg' || ((doc_id + 1) % 10)"
+    "         ELSE '' END"
+    " || CASE WHEN doc_id % 3 >= 2 THEN '/seg' || ((doc_id + 2) % 10)"
+    "         ELSE '' END"
+)
+
+
+@query(
+    "url_canonical_features",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+           {_ORACLE_HOST} AS host,
+           'example' || (doc_id % 13) || '.' ||
+               CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                    ELSE 'net' END AS registered_domain,
+           CAST(CASE WHEN doc_id % 9 = 1 THEN 8080 ELSE 0 END
+                AS INTEGER) AS port,
+           CAST(1 + doc_id % 3 AS INTEGER) AS path_depth,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS has_query,
+           CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+             || '://' || {_ORACLE_HOST}
+             || CASE WHEN doc_id % 9 = 1 THEN ':8080' ELSE '' END
+             || {_ORACLE_PATH}
+             || CASE WHEN doc_id % 5 = 0 THEN '?q=' || (doc_id % 17)
+                     ELSE '' END AS canonical_url
+    FROM documents
+    """,
+)
+def url_canonical_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization E2E: construct a deterministic mixed-case
+    URL per document (scheme, subdomain, domain, tld, default/explicit/
+    absent port, 1-3 path segments, optional query and fragment — all
+    coprime rotations), parse it back through ``parse_url``, and emit
+    the canonical fields.  The oracle derives every field in closed
+    form from doc_id, so keeping the fragment, dropping the :8080 port,
+    stripping a NON-default port, forgetting to lowercase, or
+    miscounting path depth all break the hash.  Pure JVM column algebra
+    (zero UDFs), narrow projection, no shuffle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    urls = d.select("doc_id", _synth_url().alias("url"))
+    return _canonical_fields(urls)
+
+
+@query(
+    "domain_doc_counts",
+    oracle="""
+    SELECT 'example' || (doc_id % 13) || '.' ||
+               CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                    ELSE 'net' END AS registered_domain,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id % 7) AS n_hosts,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_query
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def domain_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup over the canonicalized crawl manifest:
+    documents and distinct hosts per registered domain plus the
+    query-carrying count — the relation domain-quota and domain-filter
+    policies (CCNet/RefinedWeb style) consume.  One hash GROUP BY with
+    map-side combine on a bounded key space; at 100 TB the key space is
+    ~10^7 registered domains, far under the shuffle's comfort zone."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    fields = _canonical_fields(d.select("doc_id", _synth_url().alias("url")))
+    return fields.groupBy("registered_domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum("has_query").cast("bigint").alias("n_with_query"),
+    )
