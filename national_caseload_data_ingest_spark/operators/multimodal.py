@@ -4333,7 +4333,8 @@ def tiff_encode_ext(
 
     import numpy as np  # noqa: PLC0415
 
-    a = np.asarray(arr, dtype=np.uint8)
+    wide = np.asarray(arr).dtype == np.uint16 and palette is None
+    a = np.asarray(arr, dtype=np.uint16 if wide else np.uint8)
     comp = _TIFF_COMPRESSIONS[compression]
     if palette is not None:
         if a.ndim != 2 or bits not in (1, 2, 4, 8):
@@ -4342,9 +4343,9 @@ def tiff_encode_ext(
             raise ValueError("palette index exceeds bit depth")
         spp, photo = 1, 3
     elif a.ndim == 2:
-        spp, photo, bits = 1, 1, 8
+        spp, photo, bits = 1, 1, 16 if wide else 8
     elif a.ndim == 3 and a.shape[2] == 3:
-        spp, photo, bits = 3, 2, 8
+        spp, photo, bits = 3, 2, 16 if wide else 8
     else:
         raise ValueError("takes (h, w) gray/indices or (h, w, 3) RGB")
     h, w = a.shape[:2]
@@ -4354,15 +4355,19 @@ def tiff_encode_ext(
 
     def encode_rows(rows):  # (n, width, seg_ch) → compressed segment
         if predictor:
-            rows = rows.astype(np.int16)
+            rows = rows.astype(np.int64)
             rows = np.concatenate(
                 [rows[:, :1, :], np.diff(rows, axis=1)], axis=1
-            ).astype(np.uint8)
+            ).astype(np.uint16 if wide else np.uint8)
         if bits < 8:
             flat = _pack_indices(rows[:, :, 0], bits)
+            raw = np.ascontiguousarray(flat).tobytes()
+        elif wide:
+            # little-endian pairs: the encoder always writes II files
+            raw = np.ascontiguousarray(rows.astype("<u2")).tobytes()
         else:
             flat = rows.reshape(rows.shape[0], rows.shape[1] * seg_ch)
-        raw = np.ascontiguousarray(flat).tobytes()
+            raw = np.ascontiguousarray(flat).tobytes()
         if comp == 5:
             return _tiff_lzw_compress(raw)
         if comp == 32773:
@@ -4375,7 +4380,10 @@ def tiff_encode_ext(
         ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
         for p in range(n_planes):
             plane = px[:, :, p * seg_ch : (p + 1) * seg_ch]
-            full = np.zeros((td * tl, ta * tw, seg_ch), np.uint8)
+            full = np.zeros(
+                (td * tl, ta * tw, seg_ch),
+                np.uint16 if wide else np.uint8,
+            )
             full[:h, :w] = plane
             for t in range(ta * td):
                 ty, tx = divmod(t, ta)
@@ -4456,15 +4464,17 @@ def tiff_encode_ext(
 
 def tiff_decode(payload: bytes):
     """Pure-stdlib TIFF decoder: returns ``(w, h, channels, array
-    (h, w, channels))`` — uint8, except paletted images, whose 16-bit
-    ColorMap samples return as uint16.  Supports both byte orders,
-    8-bit gray (photometric 0/1) and RGB, paletted (photometric 3) at
-    1/2/4/8 bits, strip AND tile layouts (any RowsPerStrip; edge tiles
-    encoded full-size per spec §15), chunky AND per-plane (planar
-    configuration 2) sample order, compression none/LZW/PackBits, and
-    the horizontal-differencing predictor.  >8-bit samples and
-    JPEG-in-TIFF raise ``NotImplementedError`` (honest gates);
-    structural damage raises ``ValueError``."""
+    (h, w, channels))`` — uint8, except 16-bit samples and paletted
+    images (16-bit ColorMap), which return uint16 with no precision
+    loss.  Supports both byte orders, gray (photometric 0/1) and RGB at
+    8 AND 16 bits (16-bit samples follow the container byte order, and
+    the predictor differences whole 16-bit values), paletted
+    (photometric 3) at 1/2/4/8 bits, strip AND tile layouts (any
+    RowsPerStrip; edge tiles encoded full-size per spec §15), chunky
+    AND per-plane (planar configuration 2) sample order, compression
+    none/LZW/PackBits, and the horizontal-differencing predictor.
+    Mixed/other depths and JPEG-in-TIFF raise ``NotImplementedError``
+    (honest gates); structural damage raises ``ValueError``."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -4520,9 +4530,12 @@ def tiff_decode(payload: bytes):
         n_cmap = 1 << bits0
         if len(cmap) != 3 * n_cmap:
             raise ValueError("tiff: colormap size mismatch")
-    elif any(b != 8 for b in bits) or spp not in (1, 3):
+    elif any(b not in (8, 16) for b in bits) or len(set(bits)) > 1 or (
+        spp not in (1, 3)
+    ):
         raise NotImplementedError(
-            f"tiff: only 8-bit gray/RGB supported (bits={bits}, spp={spp})"
+            f"tiff: only uniform 8/16-bit gray/RGB supported "
+            f"(bits={bits}, spp={spp})"
         )
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
@@ -4554,6 +4567,17 @@ def tiff_decode(payload: bytes):
         )
         if bits0 < 8:
             seg = _unpack_indices(data, width, bits0)[:, :, None]
+        elif bits0 == 16:
+            # 16-bit samples follow the CONTAINER byte order (spec §4),
+            # and the predictor differences whole 16-bit values
+            pairs = data.reshape(n_rows, width, seg_ch, 2).astype(np.uint16)
+            hi, lo = (1, 0) if bo == "<" else (0, 1)
+            seg = (pairs[..., hi] << 8) | pairs[..., lo]
+            if predictor == 2:
+                seg = np.cumsum(seg.astype(np.int64), axis=1).astype(
+                    np.uint16
+                )  # mod-65536 undo
+            return seg
         else:
             seg = data.reshape(n_rows, width, seg_ch)
         if predictor == 2:
@@ -4576,7 +4600,10 @@ def tiff_decode(payload: bytes):
             raise ValueError("tiff: tile offset/count mismatch")
         planes = []
         for p in range(n_planes):
-            canvas = np.zeros((td * tl, ta * tw, seg_ch), dtype=np.uint8)
+            canvas = np.zeros(
+                (td * tl, ta * tw, seg_ch),
+                dtype=np.uint16 if bits0 == 16 else np.uint8,
+            )
             for t in range(per_plane):
                 ty, tx = divmod(t, ta)
                 i = p * per_plane + t
@@ -4608,7 +4635,7 @@ def tiff_decode(payload: bytes):
             planes.append(np.concatenate(rows, axis=0))
         px = planes[0] if n_planes == 1 else np.concatenate(planes, axis=2)
     if photo == 0:  # WhiteIsZero: invert to BlackIsZero convention
-        px = 255 - px
+        px = (65535 if bits0 == 16 else 255) - px
     if photo == 3:
         # ColorMap entries are 16-bit (spec §5): return the true uint16
         # samples, the same no-precision-loss contract as 16-bit PNG
@@ -4704,21 +4731,41 @@ def tiff_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synthesize_tiff_ext_payloads(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Deterministic TIFF per doc over the round-10 layout extensions
-    (doc_id mod 5): 8-bit palette + LZW strips, 4-bit palette +
-    PackBits, tiled LZW+predictor RGB, planar-2 RGB strips, 1-bit
-    palette tiled.  Palette entry j = (771j, 1031j, 1297j) mod 65536
-    (true 16-bit ColorMap samples); RGB channel c of pixel k =
-    (((doc_id + k) mod 256)·p_c) mod 256 for p = (7, 11, 13)."""
+    """Deterministic TIFF per doc over the round-10 layout + depth
+    extensions (doc_id mod 7): 8-bit palette + LZW strips, 4-bit
+    palette + PackBits, tiled LZW+predictor RGB, planar-2 RGB strips,
+    1-bit palette tiled, 16-BIT gray (LZW + 16-bit-value predictor,
+    strips), and 16-BIT RGB (tiled, planar 2).  Palette entry j =
+    (771j, 1031j, 1297j) mod 65536 (true 16-bit ColorMap samples);
+    8-bit RGB channel c of pixel k = (((doc_id + k) mod 256)·p_c) mod
+    256 for p = (7, 11, 13); 16-bit samples use ((doc_id + k)·q_c) mod
+    65536 for q = (771, 1031, 1297)."""
     import numpy as np  # noqa: PLC0415
 
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             did = int(doc_id)
-            cls = did % 5
+            cls = did % 7
             k = np.arange(IMG_W * IMG_H, dtype=np.int64)
-            if cls in (0, 1, 4):
+            if cls == 5:  # 16-bit gray, LZW + predictor, strips
+                g16 = (((did + k) * 771) % 65536).astype(
+                    np.uint16).reshape(IMG_H, IMG_W)
+                payloads.append(
+                    tiff_encode_ext(
+                        g16, compression="lzw", predictor=True,
+                        rows_per_strip=5,
+                    )
+                )
+            elif cls == 6:  # 16-bit RGB, tiled, planar 2
+                b = ((did + k)).reshape(IMG_H, IMG_W)
+                rgb16 = np.stack(
+                    [(b * q) % 65536 for q in (771, 1031, 1297)], axis=-1
+                ).astype(np.uint16)
+                payloads.append(
+                    tiff_encode_ext(rgb16, tile=(8, 4), planar=2)
+                )
+            elif cls in (0, 1, 4):
                 bits = {0: 8, 1: 4, 4: 1}[cls]
                 m = 1 << bits
                 j = np.arange(m, dtype=np.int64)
@@ -4762,31 +4809,40 @@ def _synthesize_tiff_ext_payloads(
     oracle=f"""
     WITH geom AS (
         SELECT doc_id,
-               CASE doc_id % 5 WHEN 0 THEN 256 WHEN 1 THEN 16
-                    WHEN 4 THEN 2 ELSE 0 END AS m
+               doc_id % 7 AS cls,
+               CASE doc_id % 7 WHEN 0 THEN 256 WHEN 1 THEN 16
+                    WHEN 4 THEN 2 ELSE 0 END AS m,
+               CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 3 END AS nch
         FROM documents
     ),
     px AS (
-        SELECT g.doc_id, t.k, c.c,
-               CASE WHEN g.m > 0 THEN
-                 (((g.doc_id + t.k) % g.m)
-                  * CASE c.c WHEN 0 THEN 771 WHEN 1 THEN 1031
-                         ELSE 1297 END) % 65536
-               ELSE
-                 (((g.doc_id + t.k) % 256)
-                  * CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11
-                         ELSE 13 END) % 256
+        SELECT g.doc_id, g.nch, t.k, c.c,
+               CASE
+                 WHEN g.m > 0 THEN
+                   (((g.doc_id + t.k) % g.m)
+                    * CASE c.c WHEN 0 THEN 771 WHEN 1 THEN 1031
+                           ELSE 1297 END) % 65536
+                 WHEN g.cls = 5 THEN ((g.doc_id + t.k) * 771) % 65536
+                 WHEN g.cls = 6 THEN
+                   ((g.doc_id + t.k)
+                    * CASE c.c WHEN 0 THEN 771 WHEN 1 THEN 1031
+                           ELSE 1297 END) % 65536
+                 ELSE
+                   (((g.doc_id + t.k) % 256)
+                    * CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11
+                           ELSE 13 END) % 256
                END AS v
         FROM geom g, range(0, {IMG_W * IMG_H}) t(k), range(0, 3) c(c)
+        WHERE c.c < g.nch
     )
     SELECT doc_id,
            CAST({IMG_W} AS INTEGER) AS width,
            CAST({IMG_H} AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS channels,
-           CAST(SUM(v) AS DOUBLE) / {IMG_W * IMG_H * 3} AS mean_pixel,
-           CAST(SUM((k * 3 + c) * v) AS BIGINT) AS weighted_sum
+           CAST(nch AS INTEGER) AS channels,
+           CAST(SUM(v) AS DOUBLE) / ({IMG_W * IMG_H} * nch) AS mean_pixel,
+           CAST(SUM((k * nch + c) * v) AS BIGINT) AS weighted_sum
     FROM px
-    GROUP BY doc_id
+    GROUP BY doc_id, nch
     """,
 )
 def tiff_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -132,7 +132,7 @@ def test_tiff_honest_gates():
     with pytest.raises(ValueError, match="not a TIFF"):
         tiff_decode(b"GARBAGE!")
     with pytest.raises(NotImplementedError, match="gray/RGB"):
-        tiff_decode(patched(258, 16))  # 16-bit samples still gate
+        tiff_decode(patched(258, 12))  # 12-bit samples still gate
 
 
 # ---------------------------------------------------------------------------
@@ -238,3 +238,91 @@ def test_tiff_decode_features_query(spark):
     for r in rows[:8]:
         assert (r["width"], r["height"]) == (IMG_W, IMG_H)
         assert r["channels"] == (3 if r["doc_id"] % 2 else 1)
+
+
+# ---------------------------------------------------------------------------
+# round-10: 16-bit samples (gray + RGB, both byte orders)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(9, 11), (9, 11, 3)])
+@pytest.mark.parametrize("planar", [1, 2])
+@pytest.mark.parametrize("tile", [None, (4, 4)])
+def test_tiff_16bit_roundtrip(shape, planar, tile):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    if planar == 2 and len(shape) == 2:
+        pytest.skip("planar 2 needs multiple samples")
+    rng = np.random.default_rng(sum(shape) + planar)
+    a = rng.integers(0, 65536, shape).astype(np.uint16)
+    p = tiff_encode_ext(
+        a, planar=planar, tile=tile, rows_per_strip=3,
+        compression="lzw", predictor=True,
+    )
+    w, h, ch, px = tiff_decode(p)
+    exp_ch = 1 if len(shape) == 2 else 3
+    assert (w, h, ch) == (11, 9, exp_ch)
+    assert px.dtype == np.uint16
+    assert np.array_equal(px, a.reshape(9, 11, exp_ch))
+
+
+def test_tiff_16bit_big_endian_hand_built():
+    """An MM (big-endian) 16-bit file pins the container-byte-order
+    read: the same bytes little-endian would decode to swapped values."""
+    # MM header, one IFD: 2x1 gray, 16-bit, uncompressed, single strip
+    ifd_off = 8 + 4  # header + pixel data (2 samples * 2 bytes)
+    pixels = struct.pack(">2H", 0x0102, 0xFFEE)
+    entries = [
+        (256, 3, 1, 2),       # width
+        (257, 3, 1, 1),       # height
+        (258, 3, 1, 16),      # bits
+        (259, 3, 1, 1),       # no compression
+        (262, 3, 1, 1),       # BlackIsZero
+        (273, 4, 1, 8),       # strip offset -> pixel data
+        (277, 3, 1, 1),       # spp
+        (278, 3, 1, 1),       # rows per strip
+        (279, 4, 1, 4),       # strip byte count
+    ]
+    out = bytearray(b"MM\x00*" + struct.pack(">I", ifd_off) + pixels)
+    out += struct.pack(">H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack(">HHI", tag, typ, count)
+        if typ == 3:
+            out += struct.pack(">HH", value, 0)
+        else:
+            out += struct.pack(">I", value)
+    out += struct.pack(">I", 0)
+    w, h, ch, px = tiff_decode(bytes(out))
+    assert (w, h, ch) == (2, 1, 1)
+    assert px[0, 0, 0] == 0x0102 and px[0, 1, 0] == 0xFFEE
+
+
+def test_tiff_16bit_whiteiszero_inverts_wide():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    a = np.full((2, 2), 10, np.uint16)
+    payload = bytearray(tiff_encode_ext(a))
+    idx = payload.find(struct.pack("<HHI", 262, 3, 1))
+    assert idx != -1
+    payload[idx + 8 : idx + 10] = struct.pack("<H", 0)
+    _w, _h, _ch, px = tiff_decode(bytes(payload))
+    assert px.dtype == np.uint16
+    assert np.all(px == 65525)
+
+
+def test_tiff_mixed_depths_still_gate():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    payload = bytearray(tiff_encode_ext(rgb))
+    idx = payload.find(struct.pack("<3H", 8, 8, 8))
+    assert idx != -1
+    payload[idx : idx + 2] = struct.pack("<H", 16)  # bits = [16, 8, 8]
+    with pytest.raises(NotImplementedError, match="uniform"):
+        tiff_decode(bytes(payload))
