@@ -121,6 +121,12 @@ HEADLINE = [
     # paths whose regressions wall-clock alone would catch
     "dsir_importance_weights",
     "wordpiece_tokenize_docs",
+    # round-10 second sweep: the densest new codec kernel (per-entry ICO
+    # walk incl. sub-byte DIB unpack) and the pure-codegen URL pipeline
+    # (a regression here means a UDF or shuffle crept into a path that
+    # must stay whole-stage)
+    "ico_decode_features",
+    "url_canonical_features",
 ]
 
 

@@ -5209,6 +5209,28 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
             # every entry must decode — a first-entry-only walk would
             # overstate coverage exactly like the GIF case above
             ico_decode_entries(payload)
+        elif payload[:4] == b"OggS":
+            fmt = "ogg"
+            from national_caseload_data_ingest_spark.operators.ogg import (  # noqa: PLC0415
+                ogg_walk,
+            )
+
+            # structural walk (pages + CRCs + id header); sample decode
+            # routes to host per the SCALING.md audio/video policy
+            ogg_walk(payload)
+        elif payload[:3] == b"ID3" or (
+            len(payload) >= 2
+            and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        ):
+            fmt = "mp3"
+            from national_caseload_data_ingest_spark.operators.mpeg import (  # noqa: PLC0415
+                mp3_walk,
+            )
+
+            # structural walk only (headers + byte accounting); sample
+            # decode routes to host per the SCALING.md audio/video policy
+            mp3_walk(payload)
         else:
             return ("unknown", "unrouted",
                     "no native decoder claims this container")
@@ -5224,15 +5246,16 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
 
 
 def _gate_report_payloads() -> list[bytes]:
-    """The eight deterministic payload classes the report query rotates
-    through (index = doc_id % 8): a decodable grayscale JPEG, a
+    """The ten deterministic payload classes the report query rotates
+    through (index = doc_id % 10): a decodable grayscale JPEG, a
     decodable VP8L WEBP, a GATED inter-frame VP8 WEBP (lossy KEY frames
     decode natively since round 10), a GATED 12-bps FLAC, a CORRUPT
     VP8L stream, an unrecognized container, a decodable ANIMATED WEBP
     (routed through the compositing demuxer — proof the classifier
-    routes rather than gates once a decoder exists), and a GATED
+    routes rather than gates once a decoder exists), a GATED
     inter-coded AVI (H264 handler — the reason string names the
-    SCALING.md route-to-host policy)."""
+    SCALING.md route-to-host policy), a GATED free-format MP3, and a
+    decodable (structurally walked) Ogg/Opus stream."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -5307,28 +5330,43 @@ def _gate_report_payloads() -> list[bytes]:
     inter_avi = avi_encode_mjpeg([b"\x00" * 16], width=4, height=4).replace(
         b"MJPG", b"H264"
     )
+    from national_caseload_data_ingest_spark.operators.mpeg import (  # noqa: PLC0415
+        mp3_build,
+    )
+    from national_caseload_data_ingest_spark.operators.ogg import (  # noqa: PLC0415
+        ogg_build,
+    )
+
+    # free-format MP3: conformant sync but bitrate index 0 — frame
+    # length underivable from headers alone, the route-to-host gate
+    mp3_free = bytearray(mp3_build(n_frames=1))
+    mp3_free[2] &= 0x0F
+    ogg_ok = ogg_build(codec="opus", n_audio_pages=2)
     return [jpeg, vp8l, vp8_inter, flac_8bps, corrupt, unknown, animated,
-            inter_avi]
+            inter_avi, bytes(mp3_free), ogg_ok]
 
 
 @query(
     "codec_gate_report",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 8 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'webp'
+           CASE doc_id % 10 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'webp'
                 WHEN 2 THEN 'webp' WHEN 3 THEN 'flac'
                 WHEN 4 THEN 'webp' WHEN 5 THEN 'unknown'
-                WHEN 6 THEN 'webp' ELSE 'avi' END AS fmt,
-           CASE doc_id % 8 WHEN 0 THEN 'decoded' WHEN 1 THEN 'decoded'
+                WHEN 6 THEN 'webp' WHEN 7 THEN 'avi'
+                WHEN 8 THEN 'mp3' ELSE 'ogg' END AS fmt,
+           CASE doc_id % 10 WHEN 0 THEN 'decoded' WHEN 1 THEN 'decoded'
                 WHEN 2 THEN 'gated' WHEN 3 THEN 'gated'
                 WHEN 4 THEN 'corrupt' WHEN 5 THEN 'unrouted'
-                WHEN 6 THEN 'decoded' ELSE 'gated' END AS status,
-           CASE doc_id % 8
+                WHEN 6 THEN 'decoded' WHEN 7 THEN 'gated'
+                WHEN 8 THEN 'gated' ELSE 'decoded' END AS status,
+           CASE doc_id % 10
                 WHEN 2 THEN 'vp8: inter frame requires reference buffers; route to decoder host (SCALING.md video routing policy)'
                 WHEN 3 THEN 'flac: only 8/16/24 bps supported, got 12'
                 WHEN 4 THEN 'vp8l: bad signature byte'
                 WHEN 5 THEN 'no native decoder claims this container'
                 WHEN 7 THEN 'avi: codec ''H264'' is inter-coded; route to decoder host (SCALING.md video routing policy)'
+                WHEN 8 THEN 'mp3: free-format bitrate; frame length underivable — route to decoder host'
                 ELSE '' END AS reason
     FROM documents
     """,
@@ -5337,10 +5375,11 @@ def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload gate report: (doc_id, fmt, status, reason) — the
     measured answer to "what do the honest codec gates exclude?".
 
-    Each document is assigned one of eight deterministic payload
-    classes (decodable JPEG, VP8L WEBP, and animated WEBP; gated
-    inter-frame VP8 WEBP, 12-bps FLAC, and inter-coded AVI; a corrupt
-    VP8L stream; an unrecognized container) and routed
+    Each document is assigned one of ten deterministic payload
+    classes (decodable JPEG, VP8L WEBP, animated WEBP, and Ogg/Opus;
+    gated inter-frame VP8 WEBP, 12-bps FLAC, inter-coded AVI, and
+    free-format MP3; a corrupt VP8L stream; an unrecognized container)
+    and routed
     through :func:`classify_codec_payload`; gates and corruption become
     ROWS, not job failures.  At 100 TB the same kernel runs over a real
     binary-payload column and ``GROUP BY fmt, status, reason`` sizes
@@ -5358,7 +5397,7 @@ def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 fmt, status, reason = classify_codec_payload(
-                    classes[did % 8]
+                    classes[did % 10]
                 )
                 ids.append(did)
                 fmts.append(fmt)

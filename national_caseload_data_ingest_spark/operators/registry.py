@@ -58,6 +58,8 @@ CHECK_PRIORITY: list[str] = [
     "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
     "bmp_ext_decode_features",  # 1/4-bpp, BI_RLE8/4, 32-bpp BGRX (new)
     "tiff_ext_decode_features",  # paletted/tiled/planar-2 layouts (new)
+    "mp3_stream_features",  # MPEG-audio frame walk + byte accounting (new)
+    "ogg_stream_features",  # Ogg page walk, real CRCs, codec census (new)
     "url_canonical_features",  # crawl-manifest canonicalization (new)
     "domain_doc_counts",  # registered-domain rollup (new)
     "ico_decode_features",  # favicon container: DIB + PNG entries (new)

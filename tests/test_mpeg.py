@@ -1,0 +1,111 @@
+"""MPEG-audio (MP3) frame-header stream walk (operators/mpeg.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from national_caseload_data_ingest_spark.operators.mpeg import (
+    _BITRATES,
+    _SAMPLE_RATES,
+    _frame_geometry,
+    mp3_build,
+    mp3_walk,
+)
+from national_caseload_data_ingest_spark.operators.multimodal import (
+    classify_codec_payload,
+)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("layer", [1, 2, 3])
+def test_walk_matches_geometry_tables(version, layer):
+    for idx in (1, 7, 14):
+        for sr_i in (0, 1, 2):
+            n = 5
+            padded = {1, 4}
+            p = mp3_build(
+                version=version, layer=layer, bitrate_idx=idx,
+                sr_idx=sr_i, n_frames=n, padded=padded, channel_mode=2,
+            )
+            s = mp3_walk(p)
+            kbps = _BITRATES[(version, layer)][idx - 1]
+            sr = _SAMPLE_RATES[version][sr_i]
+            base, slot, spf = _frame_geometry(version, layer, kbps, sr)
+            assert s["n_frames"] == n
+            assert s["version_id"] == version
+            assert s["layer"] == layer
+            assert s["sample_rate"] == sr
+            assert s["bitrate_kbps"] == kbps
+            assert s["channel_mode"] == 2
+            assert s["total_samples"] == n * spf
+            assert s["total_bytes"] == n * base + slot * len(padded)
+
+
+def test_mpeg25_streams_walk():
+    p = mp3_build(version=25, layer=3, bitrate_idx=3, sr_idx=2, n_frames=4)
+    s = mp3_walk(p)
+    assert s["version_id"] == 25
+    assert s["sample_rate"] == 8000
+    assert s["total_samples"] == 4 * 576  # MPEG2.5 layer III half-frames
+
+
+def test_id3v2_skip_is_invisible_in_byte_accounting():
+    bare = mp3_walk(mp3_build(n_frames=4))
+    tagged = mp3_walk(mp3_build(n_frames=4, id3_size=137))
+    assert bare == tagged
+
+
+def test_vbr_detection():
+    p = mp3_build(per_frame_bitrate_idx=[3, 5, 7, 9], n_frames=4)
+    assert mp3_walk(p)["bitrate_mode"] == "vbr"
+    assert mp3_walk(mp3_build(n_frames=4))["bitrate_mode"] == "cbr"
+
+
+def test_free_format_is_honest_gate():
+    p = bytearray(mp3_build(n_frames=1))
+    p[2] &= 0x0F  # bitrate index 0
+    with pytest.raises(NotImplementedError, match="free-format"):
+        mp3_walk(bytes(p))
+
+
+def test_corruption_is_valueerror():
+    p = mp3_build(n_frames=3)
+    with pytest.raises(ValueError, match="truncated frame body"):
+        mp3_walk(p[:-3])
+    with pytest.raises(ValueError, match="bad frame sync"):
+        mp3_walk(b"\x00" + p[1:])
+    bad = bytearray(p)
+    bad[2] = 0xF0 | (bad[2] & 0x0F)
+    with pytest.raises(ValueError, match="reserved bitrate"):
+        mp3_walk(bytes(bad))
+    bad = bytearray(p)
+    bad[1] = (bad[1] & 0xE7) | (1 << 3)
+    with pytest.raises(ValueError, match="reserved version"):
+        mp3_walk(bytes(bad))
+    with pytest.raises(ValueError, match="truncated ID3"):
+        mp3_walk(b"ID3\x04\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="syncsafe"):
+        mp3_walk(b"ID3\x04\x00\x00\x00\x00\x00\xff")
+    with pytest.raises(ValueError, match="no frames"):
+        mp3_walk(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+    # a stream that switches sample rate mid-way is damaged
+    a = mp3_build(n_frames=2, sr_idx=0)
+    b = mp3_build(n_frames=1, sr_idx=1)
+    with pytest.raises(ValueError, match="inconsistent"):
+        mp3_walk(a + b)
+
+
+def test_classifier_routes_mp3():
+    assert classify_codec_payload(mp3_build(n_frames=2)) == (
+        "mp3", "decoded", "",
+    )
+    assert classify_codec_payload(mp3_build(n_frames=2, id3_size=40)) == (
+        "mp3", "decoded", "",
+    )
+    free = bytearray(mp3_build(n_frames=1))
+    free[2] &= 0x0F
+    fmt, status, reason = classify_codec_payload(bytes(free))
+    assert (fmt, status) == ("mp3", "gated")
+    assert "route to decoder host" in reason
+    fmt, status, _ = classify_codec_payload(mp3_build(n_frames=2)[:-1])
+    assert (fmt, status) == ("mp3", "corrupt")

@@ -14,7 +14,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_classifier_covers_all_statuses():
-    """The six fixture classes exercise every status the relation can
+    """The fixture classes exercise every status the relation can
     emit — decoded, gated, corrupt, unrouted — with the exact gate
     messages the oracle pins (messages are part of the contract)."""
     got = [classify_codec_payload(p) for p in _gate_report_payloads()]
@@ -33,6 +33,12 @@ def test_classifier_covers_all_statuses():
         ("avi", "gated",
          "avi: codec 'H264' is inter-coded; route to decoder host "
          "(SCALING.md video routing policy)"),
+        # free-format MP3: headers parse but frame length is underivable
+        ("mp3", "gated",
+         "mp3: free-format bitrate; frame length underivable — route "
+         "to decoder host"),
+        # Ogg/Opus: structural walk (pages + CRCs + id header) decodes
+        ("ogg", "decoded", ""),
     ]
 
 
@@ -51,6 +57,10 @@ def test_classifier_never_raises_on_adversarial_bytes():
         b"BM",
         b"II*\x00",
         b"MM\x00*",
+        b"\x00\x00\x01\x00",  # ICO
+        b"ID3",
+        b"\xff\xfb",  # bare MPEG-audio sync
+        b"OggS",
         b"",
     ]
     for head in sniffed_heads:
@@ -67,11 +77,11 @@ def test_codec_gate_report_query(spark):
     assert len(rows) > 0
     by_class = {}
     for r in rows:
-        by_class.setdefault(r["doc_id"] % 8, set()).add(
+        by_class.setdefault(r["doc_id"] % 10, set()).add(
             (r["fmt"], r["status"], r["reason"])
         )
     # every class present and deterministic (one distinct triple each)
-    assert set(by_class) == set(range(8))
+    assert set(by_class) == set(range(10))
     assert all(len(v) == 1 for v in by_class.values())
     statuses = {next(iter(v))[1] for v in by_class.values()}
     assert statuses == {"decoded", "gated", "corrupt", "unrouted"}
