@@ -38,14 +38,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the whole catalog.  Round-9 rotation (VERDICT r8 ask #2 — r8 never
 # executed the planned rotation, so the r2/r4-stale backlog leads now):
 #
-# 1. queries whose SEMANTICS CHANGED in round 9 (codec fixes, kernel
-#    vectorization) lead — their old green rows describe old behavior;
-#    new round-9 queries are appended to this block as they register;
-# 2. the 10 queries whose freshest driver row is ROUND 2;
-# 3. the 42 whose freshest row is ROUND 4, in name order — whatever
-#    spills past the 50-cap leads the round-10 window; the spill (and
-#    the r5/r6-fresh tail) is covered every round by the local
-#    full-catalog replay at sf0.01 and sf0.1 (tools/check_oracle.py).
+# 1. round-10 NEW or semantics-changed queries lead (22 of them — the
+#    codec sweep, the container walks, web curation, DSIR/WordPiece);
+#    their driver rows must reflect current behavior;
+# 2. the round-9-fresh block (int8/binary ANN, spans, animations);
+# 3. the 10 queries whose freshest driver row is ROUND 2;
+# 4. the round-4 backfill in name order — whatever spills past the
+#    50-cap (32 names this round) leads the round-11 window; the spill
+#    is covered every round by the local full-catalog replay at sf0.01
+#    and sf0.1 (tools/check_oracle.py; this round: 224/224 at sf0.01,
+#    see COVERAGE.md for the close-sweep numbers).
 CHECK_PRIORITY: list[str] = [
     # -- round-10: new or semantics changed this round -----------------------
     "vp8_decode_features",  # lossy-WebP VP8 key-frame decode E2E (new)

@@ -59,7 +59,7 @@ def _synth_url() -> "F.Column":
         .otherwise("")
     )
     seg = [
-        F.concat(F.lit(f"/seg"), ((did + i) % 10).cast("string"))
+        F.concat(F.lit("/seg"), ((did + i) % 10).cast("string"))
         for i in range(3)
     ]
     path = F.concat(

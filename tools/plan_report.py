@@ -77,6 +77,16 @@ SHUFFLE_BUDGET = {
     # shuffle join deliberately — web-scale vocabularies exceed broadcast
     # limits (VERDICT r4 #3).
     "source_token_drift": 6,
+    # DSIR's 5 = target-gram bucket agg + pool-gram bucket agg (each
+    # bounded at DSIR_BUCKETS=4096 rows after the map-side combine) +
+    # the per-doc gram groupBy + the doc-id-keyed left join (primary-key
+    # shape) + the final agg; the smoothed model itself joins BROADCAST
+    # (<=4096 rows by construction, selection.py).  No exchange moves
+    # raw text.
+    "dsir_importance_weights": 5,
+    # the selection cut adds TakeOrderedAndProject on top of the same
+    # weight plan — same exchanges, no extra data movement.
+    "dsir_selected_docs": 5,
 }
 
 
