@@ -5209,6 +5209,23 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
             # every entry must decode — a first-entry-only walk would
             # overstate coverage exactly like the GIF case above
             ico_decode_entries(payload)
+        elif payload[:2] == b"\x1f\x8b" or payload[:7] == b"WARC/1.":
+            from national_caseload_data_ingest_spark.operators.warc import (  # noqa: PLC0415
+                gzip_members,
+                warc_walk,
+            )
+
+            if payload[:7] == b"WARC/1.":
+                fmt = "warc"
+                warc_walk(payload)
+            else:
+                # gzip: decompress every member; WARC-framed payloads
+                # route to the record walker (fmt reflects the routing)
+                fmt = "gzip"
+                members = gzip_members(payload)
+                if members and members[0][:7] == b"WARC/1.":
+                    fmt = "warc"
+                    warc_walk(payload)
         elif payload[:4] == b"OggS":
             fmt = "ogg"
             from national_caseload_data_ingest_spark.operators.ogg import (  # noqa: PLC0415
