@@ -3360,6 +3360,34 @@ def bmp_encode_paletted(idx, palette, bpp: int = 8, rle: bool = False) -> bytes:
     return _bmp_wrap(bpp, w, h, 0, quads.tobytes(), rows[::-1].tobytes())
 
 
+def bmp_encode_bitfields(quantized, masks, bpp: int = 16) -> bytes:
+    """BI_BITFIELDS encoder (the decoder's testable twin): ``(h, w, 3)``
+    QUANTIZED channel values (each < its mask's peak + 1) + three
+    contiguous masks → 16- or 32-bpp BMP with the mask DWORDs in the
+    post-header slot."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    q = np.asarray(quantized, np.int64)
+    h, w = q.shape[:2]
+    vals = np.zeros((h, w), np.int64)
+    for c, mask in enumerate(masks):
+        shift = (mask & -mask).bit_length() - 1
+        peak = mask >> shift
+        if int(q[:, :, c].max(initial=0)) > peak:
+            raise ValueError("bmp bitfields encode: value exceeds mask")
+        vals |= q[:, :, c] << shift
+    rows = vals.astype("<u2" if bpp == 16 else "<u4").view(np.uint8)
+    rows = rows.reshape(h, w * (bpp // 8))
+    stride = (rows.shape[1] + 3) & ~3
+    body = np.zeros((h, stride), np.uint8)
+    body[:, : rows.shape[1]] = rows
+    return _bmp_wrap(
+        bpp, w, h, 3, struct.pack("<III", *masks), body[::-1].tobytes()
+    )
+
+
 def bmp_encode_32(rgb) -> bytes:
     """32-bpp BGRX BI_RGB encoder (pad byte zero), bottom-up rows."""
     import numpy as np  # noqa: PLC0415
@@ -3427,15 +3455,16 @@ def _bmp_rle_decode(payload: bytes, offset: int, w: int, h: int, rle4: bool):
 
 
 def bmp_decode(payload: bytes):
-    """Pure-stdlib BMP decoder: BI_RGB at 1/4/8/24/32 bpp plus BI_RLE8
-    and BI_RLE4 compression, both bottom-up (positive height) and
-    top-down (negative) row orders — returns ``(width, height,
-    channels, uint8 array (h, w, channels))``.  Sub-byte pixels unpack
-    MSB-first; paletted pixels expand through the BGR0 color table to
-    RGB, except 8-bpp identity-gray-ramp payloads, which collapse to
-    one channel; 32-bpp BI_RGB is BGRX (the pad byte is not alpha) and
-    decodes to RGB.  Bitfield compression and BITMAPCOREHEADER remain
-    honest gates."""
+    """Pure-stdlib BMP decoder: BI_RGB at 1/4/8/24/32 bpp, BI_RLE8 and
+    BI_RLE4 compression, and BI_BITFIELDS at 16/32 bpp (contiguous
+    masks, e.g. 565/555/8888 — channels rescale to 8 bits by the exact
+    max-value formula), both bottom-up (positive height) and top-down
+    (negative) row orders — returns ``(width, height, channels, uint8
+    array (h, w, channels))``.  Sub-byte pixels unpack MSB-first;
+    paletted pixels expand through the BGR0 color table to RGB, except
+    8-bpp identity-gray-ramp payloads, which collapse to one channel;
+    32-bpp BI_RGB is BGRX (the pad byte is not alpha) and decodes to
+    RGB.  BITMAPCOREHEADER remains an honest gate."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -3449,19 +3478,52 @@ def bmp_decode(payload: bytes):
     w, h_signed = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression not in (0, 1, 2):
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"BMP compression {compression} not supported "
-            f"(BI_RGB / BI_RLE8 / BI_RLE4 only)"
+            f"(BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS only)"
         )
-    if compression and (h_signed < 0 or bpp != (8 if compression == 1 else 4)):
+    if compression in (1, 2) and (
+        h_signed < 0 or bpp != (8 if compression == 1 else 4)
+    ):
         raise ValueError("bmp rle: needs bottom-up rows at the matching bpp")
-    if bpp not in (1, 4, 8, 24, 32):
+    if bpp not in (1, 4, 8, 16, 24, 32) or (
+        bpp == 16 and compression != 3
+    ):
         raise NotImplementedError(
-            f"BMP bpp {bpp} not supported (1/4/8/24/32 only)"
+            f"BMP bpp {bpp} with compression {compression} not supported"
         )
     top_down = h_signed < 0
     h = abs(h_signed)
+    if compression == 3:
+        if bpp not in (16, 32):
+            raise ValueError("bmp bitfields: needs 16 or 32 bpp")
+        masks = struct.unpack_from("<III", payload, 54)
+        row_bytes = w * (bpp // 8)
+        stride = (row_bytes + 3) & ~3
+        if offset + stride * h > len(payload):
+            raise ValueError("bmp: truncated pixel data")
+        data = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=offset
+        ).reshape(h, stride)[:, :row_bytes]
+        if not top_down:
+            data = data[::-1]
+        vals = np.ascontiguousarray(data).view(
+            "<u2" if bpp == 16 else "<u4"
+        ).reshape(h, w).astype(np.int64)
+        chans = []
+        for mask in masks:
+            if mask == 0:
+                raise ValueError("bmp bitfields: zero channel mask")
+            shift = (mask & -mask).bit_length() - 1
+            peak = mask >> shift
+            if (peak & (peak + 1)) != 0:
+                raise ValueError("bmp bitfields: non-contiguous mask")
+            # exact max-value rescale to 8 bits (identity when peak=255)
+            chans.append(
+                (((vals & mask) >> shift) * 255 // peak).astype(np.uint8)
+            )
+        return w, h, 3, np.ascontiguousarray(np.stack(chans, axis=-1))
 
     def palette():
         n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
@@ -3576,27 +3638,47 @@ def bmp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BMP_EXT_CLASSES = ("1bpp", "4bpp", "rle8", "rle4", "32bpp")  # doc_id % 5
+_BMP_EXT_CLASSES = (
+    "1bpp", "4bpp", "rle8", "rle4", "32bpp", "bf565", "bf210",
+)  # doc_id % 7
+
+# BI_BITFIELDS fixture masks: classic 565 and the 2-10-10-10 HDR layout
+_BF_MASKS = {
+    "bf565": ((0xF800, 0x07E0, 0x001F), 16),
+    "bf210": ((0x3FF00000, 0x000FFC00, 0x000003FF), 32),
+}
 
 
 def _synthesize_bmp_ext_payloads(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """Deterministic BMP per doc over the round-10 decoder extensions
-    (doc_id mod 5 → 1-bpp, 4-bpp, BI_RLE8, BI_RLE4, 32-bpp BGRX): base
-    value b(k) = ((doc_id + k) ÷ 3) mod m for the RLE classes (runs of
-    three, so encoded-run mode is load-bearing) and (doc_id + k) mod m
-    otherwise; palette entry j = (7j, 11j, 13j) mod 256 and the 32-bpp
-    channels use the same multipliers directly."""
+    (doc_id mod 7 → 1-bpp, 4-bpp, BI_RLE8, BI_RLE4, 32-bpp BGRX,
+    565-bitfields, 2-10-10-10-bitfields): base value b(k) =
+    ((doc_id + k) ÷ 3) mod m for the RLE classes (runs of three, so
+    encoded-run mode is load-bearing) and (doc_id + k) mod m otherwise;
+    palette entry j = (7j, 11j, 13j) mod 256, the 32-bpp channels use
+    the same multipliers directly, and the bitfields channels carry
+    quantized value (doc_id + k) mod (peak_c + 1) rescaled on decode by
+    the exact max-value formula."""
     import numpy as np  # noqa: PLC0415
 
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             did = int(doc_id)
-            cls = _BMP_EXT_CLASSES[did % 5]
+            cls = _BMP_EXT_CLASSES[did % 7]
             k = np.arange(IMG_W * IMG_H, dtype=np.int64)
-            if cls == "32bpp":
+            if cls in _BF_MASKS:
+                masks, bpp = _BF_MASKS[cls]
+                peaks = [m >> ((m & -m).bit_length() - 1) for m in masks]
+                q = np.stack(
+                    [((did + k) % (p + 1)).reshape(IMG_H, IMG_W)
+                     for p in peaks],
+                    axis=-1,
+                )
+                payloads.append(bmp_encode_bitfields(q, masks, bpp=bpp))
+            elif cls == "32bpp":
                 b = ((did + k) % 256).reshape(IMG_H, IMG_W)
                 rgb = np.stack(
                     [(b * p) % 256 for p in (7, 11, 13)], axis=-1
@@ -3625,16 +3707,26 @@ def _synthesize_bmp_ext_payloads(
     oracle=f"""
     WITH geom AS (
         SELECT doc_id,
-               CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 16
+               doc_id % 7 AS cls,
+               CASE doc_id % 7 WHEN 0 THEN 2 WHEN 1 THEN 16
                     WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 256 END AS m,
-               CASE WHEN doc_id % 5 IN (2, 3) THEN 3 ELSE 1 END AS rdiv
+               CASE WHEN doc_id % 7 IN (2, 3) THEN 3 ELSE 1 END AS rdiv
         FROM documents
     ),
     px AS (
         SELECT g.doc_id, t.k, c.c,
-               ((((g.doc_id + t.k) // g.rdiv) % g.m)
-                * CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END)
-               % 256 AS v
+               CASE
+                 WHEN g.cls = 5 THEN
+                   ((g.doc_id + t.k)
+                    % CASE c.c WHEN 1 THEN 64 ELSE 32 END) * 255
+                   // CASE c.c WHEN 1 THEN 63 ELSE 31 END
+                 WHEN g.cls = 6 THEN
+                   ((g.doc_id + t.k) % 1024) * 255 // 1023
+                 ELSE
+                   ((((g.doc_id + t.k) // g.rdiv) % g.m)
+                    * CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END)
+                   % 256
+               END AS v
         FROM geom g, range(0, {IMG_W * IMG_H}) t(k), range(0, 3) c(c)
     )
     SELECT doc_id,
@@ -3649,11 +3741,13 @@ def _synthesize_bmp_ext_payloads(
 )
 def bmp_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended-BMP decode E2E (the round-10 gate close): each document
-    gets a BMP from the five newly decodable classes — 1-bpp and 4-bpp
+    gets a BMP from the seven newly decodable classes — 1-bpp and 4-bpp
     packed palettes, BI_RLE8 and BI_RLE4 run-length streams (runs of
-    three so the encoded-run path is load-bearing), and 32-bpp BGRX —
-    and the per-channel, position-sensitive pixel statistics hash-match
-    the closed form.  Two narrow ``mapInPandas`` passes, no shuffle."""
+    three so the encoded-run path is load-bearing), 32-bpp BGRX, and
+    BI_BITFIELDS at 565 and 2-10-10-10 (exact max-value channel
+    rescale) — and the per-channel, position-sensitive pixel statistics
+    hash-match the closed form.  Two narrow ``mapInPandas`` passes, no
+    shuffle."""
     import numpy as np  # noqa: PLC0415
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
@@ -4205,7 +4299,7 @@ def _packbits_decompress(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-_TIFF_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773}
+_TIFF_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7}
 
 
 def tiff_encode(
@@ -4354,6 +4448,14 @@ def tiff_encode_ext(
     px = a.reshape(h, w, spp)
 
     def encode_rows(rows):  # (n, width, seg_ch) → compressed segment
+        if comp == 7:
+            if predictor or bits != 8 or palette is not None:
+                raise ValueError(
+                    "jpeg compression needs 8-bit gray/RGB, no predictor"
+                )
+            if rows.shape[2] == 1:
+                return jpeg_encode(np.ascontiguousarray(rows[:, :, 0]))
+            return jpeg_encode_color(np.ascontiguousarray(rows))
         if predictor:
             rows = rows.astype(np.int64)
             rows = np.concatenate(
@@ -4537,10 +4639,21 @@ def tiff_decode(payload: bytes):
             f"tiff: only uniform 8/16-bit gray/RGB supported "
             f"(bits={bits}, spp={spp})"
         )
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 32773, 7):
         raise NotImplementedError(
-            f"tiff: compression {comp} not supported (none/LZW/PackBits only)"
+            f"tiff: compression {comp} not supported "
+            f"(none/LZW/PackBits/JPEG only)"
         )
+    if comp == 7:
+        if 347 in tags:
+            raise NotImplementedError(
+                "tiff: abbreviated JPEG streams (JPEGTables tag) not "
+                "supported — segments must be self-contained"
+            )
+        if photo == 3 or bits0 != 8 or predictor != 1:
+            raise ValueError(
+                "tiff: JPEG compression needs 8-bit gray/RGB, no predictor"
+            )
     if predictor not in (1, 2):
         raise NotImplementedError(f"tiff: predictor {predictor} unsupported")
     if predictor == 2 and bits0 < 8:
@@ -4554,8 +4667,18 @@ def tiff_decode(payload: bytes):
         return (width * seg_ch * bits0 + 7) // 8
 
     def decode_segment(off: int, cnt: int, n_rows: int, width: int):
-        expected = n_rows * seg_rowbytes(width)
         raw = payload[off : off + cnt]
+        if comp == 7:
+            # new-style JPEG-in-TIFF (TTN2): each segment is a complete
+            # JPEG interchange stream decoding to the segment's pixels
+            jpx = jpeg_decode(bytes(raw))
+            jpx = jpx.reshape(jpx.shape[0], jpx.shape[1], -1)
+            if jpx.shape != (n_rows, width, seg_ch):
+                raise ValueError(
+                    "tiff: JPEG segment geometry disagrees with the IFD"
+                )
+            return jpx
+        expected = n_rows * seg_rowbytes(width)
         if comp == 5:
             raw = _tiff_lzw_decompress(raw)[:expected]
         elif comp == 32773:
@@ -4731,24 +4854,33 @@ def tiff_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synthesize_tiff_ext_payloads(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Deterministic TIFF per doc over the round-10 layout + depth
-    extensions (doc_id mod 7): 8-bit palette + LZW strips, 4-bit
+    """Deterministic TIFF per doc over the round-10 layout + depth +
+    codec extensions (doc_id mod 8): 8-bit palette + LZW strips, 4-bit
     palette + PackBits, tiled LZW+predictor RGB, planar-2 RGB strips,
     1-bit palette tiled, 16-BIT gray (LZW + 16-bit-value predictor,
-    strips), and 16-BIT RGB (tiled, planar 2).  Palette entry j =
-    (771j, 1031j, 1297j) mod 65536 (true 16-bit ColorMap samples);
-    8-bit RGB channel c of pixel k = (((doc_id + k) mod 256)·p_c) mod
-    256 for p = (7, 11, 13); 16-bit samples use ((doc_id + k)·q_c) mod
-    65536 for q = (771, 1031, 1297)."""
+    strips), 16-BIT RGB (tiled, planar 2), and new-style JPEG-in-TIFF
+    (gray, constant per 8×8 block so DC-only quantization is exact).
+    Palette entry j = (771j, 1031j, 1297j) mod 65536 (true 16-bit
+    ColorMap samples); 8-bit RGB channel c of pixel k =
+    (((doc_id + k) mod 256)·p_c) mod 256 for p = (7, 11, 13); 16-bit
+    samples use ((doc_id + k)·q_c) mod 65536 for q = (771, 1031,
+    1297); the JPEG class uses 128 + 2·(((doc_id + block) mod 64) −
+    32) per 8×8 block."""
     import numpy as np  # noqa: PLC0415
 
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             did = int(doc_id)
-            cls = did % 7
+            cls = did % 8
             k = np.arange(IMG_W * IMG_H, dtype=np.int64)
-            if cls == 5:  # 16-bit gray, LZW + predictor, strips
+            if cls == 7:  # new-style JPEG-in-TIFF (gray, DC-only exact)
+                x = (k % IMG_W).reshape(IMG_H, IMG_W)
+                y = (k // IMG_W).reshape(IMG_H, IMG_W)
+                b = (y // 8) * 2 + (x // 8)
+                g = (128 + 2 * ((did + b) % 64 - 32)).astype(np.uint8)
+                payloads.append(tiff_encode_ext(g, compression="jpeg"))
+            elif cls == 5:  # 16-bit gray, LZW + predictor, strips
                 g16 = (((did + k) * 771) % 65536).astype(
                     np.uint16).reshape(IMG_H, IMG_W)
                 payloads.append(
@@ -4809,10 +4941,10 @@ def _synthesize_tiff_ext_payloads(
     oracle=f"""
     WITH geom AS (
         SELECT doc_id,
-               doc_id % 7 AS cls,
-               CASE doc_id % 7 WHEN 0 THEN 256 WHEN 1 THEN 16
+               doc_id % 8 AS cls,
+               CASE doc_id % 8 WHEN 0 THEN 256 WHEN 1 THEN 16
                     WHEN 4 THEN 2 ELSE 0 END AS m,
-               CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 3 END AS nch
+               CASE WHEN doc_id % 8 IN (5, 7) THEN 1 ELSE 3 END AS nch
         FROM documents
     ),
     px AS (
@@ -4827,6 +4959,10 @@ def _synthesize_tiff_ext_payloads(
                    ((g.doc_id + t.k)
                     * CASE c.c WHEN 0 THEN 771 WHEN 1 THEN 1031
                            ELSE 1297 END) % 65536
+                 WHEN g.cls = 7 THEN
+                   128 + 2 * (((g.doc_id
+                                + ((t.k // {IMG_W}) // 8) * 2
+                                + ((t.k % {IMG_W}) // 8)) % 64) - 32)
                  ELSE
                    (((g.doc_id + t.k) % 256)
                     * CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11

@@ -78,7 +78,7 @@ def test_bmp_dispatch_and_resize():
 def test_bmp_honest_gates():
     px = np.zeros((2, 2), dtype=np.uint8)
     payload = bytearray(bmp_encode(px))
-    struct.pack_into("<I", payload, 30, 3)  # BI_BITFIELDS still gates
+    struct.pack_into("<I", payload, 30, 4)  # BI_JPEG still gates
     with pytest.raises(NotImplementedError):
         bmp_decode(bytes(payload))
     with pytest.raises(ValueError):
@@ -203,3 +203,46 @@ def test_bmp_rle_corruption_is_valueerror():
     struct.pack_into("<H", good, 28, 4)  # claim bpp 4 under BI_RLE8
     with pytest.raises(ValueError, match="matching bpp"):
         bmp_decode(bytes(good))
+
+
+@pytest.mark.parametrize(
+    "masks,bpp",
+    [
+        ((0xF800, 0x07E0, 0x001F), 16),  # 565
+        ((0x7C00, 0x03E0, 0x001F), 16),  # 555
+        ((0x00FF0000, 0x0000FF00, 0x000000FF), 32),  # 8888
+        ((0x3FF00000, 0x000FFC00, 0x000003FF), 32),  # 2-10-10-10
+    ],
+)
+def test_bmp_bitfields_roundtrip(masks, bpp):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_bitfields,
+    )
+
+    rng = np.random.default_rng(bpp)
+    peaks = [m >> ((m & -m).bit_length() - 1) for m in masks]
+    q = np.stack([rng.integers(0, p + 1, (9, 13)) for p in peaks], -1)
+    w, h, ch, px = bmp_decode(bmp_encode_bitfields(q, masks, bpp=bpp))
+    assert (w, h, ch) == (13, 9, 3)
+    exp = np.stack(
+        [(q[:, :, c] * 255 // peaks[c]) for c in range(3)], -1
+    ).astype(np.uint8)
+    assert np.array_equal(px, exp)
+
+
+def test_bmp_bitfields_bad_masks_are_valueerror():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_bitfields,
+    )
+
+    p = bytearray(
+        bmp_encode_bitfields(
+            np.zeros((2, 2, 3), np.int64), (0xF800, 0x07E0, 0x001F)
+        )
+    )
+    struct.pack_into("<I", p, 54, 0)
+    with pytest.raises(ValueError, match="zero channel mask"):
+        bmp_decode(bytes(p))
+    struct.pack_into("<I", p, 54, 0b101000)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        bmp_decode(bytes(p))

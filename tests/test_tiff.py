@@ -121,7 +121,11 @@ def test_tiff_honest_gates():
         return bytes(p)
 
     with pytest.raises(NotImplementedError, match="compression"):
-        tiff_decode(patched(259, 7))  # JPEG-in-TIFF
+        tiff_decode(patched(259, 6))  # old-style JPEG (TIFF 6.0 §22)
+    # new-style JPEG (7) is SUPPORTED since round 10; raw sample bytes
+    # under that tag are corruption, not a gate
+    with pytest.raises(ValueError):
+        tiff_decode(patched(259, 7))
     # photometric 3 without a ColorMap tag is structural corruption
     # (paletted images themselves decode since round 10)
     with pytest.raises(ValueError, match="tag 320"):
@@ -325,4 +329,74 @@ def test_tiff_mixed_depths_still_gate():
     assert idx != -1
     payload[idx : idx + 2] = struct.pack("<H", 16)  # bits = [16, 8, 8]
     with pytest.raises(NotImplementedError, match="uniform"):
+        tiff_decode(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# round-10: new-style JPEG-in-TIFF (compression 7, self-contained segments)
+# ---------------------------------------------------------------------------
+
+
+def _block_constant_gray():
+    """16x24 gray, constant per 8x8 block — decodes bit-exactly through
+    DC-only JPEG blocks (the codec fixtures' exactness construction)."""
+    m = np.arange(6, dtype=np.int64).reshape(2, 3)
+    vals = 128 + 2 * (m % 64 - 32)
+    return np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "kw", [{}, {"rows_per_strip": 8}, {"tile": (8, 8)}],
+    ids=["whole", "strips", "tiled"],
+)
+def test_tiff_jpeg_compression_roundtrip(kw):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    g = _block_constant_gray()
+    w, h, ch, px = tiff_decode(tiff_encode_ext(g, compression="jpeg", **kw))
+    assert (w, h, ch) == (24, 16, 1)
+    assert np.array_equal(px[:, :, 0], g)
+
+
+def test_tiff_jpeg_rgb_roundtrip():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    c = np.stack([_block_constant_gray()] * 3, -1)
+    w, h, ch, px = tiff_decode(tiff_encode_ext(c, compression="jpeg"))
+    assert (w, h, ch) == (24, 16, 3)
+    assert np.array_equal(px, c)
+
+
+def test_tiff_jpeg_abbreviated_streams_gate():
+    """A JPEGTables tag (347) marks abbreviated per-segment streams —
+    an honest gate, not a silent mis-decode."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    payload = bytearray(tiff_encode_ext(_block_constant_gray(),
+                                        compression="jpeg"))
+    # rewrite some harmless tag's id to 347: tag 278 (RowsPerStrip)
+    i = payload.find(struct.pack("<HHI", 278, 3, 1))
+    assert i != -1
+    struct.pack_into("<H", payload, i, 347)
+    with pytest.raises(NotImplementedError, match="JPEGTables"):
+        tiff_decode(bytes(payload))
+
+
+def test_tiff_jpeg_geometry_mismatch_is_valueerror():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    payload = bytearray(tiff_encode_ext(_block_constant_gray(),
+                                        compression="jpeg"))
+    i = payload.find(struct.pack("<HHI", 256, 3, 1))
+    assert i != -1
+    payload[i + 8 : i + 10] = struct.pack("<H", 23)  # lie about width
+    with pytest.raises(ValueError, match="geometry disagrees"):
         tiff_decode(bytes(payload))
