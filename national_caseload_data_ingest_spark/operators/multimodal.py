@@ -4405,6 +4405,30 @@ def tiff_encode(
     return bytes(out)
 
 
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Interchange JPEG → (tables-only stream, abbreviated stream) per
+    the public TIFF Technical Note 2: DQT/DHT segments move to a
+    SOI…EOI tables stream (the JPEGTables tag payload); everything else
+    stays in the abbreviated per-segment stream."""
+    tables, image = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    i = 2
+    while i < len(stream) - 1:
+        if stream[i] != 0xFF:
+            raise ValueError("jpeg split: lost marker sync")
+        m = stream[i + 1]
+        if m == 0xD9:
+            break
+        if m == 0xDA:
+            image += stream[i:]  # SOS through EOI, entropy included
+            break
+        ln = int.from_bytes(stream[i + 2 : i + 4], "big")
+        seg = stream[i : i + 2 + ln]
+        (tables if m in (0xDB, 0xC4) else image).extend(seg)
+        i += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(image)
+
+
 def tiff_encode_ext(
     arr,
     *,
@@ -4415,6 +4439,7 @@ def tiff_encode_ext(
     compression: str = "none",
     predictor: bool = False,
     rows_per_strip: int | None = None,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Extended little-endian TIFF encoder (the round-10 decoder
     extensions' testable twin): ``palette`` ((n, 3) uint16 ColorMap
@@ -4447,6 +4472,8 @@ def tiff_encode_ext(
     seg_ch = spp // n_planes
     px = a.reshape(h, w, spp)
 
+    shared_tables = []
+
     def encode_rows(rows):  # (n, width, seg_ch) → compressed segment
         if comp == 7:
             if predictor or bits != 8 or palette is not None:
@@ -4454,8 +4481,13 @@ def tiff_encode_ext(
                     "jpeg compression needs 8-bit gray/RGB, no predictor"
                 )
             if rows.shape[2] == 1:
-                return jpeg_encode(np.ascontiguousarray(rows[:, :, 0]))
-            return jpeg_encode_color(np.ascontiguousarray(rows))
+                stream = jpeg_encode(np.ascontiguousarray(rows[:, :, 0]))
+            else:
+                stream = jpeg_encode_color(np.ascontiguousarray(rows))
+            if jpeg_tables:
+                tables, stream = _jpeg_split_tables(stream)
+                shared_tables.append(tables)
+            return stream
         if predictor:
             rows = rows.astype(np.int64)
             rows = np.concatenate(
@@ -4511,8 +4543,8 @@ def tiff_encode_ext(
 
     def array_entry(tag, typ, vals):
         nonlocal pos
-        fmt = {3: "H", 4: "I"}[typ]
-        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I", 7: "B"}[typ]
+        size = {3: 2, 4: 4, 7: 1}[typ]
         if len(vals) * size <= 4:
             packed = struct.pack(f"<{len(vals)}{fmt}", *vals)
             entries.append(
@@ -4539,6 +4571,12 @@ def tiff_encode_ext(
         cm = np.zeros((n, 3), np.uint16)
         cm[: len(pal)] = pal
         array_entry(320, 3, [int(v) for v in cm.T.reshape(-1)])
+    if jpeg_tables:
+        if len(set(shared_tables)) != 1:
+            raise ValueError(
+                "jpeg_tables fixture needs identical per-segment tables"
+            )
+        array_entry(347, 7, list(shared_tables[0]))
     if tile is not None:
         entries.append((322, 3, 1, tile[0]))
         entries.append((323, 3, 1, tile[1]))
@@ -4593,8 +4631,8 @@ def tiff_decode(payload: bytes):
         (raw_value,) = struct.unpack(bo + "I", payload[base + 8 : base + 12])
         tags[tag] = (typ, count, base + 8)
 
-    type_fmt = {1: "B", 3: "H", 4: "I"}
-    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I", 7: "B"}  # 7 = UNDEFINED (bytes)
+    type_size = {1: 1, 3: 2, 4: 4, 7: 1}
 
     def values(tag, default=None):
         if tag not in tags:
@@ -4644,12 +4682,18 @@ def tiff_decode(payload: bytes):
             f"tiff: compression {comp} not supported "
             f"(none/LZW/PackBits/JPEG only)"
         )
+    jpeg_tables = None
     if comp == 7:
         if 347 in tags:
-            raise NotImplementedError(
-                "tiff: abbreviated JPEG streams (JPEGTables tag) not "
-                "supported — segments must be self-contained"
-            )
+            # abbreviated streams (TTN2): the shared tables live in the
+            # JPEGTables tag as a SOI…EOI stream; each segment splices
+            # its entropy data after those tables
+            jpeg_tables = bytes(values(347))
+            if (
+                jpeg_tables[:2] != b"\xff\xd8"
+                or jpeg_tables[-2:] != b"\xff\xd9"
+            ):
+                raise ValueError("tiff: malformed JPEGTables stream")
         if photo == 3 or bits0 != 8 or predictor != 1:
             raise ValueError(
                 "tiff: JPEG compression needs 8-bit gray/RGB, no predictor"
@@ -4670,7 +4714,12 @@ def tiff_decode(payload: bytes):
         raw = payload[off : off + cnt]
         if comp == 7:
             # new-style JPEG-in-TIFF (TTN2): each segment is a complete
-            # JPEG interchange stream decoding to the segment's pixels
+            # JPEG interchange stream — or, with JPEGTables, an
+            # abbreviated stream spliced after the shared tables
+            if jpeg_tables is not None:
+                if bytes(raw[:2]) != b"\xff\xd8":
+                    raise ValueError("tiff: abbreviated segment missing SOI")
+                raw = jpeg_tables[:-2] + bytes(raw[2:])
             jpx = jpeg_decode(bytes(raw))
             jpx = jpx.reshape(jpx.shape[0], jpx.shape[1], -1)
             if jpx.shape != (n_rows, width, seg_ch):
@@ -4874,12 +4923,19 @@ def _synthesize_tiff_ext_payloads(
             did = int(doc_id)
             cls = did % 8
             k = np.arange(IMG_W * IMG_H, dtype=np.int64)
-            if cls == 7:  # new-style JPEG-in-TIFF (gray, DC-only exact)
+            if cls == 7:  # new-style JPEG-in-TIFF (gray, DC-only exact);
+                # odd doc_ids use abbreviated JPEGTables streams (TTN2)
                 x = (k % IMG_W).reshape(IMG_H, IMG_W)
                 y = (k // IMG_W).reshape(IMG_H, IMG_W)
                 b = (y // 8) * 2 + (x // 8)
                 g = (128 + 2 * ((did + b) % 64 - 32)).astype(np.uint8)
-                payloads.append(tiff_encode_ext(g, compression="jpeg"))
+                payloads.append(
+                    tiff_encode_ext(
+                        g, compression="jpeg",
+                        jpeg_tables=bool(did % 2),
+                        rows_per_strip=8 if did % 2 else None,
+                    )
+                )
             elif cls == 5:  # 16-bit gray, LZW + predictor, strips
                 g16 = (((did + k) * 771) % 65536).astype(
                     np.uint16).reshape(IMG_H, IMG_W)

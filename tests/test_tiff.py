@@ -371,9 +371,28 @@ def test_tiff_jpeg_rgb_roundtrip():
     assert np.array_equal(px, c)
 
 
-def test_tiff_jpeg_abbreviated_streams_gate():
-    """A JPEGTables tag (347) marks abbreviated per-segment streams —
-    an honest gate, not a silent mis-decode."""
+@pytest.mark.parametrize(
+    "kw", [{}, {"rows_per_strip": 8}, {"tile": (8, 8)}],
+    ids=["whole", "strips", "tiled"],
+)
+def test_tiff_jpeg_abbreviated_streams_roundtrip(kw):
+    """JPEGTables (tag 347, TTN2): shared DQT/DHT tables spliced in
+    front of each abbreviated segment."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        tiff_encode_ext,
+    )
+
+    g = _block_constant_gray()
+    p = tiff_encode_ext(g, compression="jpeg", jpeg_tables=True, **kw)
+    w, h, ch, px = tiff_decode(p)
+    assert (w, h, ch) == (24, 16, 1)
+    assert np.array_equal(px[:, :, 0], g)
+    if kw:  # multi-segment files genuinely shrink vs self-contained
+        assert len(p) < len(tiff_encode_ext(g, compression="jpeg", **kw))
+
+
+def test_tiff_jpeg_malformed_tables_are_valueerror():
+    """A junk JPEGTables payload (no SOI/EOI bracket) is corruption."""
     from national_caseload_data_ingest_spark.operators.multimodal import (
         tiff_encode_ext,
     )
@@ -384,7 +403,7 @@ def test_tiff_jpeg_abbreviated_streams_gate():
     i = payload.find(struct.pack("<HHI", 278, 3, 1))
     assert i != -1
     struct.pack_into("<H", payload, i, 347)
-    with pytest.raises(NotImplementedError, match="JPEGTables"):
+    with pytest.raises(ValueError, match="JPEGTables"):
         tiff_decode(bytes(payload))
 
 
