@@ -3388,6 +3388,39 @@ def bmp_encode_bitfields(quantized, masks, bpp: int = 16) -> bytes:
     )
 
 
+def bmp_encode_core(arr, palette=None, bpp: int = None) -> bytes:
+    """BITMAPCOREHEADER (OS/2 BMPv2) encoder: 12-byte DIB header,
+    unsigned short dims, RGB-TRIPLE palettes — ``(h, w)`` indices +
+    ``(n, 3)`` palette at bpp 1/4/8, or ``(h, w, 3)`` RGB at 24."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    a = np.asarray(arr, np.uint8)
+    h, w = a.shape[:2]
+    if palette is not None:
+        if bpp is None:
+            bpp = 8
+        pal = np.asarray(palette, np.uint8)
+        if int(a.max(initial=0)) >= min(len(pal), 1 << bpp):
+            raise ValueError("bmp core encode: index exceeds palette/depth")
+        triples = np.zeros((1 << bpp, 3), np.uint8)
+        triples[: len(pal)] = pal[:, ::-1]  # RGB → BGR
+        pal_bytes = triples.tobytes()
+        packed = _pack_indices(a, bpp)
+    else:
+        bpp, pal_bytes = 24, b""
+        packed = a[:, :, ::-1].reshape(h, w * 3)
+    stride = (packed.shape[1] + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : packed.shape[1]] = packed
+    body = rows[::-1].tobytes()
+    offset = 14 + 12 + len(pal_bytes)
+    info = struct.pack("<IHHHH", 12, w, h, 1, bpp)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    return header + info + pal_bytes + body
+
+
 def bmp_encode_32(rgb) -> bytes:
     """32-bpp BGRX BI_RGB encoder (pad byte zero), bottom-up rows."""
     import numpy as np  # noqa: PLC0415
@@ -3464,7 +3497,9 @@ def bmp_decode(payload: bytes):
     paletted pixels expand through the BGR0 color table to RGB, except
     8-bpp identity-gray-ramp payloads, which collapse to one channel;
     32-bpp BI_RGB is BGRX (the pad byte is not alpha) and decodes to
-    RGB.  BITMAPCOREHEADER remains an honest gate."""
+    RGB.  BITMAPCOREHEADER (OS/2 BMPv2: unsigned short dims, RGB-triple
+    palettes, always BI_RGB) decodes at 1/4/8/24 bpp; BI_JPEG/BI_PNG
+    embeddings remain honest gates."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -3473,11 +3508,19 @@ def bmp_decode(payload: bytes):
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
     hdr_size = struct.unpack_from("<I", payload, 14)[0]
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
-    w, h_signed = struct.unpack_from("<ii", payload, 18)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    compression = struct.unpack_from("<I", payload, 30)[0]
+    core = hdr_size == 12  # BITMAPCOREHEADER (OS/2 BMPv2)
+    if hdr_size < 12 or (12 < hdr_size < 40):
+        raise ValueError(f"bmp: unknown DIB header size {hdr_size}")
+    if core:
+        # bcWidth/bcHeight are UNSIGNED shorts (always bottom-up),
+        # there is no compression field, and palettes are RGB TRIPLES
+        w, h_signed = struct.unpack_from("<HH", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 24)[0]
+        compression = 0
+    else:
+        w, h_signed = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
     if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"BMP compression {compression} not supported "
@@ -3493,6 +3536,8 @@ def bmp_decode(payload: bytes):
         raise NotImplementedError(
             f"BMP bpp {bpp} with compression {compression} not supported"
         )
+    if core and bpp not in (1, 4, 8, 24):
+        raise ValueError(f"bmp core header: bpp {bpp} invalid")
     top_down = h_signed < 0
     h = abs(h_signed)
     if compression == 3:
@@ -3526,6 +3571,13 @@ def bmp_decode(payload: bytes):
         return w, h, 3, np.ascontiguousarray(np.stack(chans, axis=-1))
 
     def palette():
+        if core:  # RGB triples, no ClrUsed field
+            n_colors = 1 << bpp
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=n_colors * 3,
+                offset=14 + hdr_size,
+            ).reshape(n_colors, 3)[:, ::-1]  # stored BGR → RGB
+            return pal, n_colors
         n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
         pal = np.frombuffer(
             payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
@@ -3639,8 +3691,8 @@ def bmp_decode_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BMP_EXT_CLASSES = (
-    "1bpp", "4bpp", "rle8", "rle4", "32bpp", "bf565", "bf210",
-)  # doc_id % 7
+    "1bpp", "4bpp", "rle8", "rle4", "32bpp", "bf565", "bf210", "core4",
+)  # doc_id % 8
 
 # BI_BITFIELDS fixture masks: classic 565 and the 2-10-10-10 HDR layout
 _BF_MASKS = {
@@ -3653,8 +3705,9 @@ def _synthesize_bmp_ext_payloads(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """Deterministic BMP per doc over the round-10 decoder extensions
-    (doc_id mod 7 → 1-bpp, 4-bpp, BI_RLE8, BI_RLE4, 32-bpp BGRX,
-    565-bitfields, 2-10-10-10-bitfields): base value b(k) =
+    (doc_id mod 8 → 1-bpp, 4-bpp, BI_RLE8, BI_RLE4, 32-bpp BGRX,
+    565-bitfields, 2-10-10-10-bitfields, 4-bpp BITMAPCOREHEADER):
+    base value b(k) =
     ((doc_id + k) ÷ 3) mod m for the RLE classes (runs of three, so
     encoded-run mode is load-bearing) and (doc_id + k) mod m otherwise;
     palette entry j = (7j, 11j, 13j) mod 256, the 32-bpp channels use
@@ -3667,9 +3720,16 @@ def _synthesize_bmp_ext_payloads(
         payloads = []
         for doc_id in pdf["doc_id"]:
             did = int(doc_id)
-            cls = _BMP_EXT_CLASSES[did % 7]
+            cls = _BMP_EXT_CLASSES[did % 8]
             k = np.arange(IMG_W * IMG_H, dtype=np.int64)
-            if cls in _BF_MASKS:
+            if cls == "core4":  # OS/2 BMPv2: triple palette, 4 bpp
+                idx = ((did + k) % 16).astype(np.uint8).reshape(IMG_H, IMG_W)
+                j = np.arange(16, dtype=np.int64)
+                pal = np.stack(
+                    [(j * 7) % 256, (j * 11) % 256, (j * 13) % 256], axis=-1
+                ).astype(np.uint8)
+                payloads.append(bmp_encode_core(idx, pal, bpp=4))
+            elif cls in _BF_MASKS:
                 masks, bpp = _BF_MASKS[cls]
                 peaks = [m >> ((m & -m).bit_length() - 1) for m in masks]
                 q = np.stack(
@@ -3707,10 +3767,11 @@ def _synthesize_bmp_ext_payloads(
     oracle=f"""
     WITH geom AS (
         SELECT doc_id,
-               doc_id % 7 AS cls,
-               CASE doc_id % 7 WHEN 0 THEN 2 WHEN 1 THEN 16
-                    WHEN 2 THEN 256 WHEN 3 THEN 16 ELSE 256 END AS m,
-               CASE WHEN doc_id % 7 IN (2, 3) THEN 3 ELSE 1 END AS rdiv
+               doc_id % 8 AS cls,
+               CASE doc_id % 8 WHEN 0 THEN 2 WHEN 1 THEN 16
+                    WHEN 2 THEN 256 WHEN 3 THEN 16
+                    WHEN 7 THEN 16 ELSE 256 END AS m,
+               CASE WHEN doc_id % 8 IN (2, 3) THEN 3 ELSE 1 END AS rdiv
         FROM documents
     ),
     px AS (
@@ -3741,11 +3802,12 @@ def _synthesize_bmp_ext_payloads(
 )
 def bmp_ext_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended-BMP decode E2E (the round-10 gate close): each document
-    gets a BMP from the seven newly decodable classes — 1-bpp and 4-bpp
+    gets a BMP from the eight newly decodable classes — 1-bpp and 4-bpp
     packed palettes, BI_RLE8 and BI_RLE4 run-length streams (runs of
-    three so the encoded-run path is load-bearing), 32-bpp BGRX, and
+    three so the encoded-run path is load-bearing), 32-bpp BGRX,
     BI_BITFIELDS at 565 and 2-10-10-10 (exact max-value channel
-    rescale) — and the per-channel, position-sensitive pixel statistics
+    rescale), and a 4-bpp OS/2 BITMAPCOREHEADER (RGB-triple palette) —
+    and the per-channel, position-sensitive pixel statistics
     hash-match the closed form.  Two narrow ``mapInPandas`` passes, no
     shuffle."""
     import numpy as np  # noqa: PLC0415

@@ -246,3 +246,49 @@ def test_bmp_bitfields_bad_masks_are_valueerror():
     struct.pack_into("<I", p, 54, 0b101000)
     with pytest.raises(ValueError, match="non-contiguous"):
         bmp_decode(bytes(p))
+
+
+@pytest.mark.parametrize("bpp", [1, 4, 8])
+def test_bmp_core_header_paletted_roundtrip(bpp):
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_core,
+    )
+
+    rng = np.random.default_rng(bpp + 90)
+    m = 1 << bpp
+    idx = rng.integers(0, m, (9, 13)).astype(np.uint8)
+    w, h, ch, px = bmp_decode(bmp_encode_core(idx, _pal(m), bpp=bpp))
+    assert (w, h, ch) == (13, 9, 3)
+    assert np.array_equal(px, _pal(m)[idx])
+
+
+def test_bmp_core_header_rgb_and_gray_ramp():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_core,
+    )
+
+    rng = np.random.default_rng(91)
+    rgb = rng.integers(0, 256, (7, 11, 3)).astype(np.uint8)
+    w, h, ch, px = bmp_decode(bmp_encode_core(rgb))
+    assert (w, h, ch) == (11, 7, 3)
+    assert np.array_equal(px, rgb)
+    # identity gray ramp (RGB triples) still collapses to one channel
+    g = rng.integers(0, 256, (5, 6)).astype(np.uint8)
+    ramp = np.stack([np.arange(256)] * 3, -1).astype(np.uint8)
+    _w, _h, ch, px = bmp_decode(bmp_encode_core(g, ramp, bpp=8))
+    assert ch == 1
+    assert np.array_equal(px[:, :, 0], g)
+
+
+def test_bmp_core_header_bad_bpp_and_unknown_header_size():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_core,
+    )
+
+    p = bytearray(bmp_encode_core(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", p, 24, 32)  # 32 bpp is not a core depth
+    with pytest.raises(ValueError, match="core header"):
+        bmp_decode(bytes(p))
+    struct.pack_into("<I", p, 14, 20)  # header size between 12 and 40
+    with pytest.raises(ValueError, match="unknown DIB header"):
+        bmp_decode(bytes(p))
