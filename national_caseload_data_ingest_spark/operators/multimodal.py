@@ -3388,6 +3388,23 @@ def bmp_encode_bitfields(quantized, masks, bpp: int = 16) -> bytes:
     )
 
 
+def bmp_encode_embedded(stream: bytes, w: int, h: int, kind: str) -> bytes:
+    """BI_JPEG / BI_PNG encoder twin: wrap a complete JPEG or PNG
+    stream in a BMP whose header declares the embedded compression
+    (bpp 0, per the Windows convention for embedded streams)."""
+    import struct  # noqa: PLC0415
+
+    comp = {"jpeg": 4, "png": 5}[kind]
+    offset = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 0, comp, len(stream), 0, 0, 0, 0
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(stream), 0, 0, offset
+    )
+    return header + info + stream
+
+
 def bmp_encode_core(arr, palette=None, bpp: int = None) -> bytes:
     """BITMAPCOREHEADER (OS/2 BMPv2) encoder: 12-byte DIB header,
     unsigned short dims, RGB-TRIPLE palettes — ``(h, w)`` indices +
@@ -3521,11 +3538,31 @@ def bmp_decode(payload: bytes):
         w, h_signed = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression not in (0, 1, 2, 3):
+    if compression not in (0, 1, 2, 3, 4, 5):
         raise NotImplementedError(
-            f"BMP compression {compression} not supported "
-            f"(BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS only)"
+            f"BMP compression {compression} not supported (BI_RGB / "
+            f"BI_RLE8 / BI_RLE4 / BI_BITFIELDS / BI_JPEG / BI_PNG only)"
         )
+    if compression in (4, 5):
+        # BI_JPEG / BI_PNG: the pixel area is a complete embedded
+        # stream (biSizeImage bytes), routed to the native codec
+        size_image = struct.unpack_from("<I", payload, 34)[0]
+        data = bytes(
+            payload[offset : offset + size_image]
+            if size_image
+            else payload[offset:]
+        )
+        if compression == 4:
+            jpx = jpeg_decode(data)
+            px = jpx.reshape(jpx.shape[0], jpx.shape[1], -1)
+        else:
+            _pw, _ph, _pch, px = png_decode(data)
+            px = px.reshape(px.shape[0], px.shape[1], -1)
+        if (px.shape[1], px.shape[0]) != (w, abs(h_signed)):
+            raise ValueError(
+                "bmp: embedded stream geometry disagrees with the header"
+            )
+        return w, abs(h_signed), px.shape[2], np.ascontiguousarray(px)
     if compression in (1, 2) and (
         h_signed < 0 or bpp != (8 if compression == 1 else 4)
     ):

@@ -78,11 +78,14 @@ def test_bmp_dispatch_and_resize():
 def test_bmp_honest_gates():
     px = np.zeros((2, 2), dtype=np.uint8)
     payload = bytearray(bmp_encode(px))
-    struct.pack_into("<I", payload, 30, 4)  # BI_JPEG still gates
+    struct.pack_into("<I", payload, 30, 6)  # BI_ALPHABITFIELDS gates
     with pytest.raises(NotImplementedError):
         bmp_decode(bytes(payload))
+    # BI_JPEG is SUPPORTED since round 10: raw sample bytes under that
+    # tag are corruption (no SOI), not a gate
+    struct.pack_into("<I", payload, 30, 4)
     with pytest.raises(ValueError):
-        bmp_decode(b"XX" + bytes(payload[2:]))
+        bmp_decode(bytes(payload))
 
 
 # ---------------------------------------------------------------------------
@@ -292,3 +295,34 @@ def test_bmp_core_header_bad_bpp_and_unknown_header_size():
     struct.pack_into("<I", p, 14, 20)  # header size between 12 and 40
     with pytest.raises(ValueError, match="unknown DIB header"):
         bmp_decode(bytes(p))
+
+
+def test_bmp_embedded_png_and_jpeg_streams():
+    """BI_PNG/BI_JPEG (compression 5/4): the pixel area is a complete
+    embedded stream routed to the native codec."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_embedded,
+        jpeg_encode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(45)
+    rgb = rng.integers(0, 256, (9, 13, 3)).astype(np.uint8)
+    w, h, ch, px = bmp_decode(
+        bmp_encode_embedded(png_encode(rgb), 13, 9, "png")
+    )
+    assert (w, h, ch) == (13, 9, 3)
+    assert np.array_equal(px, rgb)
+
+    m = np.arange(6, dtype=np.int64).reshape(2, 3)
+    g = np.repeat(np.repeat(128 + 2 * (m % 64 - 32), 8, 0), 8, 1).astype(
+        np.uint8
+    )
+    w, h, ch, px = bmp_decode(
+        bmp_encode_embedded(jpeg_encode(g), 24, 16, "jpeg")
+    )
+    assert (w, h, ch) == (24, 16, 1)
+    assert np.array_equal(px[:, :, 0], g)
+
+    with pytest.raises(ValueError, match="geometry disagrees"):
+        bmp_decode(bmp_encode_embedded(png_encode(rgb), 12, 9, "png"))
