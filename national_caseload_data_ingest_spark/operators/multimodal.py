@@ -3384,7 +3384,8 @@ def bmp_encode_bitfields(quantized, masks, bpp: int = 16) -> bytes:
     body = np.zeros((h, stride), np.uint8)
     body[:, : rows.shape[1]] = rows
     return _bmp_wrap(
-        bpp, w, h, 3, struct.pack("<III", *masks), body[::-1].tobytes()
+        bpp, w, h, 3 if len(masks) == 3 else 6,
+        struct.pack(f"<{len(masks)}I", *masks), body[::-1].tobytes(),
     )
 
 
@@ -3538,10 +3539,9 @@ def bmp_decode(payload: bytes):
         w, h_signed = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression not in (0, 1, 2, 3, 4, 5):
+    if compression not in (0, 1, 2, 3, 4, 5, 6):
         raise NotImplementedError(
-            f"BMP compression {compression} not supported (BI_RGB / "
-            f"BI_RLE8 / BI_RLE4 / BI_BITFIELDS / BI_JPEG / BI_PNG only)"
+            f"BMP compression {compression} not supported"
         )
     if compression in (4, 5):
         # BI_JPEG / BI_PNG: the pixel area is a complete embedded
@@ -3568,7 +3568,7 @@ def bmp_decode(payload: bytes):
     ):
         raise ValueError("bmp rle: needs bottom-up rows at the matching bpp")
     if bpp not in (1, 4, 8, 16, 24, 32) or (
-        bpp == 16 and compression != 3
+        bpp == 16 and compression not in (3, 6)
     ):
         raise NotImplementedError(
             f"BMP bpp {bpp} with compression {compression} not supported"
@@ -3577,10 +3577,12 @@ def bmp_decode(payload: bytes):
         raise ValueError(f"bmp core header: bpp {bpp} invalid")
     top_down = h_signed < 0
     h = abs(h_signed)
-    if compression == 3:
+    if compression in (3, 6):
         if bpp not in (16, 32):
             raise ValueError("bmp bitfields: needs 16 or 32 bpp")
-        masks = struct.unpack_from("<III", payload, 54)
+        # BI_ALPHABITFIELDS (6) adds a 4th mask: the alpha channel
+        n_masks = 4 if compression == 6 else 3
+        masks = struct.unpack_from(f"<{n_masks}I", payload, 54)
         row_bytes = w * (bpp // 8)
         stride = (row_bytes + 3) & ~3
         if offset + stride * h > len(payload):
@@ -3605,7 +3607,9 @@ def bmp_decode(payload: bytes):
             chans.append(
                 (((vals & mask) >> shift) * 255 // peak).astype(np.uint8)
             )
-        return w, h, 3, np.ascontiguousarray(np.stack(chans, axis=-1))
+        return (
+            w, h, n_masks, np.ascontiguousarray(np.stack(chans, axis=-1))
+        )
 
     def palette():
         if core:  # RGB triples, no ClrUsed field

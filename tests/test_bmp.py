@@ -78,8 +78,13 @@ def test_bmp_dispatch_and_resize():
 def test_bmp_honest_gates():
     px = np.zeros((2, 2), dtype=np.uint8)
     payload = bytearray(bmp_encode(px))
-    struct.pack_into("<I", payload, 30, 6)  # BI_ALPHABITFIELDS gates
+    struct.pack_into("<I", payload, 30, 11)  # BI_CMYK still gates
     with pytest.raises(NotImplementedError):
+        bmp_decode(bytes(payload))
+    # BI_ALPHABITFIELDS is SUPPORTED since round 10, but only at 16/32
+    # bpp — an 8-bpp header claiming it is structural nonsense
+    struct.pack_into("<I", payload, 30, 6)
+    with pytest.raises(ValueError, match="16 or 32"):
         bmp_decode(bytes(payload))
     # BI_JPEG is SUPPORTED since round 10: raw sample bytes under that
     # tag are corruption (no SOI), not a gate
@@ -326,3 +331,24 @@ def test_bmp_embedded_png_and_jpeg_streams():
 
     with pytest.raises(ValueError, match="geometry disagrees"):
         bmp_decode(bmp_encode_embedded(png_encode(rgb), 12, 9, "png"))
+
+
+def test_bmp_alpha_bitfields_four_channels():
+    """BI_ALPHABITFIELDS (compression 6) adds an alpha mask — decodes
+    to RGBA with the same exact rescale."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        bmp_encode_bitfields,
+    )
+
+    rng = np.random.default_rng(6)
+    masks = (0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+    q = rng.integers(0, 256, (9, 13, 4)).astype(np.int64)
+    w, h, ch, px = bmp_decode(bmp_encode_bitfields(q, masks, bpp=32))
+    assert (w, h, ch) == (13, 9, 4)
+    assert np.array_equal(px, q.astype(np.uint8))
+
+    masks4444 = (0x0F00, 0x00F0, 0x000F, 0xF000)
+    q = rng.integers(0, 16, (5, 7, 4)).astype(np.int64)
+    w, h, ch, px = bmp_decode(bmp_encode_bitfields(q, masks4444, bpp=16))
+    assert (w, h, ch) == (7, 5, 4)
+    assert np.array_equal(px, (q * 255 // 15).astype(np.uint8))
