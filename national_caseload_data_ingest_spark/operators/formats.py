@@ -186,6 +186,47 @@ def avro_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_digests(back)
 
 
+@query(
+    "avro_roundtrip_events",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_micros,
+           user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           md5(props) AS props_md5
+    FROM events
+    """,
+)
+def avro_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro fidelity on the TIMESTAMP-bearing table: the engine's codec
+    annotates timestamps as the Avro ``timestamp-micros`` logical type
+    (long micros since epoch, spec §Logical Types) and restores exact
+    microsecond instants; the oracle compares ``epoch_us`` per event, so
+    a ns-truncation, tz shift, or micros/millis confusion breaks every
+    row.  Doubles travel via the DECIMAL(18,2) convention (the ORC
+    roundtrip's exactness trick) and the JSON props column by md5."""
+    from national_caseload_data_ingest_spark.sources.avro import (  # noqa: PLC0415
+        decode_payloads,
+        encode_partitions,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    payloads = encode_partitions(events, codec="deflate")
+    back = decode_payloads(
+        payloads,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    return back.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_micros"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+        F.md5(F.col("props").cast("binary")).alias("props_md5"),
+    )
+
+
 def encode_arrow_ipc_partitions(df: DataFrame) -> DataFrame:
     """Each partition → one self-contained Arrow IPC (Feather v2) file
     payload, via ``mapInArrow`` (the Arrow batches Spark already ships to

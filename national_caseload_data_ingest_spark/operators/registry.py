@@ -63,6 +63,7 @@ CHECK_PRIORITY: list[str] = [
     "mp3_stream_features",  # MPEG-audio frame walk + byte accounting (new)
     "ogg_stream_features",  # Ogg page walk, real CRCs, codec census (new)
     "warc_record_features",  # Common Crawl container walk (new)
+    "avro_roundtrip_events",  # timestamp-micros logical type (new)
     "url_canonical_features",  # crawl-manifest canonicalization (new)
     "domain_doc_counts",  # registered-domain rollup (new)
     "ico_decode_features",  # favicon container: DIB + PNG entries (new)

@@ -49,9 +49,19 @@ _SPARK_TO_AVRO = {
     "long": "long",
     "int": "int",
     "double": "double",
+    "float": "float",
     "string": "string",
     "boolean": "boolean",
     "binary": "bytes",
+    # logical types (Avro 1.11 spec §Logical Types): annotated primitives
+    "timestamp": "timestamp-micros",
+    "date": "date-days",
+}
+
+# internal type token -> schema JSON for annotated primitives
+_LOGICAL_SCHEMAS = {
+    "timestamp-micros": {"type": "long", "logicalType": "timestamp-micros"},
+    "date-days": {"type": "int", "logicalType": "date"},
 }
 
 
@@ -126,7 +136,11 @@ def _avro_schema(fields: list[tuple[str, str]], name: str) -> dict:
                 f"avro codec supports primitive columns only, got "
                 f"{fname}: {spark_type}"
             )
-        out.append({"name": fname, "type": ["null", _SPARK_TO_AVRO[spark_type]]})
+        avro_t = _SPARK_TO_AVRO[spark_type]
+        out.append(
+            {"name": fname,
+             "type": ["null", _LOGICAL_SCHEMAS.get(avro_t, avro_t)]}
+        )
     return {"type": "record", "name": name, "fields": out}
 
 
@@ -137,8 +151,15 @@ def _encode_value(out: bytearray, typ: str, v) -> None:
     _write_long(out, 1)  # union branch 1 = value
     if typ in ("long", "int"):
         _write_long(out, int(v))
+    elif typ == "timestamp-micros":
+        # pandas Timestamps carry ns in .value; exact micros division
+        _write_long(out, int(pd.Timestamp(v).value // 1000))
+    elif typ == "date-days":
+        _write_long(out, (pd.Timestamp(v) - pd.Timestamp(0)).days)
     elif typ == "double":
         out.extend(struct.pack("<d", float(v)))
+    elif typ == "float":
+        out.extend(struct.pack("<f", float(v)))
     elif typ == "string":
         _write_str(out, str(v))
     elif typ == "bytes":
@@ -155,8 +176,14 @@ def _decode_value(r: _Reader, typ: str):
         return None
     if typ in ("long", "int"):
         return r.long()
+    if typ == "timestamp-micros":
+        return pd.Timestamp(r.long(), unit="us")
+    if typ == "date-days":
+        return (pd.Timestamp(0) + pd.Timedelta(days=r.long())).date()
     if typ == "double":
         return r.double()
+    if typ == "float":
+        return struct.unpack("<f", r.raw(4))[0]
     if typ == "string":
         return r.str_()
     if typ == "bytes":
@@ -238,7 +265,13 @@ def avro_decode(payload: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
         if isinstance(t, list):
             t = [x for x in t if x != "null"][0]
         if isinstance(t, dict):
-            raise NotImplementedError("nested avro types")
+            lt = t.get("logicalType")
+            if lt == "timestamp-micros" and t.get("type") == "long":
+                t = "timestamp-micros"
+            elif lt == "date" and t.get("type") == "int":
+                t = "date-days"
+            else:
+                raise NotImplementedError("nested avro types")
         fields.append((f["name"], t))
     rows: list[tuple] = []
     while r.pos < len(r.d):

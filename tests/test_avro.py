@@ -112,3 +112,36 @@ def test_distributed_file_roundtrip(spark, tmp_path):
     a = {tuple(r) for r in docs.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b and len(a) > 0
+
+
+def test_avro_logical_types_roundtrip():
+    """timestamp-micros / date / float annotated primitives survive the
+    container byte-exactly, including pre-epoch instants and nulls."""
+    import pandas as pd
+
+    from national_caseload_data_ingest_spark.sources.avro import (
+        avro_decode,
+        avro_encode,
+    )
+
+    rows = [
+        (1, pd.Timestamp("2024-01-01 00:09:58.778549"), 1.5,
+         pd.Timestamp("2024-03-05").date()),
+        (2, None, None, None),
+        (3, pd.Timestamp("1969-12-31 23:59:59.000001"), -2.25,
+         pd.Timestamp("1969-06-01").date()),
+    ]
+    fields = [("id", "bigint"), ("ts", "timestamp"), ("x", "float"),
+              ("d", "date")]
+    out_fields, back = avro_decode(avro_encode(rows, fields))
+    assert [t for _n, t in out_fields] == [
+        "long", "timestamp-micros", "float", "date-days",
+    ]
+    for a, b in zip(rows, back):
+        assert a[0] == b[0]
+        assert a[1] == b[1] or (a[1] is None and b[1] is None)
+        assert a[3] == b[3] or (a[3] is None and b[3] is None)
+        if a[2] is None:
+            assert b[2] is None
+        else:
+            assert abs(a[2] - b[2]) < 1e-7  # float32 round-trip
