@@ -318,6 +318,8 @@ def decode_image(payload: bytes) -> object:
         return w, h, ch, px
     if payload[:2] == BMP_SIGNATURE:
         return bmp_decode(payload)
+    if payload[:4] == ICO_SIGNATURE:
+        return ico_decode(payload)  # largest entry, a browser's pick
     if payload[:4] in TIFF_SIGNATURES:
         return tiff_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
@@ -875,10 +877,12 @@ def png_depth_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Resize an image payload, returning PNG bytes.
 
-    PNG, GIF, and grayscale baseline JPEG payloads resize natively (pure
-    numpy nearest-neighbor over the decoded pixel array, re-encoded with
-    :func:`png_encode`) — no codec library needed.  Other formats require
-    PIL and raise ``NotImplementedError`` in this container."""
+    Every format :func:`decode_image` handles natively — PNG, GIF,
+    JPEG, BMP, TIFF, ICO, WEBP — resizes natively too (pure numpy
+    nearest-neighbor over the decoded pixel array, re-encoded with
+    :func:`png_encode`; 16-bit sources re-encode as 16-bit PNG).
+    Anything else would require PIL and raises ``NotImplementedError``
+    in this container."""
     import numpy as np  # noqa: PLC0415
 
     if (
@@ -886,6 +890,9 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         or payload[:6] in GIF_SIGNATURES
         or payload[:2] == JPEG_SOI
         or payload[:2] == BMP_SIGNATURE
+        or payload[:4] in TIFF_SIGNATURES
+        or payload[:4] == ICO_SIGNATURE
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
     ):
         w, h, _ch, px = decode_image(payload)
         ys = np.minimum((np.arange(height) * h) // height, h - 1)

@@ -142,3 +142,21 @@ def test_classify_routes_ico():
     assert "cursor" in reason
     fmt, status, _ = classify_codec_payload(payload[:12])
     assert (fmt, status) == ("ico", "corrupt")
+
+
+def test_decode_image_dispatches_ico():
+    from national_caseload_data_ingest_spark.operators.multimodal import (
+        decode_image,
+        png_decode,
+        resize_image,
+    )
+    import numpy as np
+
+    blob = _ico_dib_encode(rgba=np.full((8, 8, 4), 7, np.uint8))
+    payload = ico_encode([blob])
+    w, h, ch, px = decode_image(payload)
+    assert (w, h, ch) == (8, 8, 4)
+    assert px[0, 0, 0] == 7
+    out = resize_image(payload, 4, 4)  # PNG by contract
+    w2, h2, _ch2, _small = png_decode(out)
+    assert (w2, h2) == (4, 4)
