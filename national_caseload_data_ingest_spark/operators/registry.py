@@ -35,93 +35,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The per-round driver verifies queries in dict-iteration order and caps at
 # the first 50 (the cap is empirical, see COVERAGE.md).  The window ROTATES
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
-# the whole catalog.  Round-9 rotation (VERDICT r8 ask #2 — r8 never
-# executed the planned rotation, so the r2/r4-stale backlog leads now):
+# the whole catalog.  Round-11 rotation (VERDICT r10 ask #4 — the round-4
+# backlog spill leads, plus the one never-driver-checked query):
 #
-# 1. round-10 NEW or semantics-changed queries lead (22 of them — the
-#    codec sweep, the container walks, web curation, DSIR/WordPiece);
-#    their driver rows must reflect current behavior;
-# 2. the round-9-fresh block (int8/binary ANN, spans, animations);
-# 3. the 10 queries whose freshest driver row is ROUND 2;
-# 4. the round-4 backfill in name order — whatever spills past the
-#    50-cap (32 names this round) leads the round-11 window; the spill
-#    is covered every round by the local full-catalog replay at sf0.01
-#    and sf0.1 (tools/check_oracle.py; this round: 224/224 at sf0.01,
-#    see COVERAGE.md for the close-sweep numbers).
+# 1. round-11 NEW or semantics-changed queries lead (block grows during
+#    the round as operators land);
+# 2. ``wordpiece_train_encode`` — the only catalog entry with no driver
+#    row in any CORRECTNESS_r*.json;
+# 3. the 15 queries whose freshest driver row is ROUND 4 (the promised
+#    backlog spill), in name order;
+# 4. round-5-stale fill in name order up to the 50-cap; whatever spills
+#    is covered by the local full-catalog replay at sf0.01 and sf0.1
+#    (tools/check_oracle.py; see COVERAGE.md close-sweep numbers).
 CHECK_PRIORITY: list[str] = [
-    # -- round-10: new or semantics changed this round -----------------------
-    "vp8_decode_features",  # lossy-WebP VP8 key-frame decode E2E (new)
-    "kmeans_int8_assign",  # integer Lloyd's with a full value oracle (new)
-    "dsir_importance_weights",  # hashed-bigram DSIR weights (new)
-    "dsir_selected_docs",  # DSIR top-k selection cut (new)
-    "wordpiece_tokenize_docs",  # greedy matcher with a recursive-CTE oracle (new)
-    "corpus_shuffle_index",  # epoch-seeded global permutation + shards (new)
-    "compression_ratio_quality",  # zlib repetition signal, rows-only (new)
-    "codec_gate_report",  # 8 classes now: inter-VP8 + inter-AVI gates (changed)
-    "bmp_ext_decode_features",  # 1/4-bpp, BI_RLE8/4, 32-bpp BGRX (new)
-    "tiff_ext_decode_features",  # paletted/tiled/planar-2 layouts (new)
-    "mp3_stream_features",  # MPEG-audio frame walk + byte accounting (new)
-    "ogg_stream_features",  # Ogg page walk, real CRCs, codec census (new)
-    "warc_record_features",  # Common Crawl container walk (new)
-    "avro_roundtrip_events",  # timestamp-micros logical type (new)
-    "url_canonical_features",  # crawl-manifest canonicalization (new)
-    "domain_doc_counts",  # registered-domain rollup (new)
-    "ico_decode_features",  # favicon container: DIB + PNG entries (new)
-    "png_palette_decode_features",  # color-type-3 sub-byte + tRNS (new)
-    "png_depth_decode_features",  # 16-bit + sub-byte grayscale (new)
-    "png_decode_features",  # Adam7 interlace + weighted_sum column (changed)
-    "flac_audio_features",  # depth + 1-8 channel-layout rotation (changed)
-    "containment_quote_pairs",  # prefix-filtered tier past budget (changed)
-    "global_order_index",  # single-plan ReusedExchange, no persist (changed)
-    "gif_animation_features",  # truncation hardening + anim routing (changed)
-    # -- round-9: still freshest for these ----------------------------------
-    "embedding_int8_quantize",  # global-scale int8 codes, exact stats
-    "ann_int8_topk",  # int8 MIPS with a full value oracle
-    "ann_binary_topk",  # 1-bit sign + Hamming, full value oracle
-    "repeated_span_report",  # exact substring-dedup spans, Lee et al. style
-    "webp_animation_features",  # VP8X/ANIM/ANMF compositing E2E
-    "webp_decode_features",  # VP8L mode-13 predictor fixed (r9)
-    "mjpeg_frame_features",  # AVI walk video-only kinds (r9)
-    "heavy_hitter_tokens",  # MG pass-1 vectorized in r9
-    # -- freshest driver row is round 2 ------------------------------------
-    "in_subquery_rich_customers",
-    "multimodal_frame_sample",
-    "pivot_line_status",
-    "q10_returned_items",
-    "set_except_nations",
-    "set_intersect_nations",
-    "simhash_neardup",
-    "sliding_window_events",
-    "window_ntile_share",
-    "window_running_total",
-    # -- freshest driver row is round 4 (first ~36 fit under the cap) ------
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "anti_join_customers_no_orders",
-    "array_agg_order_keys",
-    "conditional_case",
-    "cosine_topk_bruteforce",
-    "cube_returnflag_status",
-    "date_functions",
-    "decontaminate_overlap",
-    "dedup_exact",
-    "distinct_part_counts",
-    "doc_fingerprint",
-    "embedding_cosine_neardup",
-    "events_enriched_segment",
-    "exists_correlated_heavy_parts",
-    "full_outer_nation_activity",
-    "json_extract_events",
-    "lang_id_heuristic",
-    "math_functions",
-    "median_quantity_by_flag",
-    "multimodal_byte_features",
-    "neardup_clusters",
-    "ngram_jaccard_pairs",
-    "outer_join_order_counts",
-    "q6_revenue_forecast",
-    "quality_score",
-    "range_join_value_bins",
+    # -- round-11: new or semantics changed this round ----------------------
+    # (inserted here as they land)
+    # -- never driver-checked ------------------------------------------------
+    "wordpiece_train_encode",
+    # -- freshest driver row is round 4 --------------------------------------
     "rollup_region_nation",
     "scalar_subquery_above_avg",
     "semi_join_urgent_customers",
@@ -137,6 +68,41 @@ CHECK_PRIORITY: list[str] = [
     "user_lifetime_stats",
     "vector_norms",
     "window_rank_orders",
+    # -- freshest driver row is round 5 (fill to the cap) --------------------
+    "approx_quantity_percentiles",
+    "asof_join_last_purchase",
+    "balanced_mixture_sample",
+    "bm25_rank_docs",
+    "bpe_token_count",
+    "cdc_chunk_stats",
+    "common_ngram_fraction",
+    "duplicate_passage_report",
+    "embedding_neardup_ivf",
+    "event_gap_stats",
+    "explode_part_words",
+    "grouping_sets_priority",
+    "latest_event_per_user",
+    "lexical_diversity_by_source",
+    "minhash_lsh_neardup",
+    "pii_scrub",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "rare_token_fraction",
 ]
 
 
