@@ -32,6 +32,8 @@ Two registered queries:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -96,6 +98,13 @@ def wordpiece_segment(
     return out
 
 
+# Word boundary = ASCII whitespace ONLY, mirroring RE2's '\\s' class
+# ([\t\n\f\r ]) that the DuckDB oracle's string_split_regex uses.  Python's
+# str.split() would also split on Unicode whitespace (U+00A0, U+2028, ...)
+# and silently diverge from the oracle on non-ASCII space characters.
+_ASCII_WS = re.compile(r"[\t\n\f\r ]+")
+
+
 def _encode_kernel(vocab: frozenset[str], firsts_n: int = 8):
     """mapInPandas generator: (doc_id, text) -> per-doc WordPiece stats.
     The vocab rides the closure; a per-batch word cache amortizes the
@@ -115,7 +124,7 @@ def _encode_kernel(vocab: frozenset[str], firsts_n: int = 8):
         for pdf in batches:
             doc_ids, n_words, n_tokens, n_unk, firsts = [], [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in str(text).lower().strip().split() if w]
+                words = [w for w in _ASCII_WS.split(str(text).lower()) if w]
                 toks: list[str] = []
                 unk = 0
                 for w in words:
@@ -192,13 +201,22 @@ wtok AS (
            CASE WHEN g.n_tok IS NULL THEN 1 ELSE 0 END AS unk
     FROM dw d
     LEFT JOIN (SELECT w, n_tok FROM seg WHERE rem = '') g USING (w)
+),
+agg AS (
+    SELECT wo.doc_id,
+           COUNT(*) AS n_words,
+           SUM(t.n_tok) AS n_wp_tokens,
+           SUM(t.unk) AS n_unk
+    FROM words wo JOIN wtok t ON wo.w = t.w
+    GROUP BY wo.doc_id
 )
-SELECT wo.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(t.n_tok) AS BIGINT) AS n_wp_tokens,
-       CAST(SUM(t.unk) AS BIGINT) AS n_unk
-FROM words wo JOIN wtok t ON wo.w = t.w
-GROUP BY wo.doc_id
+-- LEFT JOIN back to documents so empty/whitespace-only texts still yield
+-- a zero row, matching the Spark kernel which emits n_words=0 for them.
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_wp_tokens, 0) AS BIGINT) AS n_wp_tokens,
+       CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 

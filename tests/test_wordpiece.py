@@ -164,3 +164,41 @@ def test_encode_unk_accounting(spark):
     assert out[0]["n_wp_tokens"] == 3 and out[0]["n_unk"] == 1
     assert out[1]["n_wp_tokens"] == 1 and out[1]["n_unk"] == 1
     assert out[1]["first_tokens"] == UNK
+
+
+def test_encode_oracle_totality_edges(spark):
+    """ADVICE r10: empty/whitespace-only docs must yield zero rows on BOTH
+    engines (oracle now LEFT JOINs documents), and the word boundary is
+    ASCII whitespace only — U+00A0 stays INSIDE a word exactly as RE2's
+    '\\s' (the oracle regex class) treats it."""
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   \t\n "), (2, "ab ab"), (3, "ab ab")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in wordpiece_encode(docs, {"ab"}).collect()}
+    assert out[0]["n_words"] == 0 and out[0]["n_wp_tokens"] == 0
+    assert out[1]["n_words"] == 0 and out[1]["n_unk"] == 0
+    # NBSP / LINE SEPARATOR are NOT separators: one unsegmentable word
+    assert out[2]["n_words"] == 1 and out[2]["n_unk"] == 1
+    assert out[3]["n_words"] == 1 and out[3]["n_unk"] == 1
+
+
+def test_empty_doc_oracle_parity_duckdb():
+    """Replay the fixed oracle over a corpus containing an empty and a
+    whitespace-only document and check it emits COALESCEd zero rows."""
+    import duckdb
+
+    from national_caseload_data_ingest_spark.operators.wordpiece import (
+        _WP_ORACLE,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, ''), (1, '  '), (2, 'customer value')"
+        ") t(doc_id, text)"
+    )
+    rows = {r[0]: r for r in con.execute(_WP_ORACLE).fetchall()}
+    assert rows[0][1:] == (0, 0, 0)
+    assert rows[1][1:] == (0, 0, 0)
+    assert rows[2][1] == 2
