@@ -17,9 +17,12 @@ one WARC file is ~1 GiB holding ~10⁵ records; there the same walker
 runs per FILE (binaryFile source) with records exploded to rows, still
 shuffle-free until the first dedup/groupBy downstream.
 
-Honest gates: chunked transfer-encoding (needs de-chunking state we
-have no fixture pressure for yet) raises ``NotImplementedError``;
-structural damage (bad version line, truncated body, missing
+Chunked transfer-encoding is de-chunked (size-line/CRLF frames, chunk
+extensions tolerated, trailer ignored) and ``Content-Encoding: gzip``
+payloads are gunzipped — the two encodings real Common Crawl responses
+actually carry.  Honest gates remain for genuinely exotic encodings
+(``br``, ``deflate``, compress) via ``NotImplementedError``; structural
+damage (bad version line, truncated body/chunk, malformed
 Content-Length) raises ``ValueError``.
 
 The reference (/root/reference/ncd/) has no web-archive surface; this
@@ -88,6 +91,11 @@ def warc_parse_record(data: bytes) -> dict:
     headers = _parse_headers(data[first_nl + 2 : head_end])
     if "content-length" not in headers:
         raise ValueError("warc: missing Content-Length")
+    # Validate before int(): a malformed value must raise the module's
+    # 'warc:' ValueError, and a negative value must not slice silently
+    # to an empty body.  str.isdigit admits no sign, so n >= 0 holds.
+    if not headers["content-length"].isdigit():
+        raise ValueError("warc: bad Content-Length")
     n = int(headers["content-length"])
     body = data[head_end + 4 : head_end + 4 + n]
     if len(body) != n:
@@ -100,8 +108,40 @@ def warc_parse_record(data: bytes) -> dict:
     }
 
 
+def dechunk(data: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body: hex size line
+    (chunk extensions after ``;`` ignored) + CRLF + chunk octets + CRLF,
+    terminated by a zero-size chunk; any trailer headers are ignored."""
+    out = []
+    pos = 0
+    while True:
+        nl = data.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("warc: unterminated chunk-size line")
+        size_tok = data[pos:nl].split(b";", 1)[0].strip()
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            raise ValueError("warc: bad chunk size") from None
+        pos = nl + 2
+        if n == 0:
+            return b"".join(out)
+        chunk = data[pos : pos + n]
+        if len(chunk) != n:
+            raise ValueError("warc: truncated chunk")
+        out.append(chunk)
+        pos += n
+        if data[pos : pos + 2] != b"\r\n":
+            raise ValueError("warc: missing chunk terminator")
+        pos += 2
+
+
 def http_payload(body: bytes) -> tuple[int, dict, bytes]:
-    """Split an HTTP response block into (status, headers, payload)."""
+    """Split an HTTP response block into (status, headers, payload).
+
+    Decodes the two layers real crawl captures carry, in wire order:
+    ``Transfer-Encoding: chunked`` first (the outer hop-by-hop layer),
+    then ``Content-Encoding: gzip``.  Other encodings gate honestly."""
     head_end = body.find(b"\r\n\r\n")
     if head_end < 0 or not body.startswith(b"HTTP/1."):
         raise ValueError("warc: record body is not an HTTP response")
@@ -110,12 +150,24 @@ def http_payload(body: bytes) -> tuple[int, dict, bytes]:
     if len(status_line) < 2 or not status_line[1].isdigit():
         raise ValueError("warc: malformed HTTP status line")
     headers = _parse_headers(body[first_nl + 2 : head_end])
-    if headers.get("transfer-encoding", "").lower() == "chunked":
+    payload = body[head_end + 4 :]
+    te = headers.get("transfer-encoding", "").lower()
+    if te == "chunked":
+        payload = dechunk(payload)
+    elif te not in ("", "identity"):
         raise NotImplementedError(
-            "warc: chunked transfer-encoding not supported; route to "
-            "de-chunking host"
+            f"warc: transfer-encoding {te!r} not supported; route to "
+            "decode host"
         )
-    return int(status_line[1]), headers, body[head_end + 4 :]
+    ce = headers.get("content-encoding", "").lower()
+    if ce in ("gzip", "x-gzip"):
+        payload = b"".join(gzip_members(payload))
+    elif ce not in ("", "identity"):
+        raise NotImplementedError(
+            f"warc: content-encoding {ce!r} not supported; route to "
+            "decode host"
+        )
+    return int(status_line[1]), headers, payload
 
 
 def warc_walk(payload: bytes) -> list[dict]:
@@ -160,12 +212,31 @@ def warc_build(records, gzip_framing: bool = True) -> bytes:
 _HTML_WRAP = len(b"<html></html>")
 
 
+def _chunk_encode(data: bytes, seed: int) -> bytes:
+    """Chunked transfer-encode ``data`` in seed-derived chunk sizes; the
+    first size line carries a chunk extension so the parser's
+    extension-tolerance is load-bearing."""
+    size = 7 + seed % 23
+    out = bytearray()
+    first = True
+    for i in range(0, len(data), size):
+        ch = data[i : i + size]
+        ext = b";fx=1" if first else b""
+        out += f"{len(ch):x}".encode() + ext + b"\r\n" + ch + b"\r\n"
+        first = False
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
 def _synth_records(did: int):
     """Deterministic 3-record capture: warcinfo + request + response.
     The response payload is ``<html>`` + bytes ((did + k) mod 64 + 32,
     k < 64 + did mod 128) + ``</html>`` behind a status from
     (200, 301, 404) by did mod 3 — printable, position-derived, and
-    closed-form summable."""
+    closed-form summable.  The response body's WIRE encoding rotates by
+    did mod 4: identity / chunked / gzip Content-Encoding / chunked over
+    gzip — so the oracle's decoded-payload closed form only matches if
+    de-chunking and gunzipping both recover the exact bytes."""
     host = f"w{did % 7}.example{did % 13}." + ("com", "org", "net")[did % 3]
     uri = f"https://{host}/page{did % 10}"
     info = b"software: fixture-crawler/1.0\r\n"
@@ -177,9 +248,20 @@ def _synth_records(did: int):
         + b"</html>"
     )
     status = (200, 301, 404)[did % 3]
+    mode = did % 4
+    wire = html
+    extra = ""
+    if mode in (2, 3):
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        wire = c.compress(wire) + c.flush()
+        extra += "Content-Encoding: gzip\r\n"
+    if mode in (1, 3):
+        wire = _chunk_encode(wire, did)
+        extra += "Transfer-Encoding: chunked\r\n"
     resp = (
-        f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n".encode()
-        + html
+        f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n"
+        f"{extra}\r\n".encode()
+        + wire
     )
     return [
         ("warcinfo", "", info),
@@ -237,11 +319,13 @@ def _synthesize_warc_payloads(
 def warc_record_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion E2E: synthesize a 3-record capture per document
     (warcinfo + request + response; gzip member-per-record framing on
-    even doc_ids, plain framing on odd), walk the records, and extract
-    the HTTP response payload — host, status, exact payload byte count
-    and checksum — hash-matching the closed form.  A mis-split gzip
-    member, an off-by-one in the Content-Length body slice, or a
-    mangled HTTP head all break the match.  Two narrow ``mapInPandas``
+    even doc_ids, plain framing on odd; response wire encoding rotating
+    identity/chunked/gzip/chunked-over-gzip by doc_id mod 4), walk the
+    records, and extract the DECODED HTTP response payload — host,
+    status, exact payload byte count and checksum — hash-matching the
+    closed form.  A mis-split gzip member, an off-by-one in the
+    Content-Length body slice, a mangled HTTP head, a dropped chunk, or
+    a bad gunzip all break the match.  Two narrow ``mapInPandas``
     passes, no shuffle."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     payloads = fan_out(d.select("doc_id")).mapInPandas(

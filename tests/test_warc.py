@@ -74,10 +74,72 @@ def _gz(b: bytes) -> bytes:
     return c.compress(b) + c.flush()
 
 
-def test_chunked_transfer_encoding_gates():
-    body = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n3\r\nabc"
-    with pytest.raises(NotImplementedError, match="chunked"):
-        http_payload(body)
+def test_chunked_transfer_encoding_decodes():
+    wire = b"4;ext=x\r\nwiki\r\n5\r\npedia\r\n0\r\nX-Trailer: 1\r\n\r\n"
+    body = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + wire
+    status, _h, payload = http_payload(body)
+    assert (status, payload) == (200, b"wikipedia")
+
+
+def test_chunked_corruption_is_valueerror():
+    head = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    with pytest.raises(ValueError, match="truncated chunk"):
+        http_payload(head + b"5\r\nabc")
+    with pytest.raises(ValueError, match="bad chunk size"):
+        http_payload(head + b"zz\r\nabc\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="chunk terminator"):
+        http_payload(head + b"3\r\nabcXX0\r\n\r\n")
+    with pytest.raises(ValueError, match="unterminated chunk-size"):
+        http_payload(head + b"3")
+
+
+def test_gzip_content_encoding_decodes():
+    raw = b"<html>hello crawl</html>"
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + _gz(raw)
+    )
+    assert http_payload(body)[2] == raw
+    # chunked applied OVER the gzip bytes (wire order) round-trips too
+    from national_caseload_data_ingest_spark.operators.warc import (
+        _chunk_encode,
+    )
+
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + _chunk_encode(_gz(raw), 5)
+    )
+    assert http_payload(body)[2] == raw
+
+
+def test_exotic_encodings_gate():
+    with pytest.raises(NotImplementedError, match="content-encoding"):
+        http_payload(b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx")
+    with pytest.raises(NotImplementedError, match="transfer-encoding"):
+        http_payload(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\nx"
+        )
+
+
+def test_bad_content_length_is_warc_valueerror():
+    for bad in (b"-5", b"12x", b""):
+        rec = b"WARC/1.0\r\nContent-Length: " + bad + b"\r\n\r\n"
+        with pytest.raises(ValueError, match="warc: bad Content-Length"):
+            warc_walk(_gz(rec))
+
+
+def test_all_four_wire_modes_roundtrip():
+    """did mod 4 rotates identity/chunked/gzip/chunked+gzip — all four
+    must decode to the same closed-form html payload."""
+    for did in (8, 9, 10, 11):
+        recs = warc_walk(warc_build(_synth_records(did)))
+        _s, _h, payload = http_payload(recs[2]["body"])
+        n = 64 + did % 128
+        want = (
+            b"<html>"
+            + bytes((did + k) % 64 + 32 for k in range(n))
+            + b"</html>"
+        )
+        assert payload == want, did
 
 
 def test_classifier_routes_warc_and_gzip():
