@@ -9,9 +9,12 @@ identification, duration estimation, bitrate/layer census, corruption
 triage, and sizing the route-to-host population — need only the frame
 headers, which this module parses natively per the public ISO/IEC
 11172-3 / 13818-3 header layout.  Free-format streams (bitrate index
-0) are an honest ``NotImplementedError`` gate (frame length is not
-derivable from the header alone); structural damage (bad sync,
-truncated frame, reserved codes) raises ``ValueError`` so
+0) use the spec's inference rule: the frame size is constant, so it is
+recovered by scanning from the first header to the next sync word (or
+EOF for a single-frame stream); the reported ``bitrate_kbps`` is the
+floor of the inverse frame-length formula and ``bitrate_mode`` is
+``'free'``.  Structural damage (bad sync, truncated frame, reserved
+codes, mixed free/indexed frames) raises ``ValueError`` so
 ``classify_codec_payload`` files it as corruption.
 
 Everything runs as the established per-payload Arrow kernel: one
@@ -61,6 +64,43 @@ def _frame_geometry(version: int, layer: int, kbps: int, sr: int):
     return 72_000 * kbps // sr, 1, 576  # MPEG2/2.5 layer III
 
 
+def _slot_spf(version: int, layer: int) -> tuple[int, int]:
+    """(padding slot bytes, samples per frame) without needing a
+    bitrate — the free-format path's geometry."""
+    if layer == 1:
+        return 4, 384
+    if layer == 2:
+        return 1, 1152
+    return 1, (1152 if version == 1 else 576)
+
+
+def _free_kbps_div(version: int, layer: int) -> int:
+    """Divisor of the inverse frame-length formula: nominal kbps of a
+    free-format stream = (base_bytes * sample_rate) // div."""
+    if layer == 1:
+        return 48_000
+    if layer == 2 or version == 1:
+        return 144_000
+    return 72_000
+
+
+def mp3_header_plausible(payload: bytes) -> bool:
+    """True iff the payload starts with a fully parseable MPEG-audio
+    frame header (valid version/layer/bitrate/samplerate fields) — the
+    sniff :func:`classify_codec_payload` requires before committing
+    ``fmt='mp3'``, so arbitrary ``FF Ex`` binaries stay 'unknown'."""
+    if len(payload) < 4:
+        return False
+    b0, b1, b2, _b3 = payload[:4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return False
+    vbits = (b1 >> 3) & 3
+    lbits = (b1 >> 1) & 3
+    if vbits == 1 or lbits == 0:
+        return False
+    return (b2 >> 4) != 15 and ((b2 >> 2) & 3) != 3
+
+
 def mp3_walk(payload: bytes) -> dict:
     """Walk an entire MPEG-audio stream: optional ID3v2 tag, then
     back-to-back frames to EOF.  Returns the stream summary; raises
@@ -76,8 +116,14 @@ def mp3_walk(payload: bytes) -> dict:
                 raise ValueError("mp3: bad ID3v2 syncsafe size")
             size = (size << 7) | b
         pos = 10 + size
+        # ID3v2.4 footer flag (flags bit 4): the syncsafe size excludes
+        # both the 10-byte header AND the 10-byte footer, so skip it too
+        # or the walk lands mid-footer and misfiles the stream as corrupt.
+        if payload[5] & 0x10:
+            pos += 10
     frames = []
     total_bytes = 0
+    free_base = None  # inferred constant frame size (unpadded), free format
     while pos < len(payload):
         if pos + 4 > len(payload):
             raise ValueError("mp3: truncated frame header")
@@ -93,17 +139,43 @@ def mp3_walk(payload: bytes) -> dict:
         br_idx = b2 >> 4
         sr_idx = (b2 >> 2) & 3
         pad = (b2 >> 1) & 1
-        if br_idx == 0:
-            raise NotImplementedError(
-                "mp3: free-format bitrate; frame length underivable — "
-                "route to decoder host"
-            )
         if br_idx == 15 or sr_idx == 3:
             raise ValueError("mp3: reserved bitrate/samplerate index")
-        kbps = _BITRATES[(min(version, 2), layer)][br_idx - 1]
         sr = _SAMPLE_RATES[version][sr_idx]
-        base, slot, spf = _frame_geometry(version, layer, kbps, sr)
-        flen = base + slot * pad
+        if br_idx == 0:
+            # free format (ISO 11172-3 §2.4.2.3): constant frame size,
+            # inferred by scanning to the next sync word with the SAME
+            # header fields (or EOF for a single-frame stream)
+            if frames and free_base is None:
+                raise ValueError("mp3: inconsistent stream parameters")
+            slot, spf = _slot_spf(version, layer)
+            if free_base is None:
+                # next sync = any same-version/layer/samplerate header
+                # (bitrate field excluded so a free→indexed switch is
+                # FOUND here and flagged inconsistent on the next pass)
+                nxt = pos + 4
+                while nxt + 4 <= len(payload):
+                    if (
+                        payload[nxt] == 0xFF
+                        and payload[nxt + 1] == b1
+                        and (payload[nxt + 2] >> 4) != 15
+                        and ((payload[nxt + 2] >> 2) & 3) == sr_idx
+                    ):
+                        break
+                    nxt += 1
+                else:
+                    nxt = len(payload)
+                free_base = (nxt - pos) - slot * pad
+                if free_base < 4:
+                    raise ValueError("mp3: free-format frame too short")
+            flen = free_base + slot * pad
+            kbps = free_base * sr // _free_kbps_div(version, layer)
+        else:
+            if free_base is not None:
+                raise ValueError("mp3: inconsistent stream parameters")
+            kbps = _BITRATES[(min(version, 2), layer)][br_idx - 1]
+            base, slot, spf = _frame_geometry(version, layer, kbps, sr)
+            flen = base + slot * pad
         if pos + flen > len(payload):
             raise ValueError("mp3: truncated frame body")
         frames.append((version, layer, kbps, sr, (b3 >> 6) & 3, spf))
@@ -117,13 +189,17 @@ def mp3_walk(payload: bytes) -> dict:
     if len(versions) > 1 or len(layers) > 1 or len(rates) > 1:
         raise ValueError("mp3: inconsistent stream parameters")
     kbps_set = {f[2] for f in frames}
+    if free_base is not None:
+        mode = "free"
+    else:
+        mode = "cbr" if len(kbps_set) == 1 else "vbr"
     return {
         "n_frames": len(frames),
         "version_id": frames[0][0],
         "layer": frames[0][1],
         "sample_rate": frames[0][3],
         "bitrate_kbps": frames[0][2],
-        "bitrate_mode": "cbr" if len(kbps_set) == 1 else "vbr",
+        "bitrate_mode": mode,
         "channel_mode": frames[0][4],
         "total_samples": sum(f[5] for f in frames),
         "total_bytes": total_bytes,
@@ -141,10 +217,13 @@ def mp3_build(
     channel_mode: int = 0,
     id3_size: int | None = None,
     per_frame_bitrate_idx=None,
+    free_frame_bytes: int | None = None,
 ) -> bytes:
     """Fixture builder (the walker's testable twin): conformant frame
     headers + zero-filled bodies, optional ID3v2 prefix, per-frame
-    padding, per-frame bitrate for VBR streams."""
+    padding, per-frame bitrate for VBR streams; ``free_frame_bytes``
+    emits a free-format stream (bitrate index 0) of that constant
+    unpadded frame size."""
     vbits = {1: 3, 2: 2, 25: 0}[version]
     lbits = 4 - layer
     out = bytearray()
@@ -155,15 +234,20 @@ def mp3_build(
         )
         out += bytes(id3_size)
     for i in range(n_frames):
-        idx = (
-            per_frame_bitrate_idx[i]
-            if per_frame_bitrate_idx is not None
-            else bitrate_idx
-        )
-        kbps = _BITRATES[(min(version, 2), layer)][idx - 1]
         sr = _SAMPLE_RATES[version][sr_idx]
         pad = 1 if i in padded else 0
-        base, slot, _spf = _frame_geometry(version, layer, kbps, sr)
+        if free_frame_bytes is not None:
+            idx = 0
+            slot, _spf = _slot_spf(version, layer)
+            base = free_frame_bytes
+        else:
+            idx = (
+                per_frame_bitrate_idx[i]
+                if per_frame_bitrate_idx is not None
+                else bitrate_idx
+            )
+            kbps = _BITRATES[(min(version, 2), layer)][idx - 1]
+            base, slot, _spf = _frame_geometry(version, layer, kbps, sr)
         hdr = bytes(
             [
                 0xFF,
@@ -221,18 +305,33 @@ def _oracle_sql() -> str:
     # frames i in [0, n) padded iff (doc_id + i) % 3 = 0:
     # first hit i0 = (3 - doc_id % 3) % 3, count = (n - i0 + 2) // 3
     n_padded = f"(({n}) - (3 - doc_id % 3) % 3 + 2) // 3"
+    # free-format rotation (doc_id % 5 = 3): constant frame size ffb,
+    # nominal kbps = (ffb * sr) // div — the walker's inference contract
+    free = "doc_id % 5 = 3"
+    ffb = "(40 + doc_id % 60)"
+    div = (
+        f"CASE WHEN {layer} = 1 THEN 48000 "
+        f"WHEN {layer} = 2 OR {ver} = 1 THEN 144000 ELSE 72000 END"
+    )
+    kbps_out = (
+        f"CASE WHEN {free} THEN (({ffb}) * ({sr})) // ({div}) "
+        f"ELSE {kbps} END"
+    )
+    bytes_out = (
+        f"CASE WHEN {free} THEN ({n}) * ({ffb}) + ({slot}) * ({n_padded}) "
+        f"ELSE ({n}) * ({base}) + ({slot}) * ({n_padded}) END"
+    )
     return f"""
     SELECT doc_id,
            CAST({n} AS INTEGER) AS n_frames,
            CAST({ver} AS INTEGER) AS version_id,
            CAST({layer} AS INTEGER) AS layer,
            CAST({sr} AS INTEGER) AS sample_rate,
-           CAST({kbps} AS INTEGER) AS bitrate_kbps,
-           'cbr' AS bitrate_mode,
+           CAST({kbps_out} AS INTEGER) AS bitrate_kbps,
+           CASE WHEN {free} THEN 'free' ELSE 'cbr' END AS bitrate_mode,
            CAST(doc_id % 4 AS INTEGER) AS channel_mode,
            CAST(({n}) * ({spf}) AS BIGINT) AS total_samples,
-           CAST(({n}) * ({base}) + ({slot}) * ({n_padded})
-                AS BIGINT) AS total_bytes
+           CAST({bytes_out} AS BIGINT) AS total_bytes
     FROM documents
     """
 
@@ -243,10 +342,12 @@ def _synthesize_mp3_payloads(
     """Deterministic MPEG-audio stream per doc: version 1/2 (doc_id
     mod 2), layer 1/2/3 (mod 3), bitrate index 1-14 (mod 14), sample
     rate index (doc_id÷3 mod 3), 4-7 frames (mod 4), frame i padded
-    iff (doc_id + i) mod 3 = 0, channel mode mod 4, and an ID3v2 tag
+    iff (doc_id + i) mod 3 = 0, channel mode mod 4, an ID3v2 tag
     of 10 + doc_id mod 50 bytes on every fifth doc (the skip path is
     load-bearing but invisible in the output — total_bytes counts
-    FRAME bytes only)."""
+    FRAME bytes only), and FREE FORMAT (bitrate index 0, constant
+    frame size 40 + doc_id mod 60) on docs ≡ 3 mod 5 so the sync-scan
+    inference rule is oracle-pinned."""
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
@@ -262,6 +363,9 @@ def _synthesize_mp3_payloads(
                     padded={i for i in range(n) if (did + i) % 3 == 0},
                     channel_mode=did % 4,
                     id3_size=(10 + did % 50) if did % 5 == 0 else None,
+                    free_frame_bytes=(
+                        (40 + did % 60) if did % 5 == 3 else None
+                    ),
                 )
             )
         yield pd.DataFrame(

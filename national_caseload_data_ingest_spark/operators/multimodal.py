@@ -5443,6 +5443,9 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
         FLAC_MAGIC,
         flac_decode,
     )
+    from national_caseload_data_ingest_spark.operators.mpeg import (  # noqa: PLC0415
+        mp3_header_plausible as _mp3_header_plausible,
+    )
     from national_caseload_data_ingest_spark.operators.video import (  # noqa: PLC0415
         avi_extract_frames,
         avi_video_fourcc,
@@ -5537,11 +5540,10 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
             # structural walk (pages + CRCs + id header); sample decode
             # routes to host per the SCALING.md audio/video policy
             ogg_walk(payload)
-        elif payload[:3] == b"ID3" or (
-            len(payload) >= 2
-            and payload[0] == 0xFF
-            and (payload[1] & 0xE0) == 0xE0
-        ):
+        elif payload[:3] == b"ID3" or _mp3_header_plausible(payload):
+            # the bare-sync sniff requires a fully parseable first frame
+            # header (valid version/layer/bitrate/samplerate fields), so
+            # arbitrary FF Ex binaries file as 'unknown', not mp3/corrupt
             fmt = "mp3"
             from national_caseload_data_ingest_spark.operators.mpeg import (  # noqa: PLC0415
                 mp3_walk,
@@ -5573,7 +5575,9 @@ def _gate_report_payloads() -> list[bytes]:
     (routed through the compositing demuxer — proof the classifier
     routes rather than gates once a decoder exists), a GATED
     inter-coded AVI (H264 handler — the reason string names the
-    SCALING.md route-to-host policy), a GATED free-format MP3, and a
+    SCALING.md route-to-host policy), a DECODED free-format MP3 (the
+    sync-scan inference landed in round 11 — this class is the
+    gated→decoded transition proof), and a
     decodable (structurally walked) Ogg/Opus stream."""
     import struct  # noqa: PLC0415
 
@@ -5656,13 +5660,13 @@ def _gate_report_payloads() -> list[bytes]:
         ogg_build,
     )
 
-    # free-format MP3: conformant sync but bitrate index 0 — frame
-    # length underivable from headers alone, the route-to-host gate
-    mp3_free = bytearray(mp3_build(n_frames=1))
-    mp3_free[2] &= 0x0F
+    # free-format MP3 (bitrate index 0): since round 11 the walker
+    # infers the constant frame size by sync-scan, so this class is
+    # DECODED — the living proof a gate narrows once the decoder lands
+    mp3_free = mp3_build(n_frames=2, free_frame_bytes=48)
     ogg_ok = ogg_build(codec="opus", n_audio_pages=2)
     return [jpeg, vp8l, vp8_inter, flac_8bps, corrupt, unknown, animated,
-            inter_avi, bytes(mp3_free), ogg_ok]
+            inter_avi, mp3_free, ogg_ok]
 
 
 @query(
@@ -5678,14 +5682,13 @@ def _gate_report_payloads() -> list[bytes]:
                 WHEN 2 THEN 'gated' WHEN 3 THEN 'gated'
                 WHEN 4 THEN 'corrupt' WHEN 5 THEN 'unrouted'
                 WHEN 6 THEN 'decoded' WHEN 7 THEN 'gated'
-                WHEN 8 THEN 'gated' ELSE 'decoded' END AS status,
+                WHEN 8 THEN 'decoded' ELSE 'decoded' END AS status,
            CASE doc_id % 10
                 WHEN 2 THEN 'vp8: inter frame requires reference buffers; route to decoder host (SCALING.md video routing policy)'
                 WHEN 3 THEN 'flac: only 8/16/24 bps supported, got 12'
                 WHEN 4 THEN 'vp8l: bad signature byte'
                 WHEN 5 THEN 'no native decoder claims this container'
                 WHEN 7 THEN 'avi: codec ''H264'' is inter-coded; route to decoder host (SCALING.md video routing policy)'
-                WHEN 8 THEN 'mp3: free-format bitrate; frame length underivable — route to decoder host'
                 ELSE '' END AS reason
     FROM documents
     """,
@@ -5696,8 +5699,9 @@ def codec_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each document is assigned one of ten deterministic payload
     classes (decodable JPEG, VP8L WEBP, animated WEBP, and Ogg/Opus;
-    gated inter-frame VP8 WEBP, 12-bps FLAC, inter-coded AVI, and
-    free-format MP3; a corrupt VP8L stream; an unrecognized container)
+    free-format MP3 and Ogg/Opus; gated inter-frame VP8 WEBP, 12-bps
+    FLAC, and inter-coded AVI; a corrupt VP8L stream; an unrecognized
+    container)
     and routed
     through :func:`classify_codec_payload`; gates and corruption become
     ROWS, not job failures.  At 100 TB the same kernel runs over a real

@@ -119,14 +119,32 @@ def ogg_walk(payload: bytes) -> dict:
         )
         if flags & 0x02:  # BOS: the id packet starts here
             body = payload[lace_end:page_end]
-            # first packet = lacing runs up to the first value < 255
-            plen = 0
+            # first packet = lacing runs up to the first value < 255; a
+            # trailing 255 means the packet CONTINUES on the next page
+            plen, terminated = 0, False
             for v in lacing:
                 plen += v
                 if v < 255:
+                    terminated = True
                     break
             st["first_packet"] = body[:plen]
-            st["id_done"] = True
+            st["id_done"] = terminated
+        elif not st["id_done"] and st["first_packet"]:
+            # reassemble the spanning id packet (ADVICE r10): the page
+            # after an unterminated BOS must carry the continuation flag
+            if not (flags & 0x01):
+                raise ValueError(
+                    "ogg: BOS packet unterminated without continuation"
+                )
+            body = payload[lace_end:page_end]
+            plen, terminated = 0, False
+            for v in lacing:
+                plen += v
+                if v < 255:
+                    terminated = True
+                    break
+            st["first_packet"] += body[:plen]
+            st["id_done"] = terminated
         if granule >= 0:
             st["granule"] = max(st["granule"], granule)
         n_pages += 1

@@ -61,11 +61,43 @@ def test_vbr_detection():
     assert mp3_walk(mp3_build(n_frames=4))["bitrate_mode"] == "cbr"
 
 
-def test_free_format_is_honest_gate():
-    p = bytearray(mp3_build(n_frames=1))
-    p[2] &= 0x0F  # bitrate index 0
-    with pytest.raises(NotImplementedError, match="free-format"):
-        mp3_walk(bytes(p))
+def test_free_format_sync_scan_inference():
+    """Bitrate index 0: the frame size is inferred by scanning to the
+    next sync word — multi-frame, padded, and single-frame (EOF) cases."""
+    p = mp3_build(n_frames=3, free_frame_bytes=52, padded={1})
+    s = mp3_walk(p)
+    assert s["n_frames"] == 3 and s["bitrate_mode"] == "free"
+    assert s["total_bytes"] == 3 * 52 + 1  # layer-3 slot = 1 byte
+    # nominal kbps = floor(base * sr / 144000) for v1 layer 3
+    assert s["bitrate_kbps"] == 52 * 44100 // 144_000
+    # single-frame stream: the frame extends to EOF
+    one = mp3_walk(mp3_build(n_frames=1, free_frame_bytes=64))
+    assert one["n_frames"] == 1 and one["total_bytes"] == 64
+    # layer 1: 4-byte slots and the 48000 divisor
+    l1 = mp3_walk(
+        mp3_build(n_frames=2, layer=1, free_frame_bytes=100, padded={0})
+    )
+    assert l1["total_bytes"] == 2 * 100 + 4
+    assert l1["bitrate_kbps"] == 100 * 44100 // 48_000
+
+
+def test_free_format_mixed_stream_is_valueerror():
+    free = mp3_build(n_frames=1, free_frame_bytes=48)
+    indexed = mp3_build(n_frames=1)
+    with pytest.raises(ValueError, match="inconsistent"):
+        mp3_walk(free + indexed)
+    with pytest.raises(ValueError, match="inconsistent"):
+        mp3_walk(indexed + free)
+
+
+def test_id3v2_footer_flag_is_skipped():
+    """ADVICE r10: the ID3v2.4 footer flag (flags bit 4) adds 10 bytes
+    the syncsafe size does not count."""
+    p = mp3_build(n_frames=2)
+    tag = bytearray(b"ID3\x04\x00\x10\x00\x00\x00\x05")
+    tag += bytes(5)  # body counted by the syncsafe size
+    tag += b"3DI\x04\x00\x10\x00\x00\x00\x05"  # 10-byte footer
+    assert mp3_walk(bytes(tag) + p) == mp3_walk(p)
 
 
 def test_corruption_is_valueerror():
@@ -102,10 +134,26 @@ def test_classifier_routes_mp3():
     assert classify_codec_payload(mp3_build(n_frames=2, id3_size=40)) == (
         "mp3", "decoded", "",
     )
-    free = bytearray(mp3_build(n_frames=1))
-    free[2] &= 0x0F
-    fmt, status, reason = classify_codec_payload(bytes(free))
-    assert (fmt, status) == ("mp3", "gated")
-    assert "route to decoder host" in reason
+    # free format decodes since round 11 (sync-scan inference)
+    assert classify_codec_payload(
+        mp3_build(n_frames=2, free_frame_bytes=48)
+    ) == ("mp3", "decoded", "")
     fmt, status, _ = classify_codec_payload(mp3_build(n_frames=2)[:-1])
     assert (fmt, status) == ("mp3", "corrupt")
+
+
+def test_sniff_requires_parseable_header():
+    """ADVICE r10: an arbitrary FF Ex binary must file as 'unknown',
+    not mp3/corrupt — the sniff needs a fully parseable first header."""
+    # reserved bitrate index 15
+    fmt, status, _ = classify_codec_payload(b"\xff\xe2\xf0\x00rest")
+    assert (fmt, status) == ("unknown", "unrouted")
+    # reserved samplerate index 3
+    fmt, status, _ = classify_codec_payload(b"\xff\xfb\x5c\x00"[:2] + b"\x5f\x00")
+    assert fmt == "unknown"
+    # reserved layer bits (b1 & 0x06 == 0)
+    fmt, status, _ = classify_codec_payload(b"\xff\xe1\x50\x00rest")
+    assert fmt == "unknown"
+    # a genuinely valid header still sniffs as mp3
+    fmt, _s, _ = classify_codec_payload(mp3_build(n_frames=1)[:4] + b"x")
+    assert fmt == "mp3"

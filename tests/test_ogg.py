@@ -83,3 +83,52 @@ def test_classifier_routes_ogg():
     fmt, status, reason = classify_codec_payload(page)
     assert (fmt, status) == ("ogg", "gated")
     assert "route" in reason
+
+
+def _page_raw(serial, seq, granule, lacing, body, flags):
+    """Page with an EXPLICIT lacing table (so a trailing 255 can leave
+    the packet unterminated — ogg_build_page always terminates)."""
+    import struct
+
+    from national_caseload_data_ingest_spark.operators.ogg import _ogg_crc
+
+    hdr = b"OggS" + struct.pack(
+        "<BBqIIIB", 0, flags, granule, serial, seq, 0, len(lacing)
+    )
+    page = bytearray(hdr + bytes(lacing) + body)
+    page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def test_bos_packet_spanning_pages_reassembles():
+    """ADVICE r10: a BOS id packet whose last lacing value is 255
+    continues on the next page — the walker must reassemble it."""
+    import struct
+
+    ident = (
+        b"OpusHead\x01" + bytes([2]) + b"\x00\x00"
+        + struct.pack("<I", 48000) + bytes(3)
+    )
+    ident = ident + bytes(300 - len(ident))  # pad past one lace run
+    p1 = _page_raw(9, 0, 0, [255], ident[:255], 0x02)
+    p2 = _page_raw(9, 1, 0, [len(ident) - 255], ident[255:], 0x01)
+    p3 = ogg_build_page(9, 2, 960, b"\x0bdata", 0x04)
+    s = ogg_walk(p1 + p2 + p3)
+    assert (s["codec"], s["channels"], s["sample_rate"]) == (
+        "opus", 2, 48000,
+    )
+    assert s["n_pages"] == 3
+
+
+def test_bos_unterminated_without_continuation_is_valueerror():
+    import struct
+
+    ident = (
+        b"OpusHead\x01" + bytes([2]) + b"\x00\x00"
+        + struct.pack("<I", 48000) + bytes(3)
+    )
+    ident = ident + bytes(300 - len(ident))
+    p1 = _page_raw(9, 0, 0, [255], ident[:255], 0x02)
+    p2 = _page_raw(9, 1, 0, [len(ident) - 255], ident[255:], 0x00)
+    with pytest.raises(ValueError, match="without continuation"):
+        ogg_walk(p1 + p2)

@@ -33,10 +33,8 @@ def test_classifier_covers_all_statuses():
         ("avi", "gated",
          "avi: codec 'H264' is inter-coded; route to decoder host "
          "(SCALING.md video routing policy)"),
-        # free-format MP3: headers parse but frame length is underivable
-        ("mp3", "gated",
-         "mp3: free-format bitrate; frame length underivable — route "
-         "to decoder host"),
+        # free-format MP3: decoded since round 11 (sync-scan inference)
+        ("mp3", "decoded", ""),
         # Ogg/Opus: structural walk (pages + CRCs + id header) decodes
         ("ogg", "decoded", ""),
     ]
