@@ -227,6 +227,83 @@ def avro_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "avro_nested_roundtrip",
+    oracle="""
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderpriority END AS priority,
+           CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 5 = 0 THEN NULL
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                END AS total,
+           CAST(o_orderkey % 3 AS INTEGER) AS n_items,
+           CAST(CASE o_orderkey % 3
+                WHEN 0 THEN 0
+                WHEN 1 THEN o_orderkey % 97
+                ELSE o_orderkey % 97 + (o_orderkey * 2) % 97 END
+                AS BIGINT) AS items_v_sum,
+           CAST(o_orderkey % 13 AS BIGINT) AS tag_a,
+           CAST(o_orderkey % 17 AS BIGINT) AS tag_b
+    FROM orders
+    """,
+)
+def avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED Avro fidelity (VERDICT r10 ask #1): build a struct +
+    array<struct> + map column set from orders — with a null struct on
+    keys ≡ 0 mod 7, a null nested field on keys ≡ 0 mod 5, and arrays
+    of 0-2 record elements — push it through the codec's recursive
+    record/array/map encoding, and FLATTEN the decoded copy so DuckDB
+    replays the same values from raw orders.  A wrong union branch, a
+    mis-terminated array/map block, or a dropped map entry breaks the
+    hash.  Two narrow Arrow kernels, zero shuffle."""
+    from national_caseload_data_ingest_spark.sources.avro import (  # noqa: PLC0415
+        decode_payloads,
+        encode_partitions,
+    )
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    nested = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(
+            F.col("o_orderkey") % 7 != 0,
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.when(
+                    F.col("o_orderkey") % 5 != 0, F.col("o_totalprice")
+                ).alias("total"),
+            ),
+        ).alias("meta"),
+        F.expr(
+            "slice(array("
+            "struct(cast(1 as int) as i, cast(o_orderkey % 97 as bigint) as v), "
+            "struct(cast(2 as int) as i, cast((o_orderkey * 2) % 97 as bigint) as v)"
+            "), 1, cast(o_orderkey % 3 as int))"
+        ).alias("items"),
+        F.create_map(
+            F.lit("a"), (F.col("o_orderkey") % 13).cast("long"),
+            F.lit("b"), (F.col("o_orderkey") % 17).cast("long"),
+        ).alias("tags"),
+    )
+    payloads = encode_partitions(nested, codec="deflate")
+    back = decode_payloads(
+        payloads,
+        "id bigint, meta struct<priority:string,total:double>, "
+        "items array<struct<i:int,v:bigint>>, tags map<string,bigint>",
+    )
+    return back.select(
+        "id",
+        F.col("meta.priority").alias("priority"),
+        F.col("meta.total").cast("decimal(18,2)").cast("double")
+        .alias("total"),
+        F.size("items").alias("n_items"),
+        F.aggregate(
+            "items", F.lit(0).cast("long"), lambda acc, x: acc + x["v"]
+        ).alias("items_v_sum"),
+        F.element_at("tags", F.lit("a")).alias("tag_a"),
+        F.element_at("tags", F.lit("b")).alias("tag_b"),
+    )
+
+
 def encode_arrow_ipc_partitions(df: DataFrame) -> DataFrame:
     """Each partition → one self-contained Arrow IPC (Feather v2) file
     payload, via ``mapInArrow`` (the Arrow batches Spark already ships to

@@ -49,7 +49,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #    (tools/check_oracle.py; see COVERAGE.md close-sweep numbers).
 CHECK_PRIORITY: list[str] = [
     # -- round-11: new or semantics changed this round ----------------------
-    # (inserted here as they land)
+    "avro_nested_roundtrip",  # recursive record/array/map codec (new)
+    "warc_record_features",  # chunked + gzip wire encodings (changed)
+    "mp3_stream_features",  # free-format inference rotation (changed)
+    "codec_gate_report",  # class 8 gated->decoded transition (changed)
+    "wordpiece_tokenize_docs",  # total oracle + ASCII-ws kernel (changed)
+    "ogg_stream_features",  # spanning-BOS reassembly (changed)
+    "avro_roundtrip_events",  # codec internals refactored (re-check)
     # -- never driver-checked ------------------------------------------------
     "wordpiece_train_encode",
     # -- freshest driver row is round 4 --------------------------------------

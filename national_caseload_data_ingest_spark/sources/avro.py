@@ -16,9 +16,16 @@ codecs (multimodal.py):
   ``["null", T]`` unions (branch index + value);
 * codecs: ``null`` and ``deflate`` (raw zlib, RFC 1951 — stdlib).
 
-Supported schemas are records of those primitives — enough for every
-tabular feed shape in this repo; nested records/arrays raise a loud
-``NotImplementedError`` (the honest-gating convention).
+Schemas are recursive (VERDICT r10 ask #1): records, arrays, and maps
+nest arbitrarily over the primitives, mapping to Spark ``StructType`` /
+``ArrayType`` / ``MapType``; any field or element may be a ``["null",
+T]`` union.  Internally every type is a NODE: a primitive token string,
+``("union", node)``, ``("record", [(name, node), ...])``, ``("array",
+node)``, or ``("map", node)`` — the writer emits every Spark-derived
+type as nullable (Spark columns and nested fields are nullable by
+default), while the reader follows whatever union structure the file's
+embedded schema declares.  Still gated loudly: enums, fixed, unions
+with more than one non-null branch, and non-string map keys.
 
 Distributed shape: encoding and decoding are narrow Arrow
 ``mapInPandas`` kernels — each PARTITION becomes one self-contained
@@ -126,84 +133,277 @@ class _Reader:
         return bytes(out)
 
 
-def _avro_schema(fields: list[tuple[str, str]], name: str) -> dict:
-    """Build the record schema JSON: every field a ``["null", T]`` union
-    (matches Spark's everything-nullable columns)."""
-    out = []
-    for fname, spark_type in fields:
-        if spark_type not in _SPARK_TO_AVRO:
-            raise NotImplementedError(
-                f"avro codec supports primitive columns only, got "
-                f"{fname}: {spark_type}"
-            )
-        avro_t = _SPARK_TO_AVRO[spark_type]
-        out.append(
-            {"name": fname,
-             "type": ["null", _LOGICAL_SCHEMAS.get(avro_t, avro_t)]}
+_PRIMITIVES = frozenset(
+    ("long", "int", "double", "float", "string", "bytes", "boolean",
+     "timestamp-micros", "date-days")
+)
+
+
+def _is_null(v) -> bool:
+    """Null check safe on container values (lists/dicts don't support
+    pd.isna scalar semantics)."""
+    if v is None or v is pd.NaT or v is pd.NA:
+        return True
+    return isinstance(v, float) and v != v  # NaN
+
+
+def _normalize_node(t):
+    """Accept a Spark dtype string (legacy flat API) or a type node;
+    return a node.  Legacy strings become nullable primitives — the
+    everything-nullable contract Spark columns carry."""
+    if isinstance(t, str):
+        if t in _SPARK_TO_AVRO:
+            return ("union", _SPARK_TO_AVRO[t])
+        if t in _PRIMITIVES:
+            return ("union", t)
+        raise NotImplementedError(
+            f"avro codec: unsupported Spark type string {t!r}"
         )
-    return {"type": "record", "name": name, "fields": out}
+    return t
 
 
-def _encode_value(out: bytearray, typ: str, v) -> None:
-    if v is None:
-        _write_long(out, 0)  # union branch 0 = null
+def node_of_spark_type(dt):
+    """Spark ``DataType`` → type node (everything nullable, matching
+    Spark's default nullability for columns and nested slots)."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(dt, T.StructType):
+        return (
+            "record",
+            [(f.name, ("union", node_of_spark_type(f.dataType)))
+             for f in dt.fields],
+        )
+    if isinstance(dt, T.ArrayType):
+        return ("array", ("union", node_of_spark_type(dt.elementType)))
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise NotImplementedError(
+                "avro maps require string keys (spec §Maps), got "
+                f"{dt.keyType.simpleString()}"
+            )
+        return ("map", ("union", node_of_spark_type(dt.valueType)))
+    simple = dt.simpleString()
+    if simple in _SPARK_TO_AVRO:
+        return _SPARK_TO_AVRO[simple]
+    raise NotImplementedError(f"avro codec: unsupported Spark type {simple}")
+
+
+def fields_from_spark_schema(schema) -> list[tuple[str, tuple]]:
+    """Spark ``StructType`` → [(name, node)] with nullable fields."""
+    return [
+        (f.name, ("union", node_of_spark_type(f.dataType)))
+        for f in schema.fields
+    ]
+
+
+def _schema_json(node, counter: list[int]):
+    """Type node → Avro schema JSON fragment (records get generated
+    unique names, required by the spec)."""
+    if isinstance(node, str):
+        return _LOGICAL_SCHEMAS.get(node, node)
+    kind = node[0]
+    if kind == "union":
+        return ["null", _schema_json(node[1], counter)]
+    if kind == "record":
+        counter[0] += 1
+        return {
+            "type": "record",
+            "name": f"r{counter[0]}",
+            "fields": [
+                {"name": n, "type": _schema_json(c, counter)}
+                for n, c in node[1]
+            ],
+        }
+    if kind == "array":
+        return {"type": "array", "items": _schema_json(node[1], counter)}
+    if kind == "map":
+        return {"type": "map", "values": _schema_json(node[1], counter)}
+    raise NotImplementedError(f"avro node kind {kind!r}")
+
+
+def _node_from_json(t):
+    """Avro schema JSON fragment → type node.  Follows whatever union
+    structure the file declares; gates enum/fixed/multi-branch unions."""
+    if isinstance(t, list):
+        non_null = [x for x in t if x != "null"]
+        if len(non_null) != 1 or len(t) != len(non_null) + 1:
+            raise NotImplementedError(
+                "avro unions beyond [null, T] are not supported"
+            )
+        return ("union", _node_from_json(non_null[0]))
+    if isinstance(t, str):
+        if t in ("long", "int", "double", "float", "string", "bytes",
+                 "boolean"):
+            return t
+        raise NotImplementedError(f"avro type {t!r}")
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "timestamp-micros" and t.get("type") == "long":
+            return "timestamp-micros"
+        if lt == "date" and t.get("type") == "int":
+            return "date-days"
+        kind = t.get("type")
+        if kind == "record":
+            return (
+                "record",
+                [(f["name"], _node_from_json(f["type"]))
+                 for f in t["fields"]],
+            )
+        if kind == "array":
+            return ("array", _node_from_json(t["items"]))
+        if kind == "map":
+            return ("map", _node_from_json(t["values"]))
+        if isinstance(kind, str):
+            return _node_from_json(kind)  # {"type": "string"} wrapping
+    raise NotImplementedError(f"avro schema fragment {t!r}")
+
+
+def _record_field(v, fname: str, idx: int):
+    """Pull field ``fname`` out of a record value: dict (Arrow struct →
+    pandas), pyspark Row (has asDict), or positional tuple."""
+    if isinstance(v, dict):
+        return v.get(fname)
+    if hasattr(v, "asDict"):
+        return v[fname]
+    return v[idx]
+
+
+def _encode_value(out: bytearray, node, v) -> None:
+    if isinstance(node, str):
+        typ = node
+        if typ in ("long", "int"):
+            _write_long(out, int(v))
+        elif typ == "timestamp-micros":
+            # pandas Timestamps carry ns in .value; exact micros division
+            _write_long(out, int(pd.Timestamp(v).value // 1000))
+        elif typ == "date-days":
+            _write_long(out, (pd.Timestamp(v) - pd.Timestamp(0)).days)
+        elif typ == "double":
+            out.extend(struct.pack("<d", float(v)))
+        elif typ == "float":
+            out.extend(struct.pack("<f", float(v)))
+        elif typ == "string":
+            _write_str(out, str(v))
+        elif typ == "bytes":
+            _write_bytes(out, bytes(v))
+        elif typ == "boolean":
+            out.append(1 if v else 0)
+        else:  # pragma: no cover - guarded at schema build
+            raise NotImplementedError(typ)
         return
-    _write_long(out, 1)  # union branch 1 = value
-    if typ in ("long", "int"):
-        _write_long(out, int(v))
-    elif typ == "timestamp-micros":
-        # pandas Timestamps carry ns in .value; exact micros division
-        _write_long(out, int(pd.Timestamp(v).value // 1000))
-    elif typ == "date-days":
-        _write_long(out, (pd.Timestamp(v) - pd.Timestamp(0)).days)
-    elif typ == "double":
-        out.extend(struct.pack("<d", float(v)))
-    elif typ == "float":
-        out.extend(struct.pack("<f", float(v)))
-    elif typ == "string":
-        _write_str(out, str(v))
-    elif typ == "bytes":
-        _write_bytes(out, bytes(v))
-    elif typ == "boolean":
-        out.append(1 if v else 0)
+    kind = node[0]
+    if kind == "union":
+        if _is_null(v):
+            _write_long(out, 0)  # union branch 0 = null
+        else:
+            _write_long(out, 1)  # union branch 1 = value
+            _encode_value(out, node[1], v)
+    elif kind == "record":
+        for idx, (fname, child) in enumerate(node[1]):
+            _encode_value(out, child, _record_field(v, fname, idx))
+    elif kind == "array":
+        items = list(v)
+        if items:
+            _write_long(out, len(items))  # one block, then terminator
+            for item in items:
+                _encode_value(out, node[1], item)
+        _write_long(out, 0)
+    elif kind == "map":
+        pairs = list(v.items()) if isinstance(v, dict) else list(v)
+        if pairs:
+            _write_long(out, len(pairs))
+            for k, val in pairs:
+                _write_str(out, str(k))
+                _encode_value(out, node[1], val)
+        _write_long(out, 0)
     else:  # pragma: no cover - guarded at schema build
+        raise NotImplementedError(kind)
+
+
+def _decode_value(r: _Reader, node):
+    if isinstance(node, str):
+        typ = node
+        if typ in ("long", "int"):
+            return r.long()
+        if typ == "timestamp-micros":
+            return pd.Timestamp(r.long(), unit="us")
+        if typ == "date-days":
+            return (pd.Timestamp(0) + pd.Timedelta(days=r.long())).date()
+        if typ == "double":
+            return r.double()
+        if typ == "float":
+            return struct.unpack("<f", r.raw(4))[0]
+        if typ == "string":
+            return r.str_()
+        if typ == "bytes":
+            return r.bytes_()
+        if typ == "boolean":
+            return r.raw(1) == b"\x01"
         raise NotImplementedError(typ)
+    kind = node[0]
+    if kind == "union":
+        return None if r.long() == 0 else _decode_value(r, node[1])
+    if kind == "record":
+        return {fname: _decode_value(r, child) for fname, child in node[1]}
+    if kind == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # spec: negative count is followed by a byte size
+                n = -n
+                r.long()
+            for _ in range(n):
+                out.append(_decode_value(r, node[1]))
+    if kind == "map":
+        out_m = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out_m
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.str_()
+                out_m[k] = _decode_value(r, node[1])
+    raise NotImplementedError(kind)
 
 
-def _decode_value(r: _Reader, typ: str):
-    branch = r.long()
-    if branch == 0:
-        return None
-    if typ in ("long", "int"):
-        return r.long()
-    if typ == "timestamp-micros":
-        return pd.Timestamp(r.long(), unit="us")
-    if typ == "date-days":
-        return (pd.Timestamp(0) + pd.Timedelta(days=r.long())).date()
-    if typ == "double":
-        return r.double()
-    if typ == "float":
-        return struct.unpack("<f", r.raw(4))[0]
-    if typ == "string":
-        return r.str_()
-    if typ == "bytes":
-        return r.bytes_()
-    if typ == "boolean":
-        return r.raw(1) == b"\x01"
-    raise NotImplementedError(typ)
+def _display_type(node):
+    """Field type as the public ``avro_decode`` reports it: nullable
+    primitives unwrap to their bare token (the original flat contract);
+    anything nested is reported as its node."""
+    if isinstance(node, tuple) and node[0] == "union" and isinstance(
+        node[1], str
+    ):
+        return node[1]
+    return node
 
 
 def avro_encode(
     rows: list[tuple],
-    fields: list[tuple[str, str]],
+    fields: list[tuple],
     codec: str = "deflate",
     block_records: int = 4096,
     name: str = "row",
 ) -> bytes:
-    """Rows (tuples aligned with ``fields``) → one Avro container file."""
+    """Rows (tuples aligned with ``fields``) → one Avro container file.
+    ``fields`` entries are (name, Spark dtype string) for flat tables
+    (the original API) or (name, type node) for nested schemas."""
     import hashlib  # noqa: PLC0415
 
-    schema = _avro_schema(fields, name)
+    nodes = [(n, _normalize_node(t)) for n, t in fields]
+    counter = [0]
+    schema = {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": n, "type": _schema_json(node, counter)}
+            for n, node in nodes
+        ],
+    }
     schema_json = json.dumps(schema)
     # deterministic sync marker (any 16 bytes are legal per spec)
     sync = hashlib.md5(schema_json.encode()).digest()
@@ -219,7 +419,7 @@ def avro_encode(
     _write_long(out, 0)
     out.extend(sync)
 
-    types = [_SPARK_TO_AVRO[t] for _, t in fields]
+    types = [node for _, node in nodes]
     for start in range(0, len(rows), block_records):
         chunk = rows[start : start + block_records]
         body = bytearray()
@@ -259,20 +459,9 @@ def avro_decode(payload: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
     codec = (meta.get("avro.codec") or b"null").decode()
     if schema.get("type") != "record":
         raise NotImplementedError("top-level schema must be a record")
-    fields = []
-    for f in schema["fields"]:
-        t = f["type"]
-        if isinstance(t, list):
-            t = [x for x in t if x != "null"][0]
-        if isinstance(t, dict):
-            lt = t.get("logicalType")
-            if lt == "timestamp-micros" and t.get("type") == "long":
-                t = "timestamp-micros"
-            elif lt == "date" and t.get("type") == "int":
-                t = "date-days"
-            else:
-                raise NotImplementedError("nested avro types")
-        fields.append((f["name"], t))
+    fields = [
+        (f["name"], _node_from_json(f["type"])) for f in schema["fields"]
+    ]
     rows: list[tuple] = []
     while r.pos < len(r.d):
         count = r.long()
@@ -287,7 +476,7 @@ def avro_decode(payload: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
         br = _Reader(block)
         for _ in range(count):
             rows.append(tuple(_decode_value(br, t) for _, t in fields))
-    return fields, rows
+    return [(n, _display_type(t)) for n, t in fields], rows
 
 
 # -- distributed plumbing -------------------------------------------------
@@ -296,16 +485,15 @@ def encode_partitions(
     df: DataFrame, codec: str = "deflate"
 ) -> DataFrame:
     """Each partition → one row (payload binary): a self-contained Avro
-    container per partition, built inside an Arrow kernel."""
-    fields = [(n, t) for n, t in df.dtypes]
+    container per partition, built inside an Arrow kernel.  Nested
+    struct/array/map columns encode recursively (the type nodes come
+    from ``df.schema``, not the flat dtype strings)."""
+    fields = fields_from_spark_schema(df.schema)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[tuple] = []
         for pdf in batches:
-            for row in pdf.itertuples(index=False, name=None):
-                rows.append(
-                    tuple(None if pd.isna(v) else v for v in row)
-                )
+            rows.extend(pdf.itertuples(index=False, name=None))
         if rows:
             yield pd.DataFrame(
                 {"payload": [avro_encode(rows, fields, codec=codec)]}
@@ -339,7 +527,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
     import uuid  # noqa: PLC0415
 
     os.makedirs(path, exist_ok=True)
-    fields = [(n, t) for n, t in df.dtypes]
+    fields = fields_from_spark_schema(df.schema)
 
     def write_part(it):
         rows = [tuple(row) for row in it]

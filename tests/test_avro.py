@@ -145,3 +145,201 @@ def test_avro_logical_types_roundtrip():
             assert b[2] is None
         else:
             assert abs(a[2] - b[2]) < 1e-7  # float32 round-trip
+
+
+# -- nested types (round 11) ------------------------------------------------
+
+NESTED_FIELDS = [
+    ("id", "bigint"),
+    ("meta", ("union", ("record", [
+        ("a", ("union", "long")),
+        ("s", ("union", "string")),
+    ]))),
+    ("items", ("union", ("array", ("union", ("record", [
+        ("v", ("union", "long")),
+    ]))))),
+    ("tags", ("union", ("map", ("union", "long")))),
+]
+
+
+def test_nested_record_array_map_roundtrip():
+    rows = [
+        (1, {"a": 7, "s": "x"}, [{"v": 1}, {"v": None}], {"k": 9}),
+        (2, None, [], {}),
+        (3, {"a": None, "s": None}, [{"v": -5}], {"a": 1, "b": None}),
+        (4, {"a": 2**62, "s": "naïve ✓"}, None, None),
+    ]
+    fields, back = avro_decode(
+        avro_encode(rows, NESTED_FIELDS, codec="deflate", block_records=2)
+    )
+    assert back == rows
+    # flat primitives still display as bare tokens; nested as nodes
+    assert fields[0] == ("id", "long")
+    assert fields[1][1][0] == "union" and fields[1][1][1][0] == "record"
+
+
+def test_plain_nonnull_nested_slots():
+    """Non-union nested slots (a foreign writer's shape) encode without
+    a branch prefix and the reader follows the file's schema."""
+    fields = [("xs", ("union", ("array", "long"))),
+              ("m", ("union", ("map", "string")))]
+    rows = [([1, 2, 3], {"k": "v"}), ([], {}), (None, None)]
+    _f, back = avro_decode(avro_encode(rows, fields, codec="null"))
+    assert back == rows
+
+
+def test_negative_array_block_count_decodes():
+    """Spec: a negative item count is followed by the block's byte size
+    — readers must accept both forms."""
+    import json as _json
+
+    from national_caseload_data_ingest_spark.sources.avro import (
+        _write_long,
+    )
+
+    # take a conformant single-row file and rebuild its one data block
+    fields = [("xs", ("union", ("array", "long")))]
+    payload = bytearray(avro_encode([([5, 6],)], fields, codec="null"))
+    # locate the block: header ends after the 16-byte sync that follows
+    # the metadata map; simplest robust route: re-encode the body by hand
+    body = bytearray()
+    _write_long(body, 1)   # union branch 1 (array present)
+    items = bytearray()
+    _write_long(items, 5)
+    _write_long(items, 6)
+    _write_long(body, -2)  # NEGATIVE count
+    _write_long(body, len(items))
+    body.extend(items)
+    _write_long(body, 0)   # terminator
+    # splice: find old block (count=1, size=len) before trailing sync
+    sync = bytes(payload[-16:])
+    head_end = payload.index(sync) + 16
+    out = bytearray(payload[:head_end])
+    _write_long(out, 1)          # one record
+    _write_long(out, len(body))  # block byte size
+    out.extend(body)
+    out.extend(sync)
+    _f, back = avro_decode(bytes(out))
+    assert back == [([5, 6],)]
+
+
+def test_nested_gates_are_loud():
+    from national_caseload_data_ingest_spark.sources.avro import (
+        _node_from_json,
+    )
+
+    with pytest.raises(NotImplementedError, match="union"):
+        _node_from_json(["null", "long", "int"])
+    with pytest.raises(NotImplementedError, match="union"):
+        _node_from_json(["long", "string"])
+    with pytest.raises(NotImplementedError, match="avro type"):
+        _node_from_json("some_named_ref")
+    with pytest.raises(NotImplementedError):
+        _node_from_json({"type": "enum", "name": "e", "symbols": ["A"]})
+    with pytest.raises(NotImplementedError):
+        _node_from_json({"type": "fixed", "name": "f", "size": 4})
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**31), 2**31),
+            # union-of-record
+            st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {"a": st.one_of(st.none(),
+                                    st.integers(-(2**63), 2**63 - 1)),
+                     "s": st.one_of(st.none(), st.text(max_size=20))}
+                ),
+            ),
+            # array-of-record (nullable elements)
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.one_of(
+                        st.none(),
+                        st.fixed_dictionaries(
+                            {"v": st.one_of(st.none(), st.integers(
+                                -(2**63), 2**63 - 1))}
+                        ),
+                    ),
+                    max_size=6,
+                ),
+            ),
+            # map of nullable longs
+            st.one_of(
+                st.none(),
+                st.dictionaries(st.text(max_size=8), st.one_of(
+                    st.none(), st.integers(-(2**63), 2**63 - 1)),
+                    max_size=5),
+            ),
+        ),
+        max_size=20,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+def test_property_nested_roundtrip(rows, codec):
+    fields = [
+        ("id", "int"),
+        ("meta", ("union", ("record", [
+            ("a", ("union", "long")), ("s", ("union", "string")),
+        ]))),
+        ("items", ("union", ("array", ("union", ("record", [
+            ("v", ("union", "long")),
+        ]))))),
+        ("tags", ("union", ("map", ("union", "long")))),
+    ]
+    _f, back = avro_decode(
+        avro_encode(rows, fields, codec=codec, block_records=3)
+    )
+    assert back == rows
+
+
+def test_distributed_nested_roundtrip(spark, tmp_path):
+    """write_avro/read_avro with struct + array<struct> + map columns."""
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.session import load_tables
+
+    o = load_tables(spark, "/root/testdata/sf0.001", "orders")["orders"]
+    nested = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.struct(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_totalprice").alias("t"),
+        ).alias("meta"),
+        F.array(
+            F.struct((F.col("o_orderkey") % 5).cast("long").alias("v"))
+        ).alias("items"),
+        F.create_map(
+            F.lit("k"), (F.col("o_orderkey") % 3).cast("long")
+        ).alias("tags"),
+    ).repartition(3)
+    path = str(tmp_path / "nested_avro")
+    write_avro(nested, path)
+    back = read_avro(
+        spark, path,
+        "id bigint, meta struct<p:string,t:double>, "
+        "items array<struct<v:bigint>>, tags map<string,bigint>",
+    )
+    a = {(r["id"], r["meta"]["p"], r["meta"]["t"], r["items"][0]["v"],
+          r["tags"]["k"]) for r in nested.collect()}
+    b = {(r["id"], r["meta"]["p"], r["meta"]["t"], r["items"][0]["v"],
+          r["tags"]["k"]) for r in back.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_map_nonstring_key_gates(spark):
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.sources.avro import (
+        fields_from_spark_schema,
+    )
+
+    df = spark.range(1).select(
+        F.create_map(F.lit(1), F.lit("x")).alias("m")
+    )
+    with pytest.raises(NotImplementedError, match="string keys"):
+        fields_from_spark_schema(df.schema)
