@@ -691,3 +691,68 @@ def test_kmeans_int8_nonvacuous_and_matches_driver_recompute(spark):
     assert (want_assign != init_assign).any(), (
         "iterations never moved an assignment — vacuous fixture"
     )
+
+
+def test_containment_dense_tier_equals_direct_on_planted_quotes(spark):
+    """Round 11: the dense-vocabulary bitset tier emits the identical
+    relation as the direct posting join on the planted-quote fixture."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _containment_dense_pairs,
+        _containment_direct_pairs,
+        _shared_postings,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"u{i} v{i}" for i in range(30))
+    texts = {
+        1: short,
+        2: short + " " + filler,
+        3: filler + " " + short,
+        4: "alpha beta gamma zzz qqq",
+        5: " ".join(f"w{i} x{i}" for i in range(25)),
+        6: short,
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in texts.items()],
+        "doc_id bigint, text string, lang string",
+    )
+    postings = _shared_postings(docs).persist()
+    try:
+        def rel(df):
+            return sorted(
+                (r.doc_a, r.doc_b, r.n_common, r.n_a,
+                 round(r.containment, 12))
+                for r in df.collect()
+            )
+
+        assert rel(_containment_dense_pairs(postings)) == rel(
+            _containment_direct_pairs(postings)
+        )
+    finally:
+        postings.unpersist()
+
+
+def test_containment_dense_routing_by_measured_stats(spark):
+    """The public query routes to the bitset tier when the measured
+    vocabulary is small and the join volume is large enough to matter —
+    and the routed output equals the direct tier's."""
+    from national_caseload_data_ingest_spark.operators import dedup
+
+    def rel(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_common, r.n_a, round(r.containment, 12))
+            for r in df.collect()
+        )
+
+    direct = rel(
+        dedup.containment_quote_pairs(spark, "/root/testdata/sf0.001")
+    )
+    orig = dedup.DENSE_MIN_VOL
+    dedup.DENSE_MIN_VOL = 0  # force the dense tier through the ladder
+    try:
+        dense = rel(
+            dedup.containment_quote_pairs(spark, "/root/testdata/sf0.001")
+        )
+    finally:
+        dedup.DENSE_MIN_VOL = orig
+    assert dense == direct and direct
