@@ -127,6 +127,17 @@ HEADLINE = [
     # must stay whole-stage)
     "ico_decode_features",
     "url_canonical_features",
+    # round-11 (VERDICT r10 ask #8): the container walks a real crawl
+    # pipeline runs at scale — WARC record walk incl. de-chunk + gunzip,
+    # the MPEG-audio frame walk incl. free-format sync-scan inference,
+    # and the Avro encode/decode round-trip on the timestamp table —
+    # plus the nested-Avro round-trip (struct/array/map codec kernels)
+    # and the containment join's new dense bitset tier
+    "warc_record_features",
+    "mp3_stream_features",
+    "avro_roundtrip_events",
+    "avro_nested_roundtrip",
+    "containment_quote_pairs",
 ]
 
 
