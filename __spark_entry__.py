@@ -35,12 +35,14 @@ import national_caseload_data_ingest_spark.operators.ogg  # noqa: F401
 import national_caseload_data_ingest_spark.operators.multimodal  # noqa: F401
 import national_caseload_data_ingest_spark.operators.pq  # noqa: F401
 import national_caseload_data_ingest_spark.operators.profiling  # noqa: F401
+import national_caseload_data_ingest_spark.operators.qoi  # noqa: F401
 import national_caseload_data_ingest_spark.operators.relational  # noqa: F401
 import national_caseload_data_ingest_spark.operators.resample  # noqa: F401
 import national_caseload_data_ingest_spark.operators.selection  # noqa: F401
 import national_caseload_data_ingest_spark.operators.similarity  # noqa: F401
 import national_caseload_data_ingest_spark.operators.sketch  # noqa: F401
 import national_caseload_data_ingest_spark.operators.skew  # noqa: F401
+import national_caseload_data_ingest_spark.operators.tarshard  # noqa: F401
 import national_caseload_data_ingest_spark.operators.temporal  # noqa: F401
 import national_caseload_data_ingest_spark.operators.text  # noqa: F401
 import national_caseload_data_ingest_spark.operators.timeseries  # noqa: F401
