@@ -195,15 +195,27 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                              string_split_regex(lower(trim(text)), '\\s+')[i+1])
                     ELSE [lower(trim(text))] END) AS grams
         FROM documents
+    ),
+    -- posting-list join, not all-pairs list_intersect: pairs sharing no
+    -- gram have Jaccard 0 and cannot pass a positive threshold, so the
+    -- relations are identical — and the replay drops from 145 s to
+    -- seconds at sf0.1 (the all-pairs form scans ~2.5M lang-blocked
+    -- pairs x O(|grams|^2) element comparisons)
+    posts AS (
+        SELECT doc_id, lang, len(grams) AS n, unnest(grams) AS gram
+        FROM sh
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS c, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM posts a JOIN posts b
+          ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-             AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-          >= 0.2
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+    FROM inter
+    WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.2
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +338,112 @@ def _jaccard_block_kernel(threshold: float, max_docs: int, max_cells: int):
     return kernel
 
 
+# Dense-vocabulary routing for the blocked verifier: below MIN_WORK the
+# single-task-per-block matmul kernel is already fast (and avoids the
+# stats collect); above it the bitset tier's 32-way parallelism wins —
+# measured at sf1 (50k docs, 961 grams): the matmul kernel runs ONE task
+# per lang block (5 of 32 cores busy, minutes), the bitset tier spreads
+# the same exact work across every core.
+JACCARD_DENSE_MIN_WORK = 4_000_000_000
+
+
+def _jaccard_dense_pairs(
+    postings: DataFrame, block_cols: list[str], threshold: float
+) -> DataFrame:
+    """Blocked exact Jaccard, dense-vocabulary tier: per-doc G-bit
+    bitsets against a broadcast matrix (same trick as
+    :func:`_containment_dense_pairs`), emitting the IDENTICAL
+    ``(doc_a < doc_b, jaccard)`` relation as the matmul kernel —
+    intersection counts are exact integers in both tiers and the one
+    float64 division is the same expression, so results are
+    bit-identical (equivalence pytest)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    spark = postings.sparkSession
+    grams = sorted(
+        r["gram"] for r in postings.select("gram").distinct().collect()
+    )
+    gram_bit = {g: i for i, g in enumerate(grams)}
+    nbytes = (len(grams) + 7) // 8
+    bc_bits = spark.sparkContext.broadcast(gram_bit)
+    blk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in block_cols])
+    per_doc = (
+        postings.withColumn("__blk", blk)
+        .groupBy("doc_id", "__blk")
+        .agg(F.collect_set("gram").alias("grams"))
+    )
+
+    def pack(batches):
+        m = bc_bits.value
+        for pdf in batches:
+            ids, blks, bits = [], [], []
+            for doc_id, b, gs in zip(
+                pdf["doc_id"], pdf["__blk"], pdf["grams"]
+            ):
+                buf = bytearray(nbytes)
+                for g in gs:
+                    bit = m[g]
+                    buf[bit >> 3] |= 1 << (bit & 7)
+                ids.append(int(doc_id))
+                blks.append(b)
+                bits.append(bytes(buf))
+            yield pd.DataFrame(
+                {"doc_id": ids, "__blk": blks, "bits": bits}
+            )
+
+    bitsets = per_doc.mapInPandas(
+        pack, schema="doc_id bigint, __blk string, bits binary"
+    ).persist()
+    rows = bitsets.collect()  # bounded: D * (G/8 + key) inside the budget
+    ids_all = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    blk_all = np.array([r["__blk"] for r in rows], dtype=object)
+    mat_all = np.frombuffer(
+        b"".join(bytes(r["bits"]) for r in rows), dtype=np.uint8
+    ).reshape(len(rows), nbytes)
+    pc_table = np.array(
+        [bin(i).count("1") for i in range(256)], dtype=np.uint16
+    )
+    sizes_all = pc_table[mat_all].sum(axis=1, dtype=np.int64)
+    bc_mat = spark.sparkContext.broadcast(
+        (ids_all, blk_all, mat_all, sizes_all)
+    )
+
+    def kernel(batches):
+        ids, blks, mat, sizes = bc_mat.value
+        for pdf in batches:
+            da, db, jj = [], [], []
+            for doc_id, b, bits in zip(
+                pdf["doc_id"], pdf["__blk"], pdf["bits"]
+            ):
+                a = np.frombuffer(bytes(bits), dtype=np.uint8)
+                # doc_a < doc_b orientation: emit from the smaller id
+                mask = (ids > int(doc_id)) & (blks == b)
+                if not mask.any():
+                    continue
+                sub = np.nonzero(mask)[0]
+                common = pc_table[mat[sub] & a].sum(axis=1, dtype=np.int64)
+                n_a = int(pc_table[a].sum())
+                jac = common / (n_a + sizes[sub] - common)
+                keep = jac >= threshold
+                hits = sub[keep]
+                if len(hits):
+                    da.extend([int(doc_id)] * len(hits))
+                    db.extend(ids[hits].tolist())
+                    jj.extend(jac[keep].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_a": pd.Series(da, dtype="int64"),
+                    "doc_b": pd.Series(db, dtype="int64"),
+                    "jaccard": pd.Series(jj, dtype="float64"),
+                }
+            )
+
+    return bitsets.mapInPandas(
+        kernel, schema="doc_a bigint, doc_b bigint, jaccard double"
+    )
+
+
 def jaccard_pairs_in_blocks(
     postings: DataFrame,
     block_cols: list[str],
@@ -348,7 +466,37 @@ def jaccard_pairs_in_blocks(
     enforces that: any block over ``max_block_docs`` documents or
     ``max_block_cells`` incidence-matrix cells raises immediately with
     routing guidance (switch to the LSH band-bucket candidate generator)
-    rather than silently running an unbounded O(n²)."""
+    rather than silently running an unbounded O(n²).
+
+    Dense-vocabulary routing (round 11): when the measured pair work
+    Σ_block n² · G/8 exceeds ``JACCARD_DENSE_MIN_WORK`` and the
+    vocabulary fits a bounded bitset, the same exact relation comes
+    from :func:`_jaccard_dense_pairs` — one task PER PARTITION instead
+    of one task per block, so a 5-lang corpus uses all 32 cores rather
+    than 5 (measured: the sf1 en block alone held one core for minutes
+    under the matmul kernel)."""
+    stats = postings.agg(
+        F.countDistinct("gram").alias("g")
+    ).collect()[0]
+    n_grams = stats["g"] or 0
+    nbytes = (n_grams + 7) // 8
+    bstats = (
+        postings.select("doc_id", *block_cols)
+        .distinct()
+        .groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("n") * F.col("n")).alias("pair_work"),
+            F.max("n").alias("max_n"),
+        )
+        .collect()[0]
+    )
+    work = (bstats["pair_work"] or 0) * nbytes
+    if (
+        n_grams <= DENSE_GRAM_BITS
+        and JACCARD_DENSE_MIN_WORK < work <= DENSE_WORK_BUDGET
+    ):
+        return _jaccard_dense_pairs(postings, block_cols, threshold)
     return postings.groupBy(*block_cols).applyInPandas(
         _jaccard_block_kernel(threshold, max_block_docs, max_block_cells),
         schema="doc_a bigint, doc_b bigint, jaccard double",
@@ -877,12 +1025,23 @@ _PIPELINE_GRAMS_SQL = """
     canon AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY text),
     kept AS (SELECT f.* FROM filtered f JOIN canon USING (doc_id)),
     sh AS ({_PIPELINE_GRAMS_SQL}),
+    -- posting-list join, not all-pairs list_intersect (identical at any
+    -- positive threshold; seconds instead of minutes at sf0.1)
+    nd_posts AS (
+        SELECT doc_id, lang, len(grams) AS n, unnest(grams) AS gram
+        FROM sh
+    ),
+    nd_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS c, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM nd_posts a JOIN nd_posts b
+          ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
     neardup AS (
-        SELECT DISTINCT b.doc_id AS doc_id
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-              >= 0.2
+        SELECT DISTINCT doc_b AS doc_id
+        FROM nd_inter
+        WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.2
     )
     SELECT lang, source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1414,7 +1573,11 @@ def _containment_direct_pairs(postings: DataFrame) -> DataFrame:
 
 
 DENSE_GRAM_BITS = 16_384  # bitset tier: max distinct grams (2 KiB/doc)
-DENSE_WORK_BUDGET = 50_000_000_000  # D^2 * bitset_bytes byte-op cap
+# D^2 * bitset_bytes byte-op cap.  4e11 ~= 15-20 s of vectorized popcount
+# across 32 cores (measured: sf1's 50k-doc/961-gram corpus = 3.0e11 runs
+# in that envelope); the broadcast matrix D * G/8 stays tiny relative to
+# the work bound (sf1: 6 MB), so work is the binding constraint.
+DENSE_WORK_BUDGET = 400_000_000_000
 DENSE_MIN_VOL = 1_000_000  # below this the direct join is already cheap
 
 

@@ -56,6 +56,9 @@ CHECK_PRIORITY: list[str] = [
     "wordpiece_tokenize_docs",  # total oracle + ASCII-ws kernel (changed)
     "ogg_stream_features",  # spanning-BOS reassembly (changed)
     "avro_roundtrip_events",  # codec internals refactored (re-check)
+    "containment_quote_pairs",  # dense bitset tier + int-id oracle (changed)
+    "webdataset_shard_features",  # native ustar walk + WDS samples (new)
+    "qoi_decode_features",  # QOI codec, all five op classes (new)
     # -- never driver-checked ------------------------------------------------
     "wordpiece_train_encode",
     # -- freshest driver row is round 4 --------------------------------------

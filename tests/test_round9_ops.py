@@ -756,3 +756,45 @@ def test_containment_dense_routing_by_measured_stats(spark):
     finally:
         dedup.DENSE_MIN_VOL = orig
     assert dense == direct and direct
+
+
+def test_jaccard_dense_tier_equals_matmul_kernel(spark):
+    """Round 11: the dense bitset tier for blocked Jaccard emits the
+    bit-identical relation as the matmul kernel (exact integer counts,
+    same float64 division) across langs, thresholds, and orientations."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _jaccard_dense_pairs,
+        jaccard_pairs_in_blocks,
+        word_bigram_postings,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = []
+    for i in range(40):
+        words = base.split()
+        if i % 3 == 0:
+            words = words[: 4 + i % 4] + [f"w{i}"]
+        if i % 5 == 0:
+            words.append("iota")
+        texts.append((i, " ".join(words), ("en", "fr")[i % 2]))
+    docs = spark.createDataFrame(
+        texts, "doc_id bigint, text string, lang string"
+    )
+    postings = word_bigram_postings(docs).persist()
+    try:
+        for t in (0.2, 0.5, 0.8):
+            kern = sorted(
+                (r.doc_a, r.doc_b, round(r.jaccard, 12))
+                for r in jaccard_pairs_in_blocks(
+                    postings, ["lang"], t
+                ).collect()
+            )
+            dense = sorted(
+                (r.doc_a, r.doc_b, round(r.jaccard, 12))
+                for r in _jaccard_dense_pairs(
+                    postings, ["lang"], t
+                ).collect()
+            )
+            assert dense == kern and kern, t
+    finally:
+        postings.unpersist()

@@ -1,0 +1,165 @@
+"""Generate a LOCAL sf1 dataset (10x sf0.1) for the measured scaling
+curve (VERDICT r10 ask #5).
+
+/root/testdata is driver-owned and read-only, so sf1 lives under
+the repo at testdata_sf1/.  The generator mirrors sf0.1's EMPIRICAL
+structure rather than inventing distributions: document word counts and
+word frequencies are resampled from the real tables, the per-capita
+exact-duplicate and mutation-near-dup rates are preserved (so pair-type
+outputs scale by their intrinsic exponent, which is the thing being
+measured), embeddings resample real vectors with small jitter
+(preserving the label/cluster geometry PQ trains on), and orders keep
+the key layout and category marginals.
+
+Only the three tables the top-10 heavy queries load are generated:
+documents (50k rows), embeddings (20k), orders (1.5M).
+
+Usage: python tools/gen_sf1.py [out_dir]  (default testdata_sf1/)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+SCALE = 10
+SEED = 42
+
+
+def gen_documents(out_dir: str, rng: np.random.Generator) -> None:
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    texts = [r[1] for r in rows]
+    langs = [r[2] for r in rows]
+    sources = [r[3] for r in rows]
+    words = [w for t in texts for w in t.split(" ")]
+    vocab, counts = np.unique(np.array(words), return_counts=True)
+    word_p = counts / counts.sum()
+    n_words_emp = np.array([len(t.split(" ")) for t in texts])
+
+    n = len(texts) * SCALE
+    out_text: list[str] = []
+    # sf0.1 has 8/5000 exact dups; mutation near-dups at ~3% keep the
+    # near-dup family (minhash/ppjoin/pagerank) load-bearing at sf1
+    kind = rng.choice(
+        ["iid", "dup", "mut"], size=n, p=[0.952, 0.016, 0.032]
+    )
+    for i in range(n):
+        if kind[i] == "dup" and out_text:
+            out_text.append(out_text[rng.integers(0, len(out_text))])
+        elif kind[i] == "mut" and out_text:
+            base = out_text[rng.integers(0, len(out_text))].split(" ")
+            k = max(1, len(base) // 10)
+            idx = rng.choice(len(base), size=k, replace=False)
+            for j in idx:
+                base[j] = str(vocab[rng.choice(len(vocab), p=word_p)])
+            out_text.append(" ".join(base))
+        else:
+            nw = int(n_words_emp[rng.integers(0, len(n_words_emp))])
+            ws = vocab[rng.choice(len(vocab), size=nw, p=word_p)]
+            out_text.append(" ".join(ws))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+            "lang": pa.array(
+                [langs[int(i)] for i in rng.integers(0, len(langs), n)],
+                pa.string(),
+            ),
+            "source": pa.array(
+                [sources[int(i)] for i in rng.integers(0, len(sources), n)],
+                pa.string(),
+            ),
+            "n_chars": pa.array(
+                [len(t) for t in out_text], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+
+
+def gen_embeddings(out_dir: str, rng: np.random.Generator) -> None:
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    base = np.array([r[1] for r in rows], dtype=np.float32)
+    labels = np.array([r[2] for r in rows], dtype=np.int32)
+    n = len(rows) * SCALE
+    pick = rng.integers(0, len(rows), n)
+    emb = base[pick] + rng.normal(0, 0.05, (n, base.shape[1])).astype(
+        np.float32
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in emb], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels[pick].tolist(), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def gen_orders(out_dir: str, rng: np.random.Generator) -> None:
+    rows = duckdb.sql(
+        f"SELECT o_orderstatus, o_orderpriority FROM '{SRC}/orders.parquet'"
+    ).fetchall()
+    statuses = [r[0] for r in rows]
+    priorities = [r[1] for r in rows]
+    n = len(rows) * SCALE
+    pick = rng.integers(0, len(rows), n)
+    dates = np.datetime64("1995-01-01") + rng.integers(
+        0, 2404, n
+    ).astype("timedelta64[D]")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, 15_000 * SCALE, n), pa.int64()
+            ),
+            "o_orderstatus": pa.array(
+                [statuses[int(i)] for i in pick], pa.string()
+            ),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000, 500_000, n), 2), pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                dates.astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                [priorities[int(i)] for i in pick], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "orders.parquet"))
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testdata_sf1",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    gen_documents(out_dir, rng)
+    gen_embeddings(out_dir, rng)
+    gen_orders(out_dir, rng)
+    for t in ("documents", "embeddings", "orders"):
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{out_dir}/{t}.parquet'"
+        ).fetchone()[0]
+        print(t, n)
+
+
+if __name__ == "__main__":
+    main()
