@@ -1508,11 +1508,22 @@ def ppjoin_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()
     n_grams_total = stats["n_grams_total"] or 0
     vol = stats["vol"] or 0
+    nbytes = (n_grams_total + 7) // 8
+    dense_work = n_docs * n_docs * nbytes
     if (
         n_docs <= MAX_BLOCK_DOCS
         and n_docs * n_grams_total <= MAX_BLOCK_CELLS
+    ) or (
+        # tier 1b (round 11): corpus too many-doc'd for one matmul block
+        # but the vocabulary fits a bounded bitset — route through
+        # jaccard_pairs_in_blocks, whose internal dense tier computes
+        # the same exact relation one task per PARTITION (at the sf1
+        # measuring point the prefix tier degenerates: no gram is rare,
+        # so its candidate set approaches all pairs)
+        n_grams_total <= DENSE_GRAM_BITS
+        and JACCARD_DENSE_MIN_WORK < dense_work <= DENSE_WORK_BUDGET
     ):
-        # tier 1: the whole corpus fits ONE matmul block
+        # tier 1: the whole corpus fits ONE matmul block (or bitset)
         return jaccard_pairs_in_blocks(
             postings.withColumn("__blk", F.lit(0)),
             ["__blk"],
