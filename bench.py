@@ -138,6 +138,11 @@ HEADLINE = [
     "avro_roundtrip_events",
     "avro_nested_roundtrip",
     "containment_quote_pairs",
+    # round-11 second sweep: the new shard/codec kernels (native ustar
+    # walk + WDS grouping, QOI all-op decode, archive sniff+decompress)
+    "webdataset_shard_features",
+    "qoi_decode_features",
+    "archive_codec_features",
 ]
 
 

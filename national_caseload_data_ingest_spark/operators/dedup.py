@@ -475,26 +475,30 @@ def jaccard_pairs_in_blocks(
     of one task per block, so a 5-lang corpus uses all 32 cores rather
     than 5 (measured: the sf1 en block alone held one core for minutes
     under the matmul kernel)."""
-    stats = postings.agg(
-        F.countDistinct("gram").alias("g")
-    ).collect()[0]
-    n_grams = stats["g"] or 0
-    nbytes = (n_grams + 7) // 8
+    # ONE stats job (per-block distinct docs + grams).  The global
+    # distinct-gram count is bracketed by [max g_b, Σ g_b]; routing uses
+    # the conservative end of each comparison so the decision is safe
+    # without a second global-distinct pass (the two-job version cost
+    # +0.3-1 s per call at bench scale).
     bstats = (
-        postings.select("doc_id", *block_cols)
-        .distinct()
-        .groupBy(*block_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
+        postings.groupBy(*block_cols)
         .agg(
-            F.sum(F.col("n") * F.col("n")).alias("pair_work"),
-            F.max("n").alias("max_n"),
+            F.countDistinct("doc_id").alias("n"),
+            F.countDistinct("gram").alias("g"),
+        )
+        .agg(
+            F.sum(F.col("n") * F.col("n")).alias("pair_sum"),
+            F.max("g").alias("g_lo"),
+            F.sum("g").alias("g_hi"),
         )
         .collect()[0]
     )
-    work = (bstats["pair_work"] or 0) * nbytes
+    pair_sum = bstats["pair_sum"] or 0
+    g_lo, g_hi = bstats["g_lo"] or 0, bstats["g_hi"] or 0
     if (
-        n_grams <= DENSE_GRAM_BITS
-        and JACCARD_DENSE_MIN_WORK < work <= DENSE_WORK_BUDGET
+        g_hi <= DENSE_GRAM_BITS
+        and pair_sum * ((g_lo + 7) // 8) > JACCARD_DENSE_MIN_WORK
+        and pair_sum * ((g_hi + 7) // 8) <= DENSE_WORK_BUDGET
     ):
         return _jaccard_dense_pairs(postings, block_cols, threshold)
     return postings.groupBy(*block_cols).applyInPandas(

@@ -5540,6 +5540,23 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
             # structural walk (pages + CRCs + id header); sample decode
             # routes to host per the SCALING.md audio/video policy
             ogg_walk(payload)
+        elif (
+            payload[:3] == b"BZh"
+            or payload[:6] == b"\xfd7zXZ\x00"
+            or payload[:4] == b"\x28\xb5\x2f\xfd"
+        ):
+            from national_caseload_data_ingest_spark.operators.formats import (  # noqa: PLC0415
+                archive_decompress,
+            )
+
+            fmt = (
+                "bz2" if payload[:3] == b"BZh"
+                else "xz" if payload[:6] == b"\xfd7zXZ\x00"
+                else "zstd"
+            )
+            # zstd has no stdlib codec -> NotImplementedError -> gated;
+            # corrupt members -> ValueError -> corrupt rows
+            archive_decompress(payload)
         elif payload[:3] == b"ID3" or _mp3_header_plausible(payload):
             # the bare-sync sniff requires a fully parseable first frame
             # header (valid version/layer/bitrate/samplerate fields), so

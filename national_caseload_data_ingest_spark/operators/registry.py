@@ -59,6 +59,7 @@ CHECK_PRIORITY: list[str] = [
     "containment_quote_pairs",  # dense bitset tier + int-id oracle (changed)
     "webdataset_shard_features",  # native ustar walk + WDS samples (new)
     "qoi_decode_features",  # QOI codec, all five op classes (new)
+    "archive_codec_features",  # zlib/gzip/bz2/xz sniff + decompress (new)
     # -- never driver-checked ------------------------------------------------
     "wordpiece_train_encode",
     # -- freshest driver row is round 4 --------------------------------------
