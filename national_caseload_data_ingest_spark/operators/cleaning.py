@@ -745,3 +745,203 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair + invisible-character scrub (round 11) — the two
+# encoding-hygiene passes web-corpus pipelines (C4/RefinedWeb's ftfy
+# stage) run before any tokenization or hashing
+# ---------------------------------------------------------------------------
+
+# ' cafÃ© naÃ¯ve' — the UTF-8 bytes of ' café naïve' misdecoded as
+# Latin-1 (the classic double-encoding): é (U+00E9) -> C3 A9 -> 'Ã©'
+_MOJIBAKE_SUFFIX = " cafÃ© naÃ¯ve"
+_CLEAN_SUFFIX = " café naïve"
+
+
+def mojibake_repair(text: str) -> tuple[str, bool]:
+    """ftfy-style single-pass repair of UTF-8-misdecoded-as-Latin-1
+    text: if the string survives a latin-1 re-encode AND that byte
+    string is valid UTF-8 AND decoding changes it, the original
+    encoding is recovered.  Clean accented text fails the UTF-8 check
+    (é alone is an invalid UTF-8 lead sequence) and pure ASCII decodes
+    to itself, so neither is touched — the rule only fires on true
+    double-encodings."""
+    try:
+        fixed = text.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return text, False
+    return (fixed, True) if fixed != text else (text, False)
+
+
+@query(
+    "mojibake_repair_docs",
+    oracle=f"""
+    WITH decorated AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 3 = 0
+                        THEN text || ' caf' || chr(195) || chr(169)
+                             || ' na' || chr(195) || chr(175) || 've'
+                    WHEN doc_id % 3 = 1
+                        THEN text || ' caf' || chr(233)
+                             || ' na' || chr(239) || 've'
+                    ELSE text END AS raw,
+               CASE WHEN doc_id % 3 = 0
+                        THEN text || ' caf' || chr(233)
+                             || ' na' || chr(239) || 've'
+                    WHEN doc_id % 3 = 1
+                        THEN text || ' caf' || chr(233)
+                             || ' na' || chr(239) || 've'
+                    ELSE text END AS fixed
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(doc_id % 3 = 0 AS INTEGER) AS repaired,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(fixed) AS BIGINT) AS len_fixed,
+           md5(fixed) AS fixed_md5
+    FROM decorated
+    """,
+)
+def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (UTF-8-as-Latin-1 double-encoding) repair over a
+    three-class rotation: docs ≡ 0 mod 3 carry a planted double-encoded
+    suffix (must be repaired), ≡ 1 carry the CLEAN accented suffix
+    (must NOT be touched — the false-positive trap), ≡ 2 are plain
+    ASCII (identity).  The oracle rebuilds both the broken and repaired
+    strings closed-form with chr(), so the md5 of the repaired text
+    pins byte-exact recovery and the `repaired` flag pins the detector
+    on both sides of the boundary.  Narrow ``mapInPandas`` pass, zero
+    shuffle — pipelines with the scan at any scale."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    decorated = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(_MOJIBAKE_SUFFIX)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(_CLEAN_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, rep, lr, lf, md = [], [], [], [], []
+            import hashlib  # noqa: PLC0415
+
+            for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
+                fixed, repaired = mojibake_repair(str(raw))
+                ids.append(int(doc_id))
+                rep.append(int(repaired))
+                lr.append(len(raw))
+                lf.append(len(fixed))
+                md.append(hashlib.md5(fixed.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "repaired": pd.Series(rep, dtype="int32"),
+                    "len_raw": pd.Series(lr, dtype="int64"),
+                    "len_fixed": pd.Series(lf, dtype="int64"),
+                    "fixed_md5": pd.Series(md, dtype="object"),
+                }
+            )
+
+    return decorated.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, repaired int, len_raw bigint, "
+            "len_fixed bigint, fixed_md5 string"
+        ),
+    )
+
+
+# The zero-width / format characters quality pipelines strip before
+# hashing or tokenizing (each a real-world dedup splitter): ZERO WIDTH
+# SPACE, ZWNJ, ZWJ, WORD JOINER, BOM-as-ZWNBSP, SOFT HYPHEN.
+INVISIBLE_CHARS = "\u200b\u200c\u200d\u2060\ufeff\u00ad"
+_INVIS_TABLE = {ord(c): None for c in INVISIBLE_CHARS}
+
+
+@query(
+    "invisible_scrub_docs",
+    oracle="""
+    WITH decorated AS (
+        SELECT doc_id,
+               text || CASE doc_id % 4
+                   WHEN 0 THEN chr(8203) || 'ab' || chr(65279)
+                   WHEN 1 THEN 'x' || chr(8204) || chr(173) || 'y'
+                   WHEN 2 THEN chr(8205) || chr(8288)
+                   ELSE '' END AS raw
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, raw,
+               replace(replace(replace(replace(replace(replace(raw,
+                   chr(8203), ''), chr(8204), ''), chr(8205), ''),
+                   chr(8288), ''), chr(65279), ''), chr(173), '')
+               AS clean
+        FROM decorated
+    )
+    SELECT doc_id,
+           CAST(length(raw) - length(clean) AS BIGINT) AS n_invisible,
+           CAST(length(clean) AS BIGINT) AS len_clean,
+           md5(clean) AS clean_md5
+    FROM scrubbed
+    """,
+)
+def invisible_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character scrub over a four-class rotation planting
+    ZWSP+BOM, ZWNJ+SOFT HYPHEN, ZWJ+WORD JOINER, or nothing — per doc:
+    how many format characters were removed, the clean length, and the
+    md5 of the scrubbed text (byte-exact cross-engine via a closed-form
+    replace chain).  These six codepoints render invisibly but split
+    exact-dedup hashes and token statistics, so corpus pipelines strip
+    them before anything downstream.  Narrow pass, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    decorated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\u200bab\ufeff"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("x\u200c\u00ady"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("\u200d\u2060"))
+            .otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+
+    def kernel(batches):
+        import hashlib  # noqa: PLC0415
+
+        for pdf in batches:
+            ids, ninv, lc, md = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
+                raw = str(raw)
+                clean = raw.translate(_INVIS_TABLE)
+                ids.append(int(doc_id))
+                ninv.append(len(raw) - len(clean))
+                lc.append(len(clean))
+                md.append(hashlib.md5(clean.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_invisible": pd.Series(ninv, dtype="int64"),
+                    "len_clean": pd.Series(lc, dtype="int64"),
+                    "clean_md5": pd.Series(md, dtype="object"),
+                }
+            )
+
+    return decorated.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, n_invisible bigint, len_clean bigint, "
+            "clean_md5 string"
+        ),
+    )

@@ -60,6 +60,8 @@ CHECK_PRIORITY: list[str] = [
     "webdataset_shard_features",  # native ustar walk + WDS samples (new)
     "qoi_decode_features",  # QOI codec, all five op classes (new)
     "archive_codec_features",  # zlib/gzip/bz2/xz sniff + decompress (new)
+    "mojibake_repair_docs",  # ftfy-style double-encoding repair (new)
+    "invisible_scrub_docs",  # zero-width/format char scrub (new)
     # -- never driver-checked ------------------------------------------------
     "wordpiece_train_encode",
     # -- freshest driver row is round 4 --------------------------------------

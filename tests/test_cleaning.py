@@ -248,3 +248,30 @@ def test_gopher_rules_nonvacuous(spark):
     ):
         vals = {getattr(r, flag) for r in rows}
         assert vals == {0, 1}, f"{flag} is vacuous at sf0.001: {vals}"
+
+
+def test_mojibake_repair_rule_edges():
+    """ADVICE-grade edge sweep: true double-encodings repair byte-exactly,
+    clean accents and ASCII are untouched, and unrepairable text (chars
+    outside Latin-1) passes through."""
+    from national_caseload_data_ingest_spark.operators.cleaning import (
+        mojibake_repair,
+    )
+
+    broken = "rÃ©sumÃ©"  # 'résumé' double-encoded
+    fixed, rep = mojibake_repair(broken)
+    assert (fixed, rep) == ("résumé", True)
+    for clean in ("résumé", "plain", "naïve — ünïcode ✓", ""):
+        out, rep = mojibake_repair(clean)
+        assert out == clean and not rep
+
+
+def test_invisible_scrub_preserves_visible_text():
+    from national_caseload_data_ingest_spark.operators.cleaning import (
+        INVISIBLE_CHARS,
+        _INVIS_TABLE,
+    )
+
+    raw = "a​b‌c‍d⁠e﻿f­g"
+    assert raw.translate(_INVIS_TABLE) == "abcdefg"
+    assert len(INVISIBLE_CHARS) == 6
