@@ -1555,13 +1555,20 @@ def _containment_direct_pairs(postings: DataFrame) -> DataFrame:
     """Containment tier 1: the unfiltered ordered posting join — every
     gram's posting list joins against itself (Σ df·(df−1) ordered rows,
     measured against ``DIRECT_JOIN_BUDGET`` before this path is
-    chosen), intersections fall out of one ordered-pair aggregation."""
-    pa = postings.select(
+    chosen), intersections fall out of one ordered-pair aggregation.
+
+    The join INPUT is postings-sized but its OUTPUT is the measured
+    Σ df·(df−1) — AQE coalesces partitions by input size and would run
+    the expansion in a handful of tasks (measured: a 3e7-row expansion
+    on 3 tasks took 50 s at the sf01h point), so the gram repartition
+    pins the expansion's parallelism explicitly."""
+    rep = postings.repartition(64, "gram")
+    pa = rep.select(
         F.col("doc_id").alias("doc_a"),
         F.col("gram").alias("g"),
         F.col("n_grams").alias("n_a"),
     )
-    pb = postings.select(
+    pb = rep.select(
         F.col("doc_id").alias("doc_b"), F.col("gram").alias("g")
     )
     inter = (
@@ -1699,6 +1706,217 @@ def _containment_dense_pairs(postings: DataFrame) -> DataFrame:
     )
 
 
+# Hybrid frequent/rare containment tier (round 11, measured on the sf1h
+# long-tail corpus): at t = 1/2 the prefix filter cannot prune when the
+# per-doc "rare half" still contains mid-frequency grams — measured
+# 691M candidate rows at sf1h, OOM/GC-thrash territory.  The hybrid
+# splits the vocabulary instead: the FREQUENT head (peeled by df until
+# the remaining rare posting self-join volume fits a budget) lives in
+# per-doc bitsets (exact popcount intersections against a broadcast
+# matrix), the RARE tail goes through the cheap posting self-join.
+# n_common = c_freq + c_rare exactly, and every qualifying pair either
+# shares a rare gram (found by the rare join) or qualifies on frequent
+# grams alone (found by the all-pairs popcount screen) — a complete,
+# exact case split.
+CONTAINMENT_RARE_VOL_BUDGET = 200_000_000  # rare self-join output rows
+HYBRID_WORK_BUDGET = 1_000_000_000_000  # D^2 * freq-bitset bytes
+HYBRID_BCAST_BUDGET = 256 * 1024 * 1024  # broadcast matrix bytes
+HYBRID_STATS_CAP = 1 << 20  # max distinct grams for the df collect
+
+
+def _containment_hybrid_pairs(
+    postings: DataFrame, df_rows: list
+) -> DataFrame | None:
+    """Frequent/rare split containment (see the block comment above).
+    ``df_rows`` is the collected (gram, df) relation, df descending.
+    Returns None if any budget fence fails (caller falls through to the
+    prefix tier)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    num, den = CONTAINMENT_NUM, CONTAINMENT_DEN
+    spark = postings.sparkSession
+
+    # peel the df-descending head into FREQ until the rare self-join
+    # volume Σ df·(df−1) fits the budget
+    total_vol = sum(d * (d - 1) for _, d in df_rows)
+    freq: list[str] = []
+    rare_vol = total_vol
+    for gram, d in df_rows:
+        if rare_vol <= CONTAINMENT_RARE_VOL_BUDGET:
+            break
+        freq.append(gram)
+        rare_vol -= d * (d - 1)
+    if rare_vol > CONTAINMENT_RARE_VOL_BUDGET:
+        return None
+    if not freq:
+        # nothing to peel: the whole vocabulary is already rare-cheap,
+        # so the hybrid degenerates to the direct join — let the ladder
+        # fall through to the simpler tiers
+        return None
+    if len(freq) > DENSE_GRAM_BITS:
+        return None
+    nbytes = (len(freq) + 7) // 8
+    n_docs = postings.select("doc_id").distinct().count()
+    if (
+        n_docs * n_docs * max(nbytes, 1) > HYBRID_WORK_BUDGET
+        or n_docs * max(nbytes, 1) > HYBRID_BCAST_BUDGET
+    ):
+        return None
+
+    gram_bit = {g: i for i, g in enumerate(freq)}
+    bc_bits = spark.sparkContext.broadcast(gram_bit)
+
+    per_doc = postings.groupBy("doc_id").agg(
+        F.first("n_grams").alias("n"),
+        F.collect_set("gram").alias("grams"),
+    )
+
+    def pack(batches):
+        m = bc_bits.value
+        for pdf in batches:
+            ids, ns, bits = [], [], []
+            for doc_id, n, gs in zip(
+                pdf["doc_id"], pdf["n"], pdf["grams"]
+            ):
+                buf = bytearray(nbytes)
+                for g in gs:
+                    bit = m.get(g)
+                    if bit is not None:
+                        buf[bit >> 3] |= 1 << (bit & 7)
+                ids.append(int(doc_id))
+                ns.append(int(n))
+                bits.append(bytes(buf))
+            yield pd.DataFrame({"doc_id": ids, "n": ns, "bits": bits})
+
+    bitsets = per_doc.mapInPandas(
+        pack, schema="doc_id bigint, n bigint, bits binary"
+    ).persist()
+    rows = bitsets.collect()  # bounded by HYBRID_BCAST_BUDGET
+    ids_all = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    n_all = np.array([r["n"] for r in rows], dtype=np.int64)
+    mat_all = np.frombuffer(
+        b"".join(bytes(r["bits"]) for r in rows), dtype=np.uint8
+    ).reshape(len(rows), max(nbytes, 1))
+    pos_of = {int(v): i for i, v in enumerate(ids_all)}
+    pc_table = np.array(
+        [bin(i).count("1") for i in range(256)], dtype=np.uint16
+    )
+    bc_mat = spark.sparkContext.broadcast(
+        (ids_all, n_all, mat_all, pos_of)
+    )
+
+    # rare-tail posting self-join: exact shared-RARE-gram counts for
+    # every ordered pair sharing at least one rare gram
+    freq_df = spark.createDataFrame(
+        [(g,) for g in freq] or [(None,)], "gram string"
+    ).filter(F.col("gram").isNotNull())
+    # the join INPUT is small (rare postings) but its OUTPUT expands up
+    # to CONTAINMENT_RARE_VOL_BUDGET rows — AQE coalesces by input size
+    # and would run the expansion in 1-2 tasks (measured: minutes at the
+    # sf1h point), so pin the join parallelism explicitly
+    rare_posts = postings.join(
+        F.broadcast(freq_df), "gram", "left_anti"
+    ).repartition(64, "gram")
+    ra = rare_posts.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("gram").alias("g"),
+        F.col("n_grams").alias("n_a"),
+    )
+    rb = rare_posts.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("gram").alias("g"),
+        F.col("n_grams").alias("n_b"),
+    )
+    rare_pairs = (
+        ra.join(rb, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.lit(den) * F.col("n_b") >= F.lit(num) * F.col("n_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("c_rare"),
+            F.first("n_a").alias("n_a"),
+        )
+        # consumed twice (c_freq enrichment + the freq-alone anti-join):
+        # persist so the budget-bounded expansion join runs ONCE
+        .persist()
+    )
+
+    def add_cfreq(batches):
+        ids, ns, mat, pos = bc_mat.value
+        for pdf in batches:
+            cf = []
+            for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+                row = mat[pos[int(a)]] & mat[pos[int(b)]]
+                cf.append(int(pc_table[row].sum()))
+            out = pdf.copy()
+            out["c_freq"] = pd.Series(cf, dtype="int64")
+            yield out
+
+    rare_with_freq = rare_pairs.mapInPandas(
+        add_cfreq,
+        schema=(
+            "doc_a bigint, doc_b bigint, c_rare bigint, n_a bigint, "
+            "c_freq bigint"
+        ),
+    )
+    qual_rare = rare_with_freq.filter(
+        F.lit(den) * (F.col("c_rare") + F.col("c_freq"))
+        >= F.lit(num) * F.col("n_a")
+    ).select(
+        "doc_a",
+        "doc_b",
+        (F.col("c_rare") + F.col("c_freq")).alias("n_common"),
+        "n_a",
+    )
+
+    # frequent-alone qualifiers: all-pairs popcount screen; pairs that
+    # ALSO share a rare gram are handled above (anti-join dedups)
+    def freq_alone(batches):
+        ids, ns, mat, _pos = bc_mat.value
+        for pdf in batches:
+            da, db, nc, na = [], [], [], []
+            for doc_id, n_a, bits in zip(
+                pdf["doc_id"], pdf["n"], pdf["bits"]
+            ):
+                a = np.frombuffer(bytes(bits), dtype=np.uint8)
+                common = pc_table[mat & a].sum(axis=1, dtype=np.int64)
+                mask = (den * common >= num * int(n_a)) & (
+                    ids != int(doc_id)
+                )
+                hits = np.nonzero(mask)[0]
+                if len(hits):
+                    da.extend([int(doc_id)] * len(hits))
+                    db.extend(ids[hits].tolist())
+                    nc.extend(common[hits].tolist())
+                    na.extend([int(n_a)] * len(hits))
+            yield pd.DataFrame(
+                {
+                    "doc_a": pd.Series(da, dtype="int64"),
+                    "doc_b": pd.Series(db, dtype="int64"),
+                    "n_common": pd.Series(nc, dtype="int64"),
+                    "n_a": pd.Series(na, dtype="int64"),
+                }
+            )
+
+    qual_freq = bitsets.mapInPandas(
+        freq_alone,
+        schema="doc_a bigint, doc_b bigint, n_common bigint, n_a bigint",
+    ).join(rare_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"],
+           "left_anti")
+
+    out = qual_rare.unionByName(qual_freq)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        (F.col("n_common").cast("double") / F.col("n_a")).alias(
+            "containment"
+        ),
+    )
+
+
 def _containment_prefix_pairs(postings: DataFrame) -> DataFrame:
     """Containment tier 2: the prefix-filtered asymmetric plan — the
     web-scale route the tier-1 budget guard used to merely RECOMMEND in
@@ -1724,9 +1942,12 @@ def _containment_prefix_pairs(postings: DataFrame) -> DataFrame:
       pair survives if ANY generated row passes, and the
       first-shared-gram row always does for a true pair.
 
-    Verification intersects the per-doc gram ARRAYS (distinct grams, so
-    ``array_intersect`` size is the exact overlap) — cost proportional
-    to candidate pairs, not the corpus.  α is computed as
+    Verification counts shared grams through a POSTING join restricted
+    to candidate pairs (partial-aggregated pair count; distinct grams,
+    so the count is the exact overlap) — cost proportional to candidate
+    posting sizes, never materializing per-doc arrays onto candidate
+    rows (the array form thrashed GC at the sf1h measuring point).  α
+    is computed as
     ``(num·n_a + den − 1) div den`` (integer ceil — no float
     boundary), and the emitted relation is bit-identical to tier 1
     (equivalence pytest-pinned)."""
@@ -1764,20 +1985,32 @@ def _containment_prefix_pairs(postings: DataFrame) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
+        # restore parallelism explicitly: AQE coalesces the distinct's
+        # output by compressed size, but the verify join below AMPLIFIES
+        # each candidate row by its posting count — 2 coalesced tasks
+        # thrashed GC for 20+ minutes at the sf1h measuring point
+        .repartition(64, "doc_a")
     )
-    ga = per_doc.select(
+    # verify via a POSTING-COUNT join, not array_intersect over per-doc
+    # gram arrays: arrays amplify every candidate row by two ~n-element
+    # string arrays before the intersection, while the posting join
+    # streams (doc, gram) rows through a partial-aggregated pair count —
+    # same exact n_common, cost proportional to candidate posting sizes
+    pa = postings.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("ordered").alias("grams_a"),
-        F.col("n").alias("n_a"),
+        F.col("gram").alias("g"),
+        F.col("n_grams").alias("n_a"),
     )
-    gb = per_doc.select(
-        F.col("doc_id").alias("doc_b"), F.col("ordered").alias("grams_b")
+    pb = postings.select(
+        F.col("doc_id").alias("doc_b"), F.col("gram").alias("g")
     )
     verified = (
-        cands.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .withColumn(
-            "n_common", F.size(F.array_intersect("grams_a", "grams_b"))
+        cands.join(pa, "doc_a")
+        .join(pb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
         )
     )
     return verified.filter(
@@ -1885,6 +2118,22 @@ def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_docs * n_docs * ((n_grams + 7) // 8) <= DENSE_WORK_BUDGET:
             return _containment_dense_pairs(postings)
     if vol > DIRECT_JOIN_BUDGET:
+        # mixed-regime corpora (moderate vocabulary, frequent head +
+        # long tail): try the hybrid frequent/rare split before the
+        # prefix tier — at t = 1/2 the prefix cannot prune when the
+        # per-doc rare half still holds mid-df grams (measured: 691M
+        # candidates at the sf1h point)
+        if n_grams <= HYBRID_STATS_CAP:
+            df_rows = [
+                (r["gram"], r["df"])
+                for r in postings.groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .orderBy(F.col("df").desc(), "gram")
+                .collect()  # bounded by HYBRID_STATS_CAP rows
+            ]
+            hybrid = _containment_hybrid_pairs(postings, df_rows)
+            if hybrid is not None:
+                return hybrid
         return _containment_prefix_pairs(postings)
     return _containment_direct_pairs(postings)
 

@@ -798,3 +798,58 @@ def test_jaccard_dense_tier_equals_matmul_kernel(spark):
             assert dense == kern and kern, t
     finally:
         postings.unpersist()
+
+
+def test_containment_hybrid_tier_equals_direct(spark):
+    """Round 11: the frequent/rare hybrid tier emits the identical
+    relation as the direct posting join — forced through the ladder by
+    shrinking the rare-volume budget so the head peels."""
+    from national_caseload_data_ingest_spark.operators import dedup
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _containment_direct_pairs,
+        _containment_hybrid_pairs,
+        _shared_postings,
+    )
+    from pyspark.sql import functions as F
+
+    # corpus with a frequent head ('alpha beta' in most docs) and a
+    # rare tail (w{i} grams), plus planted full containments
+    texts = []
+    for i in range(30):
+        base = ["alpha", "beta", "gamma"]
+        if i % 3:
+            base += [f"w{i}", f"v{i}"]
+        if i % 5 == 0:
+            base = ["alpha", "beta"]  # short doc contained in others
+        texts.append((i, " ".join(base), "en"))
+    docs = spark.createDataFrame(
+        texts, "doc_id bigint, text string, lang string"
+    )
+    postings = _shared_postings(docs).persist()
+    try:
+        df_rows = [
+            (r["gram"], r["df"])
+            for r in postings.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.col("df").desc(), "gram")
+            .collect()
+        ]
+        orig = dedup.CONTAINMENT_RARE_VOL_BUDGET
+        dedup.CONTAINMENT_RARE_VOL_BUDGET = 4  # force a non-empty head
+        try:
+            hybrid = _containment_hybrid_pairs(postings, df_rows)
+        finally:
+            dedup.CONTAINMENT_RARE_VOL_BUDGET = orig
+        assert hybrid is not None
+
+        def rel(df):
+            return sorted(
+                (r.doc_a, r.doc_b, r.n_common, r.n_a,
+                 round(r.containment, 12))
+                for r in df.collect()
+            )
+
+        assert rel(hybrid) == rel(_containment_direct_pairs(postings))
+        assert rel(hybrid)  # non-vacuous
+    finally:
+        postings.unpersist()

@@ -14,7 +14,16 @@ the key layout and category marginals.
 Only the three tables the top-10 heavy queries load are generated:
 documents (50k rows), embeddings (20k), orders (1.5M).
 
-Usage: python tools/gen_sf1.py [out_dir]  (default testdata_sf1/)
+Long-tail mode (``--tail-frac F --tail-vocab N``): a fraction F of
+document tokens is drawn from an N-word uniform long tail instead of
+the 31-word base vocabulary — the Heaps'-law regime real corpora live
+in, where rare grams exist and the PREFIX/LSH tiers (not the dense
+bitset tier) are the active plans.  Generate a matched PAIR of
+directories (``--scale 1`` and ``--scale 10``) to measure exponents
+within one regime.
+
+Usage: python tools/gen_sf1.py [out_dir] [--scale N]
+                               [--tail-frac F] [--tail-vocab N]
 """
 
 from __future__ import annotations
@@ -30,6 +39,8 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 SCALE = 10
 SEED = 42
+TAIL_FRAC = 0.0
+TAIL_VOCAB = 1000
 
 
 def gen_documents(out_dir: str, rng: np.random.Generator) -> None:
@@ -64,7 +75,16 @@ def gen_documents(out_dir: str, rng: np.random.Generator) -> None:
             out_text.append(" ".join(base))
         else:
             nw = int(n_words_emp[rng.integers(0, len(n_words_emp))])
-            ws = vocab[rng.choice(len(vocab), size=nw, p=word_p)]
+            ws = list(vocab[rng.choice(len(vocab), size=nw, p=word_p)])
+            if TAIL_FRAC > 0:
+                # Heaps-regime tail: replace a fraction of tokens with
+                # uniform draws from an N-word long tail
+                k = int(round(nw * TAIL_FRAC))
+                if k:
+                    idx = rng.choice(nw, size=k, replace=False)
+                    tail = rng.integers(0, TAIL_VOCAB, k)
+                    for j, t in zip(idx, tail):
+                        ws[j] = f"t{int(t)}"
             out_text.append(" ".join(ws))
     tbl = pa.table(
         {
@@ -145,7 +165,24 @@ def gen_orders(out_dir: str, rng: np.random.Generator) -> None:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    global SCALE, TAIL_FRAC, TAIL_VOCAB
+    args = sys.argv[1:]
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--scale":
+            SCALE = int(args[i + 1])
+            i += 2
+        elif args[i] == "--tail-frac":
+            TAIL_FRAC = float(args[i + 1])
+            i += 2
+        elif args[i] == "--tail-vocab":
+            TAIL_VOCAB = int(args[i + 1])
+            i += 2
+        else:
+            pos.append(args[i])
+            i += 1
+    out_dir = pos[0] if pos else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "testdata_sf1",
     )

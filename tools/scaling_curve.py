@@ -8,6 +8,11 @@ linear, 2.0 = quadratic), and prints one JSON line.  Results land in
 SCALING.md's measured-curve table.
 
 Usage: python tools/scaling_curve.py [sf1_dir]
+       python tools/scaling_curve.py BASE_DIR BIG_DIR [query ...]
+
+The two-dir form measures a matched corpus-regime pair (e.g. the
+Heaps-law long-tail variants from ``gen_sf1.py --tail-frac``), limited
+to the named queries.
 """
 
 from __future__ import annotations
@@ -38,15 +43,21 @@ def main() -> None:
     import __spark_entry__ as ent
     from national_caseload_data_ingest_spark.session import get_spark
 
-    sf01 = "/root/testdata/sf0.1"
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "testdata_sf1",
-    )
+    args = sys.argv[1:]
+    if len(args) >= 2:
+        sf01, sf1 = args[0], args[1]
+        names = args[2:] or HEAVIES
+    else:
+        sf01 = "/root/testdata/sf0.1"
+        sf1 = args[0] if args else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "testdata_sf1",
+        )
+        names = HEAVIES
     spark = get_spark("scaling")
     q = ent.queries()
     out: dict[str, dict] = {}
-    for name in HEAVIES:
+    for name in names:
         fn = q[name]
         fn(spark, sf01).count()  # warm-up (plan cache, Arrow, JIT)
         t0 = time.time()
