@@ -304,6 +304,100 @@ def avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "avro_union_roundtrip",
+    oracle="""
+    SELECT o_orderkey AS id,
+           'P' || substr(o_orderpriority, 1, 1) AS prio,
+           md5(o_orderpriority || CAST(o_orderkey AS VARCHAR)) AS fp_md5,
+           CASE WHEN o_orderkey % 3 = 1
+                THEN CAST(o_orderkey % 1000 AS BIGINT) END AS v_long,
+           CASE WHEN o_orderkey % 3 = 2
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                END AS v_double,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN o_orderpriority END AS rev_str
+    FROM orders
+    """,
+)
+def avro_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro complex-type tail (round-11 second sweep): enum, fixed, and
+    MULTI-BRANCH unions — the last gated Avro shapes beside the
+    spec-mandated string-map-key rule — pushed through the codec with
+    explicit type nodes (Spark has no enum/fixed/union types, so the
+    columns carry the spark-avro mapping: string / binary /
+    member-struct):
+
+    * ``prio``: enum(P1..P5) — the wire form is the SYMBOL INDEX, so the
+      oracle match proves index↔symbol order end-to-end;
+    * ``fp``: fixed(16) of a per-row md5 — re-hexed after decode, so any
+      byte slip in the raw-16 read shifts every digest;
+    * ``choice``: union [null, long, double] — branch by key mod 3, the
+      struct<member0,member1> mapping with exactly one member set;
+    * ``rev``: union [string, null] — null NOT first, pinning that wire
+      branch indexes follow the FILE's declared order (the 2-branch
+      nullable fast path must not claim it).
+
+    Two narrow Arrow kernels, zero shuffle; the oracle replays the same
+    values from raw parquet, so a hash-match proves the whole
+    enum/fixed/union wire layer."""
+    from national_caseload_data_ingest_spark.sources.avro import (  # noqa: PLC0415
+        decode_payloads,
+        encode_partitions,
+    )
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    typed = o.select(
+        k.alias("id"),
+        F.concat(F.lit("P"), F.substring("o_orderpriority", 1, 1))
+        .alias("prio"),
+        F.unhex(
+            F.md5(
+                F.concat(
+                    F.col("o_orderpriority"), k.cast("string")
+                ).cast("binary")
+            )
+        ).alias("fp"),
+        F.when(
+            k % 3 != 0,
+            F.struct(
+                F.when(k % 3 == 1, (k % 1000).cast("long"))
+                .alias("member0"),
+                F.when(k % 3 == 2, F.col("o_totalprice"))
+                .alias("member1"),
+            ),
+        ).alias("choice"),
+        F.when(
+            k % 2 == 1,
+            F.struct(F.col("o_orderpriority").alias("member0")),
+        ).alias("rev"),
+    )
+    fields = [
+        ("id", "bigint"),
+        ("prio", ("enum", ("P1", "P2", "P3", "P4", "P5"))),
+        ("fp", ("fixed", 16)),
+        ("choice", ("munion", ("null", "long", "double"))),
+        ("rev", ("munion", ("string", "null"))),
+    ]
+    payloads = encode_partitions(typed, codec="deflate", fields=fields)
+    back = decode_payloads(
+        payloads,
+        "id bigint, prio string, fp binary, "
+        "choice struct<member0:bigint,member1:double>, "
+        "rev struct<member0:string>",
+    )
+    return back.select(
+        "id",
+        "prio",
+        F.lower(F.hex("fp")).alias("fp_md5"),
+        F.col("choice.member0").alias("v_long"),
+        F.col("choice.member1").cast("decimal(18,2)").cast("double")
+        .alias("v_double"),
+        F.col("rev.member0").alias("rev_str"),
+    )
+
+
 def encode_arrow_ipc_partitions(df: DataFrame) -> DataFrame:
     """Each partition → one self-contained Arrow IPC (Feather v2) file
     payload, via ``mapInArrow`` (the Arrow batches Spark already ships to

@@ -21,11 +21,32 @@ nest arbitrarily over the primitives, mapping to Spark ``StructType`` /
 ``ArrayType`` / ``MapType``; any field or element may be a ``["null",
 T]`` union.  Internally every type is a NODE: a primitive token string,
 ``("union", node)``, ``("record", [(name, node), ...])``, ``("array",
-node)``, or ``("map", node)`` — the writer emits every Spark-derived
-type as nullable (Spark columns and nested fields are nullable by
-default), while the reader follows whatever union structure the file's
-embedded schema declares.  Still gated loudly: enums, fixed, unions
-with more than one non-null branch, and non-string map keys.
+node)``, ``("map", node)``, ``("enum", (symbols...))``, ``("fixed",
+size)``, or ``("munion", (branches...))`` — the writer emits every
+Spark-derived type as nullable (Spark columns and nested fields are
+nullable by default), while the reader follows whatever union structure
+the file's embedded schema declares.
+
+The complex-type tail (round-11 second sweep) maps types Spark lacks to
+the same Spark shapes the public ``spark-avro`` connector uses:
+
+* **enum** ↔ ``string`` — wire form is the zigzag-varint SYMBOL INDEX
+  into the schema's declared symbol list, so a symbol-order bug breaks
+  every row;
+* **fixed** ↔ ``binary`` — exactly ``size`` raw bytes, length validated
+  on encode;
+* **union with ≥2 non-null branches** ↔
+  ``struct<member0, member1, ...>`` with exactly one member set (one
+  field per non-null branch in declared order; a null branch anywhere in
+  the declared order decodes to a NULL struct).  Branch indexes on the
+  wire follow the FILE's declared order — including ``[T, "null"]``
+  files where null is not branch 0, which the 2-branch fast path must
+  NOT claim (it assumes null==branch 0; such files route through the
+  general path).
+
+Still gated loudly: non-string map keys — the Avro spec itself mandates
+string map keys (§Maps), so the gate rejects what the format cannot
+represent rather than silently stringifying.
 
 Distributed shape: encoding and decoding are narrow Arrow
 ``mapInPandas`` kernels — each PARTITION becomes one self-contained
@@ -218,19 +239,40 @@ def _schema_json(node, counter: list[int]):
         return {"type": "array", "items": _schema_json(node[1], counter)}
     if kind == "map":
         return {"type": "map", "values": _schema_json(node[1], counter)}
+    if kind == "enum":
+        counter[0] += 1
+        return {
+            "type": "enum",
+            "name": f"e{counter[0]}",
+            "symbols": list(node[1]),
+        }
+    if kind == "fixed":
+        counter[0] += 1
+        return {"type": "fixed", "name": f"x{counter[0]}", "size": node[1]}
+    if kind == "munion":
+        return [
+            "null" if b == "null" else _schema_json(b, counter)
+            for b in node[1]
+        ]
     raise NotImplementedError(f"avro node kind {kind!r}")
 
 
 def _node_from_json(t):
     """Avro schema JSON fragment → type node.  Follows whatever union
-    structure the file declares; gates enum/fixed/multi-branch unions."""
+    structure the file declares — including branch ORDER: the 2-branch
+    nullable fast path only claims ``["null", T]`` (null first, the wire
+    convention the encoder emits); everything else — ``[T, "null"]``,
+    1-branch unions, ≥2 non-null branches — routes through the general
+    ``munion`` node whose branch indexes mirror the declared order."""
     if isinstance(t, list):
-        non_null = [x for x in t if x != "null"]
-        if len(non_null) != 1 or len(t) != len(non_null) + 1:
-            raise NotImplementedError(
-                "avro unions beyond [null, T] are not supported"
-            )
-        return ("union", _node_from_json(non_null[0]))
+        if len(t) == 2 and t[0] == "null":
+            return ("union", _node_from_json(t[1]))
+        return (
+            "munion",
+            tuple(
+                "null" if x == "null" else _node_from_json(x) for x in t
+            ),
+        )
     if isinstance(t, str):
         if t in ("long", "int", "double", "float", "string", "bytes",
                  "boolean"):
@@ -253,6 +295,10 @@ def _node_from_json(t):
             return ("array", _node_from_json(t["items"]))
         if kind == "map":
             return ("map", _node_from_json(t["values"]))
+        if kind == "enum":
+            return ("enum", tuple(t["symbols"]))
+        if kind == "fixed":
+            return ("fixed", int(t["size"]))
         if isinstance(kind, str):
             return _node_from_json(kind)  # {"type": "string"} wrapping
     raise NotImplementedError(f"avro schema fragment {t!r}")
@@ -316,6 +362,48 @@ def _encode_value(out: bytearray, node, v) -> None:
                 _write_str(out, str(k))
                 _encode_value(out, node[1], val)
         _write_long(out, 0)
+    elif kind == "enum":
+        symbols = node[1]
+        try:
+            _write_long(out, symbols.index(v))
+        except ValueError:
+            raise ValueError(
+                f"avro: {v!r} is not one of the enum symbols {symbols}"
+            ) from None
+    elif kind == "fixed":
+        b = bytes(v)
+        if len(b) != node[1]:
+            raise ValueError(
+                f"avro: fixed({node[1]}) value has {len(b)} bytes"
+            )
+        out.extend(b)
+    elif kind == "munion":
+        branches = node[1]
+        if _is_null(v):
+            if "null" not in branches:
+                raise ValueError(
+                    "avro: null value for a union with no null branch"
+                )
+            _write_long(out, branches.index("null"))
+            return
+        # value is the struct mapping: member{k} per non-null branch,
+        # exactly one set (the spark-avro union representation)
+        members = [i for i, b in enumerate(branches) if b != "null"]
+        chosen = [
+            k
+            for k in range(len(members))
+            if not _is_null(_record_field(v, f"member{k}", k))
+        ]
+        if len(chosen) != 1:
+            raise ValueError(
+                "avro: union struct must set exactly one member, got "
+                f"{len(chosen)}"
+            )
+        k = chosen[0]
+        _write_long(out, members[k])
+        _encode_value(
+            out, branches[members[k]], _record_field(v, f"member{k}", k)
+        )
     else:  # pragma: no cover - guarded at schema build
         raise NotImplementedError(kind)
 
@@ -368,6 +456,27 @@ def _decode_value(r: _Reader, node):
             for _ in range(n):
                 k = r.str_()
                 out_m[k] = _decode_value(r, node[1])
+    if kind == "enum":
+        symbols = node[1]
+        idx = r.long()
+        if not 0 <= idx < len(symbols):
+            raise ValueError(f"avro: enum index {idx} out of range")
+        return symbols[idx]
+    if kind == "fixed":
+        return r.raw(node[1])
+    if kind == "munion":
+        branches = node[1]
+        idx = r.long()
+        if not 0 <= idx < len(branches):
+            raise ValueError(f"avro: union branch {idx} out of range")
+        if branches[idx] == "null":
+            return None
+        members = [i for i, b in enumerate(branches) if b != "null"]
+        val = _decode_value(r, branches[idx])
+        return {
+            f"member{k}": (val if members[k] == idx else None)
+            for k in range(len(members))
+        }
     raise NotImplementedError(kind)
 
 
@@ -482,13 +591,19 @@ def avro_decode(payload: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
 # -- distributed plumbing -------------------------------------------------
 
 def encode_partitions(
-    df: DataFrame, codec: str = "deflate"
+    df: DataFrame, codec: str = "deflate", fields: list | None = None
 ) -> DataFrame:
     """Each partition → one row (payload binary): a self-contained Avro
     container per partition, built inside an Arrow kernel.  Nested
     struct/array/map columns encode recursively (the type nodes come
-    from ``df.schema``, not the flat dtype strings)."""
-    fields = fields_from_spark_schema(df.schema)
+    from ``df.schema``, not the flat dtype strings).
+
+    ``fields`` overrides the Spark-derived type nodes — the only way to
+    EMIT enum / fixed / multi-branch-union schemas, since Spark has no
+    such types (columns carry their mapped shapes: string / binary /
+    member-struct respectively)."""
+    if fields is None:
+        fields = fields_from_spark_schema(df.schema)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[tuple] = []

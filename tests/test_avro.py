@@ -228,16 +228,171 @@ def test_nested_gates_are_loud():
         _node_from_json,
     )
 
-    with pytest.raises(NotImplementedError, match="union"):
-        _node_from_json(["null", "long", "int"])
-    with pytest.raises(NotImplementedError, match="union"):
-        _node_from_json(["long", "string"])
+    # named-type references (not inline definitions) stay gated
     with pytest.raises(NotImplementedError, match="avro type"):
         _node_from_json("some_named_ref")
-    with pytest.raises(NotImplementedError):
-        _node_from_json({"type": "enum", "name": "e", "symbols": ["A"]})
-    with pytest.raises(NotImplementedError):
-        _node_from_json({"type": "fixed", "name": "f", "size": 4})
+    # enum / fixed / multi-branch unions PARSE now (round-11 second sweep)
+    assert _node_from_json(["null", "long", "int"]) == (
+        "munion", ("null", "long", "int"))
+    assert _node_from_json(["long", "string"]) == (
+        "munion", ("long", "string"))
+    assert _node_from_json(
+        {"type": "enum", "name": "e", "symbols": ["A", "B"]}
+    ) == ("enum", ("A", "B"))
+    assert _node_from_json({"type": "fixed", "name": "f", "size": 4}) == (
+        "fixed", 4)
+
+
+def test_union_branch_order_follows_file():
+    """[T, "null"] (null NOT first) must NOT take the nullable fast path:
+    wire branch 0 is T, branch 1 is null."""
+    from national_caseload_data_ingest_spark.sources.avro import (
+        _node_from_json,
+    )
+
+    assert _node_from_json(["null", "long"]) == ("union", "long")
+    assert _node_from_json(["string", "null"]) == (
+        "munion", ("string", "null"))
+
+    fields = [("v", ("munion", ("string", "null")))]
+    payload = avro_encode(
+        [({"member0": "x"},), (None,), ({"member0": "yy"},)], fields,
+        codec="null",
+    )
+    # the embedded schema must declare the order the node declared
+    schema = _embedded_schema(payload)
+    assert schema["fields"][0]["type"] == ["string", "null"]
+    _f, rows = avro_decode(payload)
+    assert rows == [({"member0": "x"},), (None,), ({"member0": "yy"},)]
+
+
+def _embedded_schema(payload: bytes) -> dict:
+    from national_caseload_data_ingest_spark.sources.avro import _Reader
+
+    r = _Reader(payload)
+    assert r.raw(4) == MAGIC
+    meta = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.str_()
+            meta[k] = r.bytes_()
+    return json.loads(meta["avro.schema"])
+
+
+def test_enum_roundtrip_and_wire_form():
+    """Enums encode as the varint SYMBOL INDEX — pin the exact byte."""
+    fields = [("c", ("enum", ("RED", "GREEN", "BLUE")))]
+    payload = avro_encode([("GREEN",), ("BLUE",), ("RED",)], fields,
+                          codec="null")
+    schema = _embedded_schema(payload)
+    assert schema["fields"][0]["type"]["symbols"] == [
+        "RED", "GREEN", "BLUE"]
+    _f, rows = avro_decode(payload)
+    assert rows == [("GREEN",), ("BLUE",), ("RED",)]
+    # wire form: a 1-record null-codec file ends with the 1-byte body
+    # (zigzag varint of the symbol index) + the 16-byte sync marker
+    one = avro_encode([("GREEN",)], fields, codec="null")
+    # last 17 bytes = 1-byte body + 16-byte sync
+    assert one[-17] == 2  # zigzag varint of index 1
+
+
+def test_enum_unknown_symbol_and_bad_index_raise():
+    fields = [("c", ("enum", ("A", "B")))]
+    with pytest.raises(ValueError, match="enum symbols"):
+        avro_encode([("C",)], fields)
+    payload = bytearray(avro_encode([("B",)], fields, codec="null"))
+    payload[-17] = 4  # index 2: out of range
+    with pytest.raises(ValueError, match="out of range"):
+        avro_decode(bytes(payload))
+
+
+def test_fixed_roundtrip_and_length_validation():
+    fields = [("fp", ("fixed", 4)), ("tail", ("union", "string"))]
+    rows = [(b"\x00\xffab", "x"), (b"1234", None)]
+    _f, back = avro_decode(avro_encode(rows, fields, codec="deflate"))
+    assert back == rows
+    with pytest.raises(ValueError, match="fixed"):
+        avro_encode([(b"123", "x")], fields)
+
+
+def test_multibranch_union_roundtrip():
+    """[null, long, string, record] — all four branch kinds exercised,
+    struct mapping has one member per NON-NULL branch."""
+    rec = ("record", [("a", ("union", "long"))])
+    fields = [("u", ("munion", ("null", "long", "string", rec)))]
+    rows = [
+        (None,),
+        ({"member0": 7, "member1": None, "member2": None},),
+        ({"member0": None, "member1": "hi", "member2": None},),
+        ({"member0": None, "member1": None, "member2": {"a": 3}},),
+    ]
+    _f, back = avro_decode(avro_encode(rows, fields, codec="null"))
+    assert back == rows
+
+
+def test_multibranch_union_encode_validation():
+    fields = [("u", ("munion", ("long", "string")))]
+    with pytest.raises(ValueError, match="no null branch"):
+        avro_encode([(None,)], fields)
+    with pytest.raises(ValueError, match="exactly one member"):
+        avro_encode([({"member0": 1, "member1": "x"},)], fields)
+    with pytest.raises(ValueError, match="exactly one member"):
+        avro_encode([({"member0": None, "member1": None},)], fields)
+
+
+def test_enum_fixed_inside_containers():
+    """Complex types compose: array<enum>, map<fixed>, enum in a record."""
+    fields = [
+        ("arr", ("array", ("enum", ("X", "Y", "Z")))),
+        ("m", ("map", ("fixed", 2))),
+        ("r", ("record", [("e", ("enum", ("P", "Q")))])),
+    ]
+    rows = [
+        (["Z", "X", "X"], {"k1": b"ab", "k2": b"cd"}, {"e": "Q"}),
+        ([], {}, {"e": "P"}),
+    ]
+    _f, back = avro_decode(avro_encode(rows, fields, codec="deflate"))
+    assert back == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["S0", "S1", "S2", "S3"]),
+            st.binary(min_size=3, max_size=3),
+            st.one_of(
+                st.none(),
+                st.builds(
+                    lambda v: {"member0": v, "member1": None},
+                    st.integers(-(2**63), 2**63 - 1),
+                ),
+                st.builds(
+                    lambda s: {"member0": None, "member1": s},
+                    st.text(max_size=12),
+                ),
+            ),
+        ),
+        max_size=25,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+def test_property_union_enum_fixed_roundtrip(rows, codec):
+    fields = [
+        ("e", ("enum", ("S0", "S1", "S2", "S3"))),
+        ("fp", ("fixed", 3)),
+        ("u", ("munion", ("null", "long", "string"))),
+    ]
+    _f, back = avro_decode(
+        avro_encode(rows, fields, codec=codec, block_records=4)
+    )
+    assert back == rows
 
 
 @settings(max_examples=30, deadline=None)
