@@ -47,6 +47,7 @@ import national_caseload_data_ingest_spark.operators.temporal  # noqa: F401
 import national_caseload_data_ingest_spark.operators.text  # noqa: F401
 import national_caseload_data_ingest_spark.operators.timeseries  # noqa: F401
 import national_caseload_data_ingest_spark.operators.tpch_extra  # noqa: F401
+import national_caseload_data_ingest_spark.operators.txlog  # noqa: F401
 import national_caseload_data_ingest_spark.operators.unigram  # noqa: F401
 import national_caseload_data_ingest_spark.operators.video  # noqa: F401
 import national_caseload_data_ingest_spark.operators.warc  # noqa: F401

@@ -1,0 +1,111 @@
+"""Transaction-log tables (operators/txlog.py): commit replay, time
+travel, checkpoint compaction, and the corruption guards."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from national_caseload_data_ingest_spark.operators.txlog import (
+    txlog_checkpoint,
+    txlog_commit,
+    txlog_latest_version,
+    txlog_live_files,
+    txlog_snapshot,
+)
+
+
+def _table(tmp_path, spark):
+    """A 3-commit table over tiny parquet files: v0 adds f0(1,2) and
+    f1(3,4); v1 adds f2(5,6); v2 removes f1 and adds f3(7)."""
+    base = str(tmp_path / "t")
+    for name, vals in [("f0", [1, 2]), ("f1", [3, 4]), ("f2", [5, 6]),
+                       ("f3", [7])]:
+        spark.createDataFrame([(v,) for v in vals], "v int") \
+            .coalesce(1).write.parquet(os.path.join(base, name))
+    txlog_commit(base, 0, [
+        {"add": {"path": "f0", "numRecords": 2}},
+        {"add": {"path": "f1", "numRecords": 2}},
+        {"commitInfo": {"operation": "WRITE"}},
+    ])
+    txlog_commit(base, 1, [{"add": {"path": "f2", "numRecords": 2}}])
+    txlog_commit(base, 2, [
+        {"remove": {"path": "f1"}},
+        {"add": {"path": "f3", "numRecords": 1}},
+    ])
+    return base
+
+
+def _vals(df):
+    return sorted(r.v for r in df.collect())
+
+
+def test_snapshot_per_version(spark, tmp_path):
+    base = _table(tmp_path, spark)
+    assert txlog_latest_version(base) == 2
+    assert _vals(txlog_snapshot(spark, base, 0)) == [1, 2, 3, 4]
+    assert _vals(txlog_snapshot(spark, base, 1)) == [1, 2, 3, 4, 5, 6]
+    assert _vals(txlog_snapshot(spark, base, 2)) == [1, 2, 5, 6, 7]
+    # default = latest
+    assert _vals(txlog_snapshot(spark, base)) == [1, 2, 5, 6, 7]
+
+
+def test_checkpoint_equivalence_and_bounded_replay(spark, tmp_path):
+    base = _table(tmp_path, spark)
+    before = {v: txlog_live_files(base, v) for v in range(3)}
+    assert txlog_checkpoint(base, 1) == 1
+    # every version's live-set is unchanged by the checkpoint —
+    # including v0, which must replay from scratch (checkpoint > v0)
+    for v in range(3):
+        assert txlog_live_files(base, v) == before[v]
+    # and the checkpoint is actually USED: delete commits 0-1; versions
+    # >= the checkpoint still resolve, earlier ones now fail
+    os.remove(os.path.join(base, "_log", f"{0:020d}.json"))
+    assert [a["path"] for a in txlog_live_files(base, 1)] == [
+        "f0", "f1", "f2"]
+    assert [a["path"] for a in txlog_live_files(base, 2)] == [
+        "f0", "f2", "f3"]
+    with pytest.raises(FileNotFoundError):
+        txlog_live_files(base, 0)
+
+
+def test_version_out_of_range(spark, tmp_path):
+    base = _table(tmp_path, spark)
+    with pytest.raises(ValueError, match="out of range"):
+        txlog_live_files(base, 3)
+    with pytest.raises(ValueError, match="out of range"):
+        txlog_live_files(base, -1)
+
+
+def test_corruption_guards(spark, tmp_path):
+    base = _table(tmp_path, spark)
+    with pytest.raises(ValueError, match="without commit"):
+        txlog_commit(base, 5, [])
+    txlog_commit(base, 3, [{"remove": {"path": "f1"}}])
+    with pytest.raises(ValueError, match="removes absent file"):
+        txlog_live_files(base, 3)
+    # rewrite commit 3 in place for each remaining guard
+    txlog_commit(base, 3, [{"add": {"path": "f0", "numRecords": 2}}])
+    with pytest.raises(ValueError, match="re-adds live file"):
+        txlog_live_files(base, 3)
+    with open(os.path.join(base, "_log", f"{3:020d}.json"), "w") as f:
+        f.write("{not json\n")
+    with pytest.raises(ValueError, match="corrupt action"):
+        txlog_live_files(base, 3)
+    with open(os.path.join(base, "_log", f"{3:020d}.json"), "w") as f:
+        f.write(json.dumps({"mystery": 1}) + "\n")
+    with pytest.raises(ValueError, match="unknown action"):
+        txlog_live_files(base, 3)
+
+
+def test_immutable_history_under_rewrite(spark, tmp_path):
+    """Time travel returns the OLD rows even after the file carrying
+    them was tombstoned — the bytes are immutable, only the live-set
+    changes.  (This is the capability the reference's MSCK catalog
+    lacks: reproducing yesterday's corpus exactly.)"""
+    base = _table(tmp_path, spark)
+    assert 3 in _vals(txlog_snapshot(spark, base, 1))
+    assert 3 not in _vals(txlog_snapshot(spark, base, 2))
+    assert 3 in _vals(txlog_snapshot(spark, base, 1))  # still
