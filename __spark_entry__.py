@@ -30,6 +30,7 @@ import national_caseload_data_ingest_spark.operators.incremental  # noqa: F401
 import national_caseload_data_ingest_spark.operators.layout  # noqa: F401
 import national_caseload_data_ingest_spark.operators.linkage  # noqa: F401
 import national_caseload_data_ingest_spark.operators.lm  # noqa: F401
+import national_caseload_data_ingest_spark.operators.merge  # noqa: F401
 import national_caseload_data_ingest_spark.operators.mpeg  # noqa: F401
 import national_caseload_data_ingest_spark.operators.ogg  # noqa: F401
 import national_caseload_data_ingest_spark.operators.multimodal  # noqa: F401

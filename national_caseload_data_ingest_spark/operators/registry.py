@@ -52,6 +52,7 @@ CHECK_PRIORITY: list[str] = [
     "avro_nested_roundtrip",  # recursive record/array/map codec (new)
     "avro_union_roundtrip",  # enum/fixed/multi-branch unions (new)
     "txlog_time_travel",  # transaction-log snapshots + checkpoint (new)
+    "merge_apply_changes",  # multi-clause MERGE / CDC apply (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
     "codec_gate_report",  # class 8 gated->decoded transition (changed)
