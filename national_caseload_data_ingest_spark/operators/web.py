@@ -200,3 +200,164 @@ def domain_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("host").alias("n_hosts"),
         F.sum("has_query").cast("bigint").alias("n_with_query"),
     )
+
+
+# -- HTML link graph -------------------------------------------------------
+
+def _synth_page(i: int, n: int) -> str:
+    """Deterministic HTML page for doc ``i`` of an ``n``-doc corpus.
+    Exercises everything a real extractor must survive: entity-encoded
+    ampersands in hrefs, uppercase tags/attributes, an ``<a>`` with no
+    href, a ``rel=nofollow`` link (must be excluded), a fragment-only
+    link (resolves to self — excluded by the self-link rule), and a
+    relative href that needs RFC 3986 resolution against the page URL."""
+    h = i % 50
+    t1, t2, t3, t4 = (3 * i + 1) % n, (7 * i + 2) % n, (i + 1) % n, (5 * i) % n
+    parts = [
+        f"<html><head><title>Doc {i}</title>",
+        "<style>a {color: red}</style></head>",
+        f"<body><h1>Doc &amp; page {i}</h1>",
+        f'<a href="https://site{t1 % 50}.example.com/a/{t1}/page.html'
+        f'?src={i}&amp;x=1">one</a>',
+        '<p>text <a name="anchor-no-href">x</a></p>',
+        f"<A HREF='https://site{t2 % 50}.example.com/a/{t2}/page.html'>two</A>",
+    ]
+    if i % 3 == 0:
+        parts.append(f'<a href="../{t3}/page.html">rel</a>')
+    if i % 4 == 0:
+        parts.append(
+            f'<a rel="nofollow" href="https://site{t4 % 50}.example.com'
+            f'/a/{t4}/page.html">nf</a>'
+        )
+    parts.append('<a href="#top">top</a></body></html>')
+    return "\n".join(parts)
+
+
+def _extract_links_kernel(n_docs: int):
+    """Arrow kernel: synthesize each doc's page, parse it with the real
+    stdlib HTML parser (entity decode included), resolve every followed
+    href against the page URL, strip fragments, and emit (src, resolved)
+    rows.  nofollow and href-less anchors never leave the kernel."""
+    import pandas as pd  # noqa: PLC0415
+
+    def kernel(batches):
+        from html.parser import HTMLParser  # noqa: PLC0415
+        from urllib.parse import urldefrag, urljoin  # noqa: PLC0415
+
+        class _Links(HTMLParser):
+            def __init__(self):
+                super().__init__()
+                self.hrefs: list[str] = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag != "a":
+                    return
+                d = dict(attrs)
+                href = d.get("href")
+                if href is None:
+                    return
+                if "nofollow" in (d.get("rel") or "").lower().split():
+                    return
+                self.hrefs.append(href)
+
+        for pdf in batches:
+            srcs, resolved = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base = f"https://site{i % 50}.example.com/a/{i}/page.html"
+                p = _Links()
+                p.feed(_synth_page(i, n_docs))
+                for href in p.hrefs:
+                    url, _frag = urldefrag(urljoin(base, href))
+                    srcs.append(i)
+                    resolved.append(url)
+            yield pd.DataFrame({"src": pd.Series(srcs, dtype="int64"),
+                                "resolved": resolved})
+
+    return kernel
+
+
+@query(
+    "html_link_graph",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    links AS (
+        SELECT d.doc_id AS src, (3 * d.doc_id + 1) % nn.n AS tgt,
+               1 AS has_q, 0 AS is_rel
+        FROM documents d, nn
+        UNION ALL
+        SELECT d.doc_id, (7 * d.doc_id + 2) % nn.n, 0, 0
+        FROM documents d, nn
+        UNION ALL
+        SELECT d.doc_id, (d.doc_id + 1) % nn.n, 0, 1 FROM documents d, nn
+        WHERE d.doc_id % 3 = 0
+    )
+    SELECT tgt AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+           CAST(COUNT(DISTINCT src % 50) AS BIGINT) AS n_src_hosts,
+           CAST(SUM(has_q) AS BIGINT) AS n_query_inlinks,
+           CAST(SUM(CASE WHEN is_rel = 1 AND src % 50 <> tgt % 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_offsite_inlinks
+    FROM links
+    WHERE src <> tgt
+    GROUP BY tgt
+    """,
+)
+def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-graph extraction — the crawl-curation relation behind
+    inlink-based quality weighting and seed expansion (OPIC/Common Crawl
+    harmonic-centrality style): synthesize a deterministic HTML page per
+    document, extract ``<a href>`` with the REAL stdlib parser (entity
+    decode is load-bearing: the ``&amp;x=1`` query links are counted
+    separately and an undecoded ampersand zeroes that column), resolve
+    relative hrefs per RFC 3986, drop ``rel=nofollow`` / href-less /
+    self links, and aggregate inlinks + distinct source hosts per
+    target.  The oracle replays the link structure in closed form, so a
+    parser, resolution, or exclusion bug breaks the hash.
+
+    Plan: one narrow Arrow kernel (synthesize+parse+resolve, zero
+    shuffle), then ONE hash aggregate keyed by target (map-side
+    combined; the distinct-host count is the standard two-phase
+    expansion).  At 100 TB the kernel side scales embarrassingly; the
+    aggregate is the same shape as any inverted-edge count — skew on
+    mega-targets is absorbed by partial aggregation before the
+    exchange."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    n = docs.count()
+    links = fan_out(docs.select("doc_id")).mapInPandas(
+        _extract_links_kernel(n), schema="src bigint, resolved string"
+    )
+    tgt = F.regexp_extract("resolved", r"/a/(\d+)/page\.html", 1)
+    parsed = links.select(
+        "src",
+        tgt.cast("long").alias("tgt"),
+        F.parse_url("resolved", F.lit("HOST")).alias("link_host"),
+        F.parse_url("resolved", F.lit("QUERY")).alias("q"),
+        F.concat(
+            F.lit("site"), (F.col("src") % 50).cast("string"),
+            F.lit(".example.com"),
+        ).alias("src_host"),
+    ).filter(F.col("tgt").isNotNull() & (F.col("tgt") != F.col("src")))
+    # a link is OFFSITE when the URL it was written with lives on a
+    # different host than the target's canonical host — only relative
+    # links can be (they inherit the SOURCE's host), which is what makes
+    # the parsed link_host load-bearing for the oracle match
+    canonical_tgt_host = F.concat(
+        F.lit("site"), (F.col("tgt") % 50).cast("string"),
+        F.lit(".example.com"),
+    )
+    return parsed.groupBy(F.col("tgt").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+        F.sum(
+            F.when(F.col("q").endswith("&x=1"), 1).otherwise(0)
+        ).cast("bigint").alias("n_query_inlinks"),
+        F.sum(
+            F.when(F.col("link_host") != canonical_tgt_host, 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_offsite_inlinks"),
+    )

@@ -76,3 +76,74 @@ def test_domain_counts_single_shuffle(spark):
     total = sum(r["n_docs"] for r in rows.values())
     assert total == 500  # sf0.001 documents
     assert all(r["n_hosts"] <= 7 for r in rows.values())
+
+
+# -- HTML link graph --------------------------------------------------------
+
+def test_link_extractor_exclusions_and_resolution():
+    """The kernel must decode entities, resolve relative hrefs, keep
+    uppercase <A HREF>, and drop nofollow / href-less anchors; the
+    fragment-only link resolves to the page itself (excluded later by
+    the self-link rule)."""
+    import pandas as pd
+
+    from national_caseload_data_ingest_spark.operators.web import (
+        _extract_links_kernel,
+    )
+
+    n = 500
+    i = 12  # i%3==0 -> relative link present; i%4==0 -> nofollow present
+    out = pd.concat(
+        _extract_links_kernel(n)(
+            iter([pd.DataFrame({"doc_id": [i]})])
+        ),
+        ignore_index=True,
+    )
+    urls = list(out["resolved"])
+    t1, t2, t3, t4 = (3 * i + 1) % n, (7 * i + 2) % n, (i + 1) % n, (5 * i) % n
+    # entity-decoded query (&amp; -> &)
+    assert (
+        f"https://site{t1 % 50}.example.com/a/{t1}/page.html?src={i}&x=1"
+        in urls
+    )
+    # uppercase <A HREF='...'>
+    assert f"https://site{t2 % 50}.example.com/a/{t2}/page.html" in urls
+    # relative ../ resolved against the page URL (source host kept)
+    assert f"https://site{i % 50}.example.com/a/{t3}/page.html" in urls
+    # nofollow excluded
+    assert all(f"/a/{t4}/page.html" not in u for u in urls)
+    # fragment-only -> self (fragment stripped)
+    assert f"https://site{i % 50}.example.com/a/{i}/page.html" in urls
+    assert all("#" not in u for u in urls)
+    assert len(urls) == 4
+
+
+def test_link_graph_aggregate_matches_driver_recompute(spark):
+    from national_caseload_data_ingest_spark.operators.web import (
+        html_link_graph,
+    )
+
+    got = {
+        r.doc_id: (r.n_inlinks, r.n_src_hosts, r.n_query_inlinks,
+                   r.n_offsite_inlinks)
+        for r in html_link_graph(spark, "/root/testdata/sf0.001").collect()
+    }
+    n = 500
+    links = []
+    for i in range(n):
+        links.append((i, (3 * i + 1) % n, 1, 0))
+        links.append((i, (7 * i + 2) % n, 0, 0))
+        if i % 3 == 0:
+            links.append((i, (i + 1) % n, 0, 1))
+    want: dict[int, list] = {}
+    for src, tgt, has_q, is_rel in links:
+        if src == tgt:
+            continue
+        e = want.setdefault(tgt, [0, set(), 0, 0])
+        e[0] += 1
+        e[1].add(src % 50)
+        e[2] += has_q
+        e[3] += 1 if is_rel and src % 50 != tgt % 50 else 0
+    assert got == {
+        t: (e[0], len(e[1]), e[2], e[3]) for t, e in want.items()
+    }
