@@ -398,6 +398,49 @@ def avro_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "msgpack_roundtrip_events",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_micros,
+           user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           md5(props) AS props_md5
+    FROM events
+    """,
+)
+def msgpack_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack fidelity on the timestamp-bearing table through the
+    engine's pure-stdlib codec (`sources/msgpack.py`): each partition
+    becomes one concatenated-stream payload of fixarray rows, decoded
+    back by the spec's full lead-byte dispatch.  The smallest-format
+    integer rule means event/user ids exercise fixint through uint32 on
+    real data, and timestamps ride the OFFICIAL ext(-1) encoding (ts32
+    for whole seconds, ts64 otherwise), so the oracle's ``epoch_us``
+    comparison catches any 34-bit-boundary or nanos-packing slip.  Two
+    narrow Arrow kernels, zero shuffle."""
+    from national_caseload_data_ingest_spark.sources.msgpack import (  # noqa: PLC0415
+        decode_payloads,
+        encode_partitions,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    payloads = encode_partitions(events)
+    back = decode_payloads(
+        payloads,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    return back.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_micros"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+        F.md5(F.col("props").cast("binary")).alias("props_md5"),
+    )
+
+
 def encode_arrow_ipc_partitions(df: DataFrame) -> DataFrame:
     """Each partition → one self-contained Arrow IPC (Feather v2) file
     payload, via ``mapInArrow`` (the Arrow batches Spark already ships to

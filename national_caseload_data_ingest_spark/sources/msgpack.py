@@ -1,0 +1,317 @@
+"""Pure-stdlib MessagePack codec (write + read) and its distributed
+Spark plumbing — the third interchange family beside the Avro container
+(``sources/avro.py``) and Arrow IPC (``operators/formats.py``).
+
+MessagePack is the compact schemaless wire format of the public spec
+(github.com/msgpack/msgpack/blob/master/spec.md); event streams and
+feature logs commonly arrive as concatenated msgpack objects.  This
+codec implements the format families the engine's tables need:
+
+* nil / bool; the full int family with the spec's SMALLEST-format rule
+  (positive/negative fixint, uint8-64, int8-64) — smallest-format
+  encoding means real data exercises every width on the decode side;
+* float64 (0xcb); fixstr/str8/str16/str32 (UTF-8); bin8/16/32;
+* fixarray/array16/array32 and fixmap/map16/map32;
+* the OFFICIAL timestamp extension (type -1): ts32 (fixext4, u32
+  seconds), ts64 (fixext8, 30-bit nanos << 34 | 34-bit seconds), ts96
+  (ext8 len 12, u32 nanos + i64 seconds) — encoder picks the smallest
+  representation per the spec, so pre-epoch instants route to ts96 and
+  whole-second epochs to ts32.
+
+Stream layout: each Spark PARTITION becomes one payload of concatenated
+fixarray rows (one array per row, elements aligned with the column
+list) — the standard "msgpack stream" framing, append-mergeable like
+JSON-lines but binary-typed.  Encode/decode are narrow Arrow
+``mapInPandas`` kernels, zero shuffle; read parallelism is one task per
+payload (write partition-sized payloads).
+
+No third-party msgpack library exists in this environment, so tests pin
+hand-derived spec byte vectors (boundary ints, each string/bin width,
+all three timestamp forms) instead of cross-library checks.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_EPOCH = pd.Timestamp(0)
+
+
+def _pack_int(out: bytearray, n: int) -> None:
+    if 0 <= n <= 0x7F:
+        out.append(n)
+    elif -32 <= n < 0:
+        out.append(n & 0xFF)
+    elif 0 < n:
+        if n <= 0xFF:
+            out += b"\xcc" + n.to_bytes(1, "big")
+        elif n <= 0xFFFF:
+            out += b"\xcd" + n.to_bytes(2, "big")
+        elif n <= 0xFFFFFFFF:
+            out += b"\xce" + n.to_bytes(4, "big")
+        elif n <= 0xFFFFFFFFFFFFFFFF:
+            out += b"\xcf" + n.to_bytes(8, "big")
+        else:
+            raise ValueError("msgpack: integer out of 64-bit range")
+    else:
+        if n >= -0x80:
+            out += b"\xd0" + n.to_bytes(1, "big", signed=True)
+        elif n >= -0x8000:
+            out += b"\xd1" + n.to_bytes(2, "big", signed=True)
+        elif n >= -0x80000000:
+            out += b"\xd2" + n.to_bytes(4, "big", signed=True)
+        elif n >= -0x8000000000000000:
+            out += b"\xd3" + n.to_bytes(8, "big", signed=True)
+        else:
+            raise ValueError("msgpack: integer out of 64-bit range")
+
+
+def _pack_str(out: bytearray, s: str) -> None:
+    b = s.encode("utf-8")
+    n = len(b)
+    if n <= 31:
+        out.append(0xA0 | n)
+    elif n <= 0xFF:
+        out += b"\xd9" + n.to_bytes(1, "big")
+    elif n <= 0xFFFF:
+        out += b"\xda" + n.to_bytes(2, "big")
+    else:
+        out += b"\xdb" + n.to_bytes(4, "big")
+    out += b
+
+
+def _pack_bin(out: bytearray, b: bytes) -> None:
+    n = len(b)
+    if n <= 0xFF:
+        out += b"\xc4" + n.to_bytes(1, "big")
+    elif n <= 0xFFFF:
+        out += b"\xc5" + n.to_bytes(2, "big")
+    else:
+        out += b"\xc6" + n.to_bytes(4, "big")
+    out += b
+
+
+def _pack_timestamp(out: bytearray, ts: pd.Timestamp) -> None:
+    """Official timestamp ext (type -1), smallest form per the spec."""
+    ns = ts.value  # total nanoseconds since epoch
+    sec, nsec = divmod(ns, 1_000_000_000)
+    if nsec == 0 and 0 <= sec <= 0xFFFFFFFF:
+        out += b"\xd6\xff" + sec.to_bytes(4, "big")  # ts32: fixext4
+    elif 0 <= sec < (1 << 34):
+        payload = (nsec << 34) | sec
+        out += b"\xd7\xff" + payload.to_bytes(8, "big")  # ts64: fixext8
+    else:
+        out += b"\xc7\x0c\xff" + nsec.to_bytes(4, "big") \
+            + sec.to_bytes(8, "big", signed=True)  # ts96: ext8 len 12
+
+
+def pack_value(out: bytearray, v) -> None:
+    import numpy as np  # noqa: PLC0415
+
+    # pandas/Arrow batches hand the kernel numpy scalars, not python ones
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT or v is pd.NA or (
+        isinstance(v, float) and v != v
+    ):
+        out.append(0xC0)
+    elif isinstance(v, bool):
+        out.append(0xC3 if v else 0xC2)
+    elif isinstance(v, int):
+        _pack_int(out, v)
+    elif isinstance(v, float):
+        out += b"\xcb" + struct.pack(">d", v)
+    elif isinstance(v, str):
+        _pack_str(out, v)
+    elif isinstance(v, (bytes, bytearray)):
+        _pack_bin(out, bytes(v))
+    elif isinstance(v, pd.Timestamp):
+        _pack_timestamp(out, v)
+    elif isinstance(v, (list, tuple)):
+        n = len(v)
+        if n <= 15:
+            out.append(0x90 | n)
+        elif n <= 0xFFFF:
+            out += b"\xdc" + n.to_bytes(2, "big")
+        else:
+            out += b"\xdd" + n.to_bytes(4, "big")
+        for item in v:
+            pack_value(out, item)
+    elif isinstance(v, dict):
+        n = len(v)
+        if n <= 15:
+            out.append(0x80 | n)
+        elif n <= 0xFFFF:
+            out += b"\xde" + n.to_bytes(2, "big")
+        else:
+            out += b"\xdf" + n.to_bytes(4, "big")
+        for k, val in v.items():
+            pack_value(out, k)
+            pack_value(out, val)
+    else:
+        raise NotImplementedError(
+            f"msgpack: unsupported python type {type(v).__name__}"
+        )
+
+
+class _Unpacker:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def _take(self, n: int) -> bytes:
+        if self.pos + n > len(self.d):
+            raise ValueError("msgpack: truncated stream")
+        out = self.d[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def _ext(self, n: int):
+        ext_type = int.from_bytes(self._take(1), "big", signed=True)
+        data = self._take(n)
+        if ext_type == -1:  # official timestamp
+            if n == 4:
+                return pd.Timestamp(
+                    int.from_bytes(data, "big"), unit="s")
+            if n == 8:
+                v = int.from_bytes(data, "big")
+                sec, nsec = v & ((1 << 34) - 1), v >> 34
+                return pd.Timestamp(sec * 1_000_000_000 + nsec, unit="ns")
+            if n == 12:
+                nsec = int.from_bytes(data[:4], "big")
+                sec = int.from_bytes(data[4:], "big", signed=True)
+                return pd.Timestamp(sec * 1_000_000_000 + nsec, unit="ns")
+            raise ValueError(f"msgpack: bad timestamp ext length {n}")
+        raise NotImplementedError(
+            f"msgpack: unknown ext type {ext_type}"
+        )
+
+    def value(self):
+        b = self._take(1)[0]
+        if b <= 0x7F:
+            return b
+        if b >= 0xE0:
+            return b - 0x100
+        if 0x80 <= b <= 0x8F:
+            return self._map(b & 0x0F)
+        if 0x90 <= b <= 0x9F:
+            return self._array(b & 0x0F)
+        if 0xA0 <= b <= 0xBF:
+            return self._take(b & 0x1F).decode("utf-8")
+        if b == 0xC0:
+            return None
+        if b == 0xC2:
+            return False
+        if b == 0xC3:
+            return True
+        if b == 0xC4:
+            return bytes(self._take(int.from_bytes(self._take(1), "big")))
+        if b == 0xC5:
+            return bytes(self._take(int.from_bytes(self._take(2), "big")))
+        if b == 0xC6:
+            return bytes(self._take(int.from_bytes(self._take(4), "big")))
+        if b == 0xC7:
+            return self._ext(int.from_bytes(self._take(1), "big"))
+        if b == 0xC8:
+            return self._ext(int.from_bytes(self._take(2), "big"))
+        if b == 0xC9:
+            return self._ext(int.from_bytes(self._take(4), "big"))
+        if b == 0xCA:
+            return struct.unpack(">f", self._take(4))[0]
+        if b == 0xCB:
+            return struct.unpack(">d", self._take(8))[0]
+        if b == 0xCC:
+            return int.from_bytes(self._take(1), "big")
+        if b == 0xCD:
+            return int.from_bytes(self._take(2), "big")
+        if b == 0xCE:
+            return int.from_bytes(self._take(4), "big")
+        if b == 0xCF:
+            return int.from_bytes(self._take(8), "big")
+        if b == 0xD0:
+            return int.from_bytes(self._take(1), "big", signed=True)
+        if b == 0xD1:
+            return int.from_bytes(self._take(2), "big", signed=True)
+        if b == 0xD2:
+            return int.from_bytes(self._take(4), "big", signed=True)
+        if b == 0xD3:
+            return int.from_bytes(self._take(8), "big", signed=True)
+        if 0xD4 <= b <= 0xD8:
+            return self._ext(1 << (b - 0xD4))
+        if b == 0xD9:
+            return self._take(int.from_bytes(self._take(1), "big")) \
+                .decode("utf-8")
+        if b == 0xDA:
+            return self._take(int.from_bytes(self._take(2), "big")) \
+                .decode("utf-8")
+        if b == 0xDB:
+            return self._take(int.from_bytes(self._take(4), "big")) \
+                .decode("utf-8")
+        if b == 0xDC:
+            return self._array(int.from_bytes(self._take(2), "big"))
+        if b == 0xDD:
+            return self._array(int.from_bytes(self._take(4), "big"))
+        if b == 0xDE:
+            return self._map(int.from_bytes(self._take(2), "big"))
+        if b == 0xDF:
+            return self._map(int.from_bytes(self._take(4), "big"))
+        raise ValueError(f"msgpack: reserved/unknown lead byte 0x{b:02x}")
+
+    def _array(self, n: int) -> list:
+        return [self.value() for _ in range(n)]
+
+    def _map(self, n: int) -> dict:
+        return {self.value(): self.value() for _ in range(n)}
+
+
+def msgpack_encode_rows(rows: list[tuple]) -> bytes:
+    """Rows → one concatenated-stream payload (one fixarray per row)."""
+    out = bytearray()
+    for row in rows:
+        pack_value(out, list(row))
+    return bytes(out)
+
+
+def msgpack_decode_rows(payload: bytes) -> list[list]:
+    """Concatenated-stream payload → rows (each a list of values)."""
+    u = _Unpacker(payload)
+    rows = []
+    while u.pos < len(u.d):
+        row = u.value()
+        if not isinstance(row, list):
+            raise ValueError("msgpack: stream row is not an array")
+        rows.append(row)
+    return rows
+
+
+def encode_partitions(df: DataFrame) -> DataFrame:
+    """Each partition → one msgpack stream payload (narrow Arrow
+    kernel, zero shuffle)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = []
+        for pdf in batches:
+            rows.extend(pdf.itertuples(index=False, name=None))
+        if rows:
+            yield pd.DataFrame({"payload": [msgpack_encode_rows(rows)]})
+
+    return df.mapInPandas(kernel, schema="payload binary")
+
+
+def decode_payloads(payloads: DataFrame, out_schema: str) -> DataFrame:
+    """(payload binary) rows → decoded records, one Arrow kernel."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.strip().split()[0] for c in out_schema.split(",")]
+        for pdf in batches:
+            frames = [
+                pd.DataFrame(msgpack_decode_rows(bytes(p)), columns=cols)
+                for p in pdf["payload"]
+            ]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return payloads.mapInPandas(kernel, schema=out_schema)
