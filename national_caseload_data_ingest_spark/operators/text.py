@@ -1427,3 +1427,90 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression_ratio double, repetitive boolean"
         ),
     )
+
+
+@query(
+    "readability_scores",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> length(x) >= 7)) AS BIGINT) AS lw,
+               CAST(len(regexp_extract_all(text, '[aeiou]+'))
+                    AS BIGINT) AS v,
+               4 + doc_id % 5 AS sent_len
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, w, lw, v,
+               CAST((w + sent_len - 1) // sent_len AS BIGINT) AS s
+        FROM toks
+    )
+    SELECT doc_id, w AS n_words, s AS n_sentences,
+           v AS n_vowel_groups, lw AS n_long_words,
+           CAST(w AS DOUBLE) / s AS words_per_sentence,
+           CAST(v AS DOUBLE) / w AS vowel_groups_per_word,
+           CASE WHEN 206835 * s * w - 1015 * w * w - 84600 * v * s
+                     >= 85000 * s * w THEN 'easy'
+                WHEN 206835 * s * w - 1015 * w * w - 84600 * v * s
+                     >= 78000 * s * w THEN 'medium'
+                ELSE 'hard' END AS flesch_band,
+           CASE WHEN w * w + 100 * lw * s < 7 * s * w THEN 'easy'
+                WHEN w * w + 100 * lw * s < 11 * s * w THEN 'medium'
+                ELSE 'hard' END AS lix_band
+    FROM base
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability banding — the classic text-quality signals (Flesch
+    reading ease, LIX) used to stratify pretraining corpora by
+    difficulty.  Measured parts: word count (ASCII-space split),
+    vowel-group count (the standard syllable proxy: maximal ``[aeiou]+``
+    runs via ``regexp_count``), and long-word count (≥7 chars, the LIX
+    numerator).  The corpus carries no sentence punctuation, so sentence
+    count is the deterministic every-L-words segmentation (L = 4 +
+    doc_id % 5), computed as an integer ceiling in both engines.
+    Band cutoffs (Flesch 85/78, LIX 7/11) sit at this corpus's score
+    terciles so every band is non-vacuous at every scale — the
+    canonical 60/30 Flesch cutoffs would label the whole short-word
+    corpus easy.
+
+    Every BAND decision is an integer comparison: Flesch ≥ t ⇔
+    206835·s·w − 1015·w² − 84600·v·s ≥ 1000·t·s·w (the formula
+    cross-multiplied by s·w and scaled by 1000), LIX ≥ t ⇔
+    w² + 100·lw·s ≥ t·s·w — the gopher_quality_filter convention: no
+    float ever participates in a threshold, and the reported ratios are
+    single IEEE divisions of the same integers.  Narrow projection,
+    zero shuffle, zero UDFs (split/filter/regexp_count are all
+    codegen'd)."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.split(F.col("text"), " ")
+    w = F.size(words).cast("long")
+    lw = F.size(F.filter(words, lambda x: F.length(x) >= 7)).cast("long")
+    v = F.regexp_count(F.col("text"), F.lit("[aeiou]+")).cast("long")
+    sent_len = (F.lit(4) + F.col("doc_id") % 5).cast("long")
+    # ceil(w / L) with an EXACT division: the numerator is made
+    # divisible by L first (Spark's `/` is double division; dividing a
+    # divisible int by its divisor is exact), then +1
+    s = (((w - 1 - ((w - 1) % sent_len)) / sent_len).cast("long")
+         + F.lit(1))
+    flesch_lhs = (
+        F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * v * s
+    )
+    lix_lhs = w * w + F.lit(100) * lw * s
+    return d.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        v.alias("n_vowel_groups"),
+        lw.alias("n_long_words"),
+        (w.cast("double") / s).alias("words_per_sentence"),
+        (v.cast("double") / w).alias("vowel_groups_per_word"),
+        F.when(flesch_lhs >= F.lit(85000) * s * w, "easy")
+        .when(flesch_lhs >= F.lit(78000) * s * w, "medium")
+        .otherwise("hard").alias("flesch_band"),
+        F.when(lix_lhs < F.lit(7) * s * w, "easy")
+        .when(lix_lhs < F.lit(11) * s * w, "medium")
+        .otherwise("hard").alias("lix_band"),
+    )
