@@ -56,6 +56,7 @@ CHECK_PRIORITY: list[str] = [
     "html_link_graph",  # anchor extraction + inlink rollup (new)
     "msgpack_roundtrip_events",  # pure-stdlib MessagePack codec (new)
     "readability_scores",  # Flesch/LIX integer-exact banding (new)
+    "ip_cidr_filter",  # prefix-bucketed CIDR screen (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
     "codec_gate_report",  # class 8 gated->decoded transition (changed)

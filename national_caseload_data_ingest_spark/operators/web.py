@@ -361,3 +361,114 @@ def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).cast("bigint").alias("n_offsite_inlinks"),
     )
+
+
+# -- IP / CIDR blocklist ----------------------------------------------------
+
+# deterministic blocklist: 10 ranges of width 2^24 spread over the IPv4
+# space, aligned to 2^20 (a /12 boundary) — NOT /8-aligned, so most
+# ranges straddle two /8 buckets and the bucket expansion below is
+# load-bearing rather than one-row-per-range
+_N_BLOCKS = 10
+_BLOCK_WIDTH = 1 << 24
+
+
+def _blocklist() -> list[tuple[int, int, int]]:
+    """(block_id, start, end) — start 2^20-aligned, end exclusive."""
+    out = []
+    for kk in range(_N_BLOCKS):
+        start = (kk * 429496729) & ~0xFFFFF
+        out.append((kk, start, start + _BLOCK_WIDTH))
+    return out
+
+
+@query(
+    "ip_cidr_filter",
+    oracle="""
+    WITH ips AS (
+        SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS ip
+        FROM documents
+    ),
+    blocks AS (
+        SELECT kk AS block_id,
+               (kk * 429496729) - ((kk * 429496729) % 1048576) AS bstart
+        FROM range(0, 10) t(kk)
+    )
+    SELECT i.doc_id,
+           CAST(ip // 16777216 AS BIGINT) || '.' ||
+           CAST((ip // 65536) % 256 AS BIGINT) || '.' ||
+           CAST((ip // 256) % 256 AS BIGINT) || '.' ||
+           CAST(ip % 256 AS BIGINT) AS ip,
+           b.block_id IS NOT NULL AS blocked,
+           CAST(b.block_id AS BIGINT) AS block_id
+    FROM ips i LEFT JOIN blocks b
+      ON i.ip >= b.bstart AND i.ip < b.bstart + 16777216
+    """,
+)
+def ip_cidr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datacenter/abuse IP screening — the standard crawl-curation step
+    of matching client IPs against CIDR blocklists.  A deterministic
+    IPv4 per document (Knuth multiplicative hash, exact int64 algebra)
+    is RENDERED to dotted-quad text and PARSED BACK (split + casts —
+    the parse is the verified surface), then matched against the
+    blocklist in the SCALE-CORRECT form: every CIDR range is exploded
+    into its covering /8 prefix buckets and the match is an EQUI join
+    on ``ip >> 24`` plus a residual range filter — a broadcast HASH
+    join, not the nested-loop range join a naive BETWEEN produces.  At
+    a real blocklist's size (~10^5 ranges → ≤2·10^5 bucket rows) the
+    build side still broadcasts; the probe side never shuffles.
+
+    The oracle recomputes ips and ranges in closed form with a plain
+    range LEFT JOIN, so a bucket-expansion bug (a range straddling /8
+    boundaries, an off-by-one at an exclusive end) breaks the match."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    ips = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % F.lit(4294967296))
+        .alias("ip_int"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            ".",
+            (F.col("ip_int") / 16777216).cast("long").cast("string"),
+            ((F.col("ip_int") / 65536).cast("long") % 256).cast("string"),
+            ((F.col("ip_int") / 256).cast("long") % 256).cast("string"),
+            (F.col("ip_int") % 256).cast("string"),
+        ).alias("ip"),
+    )
+    # parse BACK from text (the operation a real log pipeline performs)
+    oct_ = F.split(F.col("ip"), r"\.")
+    parsed = ips.select(
+        "doc_id",
+        "ip",
+        (
+            oct_.getItem(0).cast("long") * 16777216
+            + oct_.getItem(1).cast("long") * 65536
+            + oct_.getItem(2).cast("long") * 256
+            + oct_.getItem(3).cast("long")
+        ).alias("ip_int"),
+    )
+    # blocklist exploded into covering /8 buckets -> equi-joinable
+    rows = []
+    for bid, start, end in _blocklist():
+        for bucket in range(start >> 24, ((end - 1) >> 24) + 1):
+            rows.append((bid, bucket, start, end))
+    blocks = spark.createDataFrame(
+        rows, "block_id long, bucket long, bstart long, bend long"
+    )
+    probe = parsed.withColumn(
+        "bucket", (F.col("ip_int") / 16777216).cast("long")
+    )
+    joined = probe.join(
+        F.broadcast(blocks),
+        (probe["bucket"] == blocks["bucket"])
+        & (F.col("ip_int") >= F.col("bstart"))
+        & (F.col("ip_int") < F.col("bend")),
+        "left_outer",
+    )
+    return joined.select(
+        "doc_id",
+        "ip",
+        F.col("block_id").isNotNull().alias("blocked"),
+        F.col("block_id").cast("long").alias("block_id"),
+    )

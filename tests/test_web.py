@@ -147,3 +147,39 @@ def test_link_graph_aggregate_matches_driver_recompute(spark):
     assert got == {
         t: (e[0], len(e[1]), e[2], e[3]) for t, e in want.items()
     }
+
+
+def test_ip_cidr_filter_is_a_hash_join_and_matches_recompute(spark):
+    from national_caseload_data_ingest_spark.operators.web import (
+        _blocklist,
+        ip_cidr_filter,
+    )
+
+    df = ip_cidr_filter(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the equi-join on the /8 bucket must plan as a broadcast HASH join,
+    # never the nested-loop a naive BETWEEN range join produces
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {r.doc_id: (r.blocked, r.block_id) for r in df.collect()}
+    blocks = _blocklist()
+    for did in range(500):
+        ip = (did * 2654435761) % (1 << 32)
+        hit = next((b for b, s, e in blocks if s <= ip < e), None)
+        assert got[did] == (hit is not None, hit), did
+    # non-vacuity: both outcomes occur
+    assert any(b for b, _ in got.values())
+    assert any(not b for b, _ in got.values())
+
+
+def test_blocklist_straddles_buckets():
+    """The fixture must keep the /8-bucket expansion load-bearing."""
+    from national_caseload_data_ingest_spark.operators.web import (
+        _blocklist,
+    )
+
+    straddling = [
+        b for b, s, e in _blocklist() if (s >> 24) != ((e - 1) >> 24)
+    ]
+    assert len(straddling) >= 5
