@@ -472,3 +472,179 @@ def ip_cidr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("block_id").isNotNull().alias("blocked"),
         F.col("block_id").cast("long").alias("block_id"),
     )
+
+
+# -- robots.txt (RFC 9309) --------------------------------------------------
+
+def _synth_robots(h: int) -> str:
+    """Deterministic robots.txt for host ``h``: a ``*`` group with
+    prefix, nested allow-override, and wildcard rules, plus a BadBot
+    group that must be IGNORED by group selection, comments, blank
+    lines, and mixed-case field names."""
+    return "\n".join([
+        "# synthetic robots for site%d" % h,
+        "User-agent: BadBot",
+        "Disallow: /",
+        "",
+        "User-Agent: *",
+        f"disallow: /private{h}/",
+        f"Allow: /private{h}/public/   # comment after value",
+        "Disallow: /tmp",
+        "Disallow: /a/*/draft",
+        "Allow:",  # empty pattern = no rule (RFC 9309 §2.2.2)
+    ])
+
+
+def robots_rules(text: str, agent: str) -> list[tuple[bool, str]]:
+    """Parse a robots.txt and return the (allow, pattern) rules of the
+    group governing ``agent``: the group with the LONGEST matching
+    user-agent token, ``*`` as fallback (RFC 9309 §2.2.1); successive
+    ``User-agent`` lines share one group; comments and empty patterns
+    dropped."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_group_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_group_header:
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []
+                in_group_header = True
+            agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_header = False
+            if value:
+                rules.append((field == "allow", value))
+        else:
+            in_group_header = False  # sitemap etc.: ends the header run
+    if agents:
+        groups.append((agents, rules))
+    agent = agent.lower()
+    best: list[tuple[bool, str]] | None = None
+    best_len = -1
+    star: list[tuple[bool, str]] | None = None
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                star = rules if star is None else star
+            elif a in agent and len(a) > best_len:
+                best, best_len = rules, len(a)
+    return best if best is not None else (star or [])
+
+
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """REP path pattern: literal prefix with ``*`` wildcards and an
+    optional ``$`` end anchor, matched from the start of the path."""
+    import re  # noqa: PLC0415
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in core.split("*"))
+    rx = "^" + rx + ("$" if anchored else "")
+    return re.search(rx, path) is not None
+
+
+def robots_decision(
+    rules: list[tuple[bool, str]], path: str
+) -> tuple[bool, str | None]:
+    """RFC 9309 §2.2.2: the matching rule with the most specific
+    (longest) pattern wins; allow wins length ties; no match = allow."""
+    winner: tuple[bool, str] | None = None
+    for allow, pattern in rules:
+        if not _pattern_matches(pattern, path):
+            continue
+        if (
+            winner is None
+            or len(pattern) > len(winner[1])
+            or (len(pattern) == len(winner[1]) and allow and not winner[0])
+        ):
+            winner = (allow, pattern)
+    if winner is None:
+        return True, None
+    return winner[0], winner[1]
+
+
+@query(
+    "robots_txt_allow",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, doc_id % 50 AS h, doc_id % 5 AS cls
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE cls
+               WHEN 0 THEN '/a/' || h || '/page.html'
+               WHEN 1 THEN '/private' || h || '/file'
+               WHEN 2 THEN '/private' || h || '/public/file'
+               WHEN 3 THEN '/tmp/x'
+               ELSE '/a/' || h || '/draft' END AS path,
+           cls IN (0, 2) AS allowed,
+           CASE cls
+               WHEN 1 THEN '/private' || h || '/'
+               WHEN 2 THEN '/private' || h || '/public/'
+               WHEN 3 THEN '/tmp'
+               WHEN 4 THEN '/a/*/draft'
+               END AS rule,
+           CAST(CASE cls
+               WHEN 1 THEN length('/private' || h || '/')
+               WHEN 2 THEN length('/private' || h || '/public/')
+               WHEN 3 THEN 4
+               WHEN 4 THEN 10
+               ELSE 0 END AS BIGINT) AS rule_len
+    FROM base
+    """,
+)
+def robots_txt_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion evaluation (RFC 9309) — the fetch-side gate of
+    every compliant crawler: parse each host's robots.txt with a REAL
+    REP parser (group selection by user-agent token with ``*``
+    fallback — the BadBot ``Disallow: /`` group must be ignored;
+    comments, blank lines, mixed-case fields, empty patterns) and
+    decide five path classes per host under the longest-match rule
+    (most specific pattern wins, allow wins ties, no match = allow),
+    wildcard patterns included.  The oracle states the expected
+    decision, winning rule, and rule length in closed form, so a group
+    mis-selection, a prefix/anchor bug, or a tie-break inversion breaks
+    the hash.  One narrow Arrow kernel, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.operators.multimodal import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                h, cls = i % 50, i % 5
+                path = {
+                    0: f"/a/{h}/page.html",
+                    1: f"/private{h}/file",
+                    2: f"/private{h}/public/file",
+                    3: "/tmp/x",
+                    4: f"/a/{h}/draft",
+                }[cls]
+                rules = robots_rules(_synth_robots(h), "ncdbot")
+                allowed, rule = robots_decision(rules, path)
+                rows.append({
+                    "doc_id": i, "path": path, "allowed": allowed,
+                    "rule": rule,
+                    "rule_len": len(rule) if rule else 0,
+                })
+            yield pd.DataFrame(rows)
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return fan_out(d.select("doc_id")).mapInPandas(
+        kernel,
+        schema="doc_id bigint, path string, allowed boolean, "
+               "rule string, rule_len bigint",
+    )

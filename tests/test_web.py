@@ -183,3 +183,81 @@ def test_blocklist_straddles_buckets():
         b for b, s, e in _blocklist() if (s >> 24) != ((e - 1) >> 24)
     ]
     assert len(straddling) >= 5
+
+
+# -- robots.txt --------------------------------------------------------------
+
+def test_robots_group_selection():
+    from national_caseload_data_ingest_spark.operators.web import (
+        robots_rules,
+    )
+
+    txt = "\n".join([
+        "User-agent: BadBot",
+        "Disallow: /",
+        "",
+        "User-agent: ncd",
+        "User-agent: other",   # successive UA lines share one group
+        "Disallow: /x",
+        "",
+        "User-agent: *",
+        "Disallow: /star",
+    ])
+    # longest matching agent token wins over *
+    assert robots_rules(txt, "NCDbot/1.0") == [(False, "/x")]
+    assert robots_rules(txt, "otherbot") == [(False, "/x")]
+    assert robots_rules(txt, "somebody") == [(False, "/star")]
+    # no * group and no match -> empty (allow everything)
+    assert robots_rules("User-agent: a\nDisallow: /", "b") == []
+
+
+def test_robots_longest_match_and_tiebreak():
+    from national_caseload_data_ingest_spark.operators.web import (
+        robots_decision,
+    )
+
+    rules = [(False, "/p/"), (True, "/p/ok/")]
+    assert robots_decision(rules, "/p/ok/f")[0] is True
+    assert robots_decision(rules, "/p/other")[0] is False
+    assert robots_decision(rules, "/q") == (True, None)
+    # equal length: allow wins (RFC 9309 §2.2.2)
+    tie = [(False, "/aa"), (True, "/aa")]
+    assert robots_decision(tie, "/aa/x")[0] is True
+    tie_rev = [(True, "/aa"), (False, "/aa")]
+    assert robots_decision(tie_rev, "/aa/x")[0] is True
+
+
+def test_robots_wildcards_and_anchor():
+    from national_caseload_data_ingest_spark.operators.web import (
+        _pattern_matches,
+    )
+
+    assert _pattern_matches("/a/*/draft", "/a/7/draft")
+    assert _pattern_matches("/a/*/draft", "/a/x/y/draft")
+    assert not _pattern_matches("/a/*/draft", "/b/7/draft")
+    assert _pattern_matches("/*.zip$", "/files/x.zip")
+    assert not _pattern_matches("/*.zip$", "/files/x.zip.html")
+    # regex metacharacters in patterns are literal
+    assert _pattern_matches("/a+b", "/a+b/c")
+    assert not _pattern_matches("/a+b", "/aab/c")
+
+
+def test_robots_query_cases(spark):
+    from national_caseload_data_ingest_spark.operators.web import (
+        robots_txt_allow,
+    )
+
+    rows = {r.doc_id: r for r in
+            robots_txt_allow(spark, "/root/testdata/sf0.001").collect()}
+    # class 1 (disallowed by prefix) at doc 11: h=11
+    r = rows[11]
+    assert (r.allowed, r.rule) == (False, "/private11/")
+    # class 2 (allow override) at doc 12: h=12
+    r = rows[12]
+    assert (r.allowed, r.rule) == (True, "/private12/public/")
+    # class 4 (wildcard) at doc 14
+    r = rows[14]
+    assert (r.allowed, r.rule) == (False, "/a/*/draft")
+    # class 0 (no match -> allowed) at doc 10
+    r = rows[10]
+    assert (r.allowed, r.rule, r.rule_len) == (True, None, 0)
