@@ -143,6 +143,21 @@ HEADLINE = [
     "webdataset_shard_features",
     "qoi_decode_features",
     "archive_codec_features",
+    # round-11 third sweep: the new interchange codecs (native SQLite
+    # b-tree walk incl. overflow chains, MessagePack stream, protobuf
+    # wire decode with unknown-field skipping, Avro enum/fixed/unions),
+    # the lakehouse ops (txlog snapshot+time-travel, multi-clause
+    # MERGE), and the crawl-curation band (anchor graph, CIDR screen,
+    # robots evaluation)
+    "sqlite_roundtrip_documents",
+    "msgpack_roundtrip_events",
+    "protobuf_roundtrip_events",
+    "avro_union_roundtrip",
+    "txlog_time_travel",
+    "merge_apply_changes",
+    "html_link_graph",
+    "ip_cidr_filter",
+    "robots_txt_allow",
 ]
 
 

@@ -441,6 +441,183 @@ def msgpack_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sqlite_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
+def sqlite_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite fidelity through the engine's NATIVE file-format reader
+    (`sources/sqlitefile.py`): each partition becomes one complete
+    SQLite database built by the reference C library itself (stdlib
+    ``sqlite3`` + ``Connection.serialize`` — so the writer is the
+    independent implementation), then decoded back by walking the raw
+    bytes: sqlite_master on page 1, table b-tree interior/leaf pages,
+    the full serial-type record format, the INTEGER PRIMARY KEY rowid
+    alias, and OVERFLOW CHAINS — the 512-byte page size forces both
+    multi-level b-trees and overflow pages on real document texts.  The
+    oracle digests the original parquet, so any mis-walked page or
+    mis-sliced spill breaks per-document hashes.  Two narrow Arrow
+    kernels, zero shuffle; read parallelism is one task per database
+    file."""
+    import pandas as pd  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.sources.sqlitefile import (  # noqa: PLC0415
+        SQLiteFile,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def enc(batches):
+        import sqlite3  # noqa: PLC0415
+
+        con = sqlite3.connect(":memory:")
+        con.execute("PRAGMA page_size=512")
+        con.execute(
+            "CREATE TABLE documents (doc_id INTEGER PRIMARY KEY, "
+            "text TEXT, lang TEXT, source TEXT, n_chars INTEGER)"
+        )
+        n = 0
+        for pdf in batches:
+            con.executemany(
+                "INSERT INTO documents VALUES (?,?,?,?,?)",
+                [
+                    (int(r.doc_id), r.text, r.lang, r.source,
+                     int(r.n_chars))
+                    for r in pdf.itertuples(index=False)
+                ],
+            )
+            n += len(pdf)
+        con.commit()
+        if n:
+            yield pd.DataFrame({"payload": [bytes(con.serialize())]})
+        con.close()
+
+    def dec(batches):
+        for pdf in batches:
+            for payload in pdf["payload"]:
+                rows = SQLiteFile(bytes(payload)).read_table("documents")
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "text", "lang", "source",
+                             "n_chars"],
+                )
+
+    payloads = docs.mapInPandas(enc, schema="payload binary")
+    back = payloads.mapInPandas(
+        dec,
+        schema="doc_id bigint, text string, lang string, "
+               "source string, n_chars bigint",
+    )
+    return _doc_digests(back)
+
+
+_PROTO_TS = [(1, "sec", "varint"), (2, "nanos", "varint")]
+_PROTO_EVENT = [
+    (1, "event_id", "varint"),
+    (2, "ts", ("message", _PROTO_TS)),
+    (3, "user_id", "sint64"),
+    (4, "event_type", "string"),
+    (5, "value", "double"),
+    (6, "props", "string"),
+    (7, "tags", ("packed_varint",)),
+    (8, "delta", "sint64"),
+]
+
+
+@query(
+    "protobuf_roundtrip_events",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_micros,
+           user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           md5(props) AS props_md5,
+           CAST(event_id % 10 + user_id % 10 AS BIGINT) AS tags_sum,
+           CAST(2 AS BIGINT) AS n_tags,
+           CAST(event_id % 7 - 3 AS BIGINT) AS delta
+    FROM events
+    """,
+)
+def protobuf_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format fidelity (`sources/protowire.py`): each
+    event becomes one message — varint id, a NESTED proto3-Timestamp
+    message (seconds + nanos), zigzag sint64s (``delta`` goes negative
+    on real rows), a fixed64 double, strings, and a PACKED repeated
+    varint field — length-prefix framed into one payload per partition,
+    with an UNDECLARED varint field (number 99) injected into every
+    record so the decoder's unknown-field skipping is load-bearing: a
+    decoder that errors or mis-skips desynchronizes the tag stream and
+    breaks every subsequent field.  The oracle replays ids, exact
+    epoch-micros, the packed sum, and the zigzag delta in closed form.
+    Two narrow Arrow kernels, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.sources.protowire import (  # noqa: PLC0415
+        decode_message,
+        encode_message,
+        encode_unknown_field,
+        frame_records,
+        unframe_records,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+
+    def enc(batches):
+        recs = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                us = pd.Timestamp(row.ts).value // 1000
+                eid, uid = int(row.event_id), int(row.user_id)
+                recs.append(
+                    encode_unknown_field(99, eid % 100)
+                    + encode_message(_PROTO_EVENT, {
+                        "event_id": eid,
+                        "ts": {"sec": us // 1_000_000,
+                               "nanos": (us % 1_000_000) * 1000},
+                        "user_id": uid,
+                        "event_type": row.event_type,
+                        "value": float(row.value),
+                        "props": row.props,
+                        "tags": [eid % 10, uid % 10],
+                        "delta": eid % 7 - 3,
+                    })
+                )
+        if recs:
+            yield pd.DataFrame({"payload": [frame_records(recs)]})
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                for rec in unframe_records(bytes(payload)):
+                    m = decode_message(_PROTO_EVENT, rec)
+                    rows.append({
+                        "event_id": m["event_id"],
+                        "ts_micros": m["ts"]["sec"] * 1_000_000
+                        + m["ts"]["nanos"] // 1000,
+                        "user_id": m["user_id"],
+                        "event_type": m["event_type"],
+                        "value": m["value"],
+                        "props": m["props"],
+                        "tags_sum": sum(m["tags"]),
+                        "n_tags": len(m["tags"]),
+                        "delta": m["delta"],
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    payloads = events.mapInPandas(enc, schema="payload binary")
+    back = payloads.mapInPandas(
+        dec,
+        schema="event_id bigint, ts_micros bigint, user_id bigint, "
+               "event_type string, value double, props string, "
+               "tags_sum bigint, n_tags bigint, delta bigint",
+    )
+    return back.select(
+        "event_id", "ts_micros", "user_id", "event_type",
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+        F.md5(F.col("props").cast("binary")).alias("props_md5"),
+        "tags_sum", "n_tags", "delta",
+    )
+
+
 def encode_arrow_ipc_partitions(df: DataFrame) -> DataFrame:
     """Each partition → one self-contained Arrow IPC (Feather v2) file
     payload, via ``mapInArrow`` (the Arrow batches Spark already ships to

@@ -87,6 +87,11 @@ def txlog_latest_version(table_path: str) -> int:
         if n.endswith(".json") and not n.endswith(".checkpoint.json")
         and n[:20].isdigit()
     ]
+    # after retention truncates old commits, the newest checkpoint may
+    # BE the latest version (no commits after it)
+    ckpt = _read_checkpoint_pointer(table_path)
+    if ckpt is not None:
+        versions.append(ckpt)
     if not versions:
         raise ValueError("txlog: empty log")
     return max(versions)
@@ -279,3 +284,88 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = txlog_snapshot(spark, table, version=1)
     v2 = txlog_snapshot(spark, table)  # latest
     return agg(v1, 1).unionAll(agg(v2, 2))
+
+
+def txlog_compact(
+    spark: SparkSession,
+    table_path: str,
+    target_records: int,
+    name_prefix: str = "compact",
+) -> int:
+    """OPTIMIZE: bin-pack small live files into ~``target_records``-row
+    rewrites and commit remove+add atomically.  Returns the new version
+    (or the current one if nothing qualified).
+
+    Bin assignment is deterministic next-fit over the live-set in path
+    order using the log's OWN ``numRecords`` metadata — no data scan is
+    needed to PLAN the compaction, only to execute it (the same
+    metadata-driven shape as Delta's OPTIMIZE).  Files already at or
+    above the target stay untouched.  Readers of older versions are
+    unaffected: the rewritten bytes land in NEW files, the old ones are
+    only tombstoned."""
+    latest = txlog_latest_version(table_path)
+    adds = txlog_live_files(table_path, latest)
+    bins: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_n = 0
+    for a in adds:
+        n = a["numRecords"]
+        if n >= target_records:
+            continue
+        if cur and cur_n + n > target_records:
+            bins.append(cur)
+            cur, cur_n = [], 0
+        cur.append(a)
+        cur_n += n
+    if cur:
+        bins.append(cur)
+    # only multi-file bins shrink the table; singletons are already
+    # as compact as they can get
+    bins = [b for b in bins if len(b) > 1]
+    if not bins:
+        return latest
+    actions: list[dict] = [{"commitInfo": {"operation": "OPTIMIZE"}}]
+    for i, group in enumerate(bins):
+        paths = [os.path.join(table_path, a["path"]) for a in group]
+        df = spark.read.parquet(*paths)
+        actions.append(
+            _write_data_file(df, table_path, f"{name_prefix}-{i}")
+        )
+        actions.extend({"remove": {"path": a["path"]}} for a in group)
+    txlog_commit(table_path, latest + 1, actions)
+    return latest + 1
+
+
+def txlog_vacuum(table_path: str) -> list[str]:
+    """Delete data files no LIVE version references anymore — i.e.
+    files absent from the latest live-set AND not needed by any earlier
+    version still reachable from the log.  With the full log retained,
+    every version is reachable, so vacuum only removes files never
+    referenced by any commit's surviving history after the log itself
+    was truncated; here it removes files tombstoned at or before the
+    newest CHECKPOINT whose predecessor commits were deleted (the
+    standard retention contract: vacuuming gives up time travel older
+    than the checkpoint).  Returns the deleted paths."""
+    import shutil  # noqa: PLC0415
+
+    ckpt = _read_checkpoint_pointer(table_path)
+    latest = txlog_latest_version(table_path)
+    # determine which versions are still replayable
+    reachable: set[str] = set()
+    start = 0
+    if ckpt is not None and not os.path.exists(
+        _commit_file(table_path, 0)
+    ):
+        start = ckpt
+    for v in range(start, latest + 1):
+        for a in txlog_live_files(table_path, v):
+            reachable.add(a["path"])
+    deleted = []
+    for entry in sorted(os.listdir(table_path)):
+        if entry == _LOG or entry in reachable:
+            continue
+        full = os.path.join(table_path, entry)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+            deleted.append(entry)
+    return deleted

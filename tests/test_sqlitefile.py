@@ -1,0 +1,146 @@
+"""Native SQLite reader (sources/sqlitefile.py): every byte decoded
+here was written by the reference C library (stdlib sqlite3 +
+Connection.serialize), so each test is a true cross-implementation
+check."""
+
+from __future__ import annotations
+
+import sqlite3
+import struct
+
+import pytest
+
+from national_caseload_data_ingest_spark.sources.sqlitefile import (
+    MAGIC,
+    SQLiteFile,
+    _rowid_alias_index,
+    _varint,
+)
+
+
+def _db(*ddl_and_rows, page_size=512):
+    con = sqlite3.connect(":memory:")
+    con.execute(f"PRAGMA page_size={page_size}")
+    for stmt, rows in ddl_and_rows:
+        con.execute(stmt)
+        if rows:
+            ph = ",".join("?" * len(rows[0]))
+            table = stmt.split()[2]
+            con.executemany(f"INSERT INTO {table} VALUES ({ph})", rows)
+    con.commit()
+    data = bytes(con.serialize())
+    con.close()
+    return data
+
+
+def test_varint_forms():
+    assert _varint(b"\x00", 0) == (0, 1)
+    assert _varint(b"\x7f", 0) == (127, 1)
+    assert _varint(b"\x81\x00", 0) == (128, 2)
+    assert _varint(b"\x82\x2c", 0) == (300, 2)
+    # 9-byte form: 8 continuation bytes then a full 8-bit byte
+    nine = bytes([0xFF] * 8 + [0xFF])
+    assert _varint(nine, 0) == (-1, 9)
+
+
+def test_serial_types_roundtrip():
+    rows = [
+        (1, None, 0, 1, -1, 127, -128, 32767, 8388607, 2**31 - 1,
+         2**47 - 1, 2**63 - 1, 1.5, "text", b"\x00\xff"),
+        (2, None, 1, 0, -2**63, -127, 128, -32768, -8388608, -(2**31),
+         -(2**47), -(2**63) + 1, -0.25, "", b""),
+    ]
+    data = _db((
+        "CREATE TABLE t (k INTEGER PRIMARY KEY, a, b, c, d, e, f, g, "
+        "h, i, j, l, m REAL, s TEXT, z BLOB)", rows))
+    got = SQLiteFile(data).read_table("t")
+    assert got == rows
+
+
+def test_interior_pages_and_rowid_order():
+    rows = [(i, f"name-{i:05d}") for i in range(1, 2001)]
+    # insert shuffled; the b-tree walk must return rowid order
+    shuffled = rows[::2] + rows[1::2]
+    data = _db(("CREATE TABLE t (k INTEGER PRIMARY KEY, s TEXT)",
+                shuffled))
+    f = SQLiteFile(data)
+    assert f.read_table("t") == rows
+    # 2000 rows on 512-byte pages cannot fit one leaf: interior walked
+    root = f.tables()["t"]["rootpage"]
+    assert f._page(root)[0] == 0x05
+
+
+def test_overflow_chains():
+    long = "y" * 5000  # many overflow pages at 512-byte page size
+    rows = [(1, long), (2, "short"), (3, "z" * 600)]
+    data = _db(("CREATE TABLE t (k INTEGER PRIMARY KEY, s TEXT)", rows))
+    assert SQLiteFile(data).read_table("t") == rows
+
+
+def test_no_rowid_alias_when_plain_integer():
+    rows = [(10, "a"), (20, "b")]
+    data = _db(("CREATE TABLE t (k INTEGER, s TEXT)", rows))
+    assert SQLiteFile(data).read_table("t") == rows
+
+
+def test_rowid_alias_parse():
+    assert _rowid_alias_index(
+        "CREATE TABLE t (a TEXT, b INTEGER PRIMARY KEY, c)") == 1
+    assert _rowid_alias_index("CREATE TABLE t (a INTEGER, b)") is None
+    # type must be exactly INTEGER for the alias rule
+    assert _rowid_alias_index("CREATE TABLE t (a INT PRIMARY KEY)") is None
+    # parenthesized constraints don't split columns
+    assert _rowid_alias_index(
+        "CREATE TABLE t (a TEXT CHECK (a IN ('x','y')), "
+        "b INTEGER PRIMARY KEY)") == 1
+
+
+def test_multiple_tables_and_catalog():
+    data = _db(
+        ("CREATE TABLE a (k INTEGER PRIMARY KEY, v TEXT)", [(1, "x")]),
+        ("CREATE TABLE b (k INTEGER PRIMARY KEY, n INTEGER)", [(5, 50)]),
+    )
+    f = SQLiteFile(data)
+    assert set(f.tables()) == {"a", "b"}
+    assert f.read_table("a") == [(1, "x")]
+    assert f.read_table("b") == [(5, 50)]
+    with pytest.raises(ValueError, match="no such table"):
+        f.read_table("missing")
+
+
+def test_gates_are_loud():
+    data = _db(("CREATE TABLE t (k INTEGER PRIMARY KEY, s TEXT)",
+                [(1, "x")]))
+    with pytest.raises(ValueError, match="bad magic"):
+        SQLiteFile(b"not a database" + data[14:])
+    # WITHOUT ROWID tables gate
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE w (k TEXT PRIMARY KEY, v) WITHOUT ROWID")
+    con.execute("INSERT INTO w VALUES ('a', 1)")
+    con.commit()
+    f = SQLiteFile(bytes(con.serialize()))
+    with pytest.raises(NotImplementedError, match="WITHOUT ROWID"):
+        f.read_table("w")
+    # WAL mode gate (flip the read/write version bytes)
+    bad = bytearray(data)
+    bad[18] = bad[19] = 2
+    with pytest.raises(NotImplementedError, match="WAL"):
+        SQLiteFile(bytes(bad))
+    # non-UTF-8 text encoding gate
+    bad = bytearray(data)
+    struct.pack_into(">I", bad, 56, 2)  # UTF-16le
+    with pytest.raises(NotImplementedError, match="encoding"):
+        SQLiteFile(bytes(bad))
+
+
+def test_page_size_65536_encoding():
+    data = _db(("CREATE TABLE t (k INTEGER PRIMARY KEY, s TEXT)",
+                [(1, "x")]), page_size=65536)
+    f = SQLiteFile(data)
+    assert f.page_size == 65536
+    assert struct.unpack_from(">H", data, 16)[0] == 1  # spec: 1 = 64KiB
+    assert f.read_table("t") == [(1, "x")]
+
+
+def test_header_magic_constant():
+    assert MAGIC == b"SQLite format 3\x00"

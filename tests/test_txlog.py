@@ -109,3 +109,78 @@ def test_immutable_history_under_rewrite(spark, tmp_path):
     assert 3 in _vals(txlog_snapshot(spark, base, 1))
     assert 3 not in _vals(txlog_snapshot(spark, base, 2))
     assert 3 in _vals(txlog_snapshot(spark, base, 1))  # still
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    from national_caseload_data_ingest_spark.operators.txlog import (
+        txlog_compact,
+        txlog_snapshot,
+        txlog_vacuum,
+    )
+
+    base = _table(tmp_path, spark)  # live at v2: f0(1,2), f2(5,6), f3(7)
+    before = _vals(txlog_snapshot(spark, base))
+    n_before = len(txlog_live_files(base, 2))
+    v = txlog_compact(spark, base, target_records=10)
+    assert v == 3
+    assert _vals(txlog_snapshot(spark, base)) == before
+    after = txlog_live_files(base, v)
+    assert len(after) < n_before
+    # the compaction is one file here (total 5 rows < target 10)
+    assert [a["path"] for a in after] == ["compact-0"]
+    assert sum(a["numRecords"] for a in after) == len(before)
+    # time travel to v2 still sees the ORIGINAL files
+    assert _vals(txlog_snapshot(spark, base, 2)) == before
+    # vacuum with the full log retained deletes nothing (every version
+    # is still reachable)
+    assert txlog_vacuum(base) == []
+
+
+def test_compact_respects_target_and_skips_big_files(spark, tmp_path):
+    from national_caseload_data_ingest_spark.operators.txlog import (
+        txlog_compact,
+    )
+
+    base = str(tmp_path / "t2")
+    names = []
+    for i in range(6):
+        name = f"s{i}"
+        names.append(name)
+        spark.createDataFrame([(i * 10 + j,) for j in range(2)], "v int") \
+            .coalesce(1).write.parquet(os.path.join(base, name))
+    spark.createDataFrame([(x,) for x in range(100, 120)], "v int") \
+        .coalesce(1).write.parquet(os.path.join(base, "big"))
+    txlog_commit(base, 0, [
+        *({"add": {"path": n, "numRecords": 2}} for n in names),
+        {"add": {"path": "big", "numRecords": 20}},
+    ])
+    v = txlog_compact(spark, base, target_records=5)
+    assert v == 1
+    after = txlog_live_files(base, v)
+    paths = [a["path"] for a in after]
+    # big file untouched; 6 two-row files packed into bins of <=5 rows
+    assert "big" in paths
+    compacted = [a for a in after if a["path"].startswith("compact-")]
+    assert all(a["numRecords"] <= 5 for a in compacted)
+    assert sum(a["numRecords"] for a in compacted) == 12
+    assert len(compacted) == 3  # next-fit: 2+2, 2+2, 2+2
+
+
+def test_vacuum_after_log_truncation(spark, tmp_path):
+    from national_caseload_data_ingest_spark.operators.txlog import (
+        txlog_checkpoint,
+        txlog_snapshot,
+        txlog_vacuum,
+    )
+
+    base = _table(tmp_path, spark)
+    txlog_checkpoint(base, 2)
+    # simulate retention: drop pre-checkpoint commits
+    for v in range(3):
+        os.remove(os.path.join(base, "_log", f"{v:020d}.json"))
+    # f1 was tombstoned at v2 and no reachable version references it
+    deleted = txlog_vacuum(base)
+    assert deleted == ["f1"]
+    assert not os.path.exists(os.path.join(base, "f1"))
+    # the latest snapshot is intact
+    assert _vals(txlog_snapshot(spark, base)) == [1, 2, 5, 6, 7]
