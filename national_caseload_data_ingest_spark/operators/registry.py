@@ -60,6 +60,8 @@ CHECK_PRIORITY: list[str] = [
     "robots_txt_allow",  # RFC 9309 REP evaluation (new)
     "protobuf_roundtrip_events",  # protobuf wire-format codec (new)
     "sqlite_roundtrip_documents",  # native SQLite file reader (new)
+    "txlog_change_feed",  # CDF between table versions (new)
+    "txlog_data_skipping",  # min-max file pruning (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
     "codec_gate_report",  # class 8 gated->decoded transition (changed)

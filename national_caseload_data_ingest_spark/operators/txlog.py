@@ -369,3 +369,212 @@ def txlog_vacuum(table_path: str) -> list[str]:
             shutil.rmtree(full)
             deleted.append(entry)
     return deleted
+
+
+def txlog_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Change data feed: the row-level difference between two snapshots
+    as (row columns..., _change_type) — ``insert`` for rows in files
+    ADDED between the versions, ``delete`` for rows in files REMOVED.
+    File-granular diffing is exact because data files are immutable: a
+    logical update is a remove+add pair and surfaces as delete+insert,
+    the standard CDF contract.
+
+    Scale: the diff is computed on METADATA (two live-sets), and only
+    the CHANGED files are scanned — an incremental consumer reading
+    versions V→V+1 touches exactly the new commit's files, never the
+    table."""
+    before = {a["path"] for a in txlog_live_files(table_path, from_version)}
+    after = {a["path"] for a in txlog_live_files(table_path, to_version)}
+    added = sorted(after - before)
+    removed = sorted(before - after)
+    parts = []
+    if added:
+        parts.append(
+            spark.read.parquet(
+                *[os.path.join(table_path, p) for p in added]
+            ).withColumn("_change_type", F.lit("insert"))
+        )
+    if removed:
+        parts.append(
+            spark.read.parquet(
+                *[os.path.join(table_path, p) for p in removed]
+            ).withColumn("_change_type", F.lit("delete"))
+        )
+    if not parts:
+        raise ValueError(
+            f"txlog: no changes between versions {from_version} and "
+            f"{to_version}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def txlog_scan(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    min_max_filter: tuple[str, int, int] | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Stats-based data skipping: scan the snapshot, PRUNING whole files
+    whose per-file (min, max) statistics — carried in their add actions
+    — cannot intersect ``min_max_filter = (column, lo, hi)``.  Returns
+    (DataFrame, files_read, files_total).  The DataFrame still applies
+    the residual row filter, so pruning is a pure optimization: the
+    result is identical with or without stats.
+
+    This is the Iceberg/Delta data-skipping model: at 100 TB the
+    min/max prune decides whether a selective query reads 3 files or
+    30,000 — the log's metadata does the work of a coarse index.  Files
+    whose add action carries NO stats are conservatively read (never
+    silently skipped)."""
+    adds = txlog_live_files(table_path, version)
+    total = len(adds)
+    if min_max_filter is None:
+        df = txlog_snapshot(spark, table_path, version)
+        return df, total, total
+    col, lo, hi = min_max_filter
+    keep = []
+    for a in adds:
+        stats = a.get("stats", {}).get(col)
+        if stats is None or (stats["min"] <= hi and stats["max"] >= lo):
+            keep.append(a)
+    if not keep:
+        raise ValueError("txlog: every file pruned; empty scan")
+    paths = [os.path.join(table_path, a["path"]) for a in keep]
+    df = spark.read.parquet(*paths).filter(
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )
+    return df, len(keep), total
+
+
+def write_data_file_with_stats(
+    df: DataFrame, table_path: str, name: str, stats_cols: list[str]
+) -> dict:
+    """``_write_data_file`` plus per-file min/max stats for the named
+    columns — ONE aggregate over the frame being written (the writer
+    already holds the rows; collecting 2·k scalars costs nothing at any
+    scale)."""
+    action = _write_data_file(df, table_path, name)
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    action["add"]["stats"] = {
+        c: {"min": int(row[f"min_{c}"]), "max": int(row[f"max_{c}"])}
+        for c in stats_cols
+    }
+    return action
+
+
+@query(
+    "txlog_change_feed",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority, 'insert' AS _change_type
+    FROM orders WHERE o_orderkey % 4 = 3
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, 'delete'
+    FROM orders WHERE o_orderkey % 4 = 1
+    """,
+)
+def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed extraction between two table versions: the
+    ``txlog_time_travel`` fixture's v1→v2 transition removed bucket
+    key%4==1 and added bucket key%4==3, so the feed must be exactly
+    those rows tagged delete/insert — a missed tombstone or a diff that
+    rescans unchanged files (bucket 0/2 rows appearing) breaks the
+    hash.  Metadata diff + a scan of ONLY the changed files."""
+    import hashlib  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    table = os.path.join(
+        tempfile.gettempdir(), "ncd_spark_txlog", f"{tag}-cdf"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    k = F.col("o_orderkey")
+    buckets = {b: o.filter(k % 4 == b) for b in range(4)}
+    txlog_commit(table, 0, [
+        _write_data_file(buckets[0], table, "b0"),
+        _write_data_file(buckets[1], table, "b1"),
+    ])
+    txlog_commit(table, 1, [
+        _write_data_file(buckets[2], table, "b2"),
+    ])
+    txlog_commit(table, 2, [
+        {"remove": {"path": "b1"}},
+        _write_data_file(buckets[3], table, "b3"),
+    ])
+    feed = txlog_changes(spark, table, 1, 2)
+    return feed.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        "_change_type",
+    )
+
+
+@query(
+    "txlog_data_skipping",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) // 4 AS q FROM orders)
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+           CAST(1 AS BIGINT) AS files_read,
+           CAST(4 AS BIGINT) AS files_total
+    FROM orders, nn
+    WHERE o_orderkey >= nn.q AND o_orderkey <= 2 * nn.q - 1
+    GROUP BY o_orderpriority
+    """,
+)
+def txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping (the Iceberg/Delta min-max model):
+    orders written as four RANGE-bucketed files whose add actions carry
+    per-file (min, max) o_orderkey stats, then a selective range scan
+    that must PRUNE three of the four files from metadata alone — the
+    measured (files_read, files_total) = (1, 4) travels into the
+    hash-checked result, so a skipping bug (reading extra files would
+    flip files_read; skipping a needed file would lose rows) breaks the
+    oracle either way.  The residual row filter keeps pruning a pure
+    optimization: results are identical with stats absent."""
+    import hashlib  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    n = o.count()
+    q = n // 4
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    table = os.path.join(
+        tempfile.gettempdir(), "ncd_spark_txlog", f"{tag}-skip"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    k = F.col("o_orderkey")
+    actions = []
+    for i in range(4):
+        part = o.filter((k >= i * q) & (k < (i + 1) * q))
+        actions.append(
+            write_data_file_with_stats(
+                part, table, f"r{i}", ["o_orderkey"])
+        )
+    txlog_commit(table, 0, actions)
+    df, files_read, files_total = txlog_scan(
+        spark, table, min_max_filter=("o_orderkey", q, 2 * q - 1)
+    )
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    ).withColumn("files_read", F.lit(files_read).cast("long")) \
+     .withColumn("files_total", F.lit(files_total).cast("long"))

@@ -184,3 +184,68 @@ def test_vacuum_after_log_truncation(spark, tmp_path):
     assert not os.path.exists(os.path.join(base, "f1"))
     # the latest snapshot is intact
     assert _vals(txlog_snapshot(spark, base)) == [1, 2, 5, 6, 7]
+
+
+def test_change_feed_between_versions(spark, tmp_path):
+    from national_caseload_data_ingest_spark.operators.txlog import (
+        txlog_changes,
+    )
+
+    base = _table(tmp_path, spark)
+    # v1 -> v2: f1(3,4) removed, f3(7) added
+    feed = txlog_changes(spark, base, 1, 2).collect()
+    got = sorted((r.v, r._change_type) for r in feed)
+    assert got == [(3, "delete"), (4, "delete"), (7, "insert")]
+    # v0 -> v1: pure append
+    feed = txlog_changes(spark, base, 0, 1).collect()
+    assert sorted((r.v, r._change_type) for r in feed) == [
+        (5, "insert"), (6, "insert")]
+    with pytest.raises(ValueError, match="no changes"):
+        txlog_changes(spark, base, 1, 1)
+
+
+def test_data_skipping_prunes_and_preserves(spark, tmp_path):
+    from national_caseload_data_ingest_spark.operators.txlog import (
+        txlog_scan,
+        write_data_file_with_stats,
+    )
+
+    base = str(tmp_path / "skip")
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int")
+    actions = []
+    for i in range(4):
+        part = df.filter((df.v >= i * 25) & (df.v < (i + 1) * 25))
+        actions.append(
+            write_data_file_with_stats(part, base, f"r{i}", ["v"]))
+    txlog_commit(base, 0, actions)
+    out, read, total = txlog_scan(spark, base,
+                                  min_max_filter=("v", 30, 40))
+    assert (read, total) == (1, 4)
+    assert sorted(r.v for r in out.collect()) == list(range(30, 41))
+    # a filter straddling two files reads exactly two
+    out, read, total = txlog_scan(spark, base,
+                                  min_max_filter=("v", 20, 30))
+    assert (read, total) == (2, 4)
+    assert sorted(r.v for r in out.collect()) == list(range(20, 31))
+    # no filter: all files, all rows
+    out, read, total = txlog_scan(spark, base)
+    assert (read, total) == (4, 4)
+    # fully pruned scan raises rather than returning a wrong empty frame
+    # (all files still carry stats here, so pruning CAN be total)
+    with pytest.raises(ValueError, match="every file pruned"):
+        txlog_scan(spark, base, min_max_filter=("v", 1000, 2000))
+    # a file with NO stats is conservatively read — including when the
+    # range would otherwise prune everything
+    actions2 = list(actions)
+    del actions2[0]["add"]["stats"]
+    import shutil
+    shutil.rmtree(os.path.join(base, "_log"))
+    txlog_commit(base, 0, actions2)
+    out, read, total = txlog_scan(spark, base,
+                                  min_max_filter=("v", 30, 40))
+    assert (read, total) == (2, 4)  # stats-less r0 + matching r1
+    assert sorted(r.v for r in out.collect()) == list(range(30, 41))
+    out, read, total = txlog_scan(spark, base,
+                                  min_max_filter=("v", 1000, 2000))
+    assert (read, total) == (1, 4)  # only the stats-less file
+    assert out.count() == 0
