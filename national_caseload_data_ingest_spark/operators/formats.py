@@ -508,6 +508,49 @@ def sqlite_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_digests(back)
 
 
+@query(
+    "cbor_roundtrip_events",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_micros,
+           user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           md5(props) AS props_md5
+    FROM events
+    """,
+)
+def cbor_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR (RFC 8949) fidelity through the engine's pure-stdlib codec
+    (`sources/cbor.py`): each partition becomes one CBOR sequence of
+    definite arrays under PREFERRED SERIALIZATION — shortest-width
+    integers (ids exercise immediate through uint32) and
+    shortest-round-tripping floats (real values land in float16/32/64
+    by magnitude), timestamps as tag 0 RFC 3339 text (exact to the
+    microsecond, unlike the lossy tag-1 float form).  The oracle's
+    ``epoch_us`` comparison catches any width or tag slip.  Two narrow
+    Arrow kernels, zero shuffle."""
+    from national_caseload_data_ingest_spark.sources.cbor import (  # noqa: PLC0415
+        decode_payloads,
+        encode_partitions,
+    )
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    payloads = encode_partitions(events)
+    back = decode_payloads(
+        payloads,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    return back.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_micros"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+        F.md5(F.col("props").cast("binary")).alias("props_md5"),
+    )
+
+
 _PROTO_TS = [(1, "sec", "varint"), (2, "nanos", "varint")]
 _PROTO_EVENT = [
     (1, "event_id", "varint"),
