@@ -578,3 +578,130 @@ def txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("total"),
     ).withColumn("files_read", F.lit(files_read).cast("long")) \
      .withColumn("files_total", F.lit(files_total).cast("long"))
+
+
+# -- Bloom file index (point-lookup skipping) -------------------------------
+
+_BLOOM_BITS = 1 << 13  # 1 KiB per file per column — metadata-sized
+_BLOOM_HASHES = 3
+
+
+def _bloom_probe_py(value, i: int, m: int) -> int:
+    """Probe position i for ``value`` — md5-prefix arithmetic computable
+    identically on the driver (hashlib, for skip decisions) and on
+    executors (Spark md5/conv, for bitmap builds)."""
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.md5(f"{value}:{i}".encode()).hexdigest()[:15]
+    return int(h, 16) % m
+
+
+def _bloom_probe_col(col, i: int, m: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(col.cast("string"), F.lit(f":{i}"))
+                    .cast("binary")
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % m
+    )
+
+
+def _build_bloom(df: DataFrame, col: str, m: int, k: int) -> list[int]:
+    """Distributed bitmap build: explode probe positions, fold bit
+    masks per 64-bit word, collect only the m/64 finished words (the
+    decontaminate_bloom pattern — driver cost independent of rows)."""
+    words = (
+        df.select(
+            F.explode(
+                F.array(*[
+                    _bloom_probe_col(F.col(col), i, m) for i in range(k)
+                ])
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / F.lit(64)).cast("int").alias("w"),
+            (F.col("pos") % F.lit(64)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.col("b"))
+            ).alias("mask")
+        )
+        .collect()
+    )
+    arr = [0] * (m // 64)
+    for r in words:
+        arr[r["w"]] = r["mask"]
+    return arr
+
+
+def write_data_file_with_bloom(
+    df: DataFrame,
+    table_path: str,
+    name: str,
+    bloom_col: str,
+    bloom_bits: int = _BLOOM_BITS,
+    bloom_hashes: int = _BLOOM_HASHES,
+) -> dict:
+    """``_write_data_file`` plus a per-file Bloom bitmap over
+    ``bloom_col`` — the point-lookup complement to min/max stats:
+    min/max cannot prune a point probe on a column files are NOT sorted
+    by (every file's range covers everything); a per-file bloom prunes
+    it to the files that MIGHT hold the key, with no false negatives by
+    construction.  Bitmap = bloom_bits/8 bytes of JSON metadata per
+    file (Delta's bloom index ships the same shape as sidecar files)."""
+    action = _write_data_file(df, table_path, name)
+    action["add"]["bloom"] = {
+        bloom_col: {
+            "m": bloom_bits,
+            "k": bloom_hashes,
+            "words": _build_bloom(df, bloom_col, bloom_bits, bloom_hashes),
+        }
+    }
+    return action
+
+
+def txlog_point_scan(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Point lookup with Bloom skipping: read only the live files whose
+    bloom over ``col`` might contain ``value`` (files without a bloom
+    are conservatively read).  Returns (DataFrame, files_read,
+    files_total); the DataFrame applies the exact equality filter, so
+    skipping is a pure optimization."""
+    adds = txlog_live_files(table_path, version)
+    total = len(adds)
+    keep = []
+    for a in adds:
+        meta = a.get("bloom", {}).get(col)
+        if meta is None:
+            keep.append(a)
+            continue
+        m, kk, words = meta["m"], meta["k"], meta["words"]
+        hit = True
+        for i in range(kk):
+            pos = _bloom_probe_py(value, i, m)
+            if not (words[pos // 64] >> (pos % 64)) & 1:
+                hit = False
+                break
+        if hit:
+            keep.append(a)
+    if not keep:
+        # a bloom has no false negatives: no candidate file = no row
+        empty = txlog_snapshot(spark, table_path, version) \
+            .filter(F.lit(False))
+        return empty, 0, total
+    paths = [os.path.join(table_path, a["path"]) for a in keep]
+    df = spark.read.parquet(*paths).filter(F.col(col) == value)
+    return df, len(keep), total

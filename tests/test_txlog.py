@@ -249,3 +249,100 @@ def test_data_skipping_prunes_and_preserves(spark, tmp_path):
                                   min_max_filter=("v", 1000, 2000))
     assert (read, total) == (1, 4)  # only the stats-less file
     assert out.count() == 0
+
+
+def test_bloom_point_scan_prunes_exactly(spark, tmp_path):
+    """Bloom skipping on a MOD-bucketed column (min/max cannot prune a
+    point probe here: every file's range covers the whole domain).  The
+    expected file set is recomputed in pure Python with the same probe
+    formula, so the assertion is exact, false positives included."""
+    from national_caseload_data_ingest_spark.operators.txlog import (
+        _bloom_probe_py,
+        txlog_point_scan,
+        write_data_file_with_bloom,
+    )
+
+    base = str(tmp_path / "bloom")
+    vals = {i: [v for v in range(200) if v % 4 == i] for i in range(4)}
+    actions = []
+    for i in range(4):
+        part = spark.createDataFrame([(v,) for v in vals[i]], "v int")
+        actions.append(
+            write_data_file_with_bloom(part, base, f"m{i}", "v"))
+    txlog_commit(base, 0, actions)
+
+    def expected_files(value):
+        out = []
+        for i, a in enumerate(actions):
+            meta = a["add"]["bloom"]["v"]
+            hit = all(
+                (meta["words"][
+                    (p := _bloom_probe_py(value, j, meta["m"])) // 64]
+                 >> (p % 64)) & 1
+                for j in range(meta["k"])
+            )
+            if hit:
+                out.append(i)
+        return out
+
+    for probe in [0, 1, 2, 3, 17, 42, 199]:
+        df, read, total = txlog_point_scan(spark, base, "v", probe)
+        assert total == 4
+        assert read == len(expected_files(probe))
+        # no false negatives ever: the true holder is always read
+        assert probe % 4 in expected_files(probe)
+        assert [r.v for r in df.collect()] == [probe]
+    # a value outside the domain: typically zero files; rows empty
+    df, read, total = txlog_point_scan(spark, base, "v", 10**9)
+    assert read == len(expected_files(10**9))
+    assert df.count() == 0
+    # at 1 KiB bitmaps over 50 keys the FPR is ~0: most probes read 1
+    reads = [txlog_point_scan(spark, base, "v", p)[1]
+             for p in [5, 23, 77, 131]]
+    assert sum(reads) <= 6
+
+
+def test_streaming_txlog_sink_exactly_once(spark, tmp_path):
+    from national_caseload_data_ingest_spark.operators.txlog import (
+        txlog_changes,
+        txlog_latest_version,
+        txlog_snapshot,
+    )
+    from national_caseload_data_ingest_spark.streaming.txlog_sink import (
+        committed_batch_ids,
+        txlog_sink_stream,
+        write_stream_batch,
+    )
+
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(
+        [(i, f"u{i % 7}") for i in range(60)], "event_id int, user string"
+    )
+    batch.repartition(6).write.parquet(src)
+    table = str(tmp_path / "sink")
+    sdf = spark.readStream.schema(batch.schema) \
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    q = txlog_sink_stream(sdf, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # stream == batch
+    got = sorted(r.event_id for r in txlog_snapshot(spark, table).collect())
+    assert got == list(range(60))
+    latest = txlog_latest_version(table)
+    assert latest >= 1  # genuinely multi-batch (6 files / 2 per trigger)
+    assert committed_batch_ids(table) == set(range(latest + 1))
+
+    # the change feed of one version IS that micro-batch
+    feed = txlog_changes(spark, table, latest - 1, latest)
+    assert feed.filter("_change_type = 'delete'").count() == 0
+    n_last = feed.count()
+    assert 0 < n_last < 60
+
+    # redelivery of an already-committed batch_id is a no-op
+    extra = spark.createDataFrame([(999, "x")], "event_id int, user string")
+    assert write_stream_batch(extra, 0, table) is False
+    assert txlog_latest_version(table) == latest
+    assert txlog_snapshot(spark, table).count() == 60
+    # a NEW batch_id commits
+    assert write_stream_batch(extra, latest + 100, table) is True
+    assert txlog_snapshot(spark, table).count() == 61
