@@ -65,9 +65,18 @@ def _commit_file(table_path: str, version: int) -> str:
     return os.path.join(_log_dir(table_path), f"{version:020d}.json")
 
 
-def txlog_commit(table_path: str, version: int, actions: list[dict]) -> None:
+def txlog_commit(
+    table_path: str, version: int, actions: list[dict],
+    overwrite: bool = False,
+) -> None:
     """Write commit ``version`` (JSON-lines, one action per line).
-    Commits must be dense: version V requires V-1 to exist (V>0)."""
+    Commits must be dense: version V requires V-1 to exist (V>0).
+
+    Creation is EXCLUSIVE (``O_EXCL``): two writers racing to commit the
+    same version get one winner and one ``FileExistsError`` — the
+    optimistic-concurrency primitive every lakehouse log relies on (the
+    loser re-reads the new snapshot, revalidates, and retries at V+1).
+    ``overwrite=True`` bypasses the check for test fixtures only."""
     os.makedirs(_log_dir(table_path), exist_ok=True)
     if version > 0 and not os.path.exists(
         _commit_file(table_path, version - 1)
@@ -75,7 +84,18 @@ def txlog_commit(table_path: str, version: int, actions: list[dict]) -> None:
         raise ValueError(
             f"txlog: commit {version} without commit {version - 1}"
         )
-    with open(_commit_file(table_path, version), "w") as f:
+    path = _commit_file(table_path, version)
+    flags = os.O_WRONLY | os.O_CREAT | os.O_TRUNC
+    if not overwrite:
+        flags |= os.O_EXCL
+    try:
+        fd = os.open(path, flags)
+    except FileExistsError:
+        raise FileExistsError(
+            f"txlog: concurrent commit conflict at version {version} "
+            "(another writer won; re-read the snapshot and retry)"
+        ) from None
+    with os.fdopen(fd, "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
 
@@ -705,3 +725,84 @@ def txlog_point_scan(
     paths = [os.path.join(table_path, a["path"]) for a in keep]
     df = spark.read.parquet(*paths).filter(F.col(col) == value)
     return df, len(keep), total
+
+
+def txlog_delete_where(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    values: list,
+) -> int:
+    """Copy-on-write row deletion (the GDPR/right-to-be-forgotten
+    primitive): delete every row whose ``col`` is in ``values``,
+    rewriting ONLY the files that can contain them — candidate files
+    found by per-file Bloom metadata when present (point-prunable) and
+    min/max stats otherwise, never a full-table rewrite.  Touched files
+    are tombstoned and replaced by their filtered rewrites in one
+    commit; untouched files and all older versions are byte-identical.
+    Returns the new version (or the current one if no file matched).
+
+    At 100 TB this is the difference between rewriting ~everything and
+    rewriting the handful of files a user's rows live in — which is why
+    the bloom/stats metadata pays for itself on the DELETE path, not
+    just reads."""
+    latest = txlog_latest_version(table_path)
+    adds = txlog_live_files(table_path, latest)
+    candidates = []
+    for a in adds:
+        meta = a.get("bloom", {}).get(col)
+        stats = a.get("stats", {}).get(col)
+        if meta is not None:
+            m, kk, words = meta["m"], meta["k"], meta["words"]
+            hit = any(
+                all(
+                    (words[(p := _bloom_probe_py(v, i, m)) // 64]
+                     >> (p % 64)) & 1
+                    for i in range(kk)
+                )
+                for v in values
+            )
+        elif stats is not None:
+            hit = any(stats["min"] <= v <= stats["max"] for v in values)
+        else:
+            hit = True  # no metadata: conservative rewrite candidate
+        if hit:
+            candidates.append(a)
+    if not candidates:
+        return latest
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "DELETE", "column": col}}
+    ]
+    touched = 0
+    for a in candidates:
+        path = os.path.join(table_path, a["path"])
+        df = spark.read.parquet(path)
+        kept = df.filter(~F.col(col).isin(values))
+        n_kept = kept.count()
+        if n_kept == a["numRecords"]:
+            continue  # bloom false positive: nothing to rewrite
+        touched += 1
+        actions.append({"remove": {"path": a["path"]}})
+        if n_kept:
+            new_name = f"{a['path']}-del{latest + 1}"
+            sub = os.path.join(table_path, new_name)
+            kept.coalesce(1).write.mode("overwrite").parquet(sub)
+            new_add = {"path": new_name, "numRecords": n_kept}
+            if a.get("bloom", {}).get(col) is not None:
+                meta = a["bloom"][col]
+                new_add["bloom"] = {col: {
+                    "m": meta["m"], "k": meta["k"],
+                    "words": _build_bloom(kept, col, meta["m"], meta["k"]),
+                }}
+            if a.get("stats", {}).get(col) is not None:
+                row = kept.agg(
+                    F.min(col).alias("mn"), F.max(col).alias("mx")
+                ).collect()[0]
+                new_add["stats"] = {
+                    col: {"min": int(row["mn"]), "max": int(row["mx"])}
+                }
+            actions.append({"add": new_add})
+    if not touched:
+        return latest
+    txlog_commit(table_path, latest + 1, actions)
+    return latest + 1
