@@ -323,3 +323,56 @@ def wordpiece_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     vocab = wordpiece_train(d)
     return wordpiece_encode(d, vocab)
+
+
+_WP_EFF_ORACLE = _WP_ORACLE[: _WP_ORACLE.rindex("-- LEFT JOIN back")] + """
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(COALESCE(a.n_words, 0)) AS BIGINT) AS sum_words,
+       CAST(SUM(COALESCE(a.n_wp_tokens, 0)) AS BIGINT) AS sum_tokens,
+       CAST(SUM(COALESCE(a.n_unk, 0)) AS BIGINT) AS sum_unk,
+       CAST(SUM(d.n_chars) AS DOUBLE)
+           / SUM(COALESCE(a.n_wp_tokens, 0)) AS chars_per_token,
+       CAST(SUM(COALESCE(a.n_wp_tokens, 0)) AS DOUBLE)
+           / SUM(COALESCE(a.n_words, 0)) AS tokens_per_word
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+GROUP BY d.source
+"""
+
+
+@query("wordpiece_efficiency_by_source", oracle=_WP_EFF_ORACLE)
+def wordpiece_efficiency_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY report — the measurement that decides whether
+    a vocabulary suits a corpus slice: chars-per-token (compression) and
+    tokens-per-word (fragmentation) per source, plus the [UNK] total.
+    A mixture policy reweights or a tokenizer retrains when a source's
+    fertility is an outlier; this relation is that signal, with the
+    greedy matcher itself replayed in the oracle's recursive CTE so
+    every count is cross-engine exact and the ratios are single IEEE
+    divisions of exact integer sums.
+
+    Plan: the encode kernel's per-doc counts join ``documents`` on
+    doc_id (one equi-join exchange) and fold into one per-source
+    aggregate — at 100 TB the join keys are co-partitioned with the
+    scan and the aggregate is ~10² source keys."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    counts = wordpiece_encode(d, WORDPIECE_VOCAB).select(
+        "doc_id", "n_words", "n_wp_tokens", "n_unk"
+    )
+    joined = d.select("doc_id", "source", "n_chars").join(
+        counts, "doc_id"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.sum("n_wp_tokens").cast("long").alias("sum_tokens"),
+        F.sum("n_unk").cast("long").alias("sum_unk"),
+        (F.sum("n_chars").cast("double") / F.sum("n_wp_tokens"))
+        .alias("chars_per_token"),
+        (F.sum("n_wp_tokens").cast("double") / F.sum("n_words"))
+        .alias("tokens_per_word"),
+    )
