@@ -648,3 +648,101 @@ def robots_txt_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, path string, allowed boolean, "
                "rule string, rule_len bigint",
     )
+
+
+# -- access-log parsing (Common Log Format / combined) -----------------------
+
+_CLF_RX = (
+    r'^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+) [^"]*" '
+    r'(\d{3}) (\S+) "([^"]*)" "([^"]*)"$'
+)
+
+
+@query(
+    "access_log_features",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id AS eid, ts,
+               CASE event_id % 7
+                    WHEN 0 THEN 500 WHEN 1 THEN 404
+                    WHEN 2 THEN 301 ELSE 200 END AS status,
+               event_id % 3 <> 0 AS authed,
+               (event_id * 2654435761) % 4294967296 AS ip
+        FROM events
+    )
+    SELECT status,
+           date_trunc('hour', ts) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(SUM(CASE WHEN status <> 301
+                         THEN eid % 10000 END) AS BIGINT) AS sum_bytes,
+           CAST(SUM(CASE WHEN authed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_authed,
+           CAST(COUNT(DISTINCT ip // 16777216) AS BIGINT) AS n_ip_a
+    FROM ev
+    GROUP BY status, date_trunc('hour', ts)
+    """,
+)
+def access_log_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-server access-log ingestion (combined log format — the other
+    half of crawl/traffic curation beside WARC): RENDER one combined-CLF
+    line per event with column algebra (dotted-quad ip, ``-`` for
+    anonymous users and for 301 byte counts, the ``[dd/MMM/yyyy:HH:mm:ss
+    +0000]`` timestamp, a quoted request line, quoted referer/UA with
+    embedded spaces), then PARSE IT BACK with one regexp per field —
+    the verified surface — mapping ``-`` to NULL, re-parsing the
+    timestamp, and aggregating per (status, hour).  Everything is
+    JVM-side codegen: zero UDFs, zero kernels, one hash aggregate.  The
+    oracle computes the same rollup from the raw events closed-form, so
+    a regex group slip, a dash-to-null miss, or a timestamp-format
+    drift breaks the hash."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    eid = F.col("event_id")
+    ip_int = (eid * 2654435761) % F.lit(4294967296)
+    ip = F.concat_ws(
+        ".",
+        (ip_int / 16777216).cast("long").cast("string"),
+        ((ip_int / 65536).cast("long") % 256).cast("string"),
+        ((ip_int / 256).cast("long") % 256).cast("string"),
+        (ip_int % 256).cast("string"),
+    )
+    user = F.when(eid % 3 == 0, "-").otherwise(
+        F.concat(F.lit("u"), (eid % 50).cast("string")))
+    method = F.element_at(
+        F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT")),
+        (eid % 3 + 1).cast("int"))
+    status = (
+        F.when(eid % 7 == 0, 500).when(eid % 7 == 1, 404)
+        .when(eid % 7 == 2, 301).otherwise(200)
+    )
+    nbytes = F.when(eid % 7 == 2, "-").otherwise(
+        (eid % 10000).cast("string"))
+    line = F.concat(
+        ip, F.lit(" - "), user, F.lit(" ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"), F.lit('] "'),
+        method, F.lit(" /a/"), (eid % 100).cast("string"),
+        F.lit('/page HTTP/1.1" '),
+        status.cast("string"), F.lit(" "), nbytes,
+        F.lit(' "https://ref.example.com/x y" "Mozilla/5.0 (ncd bot)"'),
+    )
+    logs = e.select(F.col("ts").alias("true_ts"), line.alias("line"))
+    # parse BACK: one regexp per field, '-' -> NULL, timestamp re-parsed
+    g = lambda i: F.regexp_extract("line", _CLF_RX, i)  # noqa: E731
+    parsed = logs.select(
+        g(1).alias("ip"),
+        F.when(g(2) == "-", None).otherwise(g(2)).alias("user"),
+        F.to_timestamp(g(3), "dd/MMM/yyyy:HH:mm:ss Z").alias("ts"),
+        g(4).alias("method"),
+        g(6).cast("int").alias("status"),
+        F.when(g(7) == "-", None).otherwise(g(7)).cast("long")
+        .alias("nbytes"),
+        F.col("true_ts"),
+    )
+    return parsed.groupBy(
+        "status", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("nbytes").alias("sum_bytes"),
+        F.sum(F.when(F.col("user").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_authed"),
+        F.countDistinct(F.split("ip", r"\.").getItem(0)).alias("n_ip_a"),
+    )
