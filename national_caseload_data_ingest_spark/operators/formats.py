@@ -662,6 +662,72 @@ def mime_message_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mbox_thread_features",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, 2 + doc_id % 3 AS k FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS n_messages,
+           CAST((k + 1) // 2 AS BIGINT) AS n_threads,
+           CAST(2 AS BIGINT) AS max_thread_len,
+           CAST((k + 2) // 3 AS BIGINT) AS n_from_lines
+    FROM base
+    """,
+)
+def mbox_thread_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mailing-list thread reconstruction over mbox containers
+    (`sources/mime.py`): each document becomes an mbox of 2-4 messages
+    (odd-indexed messages reply to their predecessor via In-Reply-To),
+    with bodies on j ≡ 0 mod 3 containing a line starting ``From `` —
+    which the mboxrd framing must quote on build and unquote on split,
+    or the message count and the restored-line census both break.
+    Threads are container-local union-find over Message-ID references
+    (the WebDataset locality convention: threads never span shards).
+    The oracle states the full census closed-form.  One narrow Arrow
+    kernel, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.sources.mime import (  # noqa: PLC0415
+        mbox_build,
+        mbox_thread_stats,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                k = 2 + i % 3
+                msgs = []
+                for j in range(k):
+                    headers = [
+                        f"Message-ID: <m{i}-{j}@x>",
+                        "From: a@example.com",
+                        f"Subject: t{i}-{j}",
+                        "Date: Mon, 01 Jan 2024 00:00:00 +0000",
+                    ]
+                    if j % 2 == 1:
+                        headers.append(f"In-Reply-To: <m{i}-{j - 1}@x>")
+                    body = f"msg {j} of {i}\n"
+                    if j % 3 == 0:
+                        body += "From here it continues\n"
+                    msgs.append(
+                        ("\n".join(headers) + "\n\n" + body).encode())
+                stats = mbox_thread_stats(mbox_build(msgs))
+                rows.append({"doc_id": i, **stats})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_messages bigint, n_threads bigint, "
+               "max_thread_len bigint, n_from_lines bigint",
+    )
+
+
 _PROTO_TS = [(1, "sec", "varint"), (2, "nanos", "varint")]
 _PROTO_EVENT = [
     (1, "event_id", "varint"),

@@ -255,3 +255,87 @@ def message_features(raw: bytes) -> dict:
         "att_bytes": sum(len(p["body"]) for p in att),
         "att_checksum": sum(sum(p["body"]) for p in att),
     }
+
+
+# -- mbox container (RFC 4155 / mboxrd) --------------------------------------
+
+def mbox_build(messages: list[bytes], sender: str = "x@x") -> bytes:
+    """Messages → one mbox: each preceded by a ``From `` envelope line,
+    body lines matching ``^>*From `` quoted with one more ``>``
+    (the mboxrd convention — reversible, unlike mboxo)."""
+    out = bytearray()
+    for msg in messages:
+        out += f"From {sender} Mon Jan  1 00:00:00 2024\n".encode()
+        for line in msg.split(b"\n"):
+            if re.match(rb"^>*From ", line):
+                out += b">"
+            out += line + b"\n"
+        out += b"\n"
+    return bytes(out)
+
+
+def mbox_split(payload: bytes) -> list[bytes]:
+    """One mbox → message byte blocks, mboxrd quoting reversed
+    (``^>+From `` loses one ``>``); the envelope line and the blank
+    separator line are framing, not message content."""
+    if not payload.startswith(b"From "):
+        raise ValueError("mbox: payload does not start with an envelope")
+    messages: list[bytes] = []
+    cur: list[bytes] | None = None
+    for line in payload.split(b"\n"):
+        if line.startswith(b"From "):
+            if cur is not None:
+                messages.append(b"\n".join(cur).rstrip(b"\n") + b"\n")
+            cur = []
+            continue
+        if cur is None:
+            raise ValueError("mbox: content before the first envelope")
+        if re.match(rb"^>+From ", line):
+            line = line[1:]
+        cur.append(line)
+    if cur is not None:
+        messages.append(b"\n".join(cur).rstrip(b"\n") + b"\n")
+    return messages
+
+
+def mbox_thread_stats(payload: bytes) -> dict:
+    """Thread reconstruction over one mbox: messages join the thread of
+    the message their ``In-Reply-To``/``References`` names (union-find,
+    container-local — threads do not span mboxes, like WebDataset
+    samples don't span shards).  Returns the thread census plus the
+    count of body lines whose mboxrd ``From``-quoting was reversed."""
+    msgs = mbox_split(payload)
+    ids: dict[str, int] = {}
+    parent = list(range(len(msgs)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_from_lines = 0
+    for i, raw in enumerate(msgs):
+        headers, body = _split_message(raw)
+        mid = header(headers, "message-id")
+        if mid:
+            ids[mid.strip()] = i
+        ref = header(headers, "in-reply-to") or ""
+        refs = header(headers, "references") or ""
+        for token in (ref + " " + refs).split():
+            j = ids.get(token.strip())
+            if j is not None:
+                parent[find(i)] = find(j)
+        n_from_lines += sum(
+            1 for line in body.split(b"\n") if line.startswith(b"From ")
+        )
+    roots: dict[int, int] = {}
+    for i in range(len(msgs)):
+        r = find(i)
+        roots[r] = roots.get(r, 0) + 1
+    return {
+        "n_messages": len(msgs),
+        "n_threads": len(roots),
+        "max_thread_len": max(roots.values()) if roots else 0,
+        "n_from_lines": n_from_lines,
+    }

@@ -113,3 +113,78 @@ def test_preamble_and_epilogue_ignored():
            b"--B--\r\nepilogue junk\r\n")
     leaves = walk_message(raw)
     assert [p["body"] for p in leaves] == [b"part one", b"part two"]
+
+
+# -- mbox --------------------------------------------------------------------
+
+def test_mbox_roundtrip_with_from_quoting():
+    from national_caseload_data_ingest_spark.sources.mime import (
+        mbox_build,
+        mbox_split,
+    )
+
+    m1 = b"Subject: a\n\nbody one\nFrom the top\n>From quoted already\n"
+    m2 = b"Subject: b\n\nplain\n"
+    payload = mbox_build([m1, m2])
+    # quoting happened on the wire
+    assert b"\n>From the top\n" in payload
+    assert b"\n>>From quoted already\n" in payload
+    back = mbox_split(payload)
+    assert back == [m1, m2]
+
+
+def test_mbox_guards():
+    from national_caseload_data_ingest_spark.sources.mime import mbox_split
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not start"):
+        mbox_split(b"Subject: x\n\nbody\n")
+
+
+def test_mbox_split_matches_stdlib_mailbox(tmp_path):
+    """Splitting parity with the stdlib mailbox reader on messages free
+    of From-quoting (where mboxo and mboxrd agree)."""
+    import mailbox
+
+    from national_caseload_data_ingest_spark.sources.mime import mbox_split
+
+    path = tmp_path / "t.mbox"
+    mb = mailbox.mbox(str(path))
+    for j in range(3):
+        mb.add(f"Subject: s{j}\n\nbody {j}\n")
+    mb.flush()
+    payload = path.read_bytes()
+    ours = mbox_split(payload)
+    theirs = [mb.get_bytes(k) for k in mb.keys()]
+    assert [m.rstrip(b"\n") for m in ours] == [
+        t.rstrip(b"\n") for t in theirs]
+
+
+def test_thread_reconstruction():
+    from national_caseload_data_ingest_spark.sources.mime import (
+        mbox_build,
+        mbox_thread_stats,
+    )
+
+    def msg(mid, reply_to=None, refs=None):
+        h = [f"Message-ID: <{mid}@x>", "Subject: s"]
+        if reply_to:
+            h.append(f"In-Reply-To: <{reply_to}@x>")
+        if refs:
+            h.append("References: " + " ".join(f"<{r}@x>" for r in refs))
+        return ("\n".join(h) + "\n\nb\n").encode()
+
+    # chain a<-b<-c via In-Reply-To, d alone, e joins a's thread via
+    # References only
+    payload = mbox_build([
+        msg("a"), msg("b", "a"), msg("c", "b"), msg("d"),
+        msg("e", refs=["a"]),
+    ])
+    stats = mbox_thread_stats(payload)
+    assert stats["n_messages"] == 5
+    assert stats["n_threads"] == 2
+    assert stats["max_thread_len"] == 4
+    # a reply to an UNSEEN id starts its own thread (no crash)
+    stats2 = mbox_thread_stats(mbox_build([msg("x", "ghost")]))
+    assert (stats2["n_messages"], stats2["n_threads"]) == (1, 1)
