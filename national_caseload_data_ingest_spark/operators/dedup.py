@@ -2305,3 +2305,126 @@ def repeated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covered_frac"),
         )
     )
+
+
+# -- content-defined chunking (FastCDC-style gear hash) -----------------------
+
+# Average chunk ~= 2^_CDC_MASK_BITS bytes between _CDC_MIN and _CDC_MAX
+# (forced cut).  Parameters sized to the synthetic docs (~300 chars);
+# production byte streams use the same machinery at 2^13/2KiB/64KiB.
+_CDC_MASK_BITS = 5
+_CDC_MIN = 16
+_CDC_MAX = 128
+_CDC_MOD = 1 << 48  # gear state stays in 48 bits: *2+gear fits int64
+
+
+def _gear_table() -> list[int]:
+    """gear[b] = md5-prefix integer — the same table the DuckDB oracle
+    derives with concat('0x', substr(md5('g' || b), 1, 12))."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        int(hashlib.md5(f"g{b}".encode()).hexdigest()[:12], 16)
+        for b in range(256)
+    ]
+
+
+def cdc_chunk_text(text: str, gear: list[int]) -> list[int]:
+    """Cut positions (1-based, cumulative) of the gear-hash CDC over the
+    text's code points (mod 256 into the gear table).  Content-defined:
+    boundaries depend on a rolling window of CONTENT, so an insertion
+    near the front re-synchronizes after ~one chunk instead of shifting
+    every boundary — the property that makes CDC the storage-dedup
+    chunker (FastCDC, ATC'16; LBFS, SOSP'01)."""
+    cuts = []
+    h = 0
+    size = 0
+    for pos, ch in enumerate(text, start=1):
+        h = (h * 2 + gear[ord(ch) % 256]) % _CDC_MOD
+        size += 1
+        if (size >= _CDC_MIN and h % (1 << _CDC_MASK_BITS) == 0) \
+                or size >= _CDC_MAX:
+            cuts.append(pos)
+            h = 0
+            size = 0
+    if size:
+        cuts.append(len(text))
+    return cuts
+
+
+_CDC_H2 = "((s.h * 2 + g.gv) % 281474976710656)"
+_CDC_CUT = (
+    f"((s.size + 1 >= {_CDC_MIN} AND {_CDC_H2} % {1 << _CDC_MASK_BITS} = 0)"
+    f" OR s.size + 1 >= {_CDC_MAX})"
+)
+
+_CDC_ORACLE = f"""
+WITH RECURSIVE gear AS (
+    SELECT b, CAST(concat('0x', substr(md5('g' || b), 1, 12)) AS BIGINT)
+               AS gv
+    FROM range(0, 256) t(b)
+),
+step(doc_id, pos, h, size, n_chunks, sum_cuts) AS (
+    SELECT doc_id, 0, CAST(0 AS BIGINT), 0, 0, CAST(0 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT s.doc_id, s.pos + 1,
+           CASE WHEN {_CDC_CUT} THEN 0 ELSE {_CDC_H2} END,
+           CASE WHEN {_CDC_CUT} THEN 0 ELSE s.size + 1 END,
+           s.n_chunks + CASE WHEN {_CDC_CUT} THEN 1 ELSE 0 END,
+           s.sum_cuts + CASE WHEN {_CDC_CUT}
+                             THEN s.pos + 1 ELSE 0 END
+    FROM step s
+    JOIN documents d ON d.doc_id = s.doc_id
+    JOIN gear g ON g.b = ord(substr(d.text, s.pos + 1, 1)) % 256
+    WHERE s.pos < length(d.text)
+),
+final AS (
+    SELECT s.doc_id,
+           s.n_chunks + CASE WHEN s.size > 0 THEN 1 ELSE 0 END
+               AS n_chunks,
+           s.sum_cuts + CASE WHEN s.size > 0 THEN CAST(s.pos AS BIGINT)
+                        ELSE 0 END AS sum_cuts
+    FROM step s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE s.pos = length(d.text)
+)
+SELECT doc_id,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(sum_cuts AS BIGINT) AS sum_cuts
+FROM final
+"""
+
+
+@query("cdc_chunk_features", oracle=_CDC_ORACLE)
+def cdc_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over every document — the byte-level
+    dedup primitive (FastCDC/LBFS): a gear rolling hash cuts wherever
+    the content itself hits the boundary pattern, so shared passages
+    chunk identically regardless of their offset (the property exact
+    line/passage dedup lacks and shingling only approximates).  The
+    DuckDB oracle replays the WHOLE state machine as a recursive CTE —
+    per-position gear updates, min/max clamps, forced cuts, the
+    trailing partial chunk — so every boundary is cross-engine exact
+    (``sum_cuts`` pins each one).  One narrow Arrow kernel, zero
+    shuffle; at 100 TB the chunker is embarrassingly parallel and the
+    chunk-hash dedup that follows is the existing exact-dedup shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    gear = _gear_table()
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                cuts = cdc_chunk_text(r.text, gear)
+                rows.append({
+                    "doc_id": int(r.doc_id),
+                    "n_chunks": len(cuts),
+                    "sum_cuts": sum(cuts),
+                })
+            yield pd.DataFrame(rows)
+
+    return d.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id bigint, n_chunks bigint, sum_cuts bigint"
+    )
