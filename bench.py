@@ -158,6 +158,16 @@ HEADLINE = [
     "html_link_graph",
     "ip_cidr_filter",
     "robots_txt_allow",
+    # round-11 fourth sweep: mail formats (stdlib-built fixtures through
+    # the native MIME/mbox parsers), the CBOR sequence codec, the CLF
+    # regexp pipeline, gear-hash CDC, and the fertility rollup (the
+    # recursive-CTE-oracled WordPiece encode under aggregation)
+    "mime_message_features",
+    "mbox_thread_features",
+    "cbor_roundtrip_events",
+    "access_log_features",
+    "cdc_chunk_features",
+    "wordpiece_efficiency_by_source",
 ]
 
 

@@ -340,3 +340,126 @@ def orders_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(
         o, _canon_cols_spark(), F.col("o_orderkey"), CHECKSUM_BUCKETS
     )
+
+
+@query(
+    "k_anonymity_report",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey AS nation,
+               c_mktsegment AS segment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    classes AS (
+        SELECT nation, segment, bal_band, COUNT(*) AS class_size
+        FROM qi GROUP BY nation, segment, bal_band
+    )
+    SELECT CAST(5 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_exposed_rows,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows
+    FROM classes
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over quasi-identifiers — the
+    re-identification check a dataset passes before release: rows whose
+    (nation, segment, balance-band) equivalence class holds fewer than
+    k=5 members are individually re-identifiable by an adversary who
+    knows those attributes.  Reports the class census, violating
+    classes, and EXPOSED ROW count — the number a release gate compares
+    against policy.  Banding uses ``floor(x/1000)`` — the identical
+    IEEE division + floor in both engines (negative balances land one
+    band lower, as floor-toward−∞ requires; a truncating cast would
+    silently merge the −1/0 bands).
+    One hash aggregate over the quasi-identifier tuple, then a
+    six-scalar fold — at 100 TB the class census is the same two-phase
+    aggregate as any GROUP BY."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    k = 5
+    classes = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return classes.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < k, 1).otherwise(0))
+        .cast("long").alias("n_violating_classes"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size"))
+              .otherwise(0)).cast("long").alias("n_exposed_rows"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+    )
+
+
+@query(
+    "quarantine_orders",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END AS r_price,
+               CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END AS r_status,
+               CASE WHEN o_orderdate < DATE '1992-01-01'
+                         OR o_orderdate > DATE '1998-12-31'
+                    THEN 1 ELSE 0 END AS r_date,
+               CASE WHEN o_orderkey % 97 = 13 THEN 1 ELSE 0 END
+                   AS r_synth
+        FROM orders
+    )
+    SELECT CASE WHEN r_price + r_status + r_date + r_synth > 0
+                THEN 'quarantined' ELSE 'accepted' END AS disposition,
+           concat_ws(',',
+               CASE WHEN r_price = 1 THEN 'nonpositive_price' END,
+               CASE WHEN r_status = 1 THEN 'bad_status' END,
+               CASE WHEN r_date = 1 THEN 'date_out_of_range' END,
+               CASE WHEN r_synth = 1 THEN 'synthetic_rule' END)
+               AS reasons,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM flagged
+    GROUP BY 1, 2
+    """,
+)
+def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine — the ingestion-time counterpart of
+    ``validate_orders_constraints``: every row is dispositioned
+    accepted/quarantined with the FULL ordered reason list (a row can
+    trip several rules; the reasons string is the routing key a
+    dead-letter sink partitions by).  A synthetic always-firing rule
+    (key ≡ 13 mod 97) keeps the quarantined branch non-vacuous at every
+    scale even though the generated data satisfies the real rules.  One
+    narrow projection + one small-key aggregate; at 100 TB the split is
+    a scan-speed filter and the dead-letter write is the same
+    partitioned sink as any other."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    rules = [
+        ("nonpositive_price", F.col("o_totalprice") <= 0),
+        ("bad_status", ~F.col("o_orderstatus").isin("F", "O", "P")),
+        ("date_out_of_range",
+         (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+         | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))),
+        ("synthetic_rule", F.col("o_orderkey") % 97 == 13),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    flagged = o.select(
+        "o_orderkey",
+        F.when(reasons != "", "quarantined").otherwise("accepted")
+        .alias("disposition"),
+        reasons.alias("reasons"),
+    )
+    return flagged.groupBy("disposition", "reasons").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -67,6 +67,8 @@ CHECK_PRIORITY: list[str] = [
     "mime_message_features",  # RFC 5322/MIME parser (new)
     "mbox_thread_features",  # mboxrd framing + thread census (new)
     "cdc_chunk_features",  # content-defined chunking, CTE oracle (new)
+    "k_anonymity_report",  # re-identification audit (new)
+    "quarantine_orders",  # row-level dead-letter split (new)
     "txlog_data_skipping",  # min-max file pruning (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
