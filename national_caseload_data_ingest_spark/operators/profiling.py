@@ -237,3 +237,101 @@ def join_size_estimate_customer_orders(spark: SparkSession, sf_dir: str) -> Data
             F.coalesce("true_rows", F.lit(0)).alias("true_rows"),
         )
     )
+
+
+@query(
+    "json_schema_infer",
+    oracle="""
+    WITH paths AS (
+        SELECT '$.k' AS path,
+               CASE WHEN event_id % 7 = 0 THEN 'string'
+                    ELSE 'integer' END AS jtype
+        FROM events
+        UNION ALL
+        SELECT '$.geo', 'object' FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT '$.geo.lat', 'number' FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT '$.geo.lon', 'number' FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT '$.tags', 'array' FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT '$.tags[*]', 'string' FROM events, range(0, 2)
+        WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT '$.note', 'null' FROM events WHERE event_id % 11 = 0
+    )
+    SELECT path, jtype, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path, jtype
+    """,
+)
+def json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference over semi-structured JSON — the drift report a
+    warehouse runs on every JSON ingestion feed: per JSON PATH, the
+    census of observed types.  The fixture synthesizes variant
+    documents per event (a key whose type DRIFTS int→string on ≡0 mod
+    7, a nested object on ≡0 mod 3, an array on ≡0 mod 5, an explicit
+    null on ≡0 mod 11), and the INFERENCE is fully generic — a
+    recursive path walk over parsed JSON that never sees the
+    construction classes; the oracle replays the expected census from
+    the classes alone.  A missed nested path, a type-tag confusion
+    (null vs absent, int vs float), or an array-element miscount breaks
+    the hash.  One narrow Arrow kernel emitting (path, type) pairs +
+    one hash aggregate — the explode-and-count shape that scales as
+    any token count does."""
+    import pandas as pd  # noqa: PLC0415
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+
+    def kernel(batches):
+        import json  # noqa: PLC0415
+
+        def walk(path, v, out):
+            if v is None:
+                out.append((path, "null"))
+            elif isinstance(v, bool):
+                out.append((path, "boolean"))
+            elif isinstance(v, int):
+                out.append((path, "integer"))
+            elif isinstance(v, float):
+                out.append((path, "number"))
+            elif isinstance(v, str):
+                out.append((path, "string"))
+            elif isinstance(v, list):
+                out.append((path, "array"))
+                for item in v:
+                    walk(path + "[*]", item, out)
+            elif isinstance(v, dict):
+                out.append((path, "object"))
+                for k2, v2 in v.items():
+                    walk(path + "." + k2, v2, out)
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["event_id"]:
+                i = int(i)
+                doc: dict = {"k": f"v{i}" if i % 7 == 0 else i}
+                if i % 3 == 0:
+                    doc["geo"] = {"lat": i * 0.5, "lon": -0.25 * i}
+                if i % 5 == 0:
+                    doc["tags"] = [f"t{i}", "x"]
+                if i % 11 == 0:
+                    doc["note"] = None
+                # render to TEXT and re-parse: the inference consumes
+                # the wire form, not the python dict
+                parsed = json.loads(json.dumps(doc))
+                out: list[tuple[str, str]] = []
+                walk("$", parsed, out)
+                rows.extend(
+                    {"path": p, "jtype": t}
+                    for p, t in out
+                    if (p, t) != ("$", "object")  # root row is framing
+                )
+            yield pd.DataFrame(rows, columns=["path", "jtype"])
+
+    pairs = e.select("event_id").mapInPandas(
+        kernel, schema="path string, jtype string"
+    )
+    return pairs.groupBy("path", "jtype").agg(
+        F.count(F.lit(1)).alias("n")
+    )

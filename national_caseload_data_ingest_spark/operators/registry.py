@@ -69,6 +69,7 @@ CHECK_PRIORITY: list[str] = [
     "cdc_chunk_features",  # content-defined chunking, CTE oracle (new)
     "k_anonymity_report",  # re-identification audit (new)
     "quarantine_orders",  # row-level dead-letter split (new)
+    "json_schema_infer",  # semi-structured type-drift census (new)
     "txlog_data_skipping",  # min-max file pruning (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
