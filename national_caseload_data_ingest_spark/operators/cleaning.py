@@ -945,3 +945,82 @@ def invisible_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_md5 string"
         ),
     )
+
+
+# -- Unicode script profile ---------------------------------------------------
+
+_CYR = [chr(0x0410 + k) for k in range(32)]   # А..Я
+_CJK = [chr(0x4E00 + k) for k in range(100)]
+_ARAB = [chr(0x0627 + k) for k in range(10)]
+
+
+@query(
+    "unicode_script_profile",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_latin,
+               CAST(2 * (doc_id % 7) AS BIGINT) AS n_cyr,
+               CAST(doc_id % 4 AS BIGINT) AS n_cjk,
+               CAST(CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END
+                    AS BIGINT) AS n_arab
+        FROM documents
+    )
+    SELECT doc_id, n_latin, n_cyr, n_cjk, n_arab,
+           CAST(n_latin + n_cyr + n_cjk + n_arab + (doc_id % 3)
+                AS BIGINT) AS n_total,
+           CASE WHEN n_cyr >= 10 THEN 'cyrillic-mixed'
+                WHEN n_cjk >= 3 THEN 'cjk-mixed'
+                ELSE 'latin' END AS routing
+    FROM base
+    """,
+)
+def unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-mix profiling — the multilingual-routing signal (CCNet
+    splits its pipeline per language; the cheap first cut is the
+    SCRIPT census): count Latin / Cyrillic / CJK / Arabic characters
+    per document and derive a routing class.  Non-Latin content is
+    injected deterministically (literal-array lookup — Spark's ``chr``
+    is ASCII-only, so code points ride as literals; digits ≡ doc_id mod
+    3 are appended too, counted by no script class), and the COUNTS
+    come from Java-regex character-class ranges over the combined
+    text — while the oracle derives them from the injection classes
+    arithmetically, so a mis-ranged regex or a codepoint-vs-byte
+    confusion breaks the hash.  Narrow projection, zero shuffle, zero
+    UDFs."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id")
+
+    def pick(lits: list[str], idx) -> "F.Column":
+        return F.element_at(
+            F.array(*[F.lit(c) for c in lits]), (idx + 1).cast("int"))
+
+    cyr_char = pick(_CYR, did % 32)
+    cjk_char = pick(_CJK, did % 100)
+    combined = F.concat(
+        F.col("text"),
+        F.repeat(cyr_char, (2 * (did % 7)).cast("int")),
+        F.repeat(cjk_char, (did % 4).cast("int")),
+        F.when(did % 11 == 0, F.repeat(pick(_ARAB, did % 10), 3))
+        .otherwise(F.lit("")),
+        F.repeat(F.lit("7"), (did % 3).cast("int")),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(combined, F.lit(r"[a-zA-Z ]")).cast("long")
+        .alias("n_latin"),
+        F.regexp_count(combined, F.lit("[Ѐ-ӿ]")).cast("long")
+        .alias("n_cyr"),
+        F.regexp_count(combined, F.lit("[一-鿿]")).cast("long")
+        .alias("n_cjk"),
+        F.regexp_count(combined, F.lit("[؀-ۿ]")).cast("long")
+        .alias("n_arab"),
+        F.length(combined).cast("long").alias("n_total"),
+        F.when(
+            F.regexp_count(combined, F.lit("[Ѐ-ӿ]")) >= 10,
+            "cyrillic-mixed",
+        ).when(
+            F.regexp_count(combined, F.lit("[一-鿿]")) >= 3,
+            "cjk-mixed",
+        ).otherwise("latin").alias("routing"),
+    )

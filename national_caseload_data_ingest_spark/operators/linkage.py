@@ -544,3 +544,89 @@ def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("bal_sum").cast("double").alias("total_acctbal"),
     )
+
+
+# -- American Soundex (shared SQL expression, both engines) -------------------
+
+def soundex_sql(col: str) -> str:
+    """American Soundex (the NARA rules) as ONE SQL expression string
+    valid in BOTH Spark SQL and DuckDB — the zorder convention: sharing
+    the generated text means the oracle runs the identical algebra on
+    an independent engine.  Steps: keep the first letter; drop h/w
+    (codes merge ACROSS them); map consonants to digit classes; collapse
+    adjacent equal digits (vowels still present as separators); drop
+    vowels; drop the leading digit when the first letter is a consonant
+    (its own code, already merged); take 3 digits, zero-padded."""
+    s = f"lower({col})"
+    first = f"upper(substr({s}, 1, 1))"
+    x = f"replace(replace({s}, 'h', ''), 'w', '')"
+    x = f"translate({x}, 'bfpvcgjkqsxzdtlmnr', '111122222222334556')"
+    for _ in range(5):  # runs of up to 2^5 equal digits collapse
+        for d in "123456":
+            x = f"replace({x}, '{d}{d}', '{d}')"
+    x = (f"translate({x}, 'aeiouy', '')")
+    # first letter consonant (not vowel, not h/w): its own leading code
+    # was emitted and merged; strip it
+    x = (
+        f"CASE WHEN substr({s}, 1, 1) IN "
+        "('a','e','i','o','u','y','h','w') "
+        f"THEN {x} ELSE substr({x}, 2) END"
+    )
+    return f"({first} || rpad(substr({x}, 1, 3), 3, '0'))"
+
+
+def soundex_py(name: str) -> str:
+    """Independent pure-Python reference of the same NARA rules (for
+    the test pins — shares no code with the SQL generator)."""
+    s = name.lower()
+    first = s[0].upper()
+    codes = {**dict.fromkeys("bfpv", "1"), **dict.fromkeys("cgjkqsxz", "2"),
+             **dict.fromkeys("dt", "3"), "l": "4",
+             **dict.fromkeys("mn", "5"), "r": "6"}
+    out = []
+    prev = codes.get(s[0], "")
+    for ch in s[1:]:
+        if ch in "hw":
+            continue  # code merging crosses h/w
+        code = codes.get(ch, "")
+        if code and code != prev:
+            out.append(code)
+        prev = code  # vowels reset prev to '' (separator)
+    return first + ("".join(out) + "000")[:3]
+
+
+@query(
+    "soundex_part_blocks",
+    oracle=f"""
+    WITH words AS (
+        SELECT DISTINCT string_split(p_name, ' ')[1] AS w FROM part
+    ),
+    coded AS (
+        SELECT w, {soundex_sql('w')} AS sx FROM words
+    )
+    SELECT sx AS soundex,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           MIN(w) AS example_word,
+           MAX(w) AS example_word_2
+    FROM coded GROUP BY sx
+    """,
+)
+def soundex_part_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity resolution: American Soundex over
+    the distinct first words of part names — the classic ER blocking
+    key that groups spelling variants (the linkage band's third
+    blocking strategy beside equi-blocks and sorted neighborhoods).
+    The expression is generated ONCE and executed by BOTH engines
+    (zorder convention), and its correctness is pinned separately by
+    the published NARA examples against an independent Python
+    reference.  One distinct + one small aggregate."""
+    p = load_tables(spark, sf_dir, "part")["part"]
+    words = p.select(
+        F.split(F.col("p_name"), " ").getItem(0).alias("w")
+    ).distinct()
+    coded = words.select("w", F.expr(soundex_sql("w")).alias("sx"))
+    return coded.groupBy(F.col("sx").alias("soundex")).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.min("w").alias("example_word"),
+        F.max("w").alias("example_word_2"),
+    )

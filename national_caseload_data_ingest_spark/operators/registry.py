@@ -70,6 +70,8 @@ CHECK_PRIORITY: list[str] = [
     "k_anonymity_report",  # re-identification audit (new)
     "quarantine_orders",  # row-level dead-letter split (new)
     "json_schema_infer",  # semi-structured type-drift census (new)
+    "unicode_script_profile",  # script-mix routing census (new)
+    "soundex_part_blocks",  # phonetic ER blocking (new)
     "txlog_data_skipping",  # min-max file pruning (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
