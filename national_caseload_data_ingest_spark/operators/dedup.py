@@ -2428,3 +2428,86 @@ def cdc_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         kernel, schema="doc_id bigint, n_chunks bigint, sum_cuts bigint"
     )
+
+
+@query(
+    "jcs_canonical_dedup",
+    oracle="""
+    WITH grp AS (
+        SELECT doc_id // 2 AS g, doc_id FROM documents
+    ),
+    canon AS (
+        SELECT g,
+               '{"id":' || g ||
+               ',"note":"line1\\nline2\\"q\\"","score":' || g ||
+               '.5,"tags":["a","b"]}' AS c,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_doc
+        FROM grp GROUP BY g
+    )
+    SELECT md5(c) AS canon_md5,
+           CAST(length(c) AS BIGINT) AS canon_len,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(min_doc AS BIGINT) AS min_doc
+    FROM canon
+    """,
+)
+def jcs_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-JSON dedup (RFC 8785 JCS, `sources/jcs.py`) — exact
+    dedup over JSON corpora must hash the CANONICAL form, not wire
+    bytes: each document pair (2g, 2g+1) carries the same logical
+    object serialized two DIFFERENT ways (reversed key order, an
+    exponent float form ``G.50e0``, ``\\u``-escaped letters, extra
+    whitespace vs compact ``json.dumps``), and the kernel
+    parses → canonicalizes → hashes, collapsing every pair to one
+    group.  The oracle CONSTRUCTS the exact canonical text itself
+    (sorted keys, minimal escaping, ES6 float form) and hashes it, so
+    any canonicalization slip — key order, an escape, the number
+    layout — breaks the match.  One kernel + one hash aggregate."""
+    import pandas as pd  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.sources.jcs import (  # noqa: PLC0415
+        canonicalize,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        import hashlib  # noqa: PLC0415
+        import json  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g = i // 2
+                if i % 2 == 0:
+                    # exotic wire form: reversed keys, exponent float,
+                    # \\u-escaped 'l', spacing
+                    wire = (
+                        '{ "tags" : ["a", "b"], '
+                        f'"score": {g}.50e0, '
+                        '"note": "\\u006cine1\\nline2\\"q\\"", '
+                        f'"id": {g} }}'
+                    )
+                else:
+                    wire = json.dumps({
+                        "id": g, "note": 'line1\nline2"q"',
+                        "score": g + 0.5, "tags": ["a", "b"],
+                    })
+                canon = canonicalize(json.loads(wire))
+                rows.append({
+                    "doc_id": i,
+                    "canon_md5": hashlib.md5(
+                        canon.encode("utf-8")).hexdigest(),
+                    "canon_len": len(canon),
+                })
+            yield pd.DataFrame(rows)
+
+    hashed = d.select("doc_id").mapInPandas(
+        kernel, schema="doc_id bigint, canon_md5 string, canon_len bigint"
+    )
+    return hashed.groupBy("canon_md5", "canon_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
