@@ -164,6 +164,42 @@ def gen_orders(out_dir: str, rng: np.random.Generator) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "orders.parquet"))
 
 
+def gen_events(out_dir: str, rng: np.random.Generator) -> None:
+    """Events ×SCALE: empirical event-type marginals, 30-day µs
+    timestamps, user cardinality scaled with the table (the round-11
+    continuation codecs — msgpack/protobuf/cbor/CLF — load events)."""
+    rows = duckdb.sql(
+        f"SELECT event_type FROM '{SRC}/events.parquet'"
+    ).fetchall()
+    types = [r[0] for r in rows]
+    n = len(rows) * SCALE
+    pick = rng.integers(0, len(rows), n)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 30 * 86_400_000_000, n).astype(
+        "timedelta64[us]"
+    )
+    ks = rng.integers(0, 100, n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, 2_000 * SCALE, n), pa.int64()
+            ),
+            "event_type": pa.array(
+                [types[int(i)] for i in pick], pa.string()
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0, 1000, n), 4), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in ks], pa.string()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "events.parquet"))
+
+
 def main() -> None:
     global SCALE, TAIL_FRAC, TAIL_VOCAB
     args = sys.argv[1:]
@@ -191,7 +227,8 @@ def main() -> None:
     gen_documents(out_dir, rng)
     gen_embeddings(out_dir, rng)
     gen_orders(out_dir, rng)
-    for t in ("documents", "embeddings", "orders"):
+    gen_events(out_dir, rng)
+    for t in ("documents", "embeddings", "orders", "events"):
         n = duckdb.sql(
             f"SELECT COUNT(*) FROM '{out_dir}/{t}.parquet'"
         ).fetchone()[0]
