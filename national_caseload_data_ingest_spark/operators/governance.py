@@ -463,3 +463,62 @@ def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "l_diversity_report",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               CASE WHEN c_nationkey < 5 THEN 0
+                    ELSE c_custkey % 4 END AS sensitive
+        FROM customer
+    ),
+    classes AS (
+        SELECT nation, segment,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT sensitive) AS l_distinct
+        FROM qi GROUP BY nation, segment
+    )
+    SELECT CAST(3 AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_classes,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_exposed_rows,
+           CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows
+    FROM classes
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2006) — k-anonymity's
+    stronger sibling: a class can be large yet still leak if every
+    member shares the SAME sensitive value (homogeneity attack), so the
+    gate counts DISTINCT sensitive values per equivalence class.  QIs =
+    (nation, segment); sensitive attribute = the synthetic plan tier
+    (custkey mod 4, deterministic both engines).  Same two-phase
+    aggregate shape as the k-anonymity report, with the distinct-count
+    expansion inside the class rollup."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    el = 3
+    classes = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(
+            F.when(F.col("c_nationkey") < 5, F.lit(0))
+            .otherwise(F.col("c_custkey") % 4)
+        ).alias("l_distinct"),
+    )
+    return classes.agg(
+        F.lit(el).cast("long").alias("l"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("l_distinct") < el, 1).otherwise(0))
+        .cast("long").alias("n_violating_classes"),
+        F.sum(F.when(F.col("l_distinct") < el, F.col("class_size"))
+              .otherwise(0)).cast("long").alias("n_exposed_rows"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+    )

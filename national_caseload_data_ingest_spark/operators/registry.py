@@ -73,6 +73,8 @@ CHECK_PRIORITY: list[str] = [
     "unicode_script_profile",  # script-mix routing census (new)
     "soundex_part_blocks",  # phonetic ER blocking (new)
     "jcs_canonical_dedup",  # RFC 8785 canonical-JSON dedup (new)
+    "l_diversity_report",  # homogeneity-attack audit (new)
+    "rake_keyword_scores",  # RAKE keyword extraction (new)
     "txlog_data_skipping",  # min-max file pruning (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)

@@ -1514,3 +1514,89 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(lix_lhs < F.lit(11) * s * w, "medium")
         .otherwise("hard").alias("lix_band"),
     )
+
+
+_RAKE_STOPWORDS = ("the", "a")
+
+
+@query(
+    "rake_keyword_scores",
+    oracle="""
+    WITH lsts AS (
+        SELECT doc_id, string_split(text, ' ') AS lst FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, lst[i] AS w, i AS pos
+        FROM lsts, range(1, 4096) t(i)
+        WHERE i <= len(lst)
+    ),
+    marked AS (
+        SELECT doc_id, w, pos,
+               CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END AS stop
+        FROM toks
+    ),
+    phrased AS (
+        SELECT doc_id, w, stop,
+               SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS phrase_id
+        FROM marked
+    ),
+    members AS (
+        SELECT doc_id, phrase_id, w,
+               COUNT(*) OVER (PARTITION BY doc_id, phrase_id)
+                   AS phrase_len
+        FROM phrased WHERE stop = 0
+    )
+    SELECT w AS word,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(phrase_len) AS BIGINT) AS degree,
+           CAST(SUM(phrase_len) AS DOUBLE) / COUNT(*) AS score
+    FROM members
+    GROUP BY w
+    ORDER BY score DESC, word ASC
+    LIMIT 25
+    """,
+)
+def rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010) — the unsupervised
+    keyword extractor curation pipelines use for topic tagging:
+    candidate phrases are maximal stopword-free token runs; each word
+    scores degree/frequency, where degree sums the lengths of the
+    phrases it appears in (words living in long phrases beat equally
+    frequent words living alone).  The stopword set is the corpus's
+    article tokens.  Both engines build the identical phrase structure
+    (per-doc running stopword count = phrase id — the c4_line_filter
+    reconstruction convention), so freq/degree are integer-exact and
+    the score is one IEEE division; top-25 by (score, word) is
+    deterministic.  One explode + two window-free aggregates after a
+    per-doc window; the shuffle keys are (doc, phrase) then word —
+    both standard token-count shapes."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    ).withColumn(
+        "stop", F.col("w").isin(*_RAKE_STOPWORDS).cast("int")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    phrased = toks.withColumn("phrase_id", F.sum("stop").over(win)) \
+        .filter(F.col("stop") == 0)
+    members = phrased.withColumn(
+        "phrase_len",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id", "phrase_id")),
+    )
+    return (
+        members.groupBy(F.col("w").alias("word"))
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("degree"),
+            (F.sum("phrase_len").cast("double") / F.count(F.lit(1)))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("word"))
+        .limit(25)
+    )
