@@ -447,3 +447,81 @@ def event_pattern_matches_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     events table with the adjacent view>click>purchase pattern."""
     e = load_tables(spark, sf_dir, "events")["events"]
     return event_pattern_matches(e)
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, ts AS touch_ts, event_type
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    attributed AS (
+        SELECT c.conv_id, c.user_id, c.value,
+               (SELECT t.event_type FROM touch t
+                WHERE t.user_id = c.user_id
+                  AND t.touch_ts <= c.conv_ts
+                  AND t.touch_ts >= c.conv_ts - INTERVAL 1 HOUR
+                ORDER BY t.touch_ts DESC LIMIT 1) AS channel
+    FROM conv c
+    )
+    SELECT COALESCE(channel, 'unattributed') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS attributed_value
+    FROM attributed
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the LAST view/click by the same user within the preceding hour
+    (``unattributed`` otherwise) — the funnel family's revenue-side
+    sibling, and an AS-OF join at heart: implemented as the bounded
+    range join + per-conversion ``max_by(channel, touch_ts)`` pick, ONE
+    shuffle keyed by user (the as-of convention — never a global sort).
+    Ties on touch_ts break toward the later event_id... the synthetic
+    feed has microsecond timestamps, so exact ts ties don't occur and
+    both engines pick the same champion.  Value sums ride DECIMAL.
+    The oracle replays the pick as a correlated LIMIT-1 subquery."""
+    e = load_tables(spark, sf_dir, "events")["events"]
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id"), F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    # LEFT join keeps every conversion (zero-touch users included);
+    # the window predicate lives INSIDE the max_by ordering key — a
+    # WHERE here would silently DROP conversions whose touches are all
+    # out-of-window instead of marking them unattributed
+    joined = conv.join(touch, "user_id", "left_outer")
+    picked = joined.groupBy("conv_id").agg(
+        F.first("value").alias("value"),
+        F.max_by(
+            "channel",
+            F.when(
+                F.col("touch_ts").isNotNull()
+                & (F.col("touch_ts") <= F.col("conv_ts"))
+                & (F.col("touch_ts")
+                   >= F.col("conv_ts") - F.expr("INTERVAL 1 HOUR")),
+                F.col("touch_ts"),
+            ),
+        ).alias("channel"),
+    )
+    return picked.groupBy(
+        F.coalesce(F.col("channel"), F.lit("unattributed"))
+        .alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        .alias("attributed_value"),
+    )

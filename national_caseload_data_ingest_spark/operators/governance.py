@@ -522,3 +522,81 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_distinct").cast("long").alias("min_l"),
         F.sum("class_size").cast("long").alias("n_rows"),
     )
+
+
+# Benford expected first-digit shares, log10(1+1/d) quantized to 9
+# decimals — the SAME literals ride both engines' plans.
+_BENFORD = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737, 4: 0.096910013,
+    5: 0.079181246, 6: 0.066946790, 7: 0.057991947, 8: 0.051152522,
+    9: 0.045757491,
+}
+
+
+@query(
+    "benford_price_screen",
+    oracle="""
+    WITH digits AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                      AS VARCHAR), 1, 1) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT CAST(d AS BIGINT) AS digit, COUNT(*) AS n FROM digits
+        GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / tot.total AS observed_share,
+           CASE digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259
+                WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013
+                WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.066946790
+                WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522
+                ELSE 0.045757491 END AS benford_share,
+           CAST(n AS DOUBLE) / tot.total
+               - CASE digit WHEN 1 THEN 0.301029996
+                    WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737
+                    WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246
+                    WHEN 6 THEN 0.066946790 WHEN 7 THEN 0.057991947
+                    WHEN 8 THEN 0.051152522 ELSE 0.045757491 END
+               AS deviation
+    FROM counts, tot
+    """,
+)
+def benford_price_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen — the classic numeric-forensics audit
+    (fabricated or unit-mixed figures drift from the log-uniform
+    first-digit law): per leading digit of floor(o_totalprice), the
+    observed share beside the Benford expectation and their deviation.
+    The synthetic uniform prices DEVIATE heavily — that is the
+    measurement, not a bug: a release gate thresholds the deviation
+    column.  Digit extraction avoids float→string formatting drift
+    (floor → BIGINT → string, identical in both engines) and the
+    expectation rides as the same 9-decimal literals in both plans, so
+    shares and deviations are bit-reproducible (one IEEE division and
+    one subtraction of identical inputs).  One small hash aggregate +
+    a broadcast total."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = F.element_at(
+        F.array(*[F.lit(_BENFORD[d]) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("total"))
+        .alias("observed_share"),
+        expected.alias("benford_share"),
+        (F.col("n").cast("double") / F.col("total") - expected)
+        .alias("deviation"),
+    )

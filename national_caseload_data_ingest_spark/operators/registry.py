@@ -75,6 +75,8 @@ CHECK_PRIORITY: list[str] = [
     "jcs_canonical_dedup",  # RFC 8785 canonical-JSON dedup (new)
     "l_diversity_report",  # homogeneity-attack audit (new)
     "rake_keyword_scores",  # RAKE keyword extraction (new)
+    "attribution_last_touch",  # revenue attribution as-of pick (new)
+    "benford_price_screen",  # first-digit forensics audit (new)
     "txlog_data_skipping",  # min-max file pruning (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
