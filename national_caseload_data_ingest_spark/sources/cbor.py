@@ -129,10 +129,14 @@ def cbor_encode(out: bytearray, v) -> None:
         )
 
 
+_MAX_DEPTH = 256
+
+
 class _Decoder:
     def __init__(self, data: bytes):
         self.d = data
         self.pos = 0
+        self.depth = 0
 
     def _take(self, n: int) -> bytes:
         if self.pos + n > len(self.d):
@@ -158,6 +162,17 @@ class _Decoder:
         raise ValueError(f"cbor: reserved additional info {info}")
 
     def item(self):
+        # adversarial nesting must be a clean gate, not a
+        # RecursionError that kills the executor
+        self.depth += 1
+        if self.depth > _MAX_DEPTH:
+            raise ValueError("cbor: nesting deeper than 256")
+        try:
+            return self._item()
+        finally:
+            self.depth -= 1
+
+    def _item(self):
         ib = self._take(1)[0]
         major, info = ib >> 5, ib & 0x1F
         if major == 0:
@@ -207,9 +222,13 @@ class _Decoder:
                     k = self._item_or_break()
                     if k is _BREAK:
                         return out_m
+                    if isinstance(k, (list, dict)):
+                        raise ValueError("cbor: container map key")
                     out_m[k] = self.item()
             for _ in range(arg):
                 k = self.item()
+                if isinstance(k, (list, dict)):
+                    raise ValueError("cbor: container map key")
                 out_m[k] = self.item()
             return out_m
         if major == 6:

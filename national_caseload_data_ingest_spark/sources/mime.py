@@ -188,6 +188,8 @@ def walk_message(raw: bytes) -> list[dict]:
 
 
 def _walk(raw: bytes, depth: int) -> list[dict]:
+    if depth > 64:
+        raise ValueError("mime: multipart nesting deeper than 64")
     headers, body = _split_message(raw)
     ctype, params = parse_content_type(header(headers, "content-type"))
     if ctype.startswith("multipart/"):

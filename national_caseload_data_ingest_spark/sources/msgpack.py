@@ -158,10 +158,14 @@ def pack_value(out: bytearray, v) -> None:
         )
 
 
+_MAX_DEPTH = 192
+
+
 class _Unpacker:
     def __init__(self, data: bytes):
         self.d = data
         self.pos = 0
+        self.depth = 0
 
     def _take(self, n: int) -> bytes:
         if self.pos + n > len(self.d):
@@ -191,6 +195,16 @@ class _Unpacker:
         )
 
     def value(self):
+        # adversarial nesting gates cleanly instead of RecursionError
+        self.depth += 1
+        if self.depth > _MAX_DEPTH:
+            raise ValueError("msgpack: nesting deeper than 192")
+        try:
+            return self._value()
+        finally:
+            self.depth -= 1
+
+    def _value(self):
         b = self._take(1)[0]
         if b <= 0x7F:
             return b
@@ -265,7 +279,13 @@ class _Unpacker:
         return [self.value() for _ in range(n)]
 
     def _map(self, n: int) -> dict:
-        return {self.value(): self.value() for _ in range(n)}
+        out: dict = {}
+        for _ in range(n):
+            k = self.value()
+            if isinstance(k, (list, dict)):
+                raise ValueError("msgpack: container map key")
+            out[k] = self.value()
+        return out
 
 
 def msgpack_encode_rows(rows: list[tuple]) -> bytes:
