@@ -746,3 +746,220 @@ def access_log_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_authed"),
         F.countDistinct(F.split("ip", r"\.").getItem(0)).alias("n_ip_a"),
     )
+
+
+# -- end-to-end crawl curation ------------------------------------------------
+
+@query(
+    "crawl_corpus_build",
+    oracle="""
+    WITH blocks AS (
+        SELECT (kk * 429496729) - ((kk * 429496729) % 1048576) AS bstart
+        FROM range(0, 10) t(kk)
+    ),
+    staged AS (
+        SELECT d.doc_id, d.text, d.n_chars,
+               d.doc_id % 5 IN (0, 2) AS robots_ok,
+               NOT EXISTS (
+                   SELECT 1 FROM blocks b
+                   WHERE (d.doc_id * 2654435761) % 4294967296 >= b.bstart
+                     AND (d.doc_id * 2654435761) % 4294967296
+                         < b.bstart + 16777216
+               ) AS ip_ok,
+               (2 * (d.doc_id % 7) < 10 AND d.doc_id % 4 < 3)
+                   AS script_ok
+        FROM documents d
+    ),
+    measured AS (
+        SELECT s.*,
+               CAST(len(string_split(s.text, ' ')) AS BIGINT) AS w,
+               CAST(len(regexp_extract_all(s.text, '[aeiou]+'))
+                    AS BIGINT) AS v,
+               CAST((len(string_split(s.text, ' '))
+                     + (4 + s.doc_id % 5) - 1)
+                    // (4 + s.doc_id % 5) AS BIGINT) AS sc
+        FROM staged s
+    ),
+    quality AS (
+        SELECT m.*,
+               (206835 * sc * w - 1015 * w * w - 84600 * v * sc
+                >= 78000 * sc * w) AS quality_ok
+        FROM measured m
+    ),
+    survivors AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS canonical
+        FROM quality
+        WHERE robots_ok AND ip_ok AND script_ok AND quality_ok
+    ),
+    disposed AS (
+        SELECT doc_id,
+               CASE WHEN NOT robots_ok THEN 'robots_denied'
+                    WHEN NOT ip_ok THEN 'ip_blocked'
+                    WHEN NOT script_ok THEN 'routed_nonlatin'
+                    WHEN NOT quality_ok THEN 'low_quality'
+                    ELSE NULL END AS dropped
+        FROM quality
+    )
+    SELECT CASE WHEN doc_id = canonical THEN 'kept'
+                ELSE 'near_duplicate' END AS disposition,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM survivors GROUP BY 1
+    UNION ALL
+    SELECT dropped, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(q.n_chars) AS BIGINT)
+    FROM disposed dd JOIN quality q USING (doc_id)
+    WHERE dropped IS NOT NULL
+    GROUP BY dropped
+    """,
+)
+def crawl_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl curation — the continuation band composed as
+    ONE pipeline, the crawl-side sibling of ``training_corpus_build``:
+
+    1. robots gate (the RFC 9309 evaluator, REAL parser per host);
+    2. CIDR screen (dotted-quad parse-back + prefix-bucketed hash join);
+    3. script routing (regexp censuses over the injected mixed-script
+       text — non-Latin-heavy docs route out);
+    4. quality floor (the integer-exact Flesch band ≥ medium);
+    5. exact dedup among the SURVIVORS (min-doc canonical — dedup after
+       filtering, the order real pipelines use so junk can't shadow a
+       keepable twin).
+
+    Every stage runs its REAL operator implementation; the oracle
+    replays all dispositions closed-form, so a stage-order bug, a
+    filter inversion, or dedup-before-filter shadowing breaks the
+    hash.  The near-duplicate class is EMPTY at the driver scales (none
+    of the corpus's dup pairs survives every gate) — that absence is
+    itself hash-checked: a wrong canonical computation inventing
+    spurious duplicates changes the rowcount; the dedup stage's
+    positive path is owned by ``dedup_exact_survivors``.  Plan: narrow
+    gates + one broadcast join + one text-keyed dedup exchange — the
+    same shapes as the stages standalone."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id")
+
+    # 1. robots (real evaluator, same fixture as robots_txt_allow)
+    import pandas as pd  # noqa: PLC0415
+
+    def robots_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                h, cls = i % 50, i % 5
+                path = {
+                    0: f"/a/{h}/page.html",
+                    1: f"/private{h}/file",
+                    2: f"/private{h}/public/file",
+                    3: "/tmp/x",
+                    4: f"/a/{h}/draft",
+                }[cls]
+                rules = robots_rules(_synth_robots(h), "ncdbot")
+                allowed, _rule = robots_decision(rules, path)
+                rows.append({"doc_id": i, "robots_ok": allowed})
+            yield pd.DataFrame(rows)
+
+    robots = d.select("doc_id").mapInPandas(
+        robots_kernel, schema="doc_id bigint, robots_ok boolean"
+    )
+
+    # 2. CIDR screen (real parse-back + bucket join)
+    ip_int = (did * 2654435761) % F.lit(4294967296)
+    ips = d.select(
+        "doc_id",
+        F.concat_ws(
+            ".",
+            (ip_int / 16777216).cast("long").cast("string"),
+            ((ip_int / 65536).cast("long") % 256).cast("string"),
+            ((ip_int / 256).cast("long") % 256).cast("string"),
+            (ip_int % 256).cast("string"),
+        ).alias("ip"),
+    )
+    oct_ = F.split(F.col("ip"), r"\.")
+    parsed = ips.select(
+        "doc_id",
+        (
+            oct_.getItem(0).cast("long") * 16777216
+            + oct_.getItem(1).cast("long") * 65536
+            + oct_.getItem(2).cast("long") * 256
+            + oct_.getItem(3).cast("long")
+        ).alias("ip_int"),
+    ).withColumn("bucket", (F.col("ip_int") / 16777216).cast("long"))
+    rows = []
+    for bid, start, end in _blocklist():
+        for bucket in range(start >> 24, ((end - 1) >> 24) + 1):
+            rows.append((bid, bucket, start, end))
+    blocks = spark.createDataFrame(
+        rows, "block_id long, bucket long, bstart long, bend long"
+    )
+    screened = parsed.join(
+        F.broadcast(blocks),
+        (parsed["bucket"] == blocks["bucket"])
+        & (F.col("ip_int") >= F.col("bstart"))
+        & (F.col("ip_int") < F.col("bend")),
+        "left_outer",
+    ).select("doc_id", F.col("block_id").isNull().alias("ip_ok"))
+
+    # 3. script routing + 4. quality (both pure column algebra over the
+    # same constructions their standalone queries use)
+    from national_caseload_data_ingest_spark.operators.cleaning import (  # noqa: PLC0415
+        _CJK,
+        _CYR,
+    )
+
+    def pick(lits, idx):
+        return F.element_at(
+            F.array(*[F.lit(c) for c in lits]), (idx + 1).cast("int"))
+
+    combined = F.concat(
+        F.col("text"),
+        F.repeat(pick(_CYR, did % 32), (2 * (did % 7)).cast("int")),
+        F.repeat(pick(_CJK, did % 100), (did % 4).cast("int")),
+    )
+    words = F.split(F.col("text"), " ")
+    w = F.size(words).cast("long")
+    v = F.regexp_count(F.col("text"), F.lit("[aeiou]+")).cast("long")
+    sent_len = (F.lit(4) + did % 5).cast("long")
+    s_cnt = (((w - 1 - ((w - 1) % sent_len)) / sent_len).cast("long")
+             + F.lit(1))
+    flesch_lhs = (F.lit(206835) * s_cnt * w - F.lit(1015) * w * w
+                  - F.lit(84600) * v * s_cnt)
+    gates = d.select(
+        "doc_id", "text", "n_chars",
+        (
+            (F.regexp_count(combined, F.lit("[Ѐ-ӿ]")) < 10)
+            & (F.regexp_count(combined, F.lit("[一-鿿]")) < 3)
+        ).alias("script_ok"),
+        (flesch_lhs >= F.lit(78000) * s_cnt * w).alias("quality_ok"),
+    )
+
+    staged = (
+        gates.join(robots, "doc_id").join(screened, "doc_id")
+    )
+    disposition = (
+        F.when(~F.col("robots_ok"), "robots_denied")
+        .when(~F.col("ip_ok"), "ip_blocked")
+        .when(~F.col("script_ok"), "routed_nonlatin")
+        .when(~F.col("quality_ok"), "low_quality")
+    )
+    dropped = staged.filter(disposition.isNotNull()).groupBy(
+        disposition.alias("disposition")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    # 5. exact dedup among survivors only
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    survivors = staged.filter(disposition.isNull()).withColumn(
+        "canonical", F.min("doc_id").over(Window.partitionBy("text"))
+    )
+    kept = survivors.groupBy(
+        F.when(F.col("doc_id") == F.col("canonical"), "kept")
+        .otherwise("near_duplicate").alias("disposition")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return kept.unionAll(dropped)

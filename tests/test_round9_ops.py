@@ -628,13 +628,18 @@ def test_global_row_index_accumulates_no_cache_entries(spark):
         global_row_index,
     )
 
-    def n_persistent():
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def persistent_ids() -> set[int]:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs() \
+            .keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber"
     )
-    baseline = n_persistent()
+    baseline = persistent_ids()
     for i in range(3):
         out = global_row_index(li.limit(500 + i), "l_orderkey",
                                "l_linenumber")
@@ -642,8 +647,13 @@ def test_global_row_index_accumulates_no_cache_entries(spark):
         # each call is still a correct dense index
         got = sorted(r.row_index for r in out.collect())
         assert got == list(range(500 + i))
-    assert n_persistent() == baseline, (
-        "global_row_index left persisted partitions behind"
+    # set-difference, not count equality: OTHER tests' persisted RDDs
+    # may be reaped asynchronously by the ContextCleaner mid-test (a
+    # full-suite ordering flake) — the contract here is only that
+    # global_row_index itself added NOTHING
+    leaked = persistent_ids() - baseline
+    assert not leaked, (
+        f"global_row_index left persisted partitions behind: {leaked}"
     )
 
 
