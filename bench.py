@@ -168,6 +168,9 @@ HEADLINE = [
     "access_log_features",
     "cdc_chunk_features",
     "wordpiece_efficiency_by_source",
+    # round-11 fifth sweep: the crawl-band E2E composition (five real
+    # stages in one plan) and the native SQLite walk
+    "crawl_corpus_build",
 ]
 
 

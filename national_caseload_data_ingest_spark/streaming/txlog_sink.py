@@ -96,3 +96,44 @@ def txlog_sink_stream(sdf: DataFrame, table_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quarantine_stream(
+    sdf: DataFrame,
+    rules: list[tuple],
+    good_table: str,
+    dlq_table: str,
+    checkpoint_dir: str,
+):
+    """Row-level quarantine on a STREAM: each micro-batch splits into
+    accepted rows (appended to ``good_table``) and rule-violating rows
+    (appended to ``dlq_table`` WITH their ordered reason list — the
+    dead-letter queue a replay job consumes), both as exactly-once
+    txlog versions sharing the batch's id.  ``rules`` are (name,
+    condition) pairs over the batch's columns, quarantine fires when
+    ANY condition holds — the streaming twin of
+    ``governance.quarantine_orders``.
+
+    Crash safety: the two tables commit INDEPENDENTLY under the same
+    batchId; a crash between the two writes redelivers the batch and
+    the already-committed side skips (idempotent), so neither table
+    ever double-counts a batch."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        reasons = F.concat_ws(
+            ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+        )
+        tagged = batch_df.withColumn("__reasons", reasons)
+        good = tagged.filter(F.col("__reasons") == "").drop("__reasons")
+        bad = tagged.filter(F.col("__reasons") != "") \
+            .withColumnRenamed("__reasons", "reasons")
+        write_stream_batch(good, batch_id, good_table)
+        write_stream_batch(bad, batch_id, dlq_table)
+
+    return (
+        sdf.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -399,3 +399,52 @@ def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
     assert df.count() == 0
     # deleting values no file can contain is a no-op version-wise
     assert txlog_delete_where(spark, base, "v", [10**9]) == 1
+
+
+def test_streaming_quarantine_splits_and_is_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.operators.txlog import (
+        txlog_snapshot,
+    )
+    from national_caseload_data_ingest_spark.streaming.txlog_sink import (
+        quarantine_stream,
+        write_stream_batch,
+    )
+
+    src = str(tmp_path / "qsrc")
+    batch = spark.createDataFrame(
+        [(i, float(i % 9) - 1.0) for i in range(40)],
+        "event_id int, value double",
+    )
+    batch.repartition(4).write.parquet(src)
+    good_t = str(tmp_path / "good")
+    dlq_t = str(tmp_path / "dlq")
+    rules = [
+        ("negative_value", F.col("value") < 0),
+        ("synthetic", F.col("event_id") % 10 == 7),
+    ]
+    sdf = spark.readStream.schema(batch.schema) \
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    q = quarantine_stream(sdf, rules, good_t, dlq_t,
+                          str(tmp_path / "qckpt"))
+    q.awaitTermination(120)
+
+    good = txlog_snapshot(spark, good_t)
+    dlq = txlog_snapshot(spark, dlq_t)
+    # stream == batch split
+    want_bad = {i for i in range(40) if i % 9 == 0 or i % 10 == 7}
+    assert {r.event_id for r in dlq.collect()} == want_bad
+    assert {r.event_id for r in good.collect()} \
+        == set(range(40)) - want_bad
+    # reasons carried; multi-rule rows comma-join in rule order
+    reasons = {r.event_id: r.reasons for r in dlq.collect()}
+    assert reasons[27] == "negative_value,synthetic"  # 27%9==0, 27%10==7
+    assert reasons[9] == "negative_value"
+    assert reasons[17] == "synthetic"
+    # redelivery of batch 0 to either side is a no-op
+    extra = spark.createDataFrame([(999, -5.0)],
+                                  "event_id int, value double")
+    assert write_stream_batch(extra, 0, good_t) is False
+    assert write_stream_batch(extra, 0, dlq_t) is False
+    assert good.count() + dlq.count() == 40
