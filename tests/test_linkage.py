@@ -54,3 +54,34 @@ def test_soundex_spark_expression_matches(spark):
     got = {r.w: r.sx for r in
            df.select("w", F.expr(soundex_sql("w")).alias("sx")).collect()}
     assert got == {n: soundex_py(n) for n in names}
+
+
+def test_soundex_sql_matches_reference_on_random_words():
+    """Hypothesis-style sweep (fixed seed): the shared SQL expression
+    and the Python reference agree on arbitrary alphabetic words —
+    collapse runs, h/w bridges, vowel separators in every arrangement."""
+    import random
+
+    import duckdb
+
+    from national_caseload_data_ingest_spark.operators.linkage import (
+        soundex_py,
+        soundex_sql,
+    )
+
+    rng = random.Random(20260816)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        for _ in range(500)
+    ]
+    # salt in pathological shapes: long same-code runs, h/w sandwiches
+    words += ["bpbpbp", "ccccc", "ahahaha", "wbwbwb", "hhhh", "aeiouy",
+              "szszsz", "mnmnm", "rhrhr", "tdtdtd"]
+    rows = duckdb.sql(
+        "SELECT w, " + soundex_sql("w")
+        + " FROM (SELECT unnest(" + repr(words) + ") AS w)"
+    ).fetchall()
+    bad = [(w, got, soundex_py(w)) for w, got in rows
+           if got != soundex_py(w)]
+    assert not bad, bad[:5]
