@@ -316,3 +316,63 @@ def corpus_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row_index").cast("bigint").alias("row_index"),
         (F.col("row_index") % SHUFFLE_SHARDS).cast("int").alias("shard"),
     )
+
+
+@query(
+    "curriculum_order_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+               CAST(len(regexp_extract_all(text, '[aeiou]+'))
+                    AS BIGINT) AS v,
+               CAST((len(string_split(text, ' '))
+                     + (4 + doc_id % 5) - 1)
+                    // (4 + doc_id % 5) AS BIGINT) AS s
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id,
+               CASE WHEN 206835 * s * w - 1015 * w * w - 84600 * v * s
+                         >= 85000 * s * w THEN 0
+                    WHEN 206835 * s * w - 1015 * w * w - 84600 * v * s
+                         >= 78000 * s * w THEN 1
+                    ELSE 2 END AS band,
+               md5('curriculum:7:' || doc_id) AS shuffle_key
+        FROM toks
+    )
+    SELECT doc_id, CAST(band AS BIGINT) AS band,
+           CAST(ROW_NUMBER() OVER (ORDER BY band, shuffle_key, doc_id)
+                - 1 AS BIGINT) AS curriculum_index
+    FROM banded
+    """,
+)
+def curriculum_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum manifest: documents ordered easy → hard by the
+    integer-exact Flesch band, DETERMINISTICALLY SHUFFLED within each
+    band (epoch-seeded md5, the corpus-shuffle convention — curriculum
+    learning wants difficulty ordering BETWEEN bands and unbiased
+    sampling WITHIN them), with a dense global index assigned by the
+    two-phase zipWithIndex (:func:`global_row_index` — never a
+    single-task global window; the oracle is the single-reducer
+    ROW_NUMBER twin, so the distributed index must match it
+    row-for-row)."""
+    from national_caseload_data_ingest_spark.operators.text import (  # noqa: PLC0415
+        readability_scores,
+    )
+
+    bands = readability_scores(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("flesch_band") == "easy", 0)
+        .when(F.col("flesch_band") == "medium", 1)
+        .otherwise(2).cast("long").alias("band"),
+        F.md5(
+            F.concat(F.lit("curriculum:7:"),
+                     F.col("doc_id").cast("string")).cast("binary")
+        ).alias("shuffle_key"),
+    )
+    indexed = global_row_index(bands, "band", "shuffle_key", "doc_id")
+    return indexed.select(
+        "doc_id", "band",
+        F.col("row_index").alias("curriculum_index"),
+    )

@@ -78,6 +78,7 @@ CHECK_PRIORITY: list[str] = [
     "attribution_last_touch",  # revenue attribution as-of pick (new)
     "benford_price_screen",  # first-digit forensics audit (new)
     "crawl_corpus_build",  # E2E crawl curation composition (new)
+    "curriculum_order_index",  # banded shuffle + global index (new)
     "txlog_data_skipping",  # min-max file pruning (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
