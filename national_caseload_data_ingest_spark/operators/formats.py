@@ -1169,3 +1169,91 @@ def archive_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_checksum bigint"
         ),
     )
+
+
+@query(
+    "git_pack_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_objects,
+           CAST(2 AS BIGINT) AS n_blobs,
+           md5(text) AS blob0_md5,
+           md5(text || ' v2') AS blob1_md5,
+           CAST(2 AS BIGINT) AS tree_entries,
+           'doc ' || doc_id AS commit_subject
+    FROM documents
+    """,
+)
+def git_pack_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Git packfile ingestion (`sources/gitobjects.py`) — code corpora
+    ship as repositories, and reading them at scale means walking the
+    object store natively: each document becomes a deterministic v2
+    pack (its text as a blob, a SECOND revision stored as an OFS_DELTA
+    whose copy+insert opcodes must replay exactly, a 2-entry tree, a
+    commit), decoded by the native walker with the trailing SHA-1
+    verified and every object id recomputed.  The per-blob md5s pin the
+    zlib boundaries AND the delta application byte-for-byte; the walker
+    itself is cross-validated against packs written by the real git
+    binary in tests.  One narrow Arrow kernel, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.sources.gitobjects import (  # noqa: PLC0415
+        build_pack,
+        make_delta,
+        object_id,
+        parse_commit,
+        parse_tree,
+        read_pack,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        import hashlib as _h  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                blob0 = r.text.encode("utf-8")
+                delta = make_delta(blob0, b" v2")
+                tree = (
+                    b"100644 a.txt\x00" + object_id("blob", blob0)
+                    + b"100644 b.txt\x00"
+                    + object_id("blob", blob0 + b" v2")
+                )
+                commit = (
+                    b"tree " + object_id("tree", tree).hex().encode()
+                    + b"\nauthor T <t@x> 1700000000 +0000\n"
+                    + b"committer T <t@x> 1700000000 +0000\n\n"
+                    + f"doc {i}\n\nbody\n".encode()
+                )
+                pack = build_pack([
+                    ("blob", blob0),
+                    ("ofs_delta", 0, delta),
+                    ("tree", tree),
+                    ("commit", commit),
+                ])
+                objs = read_pack(pack)
+                blobs = [o for o in objs if o["otype"] == "blob"]
+                tree_o = next(o for o in objs if o["otype"] == "tree")
+                commit_o = next(
+                    o for o in objs if o["otype"] == "commit")
+                rows.append({
+                    "doc_id": i,
+                    "n_objects": len(objs),
+                    "n_blobs": len(blobs),
+                    "blob0_md5": _h.md5(blobs[0]["body"]).hexdigest(),
+                    "blob1_md5": _h.md5(blobs[1]["body"]).hexdigest(),
+                    "tree_entries": len(parse_tree(tree_o["body"])),
+                    "commit_subject": parse_commit(
+                        commit_o["body"])["message"].splitlines()[0],
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_objects bigint, n_blobs bigint, "
+               "blob0_md5 string, blob1_md5 string, "
+               "tree_entries bigint, commit_subject string",
+    )

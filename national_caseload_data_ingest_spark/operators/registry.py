@@ -79,6 +79,7 @@ CHECK_PRIORITY: list[str] = [
     "benford_price_screen",  # first-digit forensics audit (new)
     "crawl_corpus_build",  # E2E crawl curation composition (new)
     "curriculum_order_index",  # banded shuffle + global index (new)
+    "git_pack_features",  # native git packfile walk (new)
     "txlog_data_skipping",  # min-max file pruning (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
