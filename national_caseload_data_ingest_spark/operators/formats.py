@@ -1032,10 +1032,11 @@ ARCHIVE_MAGIC = {
 
 
 def archive_decompress(payload: bytes) -> tuple[str, bytes]:
-    """Sniff-and-decompress the four stdlib stream-compression formats
-    real corpus dumps ship in (Wikipedia dumps are .bz2, Common Crawl
-    members .gz, HF dataset mirrors .xz/.zst — zstd has no stdlib codec
-    and raises the honest gate).  Returns ``(fmt, raw_bytes)``."""
+    """Sniff-and-decompress the stream-compression formats real corpus
+    dumps ship in: the four stdlib codecs (zlib/gzip/bz2/xz), zstd
+    (native frame-header parse + pyarrow's bundled reference
+    decompressor), and LZ4 frames (fully native block walk, linked
+    blocks included).  Returns ``(fmt, raw_bytes)``."""
     import bz2  # noqa: PLC0415
     import lzma  # noqa: PLC0415
     import zlib  # noqa: PLC0415
@@ -1056,9 +1057,30 @@ def archive_decompress(payload: bytes) -> tuple[str, bytes]:
     except (zlib.error, OSError, lzma.LZMAError, EOFError) as e:
         raise ValueError(f"archive: corrupt stream ({e})") from None
     if payload[:4] == b"\x28\xb5\x2f\xfd":
-        raise NotImplementedError(
-            "zstd: no stdlib codec; route to decompression host"
+        # native frame-header parse for the declared size; payload via
+        # pyarrow's bundled reference zstd (blockcodecs.py) — frames
+        # with no declared content size still gate inside zstd_decode
+        from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+            zstd_decode,
         )
+
+        try:
+            return "zstd", zstd_decode(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:  # pa raises its own error types
+            raise ValueError(f"archive: corrupt stream ({e})") from None
+    if payload[:4] == b"\x04\x22\x4d\x18":
+        from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+            lz4_frame_decode,
+        )
+
+        try:
+            return "lz4", lz4_frame_decode(payload)
+        except NotImplementedError:
+            raise
+        except ValueError as e:
+            raise ValueError(f"archive: corrupt stream ({e})") from None
     if payload[:1] == b"\x78" and payload[1:2] in (
         b"\x01", b"\x5e", b"\x9c", b"\xda"
     ):
@@ -1078,9 +1100,11 @@ def _synth_archive(did: int) -> bytes:
     import lzma  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
+    import pyarrow as pa  # noqa: PLC0415
+
     n = 256 + did % 256
     raw = bytes((did * 5 + k) % 251 for k in range(n))
-    mode = did % 4
+    mode = did % 6
     if mode == 0:
         return zlib.compress(raw, 6)
     if mode == 1:
@@ -1088,7 +1112,12 @@ def _synth_archive(did: int) -> bytes:
         return c.compress(raw) + c.flush()
     if mode == 2:
         return bz2.compress(raw, 1)
-    return lzma.compress(raw, preset=1)
+    if mode == 3:
+        return lzma.compress(raw, preset=1)
+    if mode == 4:
+        # the reference C encoder (pyarrow's bundled zstd)
+        return pa.compress(raw, codec="zstd", asbytes=True)
+    return pa.compress(raw, codec="lz4", asbytes=True)
 
 
 @query(
@@ -1105,8 +1134,9 @@ def _synth_archive(did: int) -> bytes:
         GROUP BY g.doc_id, g.n
     )
     SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'zlib' WHEN 1 THEN 'gzip'
-                WHEN 2 THEN 'bz2' ELSE 'xz' END AS fmt,
+           CASE doc_id % 6 WHEN 0 THEN 'zlib' WHEN 1 THEN 'gzip'
+                WHEN 2 THEN 'bz2' WHEN 3 THEN 'xz'
+                WHEN 4 THEN 'zstd' ELSE 'lz4' END AS fmt,
            CAST(n AS BIGINT) AS raw_bytes,
            CAST(raw_checksum AS BIGINT) AS raw_checksum
     FROM chk

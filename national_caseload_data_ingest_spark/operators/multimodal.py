@@ -5554,7 +5554,8 @@ def classify_codec_payload(payload: bytes) -> tuple[str, str, str]:
                 else "xz" if payload[:6] == b"\xfd7zXZ\x00"
                 else "zstd"
             )
-            # zstd has no stdlib codec -> NotImplementedError -> gated;
+            # zstd decodes (native header + bundled reference payload
+            # decompressor); only no-content-size frames still gate;
             # corrupt members -> ValueError -> corrupt rows
             archive_decompress(payload)
         elif payload[:3] == b"ID3" or _mp3_header_plausible(payload):

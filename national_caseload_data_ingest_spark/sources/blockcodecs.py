@@ -1,0 +1,259 @@
+"""Native LZ4-block and Snappy decoders + a zstd frame-header parser —
+the block-compression family parquet/ORC/Kafka payloads actually use.
+
+The decode side is implemented FROM THE PUBLIC SPECS (lz4 block format,
+google/snappy format description, RFC 8878 zstd frame header); the
+ENCODE side is pyarrow's bundled reference C implementations — which
+makes every test and every query a true cross-implementation check:
+bytes produced by the canonical encoders must decode identically here.
+
+* **LZ4 block** (lz4_raw): token byte (literal-length nibble /
+  match-length nibble), 255-continued extended lengths, 2-byte LE match
+  offsets, minmatch 4, OVERLAPPING copies byte-by-byte, and the
+  end-of-block rules (last sequence is literals-only; offset 0 is
+  invalid).
+* **Snappy**: varint uncompressed-size preamble, then tagged elements —
+  literals (6-bit length with 1-4 extension bytes), and three copy
+  forms: 1-byte offset (tag bits 01: 11-bit offset, 4-10 length),
+  2-byte LE offset (10), 4-byte LE offset (11); copies overlap.
+* **zstd frame header** (RFC 8878 §3.1.1): magic 0xFD2FB528 LE,
+  frame-header descriptor (Frame_Content_Size field size from bits 7-6
+  with the Single_Segment rule, Dictionary_ID size from bits 1-0,
+  window descriptor presence) — enough to recover the DECLARED content
+  size natively, after which the payload decompresses through
+  pyarrow's bundled zstd (the JVM/Arrow dependency that is already
+  load-bearing for every shuffle in this engine).  Frames without a
+  content size gate loudly.
+
+Spark shape: per-payload Arrow kernels, zero shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def lz4_block_decode(
+    data: bytes, out_size: int | None = None, prefix: bytes = b""
+) -> bytes:
+    """LZ4 block format → bytes (validated against ``out_size`` when
+    the container declares one; frame blocks don't).  ``prefix`` is the
+    match dictionary for LINKED frame blocks (B.Indep=0): offsets may
+    reach back into previously decoded frame output."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        token = data[pos]
+        pos += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("lz4: truncated literal length")
+                b = data[pos]
+                pos += 1
+                lit_len += b
+                if b != 255:
+                    break
+        if pos + lit_len > n:
+            raise ValueError("lz4: truncated literals")
+        out += data[pos : pos + lit_len]
+        pos += lit_len
+        if pos == n:
+            break  # last sequence: literals only
+        if pos + 2 > n:
+            raise ValueError("lz4: truncated match offset")
+        offset = data[pos] | (data[pos + 1] << 8)
+        pos += 2
+        if offset == 0 or offset > len(out) + len(prefix):
+            raise ValueError("lz4: invalid match offset")
+        match_len = (token & 0x0F) + 4
+        if (token & 0x0F) == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("lz4: truncated match length")
+                b = data[pos]
+                pos += 1
+                match_len += b
+                if b != 255:
+                    break
+        # overlapping copies are the point of small offsets: byte-wise
+        start = len(out) - offset
+        for _ in range(match_len):
+            if start < 0:  # reading from the linked-block prefix
+                out.append(prefix[len(prefix) + start])
+            else:
+                out.append(out[start])
+            start += 1
+    if out_size is not None and len(out) != out_size:
+        raise ValueError(
+            f"lz4: decoded {len(out)} bytes, expected {out_size}"
+        )
+    return bytes(out)
+
+
+def snappy_decode(data: bytes) -> bytes:
+    """Snappy raw format → bytes (self-describing size preamble)."""
+    pos = 0
+    n = len(data)
+    size = 0
+    shift = 0
+    while True:
+        if pos >= n:
+            raise ValueError("snappy: truncated size preamble")
+        b = data[pos]
+        pos += 1
+        size |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: size preamble too long")
+    out = bytearray()
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            l6 = tag >> 2
+            if l6 < 60:
+                length = l6 + 1
+            else:
+                nb = l6 - 59
+                if pos + nb > n:
+                    raise ValueError("snappy: truncated literal length")
+                length = int.from_bytes(data[pos : pos + nb],
+                                        "little") + 1
+                pos += nb
+            if pos + length > n:
+                raise ValueError("snappy: truncated literal")
+            out += data[pos : pos + length]
+            pos += length
+            continue
+        if kind == 1:  # copy, 11-bit offset, 4-10 length
+            length = ((tag >> 2) & 0x7) + 4
+            if pos >= n:
+                raise ValueError("snappy: truncated copy-1 offset")
+            offset = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte LE offset
+            length = (tag >> 2) + 1
+            if pos + 2 > n:
+                raise ValueError("snappy: truncated copy-2 offset")
+            offset = data[pos] | (data[pos + 1] << 8)
+            pos += 2
+        else:  # copy, 4-byte LE offset
+            length = (tag >> 2) + 1
+            if pos + 4 > n:
+                raise ValueError("snappy: truncated copy-4 offset")
+            offset = struct.unpack_from("<I", data, pos)[0]
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("snappy: invalid copy offset")
+        start = len(out) - offset
+        for i in range(length):
+            out.append(out[start + i])
+    if len(out) != size:
+        raise ValueError(
+            f"snappy: decoded {len(out)} bytes, preamble said {size}"
+        )
+    return bytes(out)
+
+
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def zstd_frame_content_size(data: bytes) -> int:
+    """Parse a zstd frame header (RFC 8878 §3.1.1) and return the
+    DECLARED content size; frames that omit it raise (the honest gate:
+    arbitrary-size streaming decode needs the full zstd machine)."""
+    if data[:4] != ZSTD_MAGIC:
+        raise ValueError("zstd: bad frame magic")
+    fhd = data[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    pos = 5
+    if not single_segment:
+        pos += 1  # window descriptor
+    pos += did_size
+    if fcs_flag == 0:
+        if not single_segment:
+            raise NotImplementedError(
+                "zstd: frame declares no content size; route to a "
+                "streaming zstd host"
+            )
+        return data[pos]
+    if fcs_flag == 1:
+        return struct.unpack_from("<H", data, pos)[0] + 256
+    if fcs_flag == 2:
+        return struct.unpack_from("<I", data, pos)[0]
+    return struct.unpack_from("<Q", data, pos)[0]
+
+
+def zstd_decode(data: bytes) -> bytes:
+    """zstd frame → bytes: native header parse for the size, payload
+    through pyarrow's bundled reference decompressor."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    size = zstd_frame_content_size(data)
+    return pa.decompress(
+        data, decompressed_size=size, codec="zstd", asbytes=True
+    )
+
+
+LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def lz4_frame_decode(data: bytes) -> bytes:
+    """LZ4 FRAME format → bytes: header flags, block walk (compressed
+    and uncompressed blocks), EndMark; checksums skipped by size
+    (xxhash32 verification is not implemented — the frame still fails
+    loudly on structural damage).  Dictionary frames gate."""
+    if data[:4] != LZ4_FRAME_MAGIC:
+        raise ValueError("lz4: bad frame magic")
+    flg = data[4]
+    if flg >> 6 != 1:
+        raise ValueError(f"lz4: unsupported frame version {flg >> 6}")
+    b_indep = (flg >> 5) & 1
+    b_checksum = (flg >> 4) & 1
+    c_size = (flg >> 3) & 1
+    c_checksum = (flg >> 2) & 1
+    if flg & 1:
+        raise NotImplementedError("lz4: dictionary frames not supported")
+    pos = 6  # magic + FLG + BD
+    declared = None
+    if c_size:
+        declared = struct.unpack_from("<Q", data, pos)[0]
+        pos += 8
+    pos += 1  # header checksum byte
+    out = bytearray()
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("lz4: truncated frame (no EndMark)")
+        bsize = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        if bsize == 0:
+            break  # EndMark
+        uncompressed = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        if pos + bsize > len(data):
+            raise ValueError("lz4: truncated block")
+        block = data[pos : pos + bsize]
+        pos += bsize
+        if uncompressed:
+            out += block
+        else:
+            # linked mode: the already-decoded frame output is the
+            # match dictionary (the spec bounds lookback to 64 KiB;
+            # passing the full tail is a superset and exact)
+            prefix = b"" if b_indep else bytes(out[-65536:])
+            out += lz4_block_decode(block, prefix=prefix)
+        if b_checksum:
+            pos += 4
+    if c_checksum:
+        pos += 4
+    if declared is not None and len(out) != declared:
+        raise ValueError("lz4: frame content size mismatch")
+    return bytes(out)

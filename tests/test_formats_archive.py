@@ -30,8 +30,17 @@ def test_sniff_and_roundtrip_all_four():
         assert (fmt, back) == (want_fmt, raw)
 
 
-def test_zstd_gates_and_unknown_rejects():
-    with pytest.raises(NotImplementedError, match="zstd"):
+def test_zstd_lz4_decode_and_unknown_rejects():
+    import pyarrow as pa
+
+    raw = b"payload bytes " * 40
+    assert archive_decompress(
+        pa.compress(raw, codec="zstd", asbytes=True)) == ("zstd", raw)
+    assert archive_decompress(
+        pa.compress(raw, codec="lz4", asbytes=True)) == ("lz4", raw)
+    # junk after the zstd magic is CORRUPT (the codec decodes now);
+    # the gate remains for frames with no declared content size
+    with pytest.raises(ValueError, match="corrupt"):
         archive_decompress(b"\x28\xb5\x2f\xfd....")
     with pytest.raises(ValueError, match="unrecognized"):
         archive_decompress(b"\x00\x01\x02\x03")
@@ -47,7 +56,8 @@ def test_archive_query(spark):
     ).collect()}
     assert len(rows) == 500
     for did, r in rows.items():
-        assert r["fmt"] == ("zlib", "gzip", "bz2", "xz")[did % 4]
+        assert r["fmt"] == ("zlib", "gzip", "bz2", "xz", "zstd",
+                            "lz4")[did % 6]
         assert r["raw_bytes"] == 256 + did % 256
 
 
@@ -65,7 +75,12 @@ def test_classifier_routes_archives():
     assert classify_codec_payload(lzma.compress(b"data")) == (
         "xz", "decoded", "",
     )
-    fmt, status, reason = classify_codec_payload(b"\x28\xb5\x2f\xfd....")
-    assert (fmt, status) == ("zstd", "gated") and "zstd" in reason
+    import pyarrow as pa
+
+    fmt, status, reason = classify_codec_payload(
+        pa.compress(b"data", codec="zstd", asbytes=True))
+    assert (fmt, status, reason) == ("zstd", "decoded", "")
+    fmt, status, _ = classify_codec_payload(b"\x28\xb5\x2f\xfd....")
+    assert (fmt, status) == ("zstd", "corrupt")
     fmt, status, _ = classify_codec_payload(bz2.compress(b"data")[:-3])
     assert (fmt, status) == ("bz2", "corrupt")
