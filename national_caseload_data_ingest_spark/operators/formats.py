@@ -1287,3 +1287,48 @@ def git_pack_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                "blob0_md5 string, blob1_md5 string, "
                "tree_entries bigint, commit_subject string",
     )
+
+
+@query("snappy_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
+def snappy_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snappy fidelity with a true cross-implementation seam: every
+    document's text is compressed by pyarrow's bundled REFERENCE C
+    snappy encoder and decompressed by the engine's from-spec native
+    decoder (`sources/blockcodecs.py` — varint preamble, literal
+    extension bytes, all three copy forms, overlapping copies); the
+    per-document digests then hash-match the raw parquet, so any
+    tag-dispatch or copy-window slip breaks row-level. Snappy is the
+    default block codec of the parquet/ORC world — the one decoder a
+    data engine meets everywhere. One narrow Arrow kernel, zero
+    shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+        snappy_decode,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        import pyarrow as pa  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                comp = pa.compress(
+                    r.text.encode("utf-8"), codec="snappy", asbytes=True
+                )
+                back = snappy_decode(comp).decode("utf-8")
+                rows.append({
+                    "doc_id": int(r.doc_id),
+                    "lang": r.lang,
+                    "n_chars": int(r.n_chars),
+                    "text": back,
+                })
+            yield pd.DataFrame(rows)
+
+    back = docs.select("doc_id", "lang", "n_chars", "text").mapInPandas(
+        kernel,
+        schema="doc_id bigint, lang string, n_chars bigint, text string",
+    )
+    return _doc_digests(back)
