@@ -171,6 +171,11 @@ HEADLINE = [
     # round-11 fifth sweep: the crawl-band E2E composition (five real
     # stages in one plan) and the native SQLite walk
     "crawl_corpus_build",
+    # round-11 sixth sweep: the git pack walk (zlib boundaries + delta
+    # replay per payload) and the reference-encoder/native-decoder
+    # snappy seam
+    "git_pack_features",
+    "snappy_roundtrip_documents",
 ]
 
 
