@@ -806,3 +806,70 @@ def txlog_delete_where(
         return latest
     txlog_commit(table_path, latest + 1, actions)
     return latest + 1
+
+
+@query(
+    "txlog_footer_skipping",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) // 4 AS q FROM orders)
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+           CAST(1 AS BIGINT) AS files_read,
+           CAST(4 AS BIGINT) AS files_total
+    FROM orders, nn
+    WHERE o_orderkey >= nn.q AND o_orderkey <= 2 * nn.q - 1
+    GROUP BY o_orderpriority
+    """,
+)
+def txlog_footer_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats BACKFILL from parquet footers: the range-bucketed orders
+    table is committed WITHOUT any stats metadata, then
+    ``txlog_backfill_stats`` reads each live file's FOOTER with the
+    native Thrift-compact walker (`sources/parquetmeta.py` — a
+    metadata-only maintenance pass over files SPARK wrote, a third
+    writer beside the pyarrow/Spark cross-checks in tests) and commits
+    the min/max stats as a new version — after which the same selective
+    scan as ``txlog_data_skipping`` must prune 3 of 4 files from
+    metadata alone.  A footer mis-parse yields wrong stats, which
+    either reads extra files (files_read flips) or loses rows (the
+    residual filter can't restore a wrongly-skipped file); both break
+    the hash."""
+    import hashlib  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.sources.parquetmeta import (  # noqa: PLC0415
+        txlog_backfill_stats,
+    )
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    n = o.count()
+    q = n // 4
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    table = os.path.join(
+        tempfile.gettempdir(), "ncd_spark_txlog", f"{tag}-footer"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    k = F.col("o_orderkey")
+    actions = []
+    for i in range(4):
+        part = o.filter((k >= i * q) & (k < (i + 1) * q))
+        actions.append(_write_data_file(part, table, f"r{i}"))
+    txlog_commit(table, 0, actions)
+
+    v = txlog_backfill_stats(table, ["o_orderkey"])
+    if v == 0:
+        raise ValueError("txlog: backfill committed nothing")
+    df, files_read, files_total = txlog_scan(
+        spark, table, min_max_filter=("o_orderkey", q, 2 * q - 1)
+    )
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    ).withColumn("files_read", F.lit(files_read).cast("long")) \
+     .withColumn("files_total", F.lit(files_total).cast("long"))
