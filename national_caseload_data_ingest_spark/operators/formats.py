@@ -1332,3 +1332,80 @@ def snappy_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, lang string, n_chars bigint, text string",
     )
     return _doc_digests(back)
+
+
+@query(
+    "zip_member_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 + doc_id % 2 AS BIGINT) AS n_members,
+           CAST((2 + doc_id % 2) * n_chars AS BIGINT) AS total_bytes,
+           md5(text) AS member_md5,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+               AS n_deflated
+    FROM documents
+    """,
+)
+def zip_member_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ZIP walking (`sources/zipnative.py`) — the engine's
+    FOUNDING format (the reference ingests caseload ZIPs), read
+    cluster-side from raw bytes: each document becomes an archive
+    written by STDLIB zipfile (the independent writer) holding 2-3
+    copies of the text under a stored/deflate rotation plus an archive
+    comment (the EOCD backward scan is load-bearing); the walker
+    enumerates the central directory, revalidates every local header
+    against it, decompresses, and VERIFIES each CRC-32.  Member
+    digests, counts, byte totals, and the deflate census hash-match the
+    closed form at every scale.  One narrow Arrow kernel, zero
+    shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.sources.zipnative import (  # noqa: PLC0415
+        zip_walk,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        import hashlib as _h  # noqa: PLC0415
+        import io  # noqa: PLC0415
+        import zipfile  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                body = r.text.encode("utf-8")
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    k = 2 + i % 2
+                    for j in range(k):
+                        # member 0 stored, the rest deflated
+                        zf.writestr(
+                            f"m{j}.txt", body,
+                            compress_type=(
+                                zipfile.ZIP_STORED if j == 0
+                                else zipfile.ZIP_DEFLATED
+                            ),
+                        )
+                    zf.comment = f"archive for doc {i}".encode()
+                members = zip_walk(buf.getvalue())
+                digests = {_h.md5(m["data"]).hexdigest()
+                           for m in members}
+                if len(digests) != 1:
+                    raise ValueError("zip: member payload drift")
+                rows.append({
+                    "doc_id": i,
+                    "n_members": len(members),
+                    "total_bytes": sum(m["size"] for m in members),
+                    "member_md5": digests.pop(),
+                    "n_deflated": sum(
+                        1 for m in members if m["method"] == 8),
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_members bigint, total_bytes bigint, "
+               "member_md5 string, n_deflated bigint",
+    )
