@@ -1409,3 +1409,63 @@ def zip_member_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_members bigint, total_bytes bigint, "
                "member_md5 string, n_deflated bigint",
     )
+
+
+@query(
+    "pdf_text_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_pages,
+           md5('Doc ' || doc_id || ' (generated\\backslash)'
+               || chr(10) || text) AS text_md5,
+           CAST(length(text) + 27 + length(CAST(doc_id AS VARCHAR))
+                AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def pdf_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (`sources/pdftext.py`): each document
+    becomes a 2-page PDF — a title page whose line carries parens and a
+    backslash (the literal-string escapes are load-bearing) and a body
+    page with the text, Flate-compressed on even docs and plain on odd
+    — then the subset reader walks startxref → classic xref → trailer →
+    page tree → content streams and replays the BT/Td/Tj operators.
+    The oracle rebuilds the expected extraction closed-form, so an
+    xref-offset slip, an escape mishandled, a Flate boundary error, or
+    a page-order bug breaks the hash.  One narrow Arrow kernel, zero
+    shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    from national_caseload_data_ingest_spark.sources.pdftext import (  # noqa: PLC0415
+        build_pdf,
+        extract_text,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def kernel(batches):
+        import hashlib as _h  # noqa: PLC0415
+
+        for pdf_batch in batches:
+            rows = []
+            for r in pdf_batch.itertuples(index=False):
+                i = int(r.doc_id)
+                header = f"Doc {i} (generated\\backslash)"
+                payload = build_pdf(
+                    [[header], [r.text]], flate=(i % 2 == 0)
+                )
+                got = extract_text(payload)
+                rows.append({
+                    "doc_id": i,
+                    "n_pages": 2,
+                    "text_md5": _h.md5(
+                        got.encode("utf-8")).hexdigest(),
+                    "n_chars": len(got),
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_pages bigint, text_md5 string, "
+               "n_chars bigint",
+    )

@@ -83,6 +83,7 @@ CHECK_PRIORITY: list[str] = [
     "snappy_roundtrip_documents",  # native snappy decode (new)
     "txlog_footer_skipping",  # footer-backfilled data skipping (new)
     "zip_member_features",  # native ZIP walk, CRC-verified (new)
+    "pdf_text_features",  # PDF subset text extraction (new)
     "txlog_data_skipping",  # min-max file pruning (new)
     "warc_record_features",  # chunked + gzip wire encodings (changed)
     "mp3_stream_features",  # free-format inference rotation (changed)
