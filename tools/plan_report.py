@@ -31,6 +31,11 @@ sys.path.insert(0, REPO)
 DEFAULT_SHUFFLE_BUDGET = 4
 SHUFFLE_BUDGET = {
     "training_corpus_build": 5,
+    # the crawl-band E2E composition's 6 = the robots-kernel fan_out
+    # repartition + the two doc_id gate joins' exchanges + the
+    # survivors' text-keyed dedup window + the kept/dropped aggregates;
+    # every dimension join is broadcast (the BHJ×5 in the plan line)
+    "crawl_corpus_build": 6,
     # tfidf deliberately carries NO broadcast hint on the vocabulary join
     # (web-scale vocabularies can exceed broadcast limits — VERDICT r4 #3);
     # the 5th exchange is the tf-side tok shuffle that a forced broadcast
