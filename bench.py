@@ -176,6 +176,10 @@ HEADLINE = [
     # snappy seam
     "git_pack_features",
     "snappy_roundtrip_documents",
+    # round-11 seventh sweep: the founding-format walk (ZIP central
+    # directory + CRC verification) and the PDF subset extraction
+    "zip_member_features",
+    "pdf_text_features",
 ]
 
 
