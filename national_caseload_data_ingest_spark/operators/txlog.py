@@ -197,6 +197,14 @@ def txlog_checkpoint(table_path: str, version: int | None = None) -> int:
     V - checkpoint commits instead of V."""
     if version is None:
         version = txlog_latest_version(table_path)
+    current = _read_checkpoint_pointer(table_path)
+    if current is not None and version < current:
+        # moving the pointer BACKWARDS would lengthen every later
+        # snapshot's replay tail and mislead vacuum's retention math
+        raise ValueError(
+            f"txlog: checkpoint version {version} is behind the current "
+            f"_last_checkpoint pointer {current}; refusing to regress"
+        )
     adds = txlog_live_files(table_path, version)
     ckpt_file = os.path.join(
         _log_dir(table_path), f"{version:020d}.checkpoint.json"

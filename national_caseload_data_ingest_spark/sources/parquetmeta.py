@@ -80,11 +80,20 @@ class _Reader:
         self.pos += n
         return out
 
-    def value(self, ttype: int):
-        if ttype == _T_TRUE:
-            return True
-        if ttype == _T_FALSE:
-            return False
+    def value(self, ttype: int, element: bool = False):
+        if ttype in (_T_TRUE, _T_FALSE):
+            if not element:
+                # field context: the bool IS the header type byte
+                return ttype == _T_TRUE
+            # container-element context: compact protocol writes one
+            # byte per bool element (1 = true, 2 = false; tolerate the
+            # 0-as-false variant some writers emit)
+            b = self.byte()
+            if b == _T_TRUE:
+                return True
+            if b in (_T_FALSE, 0):
+                return False
+            raise ValueError(f"parquet: bad bool element byte {b:#x}")
         if ttype == _T_BYTE:
             return self.byte()
         if ttype in (_T_I16, _T_I32, _T_I64):
@@ -99,7 +108,7 @@ class _Reader:
             etype = head & 0x0F
             if size == 15:
                 size = self.varint()
-            return [self.value(etype) for _ in range(size)]
+            return [self.value(etype, element=True) for _ in range(size)]
         if ttype == _T_MAP:
             size = self.varint()
             if size == 0:
@@ -107,7 +116,9 @@ class _Reader:
             kv = self.byte()
             ktype, vtype = kv >> 4, kv & 0x0F
             return {
-                self.value(ktype): self.value(vtype) for _ in range(size)
+                self.value(ktype, element=True):
+                    self.value(vtype, element=True)
+                for _ in range(size)
             }
         if ttype == _T_STRUCT:
             return self.struct()

@@ -122,7 +122,8 @@ class _Reader:
         self.d = data
         self.pos = 0
 
-    def varint(self) -> int:
+    def uvarint(self) -> int:
+        """Raw unsigned base-128 varint (0 .. 2^64-1)."""
         shift = 0
         n = 0
         while True:
@@ -136,11 +137,30 @@ class _Reader:
             shift += 7
             if shift > 63:
                 raise ValueError("protowire: varint over 10 bytes")
+        return n
+
+    def varint(self) -> int:
+        """Field-value varint: two's-complement int64."""
+        n = self.uvarint()
         if n >= 1 << 63:  # negative int64 in two's complement
             n -= 1 << 64
         return n
 
+    def length(self) -> int:
+        """LEN-field / frame length: must be a non-negative length that
+        cannot exceed int63 — a varint with bit 63 set is an attack or
+        corruption, never a real length (two's-complement would turn it
+        negative and walk the cursor backwards: the hang class)."""
+        n = self.uvarint()
+        if n >= 1 << 63:
+            raise ValueError(
+                f"protowire: length varint out of range ({n:#x})"
+            )
+        return n
+
     def take(self, n: int) -> bytes:
+        if n < 0:
+            raise ValueError(f"protowire: negative read length {n}")
         if self.pos + n > len(self.d):
             raise ValueError("protowire: truncated field")
         out = self.d[self.pos : self.pos + n]
@@ -158,7 +178,7 @@ def decode_message(fields: list[tuple], data: bytes) -> dict:
     }
     r = _Reader(data)
     while r.pos < len(r.d):
-        key = r.varint()
+        key = r.uvarint()
         num, wt = key >> 3, key & 7
         if num not in by_num:
             # forward compatibility: skip by wire type
@@ -167,7 +187,7 @@ def decode_message(fields: list[tuple], data: bytes) -> dict:
             elif wt == _WT_I64:
                 r.take(8)
             elif wt == _WT_LEN:
-                r.take(r.varint())
+                r.take(r.length())
             elif wt == _WT_I32:
                 r.take(4)
             else:
@@ -178,8 +198,12 @@ def decode_message(fields: list[tuple], data: bytes) -> dict:
             continue
         name, typ = by_num[num]
         if typ == "varint":
+            if wt != _WT_VARINT:
+                raise ValueError("protowire: varint needs wire type 0")
             out[name] = r.varint()
         elif typ == "sint64":
+            if wt != _WT_VARINT:
+                raise ValueError("protowire: sint64 needs wire type 0")
             z = r.varint()
             out[name] = _unzigzag(z & ((1 << 64) - 1))
         elif typ == "double":
@@ -190,16 +214,21 @@ def decode_message(fields: list[tuple], data: bytes) -> dict:
             if wt != _WT_I32:
                 raise ValueError("protowire: float needs wire type 5")
             out[name] = struct.unpack("<f", r.take(4))[0]
+        elif wt != _WT_LEN:
+            # every remaining kind is length-delimited
+            raise ValueError(
+                f"protowire: {typ!r} needs wire type 2, got {wt}"
+            )
         elif typ == "string":
-            out[name] = r.take(r.varint()).decode("utf-8")
+            out[name] = r.take(r.length()).decode("utf-8")
         elif typ == "bytes":
-            out[name] = r.take(r.varint())
+            out[name] = r.take(r.length())
         elif isinstance(typ, tuple) and typ[0] == "packed_varint":
-            body = _Reader(r.take(r.varint()))
+            body = _Reader(r.take(r.length()))
             while body.pos < len(body.d):
                 out[name].append(body.varint())
         elif isinstance(typ, tuple) and typ[0] == "message":
-            out[name] = decode_message(typ[1], r.take(r.varint()))
+            out[name] = decode_message(typ[1], r.take(r.length()))
         else:  # pragma: no cover - encoder gates first
             raise NotImplementedError(f"protowire: field type {typ!r}")
     return out
@@ -218,5 +247,5 @@ def unframe_records(payload: bytes) -> list[bytes]:
     r = _Reader(payload)
     out = []
     while r.pos < len(r.d):
-        out.append(r.take(r.varint()))
+        out.append(r.take(r.length()))
     return out

@@ -94,3 +94,48 @@ def test_length_bomb_does_not_allocate():
     # protowire: LEN field claiming beyond the buffer
     with pytest.raises(ValueError, match="truncated"):
         decode_message([(1, "a", "bytes")], b"\x0a\xff\xff\xff\x0f" + b"x")
+
+
+def test_protowire_negative_length_varint_does_not_hang():
+    """A 10-byte varint with bit 63 set used as a LENGTH would, under
+    two's-complement decoding, become negative and walk the cursor
+    BACKWARDS — an infinite loop.  Lengths must reject bit-63 values.
+    (ADVICE r11, medium: the two exact payloads that hung.)"""
+    bomb = b"\xf5" + b"\xff" * 8 + b"\x01"
+    with pytest.raises(ValueError, match="length|negative"):
+        decode_message([(1, "a", "bytes")], b"\x0a" + bomb)
+    with pytest.raises(ValueError, match="length|negative"):
+        unframe_records(b"\xf6" + b"\xff" * 8 + b"\x01")
+    # same bomb as an UNKNOWN LEN field's skip length
+    with pytest.raises(ValueError, match="length|negative"):
+        decode_message([(1, "a", "varint")], b"\x12" + bomb)
+    # same bomb for string / packed / nested-message lengths
+    with pytest.raises(ValueError, match="length|negative"):
+        decode_message([(1, "a", "string")], b"\x0a" + bomb)
+    with pytest.raises(ValueError, match="length|negative"):
+        decode_message([(1, "a", ("packed_varint",))], b"\x0a" + bomb)
+    with pytest.raises(ValueError, match="length|negative"):
+        decode_message([(1, "a", ("message", []))], b"\x0a" + bomb)
+
+
+def test_protowire_wire_type_mismatch_raises():
+    """A tag whose wire type contradicts the declared field type must
+    raise, not silently desynchronize the tag stream (ADVICE r11, low)."""
+    # field 1 declared varint, sent as LEN (wt=2)
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message([(1, "a", "varint")], b"\x0a\x01\x00")
+    # field 1 declared sint64, sent as I64 (wt=1)
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message([(1, "a", "sint64")], b"\x09" + b"\x00" * 8)
+    # field 1 declared string, sent as varint (wt=0)
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message([(1, "a", "string")], b"\x08\x05")
+    # field 1 declared bytes, sent as I32 (wt=5)
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message([(1, "a", "bytes")], b"\x0d" + b"\x00" * 4)
+    # field 1 declared packed, sent as varint
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message([(1, "a", ("packed_varint",))], b"\x08\x05")
+    # field 1 declared message, sent as I64
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message([(1, "a", ("message", []))], b"\x09" + b"\x00" * 8)

@@ -92,6 +92,32 @@ def test_guards():
         read_footer(data[: len(data) // 2] + data[-8:])
 
 
+def test_bool_list_elements_consume_one_byte_each(tmp_path):
+    """Compact protocol encodes bool CONTAINER elements as one byte
+    each (1=true, 2=false), unlike bool FIELDS (encoded in the header
+    type).  A walker that reuses the field fast-path would not consume
+    the element bytes and desynchronize (ADVICE r11).  Hand-built
+    struct: field 1 = list<bool>[T,F,T], field 2 = i32(7)."""
+    from national_caseload_data_ingest_spark.sources.parquetmeta import (
+        _Reader,
+    )
+    raw = bytes([
+        0x19,              # field 1, type LIST
+        0x31,              # list header: size 3, elem type TRUE(bool)
+        0x01, 0x02, 0x01,  # true, false, true
+        0x15,              # field 2, type I32
+        0x0E,              # zigzag(7)
+        0x00,              # STOP
+    ])
+    assert _Reader(raw).struct() == {1: [True, False, True], 2: 7}
+    # a bool FIELD still comes from the header type, no extra byte
+    raw2 = bytes([0x11, 0x12, 0x00])  # field1=true, field2=false, STOP
+    assert _Reader(raw2).struct() == {1: True, 2: False}
+    # garbage element byte raises cleanly
+    with pytest.raises(ValueError, match="bool element"):
+        _Reader(bytes([0x19, 0x11, 0x07, 0x00])).struct()
+
+
 def test_backfill_enables_skipping(spark, tmp_path):
     from national_caseload_data_ingest_spark.operators.txlog import (
         txlog_commit,

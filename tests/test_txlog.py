@@ -71,6 +71,21 @@ def test_checkpoint_equivalence_and_bounded_replay(spark, tmp_path):
         txlog_live_files(base, 0)
 
 
+def test_checkpoint_refuses_to_move_backwards(spark, tmp_path):
+    """An explicit older version must not regress _last_checkpoint:
+    later snapshots would replay longer tails and vacuum's retention
+    math would key off a stale pointer (ADVICE r11)."""
+    base = _table(tmp_path, spark)
+    assert txlog_checkpoint(base, 2) == 2
+    with pytest.raises(ValueError, match="behind"):
+        txlog_checkpoint(base, 1)
+    # pointer unchanged, newest-version replay unaffected
+    assert [a["path"] for a in txlog_live_files(base, 2)] == [
+        "f0", "f2", "f3"]
+    # re-checkpointing the SAME version is a harmless no-op rewrite
+    assert txlog_checkpoint(base, 2) == 2
+
+
 def test_version_out_of_range(spark, tmp_path):
     base = _table(tmp_path, spark)
     with pytest.raises(ValueError, match="out of range"):
