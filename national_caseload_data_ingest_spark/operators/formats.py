@@ -1427,17 +1427,22 @@ def pdf_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (`sources/pdftext.py`): each document
     becomes a 2-page PDF — a title page whose line carries parens and a
     backslash (the literal-string escapes are load-bearing) and a body
-    page with the text, Flate-compressed on even docs and plain on odd
-    — then the subset reader walks startxref → classic xref → trailer →
-    page tree → content streams and replays the BT/Td/Tj operators.
-    The oracle rebuilds the expected extraction closed-form, so an
-    xref-offset slip, an escape mishandled, a Flate boundary error, or
-    a page-order bug breaks the hash.  One narrow Arrow kernel, zero
-    shuffle."""
+    page with the text.  The CONTAINER rotates per doc: doc_id % 3 == 0
+    gets the modern PDF 1.5+ form (xref STREAM with PNG-Up
+    predictor-compressed entries + /Type /ObjStm object streams —
+    VERDICT r11 ask #1), the rest the classic xref table,
+    Flate-compressed on even docs and plain on odd.  The subset reader
+    walks startxref → xref table OR stream → trailer → page tree →
+    content streams and replays the BT/Td/Tj operators.  The oracle
+    rebuilds the expected extraction closed-form, so an xref-offset
+    slip, a predictor row mis-reconstructed, an ObjStm header slip, an
+    escape mishandled, a Flate boundary error, or a page-order bug
+    breaks the hash.  One narrow Arrow kernel, zero shuffle."""
     import pandas as pd  # noqa: PLC0415
 
     from national_caseload_data_ingest_spark.sources.pdftext import (  # noqa: PLC0415
         build_pdf,
+        build_pdf_modern,
         extract_text,
     )
 
@@ -1451,7 +1456,8 @@ def pdf_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in pdf_batch.itertuples(index=False):
                 i = int(r.doc_id)
                 header = f"Doc {i} (generated\\backslash)"
-                payload = build_pdf(
+                builder = build_pdf_modern if i % 3 == 0 else build_pdf
+                payload = builder(
                     [[header], [r.text]], flate=(i % 2 == 0)
                 )
                 got = extract_text(payload)

@@ -10,7 +10,11 @@ exactly that subset from the public PDF 1.7 spec (ISO 32000-1) and
 GATES the rest loudly:
 
 * **file structure**: ``startxref`` → classic ``xref`` table sections →
-  ``trailer`` dict (``/Root``); xref STREAMS (1.5+) raise;
+  ``trailer`` dict (``/Root``), AND cross-reference STREAMS (PDF 1.5+,
+  the modern default: ``/Type /XRef`` with ``/W``-packed big-endian
+  entry rows, ``/Index`` subsections, type-2 entries pointing into
+  ``/Type /ObjStm`` object streams), ``/Prev`` chains mixing both forms
+  and the hybrid-file ``/XRefStm`` pointer;
 * **objects**: ``N G obj … endobj``; dictionaries ``<<…>>``, arrays,
   names ``/Name`` (with ``#xx`` escapes), numbers, literal strings
   ``(…)`` incl. ``\\)``/``\\(``/``\\\\``/``\\n``-family and 1-3-digit
@@ -19,7 +23,9 @@ GATES the rest loudly:
 * **page tree**: Root → ``/Pages`` → ``/Kids`` (recursive) → ``/Page``
   → ``/Contents`` (single stream or array, concatenated in order);
 * **streams**: ``/Length`` (direct or indirect), ``/Filter`` absent or
-  ``FlateDecode`` (zlib); predictors, crypt, and other filters raise;
+  ``FlateDecode`` (zlib) with PNG predictors 10-15 (None/Sub/Up/
+  Average/Paeth per-row reconstruction, the xref-stream default);
+  TIFF predictor 2, crypt, and other filters raise;
 * **text operators**: inside ``BT``/``ET`` — ``Tj`` (paint string),
   ``'`` (next line + paint), ``TJ`` (array of strings and kern
   numbers), ``T*``/``Td``/``TD`` treated as line breaks; everything
@@ -192,56 +198,212 @@ class _Lexer:
         return ("num", float(num))
 
 
+def _png_unpredict(data: bytes, columns: int, colors: int,
+                   bpc: int) -> bytes:
+    """Reverse the PNG row filters (RFC 2083 §6) as used by PDF
+    predictors 10-15: each row of ``ceil(columns*colors*bpc/8)`` bytes
+    is prefixed with a filter-type byte (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) and reconstructed against the previous
+    RECONSTRUCTED row."""
+    if columns < 1 or colors < 1 or bpc < 1:
+        raise ValueError("pdf: bad predictor parameters")
+    row_len = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    if len(data) % (row_len + 1):
+        raise ValueError("pdf: predicted data is not whole rows")
+    out = bytearray()
+    prev = bytes(row_len)
+    for at in range(0, len(data), row_len + 1):
+        ftype = data[at]
+        row = bytearray(data[at + 1 : at + 1 + row_len])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"pdf: unknown PNG filter type {ftype}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _png_predict(data: bytes, row_len: int, ftype: int = 2) -> bytes:
+    """The encoder twin: apply one PNG filter to every row (Up by
+    default — what real PDF writers emit for xref streams)."""
+    if len(data) % row_len:
+        raise ValueError("pdf: data is not whole rows")
+    out = bytearray()
+    prev = bytes(row_len)
+    for at in range(0, len(data), row_len):
+        row = data[at : at + row_len]
+        out.append(ftype)
+        if ftype == 0:
+            out += row
+        elif ftype == 2:
+            out += bytes((row[i] - prev[i]) & 0xFF
+                         for i in range(row_len))
+        else:
+            raise ValueError("pdf: encoder supports filters 0 and 2")
+        prev = row
+    return bytes(out)
+
+
 class PdfFile:
     def __init__(self, data: bytes):
         self.d = data
         if not data.startswith(b"%PDF-"):
             raise ValueError("pdf: missing %PDF header")
+        self._objstm_cache: dict[int, tuple[list, bytes, int]] = {}
+        self._objstm_loading: set[int] = set()
         self.trailer, self.xref = self._load_xref()
 
     def _load_xref(self) -> tuple[dict, dict]:
+        """Follow startxref, then the /Prev chain, which may mix
+        classic ``xref`` tables and /Type /XRef streams (incremental
+        updates switch form freely).  Entry values: ``("n", offset)``
+        for top-level objects, ``("c", objstm_num, idx)`` for objects
+        packed in an object stream.  First-seen wins (newest update
+        first), matching the spec's update semantics."""
         tail = self.d[-2048:]
-        m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
-        if not m:
+        # incremental updates append new startxref/%%EOF pairs; the
+        # LIVE one is the LAST (readers scan from end of file)
+        matches = list(re.finditer(rb"startxref\s+(\d+)\s+%%EOF", tail))
+        if not matches:
             raise ValueError("pdf: no startxref")
-        xref: dict[int, int] = {}
+        m = matches[-1]
+        xref: dict[int, tuple] = {}
         trailer: dict = {}
-        offset = int(m.group(1))
-        seen = set()
-        while True:
+        offset: int | None = int(m.group(1))
+        seen: set[int] = set()
+        while offset is not None:
             if offset in seen:
                 raise ValueError("pdf: xref /Prev cycle")
             seen.add(offset)
-            if not self.d[offset : offset + 4] == b"xref":
-                raise NotImplementedError(
-                    "pdf: cross-reference streams (PDF 1.5+) not "
-                    "supported; classic xref tables only"
-                )
-            lex = _Lexer(self.d, offset + 4)
-            while True:
-                lex._skip_ws()
-                if self.d[lex.pos : lex.pos + 7] == b"trailer":
-                    lex.pos += 7
-                    t = lex.token()
-                    if not (isinstance(t, tuple) and t[0] == "dict"):
-                        raise ValueError("pdf: trailer is not a dict")
-                    for k, v in t[1].items():
-                        trailer.setdefault(k, v)
-                    prev = t[1].get("Prev")
-                    break
-                m2 = re.match(rb"(\d+)\s+(\d+)\s*", self.d[lex.pos:])
-                if not m2:
-                    raise ValueError("pdf: bad xref subsection header")
-                start, count = int(m2.group(1)), int(m2.group(2))
-                lex.pos += m2.end()
-                for i in range(count):
-                    row = self.d[lex.pos : lex.pos + 20]
-                    lex.pos += 20
-                    if row[17:18] == b"n":
-                        xref.setdefault(start + i, int(row[:10]))
-            if prev is None:
-                return trailer, xref
-            offset = int(prev[1])
+            if self.d[offset : offset + 4] == b"xref":
+                entries, tdict = self._parse_classic_section(offset)
+                # hybrid-reference file: the classic trailer's /XRefStm
+                # points at a companion xref stream whose entries take
+                # PRECEDENCE over this table's (ISO 32000-1 §7.5.8.4)
+                hyb = tdict.get("XRefStm")
+                if isinstance(hyb, tuple) and hyb[0] == "num":
+                    s_entries, _sd = self._parse_xref_stream(
+                        int(hyb[1]))
+                    for k, v in s_entries.items():
+                        xref.setdefault(k, v)
+            else:
+                entries, tdict = self._parse_xref_stream(offset)
+            for k, v in entries.items():
+                xref.setdefault(k, v)
+            for k, v in tdict.items():
+                trailer.setdefault(k, v)
+            prev = tdict.get("Prev")
+            offset = int(prev[1]) if prev is not None else None
+        return trailer, xref
+
+    def _parse_classic_section(
+        self, offset: int
+    ) -> tuple[dict, dict]:
+        xref: dict[int, tuple] = {}
+        lex = _Lexer(self.d, offset + 4)
+        while True:
+            lex._skip_ws()
+            if self.d[lex.pos : lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                t = lex.token()
+                if not (isinstance(t, tuple) and t[0] == "dict"):
+                    raise ValueError("pdf: trailer is not a dict")
+                return xref, t[1]
+            m2 = re.match(rb"(\d+)\s+(\d+)\s*", self.d[lex.pos:])
+            if not m2:
+                raise ValueError("pdf: bad xref subsection header")
+            start, count = int(m2.group(1)), int(m2.group(2))
+            lex.pos += m2.end()
+            for i in range(count):
+                row = self.d[lex.pos : lex.pos + 20]
+                lex.pos += 20
+                if row[17:18] == b"n":
+                    xref.setdefault(start + i, ("n", int(row[:10])))
+
+    def _parse_xref_stream(self, offset: int) -> tuple[dict, dict]:
+        """A /Type /XRef stream object at ``offset``: /W gives the
+        big-endian byte width of each of the 3 entry fields, /Index
+        the (start, count) subsections (default [0, /Size]).  Entry
+        types: 0 = free, 1 = (offset, gen), 2 = (objstm, idx)."""
+        obj = self._object_at(offset)
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise ValueError("pdf: xref offset is not a stream object")
+        sdict, body = obj[1], obj[2]
+        if self.resolve(sdict.get("Type")) != ("name", "XRef"):
+            raise ValueError("pdf: xref stream missing /Type /XRef")
+        w_arr = self.resolve(sdict.get("W"))
+        if not (isinstance(w_arr, tuple) and w_arr[0] == "arr"
+                and len(w_arr[1]) == 3):
+            raise ValueError("pdf: xref stream /W must be 3 numbers")
+        w = [int(x[1]) for x in w_arr[1]]
+        size = self.resolve(sdict.get("Size"))
+        if not (isinstance(size, tuple) and size[0] == "num"):
+            raise ValueError("pdf: xref stream /Size missing")
+        index = self.resolve(sdict.get("Index"))
+        if index is None:
+            spans = [(0, int(size[1]))]
+        else:
+            nums = [int(x[1]) for x in index[1]]
+            if len(nums) % 2:
+                raise ValueError("pdf: /Index needs (start,count) pairs")
+            spans = list(zip(nums[::2], nums[1::2]))
+        row_len = sum(w)
+        if row_len == 0:
+            raise ValueError("pdf: xref stream /W all-zero")
+        xref: dict[int, tuple] = {}
+        pos = 0
+        for start, count in spans:
+            for i in range(count):
+                row = body[pos : pos + row_len]
+                if len(row) < row_len:
+                    raise ValueError("pdf: truncated xref stream")
+                pos += row_len
+                fields = []
+                at = 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[at : at + width], "big")
+                        if width else None)
+                    at += width
+                # W[0]==0 means the type field defaults to 1 (in-use)
+                etype = fields[0] if w[0] else 1
+                num = start + i
+                if etype == 1:
+                    xref.setdefault(num, ("n", fields[1]))
+                elif etype == 2:
+                    xref.setdefault(num, ("c", fields[1], fields[2]))
+                # type 0 (free) and unknown future types: skip (spec:
+                # readers shall treat unknown types as free)
+        tdict = {k: v for k, v in sdict.items()
+                 if k in ("Root", "Info", "Prev", "Size", "ID",
+                          "Encrypt")}
+        return xref, tdict
 
     def resolve(self, v):
         """Follow indirect references to a direct value."""
@@ -250,12 +412,35 @@ class PdfFile:
         return v
 
     def object(self, num: int):
-        off = self.xref.get(num)
-        if off is None:
+        xref = getattr(self, "xref", None)
+        if xref is None:
+            # an xref-stream dict used an indirect value; the spec
+            # requires them direct (ISO 32000-1 §7.5.8.2)
+            raise ValueError(
+                "pdf: indirect reference inside the xref stream dict")
+        ent = xref.get(num)
+        if ent is None:
             raise ValueError(f"pdf: object {num} not in xref")
-        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.d[off:])
-        if not m or int(m.group(1)) != num:
+        if ent[0] == "c":
+            return self._objstm_object(num, ent[1], ent[2])
+        off = ent[1]
+        got = self._object_at(off)
+        if got is not None and self._obj_num_at(off) != num:
             raise ValueError(f"pdf: object header mismatch at {off}")
+        return got
+
+    def _obj_num_at(self, off: int) -> int:
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.d[off:])
+        if not m:
+            raise ValueError(f"pdf: no object header at {off}")
+        return int(m.group(1))
+
+    def _object_at(self, off: int):
+        """Parse the ``N G obj … endobj`` at a byte offset (also used
+        for the xref stream itself, before any xref map exists)."""
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.d[off:])
+        if not m:
+            raise ValueError(f"pdf: no object header at {off}")
         lex = _Lexer(self.d, off + m.end())
         val = lex.token()
         lex._skip_ws()
@@ -264,6 +449,47 @@ class PdfFile:
                 raise ValueError("pdf: stream without a dict")
             return ("stream", val[1], self._stream_body(lex, val[1]))
         return val
+
+    def _objstm_object(self, num: int, stm_num: int, idx: int):
+        """A type-2 xref entry: object ``num`` is the ``idx``-th member
+        of the /Type /ObjStm stream object ``stm_num``."""
+        if stm_num in self._objstm_loading:
+            raise ValueError("pdf: object stream references itself")
+        if stm_num not in self._objstm_cache:
+            self._objstm_loading.add(stm_num)
+            try:
+                stm = self.object(stm_num)
+            finally:
+                self._objstm_loading.discard(stm_num)
+            if not (isinstance(stm, tuple) and stm[0] == "stream"):
+                raise ValueError(f"pdf: object {stm_num} is not a "
+                                 "stream (ObjStm expected)")
+            sd, body = stm[1], stm[2]
+            if self.resolve(sd.get("Type")) != ("name", "ObjStm"):
+                raise ValueError("pdf: missing /Type /ObjStm")
+            n = self.resolve(sd.get("N"))
+            first = self.resolve(sd.get("First"))
+            if not (isinstance(n, tuple) and n[0] == "num"
+                    and isinstance(first, tuple) and first[0] == "num"):
+                raise ValueError("pdf: ObjStm /N or /First missing")
+            hdr = _Lexer(body)
+            pairs = []
+            for _ in range(int(n[1])):
+                a, b = hdr.token(), hdr.token()
+                if not (isinstance(a, tuple) and a[0] == "num"
+                        and isinstance(b, tuple) and b[0] == "num"):
+                    raise ValueError("pdf: bad ObjStm header pair")
+                pairs.append((int(a[1]), int(b[1])))
+            self._objstm_cache[stm_num] = (pairs, body, int(first[1]))
+        pairs, body, first = self._objstm_cache[stm_num]
+        if not 0 <= idx < len(pairs):
+            raise ValueError(f"pdf: ObjStm index {idx} out of range")
+        objnum, rel = pairs[idx]
+        if objnum != num:
+            raise ValueError(
+                f"pdf: ObjStm header says object {objnum} at index "
+                f"{idx}, xref says {num}")
+        return _Lexer(body, first + rel).token()
 
     def _stream_body(self, lex: _Lexer, sdict: dict) -> bytes:
         pos = lex.pos + 6
@@ -279,14 +505,31 @@ class PdfFile:
         if filt is None:
             return raw
         if isinstance(filt, tuple) and filt == ("name", "FlateDecode"):
-            if "DecodeParms" in sdict:
-                raise NotImplementedError(
-                    "pdf: Flate predictors not supported")
             try:
-                return zlib.decompress(raw)
+                flat = zlib.decompress(raw)
             except zlib.error as e:
                 raise ValueError(f"pdf: corrupt Flate stream ({e})") \
                     from None
+            parms = self.resolve(sdict.get("DecodeParms"))
+            if parms is None:
+                return flat
+            if not (isinstance(parms, tuple) and parms[0] == "dict"):
+                raise ValueError("pdf: /DecodeParms is not a dict")
+            pd = parms[1]
+
+            def _num(key, default):
+                v = self.resolve(pd.get(key))
+                return int(v[1]) if v is not None else default
+
+            predictor = _num("Predictor", 1)
+            if predictor == 1:
+                return flat
+            if 10 <= predictor <= 15:
+                return _png_unpredict(
+                    flat, _num("Columns", 1), _num("Colors", 1),
+                    _num("BitsPerComponent", 8))
+            raise NotImplementedError(
+                f"pdf: predictor {predictor} (TIFF) not supported")
         raise NotImplementedError(f"pdf: stream filter {filt!r}")
 
     def pages(self) -> list[dict]:
@@ -427,4 +670,111 @@ def build_pdf(pages: list[list[str]], flate: bool = True) -> bytes:
         + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
         + b"\n%%EOF\n"
     )
+    return bytes(out)
+
+
+def _page_objects(pages: list[list[str]], flate: bool):
+    """Shared object bodies for both builders: (page_dicts,
+    content_objs) with the classic numbering (page i dict = 3+2i,
+    content stream = 4+2i)."""
+    page_dicts, content_objs = [], []
+    for i, lines in enumerate(pages):
+        content = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                content += b"T*\n"
+            content += b"(" + _esc(line) + b") Tj\n"
+        content += b"ET"
+        body = zlib.compress(bytes(content)) if flate else bytes(content)
+        page_dicts.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents " + str(4 + 2 * i).encode() + b" 0 R >>"
+        )
+        head = b"<< /Length " + str(len(body)).encode()
+        if flate:
+            head += b" /Filter /FlateDecode"
+        head += b" >>"
+        content_objs.append(head + b"\nstream\n" + body
+                            + b"\nendstream")
+    return page_dicts, content_objs
+
+
+def build_pdf_modern(pages: list[list[str]], flate: bool = True,
+                     objstm: bool = True,
+                     predictor: int = 12) -> bytes:
+    """The PDF 1.5+ builder twin: same page content as ``build_pdf``
+    but the cross-reference is a /Type /XRef STREAM (W-packed rows,
+    PNG-Up predictor by default) and — with ``objstm=True`` — the
+    catalog / pages node / page dicts are packed into a /Type /ObjStm
+    object stream behind type-2 entries.  This is what modern writers
+    emit by default, and the decode side is VERDICT r11 ask #1."""
+    n_pages = len(pages)
+    kid_refs = " ".join(
+        f"{3 + 2 * i} 0 R" for i in range(n_pages)).encode()
+    catalog = b"<< /Type /Catalog /Pages 2 0 R >>"
+    pages_node = (b"<< /Type /Pages /Kids [" + kid_refs
+                  + b"] /Count " + str(n_pages).encode() + b" >>")
+    page_dicts, content_objs = _page_objects(pages, flate)
+
+    out = bytearray(b"%PDF-1.5\n")
+    entries: dict[int, tuple] = {0: (0, 0, 65535)}
+    top_level: list[tuple[int, bytes]] = []
+    if objstm:
+        objstm_num = 3 + 2 * n_pages
+        xref_num = objstm_num + 1
+        members = [(1, catalog), (2, pages_node)] + [
+            (3 + 2 * i, pd) for i, pd in enumerate(page_dicts)]
+        body = bytearray()
+        offs = []
+        for num, b in members:
+            offs.append((num, len(body)))
+            body += b + b"\n"
+        header = (" ".join(f"{num} {off}" for num, off in offs)
+                  .encode() + b"\n")
+        payload = bytes(header) + bytes(body)
+        stm_body = zlib.compress(payload)
+        top_level.append((objstm_num, (
+            b"<< /Type /ObjStm /N " + str(len(members)).encode()
+            + b" /First " + str(len(header)).encode()
+            + b" /Length " + str(len(stm_body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + stm_body
+            + b"\nendstream")))
+        for idx, (num, _b) in enumerate(members):
+            entries[num] = (2, objstm_num, idx)
+    else:
+        xref_num = 3 + 2 * n_pages
+        top_level.append((1, catalog))
+        top_level.append((2, pages_node))
+        for i, pd in enumerate(page_dicts):
+            top_level.append((3 + 2 * i, pd))
+    for i, co in enumerate(content_objs):
+        top_level.append((4 + 2 * i, co))
+    top_level.sort()
+    for num, obj in top_level:
+        entries[num] = (1, len(out), 0)
+        out += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
+
+    xref_at = len(out)
+    entries[xref_num] = (1, xref_at, 0)
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        t, f2, f3 = entries.get(num, (0, 0, 65535))
+        rows.append(t)
+        rows += f2.to_bytes(4, "big")
+        rows += f3.to_bytes(2, "big")
+    head = (b"<< /Type /XRef /Size " + str(size).encode()
+            + b" /W [1 4 2] /Root 1 0 R")
+    if predictor >= 10:
+        data = zlib.compress(_png_predict(bytes(rows), 7, ftype=2))
+        head += (b" /Filter /FlateDecode /DecodeParms "
+                 b"<< /Predictor " + str(predictor).encode()
+                 + b" /Columns 7 >>")
+    else:
+        data = zlib.compress(bytes(rows))
+        head += b" /Filter /FlateDecode"
+    head += b" /Length " + str(len(data)).encode() + b" >>"
+    out += (f"{xref_num} 0 obj\n".encode() + head + b"\nstream\n"
+            + data + b"\nendstream\nendobj\n")
+    out += (b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n")
     return bytes(out)

@@ -104,6 +104,177 @@ def test_gates_and_guards():
     assert z  # silence linters
 
 
+def test_modern_xref_stream_and_objstm_roundtrip():
+    """PDF 1.5+ containers (xref STREAM + object streams + PNG-Up
+    predictor) must extract identically to the classic container."""
+    from national_caseload_data_ingest_spark.sources.pdftext import (
+        build_pdf_modern,
+    )
+    pages = [
+        ["Doc 7 (generated\\backslash)"],
+        ["body text with (parens)", "and a second line"],
+    ]
+    want = extract_text(build_pdf(pages))
+    for objstm in (True, False):
+        for predictor in (12, 0):
+            for flate in (True, False):
+                got = extract_text(build_pdf_modern(
+                    pages, flate=flate, objstm=objstm,
+                    predictor=predictor))
+                assert got == want, (objstm, predictor, flate)
+    # structure spot-check: type-2 entries exist when objstm=True
+    pdf = PdfFile(build_pdf_modern(pages, objstm=True))
+    kinds = {v[0] for v in pdf.xref.values()}
+    assert kinds == {"n", "c"}
+    assert len(pdf.pages()) == 2
+
+
+def test_png_predictor_filters_roundtrip():
+    """All five PNG row filters reconstruct, checked against an
+    in-test reference ENCODER (independent of the decoder's loops)."""
+    import random
+
+    from national_caseload_data_ingest_spark.sources.pdftext import (
+        _png_unpredict,
+    )
+
+    def ref_encode(rows, ftype, bpp):
+        out = bytearray()
+        prev = bytes(len(rows[0]))
+        for row in rows:
+            out.append(ftype)
+            for i, x in enumerate(row):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                out.append((x - pred) & 0xFF)
+            prev = bytes(row)
+        return bytes(out)
+
+    rng = random.Random(12)
+    for columns, colors, bpc in [(7, 1, 8), (5, 3, 8), (4, 1, 16)]:
+        row_len = (columns * colors * bpc + 7) // 8
+        bpp = max(1, (colors * bpc + 7) // 8)
+        rows = [bytes(rng.randrange(256) for _ in range(row_len))
+                for _ in range(6)]
+        raw = b"".join(rows)
+        for ftype in range(5):
+            enc = ref_encode(rows, ftype, bpp)
+            assert _png_unpredict(enc, columns, colors, bpc) == raw, \
+                (columns, colors, bpc, ftype)
+    # guards
+    with pytest.raises(ValueError, match="filter type"):
+        _png_unpredict(bytes([9, 0, 0]), 2, 1, 8)
+    with pytest.raises(ValueError, match="whole rows"):
+        _png_unpredict(bytes(4), 4, 1, 8)
+
+
+def test_incremental_update_xref_stream_prev_to_classic():
+    """An appended update whose xref STREAM /Prev points back at the
+    CLASSIC table: the update's entry for the replaced content stream
+    must win, everything else resolves through /Prev."""
+    import re
+    import zlib as _z
+
+    from national_caseload_data_ingest_spark.sources.pdftext import (
+        _png_predict,
+    )
+    base = build_pdf([["original text"]])
+    classic_at = int(
+        re.search(rb"startxref\s+(\d+)", base).group(1))
+    out = bytearray(base)
+    content = b"BT /F1 12 Tf 72 720 Td\n(updated text) Tj\nET"
+    body = _z.compress(content)
+    off4 = len(out)
+    out += (b"4 0 obj\n<< /Length " + str(len(body)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + body
+            + b"\nendstream\nendobj\n")
+    xoff = len(out)
+    rows = (bytes([1]) + off4.to_bytes(4, "big") + bytes(2)
+            + bytes([1]) + xoff.to_bytes(4, "big") + bytes(2))
+    data = _z.compress(_png_predict(rows, 7))
+    out += (b"5 0 obj\n<< /Type /XRef /Size 6 /W [1 4 2] "
+            b"/Index [4 1 5 1] /Root 1 0 R /Prev "
+            + str(classic_at).encode()
+            + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b"/Columns 7 >> /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream\nendobj\n")
+    out += b"startxref\n" + str(xoff).encode() + b"\n%%EOF\n"
+    assert extract_text(bytes(out)) == "updated text"
+    # and the pre-update file still reads the original
+    assert extract_text(base) == "original text"
+
+
+def test_hybrid_xrefstm_takes_precedence_over_classic_row():
+    """Hybrid-reference file: the classic trailer's /XRefStm entries
+    must be consulted BEFORE the classic table's own rows (we corrupt
+    the classic row so only the precedence order extracts)."""
+    import re
+    import zlib as _z
+
+    base = bytearray(build_pdf([["hybrid wins"]]))
+    xref_at = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    # classic rows: free + objects 1..4, 20 bytes each after "xref\n0 5\n"
+    rows_at = xref_at + len(b"xref\n0 5\n")
+    row4_at = rows_at + 4 * 20
+    off4 = int(base[row4_at : row4_at + 10])
+    off3 = int(base[rows_at + 3 * 20 : rows_at + 3 * 20 + 10])
+    base[row4_at : row4_at + 10] = f"{off3:010d}".encode()  # corrupt
+    # append an xref stream with the CORRECT entry for object 4;
+    # fixed-point the /XRefStm offset (inserting it shifts the tail)
+    ins_at = base.index(b" >>", base.index(b"trailer"))
+    xoff = 0
+    for _ in range(4):
+        ins = f" /XRefStm {xoff}".encode()
+        new_xoff = len(base) + len(ins)
+        if new_xoff == xoff:
+            break
+        xoff = new_xoff
+    rows = bytes([1]) + off4.to_bytes(4, "big") + bytes(2)
+    data = _z.compress(rows)
+    out = bytes(base[:ins_at]) + ins + bytes(base[ins_at:])
+    assert len(out) == xoff
+    out += (b"5 0 obj\n<< /Type /XRef /Size 6 /W [1 4 2] /Index [4 1]"
+            b" /Root 1 0 R /Filter /FlateDecode /Length "
+            + str(len(data)).encode() + b" >>\nstream\n" + data
+            + b"\nendstream\nendobj\n")
+    out += (b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n")
+    assert extract_text(out) == "hybrid wins"
+
+
+def test_modern_gates():
+    """Corrupt modern containers raise cleanly."""
+    from national_caseload_data_ingest_spark.sources.pdftext import (
+        build_pdf_modern,
+    )
+    good = build_pdf_modern([["x"]], objstm=True)
+    # /Type /XRef renamed (same length so offsets hold)
+    bad = good.replace(b"/Type /XRef", b"/Type /XreF")
+    with pytest.raises(ValueError, match="XRef"):
+        extract_text(bad)
+    # /Type /ObjStm renamed
+    bad = good.replace(b"/Type /ObjStm", b"/Type /ObjStX")
+    with pytest.raises(ValueError, match="ObjStm"):
+        extract_text(bad)
+    # TIFF predictor gates
+    bad = good.replace(b"/Predictor 12", b"/Predictor 02")
+    with pytest.raises(NotImplementedError, match="predictor"):
+        extract_text(bad)
+
+
 def test_multi_page_order_and_page_tree_recursion():
     pages = [[f"page {i}"] for i in range(5)]
     got = extract_text(build_pdf(pages))
