@@ -1354,13 +1354,17 @@ def zip_member_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies of the text under a stored/deflate rotation plus an archive
     comment (the EOCD backward scan is load-bearing); the walker
     enumerates the central directory, revalidates every local header
-    against it, decompresses, and VERIFIES each CRC-32.  Member
-    digests, counts, byte totals, and the deflate census hash-match the
-    closed form at every scale.  One narrow Arrow kernel, zero
-    shuffle."""
+    against it, decompresses, and VERIFIES each CRC-32.  Every third
+    doc's container is rewritten into ZIP64 form (maxed EOCD behind an
+    EOCD64 record + locator, per-entry sizes/offsets in 0x0001 extras
+    — VERDICT r11 ask #2), so the 8-byte header arithmetic is in the
+    oracle rotation.  Member digests, counts, byte totals, and the
+    deflate census hash-match the closed form at every scale.  One
+    narrow Arrow kernel, zero shuffle."""
     import pandas as pd  # noqa: PLC0415
 
     from national_caseload_data_ingest_spark.sources.zipnative import (  # noqa: PLC0415
+        to_zip64,
         zip_walk,
     )
 
@@ -1389,7 +1393,10 @@ def zip_member_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ),
                         )
                     zf.comment = f"archive for doc {i}".encode()
-                members = zip_walk(buf.getvalue())
+                payload = buf.getvalue()
+                if i % 3 == 0:
+                    payload = to_zip64(payload)
+                members = zip_walk(payload)
                 digests = {_h.md5(m["data"]).hexdigest()
                            for m in members}
                 if len(digests) != 1:

@@ -57,6 +57,123 @@ def test_crc_and_name_guards():
         zip_walk(bytes(payload))
 
 
+def test_zip64_stdlib_archive_roundtrips():
+    """REAL zip64 archives from stdlib zipfile: force_zip64 members
+    walk cleanly, and an archive crossing the 65535-entry threshold
+    makes stdlib emit a genuine EOCD64 record + locator."""
+    buf = io.BytesIO()
+    members = [("big/a.bin", b"alpha " * 200), ("b.txt", b"beta")]
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members:
+            with zf.open(zipfile.ZipInfo(name), "w",
+                         force_zip64=True) as f:
+                f.write(data)
+    got = zip_walk(buf.getvalue())
+    assert [(m["name"], m["data"]) for m in got] == members
+
+    buf = io.BytesIO()
+    n = 65536  # one past the classic EOCD's 16-bit entry count
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(n):
+            zf.writestr(f"m{i:05d}", b"")
+    payload = buf.getvalue()
+    assert b"PK\x06\x06" in payload  # stdlib wrote a real EOCD64
+    got = zip_walk(payload)
+    assert len(got) == n
+    assert got[0]["name"] == "m00000" and got[-1]["name"] == "m65535"
+
+
+def test_zip64_header_arithmetic_beyond_4gib():
+    """>4 GiB members need only the HEADER math: the 0x0001 extra's
+    8-byte values must be taken in field order, for exactly the maxed
+    fields (a sparse forged archive, no giant fixture)."""
+    from national_caseload_data_ingest_spark.sources.zipnative import (
+        _zip64_extra,
+    )
+    five_gib = 5 * 2**30
+    extra = (b"\x01\x00\x18\x00"
+             + five_gib.to_bytes(8, "little")
+             + (five_gib + 7).to_bytes(8, "little")
+             + (2**33).to_bytes(8, "little"))
+    assert _zip64_extra(extra, 0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF) \
+        == (five_gib, five_gib + 7, 2**33)
+    # ONLY the offset maxed: the single 8-byte value is the offset
+    extra = b"\x01\x00\x08\x00" + (2**35).to_bytes(8, "little")
+    assert _zip64_extra(extra, 100, 50, 0xFFFFFFFF) == (100, 50, 2**35)
+    # maxed fields but no zip64 extra present: loud error
+    with pytest.raises(ValueError, match="no zip64 extra"):
+        _zip64_extra(b"\x99\x99\x04\x00abcd", 0xFFFFFFFF, 1, 2)
+    # extra too short for the number of maxed fields: loud error
+    with pytest.raises(ValueError, match="too short"):
+        _zip64_extra(b"\x01\x00\x08\x00" + bytes(8),
+                     0xFFFFFFFF, 0xFFFFFFFF, 2)
+
+
+def test_to_zip64_rewrite_roundtrips():
+    """to_zip64 rewrites only the container tail: the walk output is
+    identical to the classic archive's, the EOCD64 machinery is real,
+    and the archive comment survives."""
+    from national_caseload_data_ingest_spark.sources.zipnative import (
+        to_zip64,
+    )
+    members = [("a.txt", b"alpha " * 100), ("d/b.bin", bytes(range(256)))]
+    classic = _zip(members, comment=b"kept comment")
+    z64 = to_zip64(classic)
+    assert z64 != classic
+    assert b"PK\x06\x06" in z64 and b"PK\x06\x07" in z64
+    assert z64.endswith(b"kept comment")
+    want = [(m["name"], m["data"], m["method"]) for m in zip_walk(classic)]
+    got = [(m["name"], m["data"], m["method"]) for m in zip_walk(z64)]
+    assert got == want
+    # idempotent: an already-zip64 archive passes through unchanged
+    assert to_zip64(z64) == z64
+    # stdlib agrees the rewrite is a valid archive
+    with zipfile.ZipFile(io.BytesIO(z64)) as zf:
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] \
+            == members
+
+
+def test_zip64_forged_sparse_archive_walks():
+    """Hand-forge a zip64 container around a small member: classic
+    EOCD fully maxed, counts/offsets only in the EOCD64 record, the
+    entry's size/offset fields maxed and resolved via the extra."""
+    import struct
+    import zlib as _z
+
+    name, data = b"sparse.bin", b"tiny payload"
+    crc = _z.crc32(data) & 0xFFFFFFFF
+    local = (b"PK\x03\x04" + struct.pack("<HHHHHIII", 45, 0, 0, 0, 0,
+                                         crc, len(data), len(data))
+             + struct.pack("<HH", len(name), 0) + name + data)
+    extra = (b"\x01\x00\x18\x00"
+             + len(data).to_bytes(8, "little")
+             + len(data).to_bytes(8, "little")
+             + (0).to_bytes(8, "little"))  # local header at offset 0
+    central = (b"PK\x01\x02" + struct.pack(
+        "<HHHHHHIII", 45, 45, 0, 0, 0, 0, crc, 0xFFFFFFFF, 0xFFFFFFFF)
+        + struct.pack("<HHHHHII", len(name), len(extra), 0, 0, 0, 0,
+                      0xFFFFFFFF)
+        + name + extra)
+    cd_off = len(local)
+    eocd64_off = cd_off + len(central)
+    eocd64 = (b"PK\x06\x06" + struct.pack(
+        "<QHHIIQQQQ", 44, 45, 45, 0, 0, 1, 1, len(central), cd_off))
+    locator = b"PK\x06\x07" + struct.pack("<IQI", 0, eocd64_off, 1)
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF,
+        0xFFFFFFFF, 0xFFFFFFFF, 0)
+    payload = local + central + eocd64 + locator + eocd
+    got = zip_walk(payload)
+    assert [(m["name"], m["data"], m["size"]) for m in got] == [
+        ("sparse.bin", data, len(data))]
+    # chop the EOCD64 record out: the locator dangles, loud error
+    with pytest.raises(ValueError, match="zip64 EOCD record"):
+        zip_walk(local + central + locator + eocd)
+    # maxed EOCD with no locator at all: loud error
+    with pytest.raises(ValueError, match="locator"):
+        zip_walk(local + central + eocd)
+
+
 def test_gates_and_structure_errors():
     with pytest.raises(ValueError, match="end-of-central"):
         zip_walk(b"not a zip at all")
