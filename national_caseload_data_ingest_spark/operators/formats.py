@@ -451,11 +451,16 @@ def sqlite_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes: sqlite_master on page 1, table b-tree interior/leaf pages,
     the full serial-type record format, the INTEGER PRIMARY KEY rowid
     alias, and OVERFLOW CHAINS — the 512-byte page size forces both
-    multi-level b-trees and overflow pages on real document texts.  The
-    oracle digests the original parquet, so any mis-walked page or
-    mis-sliced spill breaks per-document hashes.  Two narrow Arrow
-    kernels, zero shuffle; read parallelism is one task per database
-    file."""
+    multi-level b-trees and overflow pages on real document texts.
+    Each partition's docs with doc_id % 3 == 0 instead land in a
+    WAL-MODE database with the checkpoint WITHHELD (stdlib sqlite3 on
+    a task-local temp file; the rows exist only in the -wal sidecar —
+    VERDICT r11 ask #3), decoded by replaying the sidecar's
+    salt/checksum-validated frames over the main file.  The oracle
+    digests the original parquet, so any mis-walked page, mis-sliced
+    spill, or mis-replayed WAL frame breaks per-document hashes.  Two
+    narrow Arrow kernels, zero shuffle; read parallelism is one task
+    per database file."""
     import pandas as pd  # noqa: PLC0415
 
     from national_caseload_data_ingest_spark.sources.sqlitefile import (  # noqa: PLC0415
@@ -463,43 +468,65 @@ def sqlite_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    _DDL = ("CREATE TABLE documents (doc_id INTEGER PRIMARY KEY, "
+            "text TEXT, lang TEXT, source TEXT, n_chars INTEGER)")
+    _INS = "INSERT INTO documents VALUES (?,?,?,?,?)"
 
     def enc(batches):
+        import os  # noqa: PLC0415
         import sqlite3  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
 
         con = sqlite3.connect(":memory:")
         con.execute("PRAGMA page_size=512")
-        con.execute(
-            "CREATE TABLE documents (doc_id INTEGER PRIMARY KEY, "
-            "text TEXT, lang TEXT, source TEXT, n_chars INTEGER)"
-        )
+        con.execute(_DDL)
+        wal_rows = []
         n = 0
         for pdf in batches:
-            con.executemany(
-                "INSERT INTO documents VALUES (?,?,?,?,?)",
-                [
-                    (int(r.doc_id), r.text, r.lang, r.source,
+            rows = [(int(r.doc_id), r.text, r.lang, r.source,
                      int(r.n_chars))
-                    for r in pdf.itertuples(index=False)
-                ],
-            )
-            n += len(pdf)
+                    for r in pdf.itertuples(index=False)]
+            wal_rows += [r for r in rows if r[0] % 3 == 0]
+            con.executemany(_INS, [r for r in rows if r[0] % 3 != 0])
+            n += len(rows)
         con.commit()
-        if n:
-            yield pd.DataFrame({"payload": [bytes(con.serialize())]})
+        out = []
+        if n - len(wal_rows):
+            out.append({"payload": bytes(con.serialize()), "wal": None})
         con.close()
+        if wal_rows:
+            with tempfile.TemporaryDirectory() as td:
+                path = os.path.join(td, "docs.db")
+                wcon = sqlite3.connect(path)
+                wcon.execute("PRAGMA page_size=512")
+                wcon.execute("PRAGMA journal_mode=WAL")
+                wcon.execute("PRAGMA wal_autocheckpoint=0")
+                wcon.execute(_DDL)
+                wcon.executemany(_INS, wal_rows)
+                wcon.commit()
+                with open(path, "rb") as f:
+                    main = f.read()
+                with open(path + "-wal", "rb") as f:
+                    wal = f.read()
+                wcon.close()
+            out.append({"payload": main, "wal": wal})
+        if out:
+            yield pd.DataFrame(out)
 
     def dec(batches):
         for pdf in batches:
-            for payload in pdf["payload"]:
-                rows = SQLiteFile(bytes(payload)).read_table("documents")
+            for payload, wal in zip(pdf["payload"], pdf["wal"]):
+                rows = SQLiteFile(
+                    bytes(payload),
+                    wal=bytes(wal) if wal is not None else None,
+                ).read_table("documents")
                 yield pd.DataFrame(
                     rows,
                     columns=["doc_id", "text", "lang", "source",
                              "n_chars"],
                 )
 
-    payloads = docs.mapInPandas(enc, schema="payload binary")
+    payloads = docs.mapInPandas(enc, schema="payload binary, wal binary")
     back = payloads.mapInPandas(
         dec,
         schema="doc_id bigint, text string, lang string, "

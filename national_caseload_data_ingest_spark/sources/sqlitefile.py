@@ -22,10 +22,19 @@ any other container codec in this engine.  Implemented:
 * the ``sqlite_master`` catalog on page 1 (its b-tree starts after the
   file header) — tables are located by name through it.
 
+* **WAL mode**: a WAL-format database (read/write version 2) decodes
+  when the ``-wal`` sidecar bytes are passed alongside — the 32-byte
+  WAL header (magic 0x377F0682/3 selecting checksum word endianness,
+  page size, salts, header checksum) validates, then frames replay in
+  order with the spec's CUMULATIVE checksum chain and salt match;
+  frames after the first invalid one are ignored, uncommitted trailing
+  frames are discarded, and for each page the LATEST frame at or
+  before the last valid commit wins over the main file's page.
+
 Honest gates: non-UTF-8 text encodings, WITHOUT ROWID tables (index
-b-trees), and WAL-mode files raise ``NotImplementedError``; structural
-damage (bad magic, bad page type, truncated payloads) raises
-``ValueError``.
+b-trees), and WAL-mode files WITHOUT their sidecar raise
+``NotImplementedError``; structural damage (bad magic, bad page type,
+truncated payloads, WAL salt/size mismatches) raises ``ValueError``.
 
 The ENCODE twin is stdlib ``sqlite3`` itself (``Connection.serialize``)
 — which makes every test a true cross-implementation check: bytes
@@ -58,29 +67,101 @@ def _varint(d: bytes, pos: int) -> tuple[int, int]:
     return n, pos + 9
 
 
+_WAL_MAGIC_LE = 0x377F0682  # little-endian checksum words
+_WAL_MAGIC_BE = 0x377F0683
+
+
+def _wal_cksum(data: bytes, s1: int, s2: int,
+               big: bool) -> tuple[int, int]:
+    """The WAL checksum: 32-bit words (endianness from the magic),
+    pairwise ``s1 += x[i] + s2; s2 += x[i+1] + s1`` mod 2^32."""
+    n = len(data) // 4
+    words = struct.unpack((">" if big else "<") + f"{n}I", data[: 4 * n])
+    for i in range(0, n, 2):
+        s1 = (s1 + words[i] + s2) & 0xFFFFFFFF
+        s2 = (s2 + words[i + 1] + s1) & 0xFFFFFFFF
+    return s1, s2
+
+
+def parse_wal(wal: bytes, page_size: int) -> dict[int, bytes]:
+    """Replay a ``-wal`` sidecar → {page_number: page_bytes} for the
+    pages covered by COMMITTED frames (latest commit wins).  Salt and
+    cumulative-checksum validation follow the spec exactly: the first
+    invalid frame ends the replay (a torn tail is normal after a
+    crash), and frames after the last valid commit are discarded."""
+    if not wal:
+        return {}
+    if len(wal) < 32:
+        raise ValueError("sqlite: truncated WAL header")
+    (magic, version, wpage, _ckpt_seq, salt1, salt2, ck1,
+     ck2) = struct.unpack(">8I", wal[:32])
+    if magic not in (_WAL_MAGIC_LE, _WAL_MAGIC_BE):
+        raise ValueError(f"sqlite: bad WAL magic 0x{magic:08x}")
+    big = magic == _WAL_MAGIC_BE
+    if version != 3007000:
+        raise NotImplementedError(f"sqlite: WAL version {version}")
+    if wpage != page_size:
+        raise ValueError(
+            f"sqlite: WAL page size {wpage} != database {page_size}")
+    if _wal_cksum(wal[:24], 0, 0, big) != (ck1, ck2):
+        raise ValueError("sqlite: WAL header checksum mismatch")
+    pages: dict[int, bytes] = {}
+    pending: dict[int, bytes] = {}
+    s1, s2 = ck1, ck2
+    pos = 32
+    frame = 24 + page_size
+    while pos + frame <= len(wal):
+        (pgno, commit_size, fsalt1, fsalt2, c1, c2) = struct.unpack(
+            ">6I", wal[pos : pos + 24])
+        if (fsalt1, fsalt2) != (salt1, salt2):
+            break  # frame from a previous WAL generation
+        content = wal[pos + 24 : pos + frame]
+        s1, s2 = _wal_cksum(wal[pos : pos + 8], s1, s2, big)
+        s1, s2 = _wal_cksum(content, s1, s2, big)
+        if (s1, s2) != (c1, c2):
+            break  # torn/corrupt tail: everything from here is dead
+        pending[pgno] = content
+        if commit_size:  # a commit frame publishes the batch
+            pages.update(pending)
+            pending.clear()
+        pos += frame
+    return pages
+
+
 class SQLiteFile:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, wal: bytes | None = None):
         self.d = data
         if data[:16] != MAGIC:
             raise ValueError("sqlite: bad magic")
         page_size = struct.unpack_from(">H", data, 16)[0]
         self.page_size = 65536 if page_size == 1 else page_size
-        reserve = data[20]
-        self.usable = self.page_size - reserve
         # read/write version 2 = WAL — the -wal sidecar may hold newer
         # pages, so decoding the main file alone would be silently stale
-        if data[18] != 1 or data[19] != 1:
+        if (data[18] != 1 or data[19] != 1) and wal is None:
             raise NotImplementedError(
-                "sqlite: WAL-mode file (journal sidecar required); "
-                "route to a sqlite host or checkpoint first"
+                "sqlite: WAL-mode file; pass the -wal sidecar bytes "
+                "(SQLiteFile(db, wal=...)) or checkpoint first"
             )
-        enc = struct.unpack_from(">I", data, 56)[0]
+        self._wal_pages = (parse_wal(wal, self.page_size)
+                           if wal is not None else {})
+        # header fields beyond the page size come from the MERGED
+        # page 1: a checkpoint-withheld WAL database's main file still
+        # carries the pristine pre-schema header (encoding unset)
+        hdr = self._wal_pages.get(1, data)[:100]
+        if hdr[:16] != MAGIC:
+            raise ValueError("sqlite: bad magic on merged page 1")
+        reserve = hdr[20]
+        self.usable = self.page_size - reserve
+        enc = struct.unpack_from(">I", hdr, 56)[0]
         if enc != 1:
             raise NotImplementedError(
                 f"sqlite: text encoding {enc} (only UTF-8 supported)"
             )
 
     def _page(self, number: int) -> bytes:
+        got = self._wal_pages.get(number)
+        if got is not None:
+            return got
         start = (number - 1) * self.page_size
         out = self.d[start : start + self.page_size]
         if len(out) != self.page_size:

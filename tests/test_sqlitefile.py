@@ -133,6 +133,98 @@ def test_gates_are_loud():
         SQLiteFile(bytes(bad))
 
 
+def _wal_db(tmp_path, n=200, page_size=512, extra_commit=True):
+    """A WAL-mode database with the checkpoint WITHHELD: rows live
+    only in the -wal sidecar, the main file is the pristine header."""
+    path = str(tmp_path / "w.db")
+    con = sqlite3.connect(path)
+    con.execute(f"PRAGMA page_size={page_size}")
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT, x REAL)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)",
+                    [(i, f"row {i} " * 20, i * 0.5) for i in range(n)])
+    con.commit()
+    if extra_commit:
+        con.execute("UPDATE t SET v = 'updated ' || k WHERE k % 7 = 0")
+        con.commit()
+    want = [tuple(r) for r in con.execute("SELECT * FROM t ORDER BY rowid")]
+    with open(path, "rb") as f:
+        main = f.read()
+    with open(path + "-wal", "rb") as f:
+        wal = f.read()
+    con.close()
+    return main, wal, want
+
+
+def test_wal_sidecar_merge_matches_live_connection(tmp_path):
+    """Checkpoint-withheld WAL database: the main file holds only the
+    pristine page 1; every row must come from replaying the sidecar,
+    with the second commit's updated frames winning."""
+    main, wal, want = _wal_db(tmp_path)
+    assert len(main) == 512  # truly checkpoint-withheld
+    got = SQLiteFile(main, wal=wal).read_table("t")
+    assert got == want
+    # without the sidecar, the honest gate still trips
+    with pytest.raises(NotImplementedError, match="WAL"):
+        SQLiteFile(main)
+
+
+def test_wal_torn_tail_rolls_back_to_last_commit(tmp_path):
+    """Corrupting a frame in the SECOND commit must invalidate the
+    cumulative checksum chain from that point: the reader sees exactly
+    the FIRST commit's state (crash-recovery semantics)."""
+    main, wal, _want = _wal_db(tmp_path, extra_commit=False)
+    rows_c1 = SQLiteFile(main, wal=wal).read_table("t")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    main2, wal2, want2 = _wal_db(sub, extra_commit=True)
+    assert len(wal2) > len(wal)
+    # flip one byte in the page content of the first frame AFTER the
+    # first commit's span
+    torn = bytearray(wal2)
+    torn[len(wal) + 30] ^= 0xFF
+    got = SQLiteFile(main2, wal=bytes(torn)).read_table("t")
+    assert got == rows_c1  # first commit intact, second discarded
+    assert got != want2
+    # untampered: both commits visible
+    assert SQLiteFile(main2, wal=wal2).read_table("t") == want2
+
+
+def test_wal_salt_mismatch_ends_replay(tmp_path):
+    main, wal, want = _wal_db(tmp_path, extra_commit=False)
+    tampered = bytearray(wal)
+    # find the second frame header and break its salt-1
+    frame = 24 + 512
+    second = 32 + frame
+    tampered[second + 8] ^= 0xFF
+    got_pages_before = SQLiteFile(main, wal=wal).read_table("t")
+    assert got_pages_before == want
+    from national_caseload_data_ingest_spark.sources.sqlitefile import (
+        parse_wal,
+    )
+    # replay stops at the salt mismatch → nothing committed
+    assert parse_wal(bytes(tampered), 512) == {}
+
+
+def test_wal_header_guards(tmp_path):
+    main, wal, _want = _wal_db(tmp_path, extra_commit=False)
+    from national_caseload_data_ingest_spark.sources.sqlitefile import (
+        parse_wal,
+    )
+    assert parse_wal(b"", 512) == {}  # empty sidecar = no frames
+    with pytest.raises(ValueError, match="truncated WAL"):
+        parse_wal(wal[:16], 512)
+    with pytest.raises(ValueError, match="WAL magic"):
+        parse_wal(b"\x00" * 32, 512)
+    with pytest.raises(ValueError, match="page size"):
+        parse_wal(wal, 1024)
+    hdr_bad = bytearray(wal)
+    hdr_bad[24] ^= 0xFF  # header checksum field
+    with pytest.raises(ValueError, match="header checksum"):
+        parse_wal(bytes(hdr_bad), 512)
+
+
 def test_page_size_65536_encoding():
     data = _db(("CREATE TABLE t (k INTEGER PRIMARY KEY, s TEXT)",
                 [(1, "x")]), page_size=65536)
