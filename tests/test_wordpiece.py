@@ -120,6 +120,21 @@ def test_score_objective_diverges_from_bpe(spark):
     assert merges and merges[0] != ("c", "d")
 
 
+def test_vocab_budget_routes_to_topk(spark):
+    """Over-budget corpora train on the deterministic top-K words; on
+    a corpus whose singleton tail shares the head's alphabet and sits
+    below every merge threshold, truncated == full (VERDICT r11 #4)."""
+    head = "aaab " * 1000 + "abab " * 600 + "bbba " * 300
+    tail = " ".join(
+        "a" * (i % 3 + 1) + "b" * (i % 4 + 1) + "a" * (i // 6 + 1)
+        for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, head), (1, tail)], "doc_id long, text string")
+    full = wordpiece_train(docs, n_merges=4, max_vocab_words=100_000)
+    trunc = wordpiece_train(docs, n_merges=4, max_vocab_words=3)
+    assert trunc == full
+
+
 def test_train_matches_independent_reference(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     words = Counter()
