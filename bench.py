@@ -180,6 +180,10 @@ HEADLINE = [
     # directory + CRC verification) and the PDF subset extraction
     "zip_member_features",
     "pdf_text_features",
+    # round 12: the frozen-vocab WordPiece encode whose oracle checks
+    # the actual token strings (zip/pdf/sqlite entries above now carry
+    # the zip64 / xref-stream / WAL container rotations)
+    "wordpiece_frozen_encode",
 ]
 
 

@@ -1464,14 +1464,18 @@ def pdf_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     page with the text.  The CONTAINER rotates per doc: doc_id % 3 == 0
     gets the modern PDF 1.5+ form (xref STREAM with PNG-Up
     predictor-compressed entries + /Type /ObjStm object streams —
-    VERDICT r11 ask #1), the rest the classic xref table,
-    Flate-compressed on even docs and plain on odd.  The subset reader
-    walks startxref → xref table OR stream → trailer → page tree →
-    content streams and replays the BT/Td/Tj operators.  The oracle
-    rebuilds the expected extraction closed-form, so an xref-offset
-    slip, a predictor row mis-reconstructed, an ObjStm header slip, an
-    escape mishandled, a Flate boundary error, or a page-order bug
-    breaks the hash.  One narrow Arrow kernel, zero shuffle."""
+    VERDICT r11 ask #1), the rest the classic xref table.  The content
+    FILTER rotates by doc_id % 6 across the whole ISO 32000-1 §7.4
+    stock-filter family: Flate, plain, LZWDecode (9→12-bit early-change
+    codes), an [ASCII85Decode FlateDecode] filter ARRAY,
+    RunLengthDecode, and ASCIIHexDecode.  The subset reader walks
+    startxref → xref table OR stream → trailer → page tree → content
+    streams and replays the BT/Td/Tj operators.  The oracle rebuilds
+    the expected extraction closed-form, so an xref-offset slip, a
+    predictor row mis-reconstructed, an ObjStm header slip, an LZW
+    width boundary, a base-85 group, an escape mishandled, or a
+    page-order bug breaks the hash.  One narrow Arrow kernel, zero
+    shuffle."""
     import pandas as pd  # noqa: PLC0415
 
     from national_caseload_data_ingest_spark.sources.pdftext import (  # noqa: PLC0415
@@ -1479,6 +1483,8 @@ def pdf_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_pdf_modern,
         extract_text,
     )
+
+    _FILTER_ROTATION = ["flate", None, "lzw", "a85flate", "rl", "ahx"]
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
 
@@ -1492,7 +1498,8 @@ def pdf_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 header = f"Doc {i} (generated\\backslash)"
                 builder = build_pdf_modern if i % 3 == 0 else build_pdf
                 payload = builder(
-                    [[header], [r.text]], flate=(i % 2 == 0)
+                    [[header], [r.text]],
+                    content_filter=_FILTER_ROTATION[i % 6],
                 )
                 got = extract_text(payload)
                 rows.append({

@@ -14,7 +14,10 @@ codecs (multimodal.py):
 * binary encoding: zigzag-varint longs, length-prefixed UTF-8 strings /
   bytes, little-endian IEEE doubles, 1-byte booleans, and 2-branch
   ``["null", T]`` unions (branch index + value);
-* codecs: ``null`` and ``deflate`` (raw zlib, RFC 1951 — stdlib).
+* codecs: ``null``, ``deflate`` (raw zlib, RFC 1951 — stdlib), and
+  ``snappy`` (the repo's from-scratch block codec in
+  ``sources/blockcodecs.py`` + the spec's 4-byte big-endian CRC32 of
+  the uncompressed data, verified on read).
 
 Schemas are recursive (VERDICT r10 ask #1): records, arrays, and maps
 nest arbitrarily over the primitives, mapping to Spark ``StructType`` /
@@ -538,6 +541,14 @@ def avro_encode(
         payload = bytes(body)
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw RFC-1951, spec
+        elif codec == "snappy":
+            # spec: snappy block + 4-byte BIG-ENDIAN CRC32 of the
+            # UNCOMPRESSED data
+            from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+                snappy_encode,
+            )
+            crc = zlib.crc32(payload) & 0xFFFFFFFF
+            payload = snappy_encode(payload) + crc.to_bytes(4, "big")
         elif codec != "null":
             raise NotImplementedError(f"codec {codec}")
         _write_long(out, len(chunk))
@@ -578,6 +589,17 @@ def avro_decode(payload: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
         block = r.raw(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+                snappy_decode,
+            )
+            if len(block) < 4:
+                raise ValueError("avro: snappy block missing its CRC")
+            want = int.from_bytes(block[-4:], "big")
+            block = snappy_decode(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != want:
+                raise ValueError(
+                    "avro: snappy block CRC32 mismatch (corrupt)")
         elif codec != "null":
             raise NotImplementedError(f"codec {codec}")
         if r.raw(16) != sync:

@@ -93,6 +93,65 @@ def lz4_block_decode(
     return bytes(out)
 
 
+def snappy_encode(data: bytes) -> bytes:
+    """Snappy raw-format COMPRESSOR (the decode twin's writer): varint
+    size preamble, then a greedy 4-byte-hash match search emitting
+    2-byte-offset copies (1-64 length) between literal runs — the same
+    simple strategy as the reference C encoder's fast path.  Always
+    produces valid snappy; compression quality is secondary to having
+    a from-scratch encoder for codec seams (e.g. the Avro ``snappy``
+    block codec)."""
+    out = bytearray()
+    v = len(data)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+    n = len(data)
+    table: dict[bytes, int] = {}
+    lit_start = 0
+
+    def flush_literal(end: int) -> None:
+        nonlocal out
+        start = lit_start
+        while start < end:
+            chunk = data[start : min(end, start + 65536)]
+            ell = len(chunk) - 1
+            if ell < 60:
+                out.append(ell << 2)
+            elif ell < 256:
+                out.append(60 << 2)
+                out.append(ell)
+            else:
+                out.append(61 << 2)
+                out += ell.to_bytes(2, "little")
+            out += chunk
+            start += len(chunk)
+
+    i = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and 0 < i - j <= 0xFFFF \
+                and data[j : j + 4] == key:
+            length = 4
+            while (i + length < n and length < 64
+                   and data[j + length] == data[i + length]):
+                length += 1
+            flush_literal(i)
+            out.append(((length - 1) << 2) | 2)
+            out += (i - j).to_bytes(2, "little")
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    flush_literal(n)
+    return bytes(out)
+
+
 def snappy_decode(data: bytes) -> bytes:
     """Snappy raw format → bytes (self-describing size preamble)."""
     pos = 0

@@ -249,6 +249,239 @@ def _png_unpredict(data: bytes, columns: int, colors: int,
     return bytes(out)
 
 
+def _lzw_width(next_code: int, early: int) -> int:
+    """Code width for the NEXT code, given the encoder-side next table
+    index.  With ``EarlyChange`` 1 (the PDF/TIFF default) the width
+    grows one table entry early, so the largest 9-bit code ever used
+    is 510 (the documented TIFF quirk).  The decoder calls this with
+    ``len(table) + 1`` because it runs one table-add behind the
+    encoder — that +1 is exactly what keeps both sides' widths in
+    lockstep at every boundary."""
+    if next_code <= 511 - early:
+        return 9
+    if next_code <= 1023 - early:
+        return 10
+    if next_code <= 2047 - early:
+        return 11
+    return 12
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4, the TIFF variant): MSB-first
+    variable-width codes 9→12 bits, 256 = clear-table, 257 = EOD, the
+    KwKwK case (code == next index), EarlyChange width growth."""
+    table: list[bytes] = [bytes([i]) for i in range(256)]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        # len(table)+3 = len(table) + the 2 reserved clear/EOD codes +
+        # the one-add-behind-the-encoder offset; the table stores only
+        # real entries (256 literals + merges), 256/257 are
+        # out-of-band below
+        width = _lzw_width(len(table) + 3, early_change)
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("pdf: lzw stream ended without EOD")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == 256:  # clear table
+            table = table[:256]
+            prev = None
+            continue
+        if code == 257:  # EOD
+            return bytes(out)
+        idx = code if code < 256 else code - 2  # skip the 256/257 slots
+        if code < 256:
+            entry = table[code]
+        elif idx < len(table):
+            entry = table[idx]
+        elif idx == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"pdf: lzw code {code} out of range")
+        if prev is not None and len(table) < 4096 - 2:
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """The LZWDecode writer twin: clear-table, greedy longest-match
+    codes, EOD — widths from the same :func:`_lzw_width` boundary the
+    decoder uses, clear emitted when the table fills."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256, _lzw_width(next_code, early_change))
+    seq = b""
+    for i in range(len(data)):
+        cand = seq + data[i : i + 1]
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], _lzw_width(next_code, early_change))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        if next_code >= 4096:
+            emit(256, _lzw_width(next_code, early_change))
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+        seq = data[i : i + 1]
+    if seq:
+        emit(table[seq], _lzw_width(next_code, early_change))
+        next_code += 1
+    emit(257, _lzw_width(next_code, early_change))
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex pairs, whitespace ignored, '>' ends the
+    stream, an odd trailing digit is padded with 0."""
+    end = data.find(b">")
+    hexs = re.sub(rb"[\s]+", b"",
+                  data[:end] if end >= 0 else data)
+    if re.search(rb"[^0-9A-Fa-f]", hexs):
+        raise ValueError("pdf: non-hex byte in ASCIIHexDecode")
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode: base-85 groups of 5 chars → 4 bytes, 'z' = four
+    zero bytes (only between groups), '~>' ends the stream, whitespace
+    ignored; a partial final group of n chars yields n-1 bytes."""
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c in b" \t\r\n\f\x00":
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ValueError("pdf: 'z' inside an ascii85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError(f"pdf: bad ascii85 byte 0x{c:02x}")
+        group.append(c - 33)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            if n > 0xFFFFFFFF:
+                raise ValueError("pdf: ascii85 group overflow")
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("pdf: one-char final ascii85 group")
+        k = len(group)
+        group += [84] * (5 - k)
+        n = 0
+        for g in group:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    """ASCII85 writer twin (tests only) — standard Adobe form with
+    'z' shorthand and '~>' terminator."""
+    out = bytearray()
+    for at in range(0, len(data), 4):
+        chunk = data[at : at + 4]
+        k = len(chunk)
+        n = int.from_bytes(chunk + bytes(4 - k), "big")
+        if n == 0 and k == 4:
+            out.append(0x7A)
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(n % 85)
+            n //= 85
+        out += bytes(33 + d for d in reversed(digits))[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """RunLengthDecode writer twin: repeats of ≥3 become run records,
+    everything else literal records of ≤128 bytes, EOD-terminated."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        start = i
+        while i < n and i - start < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out.append(i - start - 1)
+        out += data[start:i]
+    out.append(128)
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode: length byte L — 0..127 copies the next L+1
+    literal bytes, 129..255 repeats the next byte 257-L times,
+    128 = EOD."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        ell = data[pos]
+        pos += 1
+        if ell == 128:
+            return bytes(out)
+        if ell < 128:
+            chunk = data[pos : pos + ell + 1]
+            if len(chunk) != ell + 1:
+                raise ValueError("pdf: truncated runlength literal")
+            out += chunk
+            pos += ell + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("pdf: truncated runlength run")
+            out += bytes([data[pos]]) * (257 - ell)
+            pos += 1
+    raise ValueError("pdf: runlength stream ended without EOD")
+
+
 def _png_predict(data: bytes, row_len: int, ftype: int = 2) -> bytes:
     """The encoder twin: apply one PNG filter to every row (Up by
     default — what real PDF writers emit for xref streams)."""
@@ -504,33 +737,61 @@ class PdfFile:
         filt = self.resolve(sdict.get("Filter"))
         if filt is None:
             return raw
-        if isinstance(filt, tuple) and filt == ("name", "FlateDecode"):
-            try:
-                flat = zlib.decompress(raw)
-            except zlib.error as e:
-                raise ValueError(f"pdf: corrupt Flate stream ({e})") \
-                    from None
-            parms = self.resolve(sdict.get("DecodeParms"))
-            if parms is None:
-                return flat
-            if not (isinstance(parms, tuple) and parms[0] == "dict"):
-                raise ValueError("pdf: /DecodeParms is not a dict")
-            pd = parms[1]
+        # /Filter may be a single name or an ARRAY applied in order;
+        # /DecodeParms aligns (single dict, or array with nulls)
+        if isinstance(filt, tuple) and filt[0] == "arr":
+            filters = [self.resolve(f) for f in filt[1]]
+        else:
+            filters = [filt]
+        parms = self.resolve(sdict.get("DecodeParms"))
+        if isinstance(parms, tuple) and parms[0] == "arr":
+            parms_list = [self.resolve(p) for p in parms[1]]
+        else:
+            parms_list = [parms] + [None] * (len(filters) - 1)
+        if len(parms_list) < len(filters):
+            parms_list += [None] * (len(filters) - len(parms_list))
+        data = raw
+        for f, p in zip(filters, parms_list):
+            data = self._apply_filter(f, p, data)
+        return data
 
-            def _num(key, default):
-                v = self.resolve(pd.get(key))
-                return int(v[1]) if v is not None else default
+    def _apply_filter(self, filt, parms, data: bytes) -> bytes:
+        if not (isinstance(filt, tuple) and filt[0] == "name"):
+            raise ValueError(f"pdf: /Filter entry {filt!r} not a name")
+        name = filt[1]
+        # absent / 'null' keyword / anything non-dict => no parameters
+        pd = (parms[1] if isinstance(parms, tuple)
+              and parms[0] == "dict" else {})
 
+        def _num(key, default):
+            v = self.resolve(pd.get(key))
+            return int(v[1]) if v is not None else default
+
+        if name in ("FlateDecode", "Fl", "LZWDecode", "LZW"):
+            if name in ("FlateDecode", "Fl"):
+                try:
+                    out = zlib.decompress(data)
+                except zlib.error as e:
+                    raise ValueError(
+                        f"pdf: corrupt Flate stream ({e})") from None
+            else:
+                out = _lzw_decode(data, _num("EarlyChange", 1))
             predictor = _num("Predictor", 1)
             if predictor == 1:
-                return flat
+                return out
             if 10 <= predictor <= 15:
                 return _png_unpredict(
-                    flat, _num("Columns", 1), _num("Colors", 1),
+                    out, _num("Columns", 1), _num("Colors", 1),
                     _num("BitsPerComponent", 8))
             raise NotImplementedError(
                 f"pdf: predictor {predictor} (TIFF) not supported")
-        raise NotImplementedError(f"pdf: stream filter {filt!r}")
+        if name in ("ASCIIHexDecode", "AHx"):
+            return _asciihex_decode(data)
+        if name in ("ASCII85Decode", "A85"):
+            return _ascii85_decode(data)
+        if name in ("RunLengthDecode", "RL"):
+            return _runlength_decode(data)
+        raise NotImplementedError(f"pdf: stream filter {name!r}")
 
     def pages(self) -> list[dict]:
         root = self.resolve(self.trailer.get("Root"))
@@ -624,10 +885,14 @@ def _esc(s: str) -> bytes:
             .replace(b")", rb"\)")
 
 
-def build_pdf(pages: list[list[str]], flate: bool = True) -> bytes:
+def build_pdf(pages: list[list[str]], flate: bool = True,
+              content_filter: str | None = "__flate_flag__") -> bytes:
     """Deterministic minimal-PDF writer (the walker's testable twin):
     one content stream per page, each line painted with ``Tj`` after a
-    ``Td``/``T*`` line advance, optional FlateDecode, classic xref."""
+    ``Td``/``T*`` line advance, classic xref.  ``content_filter``
+    picks the stream encoding (None/"flate"/"lzw"/"ahx"/"rl"/
+    "a85flate"); the legacy ``flate`` flag applies when it's left at
+    the sentinel."""
     objs: list[bytes] = []
     n_pages = len(pages)
     kid_refs = " ".join(
@@ -638,23 +903,11 @@ def build_pdf(pages: list[list[str]], flate: bool = True) -> bytes:
         b"<< /Type /Pages /Kids [" + kid_refs + b"] /Count "
         + str(n_pages).encode() + b" >>"
     )
-    for i, lines in enumerate(pages):
-        content = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
-        for j, line in enumerate(lines):
-            if j:
-                content += b"T*\n"
-            content += b"(" + _esc(line) + b") Tj\n"
-        content += b"ET"
-        body = zlib.compress(bytes(content)) if flate else bytes(content)
-        objs.append(
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Contents " + str(4 + 2 * i).encode() + b" 0 R >>"
-        )
-        head = b"<< /Length " + str(len(body)).encode()
-        if flate:
-            head += b" /Filter /FlateDecode"
-        head += b" >>"
-        objs.append(head + b"\nstream\n" + body + b"\nendstream")
+    page_dicts, content_objs = _page_objects(
+        pages, flate, content_filter)
+    for pd, co in zip(page_dicts, content_objs):
+        objs.append(pd)
+        objs.append(co)
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, obj in enumerate(objs, start=1):
@@ -673,10 +926,30 @@ def build_pdf(pages: list[list[str]], flate: bool = True) -> bytes:
     return bytes(out)
 
 
-def _page_objects(pages: list[list[str]], flate: bool):
+# content-stream encoders for the builders: filter spec -> (wire
+# bytes, /Filter clause).  "a85flate" is a FILTER ARRAY: the reader
+# must apply ASCII85Decode then FlateDecode, so the writer compresses
+# first and armors second.
+_CONTENT_FILTERS = {
+    None: (lambda c: c, b""),
+    "flate": (zlib.compress, b" /Filter /FlateDecode"),
+    "lzw": (_lzw_encode, b" /Filter /LZWDecode"),
+    "ahx": (lambda c: c.hex().encode() + b">",
+            b" /Filter /ASCIIHexDecode"),
+    "rl": (_runlength_encode, b" /Filter /RunLengthDecode"),
+    "a85flate": (lambda c: _ascii85_encode(zlib.compress(c)),
+                 b" /Filter [/ASCII85Decode /FlateDecode]"),
+}
+
+
+def _page_objects(pages: list[list[str]], flate: bool,
+                  content_filter: str | None = "__flate_flag__"):
     """Shared object bodies for both builders: (page_dicts,
     content_objs) with the classic numbering (page i dict = 3+2i,
     content stream = 4+2i)."""
+    if content_filter == "__flate_flag__":
+        content_filter = "flate" if flate else None
+    enc, clause = _CONTENT_FILTERS[content_filter]
     page_dicts, content_objs = [], []
     for i, lines in enumerate(pages):
         content = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
@@ -685,23 +958,22 @@ def _page_objects(pages: list[list[str]], flate: bool):
                 content += b"T*\n"
             content += b"(" + _esc(line) + b") Tj\n"
         content += b"ET"
-        body = zlib.compress(bytes(content)) if flate else bytes(content)
+        body = enc(bytes(content))
         page_dicts.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Contents " + str(4 + 2 * i).encode() + b" 0 R >>"
         )
-        head = b"<< /Length " + str(len(body)).encode()
-        if flate:
-            head += b" /Filter /FlateDecode"
-        head += b" >>"
+        head = (b"<< /Length " + str(len(body)).encode() + clause
+                + b" >>")
         content_objs.append(head + b"\nstream\n" + body
                             + b"\nendstream")
     return page_dicts, content_objs
 
 
 def build_pdf_modern(pages: list[list[str]], flate: bool = True,
-                     objstm: bool = True,
-                     predictor: int = 12) -> bytes:
+                     objstm: bool = True, predictor: int = 12,
+                     content_filter: str | None = "__flate_flag__",
+                     ) -> bytes:
     """The PDF 1.5+ builder twin: same page content as ``build_pdf``
     but the cross-reference is a /Type /XRef STREAM (W-packed rows,
     PNG-Up predictor by default) and — with ``objstm=True`` — the
@@ -714,7 +986,8 @@ def build_pdf_modern(pages: list[list[str]], flate: bool = True,
     catalog = b"<< /Type /Catalog /Pages 2 0 R >>"
     pages_node = (b"<< /Type /Pages /Kids [" + kid_refs
                   + b"] /Count " + str(n_pages).encode() + b" >>")
-    page_dicts, content_objs = _page_objects(pages, flate)
+    page_dicts, content_objs = _page_objects(
+        pages, flate, content_filter)
 
     out = bytearray(b"%PDF-1.5\n")
     entries: dict[int, tuple] = {0: (0, 0, 65535)}

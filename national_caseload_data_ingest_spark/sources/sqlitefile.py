@@ -8,9 +8,16 @@ sqlite3 round-trip through temp files reads the bytes directly, like
 any other container codec in this engine.  Implemented:
 
 * the 100-byte header (magic, page size incl. the 65536 encoding,
-  usable-size reserve, UTF-8 text encoding enforced);
+  usable-size reserve, all three text encodings — UTF-8, UTF-16le,
+  UTF-16be);
 * table b-trees: leaf (0x0D) and interior (0x05) pages, cell pointer
   arrays, depth-first in-rowid-order walks;
+* INDEX b-trees: leaf (0x0A) and interior (0x02) pages — interior
+  cells CARRY keys (in-order traversal interleaves children and cell
+  payloads), with the index spill limit ((U-12)·64/255)-23; this is
+  the storage of WITHOUT ROWID tables, whose key records hold PRIMARY
+  KEY columns first and are un-permuted back to declared order
+  (column-level and composite table-level PK forms);
 * the record format: header-length varint, serial-type varints, and
   every serial type (NULL, 1/2/3/4/6/8-byte big-endian signed ints,
   float64, the constant 0/1 types 8-9, blob ≥12 even, text ≥13 odd);
@@ -31,10 +38,10 @@ any other container codec in this engine.  Implemented:
   frames are discarded, and for each page the LATEST frame at or
   before the last valid commit wins over the main file's page.
 
-Honest gates: non-UTF-8 text encodings, WITHOUT ROWID tables (index
-b-trees), and WAL-mode files WITHOUT their sidecar raise
+Honest gates: WAL-mode files WITHOUT their sidecar raise
 ``NotImplementedError``; structural damage (bad magic, bad page type,
-truncated payloads, WAL salt/size mismatches) raises ``ValueError``.
+invalid encoding ids, truncated payloads, WAL salt/size mismatches)
+raises ``ValueError``.
 
 The ENCODE twin is stdlib ``sqlite3`` itself (``Connection.serialize``)
 — which makes every test a true cross-implementation check: bytes
@@ -153,10 +160,10 @@ class SQLiteFile:
         reserve = hdr[20]
         self.usable = self.page_size - reserve
         enc = struct.unpack_from(">I", hdr, 56)[0]
-        if enc != 1:
-            raise NotImplementedError(
-                f"sqlite: text encoding {enc} (only UTF-8 supported)"
-            )
+        codecs = {1: "utf-8", 2: "utf-16-le", 3: "utf-16-be"}
+        if enc not in codecs:
+            raise ValueError(f"sqlite: invalid text encoding {enc}")
+        self._text_codec = codecs[enc]
 
     def _page(self, number: int) -> bytes:
         got = self._wal_pages.get(number)
@@ -204,7 +211,8 @@ class SQLiteFile:
                 pos += n
             elif st >= 13:
                 n = (st - 13) // 2
-                out.append(payload[pos : pos + n].decode("utf-8"))
+                out.append(payload[pos : pos + n].decode(
+                    self._text_codec))
                 pos += n
             else:
                 raise ValueError(f"sqlite: reserved serial type {st}")
@@ -212,15 +220,15 @@ class SQLiteFile:
 
     # -- b-tree walk ---------------------------------------------------
 
-    def _cell_payload(self, page: bytes, off: int) -> tuple[int, bytes]:
-        """Table-leaf cell at ``off`` → (rowid, full payload incl. any
-        overflow chain), per the spec's spill arithmetic."""
-        p_len, pos = _varint(page, off)
-        rowid, pos = _varint(page, pos)
+    def _payload_at(self, page: bytes, pos: int, p_len: int,
+                    x: int) -> bytes:
+        """Payload starting at ``pos``, following the overflow chain
+        when ``p_len`` exceeds the in-page limit ``x`` (the spec's
+        spill arithmetic; ``x`` differs between table and index
+        pages)."""
         u = self.usable
-        x = u - 35
         if p_len <= x:
-            return rowid, page[pos : pos + p_len]
+            return page[pos : pos + p_len]
         m = ((u - 12) * 32) // 255 - 23
         k = m + (p_len - m) % (u - 4)
         inline = k if k <= x else m
@@ -232,7 +240,22 @@ class SQLiteFile:
             body += op[4 : 4 + min(u - 4, p_len - len(body))]
         if len(body) != p_len:
             raise ValueError("sqlite: overflow chain shorter than payload")
-        return rowid, bytes(body)
+        return bytes(body)
+
+    def _cell_payload(self, page: bytes, off: int) -> tuple[int, bytes]:
+        """Table-leaf cell at ``off`` → (rowid, full payload incl. any
+        overflow chain)."""
+        p_len, pos = _varint(page, off)
+        rowid, pos = _varint(page, pos)
+        return rowid, self._payload_at(page, pos, p_len,
+                                       self.usable - 35)
+
+    def _index_payload(self, page: bytes, off: int) -> bytes:
+        """Index cell key payload at ``off`` (no rowid field; the
+        in-page limit is the INDEX formula ((U-12)·64/255)-23)."""
+        p_len, pos = _varint(page, off)
+        x = ((self.usable - 12) * 64) // 255 - 23
+        return self._payload_at(page, pos, p_len, x)
 
     def _walk_table(self, page_no: int):
         """Depth-first table b-tree walk → (rowid, record values)."""
@@ -256,10 +279,40 @@ class SQLiteFile:
                 rowid, payload = self._cell_payload(page, cell)
                 yield rowid, self._record(payload)
         elif ptype in (0x02, 0x0A):
-            raise NotImplementedError(
-                "sqlite: index b-tree page in a table walk "
-                "(WITHOUT ROWID tables are not supported)"
+            raise ValueError(
+                "sqlite: index b-tree page in a TABLE walk (corrupt "
+                "rootpage, or a WITHOUT ROWID table routed wrong)"
             )
+        else:
+            raise ValueError(f"sqlite: bad b-tree page type 0x{ptype:02x}")
+
+    def _walk_index(self, page_no: int):
+        """Depth-first INDEX b-tree walk → key records in key order.
+        Unlike table b-trees, interior index cells CARRY keys that are
+        part of the result set (they are not repeated in leaves), so
+        the in-order traversal interleaves children and cell
+        payloads."""
+        page = self._page(page_no)
+        hdr_off = 100 if page_no == 1 else 0
+        ptype = page[hdr_off]
+        ncells = struct.unpack_from(">H", page, hdr_off + 3)[0]
+        if ptype == 0x02:  # interior index page
+            ptr_array = hdr_off + 12
+            for i in range(ncells):
+                cell = struct.unpack_from(">H", page, ptr_array + 2 * i)[0]
+                child = struct.unpack_from(">I", page, cell)[0]
+                yield from self._walk_index(child)
+                yield self._record(self._index_payload(page, cell + 4))
+            right = struct.unpack_from(">I", page, hdr_off + 8)[0]
+            yield from self._walk_index(right)
+        elif ptype == 0x0A:  # leaf index page
+            ptr_array = hdr_off + 8
+            for i in range(ncells):
+                cell = struct.unpack_from(">H", page, ptr_array + 2 * i)[0]
+                yield self._record(self._index_payload(page, cell))
+        elif ptype in (0x05, 0x0D):
+            raise ValueError(
+                "sqlite: table b-tree page in an INDEX walk")
         else:
             raise ValueError(f"sqlite: bad b-tree page type 0x{ptype:02x}")
 
@@ -276,19 +329,33 @@ class SQLiteFile:
         return out
 
     def read_table(self, name: str) -> list[tuple]:
-        """All rows of ``name`` in rowid order.  An INTEGER PRIMARY KEY
-        column (the rowid alias) stores NULL in the record and takes
-        the cell's rowid, per the spec."""
+        """All rows of ``name`` — rowid order for ordinary tables, PK
+        order for WITHOUT ROWID tables.  An INTEGER PRIMARY KEY column
+        (the rowid alias) stores NULL in the record and takes the
+        cell's rowid; a WITHOUT ROWID table stores each row as an
+        index-b-tree KEY record with PRIMARY KEY columns first, so the
+        values are un-permuted back to declared order (both per the
+        spec)."""
         cat = self.tables()
         if name not in cat:
             raise ValueError(f"sqlite: no such table {name!r}")
-        sql = cat[name]["sql"].upper()
-        if "WITHOUT ROWID" in sql:
-            raise NotImplementedError(
-                "sqlite: WITHOUT ROWID tables use index b-trees; "
-                "not supported"
-            )
-        alias_idx = _rowid_alias_index(cat[name]["sql"])
+        create_sql = cat[name]["sql"]
+        if "WITHOUT ROWID" in create_sql.upper():
+            cols = _split_columns(create_sql)
+            names = [c.strip().split()[0].strip('"').lower()
+                     for c in cols
+                     if c.strip() and not _is_table_constraint(c)]
+            pk = _pk_column_indexes(create_sql, names)
+            order = pk + [i for i in range(len(names)) if i not in pk]
+            rows = []
+            for rec in self._walk_index(cat[name]["rootpage"]):
+                out = [None] * len(names)
+                for stored, decl in enumerate(order):
+                    if stored < len(rec):
+                        out[decl] = rec[stored]
+                rows.append(tuple(out))
+            return rows
+        alias_idx = _rowid_alias_index(create_sql)
         rows = []
         for rowid, rec in self._walk_table(cat[name]["rootpage"]):
             if alias_idx is not None and alias_idx < len(rec) \
@@ -299,17 +366,15 @@ class SQLiteFile:
         return rows
 
 
-def _rowid_alias_index(create_sql: str) -> int | None:
-    """Column index of an ``INTEGER PRIMARY KEY`` declaration (the
-    rowid alias), if any — a light parse of the CREATE TABLE text, the
-    same source of truth the C library uses."""
+def _split_columns(create_sql: str) -> list[str]:
+    """Top-level comma split of the CREATE TABLE body (parens nest)."""
     open_p = create_sql.find("(")
     if open_p < 0:
-        return None
+        return []
     body = create_sql[open_p + 1 : create_sql.rfind(")")]
     depth = 0
-    cols = []
-    cur = []
+    cols: list[str] = []
+    cur: list[str] = []
     for ch in body:
         if ch == "(":
             depth += 1
@@ -321,7 +386,54 @@ def _rowid_alias_index(create_sql: str) -> int | None:
         else:
             cur.append(ch)
     cols.append("".join(cur))
-    for i, col in enumerate(cols):
+    return cols
+
+
+_CONSTRAINT_LEADS = ("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
+                     "CONSTRAINT")
+
+
+def _is_table_constraint(col: str) -> bool:
+    return col.strip().upper().split()[:1] in (
+        [[w] for w in _CONSTRAINT_LEADS])
+
+
+def _pk_column_indexes(create_sql: str, names: list[str]) -> list[int]:
+    """Declared-order indexes of the PRIMARY KEY columns, in PK
+    declaration order — the storage order of a WITHOUT ROWID table's
+    key record (column-level ``x TYPE PRIMARY KEY`` or the table-level
+    ``PRIMARY KEY (a, b)`` form)."""
+    import re as _re  # noqa: PLC0415
+
+    for col in _split_columns(create_sql):
+        words = col.strip().upper().split()
+        if words[:2] == ["PRIMARY", "KEY"]:
+            inner = col[col.find("(") + 1 : col.rfind(")")]
+            pk_names = [_re.split(r"\s+", p.strip())[0].strip('"').lower()
+                        for p in inner.split(",")]
+            missing = [p for p in pk_names if p not in names]
+            if missing:
+                raise ValueError(
+                    f"sqlite: PRIMARY KEY names {missing} not in "
+                    "column list")
+            return [names.index(p) for p in pk_names]
+    out = []
+    for i, col in enumerate(_split_columns(create_sql)):
+        up = col.upper()
+        if "PRIMARY KEY" in up and not _is_table_constraint(col):
+            out.append(i)
+    if len(out) != 1:
+        raise ValueError(
+            "sqlite: WITHOUT ROWID table needs exactly one PRIMARY "
+            f"KEY declaration (found {len(out)})")
+    return out
+
+
+def _rowid_alias_index(create_sql: str) -> int | None:
+    """Column index of an ``INTEGER PRIMARY KEY`` declaration (the
+    rowid alias), if any — a light parse of the CREATE TABLE text, the
+    same source of truth the C library uses."""
+    for i, col in enumerate(_split_columns(create_sql)):
         words = col.strip().upper().split()
         if len(words) >= 4 and words[1] == "INTEGER" \
                 and words[2] == "PRIMARY" and words[3] == "KEY":

@@ -49,6 +49,25 @@ def test_snappy_cross_validates_against_reference_encoder(i):
     assert snappy_decode(comp) == data
 
 
+@pytest.mark.parametrize("i", range(9))
+def test_snappy_encoder_accepted_by_reference_decoder(i):
+    """The from-scratch snappy ENCODER both roundtrips through the
+    repo decoder and is accepted byte-for-byte by pyarrow's bundled
+    reference C decoder — a two-implementation seam in each
+    direction."""
+    from national_caseload_data_ingest_spark.sources.blockcodecs import (
+        snappy_encode,
+    )
+    data = _corpora()[i]
+    enc = snappy_encode(data)
+    assert snappy_decode(enc) == data
+    assert bytes(pa.decompress(
+        enc, decompressed_size=len(data), codec="snappy")) == data
+    # repetitive shapes actually compress (copies are emitted)
+    if data and len(set(data)) < 30 and len(data) > 1000:
+        assert len(enc) < len(data) // 2
+
+
 def test_zstd_header_and_decode():
     for data in _corpora():
         comp = pa.compress(data, codec="zstd", asbytes=True)

@@ -255,6 +255,92 @@ def test_hybrid_xrefstm_takes_precedence_over_classic_row():
     assert extract_text(out) == "hybrid wins"
 
 
+def test_stock_filter_family_roundtrips():
+    """All §7.4 stock filters extract identically: LZW (9→12-bit
+    early-change codes), ASCIIHex, ASCII85, RunLength, and the
+    [ASCII85 Flate] filter ARRAY — in both classic and modern
+    containers."""
+    from national_caseload_data_ingest_spark.sources.pdftext import (
+        build_pdf_modern,
+    )
+    pages = [
+        ["aaaa bbbb aaaa bbbb run run run run"],  # RL-friendly repeats
+        ["body (text) with\\escapes", "second line"],
+    ]
+    want = extract_text(build_pdf(pages))
+    for cf in (None, "flate", "lzw", "ahx", "rl", "a85flate"):
+        assert extract_text(build_pdf(pages, content_filter=cf)) \
+            == want, cf
+        assert extract_text(
+            build_pdf_modern(pages, content_filter=cf)) == want, cf
+
+
+def test_lzw_filter_primitives():
+    """LZW codec twins: width-boundary roundtrips, the PDF-reference
+    EarlyChange semantics, and the KwKwK case."""
+    import random
+
+    from national_caseload_data_ingest_spark.sources.pdftext import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+    rng = random.Random(7)
+    cases = [
+        b"", b"A", b"aaaaaaa",  # KwKwK territory
+        bytes(rng.randrange(4) for _ in range(20000)),  # many merges
+        bytes(rng.randrange(256) for _ in range(60000)),  # 12-bit+clear
+    ]
+    for data in cases:
+        for early in (1, 0):
+            assert _lzw_decode(_lzw_encode(data, early), early) == data
+    # EarlyChange matters: a stream long enough to cross the 9→10
+    # boundary decodes DIFFERENTLY (or fails) under the wrong setting
+    data = bytes(rng.randrange(8) for _ in range(4000))
+    enc = _lzw_encode(data, 1)
+    try:
+        assert _lzw_decode(enc, 0) != data
+    except ValueError:
+        pass  # desync detected as a range error is equally fine
+    # guards
+    with pytest.raises(ValueError, match="EOD"):
+        _lzw_decode(b"\x80\x11")  # clear + truncated
+    with pytest.raises(ValueError, match="out of range"):
+        # clear then an impossible high code (table has no entry 300)
+        _lzw_decode(bytes([0b10000000, 0b0_1001011, 0b00_000000]))
+
+
+def test_ascii85_and_runlength_primitives():
+    import random
+
+    from national_caseload_data_ingest_spark.sources.pdftext import (
+        _ascii85_decode,
+        _ascii85_encode,
+        _asciihex_decode,
+        _runlength_decode,
+        _runlength_encode,
+    )
+    # Adobe's canonical 4-byte vector + 'z' shorthand
+    assert _ascii85_encode(b"Man ") == b"9jqo^~>"
+    assert _ascii85_decode(b"9jqo^~>") == b"Man "
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_decode(b"<~9jqo^~>") == b"Man "  # optional <~ lead
+    rng = random.Random(3)
+    for n in list(range(12)) + [100, 1001]:
+        b = bytes(rng.randrange(256) for _ in range(n))
+        assert _ascii85_decode(_ascii85_encode(b)) == b
+        assert _runlength_decode(_runlength_encode(b)) == b
+    runs = b"x" * 300 + b"ab" + b"y" * 3 + b"tail"
+    assert _runlength_decode(_runlength_encode(runs)) == runs
+    assert _asciihex_decode(b"48 65 6C 6C 6F>") == b"Hello"
+    assert _asciihex_decode(b"48656C6C6F2") == b"Hello "  # odd pads 0
+    with pytest.raises(ValueError, match="non-hex"):
+        _asciihex_decode(b"4z>")
+    with pytest.raises(ValueError, match="ascii85"):
+        _ascii85_decode(b"9jz~>")  # z inside a group
+    with pytest.raises(ValueError, match="EOD"):
+        _runlength_decode(b"\x02abc")  # no terminator
+
+
 def test_modern_gates():
     """Corrupt modern containers raise cleanly."""
     from national_caseload_data_ingest_spark.sources.pdftext import (

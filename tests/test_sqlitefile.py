@@ -113,24 +113,62 @@ def test_gates_are_loud():
                 [(1, "x")]))
     with pytest.raises(ValueError, match="bad magic"):
         SQLiteFile(b"not a database" + data[14:])
-    # WITHOUT ROWID tables gate
-    con = sqlite3.connect(":memory:")
-    con.execute("CREATE TABLE w (k TEXT PRIMARY KEY, v) WITHOUT ROWID")
-    con.execute("INSERT INTO w VALUES ('a', 1)")
-    con.commit()
-    f = SQLiteFile(bytes(con.serialize()))
-    with pytest.raises(NotImplementedError, match="WITHOUT ROWID"):
-        f.read_table("w")
     # WAL mode gate (flip the read/write version bytes)
     bad = bytearray(data)
     bad[18] = bad[19] = 2
     with pytest.raises(NotImplementedError, match="WAL"):
         SQLiteFile(bytes(bad))
-    # non-UTF-8 text encoding gate
+    # invalid text-encoding id
     bad = bytearray(data)
-    struct.pack_into(">I", bad, 56, 2)  # UTF-16le
-    with pytest.raises(NotImplementedError, match="encoding"):
+    struct.pack_into(">I", bad, 56, 5)
+    with pytest.raises(ValueError, match="encoding"):
         SQLiteFile(bytes(bad))
+
+
+def test_without_rowid_tables_read_via_index_btrees():
+    """WITHOUT ROWID storage: index b-trees (interior cells CARRY
+    keys), the index spill formula, and the PK-first key-record
+    permutation — all cross-checked against the C library."""
+    # single-column PK, big values (multi-level tree + overflow)
+    con = sqlite3.connect(":memory:")
+    con.execute("PRAGMA page_size=512")
+    con.execute("CREATE TABLE w (k TEXT PRIMARY KEY, v TEXT, n INTEGER)"
+                " WITHOUT ROWID")
+    con.executemany("INSERT INTO w VALUES (?,?,?)", [
+        (f"key{i:04d}", f"value {i} " * 40, i * 7) for i in range(300)])
+    con.commit()
+    got = SQLiteFile(bytes(con.serialize())).read_table("w")
+    want = [tuple(r) for r in con.execute("SELECT * FROM w ORDER BY k")]
+    assert got == want
+    # composite TABLE-LEVEL PK whose order differs from declaration:
+    # the stored record is (b, a, c); the reader must un-permute
+    con2 = sqlite3.connect(":memory:")
+    con2.execute("PRAGMA page_size=512")
+    con2.execute("CREATE TABLE c (a INTEGER, b TEXT, c REAL, "
+                 "PRIMARY KEY (b, a)) WITHOUT ROWID")
+    con2.executemany("INSERT INTO c VALUES (?,?,?)", [
+        (i, f"t{i % 17:03d}", i * 0.25) for i in range(200)])
+    con2.commit()
+    got2 = SQLiteFile(bytes(con2.serialize())).read_table("c")
+    want2 = [tuple(r)
+             for r in con2.execute("SELECT * FROM c ORDER BY b, a")]
+    assert got2 == want2
+
+
+def test_utf16_text_encodings():
+    """UTF-16le / UTF-16be databases decode text cells through the
+    header's declared codec (non-ASCII chars are load-bearing)."""
+    for encname in ("UTF-16le", "UTF-16be"):
+        con = sqlite3.connect(":memory:")
+        con.execute(f"PRAGMA encoding='{encname}'")
+        con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, s TEXT)")
+        con.executemany("INSERT INTO t VALUES (?,?)", [
+            (i, f"héllo wörld {i} ∆") for i in range(50)])
+        con.commit()
+        got = SQLiteFile(bytes(con.serialize())).read_table("t")
+        want = [tuple(r)
+                for r in con.execute("SELECT * FROM t ORDER BY rowid")]
+        assert got == want, encname
 
 
 def _wal_db(tmp_path, n=200, page_size=512, extra_commit=True):
