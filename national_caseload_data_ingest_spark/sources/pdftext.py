@@ -22,10 +22,12 @@ GATES the rest loudly:
   booleans/null, indirect references ``N G R``;
 * **page tree**: Root → ``/Pages`` → ``/Kids`` (recursive) → ``/Page``
   → ``/Contents`` (single stream or array, concatenated in order);
-* **streams**: ``/Length`` (direct or indirect), ``/Filter`` absent or
-  ``FlateDecode`` (zlib) with PNG predictors 10-15 (None/Sub/Up/
-  Average/Paeth per-row reconstruction, the xref-stream default);
-  TIFF predictor 2, crypt, and other filters raise;
+* **streams**: ``/Length`` (direct or indirect); ``/Filter`` absent, a
+  single name, or an ARRAY applied in order (aligned ``/DecodeParms``):
+  ``FlateDecode`` and ``LZWDecode`` (MSB-first 9→12-bit early-change
+  codes) with PNG predictors 10-15 and TIFF predictor 2,
+  ``ASCIIHexDecode``, ``ASCII85Decode``, ``RunLengthDecode``; image
+  and crypt filters (DCT/JPX/CCITT/JBIG2/Crypt) raise;
 * **text operators**: inside ``BT``/``ET`` — ``Tj`` (paint string),
   ``'`` (next line + paint), ``TJ`` (array of strings and kern
   numbers), ``T*``/``Td``/``TD`` treated as line breaks; everything
@@ -482,6 +484,25 @@ def _runlength_decode(data: bytes) -> bytes:
     raise ValueError("pdf: runlength stream ended without EOD")
 
 
+def _tiff_unpredict(data: bytes, columns: int, colors: int,
+                    bpc: int) -> bytes:
+    """TIFF Predictor 2 (horizontal differencing): within each row,
+    each sample adds the sample ``colors`` positions to its left
+    (no per-row filter byte).  8-bit components only — other widths
+    gate, matching the generated-PDF class."""
+    if bpc != 8:
+        raise NotImplementedError(
+            f"pdf: TIFF predictor with {bpc}-bit components")
+    row_len = columns * colors
+    if row_len <= 0 or len(data) % row_len:
+        raise ValueError("pdf: predicted data is not whole rows")
+    out = bytearray(data)
+    for at in range(0, len(out), row_len):
+        for i in range(colors, row_len):
+            out[at + i] = (out[at + i] + out[at + i - colors]) & 0xFF
+    return bytes(out)
+
+
 def _png_predict(data: bytes, row_len: int, ftype: int = 2) -> bytes:
     """The encoder twin: apply one PNG filter to every row (Up by
     default — what real PDF writers emit for xref streams)."""
@@ -783,8 +804,11 @@ class PdfFile:
                 return _png_unpredict(
                     out, _num("Columns", 1), _num("Colors", 1),
                     _num("BitsPerComponent", 8))
-            raise NotImplementedError(
-                f"pdf: predictor {predictor} (TIFF) not supported")
+            if predictor == 2:
+                return _tiff_unpredict(
+                    out, _num("Columns", 1), _num("Colors", 1),
+                    _num("BitsPerComponent", 8))
+            raise ValueError(f"pdf: unknown predictor {predictor}")
         if name in ("ASCIIHexDecode", "AHx"):
             return _asciihex_decode(data)
         if name in ("ASCII85Decode", "A85"):

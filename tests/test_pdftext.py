@@ -355,10 +355,38 @@ def test_modern_gates():
     bad = good.replace(b"/Type /ObjStm", b"/Type /ObjStX")
     with pytest.raises(ValueError, match="ObjStm"):
         extract_text(bad)
-    # TIFF predictor gates
+    # mislabeling PNG-filtered data as TIFF predictor 2 fails loudly
+    # (row arithmetic no longer fits) rather than desynchronizing
     bad = good.replace(b"/Predictor 12", b"/Predictor 02")
-    with pytest.raises(NotImplementedError, match="predictor"):
+    with pytest.raises(ValueError):
         extract_text(bad)
+    # unknown predictor id
+    bad = good.replace(b"/Predictor 12", b"/Predictor 77")
+    with pytest.raises(ValueError, match="predictor"):
+        extract_text(bad)
+
+
+def test_tiff_predictor_2():
+    """TIFF horizontal differencing reconstructs (per-row, per-color
+    channel), checked against an in-test difference encoder."""
+    import random
+
+    from national_caseload_data_ingest_spark.sources.pdftext import (
+        _tiff_unpredict,
+    )
+    rng = random.Random(9)
+    for columns, colors in [(7, 1), (5, 3)]:
+        row_len = columns * colors
+        raw = bytes(rng.randrange(256) for _ in range(row_len * 6))
+        enc = bytearray(raw)
+        for at in range(0, len(enc), row_len):
+            for i in range(row_len - 1, colors - 1, -1):
+                enc[at + i] = (raw[at + i] - raw[at + i - colors]) & 0xFF
+        assert _tiff_unpredict(bytes(enc), columns, colors, 8) == raw
+    with pytest.raises(NotImplementedError, match="TIFF"):
+        _tiff_unpredict(bytes(4), 2, 1, 16)
+    with pytest.raises(ValueError, match="whole rows"):
+        _tiff_unpredict(bytes(5), 2, 1, 8)
 
 
 def test_multi_page_order_and_page_tree_recursion():
