@@ -1061,9 +1061,10 @@ ARCHIVE_MAGIC = {
 def archive_decompress(payload: bytes) -> tuple[str, bytes]:
     """Sniff-and-decompress the stream-compression formats real corpus
     dumps ship in: the four stdlib codecs (zlib/gzip/bz2/xz), zstd
-    (native frame-header parse + pyarrow's bundled reference
-    decompressor), and LZ4 frames (fully native block walk, linked
-    blocks included).  Returns ``(fmt, raw_bytes)``."""
+    (sized frames via pyarrow's bundled reference decompressor,
+    size-less frames via the from-spec native machine), and LZ4 frames
+    (fully native block walk, linked blocks included).  Returns
+    ``(fmt, raw_bytes)``."""
     import bz2  # noqa: PLC0415
     import lzma  # noqa: PLC0415
     import zlib  # noqa: PLC0415
@@ -1084,9 +1085,9 @@ def archive_decompress(payload: bytes) -> tuple[str, bytes]:
     except (zlib.error, OSError, lzma.LZMAError, EOFError) as e:
         raise ValueError(f"archive: corrupt stream ({e})") from None
     if payload[:4] == b"\x28\xb5\x2f\xfd":
-        # native frame-header parse for the declared size; payload via
-        # pyarrow's bundled reference zstd (blockcodecs.py) — frames
-        # with no declared content size still gate inside zstd_decode
+        # sized frames: pyarrow's bundled reference zstd fast path;
+        # size-less frames: the from-spec native machine
+        # (zstdnative.py) — the class that used to gate now decodes
         from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
             zstd_decode,
         )
@@ -1142,8 +1143,18 @@ def _synth_archive(did: int) -> bytes:
     if mode == 3:
         return lzma.compress(raw, preset=1)
     if mode == 4:
-        # the reference C encoder (pyarrow's bundled zstd)
-        return pa.compress(raw, codec="zstd", asbytes=True)
+        # the reference C encoder (pyarrow's bundled zstd); every
+        # second zstd doc gets its frame header rewritten to declare
+        # NO content size — the streaming-writer class that must route
+        # through the from-spec native machine (zstdnative.py) instead
+        # of the sized fast path
+        comp = bytes(pa.compress(raw, codec="zstd", asbytes=True))
+        if did % 12 == 4:
+            from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: PLC0415
+                strip_content_size,
+            )
+            comp = strip_content_size(comp)
+        return comp
     return pa.compress(raw, codec="lz4", asbytes=True)
 
 

@@ -14,10 +14,11 @@ codecs (multimodal.py):
 * binary encoding: zigzag-varint longs, length-prefixed UTF-8 strings /
   bytes, little-endian IEEE doubles, 1-byte booleans, and 2-branch
   ``["null", T]`` unions (branch index + value);
-* codecs: ``null``, ``deflate`` (raw zlib, RFC 1951 — stdlib), and
-  ``snappy`` (the repo's from-scratch block codec in
+* codecs: all five of the spec's — ``null``, ``deflate`` (raw zlib,
+  RFC 1951), ``snappy`` (the repo's from-scratch block codec in
   ``sources/blockcodecs.py`` + the spec's 4-byte big-endian CRC32 of
-  the uncompressed data, verified on read).
+  the uncompressed data, verified on read), ``bzip2``, and ``xz``
+  (stdlib; zstandard remains gated).
 
 Schemas are recursive (VERDICT r10 ask #1): records, arrays, and maps
 nest arbitrarily over the primitives, mapping to Spark ``StructType`` /
@@ -549,6 +550,12 @@ def avro_encode(
             )
             crc = zlib.crc32(payload) & 0xFFFFFFFF
             payload = snappy_encode(payload) + crc.to_bytes(4, "big")
+        elif codec == "bzip2":
+            import bz2  # noqa: PLC0415
+            payload = bz2.compress(payload)
+        elif codec == "xz":
+            import lzma  # noqa: PLC0415
+            payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
         elif codec != "null":
             raise NotImplementedError(f"codec {codec}")
         _write_long(out, len(chunk))
@@ -600,6 +607,12 @@ def avro_decode(payload: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
             if zlib.crc32(block) & 0xFFFFFFFF != want:
                 raise ValueError(
                     "avro: snappy block CRC32 mismatch (corrupt)")
+        elif codec == "bzip2":
+            import bz2  # noqa: PLC0415
+            block = bz2.decompress(block)
+        elif codec == "xz":
+            import lzma  # noqa: PLC0415
+            block = lzma.decompress(block)
         elif codec != "null":
             raise NotImplementedError(f"codec {codec}")
         if r.raw(16) != sync:

@@ -225,8 +225,9 @@ ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 def zstd_frame_content_size(data: bytes) -> int:
     """Parse a zstd frame header (RFC 8878 §3.1.1) and return the
-    DECLARED content size; frames that omit it raise (the honest gate:
-    arbitrary-size streaming decode needs the full zstd machine)."""
+    DECLARED content size; frames that omit it raise NotImplementedError
+    (callers route those through the full native machine in
+    ``sources/zstdnative.py``)."""
     if data[:4] != ZSTD_MAGIC:
         raise ValueError("zstd: bad frame magic")
     fhd = data[4]
@@ -240,8 +241,7 @@ def zstd_frame_content_size(data: bytes) -> int:
     if fcs_flag == 0:
         if not single_segment:
             raise NotImplementedError(
-                "zstd: frame declares no content size; route to a "
-                "streaming zstd host"
+                "zstd: frame declares no content size"
             )
         return data[pos]
     if fcs_flag == 1:
@@ -252,11 +252,21 @@ def zstd_frame_content_size(data: bytes) -> int:
 
 
 def zstd_decode(data: bytes) -> bytes:
-    """zstd frame → bytes: native header parse for the size, payload
-    through pyarrow's bundled reference decompressor."""
+    """zstd frame → bytes.  Routing: frames that DECLARE a content size
+    decode through pyarrow's bundled reference C decompressor (the fast
+    path — ~GB/s); frames WITHOUT one (what real streaming writers
+    emit) route through the from-spec native machine
+    (``zstdnative.zstd_decompress``: full FSE/Huffman/sequence decode,
+    ~MB/s in Python) — the class that used to gate now decodes."""
     import pyarrow as pa  # noqa: PLC0415
 
-    size = zstd_frame_content_size(data)
+    try:
+        size = zstd_frame_content_size(data)
+    except NotImplementedError:
+        from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: PLC0415
+            zstd_decompress,
+        )
+        return zstd_decompress(data)
     return pa.decompress(
         data, decompressed_size=size, codec="zstd", asbytes=True
     )

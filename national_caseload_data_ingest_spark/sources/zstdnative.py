@@ -1,0 +1,716 @@
+"""Native Zstandard DECODER — pure stdlib, from RFC 8878.
+
+zstd is the modern default compression for data lakes (parquet pages,
+Kafka, object-store blobs, `.zst` dumps), and until this module the
+engine's decode path leaned on pyarrow's bundled libzstd and GATED
+frames that don't declare a content size.  This implements the full
+decoding machine from the public spec, closing that gate:
+
+* **frames** (§3.1.1): magic, Frame_Header_Descriptor (FCS field
+  sizes, single-segment, dictionary-id, content-checksum flags),
+  window descriptor arithmetic, multi-frame concatenation, and
+  skippable frames (0x184D2A5x);
+* **blocks** (§3.1.1.2): Raw / RLE / Compressed, the
+  min(window, 128 KiB) block size bound, Last_Block chaining;
+* **literals** (§3.1.1.3.1): Raw / RLE / Huffman-Compressed /
+  Treeless (reusing the previous table), all four size formats, the
+  1-stream and 4-stream (jump-table) layouts;
+* **Huffman** (§4.2): weights either direct (4-bit packed) or
+  FSE-compressed with TWO interleaved states, the implied last
+  weight, canonical table construction (ascending weight, natural
+  symbol order), backward-bitstream decode;
+* **FSE** (§4.1): the accuracy-log + adaptive-bit-width normalized
+  count stream (incl. zero-run flags and the "less than 1"
+  probability cells placed from the table top), the
+  (size>>1)+(size>>3)+3 spread step, baseline/nbBits state machine;
+* **sequences** (§3.1.1.4): Predefined_Mode (the RFC's built-in LL/ML/
+  OF distributions transcribed below), RLE_Mode, FSE_Compressed_Mode,
+  Repeat_Mode, the LL/OF/ML init order, OF→ML→LL extra-bit read
+  order, LL→ML→OF update order, the three-slot repeat-offset history
+  with the literals_length==0 shift, and overlap-correct match copies;
+* **content checksum**: xxHash64 (from the public xxHash spec — the
+  two canonical test vectors are pinned) — low 32 bits verified when
+  the frame carries one.
+
+Cross-validation: every compressed stream the tests decode is produced
+by pyarrow's bundled REFERENCE libzstd at multiple compression levels
+(levels change the block shapes: raw/RLE literals at low levels,
+FSE-compressed Huffman weights and 4-stream literals at high levels),
+over the same nine corpus shapes the LZ4/snappy seams use.
+
+Honest gates: dictionary frames (``Dictionary_ID`` set) raise — the
+content-addressed dictionary is external state, not bytes in hand.
+
+Spark shape: a per-payload scalar codec used inside the established
+Arrow kernels (archive sniffing, txlog payloads); zero shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = 0xFD2FB528
+_SKIP_LO, _SKIP_HI = 0x184D2A50, 0x184D2A5F
+
+# --- RFC 8878 §3.1.1.3.2.1.1: literals-length codes ----------------------
+_LL_BASELINE = tuple(
+    list(range(16))
+    + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+       2048, 4096, 8192, 16384, 32768, 65536]
+)
+_LL_BITS = tuple(
+    [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13,
+                14, 15, 16]
+)
+# --- match-length codes ---------------------------------------------------
+_ML_BASELINE = tuple(
+    [c + 3 for c in range(32)]
+    + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+       2051, 4099, 8195, 16387, 32771, 65539]
+)
+_ML_BITS = tuple(
+    [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12,
+                13, 14, 15, 16]
+)
+
+# --- §3.1.1.3.2.2: predefined FSE distributions ---------------------------
+_LL_DEFAULT = (
+    (4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1),
+    6,
+)
+_ML_DEFAULT = (
+    (1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1, -1, -1),
+    6,
+)
+_OF_DEFAULT = (
+    (1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1),
+    5,
+)
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """xxHash64 from the public spec (the zstd content checksum)."""
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    mask = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & mask
+
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + p1 + p2) & mask
+        v2 = (seed + p2) & mask
+        v3 = seed & mask
+        v4 = (seed - p1) & mask
+        while pos + 32 <= n:
+            for _i, upd in enumerate((0, 8, 16, 24)):
+                lane = struct.unpack_from("<Q", data, pos + upd)[0]
+                if upd == 0:
+                    v1 = (rotl((v1 + lane * p2) & mask, 31) * p1) & mask
+                elif upd == 8:
+                    v2 = (rotl((v2 + lane * p2) & mask, 31) * p1) & mask
+                elif upd == 16:
+                    v3 = (rotl((v3 + lane * p2) & mask, 31) * p1) & mask
+                else:
+                    v4 = (rotl((v4 + lane * p2) & mask, 31) * p1) & mask
+            pos += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) \
+            & mask
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (rotl((v * p2) & mask, 31) * p1) & mask)
+                 * p1 + p4) & mask
+    else:
+        h = (seed + p5) & mask
+    h = (h + n) & mask
+    while pos + 8 <= n:
+        lane = struct.unpack_from("<Q", data, pos)[0]
+        h = ((rotl(h ^ (rotl((lane * p2) & mask, 31) * p1) & mask, 27)
+              * p1) + p4) & mask
+        pos += 8
+    if pos + 4 <= n:
+        lane = struct.unpack_from("<I", data, pos)[0]
+        h = ((rotl(h ^ ((lane * p1) & mask), 23) * p2) + p3) & mask
+        pos += 4
+    while pos < n:
+        h = (rotl(h ^ ((data[pos] * p5) & mask), 11) * p1) & mask
+        pos += 1
+    h ^= h >> 33
+    h = (h * p2) & mask
+    h ^= h >> 29
+    h = (h * p3) & mask
+    h ^= h >> 32
+    return h
+
+
+class _FwdBits:
+    """Forward LSB-first bit reader (FSE table descriptions)."""
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.byte = 0
+        self.bit = 0
+
+    def _peek_raw(self, n: int) -> int:
+        v = 0
+        got = 0
+        byte, bit = self.byte, self.bit
+        while got < n:
+            cur = self.d[byte] if byte < len(self.d) else 0
+            take = min(8 - bit, n - got)
+            v |= ((cur >> bit) & ((1 << take) - 1)) << got
+            bit += take
+            got += take
+            if bit == 8:
+                bit = 0
+                byte += 1
+        return v
+
+    def consume(self, n: int) -> None:
+        self.bit += n
+        self.byte += self.bit >> 3
+        self.bit &= 7
+
+    def read(self, n: int) -> int:
+        v = self._peek_raw(n)
+        self.consume(n)
+        return v
+
+    def bytes_used(self) -> int:
+        return self.byte + (1 if self.bit else 0)
+
+
+class _BackBits:
+    """Backward bit reader (Huffman / FSE payload bitstreams): the
+    stream is written forward LSB-first and read from the end, below
+    the mandatory sentinel 1-bit in the last byte."""
+
+    def __init__(self, d: bytes):
+        if not d or d[-1] == 0:
+            raise ValueError("zstd: bitstream missing its sentinel bit")
+        self.x = int.from_bytes(d, "little")
+        self.pos = self.x.bit_length() - 1  # bits below the sentinel
+
+    def read(self, n: int) -> int:
+        """Strict read: over-reading raises."""
+        self.pos -= n
+        if self.pos < 0:
+            raise ValueError("zstd: bitstream over-read")
+        return (self.x >> self.pos) & ((1 << n) - 1)
+
+    def read_padded(self, n: int) -> int:
+        """Zero-filled read past the end (Huffman tail semantics)."""
+        self.pos -= n
+        if self.pos >= 0:
+            return (self.x >> self.pos) & ((1 << n) - 1)
+        if self.pos < -64:
+            raise ValueError("zstd: bitstream over-read")
+        return (self.x << -self.pos) & ((1 << n) - 1)
+
+
+# --- FSE ------------------------------------------------------------------
+
+def _fse_read_ncount(bits: _FwdBits, max_symbol: int,
+                     max_acc: int) -> tuple[list[int], int]:
+    """RFC 8878 §4.1.1: (normalized counts, accuracy_log)."""
+    acc = bits.read(4) + 5
+    if acc > max_acc:
+        raise ValueError(f"zstd: accuracy log {acc} over limit {max_acc}")
+    table_size = 1 << acc
+    remaining = table_size + 1
+    threshold = table_size
+    nb_bits = acc + 1
+    counts: list[int] = []
+    prev0 = False
+    while remaining > 1 and len(counts) <= max_symbol:
+        if prev0:
+            while True:
+                rep = bits.read(2)
+                counts.extend([0] * min(rep, 3))
+                if rep < 3:
+                    break
+            prev0 = False
+            if len(counts) > max_symbol:
+                break
+        maxv = (2 * threshold - 1) - remaining
+        val = bits._peek_raw(nb_bits)
+        if (val & (threshold - 1)) < maxv:
+            count = val & (threshold - 1)
+            bits.consume(nb_bits - 1)
+        else:
+            count = val & (2 * threshold - 1)
+            if count >= threshold:
+                count -= maxv
+            bits.consume(nb_bits)
+        count -= 1  # stored +1; -1 encodes "less than 1"
+        remaining -= -count if count < 0 else count
+        counts.append(count)
+        prev0 = count == 0
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("zstd: corrupt FSE normalized counts")
+    return counts, acc
+
+
+def _fse_build_dtable(counts: list[int], acc: int):
+    """(symbol, nb_bits, baseline) per state — §4.1.1's construction:
+    less-than-one symbols one cell each from the table TOP, the rest
+    spread with step (size>>1)+(size>>3)+3."""
+    size = 1 << acc
+    symbols = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        if c <= 0:
+            continue
+        for _ in range(c):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: FSE spread did not close")
+    next_state = [max(c, 1) if c != 0 else 0 for c in counts]
+    table = []
+    for state in range(size):
+        s = symbols[state]
+        ns = next_state[s]
+        next_state[s] += 1
+        nb = acc - (ns.bit_length() - 1)
+        baseline = (ns << nb) - size
+        table.append((s, nb, baseline))
+    return table
+
+
+def _fse_decode_interleaved(table, acc: int, bits: _BackBits,
+                            limit: int) -> list[int]:
+    """Two alternating FSE states (Huffman weights, §4.2.1.2): decode
+    until the stream is exhausted — the state whose update over-reads
+    emits nothing more; the OTHER state flushes one final symbol."""
+    out: list[int] = []
+    s1 = bits.read(acc)
+    s2 = bits.read(acc)
+    while len(out) < limit:
+        sym, nb, base = table[s1]
+        out.append(sym)
+        if bits.pos - nb < 0:
+            out.append(table[s2][0])
+            break
+        s1 = base + bits.read(nb)
+        sym, nb, base = table[s2]
+        out.append(sym)
+        if bits.pos - nb < 0:
+            out.append(table[s1][0])
+            break
+        s2 = base + bits.read(nb)
+    else:
+        raise ValueError("zstd: runaway FSE weight stream")
+    return out
+
+
+# --- Huffman ---------------------------------------------------------------
+
+def _huf_read_weights(d: bytes) -> tuple[list[int], int]:
+    """§4.2.1: (weights incl. the implied last, bytes consumed)."""
+    hdr = d[0]
+    if hdr >= 128:
+        n = hdr - 127
+        weights = []
+        for i in range(n):
+            b = d[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        used = 1 + (n + 1) // 2
+    else:
+        comp = d[1 : 1 + hdr]
+        if len(comp) != hdr:
+            raise ValueError("zstd: truncated huffman weights")
+        fwd = _FwdBits(comp)
+        counts, acc = _fse_read_ncount(fwd, 255, 6)
+        table = _fse_build_dtable(counts, acc)
+        back = _BackBits(comp[fwd.bytes_used():])
+        weights = _fse_decode_interleaved(table, acc, back, 255)
+        used = 1 + hdr
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: all-zero huffman weights")
+    # smallest power of two STRICTLY greater than the explicit sum;
+    # the gap is the implied LAST weight (§4.2.1.1) and must itself
+    # be a power of two
+    next_pow2 = 1 << total.bit_length()
+    rest = next_pow2 - total
+    if rest & (rest - 1):
+        raise ValueError("zstd: huffman weights leave a non-2^n gap")
+    weights.append(rest.bit_length())  # 2^(w-1) = rest
+    return weights, used
+
+
+def _huf_build_table(weights: list[int]):
+    """Canonical Huffman decode table (size 2^max_bits): ascending
+    weight, natural symbol order; weight w fills 2^(w-1) cells with
+    nb_bits = max_bits + 1 - w."""
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    if total & (total - 1):
+        raise ValueError("zstd: huffman weight sum not a power of two")
+    max_bits = total.bit_length() - 1
+    table: list[tuple[int, int]] = [(0, 0)] * total
+    pos = 0
+    for w in range(1, max_bits + 1):
+        for sym, sw in enumerate(weights):
+            if sw != w:
+                continue
+            nb = max_bits + 1 - w
+            span = 1 << (w - 1)
+            for _ in range(span):
+                table[pos] = (sym, nb)
+                pos += 1
+    if pos != total:
+        raise ValueError("zstd: huffman table underfilled")
+    return table, max_bits
+
+
+def _huf_decode_stream(table, max_bits: int, d: bytes,
+                       out_len: int) -> bytes:
+    bits = _BackBits(d)
+    out = bytearray()
+    while len(out) < out_len:
+        idx = bits.read_padded(max_bits)
+        sym, nb = table[idx]
+        out.append(sym)
+        bits.pos += max_bits - nb  # consumed nb, not max_bits
+    if bits.pos != 0:
+        raise ValueError("zstd: huffman stream not fully consumed")
+    return bytes(out)
+
+
+# --- literals section -------------------------------------------------------
+
+def _read_literals(d: bytes, pos: int, huf_state: dict
+                   ) -> tuple[bytes, int]:
+    hdr = d[pos]
+    ltype = hdr & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if (hdr >> 2) & 1 == 0:
+            regen = hdr >> 3
+            pos += 1
+        elif (hdr >> 2) & 3 == 1:
+            regen = (hdr >> 4) | (d[pos + 1] << 4)
+            pos += 2
+        else:  # 3
+            regen = (hdr >> 4) | (d[pos + 1] << 4) | (d[pos + 2] << 12)
+            pos += 3
+        if ltype == 0:
+            lits = d[pos : pos + regen]
+            if len(lits) != regen:
+                raise ValueError("zstd: truncated raw literals")
+            return bytes(lits), pos + regen
+        return bytes([d[pos]]) * regen, pos + 1
+    # Compressed (2) / Treeless (3)
+    fmt = (hdr >> 2) & 3
+    if fmt in (0, 1):
+        regen = (hdr >> 4) | ((d[pos + 1] & 0x3F) << 4)
+        comp = (d[pos + 1] >> 6) | (d[pos + 2] << 2)
+        pos += 3
+    elif fmt == 2:
+        regen = (hdr >> 4) | (d[pos + 1] << 4) | ((d[pos + 2] & 3) << 12)
+        comp = (d[pos + 2] >> 2) | (d[pos + 3] << 6)
+        pos += 4
+    else:
+        regen = ((hdr >> 4) | (d[pos + 1] << 4)
+                 | ((d[pos + 2] & 0x3F) << 12))
+        comp = ((d[pos + 2] >> 6) | (d[pos + 3] << 2)
+                | (d[pos + 4] << 10))
+        pos += 5
+    four_streams = fmt != 0  # Size_Format 00 = single stream (§3.1.1.3.1.6)
+    body = d[pos : pos + comp]
+    if len(body) != comp:
+        raise ValueError("zstd: truncated compressed literals")
+    pos += comp
+    at = 0
+    if ltype == 2:
+        weights, used = _huf_read_weights(body)
+        huf_state["table"] = _huf_build_table(weights)
+        at = used
+    elif "table" not in huf_state:
+        raise ValueError("zstd: treeless literals with no prior table")
+    table, max_bits = huf_state["table"]
+    if not four_streams:
+        return _huf_decode_stream(table, max_bits, body[at:], regen), pos
+    if regen == 0:
+        raise ValueError("zstd: 4-stream literals with zero size")
+    s1, s2, s3 = struct.unpack_from("<HHH", body, at)
+    at += 6
+    seg = (regen + 3) // 4
+    sizes = [s1, s2, s3]
+    out = bytearray()
+    want = [seg, seg, seg, regen - 3 * seg]
+    if want[3] < 0:
+        raise ValueError("zstd: bad 4-stream split")
+    for i in range(4):
+        ln = sizes[i] if i < 3 else len(body) - at
+        out += _huf_decode_stream(table, max_bits,
+                                  body[at : at + ln], want[i])
+        at += ln
+    return bytes(out), pos
+
+
+# --- sequences --------------------------------------------------------------
+
+def _seq_table(mode: int, d: bytes, pos: int, default, max_symbol: int,
+               max_acc: int, prev):
+    """One of the three sequence tables per its 2-bit mode.  Returns
+    (table_or_rle, acc, new_pos)."""
+    if mode == 0:  # predefined
+        counts, acc = default
+        return _fse_build_dtable(list(counts), acc), acc, pos
+    if mode == 1:  # RLE: a single symbol, zero bits per update
+        sym = d[pos]
+        if sym > max_symbol:
+            raise ValueError("zstd: RLE sequence symbol out of range")
+        return [(sym, 0, 0)], 0, pos + 1
+    if mode == 2:  # FSE-compressed table description
+        fwd = _FwdBits(d[pos:])
+        counts, acc = _fse_read_ncount(fwd, max_symbol, max_acc)
+        return _fse_build_dtable(counts, acc), acc, pos + fwd.bytes_used()
+    if prev is None:  # repeat
+        raise ValueError("zstd: Repeat_Mode with no previous table")
+    return prev[0], prev[1], pos
+
+
+def _decode_block(d: bytes, out: bytearray, state: dict) -> None:
+    """One Compressed_Block's content into ``out`` (the frame's
+    history so far — matches may reach anywhere in it)."""
+    lits, pos = _read_literals(d, 0, state["huf"])
+    # sequence count
+    b0 = d[pos]
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) | d[pos + 1]
+        pos += 2
+    else:
+        nseq = d[pos + 1] | (d[pos + 2] << 8)
+        nseq += 0x7F00
+        pos += 3
+    if nseq == 0:
+        out += lits
+        return
+    modes = d[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence-mode bits set")
+    ll_t, ll_acc, pos = _seq_table((modes >> 6) & 3, d, pos,
+                                   _LL_DEFAULT, 35, 9, state["ll"])
+    of_t, of_acc, pos = _seq_table((modes >> 4) & 3, d, pos,
+                                   _OF_DEFAULT, 31, 8, state["of"])
+    ml_t, ml_acc, pos = _seq_table((modes >> 2) & 3, d, pos,
+                                   _ML_DEFAULT, 52, 9, state["ml"])
+    state["ll"], state["of"], state["ml"] = (
+        (ll_t, ll_acc), (of_t, of_acc), (ml_t, ml_acc))
+    bits = _BackBits(d[pos:])
+    ll_s = bits.read(ll_acc)
+    of_s = bits.read(of_acc)
+    ml_s = bits.read(ml_acc)
+    lpos = 0
+    rep = state["rep"]
+    for i in range(nseq):
+        of_code = of_t[of_s][0]
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        of_val = (1 << of_code) + bits.read(of_code)
+        ml_code = ml_t[ml_s][0]
+        ml = _ML_BASELINE[ml_code] + bits.read(_ML_BITS[ml_code])
+        ll_code = ll_t[ll_s][0]
+        ll = _LL_BASELINE[ll_code] + bits.read(_LL_BITS[ll_code])
+        if of_val > 3:
+            offset = of_val - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = of_val - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            else:
+                offset = rep[idx] if idx < 3 else rep[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: zero repeat offset")
+                if idx == 1:
+                    rep[1] = rep[0]
+                else:
+                    rep[2] = rep[1]
+                    rep[1] = rep[0]
+                rep[0] = offset
+        # execute: literals then match
+        if lpos + ll > len(lits):
+            raise ValueError("zstd: sequence over-consumes literals")
+        out += lits[lpos : lpos + ll]
+        lpos += ll
+        if offset > len(out):
+            raise ValueError("zstd: match offset beyond window")
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:
+            for _ in range(ml):  # overlapping copy, byte-wise
+                out.append(out[start])
+                start += 1
+        if i + 1 < nseq:  # update order: LL, ML, OF
+            s, nb, base = ll_t[ll_s]
+            ll_s = base + bits.read(nb)
+            s, nb, base = ml_t[ml_s]
+            ml_s = base + bits.read(nb)
+            s, nb, base = of_t[of_s]
+            of_s = base + bits.read(nb)
+    if bits.pos != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+    out += lits[lpos:]
+
+
+def strip_content_size(frame: bytes) -> bytes:
+    """Rewrite a single zstd frame so it DECLARES NO content size —
+    the header class real streaming writers emit (they cannot know the
+    size up front).  Blocks are byte-identical; only the frame header
+    changes (FCS flag 0, single-segment off, a window descriptor big
+    enough for the content).  Used to build fixtures that force the
+    full native decoding machine instead of the sized fast path."""
+    if struct.unpack_from("<I", frame, 0)[0] != _MAGIC:
+        raise ValueError("zstd: bad frame magic")
+    fhd = frame[4]
+    single = (fhd >> 5) & 1
+    fcs_code = fhd >> 6
+    did_len = (0, 1, 2, 4)[fhd & 3]
+    if did_len:
+        raise NotImplementedError("zstd: dictionary frames")
+    pos = 5 + (0 if single else 1)
+    fcs_len = (1 if single else 0, 2, 4, 8)[fcs_code]
+    if fcs_len == 0:
+        return frame  # already size-less
+    content_size = int.from_bytes(frame[pos : pos + fcs_len], "little")
+    if fcs_len == 2:
+        content_size += 256
+    body = frame[pos + fcs_len:]
+    # window exponent covering the content (offsets never exceed it)
+    exp = 0
+    while (1 << (10 + exp)) < max(content_size, 1) and exp < 31:
+        exp += 1
+    new_fhd = fhd & 0b0001_0100  # keep checksum bit; clear FCS/single/did
+    return (frame[:4] + bytes([new_fhd, exp << 3]) + body)
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """All frames in ``data`` (zstd streams concatenate), decoded."""
+    out_all = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("zstd: truncated frame magic")
+        magic = struct.unpack_from("<I", data, pos)[0]
+        if _SKIP_LO <= magic <= _SKIP_HI:
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            pos += 8 + size
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"zstd: bad frame magic 0x{magic:08x}")
+        pos += 4
+        fhd = data[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ValueError("zstd: reserved FHD bit set")
+        single = (fhd >> 5) & 1
+        fcs_code = fhd >> 6
+        has_checksum = (fhd >> 2) & 1
+        did_code = fhd & 3
+        window = None
+        if not single:
+            wd = data[pos]
+            pos += 1
+            wlog = 10 + (wd >> 3)
+            wbase = 1 << wlog
+            window = wbase + (wbase >> 3) * (wd & 7)
+        did_len = (0, 1, 2, 4)[did_code]
+        if did_len:
+            did = int.from_bytes(data[pos : pos + did_len], "little")
+            pos += did_len
+            if did:
+                raise NotImplementedError(
+                    f"zstd: dictionary frames (id {did}) not supported")
+        fcs_len = (1 if single else 0, 2, 4, 8)[fcs_code]
+        content_size = None
+        if fcs_len:
+            content_size = int.from_bytes(
+                data[pos : pos + fcs_len], "little")
+            if fcs_len == 2:
+                content_size += 256
+            pos += fcs_len
+        if window is None:
+            window = content_size if content_size is not None else 0
+        block_max = min(window or (1 << 17), 1 << 17)
+        frame_out = bytearray()
+        state = {"huf": {}, "ll": None, "of": None, "ml": None,
+                 "rep": [1, 4, 8]}
+        while True:
+            if pos + 3 > n:
+                raise ValueError("zstd: truncated block header")
+            bh = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # raw
+                if pos + bsize > n:
+                    raise ValueError("zstd: truncated raw block")
+                frame_out += data[pos : pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE
+                if pos >= n:
+                    raise ValueError("zstd: truncated RLE block")
+                frame_out += bytes([data[pos]]) * bsize
+                pos += 1
+            elif btype == 2:
+                if bsize > block_max:
+                    raise ValueError("zstd: block exceeds maximum size")
+                if pos + bsize > n:
+                    raise ValueError("zstd: truncated compressed block")
+                try:
+                    _decode_block(data[pos : pos + bsize], frame_out,
+                                  state)
+                except (IndexError, struct.error):
+                    raise ValueError(
+                        "zstd: truncated block content") from None
+                pos += bsize
+                if content_size is not None \
+                        and len(frame_out) > content_size:
+                    raise ValueError(
+                        "zstd: block output exceeds declared size")
+            else:
+                raise ValueError("zstd: reserved block type")
+            if last:
+                break
+        if content_size is not None and len(frame_out) != content_size:
+            raise ValueError(
+                f"zstd: frame declared {content_size} bytes, decoded "
+                f"{len(frame_out)}")
+        if has_checksum:
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated content checksum")
+            want = struct.unpack_from("<I", data, pos)[0]
+            pos += 4
+            if xxh64(bytes(frame_out)) & 0xFFFFFFFF != want:
+                raise ValueError("zstd: content checksum mismatch")
+        out_all += frame_out
+    return bytes(out_all)

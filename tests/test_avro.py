@@ -124,7 +124,7 @@ def test_corrupt_sync_marker_raises():
         ),
         max_size=30,
     ),
-    st.sampled_from(["null", "deflate", "snappy"]),
+    st.sampled_from(["null", "deflate", "snappy", "bzip2", "xz"]),
 )
 def test_property_roundtrip(rows, codec):
     _, back = avro_decode(avro_encode(rows, FIELDS, codec=codec, block_records=7))
