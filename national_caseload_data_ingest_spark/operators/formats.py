@@ -1143,13 +1143,21 @@ def _synth_archive(did: int) -> bytes:
     if mode == 3:
         return lzma.compress(raw, preset=1)
     if mode == 4:
-        # the reference C encoder (pyarrow's bundled zstd); every
-        # second zstd doc gets its frame header rewritten to declare
-        # NO content size — the streaming-writer class that must route
-        # through the from-spec native machine (zstdnative.py) instead
-        # of the sized fast path
+        # three-way zstd rotation over the two from-spec seams:
+        # did%24==4  -> reference-C-encoded frame with its header
+        #               rewritten to declare NO content size, forcing
+        #               the NATIVE DECODER (zstdnative.py);
+        # did%24==16 -> the repo's own from-scratch WRITER (raw
+        #               literals + predefined-FSE sequences), decoded
+        #               back through the reference fast path;
+        # otherwise  -> plain reference-C frame (the common case).
+        if did % 24 == 16:
+            from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: PLC0415
+                zstd_compress,
+            )
+            return zstd_compress(raw)
         comp = bytes(pa.compress(raw, codec="zstd", asbytes=True))
-        if did % 12 == 4:
+        if did % 24 == 4:
             from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: PLC0415
                 strip_content_size,
             )

@@ -1,11 +1,13 @@
-"""Native LZ4-block and Snappy decoders + a zstd frame-header parser —
-the block-compression family parquet/ORC/Kafka payloads actually use.
+"""Native LZ4 and Snappy codecs (decode AND encode) + the zstd
+frame-header parser and routing — the block-compression family
+parquet/ORC/Kafka payloads actually use.
 
-The decode side is implemented FROM THE PUBLIC SPECS (lz4 block format,
-google/snappy format description, RFC 8878 zstd frame header); the
-ENCODE side is pyarrow's bundled reference C implementations — which
-makes every test and every query a true cross-implementation check:
-bytes produced by the canonical encoders must decode identically here.
+Everything is implemented FROM THE PUBLIC SPECS (lz4 block + frame
+formats, google/snappy format description, RFC 8878 zstd frame header,
+the public xxHash32 spec for LZ4 frame checksums); pyarrow's bundled
+reference C implementations serve as the CROSS-VALIDATION twin in both
+directions — reference-encoded bytes must decode identically here, and
+repo-encoded bytes must decode identically there.
 
 * **LZ4 block** (lz4_raw): token byte (literal-length nibble /
   match-length nibble), 255-continued extended lengths, 2-byte LE match
@@ -90,6 +92,139 @@ def lz4_block_decode(
         raise ValueError(
             f"lz4: decoded {len(out)} bytes, expected {out_size}"
         )
+    return bytes(out)
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 from the public spec (LZ4 frame header/content
+    checksums)."""
+    p1, p2, p3 = 2654435761, 2246822519, 3266489917
+    p4, p5 = 668265263, 374761393
+    mask = 0xFFFFFFFF
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & mask
+
+    n = len(data)
+    pos = 0
+    if n >= 16:
+        v1 = (seed + p1 + p2) & mask
+        v2 = (seed + p2) & mask
+        v3 = seed & mask
+        v4 = (seed - p1) & mask
+        while pos + 16 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<IIII", data, pos)
+            v1 = (rotl((v1 + l1 * p2) & mask, 13) * p1) & mask
+            v2 = (rotl((v2 + l2 * p2) & mask, 13) * p1) & mask
+            v3 = (rotl((v3 + l3 * p2) & mask, 13) * p1) & mask
+            v4 = (rotl((v4 + l4 * p2) & mask, 13) * p1) & mask
+            pos += 16
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12)
+             + rotl(v4, 18)) & mask
+    else:
+        h = (seed + p5) & mask
+    h = (h + n) & mask
+    while pos + 4 <= n:
+        lane = struct.unpack_from("<I", data, pos)[0]
+        h = (rotl((h + lane * p3) & mask, 17) * p4) & mask
+        pos += 4
+    while pos < n:
+        h = (rotl((h + data[pos] * p5) & mask, 11) * p1) & mask
+        pos += 1
+    h ^= h >> 15
+    h = (h * p2) & mask
+    h ^= h >> 13
+    h = (h * p3) & mask
+    h ^= h >> 16
+    return h
+
+
+def lz4_block_encode(data: bytes) -> bytes:
+    """LZ4 block COMPRESSOR (the decode twin's writer): greedy 4-byte
+    hash matching honoring the spec's end rules — the last 5 bytes are
+    literals and no match starts within the last 12 bytes.  Always
+    valid LZ4; validated against both the repo decoder and pyarrow's
+    bundled reference C decoder."""
+    n = len(data)
+    out = bytearray()
+
+    def write_seq(lit: bytes, match_len: int | None,
+                  offset: int) -> None:
+        nonlocal out
+        lit_n = len(lit)
+        tok_lit = min(lit_n, 15)
+        tok_m = 0 if match_len is None else min(match_len - 4, 15)
+        out.append((tok_lit << 4) | tok_m)
+        if tok_lit == 15:
+            rem = lit_n - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out += lit
+        if match_len is None:
+            return
+        out += offset.to_bytes(2, "little")
+        if tok_m == 15:
+            rem = match_len - 4 - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+
+    table: dict[bytes, int] = {}
+    i = 0
+    anchor = 0
+    while i + 4 <= n and i <= n - 13:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and 0 < i - j <= 0xFFFF \
+                and data[j : j + 4] == key:
+            max_len = (n - 5) - i  # the match may run to n-5
+            length = 4
+            while length < max_len and data[j + length] == data[i + length]:
+                length += 1
+            if length >= 4 and max_len >= 4:
+                write_seq(data[anchor:i], length, i - j)
+                i += length
+                anchor = i
+                continue
+        i += 1
+    write_seq(data[anchor:], None, 0)  # last sequence: literals only
+    return bytes(out)
+
+
+LZ4F_BD_4MB = 0x70  # block-max-size code 7 in BD bits 6-4
+
+
+def lz4_frame_encode(data: bytes, block_size: int = 4 << 20,
+                     indep: bool = True,
+                     store_size: bool = True) -> bytes:
+    """LZ4 FRAME writer: FLG/BD descriptor with the xxh32 header
+    checksum, compressed blocks (falling back to uncompressed when a
+    block doesn't shrink), EndMark.  ``indep=True`` keeps every block
+    self-contained — the scale-friendly form (splittable decode)."""
+    if not indep:
+        raise NotImplementedError(
+            "lz4: linked-block ENCODING not implemented (decoder "
+            "handles linked frames)")
+    flg = (1 << 6) | (1 << 5) | ((1 << 3) if store_size else 0)
+    header = bytes([flg, LZ4F_BD_4MB])
+    if store_size:
+        header += len(data).to_bytes(8, "little")
+    hc = (xxh32(header) >> 8) & 0xFF
+    out = bytearray(LZ4_FRAME_MAGIC + header + bytes([hc]))
+    for at in range(0, max(len(data), 1), block_size):
+        chunk = data[at : at + block_size]
+        if not chunk:
+            break
+        comp = lz4_block_encode(chunk)
+        if len(comp) < len(chunk):
+            out += struct.pack("<I", len(comp)) + comp
+        else:
+            out += struct.pack("<I", 0x80000000 | len(chunk)) + chunk
+    out += b"\x00\x00\x00\x00"  # EndMark
     return bytes(out)
 
 

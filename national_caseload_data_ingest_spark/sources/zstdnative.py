@@ -38,6 +38,15 @@ by pyarrow's bundled REFERENCE libzstd at multiple compression levels
 FSE-compressed Huffman weights and 4-stream literals at high levels),
 over the same nine corpus shapes the LZ4/snappy seams use.
 
+The module also carries a from-scratch WRITER (``zstd_compress``):
+single-segment frames whose blocks are the best of RLE / raw /
+compressed-with-raw-literals + predefined-FSE sequences — the encode
+side plans the FSE state chains BACKWARD (the inverse of the decoder's
+walk: for each symbol pick the state whose baseline range covers the
+next state) and emits the bit fields in reverse decoder-read order.
+Every frame it produces is validated against pyarrow's bundled
+reference libzstd decoder.
+
 Honest gates: dictionary frames (``Dictionary_ID`` set) raise — the
 content-addressed dictionary is external state, not bytes in hand.
 
@@ -578,6 +587,222 @@ def _decode_block(d: bytes, out: bytearray, state: dict) -> None:
     if bits.pos != 0:
         raise ValueError("zstd: sequence bitstream not fully consumed")
     out += lits[lpos:]
+
+
+# --- encoder (writer twin) --------------------------------------------------
+
+def _code_of(value: int, baselines, bits) -> int:
+    """Largest code whose baseline ≤ value (the baselines ascend and
+    partition the range together with their extra bits)."""
+    lo, hi = 0, len(baselines) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if baselines[mid] <= value:
+            lo = mid
+        else:
+            hi = mid - 1
+    if not (baselines[lo] <= value < baselines[lo] + (1 << bits[lo])):
+        raise ValueError(f"zstd: value {value} not encodable")
+    return lo
+
+
+def _fse_encode_states(table, acc: int, codes: list[int]):
+    """Backward FSE state planning: given the decode table and the
+    symbol (code) sequence the DECODER must emit, pick the state chain
+    and update bits.  Returns (init_state, [(value, nbits) updates in
+    decoder-read order])."""
+    size = 1 << acc
+    by_symbol: dict[int, list[int]] = {}
+    for state in range(size):
+        by_symbol.setdefault(table[state][0], []).append(state)
+    # the state of symbol s covering target state t: exactly one of
+    # s's states has t in [baseline, baseline + 2^nb)
+    def covering(sym: int, target: int) -> int:
+        for st in by_symbol.get(sym, ()):
+            _s, nb, base = table[st]
+            if base <= target < base + (1 << nb):
+                return st
+        raise ValueError(f"zstd: no state of symbol {sym} covers "
+                         f"{target}")
+    states = [0] * len(codes)
+    states[-1] = by_symbol[codes[-1]][0]  # final seq never updates
+    for i in range(len(codes) - 2, -1, -1):
+        states[i] = covering(codes[i], states[i + 1])
+    updates = []
+    for i in range(len(codes) - 1):
+        _s, nb, base = table[states[i]]
+        updates.append((states[i + 1] - base, nb))
+    return states[0], updates
+
+
+class _BitWriter:
+    """Forward LSB-first bit accumulator; finished with the sentinel
+    1-bit + zero padding — the layout _BackBits reads in reverse."""
+
+    def __init__(self):
+        self.x = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if value >> nbits:
+            raise ValueError("zstd: bit-writer value overflow")
+        self.x |= value << self.n
+        self.n += nbits
+
+    def finish(self) -> bytes:
+        self.x |= 1 << self.n  # sentinel
+        self.n += 1
+        return self.x.to_bytes((self.n + 7) // 8, "little")
+
+
+_PRED_TABLES: dict[str, tuple] = {}
+
+
+def _pred_table(kind: str):
+    if kind not in _PRED_TABLES:
+        default = {"ll": _LL_DEFAULT, "ml": _ML_DEFAULT,
+                   "of": _OF_DEFAULT}[kind]
+        counts, acc = default
+        _PRED_TABLES[kind] = (_fse_build_dtable(list(counts), acc), acc)
+    return _PRED_TABLES[kind]
+
+
+def _encode_block_body(chunk: bytes) -> bytes | None:
+    """One Compressed_Block body: RAW literals + predefined-FSE
+    sequences from a greedy 4-byte-hash matcher (every offset emitted
+    as Offset_Value = offset + 3; repeat offsets unused — valid, just
+    not maximal).  Returns None when the block doesn't shrink."""
+    n = len(chunk)
+    seqs = []  # (ll, ml, offset) per sequence
+    lits = bytearray()
+    table: dict[bytes, int] = {}
+    i = 0
+    anchor = 0
+    while i + 4 <= n:
+        key = chunk[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and chunk[j : j + 4] == key and i - j <= n:
+            length = 4
+            while i + length < n and chunk[j + length] == chunk[i + length]:
+                length += 1
+            lits += chunk[anchor:i]
+            seqs.append((i - anchor, length, i - j))
+            i += length
+            anchor = i
+            continue
+        i += 1
+    last_lits = n - anchor
+    lits += chunk[anchor:]
+    if not seqs:
+        return None  # nothing matched: a raw block is strictly smaller
+    # literals section header: raw literals, smallest size format
+    regen = len(lits)
+    out = bytearray()
+    if regen < 32:
+        out.append((regen << 3) | 0b000)
+    elif regen < 4096:
+        out.append(((regen & 0x0F) << 4) | 0b0100)
+        out.append(regen >> 4)
+    else:
+        out.append(((regen & 0x0F) << 4) | 0b1100)
+        out.append((regen >> 4) & 0xFF)
+        out.append(regen >> 12)
+    out += lits
+    # sequence count + predefined modes
+    nseq = len(seqs)
+    if nseq < 128:
+        out.append(nseq)
+    elif nseq < 0x7F00:
+        out.append((nseq >> 8) + 128)
+        out.append(nseq & 0xFF)
+    else:
+        out.append(255)
+        out += (nseq - 0x7F00).to_bytes(2, "little")
+    out.append(0x00)  # LL/OF/ML all Predefined_Mode
+    # code sequences per category
+    ll_codes, ml_codes, of_codes, extras = [], [], [], []
+    for ll, ml, offset in seqs:
+        llc = _code_of(ll, _LL_BASELINE, _LL_BITS)
+        mlc = _code_of(ml, _ML_BASELINE, _ML_BITS)
+        of_val = offset + 3
+        ofc = of_val.bit_length() - 1
+        extras.append((
+            (of_val - (1 << ofc), ofc),
+            (ml - _ML_BASELINE[mlc], _ML_BITS[mlc]),
+            (ll - _LL_BASELINE[llc], _LL_BITS[llc]),
+        ))
+        ll_codes.append(llc)
+        ml_codes.append(mlc)
+        of_codes.append(ofc)
+    ll_t, ll_acc = _pred_table("ll")
+    ml_t, ml_acc = _pred_table("ml")
+    of_t, of_acc = _pred_table("of")
+    ll0, ll_up = _fse_encode_states(ll_t, ll_acc, ll_codes)
+    ml0, ml_up = _fse_encode_states(ml_t, ml_acc, ml_codes)
+    of0, of_up = _fse_encode_states(of_t, of_acc, of_codes)
+    # decoder read order → writer emits the REVERSE
+    fields = [(ll0, ll_acc), (of0, of_acc), (ml0, ml_acc)]
+    for i in range(nseq):
+        fields.extend(extras[i])
+        if i + 1 < nseq:
+            fields.append(ll_up[i])
+            fields.append(ml_up[i])
+            fields.append(of_up[i])
+    w = _BitWriter()
+    for value, nbits in reversed(fields):
+        w.put(value, nbits)
+    out += w.finish()
+    if len(out) >= n:
+        return None
+    # sanity: the block must round-trip through our own decoder
+    check = bytearray()
+    _decode_block(bytes(out), check,
+                  {"huf": {}, "ll": None, "of": None, "ml": None,
+                   "rep": [1, 4, 8]})
+    if bytes(check) != chunk:
+        raise AssertionError("zstd: encoder self-check failed")
+    del last_lits
+    return bytes(out)
+
+
+def zstd_compress(data: bytes, block_size: int = 1 << 17) -> bytes:
+    """zstd frame WRITER: single-segment header with the declared
+    content size, then per ≤128 KiB chunk the best of RLE / compressed
+    (raw literals + predefined-FSE sequences) / raw blocks.  Always a
+    valid frame; validated against pyarrow's bundled reference
+    decoder."""
+    block_size = min(block_size, 1 << 17)
+    n = len(data)
+    if n < 256:
+        fhd, fcs = 0x20, n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fhd, fcs = 0x60, (n - 256).to_bytes(2, "little")
+    elif n < 1 << 32:
+        fhd, fcs = 0xA0, n.to_bytes(4, "little")
+    else:
+        fhd, fcs = 0xE0, n.to_bytes(8, "little")
+    out = bytearray(struct.pack("<I", _MAGIC) + bytes([fhd]) + fcs)
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last=1, raw, size 0
+        return bytes(out)
+    for at in range(0, n, block_size):
+        chunk = data[at : at + block_size]
+        last = 1 if at + block_size >= n else 0
+        if chunk == bytes([chunk[0]]) * len(chunk):
+            out += (last | (1 << 1)
+                    | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk[:1]
+            continue
+        body = _encode_block_body(chunk)
+        if body is not None:
+            out += (last | (2 << 1)
+                    | (len(body) << 3)).to_bytes(3, "little")
+            out += body
+        else:
+            out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk
+    return bytes(out)
 
 
 def strip_content_size(frame: bytes) -> bytes:

@@ -115,6 +115,54 @@ def test_strip_content_size_forces_native_machine():
         assert strip_content_size(nofcs) == nofcs  # idempotent
 
 
+def test_writer_accepted_by_reference_decoder():
+    """The from-scratch zstd WRITER (raw literals + predefined-FSE
+    sequence encoding, the inverse state walk): every frame decodes
+    byte-identically through BOTH the repo decoder and pyarrow's
+    bundled reference libzstd."""
+    from national_caseload_data_ingest_spark.sources.zstdnative import (
+        zstd_compress,
+    )
+    rng = random.Random(11)
+    corpora = _corpora()
+    words = ["alpha", "beta", "gamma", "the", "of", "and"]
+    corpora.append(" ".join(rng.choice(words)
+                            for _ in range(100000)).encode())
+    for i, data in enumerate(corpora):
+        fr = zstd_compress(data)
+        assert zstd_decompress(fr) == data, i
+        assert bytes(pa.decompress(
+            fr, decompressed_size=len(data), codec="zstd")) == data, i
+    # compressible text actually compresses (FSE sequences emitted,
+    # not just raw blocks)
+    text = corpora[-1]
+    assert len(zstd_compress(text)) < len(text) // 2
+
+
+def test_writer_random_roundtrips():
+    """Randomized shapes across the FCS size classes and the RLE /
+    compressed / raw block routes."""
+    from national_caseload_data_ingest_spark.sources.zstdnative import (
+        zstd_compress,
+    )
+    rng = random.Random(20260816)
+    for _ in range(40):
+        kind = rng.randrange(3)
+        n = rng.choice([0, 1, 5, 255, 256, 300, 5000, 70000, 140000])
+        if kind == 0:
+            data = bytes(rng.getrandbits(8) for _ in range(n))
+        elif kind == 1:
+            data = bytes([rng.getrandbits(8)]) * n
+        else:
+            data = b"".join(
+                bytes([rng.getrandbits(8)]) * rng.randint(1, 40)
+                for _ in range(n // 20 + 1))[:n]
+        fr = zstd_compress(data)
+        assert zstd_decompress(fr) == data
+        assert bytes(pa.decompress(
+            fr, decompressed_size=len(data), codec="zstd")) == data
+
+
 def test_declared_size_mismatch_and_guards():
     data = b"guarded content " * 100
     comp = bytearray(_codec(3).compress(data, asbytes=True))
