@@ -38,14 +38,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the whole catalog.  Round-12 rotation (VERDICT r11 ask #7 — the
 # freshest-row-age tail):
 #
-# 1. round-12 NEW or semantics-changed queries lead.  The six r11-window
-#    repeats are all changed-semantics re-checks (within the ≤~10-key
-#    overlap allowance): the PDF container gained xref streams/ObjStm/
-#    predictors, the ZIP walker gained zip64 rotation, SQLite gained the
-#    WAL sidecar rotation, protowire gained strict wire-type/length
-#    validation, txlog_time_travel runs through the new checkpoint
-#    regression guard, and the tokenizer trainers switched to top-K
-#    routing (wordpiece_train_encode / bpe_train_encode);
+# 1. round-12 NEW or semantics-changed queries lead.  The seven
+#    r11-window repeats are all changed-semantics re-checks (within the
+#    ≤~10-key overlap allowance): the PDF container gained xref streams/
+#    ObjStm/predictors + the six-way filter rotation, the ZIP walker
+#    gained zip64 rotation, SQLite gained the WAL sidecar rotation,
+#    protowire gained strict wire-type/length validation,
+#    txlog_time_travel runs through the new checkpoint regression guard,
+#    the tokenizer trainers switched to top-K routing
+#    (wordpiece_train_encode / bpe_train_encode), and the archive zstd
+#    class rotates native-machine and repo-writer frames;
 # 2. ALL 14 queries whose freshest driver row is ROUND 4 (the oldest
 #    tail — this clears r4 entirely, moving the oldest age to r5);
 # 3. round-5-stale fill in name order up to the 50-cap.  The 49 r5-stale
@@ -63,6 +65,7 @@ CHECK_PRIORITY: list[str] = [
     "txlog_time_travel",  # checkpoint regression guard on path (changed)
     "wordpiece_train_encode",  # top-K vocab routing (changed)
     "bpe_train_encode",  # top-K vocab routing (changed; also r6-stale)
+    "archive_codec_features",  # native-zstd + repo-writer rotation (changed)
     # -- freshest driver row is round 4 (all of them) ------------------------
     "scalar_subquery_above_avg",
     "semi_join_urgent_customers",
@@ -106,8 +109,8 @@ CHECK_PRIORITY: list[str] = [
     "q1_pricing_summary",
     "q20_excess_shippers",
     "q21_waiting_supplier",
-    "q22_idle_customers",
     # ---- 50-cap boundary: names below spill to the r13 window -------------
+    "q22_idle_customers",
     "q2_min_cost_supplier",
     "q4_order_priority_check",
     "q7_nation_trade_volume",
