@@ -182,8 +182,11 @@ HEADLINE = [
     "pdf_text_features",
     # round 12: the frozen-vocab WordPiece encode whose oracle checks
     # the actual token strings (zip/pdf/sqlite entries above now carry
-    # the zip64 / xref-stream / WAL container rotations)
+    # the zip64 / xref-stream / WAL container rotations), and the
+    # native parquet data-page reader fed by the repo's own
+    # snappy/zstd codecs
     "wordpiece_frozen_encode",
+    "parquet_native_roundtrip",
 ]
 
 

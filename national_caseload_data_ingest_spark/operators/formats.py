@@ -107,6 +107,77 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("parquet_native_roundtrip", oracle=_DOC_DIGEST_SQL)
+def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet read WITHOUT any Arrow/JVM reader in the loop
+    (`sources/parquetdata.py`): each partition's documents become one
+    parquet payload written by pyarrow (the reference writer) under a
+    rotating writer config — codec snappy/zstd/gzip/none (the snappy
+    and zstd pages decompress through the repo's OWN codecs),
+    dictionary on/off, data-page v1/v2, 200-row row groups (multi-page,
+    multi-group chunks) — then the native reader walks footer → column
+    chunks → Thrift page headers → RLE/bit-packed definition levels →
+    PLAIN/dictionary values, and the per-document digests hash-match
+    the raw table.  Two narrow Arrow kernels, zero shuffle."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    def enc(batches):
+        import io  # noqa: PLC0415
+
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        rows = []
+        for pdf in batches:
+            rows.append(pdf)
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True)
+        # deterministic writer-config rotation keyed on content
+        key = int(pdf["doc_id"].min())
+        comp = ("snappy", "zstd", "gzip", "none")[key % 4]
+        t = pa.table({
+            "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+            "text": pa.array(pdf["text"], pa.string()),
+            "lang": pa.array(pdf["lang"], pa.string()),
+            "n_chars": pa.array(pdf["n_chars"], pa.int64()),
+        })
+        buf = io.BytesIO()
+        pq.write_table(
+            t, buf, compression=comp,
+            use_dictionary=(key % 2 == 0),
+            data_page_version="2.0" if key % 3 == 0 else "1.0",
+            row_group_size=200,
+        )
+        yield pd.DataFrame({"payload": [buf.getvalue()]})
+
+    def dec(batches):
+        from national_caseload_data_ingest_spark.sources.parquetdata import (  # noqa: PLC0415
+            read_table_native,
+        )
+
+        for pdf in batches:
+            for payload in pdf["payload"]:
+                cols = read_table_native(bytes(payload))
+                yield pd.DataFrame(cols)
+
+    payloads = docs.select(
+        "doc_id", "text", "lang", "n_chars"
+    ).mapInPandas(enc, schema="payload binary")
+    back = payloads.mapInPandas(
+        dec,
+        schema="doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
 @query("csv_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
 def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source fidelity on the nastiest column we have (free text:

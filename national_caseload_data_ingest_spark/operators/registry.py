@@ -66,6 +66,7 @@ CHECK_PRIORITY: list[str] = [
     "wordpiece_train_encode",  # top-K vocab routing (changed)
     "bpe_train_encode",  # top-K vocab routing (changed; also r6-stale)
     "archive_codec_features",  # native-zstd + repo-writer rotation (changed)
+    "parquet_native_roundtrip",  # native data-page reader (new)
     # -- freshest driver row is round 4 (all of them) ------------------------
     "scalar_subquery_above_avg",
     "semi_join_urgent_customers",
@@ -108,8 +109,8 @@ CHECK_PRIORITY: list[str] = [
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
     "q20_excess_shippers",
-    "q21_waiting_supplier",
     # ---- 50-cap boundary: names below spill to the r13 window -------------
+    "q21_waiting_supplier",
     "q22_idle_customers",
     "q2_min_cost_supplier",
     "q4_order_priority_check",

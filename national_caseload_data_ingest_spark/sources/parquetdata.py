@@ -1,0 +1,325 @@
+"""Native parquet DATA-PAGE reader — pure stdlib + the repo's own
+codecs, from the public parquet-format specification.
+
+``parquetmeta.py`` reads footers (metadata-only maintenance); this
+module reads the DATA: column chunks, page headers (the same Thrift
+compact walker), definition levels, and the value encodings — so an
+executor holding raw parquet bytes can materialize columns without any
+Arrow/JVM reader in the loop, and the engine's native codec family
+(snappy, zstd, LZ4 — ``blockcodecs.py``/``zstdnative.py``) gets a
+production consumer.  Implemented:
+
+* **column chunks**: per row group, pages laid out contiguously from
+  ``dictionary_page_offset``/``data_page_offset`` for
+  ``total_compressed_size`` bytes;
+* **page headers**: Thrift compact structs (PageHeader: type,
+  un/compressed sizes, DataPageHeader(V1): num_values / encoding /
+  level encodings, DataPageHeaderV2: level byte lengths +
+  is_compressed, DictionaryPageHeader);
+* **codecs**: UNCOMPRESSED, SNAPPY (native), GZIP (zlib), ZSTD (the
+  native machine / reference routing), LZ4_RAW (native block decode);
+  LZO/brotli/legacy-LZ4 gate;
+* **levels**: the RLE/bit-packed hybrid (LSB-first bit-packed groups
+  of 8, little-endian RLE runs), 4-byte-length-prefixed in v1 data
+  pages, raw-length-given in v2; flat schemas only (max definition
+  level 0 or 1 — nested repetition gates loudly);
+* **values**: PLAIN for boolean (bit-packed) / int32 / int64 / float /
+  double / byte_array (u32-length-prefixed) / fixed_len_byte_array /
+  int96 (raw 12 bytes), and PLAIN_DICTIONARY / RLE_DICTIONARY
+  (bit-width byte + hybrid indices into the dictionary page);
+  DELTA_* encodings gate.
+
+Cross-validation: every file the tests read is written by pyarrow or
+Spark (the reference writers) across codec × dictionary × page-version
+rotations, and every value list is compared against pyarrow's own
+read — the same independent-implementation contract as the footer
+reader.
+
+Spark shape: a per-payload kernel (one task per file/row-group), zero
+shuffle — the native-read twin of ``spark.read.parquet`` for the flat
+case, used where holding bytes (txlog payloads, object-store blobs)
+beats standing up a scan.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from national_caseload_data_ingest_spark.sources.parquetmeta import (
+    _Reader,
+    read_footer,
+)
+
+_PLAIN, _PLAIN_DICT, _RLE, _RLE_DICT = 0, 2, 3, 8
+
+_CODEC_UNCOMPRESSED, _CODEC_SNAPPY, _CODEC_GZIP = 0, 1, 2
+_CODEC_ZSTD, _CODEC_LZ4_RAW = 6, 7
+
+
+def _uvarint(d: bytes, pos: int) -> tuple[int, int]:
+    n = 0
+    shift = 0
+    while True:
+        b = d[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+        if shift > 35:
+            raise ValueError("parquet: runaway varint")
+
+
+def _rle_bp_hybrid(d: bytes, pos: int, bit_width: int,
+                   count: int) -> tuple[list[int], int]:
+    """The RLE/bit-packed hybrid (parquet-format Encodings.md)."""
+    out: list[int] = []
+    if bit_width == 0:
+        return [0] * count, pos
+    mask = (1 << bit_width) - 1
+    while len(out) < count:
+        header, pos = _uvarint(d, pos)
+        if header & 1:  # bit-packed: (header>>1) groups of 8 values
+            n = (header >> 1) * 8
+            nbytes = (n * bit_width + 7) // 8
+            chunk = d[pos : pos + nbytes]
+            if len(chunk) != nbytes:
+                raise ValueError("parquet: truncated bit-packed run")
+            pos += nbytes
+            acc = int.from_bytes(chunk, "little")
+            take = min(n, count - len(out))
+            out.extend((acc >> (i * bit_width)) & mask
+                       for i in range(take))
+        else:  # RLE run: fixed-width little-endian value
+            run = header >> 1
+            width = (bit_width + 7) // 8
+            val = int.from_bytes(d[pos : pos + width], "little")
+            pos += width
+            out.extend([val] * min(run, count - len(out)))
+    return out, pos
+
+
+def _plain_values(d: bytes, pos: int, phys: int, count: int,
+                  type_length: int = 0) -> tuple[list, int]:
+    out: list = []
+    if phys == 0:  # boolean: bit-packed LSB-first
+        nbytes = (count + 7) // 8
+        acc = int.from_bytes(d[pos : pos + nbytes], "little")
+        out = [bool((acc >> i) & 1) for i in range(count)]
+        return out, pos + nbytes
+    if phys in (1, 2, 4, 5):
+        fmt, width = {1: ("<i", 4), 2: ("<q", 8),
+                      4: ("<f", 4), 5: ("<d", 8)}[phys]
+        end = pos + width * count
+        out = [v[0] for v in struct.iter_unpack(fmt, d[pos:end])]
+        if len(out) != count:
+            raise ValueError("parquet: truncated plain values")
+        return out, end
+    if phys == 3:  # int96: raw 12 bytes (legacy timestamps)
+        for _ in range(count):
+            out.append(bytes(d[pos : pos + 12]))
+            pos += 12
+        return out, pos
+    if phys == 6:  # byte_array: u32 LE length prefix
+        for _ in range(count):
+            n = struct.unpack_from("<I", d, pos)[0]
+            pos += 4
+            out.append(bytes(d[pos : pos + n]))
+            pos += n
+        return out, pos
+    if phys == 7:  # fixed_len_byte_array
+        for _ in range(count):
+            out.append(bytes(d[pos : pos + type_length]))
+            pos += type_length
+        return out, pos
+    raise NotImplementedError(f"parquet: physical type {phys}")
+
+
+def _decompress(codec: int, payload: bytes, out_size: int) -> bytes:
+    if codec == _CODEC_UNCOMPRESSED:
+        return payload
+    if codec == _CODEC_SNAPPY:
+        from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+            snappy_decode,
+        )
+        return snappy_decode(payload)
+    if codec == _CODEC_GZIP:
+        return zlib.decompress(payload, wbits=31)
+    if codec == _CODEC_ZSTD:
+        from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+            zstd_decode,
+        )
+        return zstd_decode(payload)
+    if codec == _CODEC_LZ4_RAW:
+        from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+            lz4_block_decode,
+        )
+        return lz4_block_decode(payload, out_size)
+    raise NotImplementedError(f"parquet: compression codec {codec}")
+
+
+def schema_leaves(fm: dict) -> dict[str, dict]:
+    """Flat-schema leaves: name → {phys, optional, type_length}.
+    Nested schemas (group leaves below the root) gate loudly."""
+    elems = fm.get(2, [])
+    if not elems:
+        raise ValueError("parquet: empty schema")
+    out: dict[str, dict] = {}
+    for el in elems[1:]:
+        if el.get(5):  # num_children on a non-root element
+            raise NotImplementedError(
+                "parquet: nested schemas not supported by the native "
+                "data reader (flat columns only)")
+        name = el.get(4, b"").decode("utf-8")
+        logical = el.get(10, {})
+        out[name] = {
+            "phys": el.get(1),
+            "optional": el.get(3, 0) == 1,
+            "type_length": el.get(2, 0),
+            # UTF8: ConvertedType 0 (field 6) or LogicalType.STRING
+            # (field 10, member 1)
+            "utf8": el.get(1) == 6 and (el.get(6) == 0
+                                        or 1 in logical),
+        }
+        if el.get(3, 0) == 2:
+            raise NotImplementedError(
+                "parquet: repeated fields not supported")
+    return out
+
+
+def _read_chunk(data: bytes, md: dict, leaf: dict) -> list:
+    """One column chunk → python values (None where the definition
+    level says null)."""
+    codec = md.get(4, 0)
+    n_values = md.get(5, 0)
+    start = md.get(11, md.get(9))
+    if start is None:
+        raise ValueError("parquet: chunk missing data page offset")
+    if 11 in md and 9 in md:
+        start = min(md[11], md[9])
+    total = md.get(7)
+    chunk = data[start : start + total]
+    r = _Reader(chunk)
+    dictionary: list | None = None
+    phys = leaf["phys"]
+    tl = leaf["type_length"]
+    optional = leaf["optional"]
+    out: list = []
+    while len(out) < n_values:
+        hdr = r.struct()
+        ptype = hdr.get(1)
+        comp_size = hdr.get(3)
+        unc_size = hdr.get(2)
+        payload = chunk[r.pos : r.pos + comp_size]
+        if len(payload) != comp_size:
+            raise ValueError("parquet: truncated page")
+        r.pos += comp_size
+        if ptype == 2:  # dictionary page
+            dph = hdr.get(7, {})
+            raw = _decompress(codec, payload, unc_size)
+            dictionary, _ = _plain_values(
+                raw, 0, phys, dph.get(1, 0), tl)
+            continue
+        if ptype == 0:  # data page v1
+            dph = hdr.get(5, {})
+            nv = dph.get(1, 0)
+            enc = dph.get(2, 0)
+            raw = _decompress(codec, payload, unc_size)
+            pos = 0
+            levels = None
+            if optional:
+                if dph.get(3, _RLE) != _RLE:
+                    raise NotImplementedError(
+                        "parquet: non-RLE definition levels")
+                ln = struct.unpack_from("<I", raw, pos)[0]
+                pos += 4
+                levels, _ = _rle_bp_hybrid(raw, pos, 1, nv)
+                pos += ln
+            out += _decode_values(raw, pos, enc, phys, tl, nv,
+                                  levels, dictionary)
+        elif ptype == 3:  # data page v2
+            dph = hdr.get(8, {})
+            nv = dph.get(1, 0)
+            n_nulls = dph.get(2, 0)
+            enc = dph.get(4, 0)
+            dl_len = dph.get(5, 0)
+            rl_len = dph.get(6, 0)
+            if rl_len:
+                raise NotImplementedError(
+                    "parquet: repetition levels (nested) in v2 page")
+            is_comp = dph.get(7, True)
+            levels = None
+            lpos = 0
+            if optional:
+                levels, _ = _rle_bp_hybrid(payload, lpos, 1, nv)
+            body = payload[dl_len:]
+            raw = _decompress(codec, body, unc_size - dl_len) \
+                if is_comp else body
+            del n_nulls
+            out += _decode_values(raw, 0, enc, phys, tl, nv,
+                                  levels, dictionary)
+        else:
+            raise NotImplementedError(f"parquet: page type {ptype}")
+    return out
+
+
+def _decode_values(raw: bytes, pos: int, enc: int, phys: int, tl: int,
+                   nv: int, levels: list[int] | None,
+                   dictionary: list | None) -> list:
+    n_present = nv if levels is None else sum(levels)
+    if enc == _PLAIN:
+        vals, _ = _plain_values(raw, pos, phys, n_present, tl)
+    elif enc in (_PLAIN_DICT, _RLE_DICT):
+        if dictionary is None:
+            raise ValueError("parquet: dictionary encoding without a "
+                             "dictionary page")
+        bw = raw[pos]
+        idx, _ = _rle_bp_hybrid(raw, pos + 1, bw, n_present)
+        try:
+            vals = [dictionary[i] for i in idx]
+        except IndexError:
+            raise ValueError(
+                "parquet: dictionary index out of range") from None
+    elif enc == _RLE and phys == 0:
+        ln = struct.unpack_from("<I", raw, pos)[0]
+        bits, _ = _rle_bp_hybrid(raw, pos + 4, 1, n_present)
+        vals = [bool(b) for b in bits]
+        del ln
+    else:
+        raise NotImplementedError(f"parquet: value encoding {enc}")
+    if levels is None:
+        return vals
+    it = iter(vals)
+    return [next(it) if lv else None for lv in levels]
+
+
+def read_column(data: bytes, name: str) -> list:
+    """All values of flat column ``name`` across every row group, in
+    row order (None for nulls)."""
+    fm = read_footer(data)
+    leaves = schema_leaves(fm)
+    if name not in leaves:
+        raise ValueError(f"parquet: no column {name!r}")
+    leaf = leaves[name]
+    out: list = []
+    for rg in fm.get(4, []):
+        for chunk in rg.get(1, []):
+            md = chunk.get(3)
+            if md is None:
+                raise ValueError("parquet: chunk without metadata")
+            path = [p.decode("utf-8") for p in md.get(3, [])]
+            if path == [name]:
+                out += _read_chunk(data, md, leaf)
+    if leaf["utf8"]:
+        out = [v.decode("utf-8") if v is not None else None
+               for v in out]
+    return out
+
+
+def read_table_native(data: bytes) -> dict[str, list]:
+    """Every flat column → values; the native-read twin of a full
+    scan."""
+    fm = read_footer(data)
+    return {name: read_column(data, name)
+            for name in schema_leaves(fm)}
