@@ -294,6 +294,20 @@ def _decode_values(raw: bytes, pos: int, enc: int, phys: int, tl: int,
     return [next(it) if lv else None for lv in levels]
 
 
+_JULIAN_UNIX_EPOCH = 2440588
+
+
+def int96_to_micros(raw: bytes) -> int:
+    """Legacy INT96 timestamp (what Spark writes by default) →
+    microseconds since the Unix epoch: 8-byte LE nanoseconds-of-day
+    followed by 4-byte LE Julian day."""
+    if len(raw) != 12:
+        raise ValueError("parquet: int96 value must be 12 bytes")
+    nanos = int.from_bytes(raw[:8], "little")
+    jday = int.from_bytes(raw[8:], "little")
+    return (jday - _JULIAN_UNIX_EPOCH) * 86_400_000_000 + nanos // 1000
+
+
 def read_column(data: bytes, name: str) -> list:
     """All values of flat column ``name`` across every row group, in
     row order (None for nulls)."""

@@ -92,6 +92,36 @@ def test_reads_spark_written_file(spark, tmp_path):
     assert back == want and len(back) == 500
 
 
+def test_int96_spark_timestamps(spark, tmp_path):
+    """Spark writes timestamps as legacy INT96 by default; the raw
+    12-byte values convert to epoch-micros matching Spark's own
+    read."""
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        int96_to_micros,
+    )
+
+    df = spark.range(200).select(
+        "id",
+        F.timestamp_micros(
+            (F.col("id") * 987654321 + 1577836800000000).cast("long")
+        ).alias("ts"),
+    )
+    out = str(tmp_path / "ts_pq")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    part = next(f for f in os.listdir(out) if f.endswith(".parquet"))
+    with open(os.path.join(out, part), "rb") as f:
+        data = f.read()
+    raw = read_column(data, "ts")
+    assert all(isinstance(v, bytes) and len(v) == 12 for v in raw)
+    got = sorted(int96_to_micros(v) for v in raw)
+    want = sorted(
+        r["m"] for r in df.select(
+            F.unix_micros("ts").alias("m")).collect())
+    assert got == want
+
+
 def test_all_null_and_empty_columns():
     t = pa.table({
         "all_null": pa.array([None] * 100, pa.int64()),
