@@ -114,11 +114,13 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet payload written by pyarrow (the reference writer) under a
     rotating writer config — codec snappy/zstd/gzip/none (the snappy
     and zstd pages decompress through the repo's OWN codecs),
-    dictionary on/off, data-page v1/v2, 200-row row groups (multi-page,
-    multi-group chunks) — then the native reader walks footer → column
-    chunks → Thrift page headers → RLE/bit-packed definition levels →
-    PLAIN/dictionary values, and the per-document digests hash-match
-    the raw table.  Two narrow Arrow kernels, zero shuffle."""
+    dictionary on/off, data-page v1/v2, the v2.6 DELTA family
+    (miniblock-packed ints, incremental byte arrays) on every fifth
+    partition, 200-row row groups (multi-page, multi-group chunks) —
+    then the native reader walks footer → column chunks → Thrift page
+    headers → RLE/bit-packed definition levels → PLAIN/dictionary/
+    DELTA values, and the per-document digests hash-match the raw
+    table.  Two narrow Arrow kernels, zero shuffle."""
     import pandas as pd  # noqa: PLC0415
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -145,11 +147,26 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars": pa.array(pdf["n_chars"], pa.int64()),
         })
         buf = io.BytesIO()
+        kw = {}
+        if key % 5 == 0:
+            # the v2.6 DELTA family: miniblock-packed ints,
+            # incremental byte arrays
+            kw = {
+                "use_dictionary": False,
+                "version": "2.6",
+                "column_encoding": {
+                    "doc_id": "DELTA_BINARY_PACKED",
+                    "n_chars": "DELTA_BINARY_PACKED",
+                    "text": "DELTA_BYTE_ARRAY",
+                    "lang": "DELTA_LENGTH_BYTE_ARRAY",
+                },
+            }
+        else:
+            kw = {"use_dictionary": key % 2 == 0}
         pq.write_table(
             t, buf, compression=comp,
-            use_dictionary=(key % 2 == 0),
             data_page_version="2.0" if key % 3 == 0 else "1.0",
-            row_group_size=200,
+            row_group_size=200, **kw,
         )
         yield pd.DataFrame({"payload": [buf.getvalue()]})
 

@@ -25,9 +25,13 @@ production consumer.  Implemented:
   level 0 or 1 — nested repetition gates loudly);
 * **values**: PLAIN for boolean (bit-packed) / int32 / int64 / float /
   double / byte_array (u32-length-prefixed) / fixed_len_byte_array /
-  int96 (raw 12 bytes), and PLAIN_DICTIONARY / RLE_DICTIONARY
-  (bit-width byte + hybrid indices into the dictionary page);
-  DELTA_* encodings gate.
+  int96 (raw 12 bytes; ``int96_to_micros`` converts Spark's legacy
+  timestamps), PLAIN_DICTIONARY / RLE_DICTIONARY (bit-width byte +
+  hybrid indices into the dictionary page), DELTA_BINARY_PACKED
+  (miniblock bit-packed zigzag deltas with physical-width wraparound
+  and data-less trailing miniblocks), DELTA_LENGTH_BYTE_ARRAY, and
+  DELTA_BYTE_ARRAY (incremental prefix encoding);
+  BYTE_STREAM_SPLIT gates.
 
 Cross-validation: every file the tests read is written by pyarrow or
 Spark (the reference writers) across codec × dictionary × page-version
@@ -97,6 +101,93 @@ def _rle_bp_hybrid(d: bytes, pos: int, bit_width: int,
             val = int.from_bytes(d[pos : pos + width], "little")
             pos += width
             out.extend([val] * min(run, count - len(out)))
+    return out, pos
+
+
+def _zigzag_varint(d: bytes, pos: int) -> tuple[int, int]:
+    z, pos = _uvarint(d, pos)
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _delta_binary_packed(d: bytes, pos: int, count_expected: int,
+                         bits: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet-format Encodings.md §5): ULEB128
+    header (block size, miniblocks/block, total count, zigzag first
+    value), then per block a zigzag min-delta, one bit-width byte per
+    miniblock, and LSB-first bit-packed delta miniblocks — data bytes
+    are present only for miniblocks that still carry values; values
+    wrap at the column's physical width."""
+    block_size, pos = _uvarint(d, pos)
+    mb_per_block, pos = _uvarint(d, pos)
+    total, pos = _uvarint(d, pos)
+    first, pos = _zigzag_varint(d, pos)
+    if mb_per_block == 0 or block_size % max(mb_per_block, 1):
+        raise ValueError("parquet: bad delta block geometry")
+    vpm = block_size // mb_per_block
+    if vpm % 32:
+        raise ValueError("parquet: miniblock size not a multiple of 32")
+    if total != count_expected:
+        raise ValueError(
+            f"parquet: delta header count {total} != page count "
+            f"{count_expected}")
+    lim = 1 << (bits - 1)
+
+    def wrap(v: int) -> int:
+        return (v + lim) % (1 << bits) - lim
+
+    if total == 0:
+        return [], pos
+    out = [wrap(first)]
+    remaining = total - 1
+    cur = first
+    while remaining > 0:
+        min_delta, pos = _zigzag_varint(d, pos)
+        widths = d[pos : pos + mb_per_block]
+        pos += mb_per_block
+        for w in widths:
+            if remaining <= 0:
+                break  # trailing miniblocks carry no data bytes
+            nbytes = w * vpm // 8
+            acc = int.from_bytes(d[pos : pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << w) - 1
+            take = min(vpm, remaining)
+            for i in range(take):
+                cur = cur + min_delta + ((acc >> (i * w)) & mask)
+                out.append(wrap(cur))
+            remaining -= take
+    return out, pos
+
+
+def _delta_length_byte_array(d: bytes, pos: int,
+                             count: int) -> tuple[list[bytes], int]:
+    """DELTA_LENGTH_BYTE_ARRAY: DELTA_BINARY_PACKED lengths followed
+    by the concatenated value bytes."""
+    lengths, pos = _delta_binary_packed(d, pos, count, 32)
+    out = []
+    for n in lengths:
+        if n < 0 or pos + n > len(d):
+            raise ValueError("parquet: bad delta-length value")
+        out.append(bytes(d[pos : pos + n]))
+        pos += n
+    return out, pos
+
+
+def _delta_byte_array(d: bytes, pos: int,
+                      count: int) -> tuple[list[bytes], int]:
+    """DELTA_BYTE_ARRAY (incremental encoding): shared-prefix lengths
+    via DELTA_BINARY_PACKED, suffixes via DELTA_LENGTH_BYTE_ARRAY;
+    value i = value[i-1][:prefix_len[i]] + suffix[i]."""
+    prefixes, pos = _delta_binary_packed(d, pos, count, 32)
+    suffixes, pos = _delta_length_byte_array(d, pos, count)
+    out: list[bytes] = []
+    prev = b""
+    for p, s in zip(prefixes, suffixes):
+        if p < 0 or p > len(prev):
+            raise ValueError("parquet: prefix length exceeds previous "
+                             "value")
+        prev = prev[:p] + s
+        out.append(prev)
     return out, pos
 
 
@@ -286,6 +377,22 @@ def _decode_values(raw: bytes, pos: int, enc: int, phys: int, tl: int,
         bits, _ = _rle_bp_hybrid(raw, pos + 4, 1, n_present)
         vals = [bool(b) for b in bits]
         del ln
+    elif enc == 5:  # DELTA_BINARY_PACKED
+        if phys not in (1, 2):
+            raise ValueError(
+                "parquet: DELTA_BINARY_PACKED on a non-integer column")
+        vals, _ = _delta_binary_packed(
+            raw, pos, n_present, 32 if phys == 1 else 64)
+    elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+        if phys != 6:
+            raise ValueError(
+                "parquet: DELTA_LENGTH_BYTE_ARRAY on a non-byte-array")
+        vals, _ = _delta_length_byte_array(raw, pos, n_present)
+    elif enc == 7:  # DELTA_BYTE_ARRAY
+        if phys != 6:
+            raise ValueError(
+                "parquet: DELTA_BYTE_ARRAY on a non-byte-array")
+        vals, _ = _delta_byte_array(raw, pos, n_present)
     else:
         raise NotImplementedError(f"parquet: value encoding {enc}")
     if levels is None:

@@ -148,14 +148,51 @@ def test_gates_are_loud():
     pq.write_table(t2, buf)
     with pytest.raises(ValueError, match="no column"):
         read_column(buf.getvalue(), "nope")
-    # DELTA encoding gates (if this pyarrow can emit it)
+    # BYTE_STREAM_SPLIT still gates (if this pyarrow can emit it)
+    t3 = pa.table({"v": pa.array([1.5, 2.5], pa.float64())})
     buf = io.BytesIO()
     try:
         pq.write_table(
-            t2, buf, use_dictionary=False,
-            column_encoding={"k": "DELTA_BINARY_PACKED"},
+            t3, buf, use_dictionary=False,
+            column_encoding={"v": "BYTE_STREAM_SPLIT"},
             version="2.6")
     except Exception:
         return  # writer can't produce it here; nothing to gate
     with pytest.raises(NotImplementedError, match="encoding"):
-        read_column(buf.getvalue(), "k")
+        read_column(buf.getvalue(), "v")
+
+
+@pytest.mark.parametrize("s_enc", ["DELTA_LENGTH_BYTE_ARRAY",
+                                   "DELTA_BYTE_ARRAY"])
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+def test_delta_encodings_match_pyarrow(s_enc, dpv):
+    """DELTA_BINARY_PACKED (miniblock bit-packed zigzag deltas, with
+    int32/int64 wraparound and data-less trailing miniblocks) and the
+    two byte-array incremental encodings, over nullable columns and
+    multi-row-group files."""
+    import random
+
+    rng = random.Random(3)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "j": pa.array([rng.randrange(-2**40, 2**40)
+                       for _ in range(n)], pa.int64()),
+        "i": pa.array([rng.randrange(-2**31, 2**31) if x % 6 else None
+                       for x in range(n)], pa.int32()),
+        "s": pa.array([f"prefix_common_{x % 7}_{x}" if x % 4 else None
+                       for x in range(n)], pa.string()),
+        "r": pa.array([bytes([x % 9]) * (x % 20)
+                       for x in range(n)], pa.binary()),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, use_dictionary=False, version="2.6",
+                   compression="zstd", data_page_version=dpv,
+                   row_group_size=900,
+                   column_encoding={"k": "DELTA_BINARY_PACKED",
+                                    "j": "DELTA_BINARY_PACKED",
+                                    "i": "DELTA_BINARY_PACKED",
+                                    "s": s_enc, "r": s_enc})
+    got = read_table_native(buf.getvalue())
+    for c in t.column_names:
+        assert got[c] == t.column(c).to_pylist(), c
