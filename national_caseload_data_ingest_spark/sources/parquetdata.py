@@ -30,8 +30,9 @@ production consumer.  Implemented:
   hybrid indices into the dictionary page), DELTA_BINARY_PACKED
   (miniblock bit-packed zigzag deltas with physical-width wraparound
   and data-less trailing miniblocks), DELTA_LENGTH_BYTE_ARRAY, and
-  DELTA_BYTE_ARRAY (incremental prefix encoding);
-  BYTE_STREAM_SPLIT gates.
+  DELTA_BYTE_ARRAY (incremental prefix encoding), and
+  BYTE_STREAM_SPLIT (per-byte streams for fixed-width types) — every
+  value encoding the format defines for flat columns.
 
 Cross-validation: every file the tests read is written by pyarrow or
 Spark (the reference writers) across codec × dictionary × page-version
@@ -393,6 +394,18 @@ def _decode_values(raw: bytes, pos: int, enc: int, phys: int, tl: int,
             raise ValueError(
                 "parquet: DELTA_BYTE_ARRAY on a non-byte-array")
         vals, _ = _delta_byte_array(raw, pos, n_present)
+    elif enc == 9:  # BYTE_STREAM_SPLIT
+        widths = {1: 4, 2: 8, 4: 4, 5: 8, 7: tl}
+        if phys not in widths or not widths[phys]:
+            raise ValueError(
+                "parquet: BYTE_STREAM_SPLIT needs a fixed-width type")
+        w = widths[phys]
+        body = raw[pos : pos + w * n_present]
+        if len(body) != w * n_present:
+            raise ValueError("parquet: truncated byte-stream-split")
+        joined = bytes(body[j * n_present + i]
+                       for i in range(n_present) for j in range(w))
+        vals, _ = _plain_values(joined, 0, phys, n_present, tl)
     else:
         raise NotImplementedError(f"parquet: value encoding {enc}")
     if levels is None:

@@ -148,18 +148,36 @@ def test_gates_are_loud():
     pq.write_table(t2, buf)
     with pytest.raises(ValueError, match="no column"):
         read_column(buf.getvalue(), "nope")
-    # BYTE_STREAM_SPLIT still gates (if this pyarrow can emit it)
-    t3 = pa.table({"v": pa.array([1.5, 2.5], pa.float64())})
-    buf = io.BytesIO()
-    try:
-        pq.write_table(
-            t3, buf, use_dictionary=False,
-            column_encoding={"v": "BYTE_STREAM_SPLIT"},
-            version="2.6")
-    except Exception:
-        return  # writer can't produce it here; nothing to gate
-    with pytest.raises(NotImplementedError, match="encoding"):
-        read_column(buf.getvalue(), "v")
+
+
+def test_byte_stream_split_matches_pyarrow():
+    """BYTE_STREAM_SPLIT: byte j of every value lives in stream j;
+    floats/doubles/int32, nullable, across codec and page version."""
+    import random
+
+    rng = random.Random(8)
+    n = 3000
+    t = pa.table({
+        "v": pa.array([rng.random() * 1e6 if x % 5 else None
+                       for x in range(n)], pa.float64()),
+        "f": pa.array([rng.random() for _ in range(n)], pa.float32()),
+        "i": pa.array([rng.randrange(-2**31, 2**31)
+                       for _ in range(n)], pa.int32()),
+    })
+    enc = {c: "BYTE_STREAM_SPLIT" for c in t.column_names}
+    for comp in ("none", "zstd"):
+        for dpv in ("1.0", "2.0"):
+            buf = io.BytesIO()
+            pq.write_table(t, buf, use_dictionary=False,
+                           version="2.6", compression=comp,
+                           data_page_version=dpv, row_group_size=800,
+                           column_encoding=enc)
+            got = read_table_native(buf.getvalue())
+            assert got["i"] == t.column("i").to_pylist()
+            for c in ("v", "f"):
+                assert all(
+                    _close(a, b) for a, b in
+                    zip(got[c], t.column(c).to_pylist())), (comp, dpv)
 
 
 @pytest.mark.parametrize("s_enc", ["DELTA_LENGTH_BYTE_ARRAY",
