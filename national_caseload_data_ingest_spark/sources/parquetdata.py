@@ -457,3 +457,200 @@ def read_table_native(data: bytes) -> dict[str, list]:
     fm = read_footer(data)
     return {name: read_column(data, name)
             for name in schema_leaves(fm)}
+
+
+# --- native WRITER -----------------------------------------------------------
+
+_T_I32, _T_I64, _T_BINARY, _T_LIST, _T_STRUCT = 5, 6, 8, 9, 12
+
+
+def _t_uvarint(out: bytearray, n: int) -> None:
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return
+
+
+def _t_zigzag(out: bytearray, n: int) -> None:
+    _t_uvarint(out, (n << 1) ^ (n >> 63) if n < 0 else n << 1)
+
+
+def _t_struct(fields: list[tuple[int, int, object]]) -> bytes:
+    """Thrift compact struct writer (the reader's twin): fields are
+    (id, type, value) in ascending id order; values are ints (zigzag),
+    bytes (varint-length), (etype, [elements]) lists, or nested struct
+    bytes."""
+    out = bytearray()
+    prev = 0
+    for fid, tt, v in fields:
+        delta = fid - prev
+        if 1 <= delta <= 15:
+            out.append((delta << 4) | tt)
+        else:
+            out.append(tt)
+            _t_zigzag(out, fid)
+        prev = fid
+        if tt in (_T_I32, _T_I64):
+            _t_zigzag(out, v)
+        elif tt == _T_BINARY:
+            _t_uvarint(out, len(v))
+            out += v
+        elif tt == _T_LIST:
+            etype, elems = v
+            if len(elems) < 15:
+                out.append((len(elems) << 4) | etype)
+            else:
+                out.append(0xF0 | etype)
+                _t_uvarint(out, len(elems))
+            for e in elems:
+                if etype in (_T_I32, _T_I64):
+                    _t_zigzag(out, e)
+                elif etype == _T_BINARY:
+                    _t_uvarint(out, len(e))
+                    out += e
+                elif etype == _T_STRUCT:
+                    out += e
+                else:
+                    raise ValueError(f"thrift: list etype {etype}")
+        elif tt == _T_STRUCT:
+            out += v
+        else:
+            raise ValueError(f"thrift: writer type {tt}")
+    out.append(0)  # STOP
+    return bytes(out)
+
+
+_WRITE_PHYS = {"boolean": 0, "int32": 1, "int64": 2, "float": 4,
+               "double": 5, "binary": 6, "string": 6}
+_WRITE_CODECS = {"none": 0, "snappy": 1, "gzip": 2, "zstd": 6}
+
+
+def _plain_encode(values: list, typ: str) -> bytes:
+    out = bytearray()
+    if typ == "boolean":
+        acc = 0
+        for i, v in enumerate(values):
+            if v:
+                acc |= 1 << i
+        return acc.to_bytes((len(values) + 7) // 8, "little")
+    if typ in ("int32", "int64", "float", "double"):
+        fmt = {"int32": "<i", "int64": "<q", "float": "<f",
+               "double": "<d"}[typ]
+        for v in values:
+            out += struct.pack(fmt, v)
+        return bytes(out)
+    for v in values:  # string / binary
+        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        out += struct.pack("<I", len(b)) + b
+    return bytes(out)
+
+
+def write_parquet(cols: dict[str, list], types: dict[str, str],
+                  codec: str = "snappy") -> bytes:
+    """Native parquet WRITER (the reader's twin): one row group, one
+    PLAIN v1 data page per column, RLE/bit-packed definition levels
+    for nullable columns, thrift-compact page headers and footer —
+    pages compressed by the repo's OWN snappy/zstd encoders (or zlib
+    gzip / stored).  Validated by pyarrow reading the output
+    byte-for-byte."""
+    codec_id = _WRITE_CODECS[codec]
+
+    def compress(raw: bytes) -> bytes:
+        if codec == "none":
+            return raw
+        if codec == "snappy":
+            from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+                snappy_encode,
+            )
+            return snappy_encode(raw)
+        if codec == "zstd":
+            from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: PLC0415
+                zstd_compress,
+            )
+            return zstd_compress(raw)
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return c.compress(raw) + c.flush()
+
+    names = list(cols)
+    n_rows = len(cols[names[0]]) if names else 0
+    out = bytearray(b"PAR1")
+    chunk_metas = []
+    for name in names:
+        typ = types[name]
+        values = cols[name]
+        if len(values) != n_rows:
+            raise ValueError("parquet: ragged columns")
+        present = [v for v in values if v is not None]
+        body = bytearray()
+        # definition levels: bit-packed groups of 8 (1 = present)
+        n_groups = (n_rows + 7) // 8
+        acc = 0
+        for i, v in enumerate(values):
+            if v is not None:
+                acc |= 1 << i
+        levels = bytearray()
+        _t_uvarint(levels, (n_groups << 1) | 1)
+        levels += acc.to_bytes(n_groups, "little")
+        body += struct.pack("<I", len(levels)) + levels
+        body += _plain_encode(present, typ)
+        raw = bytes(body)
+        comp = compress(raw)
+        dph = _t_struct([
+            (1, _T_I32, n_rows),   # num_values incl. nulls
+            (2, _T_I32, _PLAIN),   # encoding
+            (3, _T_I32, _RLE),     # definition_level_encoding
+            (4, _T_I32, _RLE),     # repetition_level_encoding
+        ])
+        header = _t_struct([
+            (1, _T_I32, 0),          # DATA_PAGE
+            (2, _T_I32, len(raw)),
+            (3, _T_I32, len(comp)),
+            (5, _T_STRUCT, dph),
+        ])
+        offset = len(out)
+        out += header + comp
+        md = _t_struct([
+            (1, _T_I32, _WRITE_PHYS[typ]),
+            (2, _T_LIST, (_T_I32, [_PLAIN, _RLE])),
+            (3, _T_LIST, (_T_BINARY, [name.encode("utf-8")])),
+            (4, _T_I32, codec_id),
+            (5, _T_I64, n_rows),
+            (6, _T_I64, len(header) + len(raw)),
+            (7, _T_I64, len(header) + len(comp)),
+            (9, _T_I64, offset),
+        ])
+        chunk_metas.append((offset, len(header) + len(comp), md))
+    chunks = [
+        _t_struct([(2, _T_I64, off), (3, _T_STRUCT, md)])
+        for off, _sz, md in chunk_metas
+    ]
+    row_group = _t_struct([
+        (1, _T_LIST, (_T_STRUCT, chunks)),
+        (2, _T_I64, sum(sz for _o, sz, _m in chunk_metas)),
+        (3, _T_I64, n_rows),
+    ])
+    schema = [_t_struct([
+        (4, _T_BINARY, b"schema"),
+        (5, _T_I32, len(names)),
+    ])]
+    for name in names:
+        fields = [
+            (1, _T_I32, _WRITE_PHYS[types[name]]),
+            (3, _T_I32, 1),  # OPTIONAL
+            (4, _T_BINARY, name.encode("utf-8")),
+        ]
+        if types[name] == "string":
+            fields.append((6, _T_I32, 0))  # ConvertedType UTF8
+        schema.append(_t_struct(fields))
+    footer = _t_struct([
+        (1, _T_I32, 1),  # format version
+        (2, _T_LIST, (_T_STRUCT, schema)),
+        (3, _T_I64, n_rows),
+        (4, _T_LIST, (_T_STRUCT, [row_group])),
+        (6, _T_BINARY, b"ncd-spark native writer"),
+    ])
+    out += footer
+    out += struct.pack("<I", len(footer)) + b"PAR1"
+    return bytes(out)

@@ -134,6 +134,41 @@ def test_all_null_and_empty_columns():
     assert got["empty_str"] == [""] * 100
 
 
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd", "gzip"])
+def test_native_writer_read_by_pyarrow(codec):
+    """The native parquet WRITER (thrift-compact footer + PLAIN v1
+    pages + bit-packed definition levels, pages compressed by the
+    repo's OWN snappy/zstd encoders): pyarrow — the reference reader —
+    must load the bytes identically, and so must the repo reader."""
+    import random
+
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet,
+    )
+    rng = random.Random(5)
+    n = 2000
+    cols = {
+        "k": list(range(n)),
+        "i": [rng.randrange(-2**31, 2**31) if x % 6 else None
+              for x in range(n)],
+        "v": [rng.random() * 1e6 if x % 4 else None for x in range(n)],
+        "s": [f"wörd {x % 37}" if x % 3 else None for x in range(n)],
+        "b": [x % 2 == 0 for x in range(n)],
+        "raw": [bytes([x % 7]) * (x % 11) for x in range(n)],
+    }
+    types = {"k": "int64", "i": "int32", "v": "double", "s": "string",
+             "b": "boolean", "raw": "binary"}
+    data = write_parquet(cols, types, codec=codec)
+    got = read_table_native(data)
+    for c in cols:
+        assert got[c] == cols[c], c
+    t = pq.read_table(io.BytesIO(data))
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], c
+    if codec != "none":
+        assert len(data) < len(write_parquet(cols, types, "none"))
+
+
 def test_gates_are_loud():
     # nested schema
     t = pa.table({"s": pa.array([{"a": 1}], pa.struct([("a",
