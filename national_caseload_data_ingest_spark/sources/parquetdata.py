@@ -611,7 +611,7 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
         ])
         offset = len(out)
         out += header + comp
-        md = _t_struct([
+        md_fields = [
             (1, _T_I32, _WRITE_PHYS[typ]),
             (2, _T_LIST, (_T_I32, [_PLAIN, _RLE])),
             (3, _T_LIST, (_T_BINARY, [name.encode("utf-8")])),
@@ -620,7 +620,21 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
             (6, _T_I64, len(header) + len(raw)),
             (7, _T_I64, len(header) + len(comp)),
             (9, _T_I64, offset),
-        ])
+        ]
+        if present and typ in ("int32", "int64", "float", "double"):
+            # Statistics: null_count(3), max_value(5), min_value(6) —
+            # plain-encoded; these are what the engine's own
+            # txlog_backfill_stats / data skipping consume
+            lo = _plain_encode([min(present)], typ)
+            hi = _plain_encode([max(present)], typ)
+            md_fields.append((12, _T_STRUCT, _t_struct([
+                (1, _T_BINARY, hi),  # legacy max (readers want both)
+                (2, _T_BINARY, lo),  # legacy min
+                (3, _T_I64, n_rows - len(present)),
+                (5, _T_BINARY, hi),  # max_value
+                (6, _T_BINARY, lo),  # min_value
+            ])))
+        md = _t_struct(md_fields)
         chunk_metas.append((offset, len(header) + len(comp), md))
     chunks = [
         _t_struct([(2, _T_I64, off), (3, _T_STRUCT, md)])

@@ -167,6 +167,21 @@ def test_native_writer_read_by_pyarrow(codec):
         assert t.column(c).to_pylist() == cols[c], c
     if codec != "none":
         assert len(data) < len(write_parquet(cols, types, "none"))
+    # the written statistics feed both pyarrow AND the repo's own
+    # footer_summary (the data-skipping pipeline)
+    from national_caseload_data_ingest_spark.sources.parquetmeta import (
+        footer_summary,
+    )
+    md = pq.ParquetFile(io.BytesIO(data)).metadata
+    st = md.row_group(0).column(0).statistics  # column "k"
+    assert st is not None and st.min == 0 and st.max == n - 1
+    summ = footer_summary(data)["columns"]
+    assert summ["k"]["min"] == 0 and summ["k"]["max"] == n - 1
+    present_i = [v for v in cols["i"] if v is not None]
+    assert summ["i"]["min"] == min(present_i)
+    assert summ["i"]["max"] == max(present_i)
+    assert summ["i"]["null_count"] == sum(
+        1 for v in cols["i"] if v is None)
 
 
 def test_gates_are_loud():
