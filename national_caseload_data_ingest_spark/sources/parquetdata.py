@@ -621,12 +621,19 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
             (7, _T_I64, len(header) + len(comp)),
             (9, _T_I64, offset),
         ]
-        if present and typ in ("int32", "int64", "float", "double"):
+        stat_vals = present
+        if typ in ("float", "double"):
+            # NaN compares false both ways, making Python min()/max()
+            # order-dependent; the parquet reference writer drops NaN
+            # from stats (and omits them entirely if all values are NaN)
+            # so data skipping never prunes on a NaN-poisoned bound.
+            stat_vals = [v for v in present if v == v]
+        if stat_vals and typ in ("int32", "int64", "float", "double"):
             # Statistics: null_count(3), max_value(5), min_value(6) —
             # plain-encoded; these are what the engine's own
             # txlog_backfill_stats / data skipping consume
-            lo = _plain_encode([min(present)], typ)
-            hi = _plain_encode([max(present)], typ)
+            lo = _plain_encode([min(stat_vals)], typ)
+            hi = _plain_encode([max(stat_vals)], typ)
             md_fields.append((12, _T_STRUCT, _t_struct([
                 (1, _T_BINARY, hi),  # legacy max (readers want both)
                 (2, _T_BINARY, lo),  # legacy min

@@ -145,18 +145,23 @@ def to_zip64(data: bytes) -> bytes:
          ext_attr, local_off) = struct.unpack_from(
             "<HHHHHHIIIHHHHHII", data, pos + 8 - 4)
         name = data[pos + 46 : pos + 46 + name_len]
+        old_extra = data[pos + 46 + name_len
+                         : pos + 46 + name_len + extra_len]
         cmt = data[pos + 46 + name_len + extra_len
                    : pos + 46 + name_len + extra_len + cmt_len]
         pos += 46 + name_len + extra_len + cmt_len
         z64 = (b"\x01\x00\x18\x00" + usize.to_bytes(8, "little")
                + csize.to_bytes(8, "little")
                + local_off.to_bytes(8, "little"))
+        # keep pre-existing extras (UT/ntfs timestamps, unix uid/gid…);
+        # the zip64 0x0001 field is APPENDED, not a replacement
+        new_extra = old_extra + z64
         new_cd += _CENTRAL + struct.pack(
             "<HHHHHHIIIHHHHHII", max(ver_made, 45), max(ver_need, 45),
             flags, method, mtime, mdate, crc, _MAX32, _MAX32,
-            name_len, len(z64), cmt_len, disk_start, int_attr,
+            name_len, len(new_extra), cmt_len, disk_start, int_attr,
             ext_attr, _MAX32)
-        new_cd += name + z64 + cmt
+        new_cd += name + new_extra + cmt
     body = data[:cd_offset]
     eocd64_off = cd_offset + len(new_cd)
     eocd64 = _EOCD64 + struct.pack(

@@ -327,6 +327,11 @@ def _fse_decode_interleaved(table, acc: int, bits: _BackBits,
         s2 = base + bits.read(nb)
     else:
         raise ValueError("zstd: runaway FSE weight stream")
+    if len(out) > limit:
+        # the cross-state flush above can emit symbol limit+1 on a
+        # corrupt stream; surface that as a weight-count error here
+        # rather than as an opaque failure deep inside Huffman decode
+        raise ValueError("zstd: FSE weight stream overran symbol limit")
     return out
 
 
@@ -846,7 +851,11 @@ def zstd_decompress(data: bytes) -> bytes:
             raise ValueError("zstd: truncated frame magic")
         magic = struct.unpack_from("<I", data, pos)[0]
         if _SKIP_LO <= magic <= _SKIP_HI:
+            if pos + 8 > n:
+                raise ValueError("zstd: truncated skippable frame header")
             size = struct.unpack_from("<I", data, pos + 4)[0]
+            if pos + 8 + size > n:
+                raise ValueError("zstd: truncated skippable frame body")
             pos += 8 + size
             continue
         if magic != _MAGIC:

@@ -264,3 +264,31 @@ def test_delta_encodings_match_pyarrow(s_enc, dpv):
     got = read_table_native(buf.getvalue())
     for c in t.column_names:
         assert got[c] == t.column(c).to_pylist(), c
+
+
+def test_native_writer_nan_safe_statistics():
+    """Python min()/max() over a NaN-bearing list is order-dependent
+    (NaN compares false both ways); the writer must drop NaN before
+    computing min/max — and omit Statistics entirely for an all-NaN
+    column — so data skipping never prunes on a poisoned bound."""
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet,
+    )
+    nan = float("nan")
+    cols = {
+        "lead_nan": [nan, 5.0, -2.0, nan, 9.0, None],
+        "all_nan": [nan, nan, nan, nan, nan, nan],
+    }
+    types = {"lead_nan": "double", "all_nan": "double"}
+    data = write_parquet(cols, types, codec="none")
+    md = pq.ParquetFile(io.BytesIO(data)).metadata
+    by_name = {md.row_group(0).column(i).path_in_schema:
+               md.row_group(0).column(i).statistics
+               for i in range(md.num_columns)}
+    st = by_name["lead_nan"]
+    assert st is not None and st.min == -2.0 and st.max == 9.0
+    assert st.null_count == 1
+    assert by_name["all_nan"] is None
+    # values themselves round-trip untouched (NaN kept in the data)
+    got = pq.read_table(io.BytesIO(data)).column("lead_nan").to_pylist()
+    assert got[1:3] == [5.0, -2.0] and got[0] != got[0]

@@ -189,3 +189,27 @@ def test_gates_and_structure_errors():
     payload[cidx + 10] = 99
     with pytest.raises(NotImplementedError, match="method"):
         zip_walk(bytes(payload))
+
+
+def test_to_zip64_preserves_existing_extra_fields():
+    """to_zip64 APPENDS the 0x0001 extra to each central entry instead
+    of replacing the extra-field block — pre-existing extras (UT
+    timestamps, unix uid/gid, ...) must survive the rewrite."""
+    from national_caseload_data_ingest_spark.sources.zipnative import (
+        to_zip64,
+    )
+    ut_extra = b"UT\x05\x00\x01\x78\x56\x34\x12"  # 0x5455 mtime extra
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("extra.txt")
+        zi.extra = ut_extra
+        zf.writestr(zi, b"payload " * 50)
+    classic = buf.getvalue()
+    z64 = to_zip64(classic)
+    with zipfile.ZipFile(io.BytesIO(z64)) as zf:
+        info = zf.infolist()[0]
+        assert ut_extra in info.extra  # UT field kept
+        assert b"\x01\x00\x18\x00" in info.extra  # zip64 field appended
+        assert zf.read(info) == b"payload " * 50
+    got = zip_walk(z64)
+    assert got[0]["data"] == b"payload " * 50

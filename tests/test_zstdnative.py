@@ -206,3 +206,38 @@ def test_corrupt_streams_raise_cleanly():
                 struct.error) as e:  # noqa: PERF203
             pytest.fail(
                 f"unclean {type(e).__name__} on trial {trial}: {e}")
+
+
+def test_skippable_frame_truncation_raises():
+    """Truncated skippable frames must hit the module's clean-ValueError
+    contract: a cut 8-byte header must not surface struct.error, and a
+    declared size past end-of-input must not silently return partial
+    output."""
+    payload = b"real frame content"
+    comp = _codec(3).compress(payload, asbytes=True)
+    skip_magic = struct.pack("<I", 0x184D2A50)
+    # header cut mid-size-field
+    with pytest.raises(ValueError, match="truncated"):
+        zstd_decompress(skip_magic + b"\x04\x00")
+    # declared body runs past end-of-input (even with a valid frame first)
+    with pytest.raises(ValueError, match="truncated"):
+        zstd_decompress(bytes(comp) + skip_magic
+                        + struct.pack("<I", 64) + b"\x00" * 10)
+    # intact skippable between frames still decodes
+    ok = (skip_magic + struct.pack("<I", 3) + b"abc" + bytes(comp))
+    assert zstd_decompress(ok) == payload
+
+
+def test_fse_interleaved_flush_respects_symbol_limit():
+    """The cross-state flush in _fse_decode_interleaved may not emit
+    symbol limit+1 — corrupt weight streams surface as a ValueError at
+    the weight-count check, not deep inside Huffman table build."""
+    from national_caseload_data_ingest_spark.sources.zstdnative import (
+        _BackBits,
+        _fse_decode_interleaved,
+    )
+    # sentinel at bit 3: reads = s1(1), s2(1), s1-update(1), then s2's
+    # update over-reads exactly when out already holds `limit` symbols
+    bits = _BackBits(bytes([0b1000]))
+    with pytest.raises(ValueError, match="limit"):
+        _fse_decode_interleaved([(0, 1, 0)], 1, bits, 2)
