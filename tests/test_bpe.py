@@ -156,3 +156,31 @@ def test_bpe_query_runs(spark):
     rows = bpe_train_encode(spark, SF).collect()
     assert len(rows) == 500
     assert all(r["n_tokens"] >= r["n_words"] for r in rows)
+
+
+def test_frozen_merges_provenance_and_encode(spark):
+    """BPE_FROZEN_MERGES must equal what bpe_train(n_merges=60) learns on
+    the sf0.001 corpus (its documented provenance), and the frozen-encode
+    query must reproduce _bpe_apply word for word, including the actual
+    token strings in first_tokens."""
+    from national_caseload_data_ingest_spark.operators.bpe import (
+        BPE_FROZEN_MERGES,
+        bpe_frozen_encode,
+        bpe_train,
+    )
+
+    d = load_tables(spark, SF, "documents")["documents"]
+    assert bpe_train(d, n_merges=60) == list(BPE_FROZEN_MERGES)
+
+    ranks = {p: i for i, p in enumerate(BPE_FROZEN_MERGES)}
+    rows = bpe_frozen_encode(spark, SF).collect()
+    docs = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        words = [w for w in docs[r["doc_id"]].lower().strip().split() if w]
+        toks = [t for w in words for t in _bpe_apply(w, ranks)]
+        assert r["n_words"] == len(words)
+        assert r["n_tokens"] == len(toks)
+        assert r["first_tokens"] == "|".join(toks[:8])
+        # the oracle's '~' sentinel wrap requires a '~'-free vocabulary
+        assert all("~" not in w for w in words)

@@ -154,3 +154,58 @@ def test_viterbi_prefers_longer_pieces_on_ties():
     logp = {"ab": math.log(0.25), "a": math.log(0.5), "b": math.log(0.5)}
     # score("ab") = log .25 == score("a"+"b") = log .5 + log .5
     assert viterbi_pieces("ab", logp) == ["ab"]
+
+
+def test_frozen_model_is_tie_free_and_oracle_exact(spark):
+    """UNIGRAM_FROZEN_SCORES must give every corpus word a UNIQUE argmax
+    segmentation (exhaustively enumerated) — the property that lets the
+    oracle skip tie-break replay — and the frozen-encode query's token
+    strings must match viterbi_pieces exactly."""
+    from national_caseload_data_ingest_spark.operators.unigram import (
+        UNIGRAM_FROZEN_SCORES,
+        unigram_frozen_encode,
+    )
+
+    d = load_tables(spark, "/root/testdata/sf0.001", "documents")[
+        "documents"
+    ]
+    docs = {r["doc_id"]: r["text"] for r in d.collect()}
+    words = {
+        w
+        for text in docs.values()
+        for w in text.strip().lower().split()
+        if w
+    }
+
+    vocab = UNIGRAM_FROZEN_SCORES
+    assert all(len(p) <= PIECE_MAX for p in vocab)
+    assert {chr(c) for c in range(ord("a"), ord("z") + 1)} <= set(vocab)
+
+    def all_segs(w):
+        paths = {0: [([], 0)]}
+        for i in range(1, len(w) + 1):
+            acc = []
+            for j in range(max(0, i - PIECE_MAX), i):
+                p = w[j:i]
+                if p in vocab and j in paths:
+                    acc += [(t + [p], s + vocab[p]) for t, s in paths[j]]
+            paths[i] = acc
+        return paths[len(w)]
+
+    logp = {p: float(s) for p, s in vocab.items()}
+    for w in sorted(words):
+        segs = all_segs(w)
+        best = max(s for _, s in segs)
+        top = [t for t, s in segs if s == best]
+        assert len(top) == 1, f"tie on {w!r}: {top}"
+        assert viterbi_pieces(w, logp) == top[0]
+
+    rows = unigram_frozen_encode(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        ws = [w for w in docs[r["doc_id"]].strip().lower().split() if w]
+        toks = [t for w in ws for t in viterbi_pieces(w, logp)]
+        assert r["n_words"] == len(ws)
+        assert r["n_tokens"] == len(toks)
+        assert r["n_chars"] == sum(len(w) for w in ws)
+        assert r["first_pieces"] == "|".join(toks[:8])
