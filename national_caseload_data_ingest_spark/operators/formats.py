@@ -107,7 +107,39 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("parquet_native_roundtrip", oracle=_DOC_DIGEST_SQL)
+_PARQUET_NATIVE_ORACLE = r"""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars, text,
+               list_transform(
+                   string_split_regex(trim(text), '\s+'),
+                   w -> CASE WHEN len(w) % 5 = 0 THEN NULL
+                             ELSE len(w) END) AS lens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+                     WHEN doc_id % 7 = 0 THEN 0
+                     ELSE len(lens) END AS BIGINT) AS arr_n,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+                     WHEN doc_id % 7 = 0 THEN 0
+                     ELSE COALESCE(list_sum(
+                         list_filter(lens, x -> x IS NOT NULL)), 0)
+                END AS BIGINT) AS arr_sum,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+                     WHEN doc_id % 7 = 0 THEN 0
+                     ELSE len(lens)
+                          - len(list_filter(lens, x -> x IS NOT NULL))
+                END AS BIGINT) AS arr_nnull,
+           CASE WHEN doc_id % 9 = 0 THEN '@null-struct'
+                WHEN doc_id % 4 = 0 THEN '@null'
+                ELSE lang END AS meta_lang,
+           CAST(CASE WHEN doc_id % 9 = 0 THEN -1
+                     ELSE n_chars END AS BIGINT) AS meta_nc
+    FROM base
+"""
+
+
+@query("parquet_native_roundtrip", oracle=_PARQUET_NATIVE_ORACLE)
 def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet read WITHOUT any Arrow/JVM reader in the loop
     (`sources/parquetdata.py`): each partition's documents become one
@@ -117,10 +149,14 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary on/off, data-page v1/v2, the v2.6 DELTA family
     (miniblock-packed ints, incremental byte arrays) on every fifth
     partition, 200-row row groups (multi-page, multi-group chunks) —
-    then the native reader walks footer → column chunks → Thrift page
-    headers → RLE/bit-packed definition levels → PLAIN/dictionary/
-    DELTA values, and the per-document digests hash-match the raw
-    table.  Two narrow Arrow kernels, zero shuffle."""
+    PLUS one LIST column (word lengths, with null lists / empty lists /
+    null elements) and one STRUCT column (lang + n_chars, with null
+    structs / null fields), so the repetition-level reconstruction and
+    multi-bit definition levels are on the oracle path (r13) — then the
+    native reader walks footer → column chunks → Thrift page headers →
+    rep/def levels → PLAIN/dictionary/DELTA values, and the
+    per-document digests hash-match the raw table.  Two narrow Arrow
+    kernels, zero shuffle."""
     import pandas as pd  # noqa: PLC0415
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -140,17 +176,57 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic writer-config rotation keyed on content
         key = int(pdf["doc_id"].min())
         comp = ("snappy", "zstd", "gzip", "none")[key % 4]
-        t = pa.table({
+        tok_lens, metas = [], []
+        for doc_id, text, lang, n_chars in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["n_chars"]
+        ):
+            did = int(doc_id)
+            if did % 11 == 0:
+                tok_lens.append(None)
+            elif did % 7 == 0:
+                tok_lens.append([])
+            else:
+                tok_lens.append([None if len(w) % 5 == 0 else len(w)
+                                 for w in str(text).split()])
+            metas.append(None if did % 9 == 0 else
+                         {"lang": None if did % 4 == 0 else str(lang),
+                          "nc": int(n_chars)})
+        flat = {
             "doc_id": pa.array(pdf["doc_id"], pa.int64()),
             "text": pa.array(pdf["text"], pa.string()),
             "lang": pa.array(pdf["lang"], pa.string()),
             "n_chars": pa.array(pdf["n_chars"], pa.int64()),
+        }
+        if key % 6 == 5:
+            # every sixth partition routes the flat columns through the
+            # repo's NATIVE WRITER (dictionary pages + stats) and back
+            # through pyarrow — a writer bug breaks the oracle hash
+            from national_caseload_data_ingest_spark.sources.parquetdata import (  # noqa: PLC0415
+                write_parquet,
+            )
+            # stored pages: the python-side zstd/snappy ENCODERS are
+            # already on the archive_codec_features path and in the
+            # writer's own tests; compressing here would serialize the
+            # stage behind one per-byte-python partition for no new
+            # coverage
+            native = write_parquet(
+                {c: flat[c].to_pylist() for c in flat},
+                {"doc_id": "int64", "text": "string",
+                 "lang": "string", "n_chars": "int64"},
+                codec="none")
+            rt = pq.read_table(io.BytesIO(native))
+            flat = {c: rt.column(c) for c in flat}
+        t = pa.table({
+            **flat,
+            "tok_lens": pa.array(tok_lens, pa.list_(pa.int64())),
+            "meta": pa.array(metas, pa.struct([("lang", pa.string()),
+                                               ("nc", pa.int64())])),
         })
         buf = io.BytesIO()
         kw = {}
         if key % 5 == 0:
             # the v2.6 DELTA family: miniblock-packed ints,
-            # incremental byte arrays
+            # incremental byte arrays (nested leaves stay PLAIN)
             kw = {
                 "use_dictionary": False,
                 "version": "2.6",
@@ -185,13 +261,35 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).mapInPandas(enc, schema="payload binary")
     back = payloads.mapInPandas(
         dec,
-        schema="doc_id bigint, text string, lang string, n_chars bigint",
+        schema=(
+            "doc_id bigint, text string, lang string, n_chars bigint, "
+            "tok_lens array<bigint>, meta struct<lang:string,nc:bigint>"
+        ),
     )
+    zero = F.lit(0).cast("long")
+    lens = F.col("tok_lens")
+    meta = F.col("meta")
     return back.select(
         "doc_id",
         "lang",
         "n_chars",
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.when(lens.isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.size(lens).cast("long")).alias("arr_n"),
+        F.when(lens.isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.aggregate(
+            lens, zero, lambda acc, x: acc + F.coalesce(x, zero)))
+        .alias("arr_sum"),
+        F.when(lens.isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.aggregate(
+            lens, zero,
+            lambda acc, x: acc + F.when(x.isNull(), 1).otherwise(0)))
+        .alias("arr_nnull"),
+        F.when(meta.isNull(), F.lit("@null-struct"))
+        .otherwise(F.coalesce(meta["lang"], F.lit("@null")))
+        .alias("meta_lang"),
+        F.when(meta.isNull(), F.lit(-1).cast("long"))
+        .otherwise(meta["nc"].cast("long")).alias("meta_nc"),
     )
 
 

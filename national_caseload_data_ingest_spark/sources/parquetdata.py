@@ -21,8 +21,10 @@ production consumer.  Implemented:
   LZO/brotli/legacy-LZ4 gate;
 * **levels**: the RLE/bit-packed hybrid (LSB-first bit-packed groups
   of 8, little-endian RLE runs), 4-byte-length-prefixed in v1 data
-  pages, raw-length-given in v2; flat schemas only (max definition
-  level 0 or 1 — nested repetition gates loudly);
+  pages, raw-length-given in v2 — multi-bit definition levels and
+  repetition levels included: ONE level of STRUCT (dicts) and the
+  standard 3-level LIST (lists) reconstruct to pyarrow parity;
+  deeper nesting and MAP gate loudly;
 * **values**: PLAIN for boolean (bit-packed) / int32 / int64 / float /
   double / byte_array (u32-length-prefixed) / fixed_len_byte_array /
   int96 (raw 12 bytes; ``int96_to_micros`` converts Spark's legacy
@@ -280,9 +282,15 @@ def schema_leaves(fm: dict) -> dict[str, dict]:
     return out
 
 
-def _read_chunk(data: bytes, md: dict, leaf: dict) -> list:
-    """One column chunk → python values (None where the definition
-    level says null)."""
+def _read_chunk_levels(
+    data: bytes, md: dict, leaf: dict
+) -> tuple[list[int] | None, list[int] | None, list]:
+    """One column chunk → ``(def_levels, rep_levels, present_values)``.
+
+    ``def_levels``/``rep_levels`` are full-length level streams (None
+    when the leaf's max level is 0); ``present_values`` holds only the
+    values whose definition level equals ``max_def`` — the caller
+    assembles nulls / lists / structs from the levels."""
     codec = md.get(4, 0)
     n_values = md.get(5, 0)
     start = md.get(11, md.get(9))
@@ -296,9 +304,15 @@ def _read_chunk(data: bytes, md: dict, leaf: dict) -> list:
     dictionary: list | None = None
     phys = leaf["phys"]
     tl = leaf["type_length"]
-    optional = leaf["optional"]
-    out: list = []
-    while len(out) < n_values:
+    max_def = leaf.get("max_def", 1 if leaf["optional"] else 0)
+    max_rep = leaf.get("max_rep", 0)
+    def_w = max_def.bit_length()
+    rep_w = max_rep.bit_length()
+    defs: list[int] | None = [] if max_def else None
+    reps: list[int] | None = [] if max_rep else None
+    vals: list = []
+    n_levels = 0
+    while n_levels < n_values:
         hdr = r.struct()
         ptype = hdr.get(1)
         comp_size = hdr.get(3)
@@ -319,17 +333,27 @@ def _read_chunk(data: bytes, md: dict, leaf: dict) -> list:
             enc = dph.get(2, 0)
             raw = _decompress(codec, payload, unc_size)
             pos = 0
-            levels = None
-            if optional:
+            if max_rep:
+                if dph.get(4, _RLE) != _RLE:
+                    raise NotImplementedError(
+                        "parquet: non-RLE repetition levels")
+                ln = struct.unpack_from("<I", raw, pos)[0]
+                pos += 4
+                page_reps, _ = _rle_bp_hybrid(raw, pos, rep_w, nv)
+                pos += ln
+                reps += page_reps
+            page_defs = None
+            if max_def:
                 if dph.get(3, _RLE) != _RLE:
                     raise NotImplementedError(
                         "parquet: non-RLE definition levels")
                 ln = struct.unpack_from("<I", raw, pos)[0]
                 pos += 4
-                levels, _ = _rle_bp_hybrid(raw, pos, 1, nv)
+                page_defs, _ = _rle_bp_hybrid(raw, pos, def_w, nv)
                 pos += ln
-            out += _decode_values(raw, pos, enc, phys, tl, nv,
-                                  levels, dictionary)
+                defs += page_defs
+            vals += _decode_values(raw, pos, enc, phys, tl, nv,
+                                   page_defs, dictionary, max_def)
         elif ptype == 3:  # data page v2
             dph = hdr.get(8, {})
             nv = dph.get(1, 0)
@@ -337,29 +361,46 @@ def _read_chunk(data: bytes, md: dict, leaf: dict) -> list:
             enc = dph.get(4, 0)
             dl_len = dph.get(5, 0)
             rl_len = dph.get(6, 0)
-            if rl_len:
-                raise NotImplementedError(
-                    "parquet: repetition levels (nested) in v2 page")
             is_comp = dph.get(7, True)
-            levels = None
-            lpos = 0
-            if optional:
-                levels, _ = _rle_bp_hybrid(payload, lpos, 1, nv)
-            body = payload[dl_len:]
-            raw = _decompress(codec, body, unc_size - dl_len) \
+            if max_rep:
+                page_reps, _ = _rle_bp_hybrid(payload, 0, rep_w, nv)
+                reps += page_reps
+            elif rl_len:
+                raise ValueError(
+                    "parquet: repetition levels on a non-repeated leaf")
+            page_defs = None
+            if max_def:
+                page_defs, _ = _rle_bp_hybrid(payload, rl_len, def_w, nv)
+                defs += page_defs
+            body = payload[rl_len + dl_len:]
+            raw = _decompress(codec, body, unc_size - rl_len - dl_len) \
                 if is_comp else body
             del n_nulls
-            out += _decode_values(raw, 0, enc, phys, tl, nv,
-                                  levels, dictionary)
+            vals += _decode_values(raw, 0, enc, phys, tl, nv,
+                                   page_defs, dictionary, max_def)
         else:
             raise NotImplementedError(f"parquet: page type {ptype}")
-    return out
+        n_levels += nv
+    return defs, reps, vals
+
+
+def _read_chunk(data: bytes, md: dict, leaf: dict) -> list:
+    """One FLAT column chunk → python values (None where the definition
+    level says null)."""
+    defs, _reps, vals = _read_chunk_levels(data, md, leaf)
+    if defs is None:
+        return vals
+    it = iter(vals)
+    return [next(it) if d else None for d in defs]
 
 
 def _decode_values(raw: bytes, pos: int, enc: int, phys: int, tl: int,
                    nv: int, levels: list[int] | None,
-                   dictionary: list | None) -> list:
-    n_present = nv if levels is None else sum(levels)
+                   dictionary: list | None, max_def: int = 1) -> list:
+    """Decode the PRESENT values of one data page (a value exists only
+    where the definition level reaches ``max_def``)."""
+    n_present = (nv if levels is None
+                 else sum(1 for d in levels if d == max_def))
     if enc == _PLAIN:
         vals, _ = _plain_values(raw, pos, phys, n_present, tl)
     elif enc in (_PLAIN_DICT, _RLE_DICT):
@@ -408,10 +449,7 @@ def _decode_values(raw: bytes, pos: int, enc: int, phys: int, tl: int,
         vals, _ = _plain_values(joined, 0, phys, n_present, tl)
     else:
         raise NotImplementedError(f"parquet: value encoding {enc}")
-    if levels is None:
-        return vals
-    it = iter(vals)
-    return [next(it) if lv else None for lv in levels]
+    return vals
 
 
 _JULIAN_UNIX_EPOCH = 2440588
@@ -451,16 +489,199 @@ def read_column(data: bytes, name: str) -> list:
     return out
 
 
+# --- nested schemas (one level of LIST / STRUCT) ----------------------------
+
+def _schema_nodes(fm: dict) -> list[dict]:
+    """Top-level schema nodes from the footer's flattened element list.
+    Each node: {name, optional, repeated, phys, type_length, utf8,
+    converted, logical, children} — children resolved by the
+    num_children walk (depth-first preorder, the thrift layout)."""
+    elems = fm.get(2, [])
+    if not elems:
+        raise ValueError("parquet: empty schema")
+
+    pos = 1
+
+    def walk() -> dict:
+        nonlocal pos
+        el = elems[pos]
+        pos += 1
+        logical = el.get(10, {})
+        node = {
+            "name": el.get(4, b"").decode("utf-8"),
+            "optional": el.get(3, 0) == 1,
+            "repeated": el.get(3, 0) == 2,
+            "phys": el.get(1),
+            "type_length": el.get(2, 0),
+            "utf8": el.get(1) == 6 and (el.get(6) == 0 or 1 in logical),
+            "converted": el.get(6),
+            "logical": logical,
+            "children": None,
+        }
+        n_children = el.get(5, 0)
+        if n_children:
+            node["children"] = [walk() for _ in range(n_children)]
+        return node
+
+    out = []
+    n_top = elems[0].get(5, 0)
+    for _ in range(n_top):
+        out.append(walk())
+    if pos != len(elems):
+        raise ValueError("parquet: schema element count mismatch")
+    return out
+
+
+def _is_list(node: dict) -> bool:
+    return node["converted"] == 3 or 3 in node["logical"]
+
+
+def _leaf_spec(node: dict, extra_def: int, extra_rep: int) -> dict:
+    """The per-leaf dict ``_read_chunk_levels`` consumes, with the
+    ancestors' contribution to the level depths folded in."""
+    return {
+        "phys": node["phys"],
+        "optional": node["optional"],
+        "type_length": node["type_length"],
+        "utf8": node["utf8"],
+        "max_def": extra_def + (1 if node["optional"] else 0),
+        "max_rep": extra_rep,
+    }
+
+
+def _column_levels(
+    data: bytes, fm: dict, path: list[str], leaf: dict
+) -> tuple[list[int] | None, list[int] | None, list]:
+    """Concatenated (defs, reps, present values) for one leaf path
+    across every row group, in row order."""
+    defs: list[int] | None = [] if leaf["max_def"] else None
+    reps: list[int] | None = [] if leaf["max_rep"] else None
+    vals: list = []
+    found = False
+    for rg in fm.get(4, []):
+        for chunk in rg.get(1, []):
+            md = chunk.get(3)
+            if md is None:
+                raise ValueError("parquet: chunk without metadata")
+            if [p.decode("utf-8") for p in md.get(3, [])] != path:
+                continue
+            found = True
+            d, r, v = _read_chunk_levels(data, md, leaf)
+            if defs is not None:
+                defs += d
+            if reps is not None:
+                reps += r
+            vals += v
+    if not found and fm.get(4):
+        raise ValueError(f"parquet: no chunks for column {path!r}")
+    if leaf["utf8"]:
+        vals = [v.decode("utf-8") for v in vals]
+    return defs, reps, vals
+
+
+def _weave_nulls(defs: list[int] | None, vals: list, max_def: int) -> list:
+    if defs is None:
+        return vals
+    it = iter(vals)
+    return [next(it) if d == max_def else None for d in defs]
+
+
+def _read_struct(data: bytes, fm: dict, node: dict) -> list:
+    """One-level STRUCT of scalar leaves → list of dicts / None."""
+    s_opt = 1 if node["optional"] else 0
+    child_cols: dict[str, list] = {}
+    struct_null: list[bool] | None = None
+    n_rows = None
+    for child in node["children"]:
+        if child["children"] is not None or child["repeated"]:
+            raise NotImplementedError(
+                "parquet: nesting deeper than one STRUCT level")
+        leaf = _leaf_spec(child, extra_def=s_opt, extra_rep=0)
+        defs, _reps, vals = _column_levels(
+            data, fm, [node["name"], child["name"]], leaf)
+        woven = _weave_nulls(defs, vals, leaf["max_def"])
+        child_cols[child["name"]] = woven
+        n_rows = len(woven)
+        if s_opt:
+            nulls = [d < s_opt for d in defs]
+            if struct_null is None:
+                struct_null = nulls
+            elif struct_null != nulls:
+                raise ValueError(
+                    "parquet: struct children disagree on nullness")
+    names = list(child_cols)
+    out = []
+    for i in range(n_rows or 0):
+        if struct_null is not None and struct_null[i]:
+            out.append(None)
+        else:
+            out.append({n: child_cols[n][i] for n in names})
+    return out
+
+
+def _read_list(data: bytes, fm: dict, node: dict) -> list:
+    """Standard 3-level LIST of scalars → list of lists / None."""
+    mids = node["children"] or []
+    if len(mids) != 1 or not mids[0]["repeated"] \
+            or mids[0]["children"] is None or len(mids[0]["children"]) != 1:
+        raise NotImplementedError(
+            "parquet: only the standard 3-level LIST layout is supported")
+    elem = mids[0]["children"][0]
+    if elem["children"] is not None or elem["repeated"]:
+        raise NotImplementedError(
+            "parquet: nesting deeper than one LIST level")
+    l_opt = 1 if node["optional"] else 0
+    leaf = _leaf_spec(elem, extra_def=l_opt + 1, extra_rep=1)
+    max_def = leaf["max_def"]
+    path = [node["name"], mids[0]["name"], elem["name"]]
+    defs, reps, vals = _column_levels(data, fm, path, leaf)
+    it = iter(vals)
+    out: list = []
+    for d, rp in zip(defs, reps):
+        v = next(it) if d == max_def else None
+        if rp == 0:  # new row
+            if d < l_opt:
+                out.append(None)
+            elif d == l_opt:
+                out.append([])
+            else:
+                out.append([v])
+        else:
+            if not isinstance(out[-1], list):
+                raise ValueError(
+                    "parquet: continuation level on a null/closed list")
+            out[-1].append(v)
+    return out
+
+
 def read_table_native(data: bytes) -> dict[str, list]:
-    """Every flat column → values; the native-read twin of a full
-    scan."""
+    """Every column → python values; the native-read twin of a full
+    scan.  Flat scalars plus ONE level of STRUCT (dicts) and the
+    standard 3-level LIST (lists); deeper nesting and MAP gate
+    loudly."""
     fm = read_footer(data)
-    return {name: read_column(data, name)
-            for name in schema_leaves(fm)}
+    out: dict[str, list] = {}
+    for node in _schema_nodes(fm):
+        if node["children"] is None:
+            if node["repeated"]:
+                raise NotImplementedError(
+                    "parquet: bare repeated fields not supported")
+            leaf = _leaf_spec(node, 0, 0)
+            defs, _r, vals = _column_levels(
+                data, fm, [node["name"]], leaf)
+            out[node["name"]] = _weave_nulls(defs, vals, leaf["max_def"])
+        elif _is_list(node):
+            out[node["name"]] = _read_list(data, fm, node)
+        elif node["converted"] == 2 or 2 in node["logical"]:
+            raise NotImplementedError("parquet: MAP columns not supported")
+        else:
+            out[node["name"]] = _read_struct(data, fm, node)
+    return out
 
 
 # --- native WRITER -----------------------------------------------------------
 
+_T_BOOL = 1  # compact protocol: the bool VALUE lives in the type nibble
 _T_I32, _T_I64, _T_BINARY, _T_LIST, _T_STRUCT = 5, 6, 8, 9, 12
 
 
@@ -485,13 +706,18 @@ def _t_struct(fields: list[tuple[int, int, object]]) -> bytes:
     out = bytearray()
     prev = 0
     for fid, tt, v in fields:
+        wire_tt = tt
+        if tt == _T_BOOL:  # 1 = BOOL_TRUE, 2 = BOOL_FALSE, no payload
+            wire_tt = 1 if v else 2
         delta = fid - prev
         if 1 <= delta <= 15:
-            out.append((delta << 4) | tt)
+            out.append((delta << 4) | wire_tt)
         else:
-            out.append(tt)
+            out.append(wire_tt)
             _t_zigzag(out, fid)
         prev = fid
+        if tt == _T_BOOL:
+            continue
         if tt in (_T_I32, _T_I64):
             _t_zigzag(out, v)
         elif tt == _T_BINARY:
@@ -547,14 +773,85 @@ def _plain_encode(values: list, typ: str) -> bytes:
     return bytes(out)
 
 
+_STAT_TRUNC = 64  # byte-array statistics truncation (reference-writer size)
+
+
+def _trunc_upper(b: bytes) -> bytes | None:
+    """A ≤64-byte value GUARANTEED >= ``b``: truncate and increment the
+    last non-0xFF byte (None when all bytes are 0xFF — omit the max)."""
+    t = bytearray(b[:_STAT_TRUNC])
+    for i in range(len(t) - 1, -1, -1):
+        if t[i] != 0xFF:
+            t[i] += 1
+            return bytes(t[: i + 1])
+    return None
+
+
+def _stats_struct(present: list, typ: str, n_nulls: int) -> bytes | None:
+    """The Statistics struct for one chunk: null_count(3), v2
+    min_value(6)/max_value(5) with exactness flags, legacy min/max(2/1)
+    only when exact.  NaN is dropped from float/double bounds (min/max
+    would be order-dependent); long byte-array bounds are truncated —
+    min to a prefix (a valid lower bound), max via ``_trunc_upper``."""
+    stat_vals = present
+    if typ in ("float", "double"):
+        stat_vals = [v for v in present if v == v]
+    if not stat_vals:
+        return None
+    fields: list[tuple] = []
+    if typ in ("int32", "int64", "float", "double"):
+        lo = _plain_encode([min(stat_vals)], typ)
+        hi = _plain_encode([max(stat_vals)], typ)
+        fields = [(1, _T_BINARY, hi), (2, _T_BINARY, lo),
+                  (3, _T_I64, n_nulls),
+                  (5, _T_BINARY, hi), (6, _T_BINARY, lo)]
+    elif typ in ("string", "binary"):
+        bs = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+              for v in stat_vals]
+        mn, mx = min(bs), max(bs)
+        lo, lo_exact = ((mn, True) if len(mn) <= _STAT_TRUNC
+                        else (mn[:_STAT_TRUNC], False))
+        hi, hi_exact = ((mx, True) if len(mx) <= _STAT_TRUNC
+                        else (_trunc_upper(mx), False))
+        if lo_exact and hi_exact:
+            fields += [(1, _T_BINARY, hi), (2, _T_BINARY, lo)]
+        fields.append((3, _T_I64, n_nulls))
+        if hi is not None:
+            fields.append((5, _T_BINARY, hi))
+        fields.append((6, _T_BINARY, lo))
+        if hi is not None:
+            fields.append((7, _T_BOOL, hi_exact))
+        fields.append((8, _T_BOOL, lo_exact))
+    else:
+        return None
+    return _t_struct(fields)
+
+
+def _bp_encode(idx: list[int], width: int) -> bytes:
+    """RLE/bit-packed hybrid, bit-packed form only: LSB-first groups of
+    8 values (zero-padded), the encoding the dictionary indices use."""
+    out = bytearray()
+    n_groups = (len(idx) + 7) // 8
+    _t_uvarint(out, (n_groups << 1) | 1)
+    acc = 0
+    for i, v in enumerate(idx):
+        acc |= v << (i * width)
+    out += acc.to_bytes(n_groups * width, "little")
+    return bytes(out)
+
+
 def write_parquet(cols: dict[str, list], types: dict[str, str],
-                  codec: str = "snappy") -> bytes:
-    """Native parquet WRITER (the reader's twin): one row group, one
-    PLAIN v1 data page per column, RLE/bit-packed definition levels
-    for nullable columns, thrift-compact page headers and footer —
-    pages compressed by the repo's OWN snappy/zstd encoders (or zlib
-    gzip / stored).  Validated by pyarrow reading the output
-    byte-for-byte."""
+                  codec: str = "snappy",
+                  use_dictionary: bool | str = "auto") -> bytes:
+    """Native parquet WRITER (the reader's twin): one row group, v1
+    data pages with RLE/bit-packed definition levels, thrift-compact
+    page headers and footer — pages compressed by the repo's OWN
+    snappy/zstd encoders (or zlib gzip / stored).  Low-cardinality
+    columns get a PLAIN dictionary page + PLAIN_DICTIONARY bit-packed
+    index pages (``use_dictionary``: True / False / "auto" = encode
+    when distinct ≤ half the values and ≤ 2^16); statistics cover the
+    numeric types AND byte arrays (truncated bounds past 64 bytes).
+    Validated by pyarrow reading the output byte-for-byte."""
     codec_id = _WRITE_CODECS[codec]
 
     def compress(raw: bytes) -> bytes:
@@ -594,12 +891,54 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
         _t_uvarint(levels, (n_groups << 1) | 1)
         levels += acc.to_bytes(n_groups, "little")
         body += struct.pack("<I", len(levels)) + levels
-        body += _plain_encode(present, typ)
+
+        # dictionary routing: worth it when the dictionary is much
+        # smaller than the data; float/double with NaN stay PLAIN (NaN
+        # != NaN breaks dict-key dedup)
+        distinct: list | None = None
+        if use_dictionary is True or use_dictionary == "auto":
+            hashable = not (typ in ("float", "double")
+                            and any(v != v for v in present))
+            if typ != "boolean" and hashable and present:
+                uniq = list(dict.fromkeys(present))
+                if use_dictionary is True or (
+                    len(uniq) <= 65536
+                    and 2 * len(uniq) <= len(present)
+                ):
+                    distinct = uniq
+
+        offset = len(out)
+        total_raw = total_comp = 0
+        dict_offset = None
+        if distinct is not None:
+            draw = _plain_encode(distinct, typ)
+            dcomp = compress(draw)
+            dhdr = _t_struct([
+                (1, _T_I32, 2),  # DICTIONARY_PAGE
+                (2, _T_I32, len(draw)),
+                (3, _T_I32, len(dcomp)),
+                (7, _T_STRUCT, _t_struct([
+                    (1, _T_I32, len(distinct)),
+                    (2, _T_I32, _PLAIN_DICT),
+                ])),
+            ])
+            dict_offset = len(out)
+            out += dhdr + dcomp
+            total_raw += len(dhdr) + len(draw)
+            total_comp += len(dhdr) + len(dcomp)
+            index = {v: i for i, v in enumerate(distinct)}
+            width = max((len(distinct) - 1).bit_length(), 1)
+            body.append(width)
+            body += _bp_encode([index[v] for v in present], width)
+            enc = _PLAIN_DICT
+        else:
+            body += _plain_encode(present, typ)
+            enc = _PLAIN
         raw = bytes(body)
         comp = compress(raw)
         dph = _t_struct([
             (1, _T_I32, n_rows),   # num_values incl. nulls
-            (2, _T_I32, _PLAIN),   # encoding
+            (2, _T_I32, enc),      # encoding
             (3, _T_I32, _RLE),     # definition_level_encoding
             (4, _T_I32, _RLE),     # repetition_level_encoding
         ])
@@ -609,40 +948,30 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
             (3, _T_I32, len(comp)),
             (5, _T_STRUCT, dph),
         ])
-        offset = len(out)
+        data_offset = len(out)
         out += header + comp
+        total_raw += len(header) + len(raw)
+        total_comp += len(header) + len(comp)
         md_fields = [
             (1, _T_I32, _WRITE_PHYS[typ]),
-            (2, _T_LIST, (_T_I32, [_PLAIN, _RLE])),
+            (2, _T_LIST, (_T_I32, [enc, _RLE])),
             (3, _T_LIST, (_T_BINARY, [name.encode("utf-8")])),
             (4, _T_I32, codec_id),
             (5, _T_I64, n_rows),
-            (6, _T_I64, len(header) + len(raw)),
-            (7, _T_I64, len(header) + len(comp)),
-            (9, _T_I64, offset),
+            (6, _T_I64, total_raw),
+            (7, _T_I64, total_comp),
+            (9, _T_I64, data_offset),
         ]
-        stat_vals = present
-        if typ in ("float", "double"):
-            # NaN compares false both ways, making Python min()/max()
-            # order-dependent; the parquet reference writer drops NaN
-            # from stats (and omits them entirely if all values are NaN)
-            # so data skipping never prunes on a NaN-poisoned bound.
-            stat_vals = [v for v in present if v == v]
-        if stat_vals and typ in ("int32", "int64", "float", "double"):
-            # Statistics: null_count(3), max_value(5), min_value(6) —
-            # plain-encoded; these are what the engine's own
-            # txlog_backfill_stats / data skipping consume
-            lo = _plain_encode([min(stat_vals)], typ)
-            hi = _plain_encode([max(stat_vals)], typ)
-            md_fields.append((12, _T_STRUCT, _t_struct([
-                (1, _T_BINARY, hi),  # legacy max (readers want both)
-                (2, _T_BINARY, lo),  # legacy min
-                (3, _T_I64, n_rows - len(present)),
-                (5, _T_BINARY, hi),  # max_value
-                (6, _T_BINARY, lo),  # min_value
-            ])))
+        if dict_offset is not None:
+            md_fields.append((11, _T_I64, dict_offset))
+        # Statistics: these are what the engine's own
+        # txlog_backfill_stats / footer_summary data skipping consume
+        st = _stats_struct(present, typ, n_rows - len(present))
+        if st is not None:
+            md_fields.append((12, _T_STRUCT, st))
+        md_fields.sort()
         md = _t_struct(md_fields)
-        chunk_metas.append((offset, len(header) + len(comp), md))
+        chunk_metas.append((offset, total_comp, md))
     chunks = [
         _t_struct([(2, _T_I64, off), (3, _T_STRUCT, md)])
         for off, _sz, md in chunk_metas

@@ -185,19 +185,78 @@ def test_native_writer_read_by_pyarrow(codec):
 
 
 def test_gates_are_loud():
-    # nested schema
-    t = pa.table({"s": pa.array([{"a": 1}], pa.struct([("a",
-                                                        pa.int64())]))})
-    buf = io.BytesIO()
-    pq.write_table(t, buf)
-    with pytest.raises(NotImplementedError, match="nested|flat"):
-        read_table_native(buf.getvalue())
+    """One level of LIST/STRUCT is now supported (r13); the gates sit
+    one level deeper — list-of-list, struct-of-struct, list-in-struct,
+    MAP — and must still fail loudly, never decode wrong."""
+    def roundtrip_raises(arr, match):
+        t = pa.table({"c": arr})
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        with pytest.raises(NotImplementedError, match=match):
+            read_table_native(buf.getvalue())
+
+    roundtrip_raises(
+        pa.array([[[1, 2]], [[3]]], pa.list_(pa.list_(pa.int64()))),
+        "LIST level")
+    roundtrip_raises(
+        pa.array([{"i": {"a": 1}}],
+                 pa.struct([("i", pa.struct([("a", pa.int64())]))])),
+        "STRUCT level")
+    roundtrip_raises(
+        pa.array([{"xs": [1, 2]}],
+                 pa.struct([("xs", pa.list_(pa.int64()))])),
+        "STRUCT level")
+    roundtrip_raises(
+        pa.array([{"a": 1}], pa.map_(pa.string(), pa.int64())),
+        "MAP")
     # unknown column
     t2 = pa.table({"k": pa.array([1], pa.int64())})
     buf = io.BytesIO()
     pq.write_table(t2, buf)
     with pytest.raises(ValueError, match="no column"):
         read_column(buf.getvalue(), "nope")
+
+
+@pytest.mark.parametrize("comp", ["none", "snappy", "zstd", "gzip"])
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+@pytest.mark.parametrize("use_dict", [True, False])
+def test_nested_list_struct_match_pyarrow(comp, dpv, use_dict):
+    """One level of LIST and STRUCT (VERDICT r12 ask #3): repetition
+    levels + multi-bit definition levels reconstructed to parity with
+    pyarrow across codec × page-version × dictionary, with null lists,
+    empty lists, null elements, null structs, and null struct fields
+    all present, across multiple row groups."""
+    import random
+
+    rng = random.Random(7)
+    n = 500
+    lists, structs, words = [], [], []
+    for i in range(n):
+        if i % 11 == 0:
+            lists.append(None)
+        elif i % 7 == 0:
+            lists.append([])
+        else:
+            lists.append([rng.randrange(100) if j % 5 else None
+                          for j in range(i % 6 + 1)])
+        structs.append(None if i % 9 == 0 else
+                       {"lang": None if i % 4 == 0 else f"l{i % 3}",
+                        "nc": i * 3})
+        words.append(None if i % 13 == 0 else
+                     [f"w{j}" if j % 3 else None for j in range(i % 4)])
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "vals": pa.array(lists, pa.list_(pa.int64())),
+        "meta": pa.array(structs, pa.struct([("lang", pa.string()),
+                                             ("nc", pa.int64())])),
+        "words": pa.array(words, pa.list_(pa.string())),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression=comp, data_page_version=dpv,
+                   use_dictionary=use_dict, row_group_size=128)
+    got = read_table_native(buf.getvalue())
+    for c in t.column_names:
+        assert got[c] == t.column(c).to_pylist(), c
 
 
 def test_byte_stream_split_matches_pyarrow():
@@ -292,3 +351,92 @@ def test_native_writer_nan_safe_statistics():
     # values themselves round-trip untouched (NaN kept in the data)
     got = pq.read_table(io.BytesIO(data)).column("lead_nan").to_pylist()
     assert got[1:3] == [5.0, -2.0] and got[0] != got[0]
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd", "gzip"])
+def test_native_writer_dictionary_pages(codec):
+    """Low-cardinality columns must get a PLAIN dictionary page +
+    bit-packed PLAIN_DICTIONARY index pages under the "auto" policy
+    (high-cardinality stays PLAIN), pyarrow and the repo reader must
+    both decode them, and the dictionary file must be smaller than the
+    PLAIN twin on repetitive data."""
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet,
+    )
+    n = 4000
+    cols = {
+        "cat": [f"category_{x % 13}" if x % 9 else None for x in range(n)],
+        "code": [x % 29 for x in range(n)],
+        "uniq": [f"u{x:07d}" for x in range(n)],
+    }
+    types = {"cat": "string", "code": "int64", "uniq": "string"}
+    data = write_parquet(cols, types, codec=codec)
+    md = pq.ParquetFile(io.BytesIO(data)).metadata
+    encs = {md.row_group(0).column(i).path_in_schema:
+            md.row_group(0).column(i).encodings
+            for i in range(md.num_columns)}
+    assert "PLAIN_DICTIONARY" in encs["cat"]
+    assert "PLAIN_DICTIONARY" in encs["code"]
+    assert "PLAIN_DICTIONARY" not in encs["uniq"]  # auto: high-card
+    t = pq.read_table(io.BytesIO(data))
+    got = read_table_native(data)
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], c
+        assert got[c] == cols[c], c
+    if codec == "none":
+        plain = write_parquet(cols, types, codec=codec,
+                              use_dictionary=False)
+        assert len(data) < len(plain)
+
+
+def test_native_writer_string_statistics_prune():
+    """BYTE_ARRAY statistics (VERDICT r12 ask #4): exact min/max for
+    short strings, truncated-but-VALID bounds past 64 bytes (min is a
+    prefix lower bound, max is incremented), the all-0xFF max omitted —
+    and a string-predicate file prune over footer_summary reads exactly
+    the one natively-written file whose range intersects."""
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet,
+    )
+    from national_caseload_data_ingest_spark.sources.parquetmeta import (
+        footer_summary,
+    )
+    # exact short-string stats, visible to pyarrow too
+    data = write_parquet({"s": ["pear", "apple", None, "melon"]},
+                         {"s": "string"}, codec="none")
+    st = pq.ParquetFile(io.BytesIO(data)).metadata.row_group(0) \
+        .column(0).statistics
+    assert st.min == "apple" and st.max == "pear" and st.null_count == 1
+    # truncated bounds stay valid
+    long_vals = ["y" * 100 + f"{x:03d}" for x in range(40)]
+    data = write_parquet({"s": long_vals}, {"s": "string"}, codec="none")
+    fs = footer_summary(data)["columns"]["s"]
+    assert len(fs["min"]) <= 64 and len(fs["max"]) <= 64
+    assert fs["min"] <= min(long_vals).encode()
+    assert fs["max"] >= max(long_vals).encode()
+    # all-0xFF max is omitted rather than wrong
+    data = write_parquet({"b": [b"\xff" * 80, b"\x01"]}, {"b": "binary"},
+                         codec="none")
+    fs = footer_summary(data)["columns"]["b"]
+    assert fs["min"] == b"\x01" and fs["max"] is None
+    # the data-skipping scenario: three files, disjoint string ranges
+    files = {
+        "f0": ["apple", "banana", "cherry"],
+        "f1": ["mango", "melon", "peach"],
+        "f2": ["tomato", "yam", "zebra"],
+    }
+    payloads = {k: write_parquet({"fruit": v}, {"fruit": "string"})
+                for k, v in files.items()}
+    lo, hi = b"lemon", b"pear"
+    read = []
+    for k, payload in payloads.items():
+        s = footer_summary(payload)["columns"]["fruit"]
+        # conservative: missing bounds never skip
+        if ((s["min"] is None or s["min"] <= hi)
+                and (s["max"] is None or s["max"] >= lo)):
+            read.append(k)
+    assert read == ["f1"]
+    survivors = [v for k in read
+                 for v in read_table_native(payloads[k])["fruit"]
+                 if lo.decode() <= v <= hi.decode()]
+    assert survivors == ["mango", "melon", "peach"]
