@@ -187,6 +187,8 @@ HEADLINE = [
     # snappy/zstd codecs
     "wordpiece_frozen_encode",
     "parquet_native_roundtrip",
+    "bpe_frozen_encode",
+    "unigram_frozen_encode",
 ]
 
 
@@ -264,6 +266,40 @@ def main() -> None:
         if steal:
             query_steal[name] = round(sum(steal), 3)
 
+    # Dirty-set retry sweeps (VERDICT r12 ask #6): queries that never
+    # got a clean window get whole extra passes at the END of the run
+    # (steal bursts are temporally clustered — retrying later beats
+    # retrying immediately).  Whatever is STILL dirty after the sweeps
+    # is EXCLUDED from clean_total, with the exclusion named in the
+    # record, so the committed number is never a stolen sample.
+    try:
+        sweeps = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS",
+                                           "2")))
+    except ValueError:
+        sweeps = 2
+    for _sweep in range(sweeps):
+        if not steal_dirty:
+            break
+        still = []
+        for name in steal_dirty:
+            c0 = _cpu_sample()
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            elapsed = time.time() - t0
+            d = _cpu_delta(c0, _cpu_sample())
+            if d is not None:
+                query_steal[name] = round(
+                    query_steal.get(name, 0.0) + d["steal_sec"], 3)
+            if d is not None and d["steal_frac"] < clean_frac:
+                cleans[name] = round(min(cleans[name], elapsed), 3)
+                timings[name] = round(min(timings[name], elapsed), 3)
+            else:
+                still.append(name)
+        steal_dirty = still
+    excluded = list(steal_dirty)
+    for name in excluded:
+        cleans.pop(name, None)
+
     env = {
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
@@ -281,6 +317,13 @@ def main() -> None:
         "median_total": round(sum(medians.values()), 3),
         "queries_clean": cleans,
         "clean_total": round(sum(cleans.values()), 3),
+        "clean_total_excluded": excluded,
+        "clean_total_note": (
+            "clean_total sums per-query clean minima over "
+            f"{len(cleans)} queries; {len(excluded)} never produced a "
+            "clean window and are EXCLUDED (named in "
+            "clean_total_excluded)" if excluded else
+            "clean_total sums per-query clean minima; no exclusions"),
         "steal_dirty": steal_dirty,
         "env": env,
         "runs": runs,

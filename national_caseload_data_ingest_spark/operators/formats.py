@@ -1244,13 +1244,16 @@ ARCHIVE_MAGIC = {
 }
 
 
-def archive_decompress(payload: bytes) -> tuple[str, bytes]:
+def archive_decompress(payload: bytes,
+                       dictionaries: dict[int, bytes] | None = None
+                       ) -> tuple[str, bytes]:
     """Sniff-and-decompress the stream-compression formats real corpus
     dumps ship in: the four stdlib codecs (zlib/gzip/bz2/xz), zstd
     (sized frames via pyarrow's bundled reference decompressor,
-    size-less frames via the from-spec native machine), and LZ4 frames
-    (fully native block walk, linked blocks included).  Returns
-    ``(fmt, raw_bytes)``."""
+    size-less frames via the from-spec native machine, DICTIONARY
+    frames resolved through the out-of-band ``dictionaries`` store
+    keyed by the frame's Dictionary_ID), and LZ4 frames (fully native
+    block walk, linked blocks included).  Returns ``(fmt, raw_bytes)``."""
     import bz2  # noqa: PLC0415
     import lzma  # noqa: PLC0415
     import zlib  # noqa: PLC0415
@@ -1273,14 +1276,33 @@ def archive_decompress(payload: bytes) -> tuple[str, bytes]:
     if payload[:4] == b"\x28\xb5\x2f\xfd":
         # sized frames: pyarrow's bundled reference zstd fast path;
         # size-less frames: the from-spec native machine
-        # (zstdnative.py) — the class that used to gate now decodes
+        # (zstdnative.py) — the class that used to gate now decodes;
+        # dictionary frames: resolved through the dictionary store
         from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
             zstd_decode,
         )
+        from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: PLC0415
+            frame_dictionary_id,
+            zstd_decompress,
+        )
 
         try:
+            did = frame_dictionary_id(payload)
+            if did:
+                if not dictionaries or did not in dictionaries:
+                    # indistinguishable from corruption without the
+                    # dictionary store: a flipped FHD bit also "names"
+                    # a dictionary id
+                    raise ValueError(
+                        "archive: corrupt stream or missing dictionary "
+                        f"(frame names dictionary id {did} absent from "
+                        "the store)")
+                return "zstd", zstd_decompress(
+                    payload, dictionary=dictionaries[did])
             return "zstd", zstd_decode(payload)
         except NotImplementedError:
+            raise
+        except ValueError:
             raise
         except Exception as e:  # pa raises its own error types
             raise ValueError(f"archive: corrupt stream ({e})") from None
@@ -1303,6 +1325,13 @@ def archive_decompress(payload: bytes) -> tuple[str, bytes]:
         except zlib.error as e:
             raise ValueError(f"archive: corrupt stream ({e})") from None
     raise ValueError("archive: unrecognized compression magic")
+
+
+# Shared zstd dictionary for the archive rotation: the synthetic raw
+# payloads are consecutive residues mod 251, so two full cycles cover
+# every rotation and dictionary matches reach deep into the window.
+ZSTD_SHARED_DICT = bytes(i % 251 for i in range(502))
+ZSTD_DICT_ID = 9001
 
 
 def _synth_archive(did: int) -> bytes:
@@ -1329,19 +1358,29 @@ def _synth_archive(did: int) -> bytes:
     if mode == 3:
         return lzma.compress(raw, preset=1)
     if mode == 4:
-        # three-way zstd rotation over the two from-spec seams:
+        # four-way zstd rotation over the from-spec seams:
         # did%24==4  -> reference-C-encoded frame with its header
         #               rewritten to declare NO content size, forcing
         #               the NATIVE DECODER (zstdnative.py);
         # did%24==16 -> the repo's own from-scratch WRITER (raw
         #               literals + predefined-FSE sequences), decoded
         #               back through the reference fast path;
+        # did%24==10 -> an RFC 8878 DICTIONARY frame (r13): the writer
+        #               matches into the shared-dictionary window and
+        #               names ZSTD_DICT_ID; decode must resolve the
+        #               dictionary out-of-band or fail loudly;
         # otherwise  -> plain reference-C frame (the common case).
         if did % 24 == 16:
             from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: PLC0415
                 zstd_compress,
             )
             return zstd_compress(raw)
+        if did % 24 == 10:
+            from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: PLC0415
+                zstd_compress,
+            )
+            return zstd_compress(raw, dictionary=ZSTD_SHARED_DICT,
+                                 dict_id=ZSTD_DICT_ID)
         comp = bytes(pa.compress(raw, codec="zstd", asbytes=True))
         if did % 24 == 4:
             from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: PLC0415
@@ -1410,7 +1449,9 @@ def archive_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                fmt, raw = archive_decompress(bytes(payload))
+                fmt, raw = archive_decompress(
+                    bytes(payload),
+                    dictionaries={ZSTD_DICT_ID: ZSTD_SHARED_DICT})
                 rows.append(
                     {
                         "doc_id": int(doc_id),
@@ -1570,11 +1611,15 @@ def snappy_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zip_member_features",
     oracle="""
     SELECT doc_id,
-           CAST(2 + doc_id % 2 AS BIGINT) AS n_members,
+           CAST(2 + doc_id % 2
+                + CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_members,
            CAST((2 + doc_id % 2) * n_chars AS BIGINT) AS total_bytes,
            md5(text) AS member_md5,
            CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
-               AS n_deflated
+               AS n_deflated,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_quarantined
     FROM documents
     """,
 )
@@ -1590,8 +1635,12 @@ def zip_member_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's container is rewritten into ZIP64 form (maxed EOCD behind an
     EOCD64 record + locator, per-entry sizes/offsets in 0x0001 extras
     — VERDICT r11 ask #2), so the 8-byte header arithmetic is in the
-    oracle rotation.  Member digests, counts, byte totals, and the
-    deflate census hash-match the closed form at every scale.  One
+    oracle rotation.  Every fifth doc additionally carries an ENCRYPTED
+    member (general-purpose bit 0 set in both headers) which the walker
+    must surface as a dead-letter row under the quarantine policy
+    instead of gating the archive (VERDICT r12 ask #8).  Member
+    digests, counts, byte totals, the deflate census, and the
+    quarantine census hash-match the closed form at every scale.  One
     narrow Arrow kernel, zero shuffle."""
     import pandas as pd  # noqa: PLC0415
 
@@ -1626,27 +1675,64 @@ def zip_member_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     zf.comment = f"archive for doc {i}".encode()
                 payload = buf.getvalue()
+                if i % 5 == 4:
+                    # an ENCRYPTED member: rebuild with an extra stored
+                    # entry, then set general-purpose bit 0 in both its
+                    # local and central headers (stdlib can't write
+                    # encryption; the walker never decrypts, so the
+                    # "ciphertext" bytes are irrelevant)
+                    buf = io.BytesIO()
+                    with zipfile.ZipFile(buf, "w") as zf:
+                        k = 2 + i % 2
+                        for j in range(k):
+                            zf.writestr(
+                                f"m{j}.txt", body,
+                                compress_type=(
+                                    zipfile.ZIP_STORED if j == 0
+                                    else zipfile.ZIP_DEFLATED
+                                ),
+                            )
+                        zf.writestr("enc.bin", b"sealed-payload",
+                                    compress_type=zipfile.ZIP_STORED)
+                        enc_off = zf.infolist()[-1].header_offset
+                        zf.comment = f"archive for doc {i}".encode()
+                    patched = bytearray(buf.getvalue())
+                    patched[enc_off + 6] |= 0x01  # local flags
+                    at = patched.rfind(b"PK\x01\x02\x14")
+                    while at >= 0:  # central entry for enc.bin
+                        nl = int.from_bytes(
+                            patched[at + 28 : at + 30], "little")
+                        if patched[at + 46 : at + 46 + nl] == b"enc.bin":
+                            patched[at + 8] |= 0x01
+                            break
+                        at = patched.rfind(b"PK\x01\x02\x14", 0, at)
+                    payload = bytes(patched)
                 if i % 3 == 0:
                     payload = to_zip64(payload)
-                members = zip_walk(payload)
-                digests = {_h.md5(m["data"]).hexdigest()
-                           for m in members}
+                members = zip_walk(payload, on_encrypted="quarantine")
+                good = [m for m in members if not m["quarantined"]]
+                quarantined = [m for m in members if m["quarantined"]]
+                if any(m["data"] != b"" for m in quarantined):
+                    raise ValueError("zip: quarantine leaked payload")
+                digests = {_h.md5(m["data"]).hexdigest() for m in good}
                 if len(digests) != 1:
                     raise ValueError("zip: member payload drift")
                 rows.append({
                     "doc_id": i,
                     "n_members": len(members),
-                    "total_bytes": sum(m["size"] for m in members),
+                    "total_bytes": sum(m["size"] for m in good),
                     "member_md5": digests.pop(),
                     "n_deflated": sum(
-                        1 for m in members if m["method"] == 8),
+                        1 for m in good if m["method"] == 8),
+                    "n_quarantined": len(quarantined),
                 })
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", "text").mapInPandas(
         kernel,
         schema="doc_id bigint, n_members bigint, total_bytes bigint, "
-               "member_md5 string, n_deflated bigint",
+               "member_md5 string, n_deflated bigint, "
+               "n_quarantined bigint",
     )
 
 

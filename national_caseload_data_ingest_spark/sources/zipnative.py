@@ -29,8 +29,9 @@ instead of silently truncating.
   exactly where corrupt/malicious archives skew);
 * payload: stored (0) or deflate (8, raw zlib); every member's CRC-32
   is VERIFIED against the central record;
-* gates: multi-disk, encryption (general-purpose bit 0), and other
-  compression methods raise.
+* gates: multi-disk and other compression methods raise; encrypted
+  members (general-purpose bit 0) raise by default or surface as
+  dead-letter rows under ``on_encrypted="quarantine"``.
 
 Cross-validation: every archive the tests walk is written by stdlib
 ``zipfile`` (the independent implementation), both stored and deflated,
@@ -174,11 +175,21 @@ def to_zip64(data: bytes) -> bytes:
     return bytes(body) + bytes(new_cd) + eocd64 + locator + new_eocd
 
 
-def zip_walk(data: bytes) -> list[dict]:
+def zip_walk(data: bytes, on_encrypted: str = "raise") -> list[dict]:
     """All members: ``{"name", "method", "crc32", "size",
-    "compressed_size", "data"}`` — payloads decompressed and
-    CRC-verified, local headers cross-checked against the central
-    directory."""
+    "compressed_size", "data", "quarantined", "reason"}`` — payloads
+    decompressed and CRC-verified, local headers cross-checked against
+    the central directory.
+
+    ``on_encrypted`` sets the policy for members with general-purpose
+    bit 0 set: ``"raise"`` (default, the historical gate) or
+    ``"quarantine"`` — surface the member as a dead-letter row
+    (``data=b""``, ``quarantined=True``, a human-readable ``reason``)
+    so one protected member never gates the rest of the archive,
+    matching the engine's streaming quarantine design
+    (``streaming/txlog_sink.quarantine_stream``)."""
+    if on_encrypted not in ("raise", "quarantine"):
+        raise ValueError(f"zip: unknown policy {on_encrypted!r}")
     eocd = _find_eocd(data)
     (n_disk, n_total, cd_size, cd_offset) = struct.unpack_from(
         "<HHII", data, eocd + 8
@@ -205,7 +216,7 @@ def zip_walk(data: bytes) -> list[dict]:
         usize, csize, local_off = _zip64_extra(
             extra, usize, csize, local_off)
         pos += 46 + name_len + extra_len + comment_len
-        if flags & 0x1:
+        if flags & 0x1 and on_encrypted == "raise":
             raise NotImplementedError("zip: encrypted entries")
         # revalidate the local header (dual bookkeeping)
         if data[local_off : local_off + 4] != _LOCAL:
@@ -221,6 +232,14 @@ def zip_walk(data: bytes) -> list[dict]:
                 f"zip: central/local name mismatch ({name!r} vs "
                 f"{l_name!r})"
             )
+        if flags & 0x1:  # quarantine: never touch the ciphertext
+            out.append({
+                "name": name, "method": method, "crc32": crc,
+                "size": usize, "compressed_size": csize, "data": b"",
+                "quarantined": True,
+                "reason": "encrypted (general-purpose bit 0)",
+            })
+            continue
         body_off = local_off + 30 + l_name_len + l_extra_len
         comp = data[body_off : body_off + csize]
         if len(comp) != csize:
@@ -243,5 +262,6 @@ def zip_walk(data: bytes) -> list[dict]:
         out.append({
             "name": name, "method": method, "crc32": crc,
             "size": usize, "compressed_size": csize, "data": raw,
+            "quarantined": False, "reason": None,
         })
     return out

@@ -47,8 +47,19 @@ next state) and emits the bit fields in reverse decoder-read order.
 Every frame it produces is validated against pyarrow's bundled
 reference libzstd decoder.
 
-Honest gates: dictionary frames (``Dictionary_ID`` set) raise — the
-content-addressed dictionary is external state, not bytes in hand.
+Dictionary frames (RFC 8878 §5): ``zstd_decompress(data, dictionary=)``
+accepts raw-content dictionaries (window + repeat-offset seeding) and
+the structured format (magic 0xEC30A437, embedded ID, Huffman + OF/ML/LL
+FSE entropy tables that treeless literals and Repeat_Mode sequences may
+reference before the first in-stream definition, initial repeat
+offsets).  A frame that names a ``Dictionary_ID`` without a supplied
+dictionary still raises — the dictionary is external state, not bytes
+in hand.  ``zstd_compress(data, dictionary=)`` emits raw-content
+dictionary frames (matches reach into the dictionary window).  NOTE: no
+in-sandbox reference codec speaks dictionaries (pyarrow's Codec API has
+no dictionary parameter; no ``zstandard``; stdlib gains zstd only in
+3.14), so dictionary paths are validated by self-roundtrip + layout
+tests while every dictionary-less path stays reference-validated.
 
 Spark shape: a per-payload scalar codec used inside the established
 Arrow kernels (archive sniffing, txlog payloads); zero shuffle.
@@ -672,33 +683,40 @@ def _pred_table(kind: str):
     return _PRED_TABLES[kind]
 
 
-def _encode_block_body(chunk: bytes) -> bytes | None:
+def _encode_block_body(chunk: bytes, history: bytes = b"") -> bytes | None:
     """One Compressed_Block body: RAW literals + predefined-FSE
     sequences from a greedy 4-byte-hash matcher (every offset emitted
     as Offset_Value = offset + 3; repeat offsets unused — valid, just
-    not maximal).  Returns None when the block doesn't shrink."""
-    n = len(chunk)
+    not maximal).  ``history`` (dictionary content and/or earlier frame
+    bytes) extends the match window backwards.  Returns None when the
+    block doesn't shrink."""
+    buf = history + chunk
+    n = len(buf)
+    start = len(history)
     seqs = []  # (ll, ml, offset) per sequence
     lits = bytearray()
     table: dict[bytes, int] = {}
     i = 0
-    anchor = 0
+    anchor = start
     while i + 4 <= n:
-        key = chunk[i : i + 4]
+        key = buf[i : i + 4]
         j = table.get(key)
         table[key] = i
-        if j is not None and chunk[j : j + 4] == key and i - j <= n:
+        if i < start:  # index the history, emit nothing from it
+            i += 1
+            continue
+        if j is not None and buf[j : j + 4] == key:
             length = 4
-            while i + length < n and chunk[j + length] == chunk[i + length]:
+            while i + length < n and buf[j + length] == buf[i + length]:
                 length += 1
-            lits += chunk[anchor:i]
+            lits += buf[anchor:i]
             seqs.append((i - anchor, length, i - j))
             i += length
             anchor = i
             continue
         i += 1
     last_lits = n - anchor
-    lits += chunk[anchor:]
+    lits += buf[anchor:]
     if not seqs:
         return None  # nothing matched: a raw block is strictly smaller
     # literals section header: raw literals, smallest size format
@@ -758,36 +776,73 @@ def _encode_block_body(chunk: bytes) -> bytes | None:
     for value, nbits in reversed(fields):
         w.put(value, nbits)
     out += w.finish()
-    if len(out) >= n:
+    if len(out) >= len(chunk):
         return None
     # sanity: the block must round-trip through our own decoder
-    check = bytearray()
+    check = bytearray(history)
     _decode_block(bytes(out), check,
                   {"huf": {}, "ll": None, "of": None, "ml": None,
                    "rep": [1, 4, 8]})
-    if bytes(check) != chunk:
+    if bytes(check[len(history):]) != chunk:
         raise AssertionError("zstd: encoder self-check failed")
     del last_lits
     return bytes(out)
 
 
-def zstd_compress(data: bytes, block_size: int = 1 << 17) -> bytes:
+def zstd_compress(data: bytes, block_size: int = 1 << 17,
+                  dictionary: bytes | None = None,
+                  dict_id: int = 0) -> bytes:
     """zstd frame WRITER: single-segment header with the declared
     content size, then per ≤128 KiB chunk the best of RLE / compressed
     (raw literals + predefined-FSE sequences) / raw blocks.  Always a
-    valid frame; validated against pyarrow's bundled reference
-    decoder."""
+    valid frame; validated against pyarrow's bundled reference decoder.
+
+    With ``dictionary`` (raw-content bytes, or structured bytes whose
+    content + embedded ID are used) the matcher reaches into the
+    dictionary window and the frame header carries ``dict_id`` (or the
+    embedded one), producing an RFC 8878 dictionary frame that only a
+    dictionary-supplied decoder can open."""
     block_size = min(block_size, 1 << 17)
     n = len(data)
-    if n < 256:
-        fhd, fcs = 0x20, n.to_bytes(1, "little")
-    elif n < 65536 + 256:
-        fhd, fcs = 0x60, (n - 256).to_bytes(2, "little")
-    elif n < 1 << 32:
-        fhd, fcs = 0xA0, n.to_bytes(4, "little")
+    hist0 = b""
+    if dictionary is not None:
+        parsed = parse_dictionary(dictionary)
+        hist0 = parsed["content"]
+        if not dict_id:
+            dict_id = parsed["id"] or 0
+    if dictionary is None:
+        if n < 256:
+            fhd, fcs = 0x20, n.to_bytes(1, "little")
+        elif n < 65536 + 256:
+            fhd, fcs = 0x60, (n - 256).to_bytes(2, "little")
+        elif n < 1 << 32:
+            fhd, fcs = 0xA0, n.to_bytes(4, "little")
+        else:
+            fhd, fcs = 0xE0, n.to_bytes(8, "little")
+        header = bytes([fhd]) + fcs
     else:
-        fhd, fcs = 0xE0, n.to_bytes(8, "little")
-    out = bytearray(struct.pack("<I", _MAGIC) + bytes([fhd]) + fcs)
+        # non-single-segment: matches may reach dictionary content
+        # FURTHER back than the frame's own output, so declare a window
+        # covering history + content instead of the single-segment
+        # implicit window (= content size)
+        did_code, did_bytes = (
+            (0, b"") if dict_id == 0  # unnamed dict: decoder must be told
+            else (1, dict_id.to_bytes(1, "little")) if dict_id < 256
+            else (2, dict_id.to_bytes(2, "little")) if dict_id < 65536
+            else (3, dict_id.to_bytes(4, "little")))
+        if n < 256:
+            fcs_code, fcs = 0, b""  # no FCS field when single=0
+        elif n < 65536 + 256:
+            fcs_code, fcs = 1, (n - 256).to_bytes(2, "little")
+        elif n < 1 << 32:
+            fcs_code, fcs = 2, n.to_bytes(4, "little")
+        else:
+            fcs_code, fcs = 3, n.to_bytes(8, "little")
+        wlog = max(10, (len(hist0) + n).bit_length())
+        wlog = min(wlog, 41)
+        header = (bytes([(fcs_code << 6) | did_code])
+                  + bytes([(wlog - 10) << 3]) + did_bytes + fcs)
+    out = bytearray(struct.pack("<I", _MAGIC) + header)
     if n == 0:
         out += (1).to_bytes(3, "little")  # last=1, raw, size 0
         return bytes(out)
@@ -799,7 +854,8 @@ def zstd_compress(data: bytes, block_size: int = 1 << 17) -> bytes:
                     | (len(chunk) << 3)).to_bytes(3, "little")
             out += chunk[:1]
             continue
-        body = _encode_block_body(chunk)
+        history = (hist0 + data[:at])[-(1 << 17):] if hist0 else b""
+        body = _encode_block_body(chunk, history)
         if body is not None:
             out += (last | (2 << 1)
                     | (len(body) << 3)).to_bytes(3, "little")
@@ -841,8 +897,75 @@ def strip_content_size(frame: bytes) -> bytes:
     return (frame[:4] + bytes([new_fhd, exp << 3]) + body)
 
 
-def zstd_decompress(data: bytes) -> bytes:
-    """All frames in ``data`` (zstd streams concatenate), decoded."""
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_dictionary(d: bytes) -> dict:
+    """RFC 8878 §5 dictionary: either RAW CONTENT (no magic — the bytes
+    seed the match window directly, no embedded ID or entropy) or the
+    STRUCTURED format: magic, 4-byte dictionary ID, entropy tables in
+    the in-stream formats (Huffman weights for literals, then FSE
+    ncount tables for offsets, match lengths, literals lengths), three
+    4-byte initial repeat offsets, and the content.  Returns
+    ``{"id", "content", "huf", "of", "ml", "ll", "rep"}`` — entropy
+    fields None for raw-content dictionaries."""
+    if len(d) < 8 or struct.unpack_from("<I", d, 0)[0] != _DICT_MAGIC:
+        return {"id": None, "content": bytes(d), "huf": None,
+                "of": None, "ml": None, "ll": None, "rep": None}
+    did = struct.unpack_from("<I", d, 4)[0]
+    pos = 8
+    try:
+        weights, used = _huf_read_weights(d[pos:])
+        huf = _huf_build_table(weights)
+        pos += used
+        tables = {}
+        for kind, max_symbol, max_acc in (
+            ("of", 31, 8), ("ml", 52, 9), ("ll", 35, 9),
+        ):
+            fwd = _FwdBits(d[pos:])
+            counts, acc = _fse_read_ncount(fwd, max_symbol, max_acc)
+            tables[kind] = (_fse_build_dtable(counts, acc), acc)
+            pos += fwd.bytes_used()
+        if pos + 12 > len(d):
+            raise ValueError("zstd: dictionary truncated before "
+                             "repeat offsets")
+        rep = [struct.unpack_from("<I", d, pos + 4 * i)[0]
+               for i in range(3)]
+        pos += 12
+    except (IndexError, struct.error):
+        raise ValueError("zstd: truncated dictionary header") from None
+    if any(r == 0 for r in rep):
+        raise ValueError("zstd: zero repeat offset in dictionary")
+    return {"id": did, "content": bytes(d[pos:]), "huf": huf,
+            "of": tables["of"], "ml": tables["ml"],
+            "ll": tables["ll"], "rep": rep}
+
+
+def frame_dictionary_id(frame: bytes) -> int:
+    """The Dictionary_ID a zstd frame's header names (0 = none) — the
+    out-of-band lookup key a dictionary store resolves before decode."""
+    if len(frame) < 5 or struct.unpack_from("<I", frame, 0)[0] != _MAGIC:
+        return 0
+    fhd = frame[4]
+    did_len = (0, 1, 2, 4)[fhd & 3]
+    if not did_len:
+        return 0
+    pos = 5 + (0 if (fhd >> 5) & 1 else 1)  # skip window descriptor
+    if pos + did_len > len(frame):
+        raise ValueError("zstd: truncated dictionary id")
+    return int.from_bytes(frame[pos : pos + did_len], "little")
+
+
+def zstd_decompress(data: bytes, dictionary: bytes | None = None) -> bytes:
+    """All frames in ``data`` (zstd streams concatenate), decoded.
+
+    ``dictionary`` (raw-content or RFC 8878 structured bytes) seeds
+    every frame's match window, initial repeat offsets, and — for
+    structured dictionaries — the entropy tables that
+    treeless-literals blocks and Repeat_Mode sequence tables may
+    reference before defining their own."""
+    dparsed = parse_dictionary(dictionary) if dictionary is not None \
+        else None
     out_all = bytearray()
     pos = 0
     n = len(data)
@@ -877,12 +1000,18 @@ def zstd_decompress(data: bytes) -> bytes:
             wbase = 1 << wlog
             window = wbase + (wbase >> 3) * (wd & 7)
         did_len = (0, 1, 2, 4)[did_code]
+        did = 0
         if did_len:
             did = int.from_bytes(data[pos : pos + did_len], "little")
             pos += did_len
-            if did:
-                raise NotImplementedError(
-                    f"zstd: dictionary frames (id {did}) not supported")
+        if did and dparsed is None:
+            raise NotImplementedError(
+                f"zstd: frame references dictionary id {did} but no "
+                "dictionary was provided")
+        if did and dparsed is not None and dparsed["id"] not in (None, did):
+            raise ValueError(
+                f"zstd: frame wants dictionary id {did}, got "
+                f"{dparsed['id']}")
         fcs_len = (1 if single else 0, 2, 4, 8)[fcs_code]
         content_size = None
         if fcs_len:
@@ -895,8 +1024,19 @@ def zstd_decompress(data: bytes) -> bytes:
             window = content_size if content_size is not None else 0
         block_max = min(window or (1 << 17), 1 << 17)
         frame_out = bytearray()
+        base = 0
         state = {"huf": {}, "ll": None, "of": None, "ml": None,
                  "rep": [1, 4, 8]}
+        if dparsed is not None:
+            frame_out += dparsed["content"]
+            base = len(frame_out)
+            if dparsed["huf"] is not None:
+                state["huf"] = {"table": dparsed["huf"]}
+                state["ll"] = dparsed["ll"]
+                state["of"] = dparsed["of"]
+                state["ml"] = dparsed["ml"]
+            if dparsed["rep"] is not None:
+                state["rep"] = list(dparsed["rep"])
         while True:
             if pos + 3 > n:
                 raise ValueError("zstd: truncated block header")
@@ -928,23 +1068,24 @@ def zstd_decompress(data: bytes) -> bytes:
                         "zstd: truncated block content") from None
                 pos += bsize
                 if content_size is not None \
-                        and len(frame_out) > content_size:
+                        and len(frame_out) - base > content_size:
                     raise ValueError(
                         "zstd: block output exceeds declared size")
             else:
                 raise ValueError("zstd: reserved block type")
             if last:
                 break
-        if content_size is not None and len(frame_out) != content_size:
+        if content_size is not None \
+                and len(frame_out) - base != content_size:
             raise ValueError(
                 f"zstd: frame declared {content_size} bytes, decoded "
-                f"{len(frame_out)}")
+                f"{len(frame_out) - base}")
         if has_checksum:
             if pos + 4 > n:
                 raise ValueError("zstd: truncated content checksum")
             want = struct.unpack_from("<I", data, pos)[0]
             pos += 4
-            if xxh64(bytes(frame_out)) & 0xFFFFFFFF != want:
+            if xxh64(bytes(frame_out[base:])) & 0xFFFFFFFF != want:
                 raise ValueError("zstd: content checksum mismatch")
-        out_all += frame_out
+        out_all += frame_out[base:]
     return bytes(out_all)

@@ -213,3 +213,38 @@ def test_to_zip64_preserves_existing_extra_fields():
         assert zf.read(info) == b"payload " * 50
     got = zip_walk(z64)
     assert got[0]["data"] == b"payload " * 50
+
+
+def test_encrypted_member_quarantine_policy():
+    """An encrypted member (general-purpose bit 0) raises under the
+    default policy but surfaces as a dead-letter row under
+    on_encrypted="quarantine" — good members still decode and
+    CRC-verify, the ciphertext is never exposed."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ok.txt", b"clear text " * 20,
+                    compress_type=zipfile.ZIP_DEFLATED)
+        zf.writestr("enc.bin", b"pretend-ciphertext")
+        enc_off = zf.infolist()[-1].header_offset
+    payload = bytearray(buf.getvalue())
+    payload[enc_off + 6] |= 0x01  # local flags
+    at = payload.rfind(b"PK\x01\x02")
+    while at >= 0:
+        nl = int.from_bytes(payload[at + 28 : at + 30], "little")
+        if payload[at + 46 : at + 46 + nl] == b"enc.bin":
+            payload[at + 8] |= 0x01  # central flags
+            break
+        at = payload.rfind(b"PK\x01\x02", 0, at)
+    payload = bytes(payload)
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        zip_walk(payload)
+    got = zip_walk(payload, on_encrypted="quarantine")
+    assert [m["name"] for m in got] == ["ok.txt", "enc.bin"]
+    assert got[0]["quarantined"] is False and got[0]["reason"] is None
+    assert got[0]["data"] == b"clear text " * 20
+    assert got[1]["quarantined"] is True
+    assert "encrypted" in got[1]["reason"]
+    assert got[1]["data"] == b""  # ciphertext never surfaced
+    assert got[1]["size"] == len(b"pretend-ciphertext")
+    with pytest.raises(ValueError, match="policy"):
+        zip_walk(payload, on_encrypted="ignore")

@@ -241,3 +241,223 @@ def test_fse_interleaved_flush_respects_symbol_limit():
     bits = _BackBits(bytes([0b1000]))
     with pytest.raises(ValueError, match="limit"):
         _fse_decode_interleaved([(0, 1, 0)], 1, bits, 2)
+
+
+# --- dictionary frames (RFC 8878 §5) ---------------------------------------
+# No in-sandbox reference codec speaks dictionaries (pyarrow's Codec API
+# has no dictionary parameter, no `zstandard`, stdlib zstd is 3.14+), so
+# these tests validate the dictionary layer by self-roundtrip and by
+# hand-assembled structured dictionaries + frames, while every
+# dictionary-less path above remains reference-validated.
+
+from national_caseload_data_ingest_spark.sources.zstdnative import (  # noqa: E402
+    _MAGIC,
+    _BitWriter,
+    _fse_build_dtable,
+    parse_dictionary,
+    zstd_compress,
+)
+
+_DICT_MAGIC_BYTES = struct.pack("<I", 0xEC30A437)
+
+
+def _write_ncount(counts, acc):
+    """Serialize an FSE normalized-count table (inverse of
+    _fse_read_ncount; fixture construction only)."""
+    bits = []  # (value, nbits) forward order
+
+    def emit(v, nb):
+        bits.append((v, nb))
+
+    emit(acc - 5, 4)
+    table_size = 1 << acc
+    remaining = table_size + 1
+    threshold = table_size
+    nb_bits = acc + 1
+    i = 0
+    while remaining > 1 and i < len(counts):
+        c = counts[i]
+        i += 1
+        stored = c + 1
+        maxv = (2 * threshold - 1) - remaining
+        if stored < maxv:
+            emit(stored, nb_bits - 1)
+        elif stored < threshold:
+            emit(stored, nb_bits)
+        else:
+            emit(stored + maxv, nb_bits)
+        remaining -= -c if c < 0 else c
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+        if c == 0 and remaining > 1:
+            run = 0
+            while i < len(counts) and counts[i] == 0:
+                run += 1
+                i += 1
+            while run >= 3:
+                emit(3, 2)
+                run -= 3
+            emit(run, 2)
+    acc_bits = 0
+    x = 0
+    for v, nb in bits:
+        x |= v << acc_bits
+        acc_bits += nb
+    return x.to_bytes((acc_bits + 7) // 8, "little")
+
+
+def _huf_codes(weights):
+    """Canonical (code, nbits) per symbol for the module's table
+    layout (ascending weight, natural symbol order)."""
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    max_bits = total.bit_length() - 1
+    codes = {}
+    pos = 0
+    for w in range(1, max_bits + 1):
+        for sym, sw in enumerate(weights):
+            if sw != w:
+                continue
+            nb = max_bits + 1 - w
+            codes[sym] = (pos >> (max_bits - nb), nb)
+            pos += 1 << (w - 1)
+    return codes, max_bits
+
+
+def _build_structured_dict(content, rep, did=42):
+    """Minimal valid structured dictionary: direct Huffman weights for
+    symbols 'a'..'c' (+ implied), uniform 2-symbol FSE tables for
+    OF/ML/LL, explicit repeat offsets."""
+    # direct weights: n=2 explicit (a, b -> weight 2); explicit sum =
+    # 2+2 = 4 -> the implied last symbol ('c') gets weight 3 (total 8)
+    weights_hdr = bytes([127 + 2, (2 << 4) | 2])
+    of = _write_ncount([16, 16], 5)
+    ml = _write_ncount([16, 16], 5)
+    ll = _write_ncount([16, 16], 5)
+    reps = b"".join(struct.pack("<I", r) for r in rep)
+    return (_DICT_MAGIC_BYTES + struct.pack("<I", did)
+            + weights_hdr + of + ml + ll + reps + content)
+
+
+def test_parse_dictionary_raw_and_structured():
+    raw = parse_dictionary(b"just some window bytes")
+    assert raw["id"] is None and raw["huf"] is None
+    assert raw["content"] == b"just some window bytes"
+    content = b"0123456789XYZW"
+    d = _build_structured_dict(content, [4, 8, 12])
+    got = parse_dictionary(d)
+    assert got["id"] == 42
+    assert got["content"] == content
+    assert got["rep"] == [4, 8, 12]
+    assert got["huf"] is not None
+    for kind in ("of", "ml", "ll"):
+        table, acc = got[kind]
+        assert acc == 5 and len(table) == 32
+    # truncated structured dicts hit the clean-ValueError contract
+    with pytest.raises(ValueError):
+        parse_dictionary(d[:16])
+    with pytest.raises(ValueError, match="zero repeat"):
+        parse_dictionary(_build_structured_dict(content, [0, 8, 12]))
+
+
+def _frame_with_dict_id(did, body_blocks):
+    """Frame header naming dictionary `did` (1 byte), explicit window,
+    no FCS, followed by pre-built block bytes."""
+    fhd = 0x01  # fcs_code 0, single 0, no checksum, did_code 1
+    return (struct.pack("<I", _MAGIC) + bytes([fhd, 0x58, did])
+            + body_blocks)
+
+
+def test_structured_dict_rep_offsets_and_fse_seeding():
+    """A hand-assembled frame whose FIRST block uses Repeat_Mode for
+    all three sequence tables (they must come from the dictionary) and
+    repeat-offset 1 (it must come from the dictionary's rep history,
+    reaching into dictionary CONTENT)."""
+    content = b"0123456789XYZW"
+    d = _build_structured_dict(content, [4, 8, 12])
+    parsed = parse_dictionary(d)
+    # pick initial states decoding to the wanted codes
+    def state_for(kind, sym):
+        table, acc = parsed[kind]
+        for s, (t_sym, _nb, _b) in enumerate(table):
+            if t_sym == sym:
+                return s, acc
+        raise AssertionError(f"no state for {kind} symbol {sym}")
+    ll_s, ll_acc = state_for("ll", 1)   # literals length 1
+    of_s, of_acc = state_for("of", 0)   # of_val = 1 -> repeat offset 1
+    ml_s, ml_acc = state_for("ml", 0)   # match length 3
+    w = _BitWriter()
+    # reverse read order: states LL, OF, ML then OF/ML/LL extras (0 bits)
+    for value, nb in reversed([(ll_s, ll_acc), (of_s, of_acc),
+                               (ml_s, ml_acc)]):
+        w.put(value, nb)
+    seq_bits = w.finish()
+    body = bytes([(2 << 3) | 0]) + b"AB"     # raw literals "AB"
+    body += bytes([1])                        # nseq = 1
+    body += bytes([0b11111100])               # LL/OF/ML all Repeat_Mode
+    body += seq_bits
+    block = (1 | (2 << 1) | (len(body) << 3)).to_bytes(3, "little") + body
+    frame = _frame_with_dict_id(42, block)
+    got = zstd_decompress(frame, dictionary=d)
+    # seq: lit "A", match len 3 at rep1=4 back into (content+"A"), lit "B"
+    assert got == b"A" + (content + b"A")[-4:][:3] + b"B" == b"AYZWB"
+    # the same frame without the dictionary is a loud failure
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        zstd_decompress(frame)
+    # and with a mismatching embedded id
+    with pytest.raises(ValueError, match="wants dictionary id"):
+        zstd_decompress(frame,
+                        dictionary=_build_structured_dict(content,
+                                                          [4, 8, 12],
+                                                          did=7))
+
+
+def test_structured_dict_treeless_literals_seeding():
+    """A first block with TREELESS literals must decode through the
+    dictionary's Huffman table."""
+    content = b"seed window"
+    d = _build_structured_dict(content, [1, 4, 8])
+    # the dictionary table covers literal byte values 0..2 (weights
+    # are indexed by byte value)
+    lits = bytes([0, 1, 2, 0, 1, 2, 0])
+    weights = [2, 2, 3]  # bytes 0, 1 + implied last (byte 2, weight 3)
+    codes, max_bits = _huf_codes(weights)
+    w = _BitWriter()
+    for ch in reversed(lits):
+        c, nb = codes[ch]
+        w.put(c, nb)
+    stream = w.finish()
+    regen, comp = len(lits), len(stream)
+    hdr = bytes([3 | (0 << 2) | ((regen & 0xF) << 4),
+                 ((regen >> 4) & 0x3F) | ((comp & 3) << 6),
+                 comp >> 2])
+    body = hdr + stream + bytes([0])  # nseq = 0
+    block = (1 | (2 << 1) | (len(body) << 3)).to_bytes(3, "little") + body
+    frame = _frame_with_dict_id(42, block)
+    assert zstd_decompress(frame, dictionary=d) == lits
+    # treeless with a RAW dictionary (no entropy tables) must fail loud
+    with pytest.raises(ValueError, match="no prior table"):
+        zstd_decompress(
+            struct.pack("<I", _MAGIC) + bytes([0x00, 0x58]) + block,
+            dictionary=b"raw content only")
+
+
+def test_raw_dictionary_roundtrip_and_ratio():
+    """Encoder + decoder raw-content dictionary self-roundtrip: shared
+    vocabulary compresses strictly better with the dictionary, decodes
+    only with it, and the dictionary-less path is untouched."""
+    phrases = [b"the quick brown fox ", b"jumps over the lazy dog ",
+               b"hash join spark window ", b"columnar scan merge "]
+    dictionary = b"".join(phrases) * 3
+    rng = random.Random(3)
+    for i in range(4):
+        data = b"".join(rng.choice(phrases) for _ in range(50)) \
+            + b"tail%d" % i
+        fd = zstd_compress(data, dictionary=dictionary, dict_id=77)
+        fn = zstd_compress(data)
+        assert zstd_decompress(fd, dictionary=dictionary) == data
+        assert len(fd) < len(fn)
+        with pytest.raises(NotImplementedError, match="dictionary"):
+            zstd_decompress(fd)
+        # reference decoder still accepts the dictionary-less frame
+        assert _codec(3).decompress(fn, len(data)) == data
