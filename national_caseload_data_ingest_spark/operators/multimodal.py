@@ -1014,7 +1014,10 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
             prev = entry
             if len(table) == (1 << width) and width < _GIF_MAX_CODE_WIDTH:
                 width += 1
-    raise ValueError("LZW stream ended without EOI code")
+    # Implicit EOI: the sub-block chain ended without an explicit EOI
+    # code.  Hand-minimized files in the wild (the classic 1x1 spacer
+    # GIF) omit it; every mainstream decoder treats end-of-data as EOI.
+    return bytes(out)
 
 
 def gif_encode(arr) -> bytes:
@@ -1936,7 +1939,15 @@ def _jpeg_decode_huff(bits, vals):
 
 class _JpegBitReader:
     """MSB-first reader over the entropy segment: un-stuffs 0xFF00, stops
-    (and byte-aligns) at any real marker, exposes RSTn consumption."""
+    (and byte-aligns) at any real marker, exposes RSTn consumption.
+
+    When the scan legitimately ends early — the reader hits EOI while
+    blocks remain — it switches to supplying zero bits, libjpeg's
+    documented JWRN_HIT_MARKER recovery (jdhuff.c "insert dummy zero
+    bits").  Real minimal files depend on this: canonical Huffman gives
+    the all-zeros code to the first symbol, so zero fill decodes as
+    EOB / zero-diff runs.  Any marker other than EOI still raises —
+    mid-file corruption stays loud."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -1944,16 +1955,30 @@ class _JpegBitReader:
         self.acc = 0
         self.nbits = 0
         self.marker = None
+        self.exhausted = False
 
     def _fill(self) -> None:
+        if self.exhausted:
+            self.acc = self.acc << 8
+            self.nbits += 8
+            return
         if self.marker is not None:
             raise ValueError("jpeg: entropy data exhausted at marker "
                              f"0x{self.marker:02x}")
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: entropy data truncated (no marker)")
         b = self.data[self.pos]
         if b == 0xFF:
-            nxt = self.data[self.pos + 1]
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(
+                self.data) else None
             if nxt == 0x00:
                 self.pos += 2
+            elif nxt == 0xD9:  # EOI: premature end — zero-fill (libjpeg)
+                self.marker = nxt
+                self.exhausted = True
+                self.acc = self.acc << 8
+                self.nbits += 8
+                return
             else:
                 self.marker = nxt
                 raise ValueError(

@@ -35,81 +35,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The per-round driver verifies queries in dict-iteration order and caps at
 # the first 50 (the cap is empirical, see COVERAGE.md).  The window ROTATES
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
-# the whole catalog.  Round-12 rotation (VERDICT r11 ask #7 — the
-# freshest-row-age tail):
+# the whole catalog.  Round-13 rotation (VERDICT r12 ask #1 — clear the
+# round-5-stale tail so no driver row is older than round 6):
 #
-# 1. round-12 NEW or semantics-changed queries lead.  The seven
-#    r11-window repeats are all changed-semantics re-checks (within the
-#    ≤~10-key overlap allowance): the PDF container gained xref streams/
-#    ObjStm/predictors + the six-way filter rotation, the ZIP walker
-#    gained zip64 rotation, SQLite gained the WAL sidecar rotation,
-#    protowire gained strict wire-type/length validation,
-#    txlog_time_travel runs through the new checkpoint regression guard,
-#    the tokenizer trainers switched to top-K routing
-#    (wordpiece_train_encode / bpe_train_encode), and the archive zstd
-#    class rotates native-machine and repo-writer frames;
-# 2. ALL 14 queries whose freshest driver row is ROUND 4 (the oldest
-#    tail — this clears r4 entirely, moving the oldest age to r5);
-# 3. round-5-stale fill in name order up to the 50-cap.  The 49 r5-stale
-#    names exceed the remaining slots, so the spill (from
-#    "q2_min_cost_supplier" on) is listed after the cap for the r13
+# 1. round-13 NEW or semantics-changed queries lead (overlap with the
+#    r12 window is exactly these three changed-semantics re-checks);
+# 2. ALL 23 queries whose freshest driver row is ROUND 5 (the oldest
+#    tail — this clears r5 entirely; streaming_lsh_candidates is the
+#    one registered rows-only entry among them, named in the judge's
+#    ask-#1 list, so it keeps its slot);
+# 3. round-6-stale fill in name order up to the 50-cap, ORACLE-BACKED
+#    entries only (VERDICT r12 ask #5: no no_oracle rows in the window
+#    unless semantics changed) — the fill happens to include
+#    gif_decode_features / jpeg_decode_features / jpeg_color_decode_
+#    features, whose decoders gained the liberal end-of-stream
+#    behaviors this round (test_thirdparty_vectors.py).  The 25
+#    remaining r6-stale names are listed after the cap for the r14
 #    window and covered meanwhile by the local full-catalog replay at
 #    sf0.01 and sf0.1 (tools/check_oracle.py; COVERAGE.md close-sweep).
 CHECK_PRIORITY: list[str] = [
-    # -- round-12: new or semantics changed this round ----------------------
-    "wordpiece_frozen_encode",  # frozen-vocab encode, token-string oracle (new)
-    "pdf_text_features",  # xref streams + ObjStm + predictors (changed)
-    "zip_member_features",  # zip64 container rotation (changed)
-    "sqlite_roundtrip_documents",  # WAL sidecar rotation (changed)
-    "protobuf_roundtrip_events",  # strict wire-type/length decode (changed)
-    "txlog_time_travel",  # checkpoint regression guard on path (changed)
-    "wordpiece_train_encode",  # top-K vocab routing (changed)
-    "bpe_train_encode",  # top-K vocab routing (changed; also r6-stale)
-    "archive_codec_features",  # native-zstd + repo-writer rotation (changed)
-    "parquet_native_roundtrip",  # native data-page reader (new)
-    # -- freshest driver row is round 4 (all of them) ------------------------
-    "scalar_subquery_above_avg",
-    "semi_join_urgent_customers",
-    "session_window_events",
-    "set_union_all_party_nations",
-    "signup_purchase_within_hour",
-    "string_functions",
-    "theta_join_nation_pairs",
-    "token_budget_shards",
-    "token_count_by_source",
-    "topk_expensive_orders",
-    "training_data_pipeline",
-    "user_lifetime_stats",
-    "vector_norms",
-    "window_rank_orders",
-    # -- freshest driver row is round 5 (fill to the cap) --------------------
-    "approx_quantity_percentiles",
-    "asof_join_last_purchase",
-    "balanced_mixture_sample",
-    "bm25_rank_docs",
-    "bpe_token_count",
-    "cdc_chunk_stats",
-    "common_ngram_fraction",
-    "duplicate_passage_report",
-    "embedding_neardup_ivf",
-    "event_gap_stats",
-    "explode_part_words",
-    "grouping_sets_priority",
-    "latest_event_per_user",
-    "lexical_diversity_by_source",
-    "minhash_lsh_neardup",
-    "pii_scrub",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q20_excess_shippers",
-    # ---- 50-cap boundary: names below spill to the r13 window -------------
+    # -- round-13: new or semantics changed this round ----------------------
+    "bpe_frozen_encode",  # frozen-merges encode, token-string oracle (new)
+    "unigram_frozen_encode",  # frozen-vocab Viterbi encode, oracle-backed (new)
+    "parquet_native_roundtrip",  # nested LIST/STRUCT read + dict-page/string-stats write (changed)
+    "archive_codec_features",  # zstd dictionary-frame rotation (changed)
+    "zip_member_features",  # encrypted-entry quarantine rows (changed)
+    # -- freshest driver row is round 5 (all of them) ------------------------
     "q21_waiting_supplier",
     "q22_idle_customers",
     "q2_min_cost_supplier",
@@ -133,6 +84,55 @@ CHECK_PRIORITY: list[str] = [
     "upsert_latest_orders",
     "wav_decode_features",
     "winnowing_fingerprints",
+    # -- freshest driver row is round 6, oracle-backed (fill to the cap) -----
+    "arrow_ipc_roundtrip_documents",
+    "audio_autocorr_features",
+    "avro_roundtrip_documents",
+    "bmp_decode_features",
+    "common_event_trigrams",
+    "csv_roundtrip_documents",
+    "daily_cohort_retention",
+    "decontaminate_bloom",
+    "event_pattern_matches",
+    "event_value_outliers",
+    "events_hourly_gapfill",
+    "frequent_part_pairs",
+    "funnel_user_progress",
+    "funnel_view_click_purchase",
+    "gif_decode_features",
+    "histogram_price_quantiles",
+    "html_extract_text",
+    "incremental_join_view",
+    "incremental_priority_stats",
+    "join_size_estimate_customer_orders",
+    "jpeg_color_decode_features",
+    "jpeg_decode_features",
+    # ---- 50-cap boundary: names below spill to the r14 window -------------
+    "json_roundtrip_documents",
+    "leakage_safe_split",
+    "lineitem_correlations",
+    "link_customer_records",
+    "link_customer_records_snb",
+    "lm_perplexity",
+    "nation_balance_gini",
+    "neardup_pagerank",
+    "neardup_triangle_count",
+    "orc_roundtrip_lineitem",
+    "orders_bucket_checksums",
+    "pareto_parts",
+    "profile_lineitem",
+    "rolling_hour_user_value",
+    "scd2_point_in_time_join",
+    "scd2_user_segments",
+    "signup_purchase_outer",
+    "snapshot_diff_orders",
+    "validate_orders_constraints",
+    "weighted_sample_docs",
+    "audio_spectrogram_stats",
+    "embedding_pca_projection",
+    "hll_incremental_distinct",
+    "quality_classifier_scores",
+    "semdedup_survivors",
 ]
 
 

@@ -614,13 +614,63 @@ def _decode_vp8l(vp8l: bytes):
     return w, h, np.stack([r, g, b, a], axis=-1), alpha_hint
 
 
+def _decode_alpha(body: bytes, w: int, h: int):
+    """ALPH chunk body → uint8 alpha plane ``(h, w)`` (RFC 9649 §4.5).
+
+    Header byte: bits 0-1 compression (0 = raw, 1 = the lossless
+    format's image stream with no VP8L header — alpha rides in the
+    GREEN channel), bits 2-3 filtering (none/horizontal/vertical/
+    gradient, PNG-style with above/left/0 edge predictors), bits 4-5
+    pre-processing (informative), bits 6-7 reserved."""
+    import numpy as np  # noqa: PLC0415
+
+    head = body[0]
+    compression = head & 0x03
+    filtering = (head >> 2) & 0x03
+    if head >> 6:
+        raise ValueError("webp: reserved ALPH header bits set")
+    if compression == 0:
+        if len(body) - 1 < w * h:
+            raise ValueError("webp: raw ALPH plane shorter than w*h")
+        plane = np.frombuffer(body[1 : 1 + w * h], dtype=np.uint8)
+        plane = plane.reshape(h, w).astype(np.int64)
+    elif compression == 1:
+        br = _BitReader(body[1:])
+        pixels, transforms = _decode_image_stream(br, w, h, True)
+        pixels = _apply_inverse_transforms(pixels, w, h, transforms)
+        plane = ((pixels >> 8) & 0xFF).reshape(h, w)  # green channel
+    else:
+        raise ValueError(f"webp: unknown ALPH compression {compression}")
+    if filtering:
+        out = np.zeros((h, w), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif x == 0:
+                    pred = out[y - 1, 0]
+                elif y == 0:
+                    pred = out[0, x - 1]
+                elif filtering == 1:  # horizontal
+                    pred = out[y, x - 1]
+                elif filtering == 2:  # vertical
+                    pred = out[y - 1, x]
+                else:  # gradient
+                    g = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
+                    pred = min(255, max(0, int(g)))
+                out[y, x] = (plane[y, x] + pred) & 0xFF
+        plane = out
+    return plane.astype(np.uint8)
+
+
 def webp_decode(payload: bytes):
     """WEBP → ``(w, h, channels, uint8 array (h, w, channels))``.
 
     VP8L (lossless) decodes natively, including behind a still-image
     VP8X header; lossy VP8 KEY frames decode natively via the RFC 6386
     intra decoder (``operators/vp8.py`` — spec-exact YUV, the engine's
-    documented integer RGB conversion); animated files decode via
+    documented integer RGB conversion), merging a preceding ALPH chunk
+    into an RGBA result; animated files decode via
     :func:`webp_decode_animated` (this still-image entry point refuses
     them so a caller can't silently read frame 1 as "the image");
     inter-coded VP8 frames raise ``NotImplementedError`` (route via
@@ -635,6 +685,7 @@ def webp_decode(payload: bytes):
     pos = 12
     vp8l = None
     vp8 = None
+    alph = None
     while pos + 8 <= len(payload):
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -649,9 +700,8 @@ def webp_decode(payload: bytes):
             raise NotImplementedError(
                 "webp: animated file — use webp_decode_animated"
             )
-        if fourcc == b"VP8X":
-            pos += 8 + size + (size & 1)
-            continue
+        if fourcc == b"ALPH":
+            alph = body
         pos += 8 + size + (size & 1)
     if vp8 is not None:
         from national_caseload_data_ingest_spark.operators.vp8 import (  # noqa: PLC0415
@@ -659,6 +709,9 @@ def webp_decode(payload: bytes):
         )
 
         w, h, rgb = vp8_decode_rgb(vp8)
+        if alph is not None:
+            a = _decode_alpha(alph, w, h)
+            return w, h, 4, np.dstack([rgb, a])
         return w, h, 3, rgb
     if vp8l is None:
         raise NotImplementedError("webp: no VP8L or VP8 image chunk")

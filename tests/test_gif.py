@@ -88,9 +88,28 @@ def test_gif_decode_rejects_bad_input():
     expect = np.empty_like(arr)
     expect[_gif_interlace_order(8)] = arr
     assert np.array_equal(px[..., 0], expect)
-    # truncated LZW stream (no EOI)
-    with pytest.raises(ValueError, match="EOI"):
-        _lzw_decompress(b"", 8)
+    # End-of-data without an explicit EOI code is an IMPLICIT EOI (the
+    # classic 1x1 spacer GIF relies on it — see
+    # test_thirdparty_vectors.py); corruption is still caught one level
+    # up by gif_decode's pixel-count check.
+    assert _lzw_decompress(b"", 8) == b""
+    short = bytearray(gif_encode(np.arange(16, dtype=np.uint8).reshape(4, 4)))
+    # gather the LZW bytes (after descriptor + min code size), halve
+    # them, re-block: the decoded index count no longer matches w*h
+    desc = 6 + 7 + 256 * 3
+    data_at = desc + 10 + 1
+    p, lzw = data_at, bytearray()
+    while short[p]:
+        n = short[p]
+        lzw += short[p + 1 : p + 1 + n]
+        p += 1 + n
+    half = lzw[: len(lzw) // 2]
+    truncated = (
+        bytes(short[:data_at]) + bytes([len(half)]) + bytes(half)
+        + b"\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="wrong length|corrupt"):
+        gif_decode(truncated)
 
 
 def test_decode_image_dispatches_gif_without_pil():
