@@ -134,7 +134,17 @@ _PARQUET_NATIVE_ORACLE = r"""
                 WHEN doc_id % 4 = 0 THEN '@null'
                 ELSE lang END AS meta_lang,
            CAST(CASE WHEN doc_id % 9 = 0 THEN -1
-                     ELSE n_chars END AS BIGINT) AS meta_nc
+                     ELSE n_chars END AS BIGINT) AS meta_nc,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN -1
+                     WHEN doc_id % 6 = 0 THEN 0
+                     ELSE 2 END AS BIGINT) AS map_n,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN -1
+                     WHEN doc_id % 6 = 0 THEN -2
+                     WHEN doc_id % 4 = 0 THEN -3
+                     ELSE n_chars END AS BIGINT) AS map_nc,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN -1
+                     WHEN doc_id % 6 = 0 THEN -2
+                     ELSE len(lens) END AS BIGINT) AS map_wc
     FROM base
 """
 
@@ -150,8 +160,9 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (miniblock-packed ints, incremental byte arrays) on every fifth
     partition, 200-row row groups (multi-page, multi-group chunks) —
     PLUS one LIST column (word lengths, with null lists / empty lists /
-    null elements) and one STRUCT column (lang + n_chars, with null
-    structs / null fields), so the repetition-level reconstruction and
+    null elements), one STRUCT column (lang + n_chars, with null
+    structs / null fields), and one MAP column (null maps / empty maps
+    / null values), so the repetition-level reconstruction and
     multi-bit definition levels are on the oracle path (r13) — then the
     native reader walks footer → column chunks → Thrift page headers →
     rep/def levels → PLAIN/dictionary/DELTA values, and the
@@ -176,7 +187,7 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic writer-config rotation keyed on content
         key = int(pdf["doc_id"].min())
         comp = ("snappy", "zstd", "gzip", "none")[key % 4]
-        tok_lens, metas = [], []
+        tok_lens, metas, props = [], [], []
         for doc_id, text, lang, n_chars in zip(
             pdf["doc_id"], pdf["text"], pdf["lang"], pdf["n_chars"]
         ):
@@ -191,6 +202,15 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             metas.append(None if did % 9 == 0 else
                          {"lang": None if did % 4 == 0 else str(lang),
                           "nc": int(n_chars)})
+            if did % 10 == 0:
+                props.append(None)
+            elif did % 6 == 0:
+                props.append({})
+            else:
+                props.append({
+                    "nc": None if did % 4 == 0 else int(n_chars),
+                    "wc": len(str(text).split()),
+                })
         flat = {
             "doc_id": pa.array(pdf["doc_id"], pa.int64()),
             "text": pa.array(pdf["text"], pa.string()),
@@ -198,9 +218,11 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars": pa.array(pdf["n_chars"], pa.int64()),
         }
         if key % 6 == 5:
-            # every sixth partition routes the flat columns through the
-            # repo's NATIVE WRITER (dictionary pages + stats) and back
-            # through pyarrow — a writer bug breaks the oracle hash
+            # every sixth partition routes ALL columns — flat AND
+            # nested (list/struct/map def-rep level generation) —
+            # through the repo's NATIVE WRITER (dictionary pages +
+            # stats) and back through pyarrow — a writer bug breaks
+            # the oracle hash
             from national_caseload_data_ingest_spark.sources.parquetdata import (  # noqa: PLC0415
                 write_parquet,
             )
@@ -210,17 +232,26 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             # stage behind one per-byte-python partition for no new
             # coverage
             native = write_parquet(
-                {c: flat[c].to_pylist() for c in flat},
+                {**{c: flat[c].to_pylist() for c in flat},
+                 "tok_lens": tok_lens, "meta": metas, "props": props},
                 {"doc_id": "int64", "text": "string",
-                 "lang": "string", "n_chars": "int64"},
+                 "lang": "string", "n_chars": "int64",
+                 "tok_lens": "list<int64>",
+                 "meta": "struct<lang:string,nc:int64>",
+                 "props": "map<string,int64>"},
                 codec="none")
             rt = pq.read_table(io.BytesIO(native))
             flat = {c: rt.column(c) for c in flat}
+            tok_lens = rt.column("tok_lens").to_pylist()
+            metas = rt.column("meta").to_pylist()
+            props = [None if m is None else dict(m)
+                     for m in rt.column("props").to_pylist()]
         t = pa.table({
             **flat,
             "tok_lens": pa.array(tok_lens, pa.list_(pa.int64())),
             "meta": pa.array(metas, pa.struct([("lang", pa.string()),
                                                ("nc", pa.int64())])),
+            "props": pa.array(props, pa.map_(pa.string(), pa.int64())),
         })
         buf = io.BytesIO()
         kw = {}
@@ -263,7 +294,8 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec,
         schema=(
             "doc_id bigint, text string, lang string, n_chars bigint, "
-            "tok_lens array<bigint>, meta struct<lang:string,nc:bigint>"
+            "tok_lens array<bigint>, meta struct<lang:string,nc:bigint>, "
+            "props map<string,bigint>"
         ),
     )
     zero = F.lit(0).cast("long")
@@ -290,6 +322,17 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("meta_lang"),
         F.when(meta.isNull(), F.lit(-1).cast("long"))
         .otherwise(meta["nc"].cast("long")).alias("meta_nc"),
+        F.when(F.col("props").isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.size(F.col("props")).cast("long")).alias("map_n"),
+        F.when(F.col("props").isNull(), F.lit(-1).cast("long"))
+        .when(F.size(F.col("props")) == 0, F.lit(-2).cast("long"))
+        .otherwise(F.coalesce(
+            F.element_at("props", F.lit("nc")).cast("long"),
+            F.lit(-3).cast("long"))).alias("map_nc"),
+        F.when(F.col("props").isNull(), F.lit(-1).cast("long"))
+        .when(F.size(F.col("props")) == 0, F.lit(-2).cast("long"))
+        .otherwise(F.element_at("props", F.lit("wc")).cast("long"))
+        .alias("map_wc"),
     )
 
 

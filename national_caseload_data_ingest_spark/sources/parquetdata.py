@@ -654,11 +654,66 @@ def _read_list(data: bytes, fm: dict, node: dict) -> list:
     return out
 
 
+def _is_map(node: dict) -> bool:
+    # ConvertedType MAP = 1 (the outer group) / MAP_KEY_VALUE = 2
+    # (legacy middle group annotation some writers hoist); LogicalType
+    # union field 2 = MapType.
+    return node["converted"] in (1, 2) or 2 in node["logical"]
+
+
+def _read_map(data: bytes, fm: dict, node: dict) -> list:
+    """Standard MAP layout (``optional group (MAP) { repeated group
+    key_value { required K key; V value; } }``) → list of dicts /
+    None.  The key and value leaves share the repeated group, so their
+    rep streams must agree; rows are segmented off the key's levels
+    exactly as in :func:`_read_list`."""
+    mids = node["children"] or []
+    if len(mids) != 1 or not mids[0]["repeated"] \
+            or mids[0]["children"] is None or len(mids[0]["children"]) != 2:
+        raise NotImplementedError(
+            "parquet: only the standard MAP key_value layout is supported")
+    kv = mids[0]
+    knode, vnode = kv["children"]
+    if knode["children"] is not None or vnode["children"] is not None \
+            or knode["repeated"] or vnode["repeated"]:
+        raise NotImplementedError(
+            "parquet: nested MAP keys/values not supported")
+    if knode["optional"]:
+        raise ValueError("parquet: MAP keys must be required")
+    m_opt = 1 if node["optional"] else 0
+    kleaf = _leaf_spec(knode, extra_def=m_opt + 1, extra_rep=1)
+    vleaf = _leaf_spec(vnode, extra_def=m_opt + 1, extra_rep=1)
+    kdefs, kreps, kvals = _column_levels(
+        data, fm, [node["name"], kv["name"], knode["name"]], kleaf)
+    vdefs, _vreps, vvals = _column_levels(
+        data, fm, [node["name"], kv["name"], vnode["name"]], vleaf)
+    if len(kdefs) != len(vdefs):
+        raise ValueError("parquet: MAP key/value level streams disagree")
+    kit, vit = iter(kvals), iter(vvals)
+    out: list = []
+    for kd, vd, rp in zip(kdefs, vdefs, kreps):
+        k = next(kit) if kd == kleaf["max_def"] else None
+        v = next(vit) if vd == vleaf["max_def"] else None
+        if rp == 0:  # new row
+            if kd < m_opt:
+                out.append(None)
+            elif kd == m_opt:
+                out.append({})
+            else:
+                out.append({k: v})
+        else:
+            if not isinstance(out[-1], dict):
+                raise ValueError(
+                    "parquet: continuation level on a null/closed map")
+            out[-1][k] = v
+    return out
+
+
 def read_table_native(data: bytes) -> dict[str, list]:
     """Every column → python values; the native-read twin of a full
-    scan.  Flat scalars plus ONE level of STRUCT (dicts) and the
-    standard 3-level LIST (lists); deeper nesting and MAP gate
-    loudly."""
+    scan.  Flat scalars plus ONE level of STRUCT (dicts), the standard
+    3-level LIST (lists), and the standard MAP (dicts); deeper nesting
+    gates loudly."""
     fm = read_footer(data)
     out: dict[str, list] = {}
     for node in _schema_nodes(fm):
@@ -672,8 +727,8 @@ def read_table_native(data: bytes) -> dict[str, list]:
             out[node["name"]] = _weave_nulls(defs, vals, leaf["max_def"])
         elif _is_list(node):
             out[node["name"]] = _read_list(data, fm, node)
-        elif node["converted"] == 2 or 2 in node["logical"]:
-            raise NotImplementedError("parquet: MAP columns not supported")
+        elif _is_map(node):
+            out[node["name"]] = _read_map(data, fm, node)
         else:
             out[node["name"]] = _read_struct(data, fm, node)
     return out
@@ -840,6 +895,177 @@ def _bp_encode(idx: list[int], width: int) -> bytes:
     return bytes(out)
 
 
+def _parse_write_type(t: str):
+    """The writer's type DSL: a scalar name, ``list<elem>``,
+    ``struct<name:typ,...>``, or ``map<key,value>`` (one nesting level,
+    scalar leaves — the writer twin of the reader's supported set)."""
+    t = t.strip()
+    if t.startswith("list<") and t.endswith(">"):
+        inner = t[5:-1].strip()
+        if inner not in _WRITE_PHYS:
+            raise NotImplementedError(
+                f"parquet writer: list element type {inner!r}")
+        return ("list", inner)
+    if t.startswith("struct<") and t.endswith(">"):
+        fields = []
+        for part in t[7:-1].split(","):
+            fname, _, ftyp = part.partition(":")
+            fname, ftyp = fname.strip(), ftyp.strip()
+            if ftyp not in _WRITE_PHYS:
+                raise NotImplementedError(
+                    f"parquet writer: struct field type {ftyp!r}")
+            fields.append((fname, ftyp))
+        if not fields:
+            raise ValueError("parquet writer: empty struct type")
+        return ("struct", fields)
+    if t.startswith("map<") and t.endswith(">"):
+        kt, _, vt = t[4:-1].partition(",")
+        kt, vt = kt.strip(), vt.strip()
+        if kt not in _WRITE_PHYS or vt not in _WRITE_PHYS:
+            raise NotImplementedError(
+                f"parquet writer: map key/value types {kt!r}/{vt!r}")
+        return ("map", kt, vt)
+    if t not in _WRITE_PHYS:
+        raise NotImplementedError(f"parquet writer: type {t!r}")
+    return ("scalar", t)
+
+
+def _nested_leaf_streams(name: str, parsed, values: list) -> list[dict]:
+    """Per-leaf write streams for one (possibly nested) column: dicts
+    of {path, typ, defs, reps, present, max_def, max_rep, n_leaf}.
+    Level semantics mirror the reader (`_read_list`/`_read_struct`/
+    `_read_map`): optional outer (+1 def), repeated middle (+1 def,
+    +1 rep), optional leaf (+1 def)."""
+    kind = parsed[0]
+    if kind == "scalar":
+        defs = [0 if v is None else 1 for v in values]
+        present = [v for v in values if v is not None]
+        return [{"path": [name], "typ": parsed[1], "defs": defs,
+                 "reps": None, "present": present,
+                 "max_def": 1, "max_rep": 0}]
+    if kind == "list":
+        defs: list[int] = []
+        reps: list[int] = []
+        present = []
+        for row in values:
+            if row is None:
+                defs.append(0)
+                reps.append(0)
+            elif len(row) == 0:
+                defs.append(1)
+                reps.append(0)
+            else:
+                for j, v in enumerate(row):
+                    reps.append(0 if j == 0 else 1)
+                    if v is None:
+                        defs.append(2)
+                    else:
+                        defs.append(3)
+                        present.append(v)
+        return [{"path": [name, "list", "element"], "typ": parsed[1],
+                 "defs": defs, "reps": reps, "present": present,
+                 "max_def": 3, "max_rep": 1}]
+    if kind == "struct":
+        out = []
+        for fname, ftyp in parsed[1]:
+            defs = []
+            present = []
+            for row in values:
+                if row is None:
+                    defs.append(0)
+                elif row.get(fname) is None:
+                    defs.append(1)
+                else:
+                    defs.append(2)
+                    present.append(row[fname])
+            out.append({"path": [name, fname], "typ": ftyp,
+                        "defs": defs, "reps": None, "present": present,
+                        "max_def": 2, "max_rep": 0})
+        return out
+    # map
+    _kind, ktyp, vtyp = parsed
+    kdefs: list[int] = []
+    vdefs: list[int] = []
+    reps = []
+    kpresent: list = []
+    vpresent: list = []
+    for row in values:
+        if row is None:
+            kdefs.append(0)
+            vdefs.append(0)
+            reps.append(0)
+        elif len(row) == 0:
+            kdefs.append(1)
+            vdefs.append(1)
+            reps.append(0)
+        else:
+            for j, (k, v) in enumerate(row.items()):
+                reps.append(0 if j == 0 else 1)
+                kdefs.append(2)
+                kpresent.append(k)
+                if v is None:
+                    vdefs.append(2)
+                else:
+                    vdefs.append(3)
+                    vpresent.append(v)
+    return [
+        {"path": [name, "key_value", "key"], "typ": ktyp, "defs": kdefs,
+         "reps": reps, "present": kpresent, "max_def": 2, "max_rep": 1},
+        {"path": [name, "key_value", "value"], "typ": vtyp,
+         "defs": vdefs, "reps": reps, "present": vpresent,
+         "max_def": 3, "max_rep": 1},
+    ]
+
+
+def _schema_elements_for(name: str, parsed) -> list[bytes]:
+    """Footer schema elements (thrift structs) for one column, in
+    depth-first preorder."""
+    def elem(fname, rep, phys=None, n_children=None, converted=None,
+             logical=None):
+        fields = []
+        if phys is not None:
+            fields.append((1, _T_I32, phys))
+        fields.append((3, _T_I32, rep))
+        fields.append((4, _T_BINARY, fname.encode("utf-8")))
+        if n_children is not None:
+            fields.append((5, _T_I32, n_children))
+        if converted is not None:
+            fields.append((6, _T_I32, converted))
+        if logical is not None:
+            fields.append((10, _T_STRUCT, logical))
+        return _t_struct(fields)
+
+    def scalar(fname, rep, typ):
+        conv = 0 if typ == "string" else None
+        logi = (_t_struct([(1, _T_STRUCT, _t_struct([]))])
+                if typ == "string" else None)
+        return elem(fname, rep, phys=_WRITE_PHYS[typ], converted=conv,
+                    logical=logi)
+
+    kind = parsed[0]
+    if kind == "scalar":
+        return [scalar(name, 1, parsed[1])]
+    if kind == "list":
+        logi = _t_struct([(3, _T_STRUCT, _t_struct([]))])
+        return [
+            elem(name, 1, n_children=1, converted=3, logical=logi),
+            elem("list", 2, n_children=1),
+            scalar("element", 1, parsed[1]),
+        ]
+    if kind == "struct":
+        return [elem(name, 1, n_children=len(parsed[1]))] + [
+            scalar(fname, 1, ftyp) for fname, ftyp in parsed[1]
+        ]
+    _kind, ktyp, vtyp = parsed
+    logi = _t_struct([(2, _T_STRUCT, _t_struct([]))])
+    return [
+        elem(name, 1, n_children=1, converted=1, logical=logi),
+        elem("key_value", 2, n_children=2),
+        scalar("key", 0, ktyp),
+        scalar("value", 1, vtyp),
+    ]
+
+
 def write_parquet(cols: dict[str, list], types: dict[str, str],
                   codec: str = "snappy",
                   use_dictionary: bool | str = "auto") -> bytes:
@@ -874,29 +1100,35 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
     n_rows = len(cols[names[0]]) if names else 0
     out = bytearray(b"PAR1")
     chunk_metas = []
+    leaves: list[tuple[dict, bool]] = []
+    parsed_types: dict[str, tuple] = {}
     for name in names:
-        typ = types[name]
         values = cols[name]
         if len(values) != n_rows:
             raise ValueError("parquet: ragged columns")
-        present = [v for v in values if v is not None]
+        parsed = _parse_write_type(types[name])
+        parsed_types[name] = parsed
+        for leaf in _nested_leaf_streams(name, parsed, values):
+            leaves.append((leaf, parsed[0] == "scalar"))
+    for leaf, is_flat in leaves:
+        typ = leaf["typ"]
+        present = leaf["present"]
+        n_slots = len(leaf["defs"])
         body = bytearray()
-        # definition levels: bit-packed groups of 8 (1 = present)
-        n_groups = (n_rows + 7) // 8
-        acc = 0
-        for i, v in enumerate(values):
-            if v is not None:
-                acc |= 1 << i
-        levels = bytearray()
-        _t_uvarint(levels, (n_groups << 1) | 1)
-        levels += acc.to_bytes(n_groups, "little")
+        # v1 page: length-prefixed RLE/bit-packed repetition levels
+        # (nested leaves only), then definition levels
+        if leaf["max_rep"]:
+            rlev = bytearray(_bp_encode(leaf["reps"], 1))
+            body += struct.pack("<I", len(rlev)) + rlev
+        dwidth = max(1, leaf["max_def"].bit_length())
+        levels = bytearray(_bp_encode(leaf["defs"], dwidth))
         body += struct.pack("<I", len(levels)) + levels
 
-        # dictionary routing: worth it when the dictionary is much
-        # smaller than the data; float/double with NaN stay PLAIN (NaN
-        # != NaN breaks dict-key dedup)
+        # dictionary routing (flat scalar leaves): worth it when the
+        # dictionary is much smaller than the data; float/double with
+        # NaN stay PLAIN (NaN != NaN breaks dict-key dedup)
         distinct: list | None = None
-        if use_dictionary is True or use_dictionary == "auto":
+        if is_flat and (use_dictionary is True or use_dictionary == "auto"):
             hashable = not (typ in ("float", "double")
                             and any(v != v for v in present))
             if typ != "boolean" and hashable and present:
@@ -937,7 +1169,7 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
         raw = bytes(body)
         comp = compress(raw)
         dph = _t_struct([
-            (1, _T_I32, n_rows),   # num_values incl. nulls
+            (1, _T_I32, n_slots),  # num_values: every (def, rep) slot
             (2, _T_I32, enc),      # encoding
             (3, _T_I32, _RLE),     # definition_level_encoding
             (4, _T_I32, _RLE),     # repetition_level_encoding
@@ -955,9 +1187,10 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
         md_fields = [
             (1, _T_I32, _WRITE_PHYS[typ]),
             (2, _T_LIST, (_T_I32, [enc, _RLE])),
-            (3, _T_LIST, (_T_BINARY, [name.encode("utf-8")])),
+            (3, _T_LIST, (_T_BINARY,
+                          [p.encode("utf-8") for p in leaf["path"]])),
             (4, _T_I32, codec_id),
-            (5, _T_I64, n_rows),
+            (5, _T_I64, n_slots),
             (6, _T_I64, total_raw),
             (7, _T_I64, total_comp),
             (9, _T_I64, data_offset),
@@ -966,9 +1199,10 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
             md_fields.append((11, _T_I64, dict_offset))
         # Statistics: these are what the engine's own
         # txlog_backfill_stats / footer_summary data skipping consume
-        st = _stats_struct(present, typ, n_rows - len(present))
-        if st is not None:
-            md_fields.append((12, _T_STRUCT, st))
+        if is_flat:
+            st = _stats_struct(present, typ, n_slots - len(present))
+            if st is not None:
+                md_fields.append((12, _T_STRUCT, st))
         md_fields.sort()
         md = _t_struct(md_fields)
         chunk_metas.append((offset, total_comp, md))
@@ -986,14 +1220,7 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
         (5, _T_I32, len(names)),
     ])]
     for name in names:
-        fields = [
-            (1, _T_I32, _WRITE_PHYS[types[name]]),
-            (3, _T_I32, 1),  # OPTIONAL
-            (4, _T_BINARY, name.encode("utf-8")),
-        ]
-        if types[name] == "string":
-            fields.append((6, _T_I32, 0))  # ConvertedType UTF8
-        schema.append(_t_struct(fields))
+        schema += _schema_elements_for(name, parsed_types[name])
     footer = _t_struct([
         (1, _T_I32, 1),  # format version
         (2, _T_LIST, (_T_STRUCT, schema)),

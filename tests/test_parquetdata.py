@@ -185,9 +185,10 @@ def test_native_writer_read_by_pyarrow(codec):
 
 
 def test_gates_are_loud():
-    """One level of LIST/STRUCT is now supported (r13); the gates sit
-    one level deeper — list-of-list, struct-of-struct, list-in-struct,
-    MAP — and must still fail loudly, never decode wrong."""
+    """One level of LIST/STRUCT/MAP is now supported (r13); the gates
+    sit one level deeper — list-of-list, struct-of-struct,
+    list-in-struct, map-of-list — and must still fail loudly, never
+    decode wrong."""
     def roundtrip_raises(arr, match):
         t = pa.table({"c": arr})
         buf = io.BytesIO()
@@ -207,8 +208,9 @@ def test_gates_are_loud():
                  pa.struct([("xs", pa.list_(pa.int64()))])),
         "STRUCT level")
     roundtrip_raises(
-        pa.array([{"a": 1}], pa.map_(pa.string(), pa.int64())),
-        "MAP")
+        pa.array([{"a": [1, 2]}], pa.map_(pa.string(),
+                                          pa.list_(pa.int64()))),
+        "nested MAP")
     # unknown column
     t2 = pa.table({"k": pa.array([1], pa.int64())})
     buf = io.BytesIO()
@@ -257,6 +259,59 @@ def test_nested_list_struct_match_pyarrow(comp, dpv, use_dict):
     got = read_table_native(buf.getvalue())
     for c in t.column_names:
         assert got[c] == t.column(c).to_pylist(), c
+
+
+@pytest.mark.parametrize("comp", ["none", "snappy", "zstd", "gzip"])
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+@pytest.mark.parametrize("use_dict", [True, False])
+def test_map_matches_pyarrow(comp, dpv, use_dict):
+    """Standard MAP layout to pyarrow parity across codec ×
+    page-version × dictionary: null maps, empty maps, null values,
+    int and string key types, multiple row groups."""
+    n = 240
+    smaps, imaps = [], []
+    for i in range(n):
+        if i % 11 == 0:
+            smaps.append(None)
+        elif i % 7 == 0:
+            smaps.append({})
+        else:
+            smaps.append({f"k{j}": None if j % 3 == 0 else i * 10 + j
+                          for j in range(i % 4 + 1)})
+        imaps.append(None if i % 13 == 0 else
+                     {j: f"v{i}_{j}" for j in range(i % 3)})
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "props": pa.array(smaps, pa.map_(pa.string(), pa.int64())),
+        "tags": pa.array(imaps, pa.map_(pa.int64(), pa.string())),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression=comp, data_page_version=dpv,
+                   use_dictionary=use_dict, row_group_size=100)
+    got = read_table_native(buf.getvalue())
+    assert got["id"] == list(range(n))
+    for c in ("props", "tags"):
+        want = [None if r is None else dict(r)
+                for r in t.column(c).to_pylist()]
+        assert got[c] == want, c
+
+
+def test_map_required_outer_and_null_only_values():
+    """A non-nullable MAP column (no outer def level) and a map whose
+    every value is null still reconstruct."""
+    vals = [{"k": 1}, {}, {"a": None, "b": 2}]
+    t = pa.table({"m": pa.array(vals, pa.map_(pa.string(), pa.int64()))})
+    schema = pa.schema(
+        [pa.field("m", pa.map_(pa.string(), pa.int64()), nullable=False)])
+    buf = io.BytesIO()
+    pq.write_table(t.cast(schema), buf)
+    assert read_table_native(buf.getvalue())["m"] == vals
+    only_null = [{"x": None}, None, {"y": None, "z": None}]
+    t2 = pa.table(
+        {"m": pa.array(only_null, pa.map_(pa.string(), pa.int64()))})
+    buf = io.BytesIO()
+    pq.write_table(t2, buf)
+    assert read_table_native(buf.getvalue())["m"] == only_null
 
 
 def test_byte_stream_split_matches_pyarrow():
@@ -323,6 +378,65 @@ def test_delta_encodings_match_pyarrow(s_enc, dpv):
     got = read_table_native(buf.getvalue())
     for c in t.column_names:
         assert got[c] == t.column(c).to_pylist(), c
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd", "gzip"])
+def test_native_writer_nested(codec):
+    """Nested WRITE (r13): list / struct / map columns emit def+rep
+    level streams that pyarrow — the reference reader — reconstructs
+    identically, and the repo reader round-trips (null lists, empty
+    lists, null elements, null structs, null fields, null maps, empty
+    maps, null values all present)."""
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet,
+    )
+    n = 400
+    cols = {
+        "id": list(range(n)),
+        "xs": [None if i % 11 == 0 else
+               ([] if i % 7 == 0 else
+                [None if j % 3 == 0 else i * 10 + j
+                 for j in range(i % 5 + 1)])
+               for i in range(n)],
+        "ws": [None if i % 13 == 0 else
+               [f"w{i}_{j}" for j in range(i % 3)] for i in range(n)],
+        "meta": [None if i % 9 == 0 else
+                 {"lang": None if i % 4 == 0 else f"l{i % 3}",
+                  "nc": i * 3} for i in range(n)],
+        "props": [None if i % 10 == 0 else
+                  ({} if i % 6 == 0 else
+                   {f"k{j}": None if j % 2 else i + j
+                    for j in range(i % 4 + 1)}) for i in range(n)],
+    }
+    types = {"id": "int64", "xs": "list<int64>", "ws": "list<string>",
+             "meta": "struct<lang:string,nc:int64>",
+             "props": "map<string,int64>"}
+    data = write_parquet(cols, types, codec=codec)
+    t = pq.read_table(io.BytesIO(data))
+    for c in cols:
+        got = t.column(c).to_pylist()
+        if c == "props":
+            got = [None if r is None else dict(r) for r in got]
+        assert got == cols[c], f"pyarrow {c}"
+    own = read_table_native(data)
+    for c in cols:
+        assert own[c] == cols[c], f"native {c}"
+
+
+def test_native_writer_type_dsl_gates():
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        _parse_write_type,
+        write_parquet,
+    )
+    assert _parse_write_type("list<int64>") == ("list", "int64")
+    assert _parse_write_type("map<string,int64>") == (
+        "map", "string", "int64")
+    with pytest.raises(NotImplementedError, match="element type"):
+        _parse_write_type("list<list<int64>>")
+    with pytest.raises(NotImplementedError, match="field type"):
+        _parse_write_type("struct<a:list<int64>>")
+    with pytest.raises(NotImplementedError, match="type 'uuid'"):
+        write_parquet({"c": [1]}, {"c": "uuid"})
 
 
 def test_native_writer_nan_safe_statistics():
