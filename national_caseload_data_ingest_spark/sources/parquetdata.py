@@ -22,9 +22,11 @@ production consumer.  Implemented:
 * **levels**: the RLE/bit-packed hybrid (LSB-first bit-packed groups
   of 8, little-endian RLE runs), 4-byte-length-prefixed in v1 data
   pages, raw-length-given in v2 — multi-bit definition levels and
-  repetition levels included: ONE level of STRUCT (dicts) and the
-  standard 3-level LIST (lists) reconstruct to pyarrow parity;
-  deeper nesting and MAP gate loudly;
+  repetition levels included: STRUCT (dicts), the standard 3-level
+  LIST (lists), and the standard MAP (dicts) reconstruct at ANY
+  nesting depth and combination via full Dremel record assembly
+  (Melnik et al., VLDB 2010 §4); only legacy bare repeated fields
+  gate loudly;
 * **values**: PLAIN for boolean (bit-packed) / int32 / int64 / float /
   double / byte_array (u32-length-prefixed) / fixed_len_byte_array /
   int96 (raw 12 bytes; ``int96_to_micros`` converts Spark's legacy
@@ -536,6 +538,13 @@ def _is_list(node: dict) -> bool:
     return node["converted"] == 3 or 3 in node["logical"]
 
 
+def _is_map(node: dict) -> bool:
+    # ConvertedType MAP = 1 (the outer group) / MAP_KEY_VALUE = 2
+    # (legacy middle group annotation some writers hoist); LogicalType
+    # union field 2 = MapType.
+    return node["converted"] in (1, 2) or 2 in node["logical"]
+
+
 def _leaf_spec(node: dict, extra_def: int, extra_rep: int) -> dict:
     """The per-leaf dict ``_read_chunk_levels`` consumes, with the
     ancestors' contribution to the level depths folded in."""
@@ -586,134 +595,209 @@ def _weave_nulls(defs: list[int] | None, vals: list, max_def: int) -> list:
     return [next(it) if d == max_def else None for d in defs]
 
 
-def _read_struct(data: bytes, fm: dict, node: dict) -> list:
-    """One-level STRUCT of scalar leaves → list of dicts / None."""
-    s_opt = 1 if node["optional"] else 0
-    child_cols: dict[str, list] = {}
-    struct_null: list[bool] | None = None
-    n_rows = None
-    for child in node["children"]:
-        if child["children"] is not None or child["repeated"]:
+def _node_spec(node: dict, base_def: int, t_reps: list[int],
+               path: list[str]) -> dict:
+    """Recursive read-spec for one schema subtree: per-node definition
+    thresholds, repeated-ancestor thresholds, and leaf stream info —
+    the compile step of Dremel record assembly (Melnik et al., VLDB
+    2010 §4).  Kinds: scalar / struct / list (annotated 3-level) /
+    map (annotated key_value)."""
+    my_path = path + [node["name"]]
+    if node["children"] is None:
+        if node["repeated"]:
             raise NotImplementedError(
-                "parquet: nesting deeper than one STRUCT level")
-        leaf = _leaf_spec(child, extra_def=s_opt, extra_rep=0)
-        defs, _reps, vals = _column_levels(
-            data, fm, [node["name"], child["name"]], leaf)
-        woven = _weave_nulls(defs, vals, leaf["max_def"])
-        child_cols[child["name"]] = woven
-        n_rows = len(woven)
-        if s_opt:
-            nulls = [d < s_opt for d in defs]
-            if struct_null is None:
-                struct_null = nulls
-            elif struct_null != nulls:
-                raise ValueError(
-                    "parquet: struct children disagree on nullness")
-    names = list(child_cols)
-    out = []
-    for i in range(n_rows or 0):
-        if struct_null is not None and struct_null[i]:
-            out.append(None)
-        else:
-            out.append({n: child_cols[n][i] for n in names})
-    return out
+                "parquet: bare repeated fields not supported")
+        leaf = _leaf_spec(node, extra_def=base_def,
+                          extra_rep=len(t_reps))
+        return {"kind": "scalar", "t": leaf["max_def"], "leaf": leaf,
+                "path": my_path, "t_reps": list(t_reps)}
+    if _is_list(node):
+        mids = node["children"]
+        if len(mids) != 1 or not mids[0]["repeated"] \
+                or mids[0]["children"] is None \
+                or len(mids[0]["children"]) != 1:
+            raise NotImplementedError(
+                "parquet: only the standard 3-level LIST layout is "
+                "supported")
+        t_o = base_def + (1 if node["optional"] else 0)
+        t_r = t_o + 1
+        elem = _node_spec(mids[0]["children"][0], t_r,
+                          t_reps + [t_r], my_path + [mids[0]["name"]])
+        return {"kind": "list", "t_empty": t_o, "elem": elem}
+    if _is_map(node):
+        mids = node["children"]
+        if len(mids) != 1 or not mids[0]["repeated"] \
+                or mids[0]["children"] is None \
+                or len(mids[0]["children"]) != 2:
+            raise NotImplementedError(
+                "parquet: only the standard MAP key_value layout is "
+                "supported")
+        knode, vnode = mids[0]["children"]
+        if knode["optional"] or knode["children"] is not None:
+            raise ValueError("parquet: MAP keys must be required scalars")
+        t_o = base_def + (1 if node["optional"] else 0)
+        t_r = t_o + 1
+        kv_path = my_path + [mids[0]["name"]]
+        return {"kind": "map", "t_empty": t_o,
+                "key": _node_spec(knode, t_r, t_reps + [t_r], kv_path),
+                "val": _node_spec(vnode, t_r, t_reps + [t_r], kv_path)}
+    if node["repeated"]:
+        raise NotImplementedError(
+            "parquet: bare repeated groups not supported")
+    t = base_def + (1 if node["optional"] else 0)
+    return {"kind": "struct", "t": t, "optional": node["optional"],
+            "fields": [(c["name"], _node_spec(c, t, t_reps, my_path))
+                       for c in node["children"]]}
 
 
-def _read_list(data: bytes, fm: dict, node: dict) -> list:
-    """Standard 3-level LIST of scalars → list of lists / None."""
-    mids = node["children"] or []
-    if len(mids) != 1 or not mids[0]["repeated"] \
-            or mids[0]["children"] is None or len(mids[0]["children"]) != 1:
-        raise NotImplementedError(
-            "parquet: only the standard 3-level LIST layout is supported")
-    elem = mids[0]["children"][0]
-    if elem["children"] is not None or elem["repeated"]:
-        raise NotImplementedError(
-            "parquet: nesting deeper than one LIST level")
-    l_opt = 1 if node["optional"] else 0
-    leaf = _leaf_spec(elem, extra_def=l_opt + 1, extra_rep=1)
-    max_def = leaf["max_def"]
-    path = [node["name"], mids[0]["name"], elem["name"]]
-    defs, reps, vals = _column_levels(data, fm, path, leaf)
+def _collect_leaves(spec: dict, out: list[dict]) -> list[int]:
+    """Depth-first leaf collection; assigns each scalar spec its leaf
+    id and returns the subtree's id list (stored on group specs for
+    the merge step)."""
+    kind = spec["kind"]
+    if kind == "scalar":
+        spec["id"] = len(out)
+        out.append(spec)
+        return [spec["id"]]
+    if kind == "list":
+        spec["ids"] = _collect_leaves(spec["elem"], out)
+        return spec["ids"]
+    if kind == "map":
+        spec["key_ids"] = _collect_leaves(spec["key"], out)
+        spec["val_ids"] = _collect_leaves(spec["val"], out)
+        spec["ids"] = spec["key_ids"] + spec["val_ids"]
+        return spec["ids"]
+    ids: list[int] = []
+    for _name, child in spec["fields"]:
+        child_ids = _collect_leaves(child, out)
+        ids += child_ids
+    spec["ids"] = ids
+    return ids
+
+
+def _assemble_leaf(defs: list[int], reps: list[int], vals: list,
+                   t_reps: list[int], max_def: int) -> list:
+    """One leaf's (def, rep, value) stream → per-row token trees.
+
+    A token tree mirrors the leaf path's REPEATED structure only:
+    python lists at each repeated ancestor, and at the bottom either a
+    ``(d, value)`` pair (all repeated ancestors opened) or a bare
+    ``int`` definition level (the walk stopped at a null/empty point
+    above the next repeated ancestor).  Structs don't nest tokens —
+    their nullness is read off ``d`` during the merge."""
+    rows: list = []
     it = iter(vals)
-    out: list = []
-    for d, rp in zip(defs, reps):
+    open_lists: list[list] = []
+    m = len(t_reps)
+    for d, r in zip(defs, reps):
         v = next(it) if d == max_def else None
-        if rp == 0:  # new row
-            if d < l_opt:
-                out.append(None)
-            elif d == l_opt:
-                out.append([])
-            else:
-                out.append([v])
+        if r == 0:
+            open_lists = []
+            parent = None
         else:
-            if not isinstance(out[-1], list):
-                raise ValueError(
-                    "parquet: continuation level on a null/closed list")
-            out[-1].append(v)
+            del open_lists[r:]
+            parent = open_lists[-1]
+        i = len(open_lists)
+        while i < m and d >= t_reps[i]:
+            new: list = []
+            if parent is None:
+                rows.append(new)
+            else:
+                parent.append(new)
+            open_lists.append(new)
+            parent = new
+            i += 1
+        token = (d, v) if i == m else d
+        if parent is None:
+            rows.append(token)
+        else:
+            parent.append(token)
+    return rows
+
+
+def _tok_def(tok) -> int | None:
+    """Definition level carried by a token (None = a list opened here,
+    so everything at this level is defined)."""
+    if isinstance(tok, list):
+        return None
+    if isinstance(tok, tuple):
+        return tok[0]
+    return tok
+
+
+def _merge_tokens(spec: dict, toks: dict):
+    """Zip sibling leaf token trees back into one python value —
+    the assembly step of Dremel record reconstruction."""
+    kind = spec["kind"]
+    if kind == "scalar":
+        d, v = toks[spec["id"]]
+        return v if d == spec["t"] else None
+    if kind == "struct":
+        d = _tok_def(toks[spec["ids"][0]])
+        if d is not None and d < spec["t"]:
+            return None
+        return {name: _merge_tokens(child,
+                                    {i: toks[i] for i in child["ids"]}
+                                    if child["kind"] != "scalar"
+                                    else {child["id"]: toks[child["id"]]})
+                for name, child in spec["fields"]}
+    rep_tok = toks[spec["ids"][0]]
+    if not isinstance(rep_tok, list):
+        d = _tok_def(rep_tok)
+        if d is not None and d >= spec["t_empty"]:
+            return {} if kind == "map" else []
+        return None
+    n = len(rep_tok)
+    if kind == "list":
+        elem = spec["elem"]
+        return [_merge_tokens(elem, {i: toks[i][j] for i in spec["ids"]})
+                for j in range(n)]
+    out = {}
+    for j in range(n):
+        k = _merge_tokens(spec["key"],
+                          {i: toks[i][j] for i in spec["key_ids"]})
+        out[k] = _merge_tokens(spec["val"],
+                               {i: toks[i][j] for i in spec["val_ids"]})
     return out
 
 
-def _is_map(node: dict) -> bool:
-    # ConvertedType MAP = 1 (the outer group) / MAP_KEY_VALUE = 2
-    # (legacy middle group annotation some writers hoist); LogicalType
-    # union field 2 = MapType.
-    return node["converted"] in (1, 2) or 2 in node["logical"]
-
-
-def _read_map(data: bytes, fm: dict, node: dict) -> list:
-    """Standard MAP layout (``optional group (MAP) { repeated group
-    key_value { required K key; V value; } }``) → list of dicts /
-    None.  The key and value leaves share the repeated group, so their
-    rep streams must agree; rows are segmented off the key's levels
-    exactly as in :func:`_read_list`."""
-    mids = node["children"] or []
-    if len(mids) != 1 or not mids[0]["repeated"] \
-            or mids[0]["children"] is None or len(mids[0]["children"]) != 2:
-        raise NotImplementedError(
-            "parquet: only the standard MAP key_value layout is supported")
-    kv = mids[0]
-    knode, vnode = kv["children"]
-    if knode["children"] is not None or vnode["children"] is not None \
-            or knode["repeated"] or vnode["repeated"]:
-        raise NotImplementedError(
-            "parquet: nested MAP keys/values not supported")
-    if knode["optional"]:
-        raise ValueError("parquet: MAP keys must be required")
-    m_opt = 1 if node["optional"] else 0
-    kleaf = _leaf_spec(knode, extra_def=m_opt + 1, extra_rep=1)
-    vleaf = _leaf_spec(vnode, extra_def=m_opt + 1, extra_rep=1)
-    kdefs, kreps, kvals = _column_levels(
-        data, fm, [node["name"], kv["name"], knode["name"]], kleaf)
-    vdefs, _vreps, vvals = _column_levels(
-        data, fm, [node["name"], kv["name"], vnode["name"]], vleaf)
-    if len(kdefs) != len(vdefs):
-        raise ValueError("parquet: MAP key/value level streams disagree")
-    kit, vit = iter(kvals), iter(vvals)
-    out: list = []
-    for kd, vd, rp in zip(kdefs, vdefs, kreps):
-        k = next(kit) if kd == kleaf["max_def"] else None
-        v = next(vit) if vd == vleaf["max_def"] else None
-        if rp == 0:  # new row
-            if kd < m_opt:
-                out.append(None)
-            elif kd == m_opt:
-                out.append({})
-            else:
-                out.append({k: v})
-        else:
-            if not isinstance(out[-1], dict):
-                raise ValueError(
-                    "parquet: continuation level on a null/closed map")
-            out[-1][k] = v
-    return out
+def _read_nested(data: bytes, fm: dict, node: dict) -> list:
+    """One nested top-level column → per-row python values, at ANY
+    nesting depth (lists of structs, structs of lists, maps of lists,
+    …): full Dremel record assembly over every leaf under the node."""
+    spec = _node_spec(node, 0, [], [])
+    leaves: list[dict] = []
+    _collect_leaves(spec, leaves)
+    per_leaf: list[list] = []
+    n_rows: int | None = None
+    for lf in leaves:
+        defs, reps, vals = _column_levels(data, fm, lf["path"],
+                                          lf["leaf"])
+        if defs is None:
+            defs = [lf["leaf"]["max_def"]] * len(vals)
+        if reps is None:
+            reps = [0] * len(defs)
+        rows = _assemble_leaf(defs, reps, vals, lf["t_reps"],
+                              lf["leaf"]["max_def"])
+        if n_rows is None:
+            n_rows = len(rows)
+        elif n_rows != len(rows):
+            raise ValueError(
+                "parquet: sibling leaves disagree on row count")
+        per_leaf.append(rows)
+    if spec["kind"] == "scalar":
+        return [tok[1] if tok[0] == spec["t"] else None
+                for tok in per_leaf[0]]
+    return [_merge_tokens(spec,
+                          {i: per_leaf[i][r] for i in range(len(leaves))})
+            for r in range(n_rows or 0)]
 
 
 def read_table_native(data: bytes) -> dict[str, list]:
     """Every column → python values; the native-read twin of a full
-    scan.  Flat scalars plus ONE level of STRUCT (dicts), the standard
-    3-level LIST (lists), and the standard MAP (dicts); deeper nesting
-    gates loudly."""
+    scan.  Flat scalars read the direct path; nested columns (LIST /
+    STRUCT / MAP at any depth and combination) reconstruct via Dremel
+    record assembly (``_read_nested``)."""
     fm = read_footer(data)
     out: dict[str, list] = {}
     for node in _schema_nodes(fm):
@@ -725,12 +809,8 @@ def read_table_native(data: bytes) -> dict[str, list]:
             defs, _r, vals = _column_levels(
                 data, fm, [node["name"]], leaf)
             out[node["name"]] = _weave_nulls(defs, vals, leaf["max_def"])
-        elif _is_list(node):
-            out[node["name"]] = _read_list(data, fm, node)
-        elif _is_map(node):
-            out[node["name"]] = _read_map(data, fm, node)
         else:
-            out[node["name"]] = _read_struct(data, fm, node)
+            out[node["name"]] = _read_nested(data, fm, node)
     return out
 
 
@@ -895,131 +975,160 @@ def _bp_encode(idx: list[int], width: int) -> bytes:
     return bytes(out)
 
 
+def _split_type_args(s: str) -> list[str]:
+    """Bracket-aware top-level comma split for the type DSL."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def _parse_write_type(t: str):
-    """The writer's type DSL: a scalar name, ``list<elem>``,
-    ``struct<name:typ,...>``, or ``map<key,value>`` (one nesting level,
-    scalar leaves — the writer twin of the reader's supported set)."""
+    """The writer's RECURSIVE type DSL: a scalar name, ``list<T>``,
+    ``struct<name:T,...>``, or ``map<K,V>`` where T/V are themselves
+    any DSL type and K is a scalar — the writer twin of the reader's
+    any-depth Dremel assembly."""
     t = t.strip()
     if t.startswith("list<") and t.endswith(">"):
-        inner = t[5:-1].strip()
-        if inner not in _WRITE_PHYS:
-            raise NotImplementedError(
-                f"parquet writer: list element type {inner!r}")
-        return ("list", inner)
+        return ("list", _parse_write_type(t[5:-1]))
     if t.startswith("struct<") and t.endswith(">"):
         fields = []
-        for part in t[7:-1].split(","):
+        for part in _split_type_args(t[7:-1]):
             fname, _, ftyp = part.partition(":")
-            fname, ftyp = fname.strip(), ftyp.strip()
-            if ftyp not in _WRITE_PHYS:
-                raise NotImplementedError(
-                    f"parquet writer: struct field type {ftyp!r}")
-            fields.append((fname, ftyp))
+            fields.append((fname.strip(), _parse_write_type(ftyp)))
         if not fields:
             raise ValueError("parquet writer: empty struct type")
         return ("struct", fields)
     if t.startswith("map<") and t.endswith(">"):
-        kt, _, vt = t[4:-1].partition(",")
-        kt, vt = kt.strip(), vt.strip()
-        if kt not in _WRITE_PHYS or vt not in _WRITE_PHYS:
+        args = _split_type_args(t[4:-1])
+        if len(args) != 2:
+            raise ValueError(f"parquet writer: map needs 2 args: {t!r}")
+        kp = _parse_write_type(args[0])
+        if kp[0] != "scalar":
             raise NotImplementedError(
-                f"parquet writer: map key/value types {kt!r}/{vt!r}")
-        return ("map", kt, vt)
+                "parquet writer: map keys must be scalar")
+        return ("map", kp[1], _parse_write_type(args[1]))
     if t not in _WRITE_PHYS:
         raise NotImplementedError(f"parquet writer: type {t!r}")
     return ("scalar", t)
 
 
+def _write_spec(parsed, base_def: int, n_rep: int, path: list[str],
+                leaves: list[dict], required: bool = False) -> dict:
+    """Recursive write-spec: definition thresholds + leaf registry,
+    mirroring the reader's ``_node_spec``.  Every written field is
+    OPTIONAL except map keys (``required=True``)."""
+    kind = parsed[0]
+    bump = 0 if required else 1
+    if kind == "scalar":
+        spec = {"kind": "scalar", "t": base_def + bump,
+                "typ": parsed[1], "id": len(leaves),
+                "path": path, "max_rep": n_rep}
+        leaves.append(spec)
+        spec["ids"] = [spec["id"]]
+        return spec
+    if kind == "list":
+        t_o = base_def + bump
+        t_r = t_o + 1
+        elem = _write_spec(parsed[1], t_r, n_rep + 1,
+                           path + ["list", "element"], leaves)
+        return {"kind": "list", "t": t_o, "t_rep": t_r,
+                "rep_depth": n_rep + 1, "elem": elem,
+                "ids": elem["ids"]}
+    if kind == "map":
+        t_o = base_def + bump
+        t_r = t_o + 1
+        key = _write_spec(("scalar", parsed[1]), t_r, n_rep + 1,
+                          path + ["key_value", "key"], leaves,
+                          required=True)
+        val = _write_spec(parsed[2], t_r, n_rep + 1,
+                          path + ["key_value", "value"], leaves)
+        return {"kind": "map", "t": t_o, "t_rep": t_r,
+                "rep_depth": n_rep + 1, "key": key, "val": val,
+                "ids": key["ids"] + val["ids"]}
+    t = base_def + bump
+    fields = [(fname, _write_spec(fp, t, n_rep, path + [fname], leaves))
+              for fname, fp in parsed[1]]
+    return {"kind": "struct", "t": t, "fields": fields,
+            "ids": [i for _n, f in fields for i in f["ids"]]}
+
+
+def _shred_null(spec: dict, d: int, rep: int, out: list[dict]) -> None:
+    for i in spec["ids"]:
+        out[i]["defs"].append(d)
+        out[i]["reps"].append(rep)
+
+
+def _shred_value(spec: dict, value, d_parent: int, rep: int,
+                 out: list[dict]) -> None:
+    """Dremel record shredding: walk one value tree, emitting one
+    (def, rep[, value]) slot stream per leaf."""
+    kind = spec["kind"]
+    if kind == "scalar":
+        lf = out[spec["id"]]
+        if value is None:
+            lf["defs"].append(d_parent)
+        else:
+            lf["defs"].append(spec["t"])
+            lf["present"].append(value)
+        lf["reps"].append(rep)
+        return
+    if value is None:
+        _shred_null(spec, d_parent, rep, out)
+        return
+    if kind == "struct":
+        for fname, child in spec["fields"]:
+            _shred_value(child, value.get(fname), spec["t"], rep, out)
+        return
+    if len(value) == 0:
+        _shred_null(spec, spec["t"], rep, out)
+        return
+    if kind == "list":
+        for j, elem in enumerate(value):
+            _shred_value(spec["elem"], elem, spec["t_rep"],
+                         rep if j == 0 else spec["rep_depth"], out)
+        return
+    for j, (k, v) in enumerate(value.items()):
+        r = rep if j == 0 else spec["rep_depth"]
+        if k is None:
+            raise ValueError("parquet writer: map keys must not be None")
+        _shred_value(spec["key"], k, spec["t_rep"], r, out)
+        _shred_value(spec["val"], v, spec["t_rep"], r, out)
+
+
 def _nested_leaf_streams(name: str, parsed, values: list) -> list[dict]:
     """Per-leaf write streams for one (possibly nested) column: dicts
-    of {path, typ, defs, reps, present, max_def, max_rep, n_leaf}.
-    Level semantics mirror the reader (`_read_list`/`_read_struct`/
-    `_read_map`): optional outer (+1 def), repeated middle (+1 def,
-    +1 rep), optional leaf (+1 def)."""
-    kind = parsed[0]
-    if kind == "scalar":
-        defs = [0 if v is None else 1 for v in values]
-        present = [v for v in values if v is not None]
-        return [{"path": [name], "typ": parsed[1], "defs": defs,
-                 "reps": None, "present": present,
-                 "max_def": 1, "max_rep": 0}]
-    if kind == "list":
-        defs: list[int] = []
-        reps: list[int] = []
-        present = []
-        for row in values:
-            if row is None:
-                defs.append(0)
-                reps.append(0)
-            elif len(row) == 0:
-                defs.append(1)
-                reps.append(0)
-            else:
-                for j, v in enumerate(row):
-                    reps.append(0 if j == 0 else 1)
-                    if v is None:
-                        defs.append(2)
-                    else:
-                        defs.append(3)
-                        present.append(v)
-        return [{"path": [name, "list", "element"], "typ": parsed[1],
-                 "defs": defs, "reps": reps, "present": present,
-                 "max_def": 3, "max_rep": 1}]
-    if kind == "struct":
-        out = []
-        for fname, ftyp in parsed[1]:
-            defs = []
-            present = []
-            for row in values:
-                if row is None:
-                    defs.append(0)
-                elif row.get(fname) is None:
-                    defs.append(1)
-                else:
-                    defs.append(2)
-                    present.append(row[fname])
-            out.append({"path": [name, fname], "typ": ftyp,
-                        "defs": defs, "reps": None, "present": present,
-                        "max_def": 2, "max_rep": 0})
-        return out
-    # map
-    _kind, ktyp, vtyp = parsed
-    kdefs: list[int] = []
-    vdefs: list[int] = []
-    reps = []
-    kpresent: list = []
-    vpresent: list = []
+    of {path, typ, defs, reps, present, max_def, max_rep} — general
+    Dremel shredding at any nesting depth."""
+    leaves: list[dict] = []
+    spec = _write_spec(parsed, 0, 0, [name], leaves)
+    out = [{"defs": [], "reps": [], "present": []} for _ in leaves]
     for row in values:
-        if row is None:
-            kdefs.append(0)
-            vdefs.append(0)
-            reps.append(0)
-        elif len(row) == 0:
-            kdefs.append(1)
-            vdefs.append(1)
-            reps.append(0)
-        else:
-            for j, (k, v) in enumerate(row.items()):
-                reps.append(0 if j == 0 else 1)
-                kdefs.append(2)
-                kpresent.append(k)
-                if v is None:
-                    vdefs.append(2)
-                else:
-                    vdefs.append(3)
-                    vpresent.append(v)
-    return [
-        {"path": [name, "key_value", "key"], "typ": ktyp, "defs": kdefs,
-         "reps": reps, "present": kpresent, "max_def": 2, "max_rep": 1},
-        {"path": [name, "key_value", "value"], "typ": vtyp,
-         "defs": vdefs, "reps": reps, "present": vpresent,
-         "max_def": 3, "max_rep": 1},
-    ]
+        _shred_value(spec, row, 0, 0, out)
+    streams = []
+    for lf, st in zip(leaves, out):
+        streams.append({
+            "path": lf["path"], "typ": lf["typ"], "defs": st["defs"],
+            "reps": st["reps"] if lf["max_rep"] else None,
+            "present": st["present"], "max_def": lf["t"],
+            "max_rep": lf["max_rep"],
+        })
+    return streams
 
 
-def _schema_elements_for(name: str, parsed) -> list[bytes]:
-    """Footer schema elements (thrift structs) for one column, in
-    depth-first preorder."""
+def _schema_elements_for(name: str, parsed,
+                         repetition: int = 1) -> list[bytes]:
+    """Footer schema elements (thrift structs) for one column subtree,
+    depth-first preorder, any nesting depth."""
     def elem(fname, rep, phys=None, n_children=None, converted=None,
              logical=None):
         fields = []
@@ -1035,35 +1144,32 @@ def _schema_elements_for(name: str, parsed) -> list[bytes]:
             fields.append((10, _T_STRUCT, logical))
         return _t_struct(fields)
 
-    def scalar(fname, rep, typ):
+    kind = parsed[0]
+    if kind == "scalar":
+        typ = parsed[1]
         conv = 0 if typ == "string" else None
         logi = (_t_struct([(1, _T_STRUCT, _t_struct([]))])
                 if typ == "string" else None)
-        return elem(fname, rep, phys=_WRITE_PHYS[typ], converted=conv,
-                    logical=logi)
-
-    kind = parsed[0]
-    if kind == "scalar":
-        return [scalar(name, 1, parsed[1])]
+        return [elem(name, repetition, phys=_WRITE_PHYS[typ],
+                     converted=conv, logical=logi)]
     if kind == "list":
         logi = _t_struct([(3, _T_STRUCT, _t_struct([]))])
-        return [
-            elem(name, 1, n_children=1, converted=3, logical=logi),
-            elem("list", 2, n_children=1),
-            scalar("element", 1, parsed[1]),
-        ]
+        return ([elem(name, repetition, n_children=1, converted=3,
+                      logical=logi),
+                 elem("list", 2, n_children=1)]
+                + _schema_elements_for("element", parsed[1]))
     if kind == "struct":
-        return [elem(name, 1, n_children=len(parsed[1]))] + [
-            scalar(fname, 1, ftyp) for fname, ftyp in parsed[1]
-        ]
-    _kind, ktyp, vtyp = parsed
+        out = [elem(name, repetition, n_children=len(parsed[1]))]
+        for fname, fp in parsed[1]:
+            out += _schema_elements_for(fname, fp)
+        return out
     logi = _t_struct([(2, _T_STRUCT, _t_struct([]))])
-    return [
-        elem(name, 1, n_children=1, converted=1, logical=logi),
-        elem("key_value", 2, n_children=2),
-        scalar("key", 0, ktyp),
-        scalar("value", 1, vtyp),
-    ]
+    return ([elem(name, repetition, n_children=1, converted=1,
+                  logical=logi),
+             elem("key_value", 2, n_children=2)]
+            + _schema_elements_for("key", ("scalar", parsed[1]),
+                                   repetition=0)
+            + _schema_elements_for("value", parsed[2]))
 
 
 def write_parquet(cols: dict[str, list], types: dict[str, str],
@@ -1118,7 +1224,8 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
         # v1 page: length-prefixed RLE/bit-packed repetition levels
         # (nested leaves only), then definition levels
         if leaf["max_rep"]:
-            rlev = bytearray(_bp_encode(leaf["reps"], 1))
+            rwidth = max(1, leaf["max_rep"].bit_length())
+            rlev = bytearray(_bp_encode(leaf["reps"], rwidth))
             body += struct.pack("<I", len(rlev)) + rlev
         dwidth = max(1, leaf["max_def"].bit_length())
         levels = bytearray(_bp_encode(leaf["defs"], dwidth))
