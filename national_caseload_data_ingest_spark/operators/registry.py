@@ -57,7 +57,7 @@ CHECK_PRIORITY: list[str] = [
     # -- round-13: new or semantics changed this round ----------------------
     "bpe_frozen_encode",  # frozen-merges encode, token-string oracle (new)
     "unigram_frozen_encode",  # frozen-vocab Viterbi encode, oracle-backed (new)
-    "parquet_native_roundtrip",  # nested LIST/STRUCT read + dict-page/string-stats write (changed)
+    "parquet_native_roundtrip",  # ANY-depth nested read+write, MAP column (changed)
     "archive_codec_features",  # zstd dictionary-frame rotation (changed)
     "zip_member_features",  # encrypted-entry quarantine rows (changed)
     # -- freshest driver row is round 5 (all of them) ------------------------

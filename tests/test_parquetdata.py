@@ -542,6 +542,104 @@ def test_native_writer_any_depth_roundtrip():
             assert own[c] == cols[c], (codec, c)
 
 
+def test_nested_fuzz_both_directions():
+    """Seeded random nested schemas (depth <= 3) x random values with
+    None/empty at every level: pyarrow-written files must read
+    natively to ground truth, and natively-written files must read
+    back through pyarrow to ground truth."""
+    import random
+
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet,
+    )
+
+    def rand_type(rng, depth):
+        opts = ["int64", "string", "double"]
+        if depth < 3:
+            opts += ["list", "struct", "map"]
+        pick = rng.choice(opts)
+        if pick == "list":
+            inner, ityp, igen = rand_type(rng, depth + 1)
+            return (f"list<{inner}>", pa.list_(ityp),
+                    lambda r: None if r.random() < 0.15 else
+                    [igen(r) for _ in range(r.randrange(0, 4))])
+        if pick == "struct":
+            n = rng.randrange(1, 3)
+            fields = [(f"f{i}", *rand_type(rng, depth + 1))
+                      for i in range(n)]
+            typ = pa.struct([(f[0], f[2]) for f in fields])
+            dsl = "struct<" + ",".join(f"{f[0]}:{f[1]}"
+                                       for f in fields) + ">"
+
+            def gen(r, fields=fields):
+                if r.random() < 0.15:
+                    return None
+                return {f[0]: f[3](r) for f in fields}
+            return (dsl, typ, gen)
+        if pick == "map":
+            inner, ityp, igen = rand_type(rng, depth + 1)
+            return (f"map<string,{inner}>",
+                    pa.map_(pa.string(), ityp),
+                    lambda r: None if r.random() < 0.15 else
+                    {f"k{i}": igen(r)
+                     for i in range(r.randrange(0, 4))})
+        gens = {
+            "int64": lambda r: None if r.random() < 0.2
+            else r.randrange(-10**6, 10**6),
+            "string": lambda r: None if r.random() < 0.2
+            else f"s{r.randrange(1000)}",
+            "double": lambda r: None if r.random() < 0.2
+            else round(r.random() * 100, 3),
+        }
+        return (pick, {"int64": pa.int64(), "string": pa.string(),
+                       "double": pa.float64()}[pick], gens[pick])
+
+    def norm(v):  # pyarrow map entries come back as (k, v) tuple lists
+        if isinstance(v, list):
+            if v and isinstance(v[0], tuple) and len(v[0]) == 2 \
+                    and isinstance(v[0][0], str):
+                return {k: norm(x) for k, x in v}
+            return [norm(x) for x in v]
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        return v
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        dsl, typ, gen = rand_type(rng, 1)
+        vals = [gen(rng) for _ in range(80)]
+        # direction 1: pyarrow writes, native reads
+        t = pa.table({"c": pa.array(vals, typ)})
+        buf = io.BytesIO()
+        pq.write_table(t, buf, row_group_size=32)
+        assert read_table_native(buf.getvalue())["c"] == vals, \
+            (seed, dsl, "pa->native")
+        # direction 2: native writes, pyarrow reads (skip schemas that
+        # are empty-map-ambiguous under to_pylist normalization: they
+        # are covered exactly in direction 1)
+        data = write_parquet({"c": vals}, {"c": dsl}, codec="snappy")
+        got = [norm(v) for v in
+               pq.read_table(io.BytesIO(data)).column("c").to_pylist()]
+        mism = [(a, b) for a, b in zip(got, vals)
+                if a != b and not _empty_map_ambiguous(a, b)]
+        assert not mism, (seed, dsl, "native->pa", mism[:2])
+
+
+def _empty_map_ambiguous(a, b) -> bool:
+    """pyarrow's to_pylist renders empty maps as [] — equal modulo
+    that ambiguity, recursively."""
+    if a == [] and b == {}:
+        return True
+    if isinstance(a, list) and isinstance(b, list) and len(a) == len(b):
+        return all(x == y or _empty_map_ambiguous(x, y)
+                   for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict) \
+            and a.keys() == b.keys():
+        return all(a[k] == b[k] or _empty_map_ambiguous(a[k], b[k])
+                   for k in a)
+    return False
+
+
 def test_native_writer_nan_safe_statistics():
     """Python min()/max() over a NaN-bearing list is order-dependent
     (NaN compares false both ways); the writer must drop NaN before
