@@ -256,31 +256,23 @@ def _decompress(codec: int, payload: bytes, out_size: int) -> bytes:
 
 
 def schema_leaves(fm: dict) -> dict[str, dict]:
-    """Flat-schema leaves: name → {phys, optional, type_length}.
-    Nested schemas (group leaves below the root) gate loudly."""
-    elems = fm.get(2, [])
-    if not elems:
-        raise ValueError("parquet: empty schema")
+    """Top-level FLAT leaves: name → {phys, optional, type_length,
+    utf8}.  Nested top-level columns are skipped (read those via
+    :func:`read_table_native`); a file mixing flat and nested columns
+    still serves its flat ones here."""
     out: dict[str, dict] = {}
-    for el in elems[1:]:
-        if el.get(5):  # num_children on a non-root element
+    for node in _schema_nodes(fm):
+        if node["children"] is not None:
+            continue  # nested column — read_table_native territory
+        if node["repeated"]:
             raise NotImplementedError(
-                "parquet: nested schemas not supported by the native "
-                "data reader (flat columns only)")
-        name = el.get(4, b"").decode("utf-8")
-        logical = el.get(10, {})
-        out[name] = {
-            "phys": el.get(1),
-            "optional": el.get(3, 0) == 1,
-            "type_length": el.get(2, 0),
-            # UTF8: ConvertedType 0 (field 6) or LogicalType.STRING
-            # (field 10, member 1)
-            "utf8": el.get(1) == 6 and (el.get(6) == 0
-                                        or 1 in logical),
+                "parquet: bare repeated fields not supported")
+        out[node["name"]] = {
+            "phys": node["phys"],
+            "optional": node["optional"],
+            "type_length": node["type_length"],
+            "utf8": node["utf8"],
         }
-        if el.get(3, 0) == 2:
-            raise NotImplementedError(
-                "parquet: repeated fields not supported")
     return out
 
 
@@ -474,6 +466,11 @@ def read_column(data: bytes, name: str) -> list:
     fm = read_footer(data)
     leaves = schema_leaves(fm)
     if name not in leaves:
+        if any(n["name"] == name and n["children"] is not None
+               for n in _schema_nodes(fm)):
+            raise ValueError(
+                f"parquet: column {name!r} is nested — use "
+                "read_table_native")
         raise ValueError(f"parquet: no column {name!r}")
     leaf = leaves[name]
     out: list = []

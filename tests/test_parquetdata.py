@@ -640,6 +640,28 @@ def _empty_map_ambiguous(a, b) -> bool:
     return False
 
 
+def test_read_column_on_mixed_flat_nested_file():
+    """read_column serves FLAT columns even when the file also holds
+    nested ones; asking for the nested column routes the caller to
+    read_table_native."""
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        read_column,
+    )
+    t = pa.table({
+        "id": pa.array(range(20), pa.int64()),
+        "s": pa.array([f"v{i}" if i % 3 else None for i in range(20)],
+                      pa.string()),
+        "xs": pa.array([[1, 2]] * 20, pa.list_(pa.int64())),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_column(buf.getvalue(), "id") == list(range(20))
+    assert read_column(buf.getvalue(), "s")[:4] == [None, "v1", "v2",
+                                                    None]
+    with pytest.raises(ValueError, match="nested"):
+        read_column(buf.getvalue(), "xs")
+
+
 def test_native_writer_nan_safe_statistics():
     """Python min()/max() over a NaN-bearing list is order-dependent
     (NaN compares false both ways); the writer must drop NaN before
