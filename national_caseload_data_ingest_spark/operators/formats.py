@@ -239,7 +239,11 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "tok_lens": "list<int64>",
                  "meta": "struct<lang:string,nc:int64>",
                  "props": "map<string,int64>"},
-                codec="none")
+                codec="none",
+                # exercise the writer's multi-row-group + v2-page
+                # paths on the oracle route too
+                row_group_size=150,
+                data_page_version=2 if key % 2 else 1)
             rt = pq.read_table(io.BytesIO(native))
             flat = {c: rt.column(c) for c in flat}
             tok_lens = rt.column("tok_lens").to_pylist()

@@ -1171,17 +1171,26 @@ def _schema_elements_for(name: str, parsed,
 
 def write_parquet(cols: dict[str, list], types: dict[str, str],
                   codec: str = "snappy",
-                  use_dictionary: bool | str = "auto") -> bytes:
-    """Native parquet WRITER (the reader's twin): one row group, v1
-    data pages with RLE/bit-packed definition levels, thrift-compact
-    page headers and footer — pages compressed by the repo's OWN
-    snappy/zstd encoders (or zlib gzip / stored).  Low-cardinality
-    columns get a PLAIN dictionary page + PLAIN_DICTIONARY bit-packed
-    index pages (``use_dictionary``: True / False / "auto" = encode
-    when distinct ≤ half the values and ≤ 2^16); statistics cover the
-    numeric types AND byte arrays (truncated bounds past 64 bytes).
+                  use_dictionary: bool | str = "auto",
+                  row_group_size: int | None = None,
+                  data_page_version: int = 1) -> bytes:
+    """Native parquet WRITER (the reader's twin): v1 or v2 data pages
+    with RLE/bit-packed definition+repetition levels, thrift-compact
+    page headers and footer, MULTIPLE row groups
+    (``row_group_size``, default one group) — pages compressed by the
+    repo's OWN snappy/zstd encoders (or zlib gzip / stored; v2 pages
+    compress only the value section and carry level byte lengths in
+    the header).  Nested columns shred recursively
+    (``_nested_leaf_streams``); low-cardinality flat columns get a
+    PLAIN dictionary page + PLAIN_DICTIONARY bit-packed index pages
+    (``use_dictionary``: True / False / "auto" = encode when distinct
+    ≤ half the values and ≤ 2^16); per-row-group statistics cover the
+    numeric types AND byte arrays (truncated bounds past 64 bytes) —
+    what footer_summary/txlog row-group skipping consumes.
     Validated by pyarrow reading the output byte-for-byte."""
     codec_id = _WRITE_CODECS[codec]
+    if data_page_version not in (1, 2):
+        raise ValueError("parquet writer: data_page_version must be 1 or 2")
 
     def compress(raw: bytes) -> bytes:
         if codec == "none":
@@ -1201,75 +1210,121 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
 
     names = list(cols)
     n_rows = len(cols[names[0]]) if names else 0
-    out = bytearray(b"PAR1")
-    chunk_metas = []
-    leaves: list[tuple[dict, bool]] = []
-    parsed_types: dict[str, tuple] = {}
     for name in names:
-        values = cols[name]
-        if len(values) != n_rows:
+        if len(cols[name]) != n_rows:
             raise ValueError("parquet: ragged columns")
-        parsed = _parse_write_type(types[name])
-        parsed_types[name] = parsed
-        for leaf in _nested_leaf_streams(name, parsed, values):
-            leaves.append((leaf, parsed[0] == "scalar"))
-    for leaf, is_flat in leaves:
-        typ = leaf["typ"]
-        present = leaf["present"]
-        n_slots = len(leaf["defs"])
+    parsed_types = {name: _parse_write_type(types[name])
+                    for name in names}
+    rg_size = row_group_size if row_group_size and row_group_size > 0 \
+        else max(n_rows, 1)
+    starts = list(range(0, n_rows, rg_size)) or [0]
+    out = bytearray(b"PAR1")
+    row_groups = []
+    for start in starts:
+        rows_here = min(rg_size, n_rows - start) if n_rows else 0
+        chunk_metas = []
+        for name in names:
+            parsed = parsed_types[name]
+            sliced = cols[name][start : start + rg_size]
+            for leaf in _nested_leaf_streams(name, parsed, sliced):
+                chunk_metas.append(_write_chunk(
+                    out, leaf, parsed[0] == "scalar", codec_id,
+                    compress, use_dictionary, data_page_version))
+        chunks = [
+            _t_struct([(2, _T_I64, off), (3, _T_STRUCT, md)])
+            for off, _sz, md in chunk_metas
+        ]
+        row_groups.append(_t_struct([
+            (1, _T_LIST, (_T_STRUCT, chunks)),
+            (2, _T_I64, sum(sz for _o, sz, _m in chunk_metas)),
+            (3, _T_I64, rows_here),
+        ]))
+    schema = [_t_struct([
+        (4, _T_BINARY, b"schema"),
+        (5, _T_I32, len(names)),
+    ])]
+    for name in names:
+        schema += _schema_elements_for(name, parsed_types[name])
+    footer = _t_struct([
+        (1, _T_I32, 1),  # format version
+        (2, _T_LIST, (_T_STRUCT, schema)),
+        (3, _T_I64, n_rows),
+        (4, _T_LIST, (_T_STRUCT, row_groups)),
+        (6, _T_BINARY, b"ncd-spark native writer"),
+    ])
+    out += footer
+    out += struct.pack("<I", len(footer)) + b"PAR1"
+    return bytes(out)
+
+
+def _write_chunk(out: bytearray, leaf: dict, is_flat: bool,
+                 codec_id: int, compress, use_dictionary,
+                 data_page_version: int) -> tuple[int, int, bytes]:
+    """Write one leaf's column chunk (optional dictionary page + one
+    data page) into ``out``; returns (offset, compressed_size,
+    ColumnMetaData thrift bytes)."""
+    typ = leaf["typ"]
+    present = leaf["present"]
+    defs = leaf["defs"]
+    n_slots = len(defs)
+
+    # level streams (RLE/bit-packed hybrid at true bit widths)
+    rbytes = b""
+    if leaf["max_rep"]:
+        rwidth = max(1, leaf["max_rep"].bit_length())
+        rbytes = _bp_encode(leaf["reps"], rwidth)
+    dwidth = max(1, leaf["max_def"].bit_length())
+    dbytes = _bp_encode(defs, dwidth)
+
+    # dictionary routing (flat scalar leaves): worth it when the
+    # dictionary is much smaller than the data; float/double with
+    # NaN stay PLAIN (NaN != NaN breaks dict-key dedup)
+    distinct: list | None = None
+    if is_flat and (use_dictionary is True or use_dictionary == "auto"):
+        hashable = not (typ in ("float", "double")
+                        and any(v != v for v in present))
+        if typ != "boolean" and hashable and present:
+            uniq = list(dict.fromkeys(present))
+            if use_dictionary is True or (
+                len(uniq) <= 65536 and 2 * len(uniq) <= len(present)
+            ):
+                distinct = uniq
+
+    offset = len(out)
+    total_raw = total_comp = 0
+    dict_offset = None
+    if distinct is not None:
+        draw = _plain_encode(distinct, typ)
+        dcomp = compress(draw)
+        dhdr = _t_struct([
+            (1, _T_I32, 2),  # DICTIONARY_PAGE
+            (2, _T_I32, len(draw)),
+            (3, _T_I32, len(dcomp)),
+            (7, _T_STRUCT, _t_struct([
+                (1, _T_I32, len(distinct)),
+                (2, _T_I32, _PLAIN_DICT),
+            ])),
+        ])
+        dict_offset = len(out)
+        out += dhdr + dcomp
+        total_raw += len(dhdr) + len(draw)
+        total_comp += len(dhdr) + len(dcomp)
+        index = {v: i for i, v in enumerate(distinct)}
+        width = max((len(distinct) - 1).bit_length(), 1)
+        vals_raw = bytes([width]) + _bp_encode(
+            [index[v] for v in present], width)
+        enc = _PLAIN_DICT
+    else:
+        vals_raw = _plain_encode(present, typ)
+        enc = _PLAIN
+
+    data_offset = len(out)
+    if data_page_version == 1:
         body = bytearray()
-        # v1 page: length-prefixed RLE/bit-packed repetition levels
-        # (nested leaves only), then definition levels
-        if leaf["max_rep"]:
-            rwidth = max(1, leaf["max_rep"].bit_length())
-            rlev = bytearray(_bp_encode(leaf["reps"], rwidth))
-            body += struct.pack("<I", len(rlev)) + rlev
-        dwidth = max(1, leaf["max_def"].bit_length())
-        levels = bytearray(_bp_encode(leaf["defs"], dwidth))
-        body += struct.pack("<I", len(levels)) + levels
-
-        # dictionary routing (flat scalar leaves): worth it when the
-        # dictionary is much smaller than the data; float/double with
-        # NaN stay PLAIN (NaN != NaN breaks dict-key dedup)
-        distinct: list | None = None
-        if is_flat and (use_dictionary is True or use_dictionary == "auto"):
-            hashable = not (typ in ("float", "double")
-                            and any(v != v for v in present))
-            if typ != "boolean" and hashable and present:
-                uniq = list(dict.fromkeys(present))
-                if use_dictionary is True or (
-                    len(uniq) <= 65536
-                    and 2 * len(uniq) <= len(present)
-                ):
-                    distinct = uniq
-
-        offset = len(out)
-        total_raw = total_comp = 0
-        dict_offset = None
-        if distinct is not None:
-            draw = _plain_encode(distinct, typ)
-            dcomp = compress(draw)
-            dhdr = _t_struct([
-                (1, _T_I32, 2),  # DICTIONARY_PAGE
-                (2, _T_I32, len(draw)),
-                (3, _T_I32, len(dcomp)),
-                (7, _T_STRUCT, _t_struct([
-                    (1, _T_I32, len(distinct)),
-                    (2, _T_I32, _PLAIN_DICT),
-                ])),
-            ])
-            dict_offset = len(out)
-            out += dhdr + dcomp
-            total_raw += len(dhdr) + len(draw)
-            total_comp += len(dhdr) + len(dcomp)
-            index = {v: i for i, v in enumerate(distinct)}
-            width = max((len(distinct) - 1).bit_length(), 1)
-            body.append(width)
-            body += _bp_encode([index[v] for v in present], width)
-            enc = _PLAIN_DICT
-        else:
-            body += _plain_encode(present, typ)
-            enc = _PLAIN
+        if rbytes:
+            body += struct.pack("<I", len(rbytes)) + rbytes
+        body += struct.pack("<I", len(dbytes)) + dbytes
+        body += vals_raw
         raw = bytes(body)
         comp = compress(raw)
         dph = _t_struct([
@@ -1284,54 +1339,55 @@ def write_parquet(cols: dict[str, list], types: dict[str, str],
             (3, _T_I32, len(comp)),
             (5, _T_STRUCT, dph),
         ])
-        data_offset = len(out)
         out += header + comp
         total_raw += len(header) + len(raw)
         total_comp += len(header) + len(comp)
-        md_fields = [
-            (1, _T_I32, _WRITE_PHYS[typ]),
-            (2, _T_LIST, (_T_I32, [enc, _RLE])),
-            (3, _T_LIST, (_T_BINARY,
-                          [p.encode("utf-8") for p in leaf["path"]])),
-            (4, _T_I32, codec_id),
-            (5, _T_I64, n_slots),
-            (6, _T_I64, total_raw),
-            (7, _T_I64, total_comp),
-            (9, _T_I64, data_offset),
-        ]
-        if dict_offset is not None:
-            md_fields.append((11, _T_I64, dict_offset))
-        # Statistics: these are what the engine's own
-        # txlog_backfill_stats / footer_summary data skipping consume
-        if is_flat:
-            st = _stats_struct(present, typ, n_slots - len(present))
-            if st is not None:
-                md_fields.append((12, _T_STRUCT, st))
-        md_fields.sort()
-        md = _t_struct(md_fields)
-        chunk_metas.append((offset, total_comp, md))
-    chunks = [
-        _t_struct([(2, _T_I64, off), (3, _T_STRUCT, md)])
-        for off, _sz, md in chunk_metas
+    else:
+        # v2: levels ride UNCOMPRESSED before the (compressed) values,
+        # with their byte lengths in the page header
+        vals_comp = compress(vals_raw)
+        n_nulls = sum(1 for d in defs if d < leaf["max_def"])
+        n_page_rows = (leaf["reps"].count(0) if leaf["max_rep"]
+                       else n_slots)
+        dph2 = _t_struct([
+            (1, _T_I32, n_slots),
+            (2, _T_I32, n_nulls),
+            (3, _T_I32, n_page_rows),
+            (4, _T_I32, enc),
+            (5, _T_I32, len(dbytes)),
+            (6, _T_I32, len(rbytes)),
+            (7, _T_BOOL, codec_id != 0),
+        ])
+        raw_sz = len(rbytes) + len(dbytes) + len(vals_raw)
+        comp_sz = len(rbytes) + len(dbytes) + len(vals_comp)
+        header = _t_struct([
+            (1, _T_I32, 3),  # DATA_PAGE_V2
+            (2, _T_I32, raw_sz),
+            (3, _T_I32, comp_sz),
+            (8, _T_STRUCT, dph2),
+        ])
+        out += header + rbytes + dbytes + vals_comp
+        total_raw += len(header) + raw_sz
+        total_comp += len(header) + comp_sz
+
+    md_fields = [
+        (1, _T_I32, _WRITE_PHYS[typ]),
+        (2, _T_LIST, (_T_I32, [enc, _RLE])),
+        (3, _T_LIST, (_T_BINARY,
+                      [p.encode("utf-8") for p in leaf["path"]])),
+        (4, _T_I32, codec_id),
+        (5, _T_I64, n_slots),
+        (6, _T_I64, total_raw),
+        (7, _T_I64, total_comp),
+        (9, _T_I64, data_offset),
     ]
-    row_group = _t_struct([
-        (1, _T_LIST, (_T_STRUCT, chunks)),
-        (2, _T_I64, sum(sz for _o, sz, _m in chunk_metas)),
-        (3, _T_I64, n_rows),
-    ])
-    schema = [_t_struct([
-        (4, _T_BINARY, b"schema"),
-        (5, _T_I32, len(names)),
-    ])]
-    for name in names:
-        schema += _schema_elements_for(name, parsed_types[name])
-    footer = _t_struct([
-        (1, _T_I32, 1),  # format version
-        (2, _T_LIST, (_T_STRUCT, schema)),
-        (3, _T_I64, n_rows),
-        (4, _T_LIST, (_T_STRUCT, [row_group])),
-        (6, _T_BINARY, b"ncd-spark native writer"),
-    ])
-    out += footer
-    out += struct.pack("<I", len(footer)) + b"PAR1"
-    return bytes(out)
+    if dict_offset is not None:
+        md_fields.append((11, _T_I64, dict_offset))
+    # Statistics: these are what the engine's own
+    # txlog_backfill_stats / footer_summary data skipping consume
+    if is_flat:
+        st = _stats_struct(present, typ, n_slots - len(present))
+        if st is not None:
+            md_fields.append((12, _T_STRUCT, st))
+    md_fields.sort()
+    return (offset, total_comp, _t_struct(md_fields))

@@ -640,6 +640,42 @@ def _empty_map_ambiguous(a, b) -> bool:
     return False
 
 
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd", "gzip"])
+@pytest.mark.parametrize("dpv", [1, 2])
+def test_native_writer_row_groups_and_v2_pages(codec, dpv):
+    """Multi-row-group output with v1 OR v2 data pages (v2: levels
+    uncompressed before compressed values, byte lengths + null/row
+    counts in the header): pyarrow and the repo reader both
+    reconstruct, the row-group count is honored, and per-row-group
+    statistics carry the bounds row-group skipping needs."""
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet,
+    )
+    n = 450
+    cols = {
+        "id": list(range(n)),
+        "name": [f"n{i % 37}" if i % 3 else None for i in range(n)],
+        "xs": [None if i % 11 == 0 else
+               ([] if i % 7 == 0 else [i, None, i * 2])
+               for i in range(n)],
+    }
+    types = {"id": "int64", "name": "string", "xs": "list<int64>"}
+    data = write_parquet(cols, types, codec=codec,
+                         data_page_version=dpv, row_group_size=100)
+    t = pq.read_table(io.BytesIO(data))
+    for c in cols:
+        assert t.column(c).to_pylist() == cols[c], c
+    own = read_table_native(data)
+    for c in cols:
+        assert own[c] == cols[c], c
+    pf = pq.ParquetFile(io.BytesIO(data))
+    assert pf.num_row_groups == 5
+    bounds = [pf.metadata.row_group(i).column(0).statistics
+              for i in range(5)]
+    assert [(s.min, s.max) for s in bounds] == \
+        [(i * 100, min(n, (i + 1) * 100) - 1) for i in range(5)]
+
+
 def test_read_column_on_mixed_flat_nested_file():
     """read_column serves FLAT columns even when the file also holds
     nested ones; asking for the nested column routes the caller to
