@@ -1971,6 +1971,9 @@ class _JpegBitReader:
         if b == 0xFF:
             nxt = self.data[self.pos + 1] if self.pos + 1 < len(
                 self.data) else None
+            if nxt is None:
+                # lone trailing 0xFF with no marker byte: truncated stream
+                raise ValueError("jpeg: entropy data truncated (lone 0xFF)")
             if nxt == 0x00:
                 self.pos += 2
             elif nxt == 0xD9:  # EOI: premature end — zero-fill (libjpeg)

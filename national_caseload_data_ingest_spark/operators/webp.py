@@ -624,6 +624,8 @@ def _decode_alpha(body: bytes, w: int, h: int):
     pre-processing (informative), bits 6-7 reserved."""
     import numpy as np  # noqa: PLC0415
 
+    if not body:
+        raise ValueError("webp: empty ALPH chunk")
     head = body[0]
     compression = head & 0x03
     filtering = (head >> 2) & 0x03

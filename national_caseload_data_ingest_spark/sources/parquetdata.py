@@ -692,6 +692,10 @@ def _assemble_leaf(defs: list[int], reps: list[int], vals: list,
             open_lists = []
             parent = None
         else:
+            if r > len(open_lists):
+                raise ValueError(
+                    f"parquet: repetition level {r} exceeds open list "
+                    f"depth {len(open_lists)} (corrupt page)")
             del open_lists[r:]
             parent = open_lists[-1]
         i = len(open_lists)
@@ -731,7 +735,17 @@ def _merge_tokens(spec: dict, toks: dict):
         return v if d == spec["t"] else None
     if kind == "struct":
         d = _tok_def(toks[spec["ids"][0]])
-        if d is not None and d < spec["t"]:
+        is_null = d is not None and d < spec["t"]
+        # Sibling leaves must agree on struct nullness — a corrupt file
+        # where one leaf says "struct is null" and another carries data
+        # would otherwise decode silently wrong.
+        for other_id in spec["ids"][1:]:
+            od = _tok_def(toks[other_id])
+            if (od is not None and od < spec["t"]) != is_null:
+                raise ValueError(
+                    "parquet: sibling leaves disagree on struct nullness "
+                    f"(def levels {d} vs {od} at threshold {spec['t']})")
+        if is_null:
             return None
         return {name: _merge_tokens(child,
                                     {i: toks[i] for i in child["ids"]}

@@ -452,3 +452,17 @@ def test_jpeg_color_decode_features_query(spark):
     for r in rows[:5]:
         assert (r["width"], r["height"], r["channels"]) == (JPEG_W, JPEG_H, 3)
         assert r["mean_r"] == r["mean_g"] == r["mean_b"]
+
+
+def test_jpeg_lone_trailing_ff_raises_valueerror():
+    """A scan whose entropy segment ends with a lone 0xFF (no marker
+    byte) must raise a descriptive ValueError, not TypeError."""
+    px = _block_constant(3)
+    buf = bytearray(jpeg_encode(px))
+    eoi = buf.rfind(b"\xff\xd9")
+    assert eoi > 0
+    # chop the EOI and the tail of the entropy data so the decoder is
+    # still hungry for bits, then end the stream with a bare 0xFF
+    truncated = bytes(buf[: eoi - 4]) + b"\xff"
+    with pytest.raises(ValueError):
+        jpeg_decode(truncated)

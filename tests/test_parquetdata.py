@@ -813,3 +813,42 @@ def test_native_writer_string_statistics_prune():
                  for v in read_table_native(payloads[k])["fruit"]
                  if lo.decode() <= v <= hi.decode()]
     assert survivors == ["mango", "melon", "peach"]
+
+
+def test_assemble_leaf_rejects_excess_repetition_level():
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        _assemble_leaf,
+    )
+
+    # first slot claims r=1 with no list open yet: corrupt page
+    with pytest.raises(ValueError, match="repetition level"):
+        _assemble_leaf([1], [1], [7], t_reps=[1], max_def=1)
+    # mid-stream slot claims r=2 with only one list open
+    with pytest.raises(ValueError, match="repetition level"):
+        _assemble_leaf([1, 1], [0, 2], [7, 8], t_reps=[1], max_def=1)
+
+
+def test_merge_tokens_rejects_sibling_nullness_disagreement():
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        _merge_tokens,
+    )
+
+    # struct<a: int, b: int>, both optional inside an optional struct:
+    # struct-null threshold t=1, leaf max_def=2.
+    spec = {
+        "kind": "struct",
+        "t": 1,
+        "ids": [0, 1],
+        "fields": [
+            ("a", {"kind": "scalar", "id": 0, "t": 2}),
+            ("b", {"kind": "scalar", "id": 1, "t": 2}),
+        ],
+    }
+    # consistent: both leaves say the struct is present
+    out = _merge_tokens(spec, {0: (2, 5), 1: (1, None)})
+    assert out == {"a": 5, "b": None}
+    # consistent: both say the struct is null
+    assert _merge_tokens(spec, {0: (0, None), 1: (0, None)}) is None
+    # corrupt: leaf 0 says null struct, leaf 1 carries data
+    with pytest.raises(ValueError, match="sibling leaves disagree"):
+        _merge_tokens(spec, {0: (0, None), 1: (2, 9)})

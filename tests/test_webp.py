@@ -539,3 +539,12 @@ def test_animated_webp_with_lossy_frames_composites():
     # frame 2 replaced the canvas with the decoded lossy pixels (opaque)
     assert np.unique(frames[1][1][..., 3]).tolist() == [255]
     assert frames[1][1][..., 0].mean() > 100
+
+
+def test_empty_alph_chunk_raises_valueerror():
+    from national_caseload_data_ingest_spark.operators.webp import (
+        _decode_alpha,
+    )
+
+    with pytest.raises(ValueError, match="empty ALPH"):
+        _decode_alpha(b"", 4, 4)
