@@ -54,6 +54,17 @@ _BUCKET_SCHEMA = "doc_id bigint, band int, bucket bigint"
 _PAIRS_SCHEMA = "band int, doc_a bigint, doc_b bigint"
 
 
+def _perm_constants(perms: int) -> tuple[list[int], list[int]]:
+    """The frozen linear-permutation constants (a, b) — seeded, shared by
+    the Arrow kernel and the DuckDB oracle replay."""
+    import numpy as np  # noqa: PLC0415
+
+    rng = np.random.RandomState(0xC0FFEE)
+    a = rng.randint(1, _MERSENNE, size=perms, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=perms, dtype=np.int64)
+    return [int(v) for v in a], [int(v) for v in b]
+
+
 def _docs_stream(spark: SparkSession, docs_path: str) -> DataFrame:
     """File-stream source over a documents directory; one file per
     micro-batch so multi-batch statefulness is actually exercised."""
@@ -73,9 +84,11 @@ def _band_bucket_batches(perms: int, bands: int):
     ``\\s+`` split, distinct bigrams, whole-text fallback under 2 tokens —
     see ``word_bigram_postings``).  Signature: md5-based 64-bit gram hash
     pushed through ``perms`` fixed linear permutations mod 2^61−1 (numpy,
-    vectorized over grams); bucket = first 8 md5 bytes of the band's row
-    slice.  Everything is seeded constants — identical output for any
-    partitioning, batch size, or arrival order."""
+    vectorized over grams); bucket = first 8 md5 bytes of the band's
+    signature slice serialized as zero-padded lowercase hex (an ASCII
+    string, so a SQL engine's ``md5(varchar)`` can replay it — see
+    ``_LSH_FROZEN_ORACLE``).  Everything is seeded constants — identical
+    output for any partitioning, batch size, or arrival order."""
     rows_per_band = perms // bands
     if rows_per_band < 1 or perms % bands != 0:
         raise ValueError(f"perms {perms} must be a positive multiple of bands {bands}")
@@ -87,9 +100,7 @@ def _band_bucket_batches(perms: int, bands: int):
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        rng = np.random.RandomState(0xC0FFEE)
-        a = rng.randint(1, _MERSENNE, size=perms, dtype=np.int64).astype(object)
-        b = rng.randint(0, _MERSENNE, size=perms, dtype=np.int64).astype(object)
+        a, b = _perm_constants(perms)
         ws = re.compile(r"\s+")
 
         for pdf in batches:
@@ -113,14 +124,15 @@ def _band_bucket_batches(perms: int, bands: int):
                 )
                 # perms x grams linear permutations in exact int arithmetic
                 sig = [
-                    int(min((int(ai) * h + int(bi)) % _MERSENNE))
+                    int(min((ai * h + bi) % _MERSENNE))
                     for ai, bi in zip(a, b)
                 ]
                 for band in range(bands):
                     chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                    raw = b"".join(v.to_bytes(8, "big") for v in chunk)
+                    raw = "".join(f"{v:016x}" for v in chunk)
                     bucket = int.from_bytes(
-                        hashlib.md5(raw).digest()[:8], "big", signed=True
+                        hashlib.md5(raw.encode("ascii")).digest()[:8],
+                        "big", signed=True,
                     )
                     out_doc.append(doc_id)
                     out_band.append(band)
@@ -207,5 +219,76 @@ def streaming_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents`` table — registered so the driver exercises the shared
     kernel; the streaming path runs in ``tests/test_streaming.py`` with a
     file source and is asserted row-identical to this."""
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return lsh_candidates_batch(d)
+
+
+def _lsh_frozen_oracle() -> str:
+    """DuckDB replay of the ENTIRE candidate pipeline under the frozen
+    permutation constants: shingle → md5 gram hash → exact linear
+    permutations in HUGEINT (int128, so a·h < 2^125 never wraps) →
+    per-band signature slice serialized as zero-padded hex → md5 bucket →
+    bucket-equality self-join.  The same split-the-pipeline pattern as
+    the frozen tokenizer encodes: the MODEL (seeded permutations) is
+    frozen, so the assignment is engine-independent and fully hashable."""
+    a, b = _perm_constants(STREAM_PERMS)
+    perm_rows = ", ".join(
+        f"({i},{ai},{bi})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    rpb = STREAM_PERMS // STREAM_BANDS
+    return rf"""
+WITH perms AS (SELECT * FROM (VALUES {perm_rows}) t(p, a, b)),
+tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr,
+         lower(trim(text)) AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(arr) >= 2 THEN arr[i] || ' ' || arr[i+1]
+              ELSE t END AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(arr), 2))) AS i)
+),
+gh AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(g), 1, 16) AS UBIGINT) AS HUGEINT) AS h
+  FROM grams
+),
+sig AS (
+  SELECT doc_id, p.p,
+         CAST(min((p.a * gh.h + p.b) % {_MERSENNE}) AS BIGINT) AS s
+  FROM gh CROSS JOIN perms p
+  GROUP BY doc_id, p.p
+),
+bands AS (
+  SELECT doc_id, CAST(p // {rpb} AS INT) AS band,
+         string_agg(printf('%016x', s), '' ORDER BY p) AS raw
+  FROM sig GROUP BY doc_id, band
+),
+bkt AS (
+  SELECT doc_id, band,
+         CAST(CAST(CAST('0x' || substr(md5(raw), 1, 16) AS UBIGINT)
+                   AS HUGEINT)
+              - CASE WHEN CAST('0x' || substr(md5(raw), 1, 1)
+                           AS UTINYINT) >= 8
+                     THEN 18446744073709551616 ELSE 0 END
+              AS BIGINT) AS bucket
+  FROM bands
+)
+SELECT x.band, x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bkt x JOIN bkt y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+"""
+
+
+@query("streaming_lsh_frozen_candidates", oracle=_lsh_frozen_oracle())
+def streaming_lsh_frozen_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-backed twin of ``streaming_lsh_candidates``: the identical
+    shared kernel and bucket-equality join, hash-verified cross-engine
+    because the permutation model is frozen (``_perm_constants``) and the
+    bucket serialization is replayable ASCII hex.  The rows-only original
+    keeps the stream≡batch equality duty; this entry pins the VALUES."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return lsh_candidates_batch(d)

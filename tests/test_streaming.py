@@ -862,3 +862,36 @@ def test_stream_stream_outer_join_matched_equals_batch_and_flushes_nulls(
     assert want_nulls  # fixture must actually exercise the flush path
     assert set(want_nulls) <= set(got_nulls)  # all closed intervals flushed
     assert set(got_nulls) <= {key(r) for r in want if not r["converted"]}
+
+
+def test_lsh_frozen_oracle_matches_kernel(spark):
+    """The DuckDB replay of the frozen-permutation LSH pipeline must
+    reproduce the Arrow kernel's candidate pairs exactly on the sf0.001
+    corpus — the in-repo form of the driver's oracle gate, including the
+    empty-text fallback and distinct-bigram shingling edge cases."""
+    import duckdb
+
+    from national_caseload_data_ingest_spark.streaming.documents import (
+        streaming_lsh_frozen_candidates,
+    )
+    from national_caseload_data_ingest_spark.operators.registry import (
+        ORACLES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["band"], r["doc_a"], r["doc_b"])
+        for r in streaming_lsh_frozen_candidates(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ORACLES["streaming_lsh_frozen_candidates"]
+        ).fetchall()
+    )
+    assert got == want
+    assert got  # the corpus must actually produce candidate pairs
