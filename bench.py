@@ -71,6 +71,35 @@ def _cpu_delta(before: dict | None, after: dict | None) -> dict | None:
     }
 
 
+def window_dirtiness(
+    bench_window: dict | None, clean_frac: float = 0.005
+) -> tuple[bool, str]:
+    """Whole-window steal gate (VERDICT r13 finding #1).
+
+    Per-query dirtiness only trips when NO run of a query got a clean
+    CPU window, so UNIFORM background steal (every run inflated ~20%,
+    none individually above threshold... or all above but a retry lands
+    clean) can leave ``steal_dirty`` empty on a polluted sheet.  The
+    whole-window fraction cannot be gamed that way: if the host stole
+    more than ``clean_frac`` of the ENTIRE bench window, the artifact is
+    marked dirty regardless of per-query flags.
+
+    Returns ``(dirty, reason)``; ``reason`` is "" when clean.
+    """
+    if bench_window is None:
+        return True, "no /proc/stat sample — window steal unmeasurable"
+    frac = bench_window.get("steal_frac")
+    if frac is None:
+        return True, "bench_window lacks steal_frac"
+    if frac > clean_frac:
+        return True, (
+            f"whole-window steal_frac {frac} exceeds {clean_frac}; "
+            "uniform host steal inflates every sample without tripping "
+            "per-query flags — treat all timings as polluted"
+        )
+    return False, ""
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -300,13 +329,17 @@ def main() -> None:
     for name in excluded:
         cleans.pop(name, None)
 
+    bench_window = _cpu_delta(cpu_start, _cpu_sample())
     env = {
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "cpus": os.cpu_count(),
-        "bench_window": _cpu_delta(cpu_start, _cpu_sample()),
+        "bench_window": bench_window,
         "queries_steal_sec": query_steal,
     }
+    window_dirty, window_dirty_reason = window_dirtiness(
+        bench_window, clean_frac
+    )
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_total",
@@ -325,6 +358,8 @@ def main() -> None:
             "clean_total_excluded)" if excluded else
             "clean_total sums per-query clean minima; no exclusions"),
         "steal_dirty": steal_dirty,
+        "window_dirty": window_dirty,
+        "window_dirty_reason": window_dirty_reason,
         "env": env,
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -333,9 +368,16 @@ def main() -> None:
     # only a byte-bounded TAIL of stdout, which truncated the r9 record
     # mid-JSON.  The full line prints FIRST (humans/logs), then a
     # compact contract-shaped line prints LAST so the tail window
-    # always ends with parseable JSON.
+    # always ends with parseable JSON.  A DIRTY window writes to
+    # BENCH_FULL_DIRTY.json so a polluted run can never clobber the
+    # canonical steal-clean artifact (VERDICT r13 finding #3); override
+    # with $SPARK_GRAFT_BENCH_OUT.
+    out_name = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        "BENCH_FULL_DIRTY.json" if window_dirty else "BENCH_FULL.json",
+    )
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)), out_name
     )
     try:
         with open(full_path, "w") as f:
@@ -351,6 +393,7 @@ def main() -> None:
         "queries": medians,
         "clean_total": record["clean_total"],
         "steal_dirty": steal_dirty,
+        "window_dirty": window_dirty,
         "sf": record["sf"],
         "full_record": full_path,
     }

@@ -35,79 +35,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The per-round driver verifies queries in dict-iteration order and caps at
 # the first 50 (the cap is empirical, see COVERAGE.md).  The window ROTATES
 # per round so the union of CORRECTNESS_r0{1..N}.json stays fresh across
-# the whole catalog.  Round-13 rotation (VERDICT r12 ask #1 — clear the
-# round-5-stale tail so no driver row is older than round 6):
+# the whole catalog.  Round-14 rotation (VERDICT r13 ask #1 — finish the
+# staleness burn-down so no oracle-backed query's freshest driver row is
+# older than round 8):
 #
-# 1. round-13 NEW or semantics-changed queries lead (overlap with the
-#    r12 window is exactly these three changed-semantics re-checks);
-# 2. ALL 23 queries whose freshest driver row is ROUND 5 (the oldest
-#    tail — this clears r5 entirely; streaming_lsh_candidates is the
-#    one registered rows-only entry among them, named in the judge's
-#    ask-#1 list, so it keeps its slot);
-# 3. round-6-stale fill in name order up to the 50-cap, ORACLE-BACKED
-#    entries only (VERDICT r12 ask #5: no no_oracle rows in the window
-#    unless semantics changed) — the fill happens to include
-#    gif_decode_features / jpeg_decode_features / jpeg_color_decode_
-#    features, whose decoders gained the liberal end-of-stream
-#    behaviors this round (test_thirdparty_vectors.py).  The 25
-#    remaining r6-stale names are listed after the cap for the r14
-#    window and covered meanwhile by the local full-catalog replay at
-#    sf0.01 and sf0.1 (tools/check_oracle.py; COVERAGE.md close-sweep).
+# 1. round-14 NEW or semantics-changed queries lead:
+#    streaming_lsh_frozen_candidates (the r13 ask-#6 oracle-backed twin,
+#    never driver-checked) and parquet_native_roundtrip (gains the
+#    legacy 2-level bare-repeated LIST leg this round, r13 ask #3);
+# 2. ALL 20 oracle-backed queries whose freshest driver row is ROUND 6
+#    (the oldest tail — the 5 rows-only r6 entries
+#    audio_spectrogram_stats / embedding_pca_projection /
+#    hll_incremental_distinct / quality_classifier_scores /
+#    semdedup_survivors stay out per the standing no-rows-only-in-window
+#    rule and are covered by the local full-catalog replay instead);
+# 3. round-8-stale oracle-backed fill in name order up to the 50-cap
+#    (includes jpeg420_decode_features / jpeg_progressive_decode_features,
+#    whose decoder gains multi-macroblock third-party conformance vectors
+#    this round).  The 13 remaining r8-stale names are listed after the
+#    cap for the r15 window and covered meanwhile by the local
+#    full-catalog replay at sf0.01 and sf0.1 (tools/check_oracle.py).
 CHECK_PRIORITY: list[str] = [
-    # -- round-13: new or semantics changed this round ----------------------
-    "bpe_frozen_encode",  # frozen-merges encode, token-string oracle (new)
-    "unigram_frozen_encode",  # frozen-vocab Viterbi encode, oracle-backed (new)
-    "parquet_native_roundtrip",  # ANY-depth nested read+write, MAP column (changed)
-    "archive_codec_features",  # zstd dictionary-frame rotation (changed)
-    "zip_member_features",  # encrypted-entry quarantine rows (changed)
-    # -- freshest driver row is round 5 (all of them) ------------------------
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "rare_token_fraction",
-    "repetition_score",
-    "skew_salted_join_agg",
-    "sliding_window_chunks",
-    "stratified_sample_docs",
-    "streaming_lsh_candidates",
-    "tfidf_top_terms",
-    "token_budget_shards_scaled",
-    "token_frequency_topk",
-    "token_length_histogram",
-    "training_corpus_build",
-    "tumbling_window_events",
-    "unpivot_flag_metrics",
-    "upsert_latest_orders",
-    "wav_decode_features",
-    "winnowing_fingerprints",
-    # -- freshest driver row is round 6, oracle-backed (fill to the cap) -----
-    "arrow_ipc_roundtrip_documents",
-    "audio_autocorr_features",
-    "avro_roundtrip_documents",
-    "bmp_decode_features",
-    "common_event_trigrams",
-    "csv_roundtrip_documents",
-    "daily_cohort_retention",
-    "decontaminate_bloom",
-    "event_pattern_matches",
-    "event_value_outliers",
-    "events_hourly_gapfill",
-    "frequent_part_pairs",
-    "funnel_user_progress",
-    "funnel_view_click_purchase",
-    "gif_decode_features",
-    "histogram_price_quantiles",
-    "html_extract_text",
-    "incremental_join_view",
-    "incremental_priority_stats",
-    "join_size_estimate_customer_orders",
-    "jpeg_color_decode_features",
-    "jpeg_decode_features",
-    # ---- 50-cap boundary: names below spill to the r14 window -------------
+    # -- round-14: new or semantics changed this round ----------------------
+    "streaming_lsh_frozen_candidates",  # frozen-permutation LSH oracle twin (new)
+    "parquet_native_roundtrip",  # + legacy 2-level bare-repeated lists (changed)
+    # -- freshest driver row is round 6, oracle-backed (all of them) ---------
     "json_roundtrip_documents",
     "leakage_safe_split",
     "lineitem_correlations",
@@ -128,11 +80,49 @@ CHECK_PRIORITY: list[str] = [
     "snapshot_diff_orders",
     "validate_orders_constraints",
     "weighted_sample_docs",
-    "audio_spectrogram_stats",
-    "embedding_pca_projection",
-    "hll_incremental_distinct",
-    "quality_classifier_scores",
-    "semdedup_survivors",
+    # -- freshest driver row is round 8, oracle-backed (fill to the cap) -----
+    "adpcm_audio_features",
+    "alpha_mixture_allocation",
+    "bloom_pruned_join_revenue",
+    "bootstrap_order_value_ci",
+    "c4_line_filter",
+    "conjunctive_term_search",
+    "cross_join_region_status",
+    "customers_buying_all_core_parts",
+    "dedup_exact_survivors",
+    "ewma_daily_revenue",
+    "g711_audio_features",
+    "golden_customer_records",
+    "gopher_quality_filter",
+    "having_supplier_volume",
+    "hrw_shard_routing",
+    "jpeg420_decode_features",
+    "jpeg_progressive_decode_features",
+    "keyword_tag_docs",
+    "line_dedup_survivors",
+    "link_customer_records_jw",
+    "lm_kneser_ney_perplexity",
+    "map_functions_priority",
+    "matryoshka_prefix_recall",
+    "neardup_kcore",
+    "neardup_labelprop",
+    "neardup_link_prediction",
+    "nfc_normalize_docs",
+    "phrase_search_positions",
+    # ---- 50-cap boundary: names below spill to the r15 window -------------
+    "ppjoin_neardup_pairs",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sequence_pack_docs",
+    "set_except_all_priorities",
+    "set_except_cheap_orders",
+    "set_intersect_all_priorities",
+    "source_token_drift",
+    "tar_roundtrip_documents",
+    "tiff_decode_features",
+    "window_value_functions",
+    "zorder_orders_layout",
 ]
 
 

@@ -25,8 +25,11 @@ production consumer.  Implemented:
   repetition levels included: STRUCT (dicts), the standard 3-level
   LIST (lists), and the standard MAP (dicts) reconstruct at ANY
   nesting depth and combination via full Dremel record assembly
-  (Melnik et al., VLDB 2010 §4); only legacy bare repeated fields
-  gate loudly;
+  (Melnik et al., VLDB 2010 §4); legacy pre-standard layouts — bare
+  repeated fields, 2-level lists (repeated primitive / "array" /
+  "*_tuple" / multi-field group directly under a LIST group), and
+  unwrapped repeated MAP_KEY_VALUE groups — decode per the
+  LogicalTypes.md backward-compatibility rules;
 * **values**: PLAIN for boolean (bit-packed) / int32 / int64 / float /
   double / byte_array (u32-length-prefixed) / fixed_len_byte_array /
   int96 (raw 12 bytes; ``int96_to_micros`` converts Spark's legacy
@@ -262,11 +265,10 @@ def schema_leaves(fm: dict) -> dict[str, dict]:
     still serves its flat ones here."""
     out: dict[str, dict] = {}
     for node in _schema_nodes(fm):
-        if node["children"] is not None:
-            continue  # nested column — read_table_native territory
-        if node["repeated"]:
-            raise NotImplementedError(
-                "parquet: bare repeated fields not supported")
+        if node["children"] is not None or node["repeated"]:
+            # nested (or legacy bare-repeated, i.e. an implicit list)
+            # column — read_table_native territory
+            continue
         out[node["name"]] = {
             "phys": node["phys"],
             "optional": node["optional"],
@@ -600,26 +602,56 @@ def _node_spec(node: dict, base_def: int, t_reps: list[int],
     2010 §4).  Kinds: scalar / struct / list (annotated 3-level) /
     map (annotated key_value)."""
     my_path = path + [node["name"]]
+    if node["repeated"]:
+        # Legacy pre-standard layouts: a repeated field with no
+        # LIST-annotated wrapper group (parquet-mr "2-level" lists and
+        # bare repeated fields; parquet-format LogicalTypes.md
+        # backward-compatibility rules).  The repeated node itself IS
+        # the element — required, never null — and the list itself
+        # cannot be null: def == base_def means empty list.
+        t_r = base_def + 1
+        if _is_map(node) and node["children"] is not None \
+                and len(node["children"]) == 2:
+            # legacy `repeated group m (MAP_KEY_VALUE) {key; value;}`
+            # used directly as the map, no annotated outer group
+            knode, vnode = node["children"]
+            if knode["optional"] or knode["children"] is not None:
+                raise ValueError(
+                    "parquet: MAP keys must be required scalars")
+            return {"kind": "map", "t_empty": base_def,
+                    "key": _node_spec(knode, t_r, t_reps + [t_r],
+                                      my_path),
+                    "val": _node_spec(vnode, t_r, t_reps + [t_r],
+                                      my_path)}
+        elem_node = {**node, "repeated": False, "optional": False}
+        elem = _node_spec(elem_node, t_r, t_reps + [t_r], path)
+        return {"kind": "list", "t_empty": base_def, "elem": elem}
     if node["children"] is None:
-        if node["repeated"]:
-            raise NotImplementedError(
-                "parquet: bare repeated fields not supported")
         leaf = _leaf_spec(node, extra_def=base_def,
                           extra_rep=len(t_reps))
         return {"kind": "scalar", "t": leaf["max_def"], "leaf": leaf,
                 "path": my_path, "t_reps": list(t_reps)}
     if _is_list(node):
         mids = node["children"]
-        if len(mids) != 1 or not mids[0]["repeated"] \
-                or mids[0]["children"] is None \
-                or len(mids[0]["children"]) != 1:
+        if len(mids) != 1 or not mids[0]["repeated"]:
             raise NotImplementedError(
-                "parquet: only the standard 3-level LIST layout is "
-                "supported")
+                "parquet: LIST group must contain exactly one repeated "
+                "field")
+        rep = mids[0]
         t_o = base_def + (1 if node["optional"] else 0)
         t_r = t_o + 1
-        elem = _node_spec(mids[0]["children"][0], t_r,
-                          t_reps + [t_r], my_path + [mids[0]["name"]])
+        # Legacy 2-level inside an annotated LIST group: the repeated
+        # child is the element itself (required) when it is a
+        # primitive, a multi-field group, or a group named "array" /
+        # "<list name>_tuple" (LogicalTypes.md backward-compat rules);
+        # otherwise it is the standard 3-level middle group.
+        if rep["children"] is None or len(rep["children"]) != 1 \
+                or rep["name"] in ("array", node["name"] + "_tuple"):
+            elem_node = {**rep, "repeated": False, "optional": False}
+            elem = _node_spec(elem_node, t_r, t_reps + [t_r], my_path)
+            return {"kind": "list", "t_empty": t_o, "elem": elem}
+        elem = _node_spec(rep["children"][0], t_r,
+                          t_reps + [t_r], my_path + [rep["name"]])
         return {"kind": "list", "t_empty": t_o, "elem": elem}
     if _is_map(node):
         mids = node["children"]
@@ -638,9 +670,6 @@ def _node_spec(node: dict, base_def: int, t_reps: list[int],
         return {"kind": "map", "t_empty": t_o,
                 "key": _node_spec(knode, t_r, t_reps + [t_r], kv_path),
                 "val": _node_spec(vnode, t_r, t_reps + [t_r], kv_path)}
-    if node["repeated"]:
-        raise NotImplementedError(
-            "parquet: bare repeated groups not supported")
     t = base_def + (1 if node["optional"] else 0)
     return {"kind": "struct", "t": t, "optional": node["optional"],
             "fields": [(c["name"], _node_spec(c, t, t_reps, my_path))
@@ -812,10 +841,7 @@ def read_table_native(data: bytes) -> dict[str, list]:
     fm = read_footer(data)
     out: dict[str, list] = {}
     for node in _schema_nodes(fm):
-        if node["children"] is None:
-            if node["repeated"]:
-                raise NotImplementedError(
-                    "parquet: bare repeated fields not supported")
+        if node["children"] is None and not node["repeated"]:
             leaf = _leaf_spec(node, 0, 0)
             defs, _r, vals = _column_levels(
                 data, fm, [node["name"]], leaf)
