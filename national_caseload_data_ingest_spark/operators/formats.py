@@ -113,7 +113,8 @@ _PARQUET_NATIVE_ORACLE = r"""
                list_transform(
                    string_split_regex(trim(text), '\s+'),
                    w -> CASE WHEN len(w) % 5 = 0 THEN NULL
-                             ELSE len(w) END) AS lens
+                             ELSE len(w) END) AS lens,
+               string_split_regex(trim(text), '\s+') AS words
         FROM documents
     )
     SELECT doc_id, lang, n_chars, md5(text) AS text_md5,
@@ -144,7 +145,16 @@ _PARQUET_NATIVE_ORACLE = r"""
                      ELSE n_chars END AS BIGINT) AS map_nc,
            CAST(CASE WHEN doc_id % 10 = 0 THEN -1
                      WHEN doc_id % 6 = 0 THEN -2
-                     ELSE len(lens) END AS BIGINT) AS map_wc
+                     ELSE len(lens) END AS BIGINT) AS map_wc,
+           CAST(len(words) AS BIGINT) AS leg_n,
+           CAST(COALESCE(list_sum(
+               list_transform(words, w -> len(w))), 0)
+                AS BIGINT) AS leg_sum,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN -1
+                     ELSE len(words) END AS BIGINT) AS ini_n,
+           CASE WHEN doc_id % 3 = 0 THEN '@null'
+                ELSE array_to_string(
+                    list_transform(words, w -> w[1]), '') END AS ini_cat
     FROM base
 """
 
@@ -163,7 +173,13 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     null elements), one STRUCT column (lang + n_chars, with null
     structs / null fields), and one MAP column (null maps / empty maps
     / null values), so the repetition-level reconstruction and
-    multi-bit definition levels are on the oracle path (r13) — then the
+    multi-bit definition levels are on the oracle path (r13); a second
+    sibling payload carries two more list columns whose layout rotates
+    between pyarrow's standard 3-level and the PRE-STANDARD legacy
+    layouts old parquet-mr files use (bare repeated leaf, 2-level
+    repeated primitive under LIST) via ``write_parquet_legacy``,
+    putting the LogicalTypes.md backward-compat read rules on the
+    oracle path too (r14) — then the
     native reader walks footer → column chunks → Thrift page headers →
     rep/def levels → PLAIN/dictionary/DELTA values, and the
     per-document digests hash-match the raw table.  Two narrow Arrow
@@ -188,10 +204,15 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = int(pdf["doc_id"].min())
         comp = ("snappy", "zstd", "gzip", "none")[key % 4]
         tok_lens, metas, props = [], [], []
+        lens_all, initials = [], []
         for doc_id, text, lang, n_chars in zip(
             pdf["doc_id"], pdf["text"], pdf["lang"], pdf["n_chars"]
         ):
             did = int(doc_id)
+            words = str(text).split()
+            lens_all.append([len(w) for w in words])
+            initials.append(None if did % 3 == 0 else
+                            [w[0] for w in words])
             if did % 11 == 0:
                 tok_lens.append(None)
             elif did % 7 == 0:
@@ -279,7 +300,35 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             data_page_version="2.0" if key % 3 == 0 else "1.0",
             row_group_size=200, **kw,
         )
-        yield pd.DataFrame({"payload": [buf.getvalue()]})
+        # Second payload: two extra list columns whose carrier rotates
+        # between standard pyarrow 3-level layout and the PRE-STANDARD
+        # legacy layouts old parquet-mr files use (bare repeated leaf +
+        # 2-level repeated primitive under a LIST group) — the values
+        # are identical either way, so the oracle is layout-blind and
+        # a legacy-decode bug breaks the hash (r14).
+        doc_ids = [int(x) for x in pdf["doc_id"]]
+        if key % 6 == 2:
+            from national_caseload_data_ingest_spark.sources.parquetdata import (  # noqa: PLC0415
+                write_parquet_legacy,
+            )
+            p2 = write_parquet_legacy(
+                {"doc_id": doc_ids, "lens_all": lens_all,
+                 "initials": initials},
+                {"doc_id": "int64", "lens_all": "bare<int64>",
+                 "initials": "two_level<string>"})
+        else:
+            t2 = pa.table({
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "lens_all": pa.array(lens_all, pa.list_(pa.int64())),
+                "initials": pa.array(initials,
+                                     pa.list_(pa.string())),
+            })
+            buf2 = io.BytesIO()
+            pq.write_table(t2, buf2, compression=comp,
+                           row_group_size=200)
+            p2 = buf2.getvalue()
+        yield pd.DataFrame({"payload": [buf.getvalue()],
+                            "payload2": [p2]})
 
     def dec(batches):
         from national_caseload_data_ingest_spark.sources.parquetdata import (  # noqa: PLC0415
@@ -287,19 +336,26 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         for pdf in batches:
-            for payload in pdf["payload"]:
+            for payload, p2 in zip(pdf["payload"], pdf["payload2"]):
                 cols = read_table_native(bytes(payload))
+                cols2 = read_table_native(bytes(p2))
+                if cols2.pop("doc_id") != cols["doc_id"]:
+                    raise ValueError(
+                        "parquet roundtrip: sibling payloads disagree "
+                        "on row order")
+                cols.update(cols2)
                 yield pd.DataFrame(cols)
 
     payloads = docs.select(
         "doc_id", "text", "lang", "n_chars"
-    ).mapInPandas(enc, schema="payload binary")
+    ).mapInPandas(enc, schema="payload binary, payload2 binary")
     back = payloads.mapInPandas(
         dec,
         schema=(
             "doc_id bigint, text string, lang string, n_chars bigint, "
             "tok_lens array<bigint>, meta struct<lang:string,nc:bigint>, "
-            "props map<string,bigint>"
+            "props map<string,bigint>, lens_all array<bigint>, "
+            "initials array<string>"
         ),
     )
     zero = F.lit(0).cast("long")
@@ -337,6 +393,14 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.size(F.col("props")) == 0, F.lit(-2).cast("long"))
         .otherwise(F.element_at("props", F.lit("wc")).cast("long"))
         .alias("map_wc"),
+        F.size("lens_all").cast("long").alias("leg_n"),
+        F.aggregate("lens_all", zero, lambda acc, x: acc + x)
+        .alias("leg_sum"),
+        F.when(F.col("initials").isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.size("initials").cast("long")).alias("ini_n"),
+        F.when(F.col("initials").isNull(), F.lit("@null"))
+        .otherwise(F.concat_ws("", F.col("initials")))
+        .alias("ini_cat"),
     )
 
 

@@ -26,10 +26,12 @@ production consumer.  Implemented:
   LIST (lists), and the standard MAP (dicts) reconstruct at ANY
   nesting depth and combination via full Dremel record assembly
   (Melnik et al., VLDB 2010 §4); legacy pre-standard layouts — bare
-  repeated fields, 2-level lists (repeated primitive / "array" /
-  "*_tuple" / multi-field group directly under a LIST group), and
-  unwrapped repeated MAP_KEY_VALUE groups — decode per the
-  LogicalTypes.md backward-compatibility rules;
+  repeated fields (incl. bare repeated groups = lists of required
+  structs), 2-level lists (repeated primitive / "array" / "*_tuple" /
+  multi-field group directly under a LIST group), and outer map
+  groups annotated MAP_KEY_VALUE instead of MAP (the hoisted legacy
+  form) — decode per the LogicalTypes.md backward-compatibility
+  rules;
 * **values**: PLAIN for boolean (bit-packed) / int32 / int64 / float /
   double / byte_array (u32-length-prefixed) / fixed_len_byte_array /
   int96 (raw 12 bytes; ``int96_to_micros`` converts Spark's legacy
@@ -608,21 +610,10 @@ def _node_spec(node: dict, base_def: int, t_reps: list[int],
         # bare repeated fields; parquet-format LogicalTypes.md
         # backward-compatibility rules).  The repeated node itself IS
         # the element — required, never null — and the list itself
-        # cannot be null: def == base_def means empty list.
+        # cannot be null: def == base_def means empty list.  A bare
+        # repeated GROUP is a list of required structs, per the
+        # "repeated group with multiple fields" rule.
         t_r = base_def + 1
-        if _is_map(node) and node["children"] is not None \
-                and len(node["children"]) == 2:
-            # legacy `repeated group m (MAP_KEY_VALUE) {key; value;}`
-            # used directly as the map, no annotated outer group
-            knode, vnode = node["children"]
-            if knode["optional"] or knode["children"] is not None:
-                raise ValueError(
-                    "parquet: MAP keys must be required scalars")
-            return {"kind": "map", "t_empty": base_def,
-                    "key": _node_spec(knode, t_r, t_reps + [t_r],
-                                      my_path),
-                    "val": _node_spec(vnode, t_r, t_reps + [t_r],
-                                      my_path)}
         elem_node = {**node, "repeated": False, "optional": False}
         elem = _node_spec(elem_node, t_r, t_reps + [t_r], path)
         return {"kind": "list", "t_empty": base_def, "elem": elem}
@@ -1431,3 +1422,271 @@ def _write_chunk(out: bytearray, leaf: dict, is_flat: bool,
             md_fields.append((12, _T_STRUCT, st))
     md_fields.sort()
     return (offset, total_comp, _t_struct(md_fields))
+
+
+# --- LEGACY-layout writer (fixture path) -------------------------------------
+
+def _legacy_elem(fname: str, rep: int, phys: int | None = None,
+                 n_children: int | None = None,
+                 converted: int | None = None,
+                 logical: bytes | None = None) -> bytes:
+    fields: list[tuple[int, int, object]] = []
+    if phys is not None:
+        fields.append((1, _T_I32, phys))
+    fields.append((3, _T_I32, rep))
+    fields.append((4, _T_BINARY, fname.encode("utf-8")))
+    if n_children is not None:
+        fields.append((5, _T_I32, n_children))
+    if converted is not None:
+        fields.append((6, _T_I32, converted))
+    if logical is not None:
+        fields.append((10, _T_STRUCT, logical))
+    return _t_struct(fields)
+
+
+def _parse_legacy_type(t: str):
+    """('scalar', typ) | ('bare', typ) | ('two_level', typ)
+    | ('two_level_struct', [(name, typ), ...], wrapper_name)
+    | ('legacy_map', ktyp, vtyp)."""
+    t = t.strip()
+    for kind in ("bare", "two_level_struct", "two_level", "legacy_map"):
+        if t.startswith(kind + "<") and t.endswith(">"):
+            inner = t[len(kind) + 1 : -1]
+            if kind == "two_level_struct":
+                wrapper = "array"
+                if "|" in inner:
+                    inner, wrapper = inner.rsplit("|", 1)
+                fields = []
+                for part in _split_type_args(inner):
+                    fname, ftyp = part.split(":", 1)
+                    if ftyp.strip() not in _WRITE_PHYS:
+                        raise ValueError(
+                            "legacy writer: struct fields must be scalars")
+                    fields.append((fname.strip(), ftyp.strip()))
+                return (kind, fields, wrapper.strip())
+            if kind == "legacy_map":
+                k, v = _split_type_args(inner)
+                return (kind, k.strip(), v.strip())
+            if inner not in _WRITE_PHYS:
+                raise ValueError(f"legacy writer: bad element type {inner!r}")
+            return (kind, inner)
+    if t in _WRITE_PHYS:
+        return ("scalar", t)
+    raise ValueError(f"legacy writer: unsupported type {t!r}")
+
+
+def write_parquet_legacy(cols: dict[str, list], types: dict[str, str],
+                         codec: str = "none") -> bytes:
+    """Hand-built PRE-STANDARD-layout parquet writer — the fixture twin
+    of the reader's LogicalTypes.md backward-compatibility support.
+    Emits the legacy layouts old parquet-mr files carry, which NO
+    in-sandbox library will produce (pyarrow only writes 3-level):
+
+    * ``bare<T>``: top-level ``repeated T name`` — an implicit
+      required list of required elements ([] allowed, None not);
+    * ``two_level<T>``: ``optional group name (LIST) { repeated T
+      element; }`` — nullable list of required elements;
+    * ``two_level_struct<a:T,...[|wrapper]>``: ``optional group name
+      (LIST) { repeated group <wrapper> { required fields... } }`` —
+      the repeated group IS the element (multi-field, or named
+      "array"/"<name>_tuple");
+    * ``legacy_map<K,V>``: ``optional group name (MAP_KEY_VALUE) {
+      repeated group map { required K key; optional V value; } }`` —
+      the hoisted legacy form where the OUTER group carries
+      MAP_KEY_VALUE instead of MAP.
+
+    pyarrow READS all four layouts (its reader implements the same
+    backward-compat rules), so tests validate these bytes against an
+    independent decoder."""
+    codec_id = _WRITE_CODECS[codec]
+
+    def compress(raw: bytes) -> bytes:
+        if codec == "none":
+            return raw
+        if codec == "snappy":
+            from national_caseload_data_ingest_spark.sources.blockcodecs import (  # noqa: PLC0415
+                snappy_encode,
+            )
+            return snappy_encode(raw)
+        raise ValueError("legacy writer: codec must be none or snappy")
+
+    names = list(cols)
+    n_rows = len(cols[names[0]]) if names else 0
+    parsed = {n: _parse_legacy_type(types[n]) for n in names}
+
+    schema: list[bytes] = [_t_struct([
+        (4, _T_BINARY, b"schema"),
+        (5, _T_I32, len(names)),
+    ])]
+    leaves: list[dict] = []  # {path, typ, max_def, max_rep, shred}
+    _LIST_LOGI = _t_struct([(3, _T_STRUCT, _t_struct([]))])
+    for name in names:
+        p = parsed[name]
+        kind = p[0]
+        if kind == "scalar":
+            typ = p[1]
+            schema.append(_legacy_elem(
+                name, 1, phys=_WRITE_PHYS[typ],
+                converted=0 if typ == "string" else None))
+            leaves.append({"path": [name], "typ": typ,
+                           "max_def": 1, "max_rep": 0, "col": name,
+                           "shape": "scalar"})
+        elif kind == "bare":
+            typ = p[1]
+            schema.append(_legacy_elem(
+                name, 2, phys=_WRITE_PHYS[typ],
+                converted=0 if typ == "string" else None))
+            leaves.append({"path": [name], "typ": typ,
+                           "max_def": 1, "max_rep": 1, "col": name,
+                           "shape": "bare"})
+        elif kind == "two_level":
+            typ = p[1]
+            schema.append(_legacy_elem(name, 1, n_children=1,
+                                       converted=3, logical=_LIST_LOGI))
+            schema.append(_legacy_elem(
+                "element", 2, phys=_WRITE_PHYS[typ],
+                converted=0 if typ == "string" else None))
+            leaves.append({"path": [name, "element"], "typ": typ,
+                           "max_def": 2, "max_rep": 1, "col": name,
+                           "shape": "two_level"})
+        elif kind == "two_level_struct":
+            fields, wrapper = p[1], p[2]
+            schema.append(_legacy_elem(name, 1, n_children=1,
+                                       converted=3, logical=_LIST_LOGI))
+            schema.append(_legacy_elem(wrapper, 2,
+                                       n_children=len(fields)))
+            for fname, ftyp in fields:
+                schema.append(_legacy_elem(
+                    fname, 0, phys=_WRITE_PHYS[ftyp],
+                    converted=0 if ftyp == "string" else None))
+                leaves.append({"path": [name, wrapper, fname],
+                               "typ": ftyp, "max_def": 2, "max_rep": 1,
+                               "col": name, "shape": "two_level_field",
+                               "field": fname})
+        else:  # legacy_map (hoisted MAP_KEY_VALUE on the outer group)
+            ktyp, vtyp = p[1], p[2]
+            schema.append(_legacy_elem(name, 1, n_children=1,
+                                       converted=2))
+            schema.append(_legacy_elem("map", 2, n_children=2))
+            schema.append(_legacy_elem(
+                "key", 0, phys=_WRITE_PHYS[ktyp],
+                converted=0 if ktyp == "string" else None))
+            schema.append(_legacy_elem(
+                "value", 1, phys=_WRITE_PHYS[vtyp],
+                converted=0 if vtyp == "string" else None))
+            leaves.append({"path": [name, "map", "key"], "typ": ktyp,
+                           "max_def": 2, "max_rep": 1, "col": name,
+                           "shape": "map_key"})
+            leaves.append({"path": [name, "map", "value"], "typ": vtyp,
+                           "max_def": 3, "max_rep": 1, "col": name,
+                           "shape": "map_value"})
+
+    # Dremel shredding per leaf, legacy thresholds: the repeated level
+    # itself is the only def contributor besides an optional outer
+    # LIST group / optional map value.
+    streams = []
+    for lf in leaves:
+        defs: list[int] = []
+        reps: list[int] = []
+        present: list = []
+        shape = lf["shape"]
+        for row in cols[lf["col"]]:
+            if shape == "scalar":
+                if row is None:
+                    defs.append(0)
+                else:
+                    defs.append(1)
+                    present.append(row)
+                reps.append(0)
+                continue
+            if shape == "bare":
+                if row is None:
+                    raise ValueError(
+                        "legacy writer: bare repeated lists cannot be "
+                        "null (use [] — the layout has no null slot)")
+                if not row:
+                    defs.append(0)
+                    reps.append(0)
+                    continue
+                for j, v in enumerate(row):
+                    if v is None:
+                        raise ValueError(
+                            "legacy writer: legacy list elements are "
+                            "required")
+                    defs.append(1)
+                    reps.append(0 if j == 0 else 1)
+                    present.append(v)
+                continue
+            if shape in ("two_level", "two_level_field"):
+                if row is None:
+                    defs.append(0)
+                    reps.append(0)
+                    continue
+                if not row:
+                    defs.append(1)
+                    reps.append(0)
+                    continue
+                for j, v in enumerate(row):
+                    e = v[lf["field"]] if shape == "two_level_field" \
+                        else v
+                    if e is None:
+                        raise ValueError(
+                            "legacy writer: legacy list elements are "
+                            "required")
+                    defs.append(2)
+                    reps.append(0 if j == 0 else 1)
+                    present.append(e)
+                continue
+            # map_key / map_value (outer optional, repeated kv group)
+            if row is None:
+                defs.append(0)
+                reps.append(0)
+                continue
+            if not row:
+                defs.append(1)
+                reps.append(0)
+                continue
+            for j, (k, v) in enumerate(row.items()):
+                r = 0 if j == 0 else 1
+                if shape == "map_key":
+                    if k is None:
+                        raise ValueError(
+                            "legacy writer: map keys are required")
+                    defs.append(2)
+                    present.append(k)
+                else:
+                    if v is None:
+                        defs.append(2)
+                    else:
+                        defs.append(3)
+                        present.append(v)
+                reps.append(r)
+        streams.append({"path": lf["path"], "typ": lf["typ"],
+                        "defs": defs, "reps": reps, "present": present,
+                        "max_def": lf["max_def"],
+                        "max_rep": lf["max_rep"]})
+
+    out = bytearray(b"PAR1")
+    chunk_metas = [
+        _write_chunk(out, st, False, codec_id, compress, False, 1)
+        for st in streams
+    ]
+    chunks = [
+        _t_struct([(2, _T_I64, off), (3, _T_STRUCT, md)])
+        for off, _sz, md in chunk_metas
+    ]
+    row_group = _t_struct([
+        (1, _T_LIST, (_T_STRUCT, chunks)),
+        (2, _T_I64, sum(sz for _o, sz, _m in chunk_metas)),
+        (3, _T_I64, n_rows),
+    ])
+    footer = _t_struct([
+        (1, _T_I32, 1),
+        (2, _T_LIST, (_T_STRUCT, schema)),
+        (3, _T_I64, n_rows),
+        (4, _T_LIST, (_T_STRUCT, [row_group])),
+        (6, _T_BINARY, b"ncd-spark legacy-layout fixture writer"),
+    ])
+    out += footer
+    out += struct.pack("<I", len(footer)) + b"PAR1"
+    return bytes(out)

@@ -244,19 +244,20 @@ def test_nested_any_depth_matches_pyarrow():
 
 
 def test_gates_are_loud():
-    """The one remaining reader gate: legacy BARE repeated fields
-    (no LIST/MAP annotation) still fail loudly, never decode wrong."""
-    # hand-build via the writer twin is impossible (the DSL never emits
-    # bare repeated); pyarrow can't either — drive the spec walk
-    # directly with a forged schema node.
+    """Reader gates fail loudly, never decode wrong — and the former
+    bare-repeated gate is now a supported legacy layout (r14): the
+    spec walk compiles it to an implicit required list."""
     from national_caseload_data_ingest_spark.sources.parquetdata import (
         _node_spec,
     )
     bare = {"name": "r", "optional": False, "repeated": True,
             "phys": 2, "type_length": 0, "utf8": False,
             "converted": None, "logical": {}, "children": None}
-    with pytest.raises(NotImplementedError, match="bare repeated"):
-        _node_spec(bare, 0, [], [])
+    spec = _node_spec(bare, 0, [], [])
+    assert spec["kind"] == "list" and spec["t_empty"] == 0
+    assert spec["elem"]["kind"] == "scalar"
+    assert spec["elem"]["leaf"]["max_def"] == 1
+    assert spec["elem"]["leaf"]["max_rep"] == 1
     # unknown column
     t2 = pa.table({"k": pa.array([1], pa.int64())})
     buf = io.BytesIO()
@@ -852,3 +853,117 @@ def test_merge_tokens_rejects_sibling_nullness_disagreement():
     # corrupt: leaf 0 says null struct, leaf 1 carries data
     with pytest.raises(ValueError, match="sibling leaves disagree"):
         _merge_tokens(spec, {0: (0, None), 1: (2, 9)})
+
+
+# --- legacy pre-standard layouts (LogicalTypes.md backward-compat) ----------
+
+
+def _legacy_file():
+    """One file exercising every legacy layout the reader claims:
+    bare repeated leaf, 2-level repeated primitive under LIST, 2-level
+    repeated multi-field group ("array") under LIST, and the hoisted
+    MAP_KEY_VALUE outer map — written by the repo's fixture writer
+    (pyarrow cannot produce these layouts)."""
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet_legacy,
+    )
+
+    n = 400
+    cols = {
+        "doc_id": list(range(n)),
+        "nums": [[] if i % 7 == 0 else [i * 3 + j for j in range(i % 5)]
+                 for i in range(n)],
+        "tags": [None if i % 11 == 0 else
+                 [] if i % 6 == 0 else
+                 [f"t{i % 13}-{j}" for j in range(i % 4 + 1)]
+                 for i in range(n)],
+        "pts": [None if i % 9 == 0 else
+                [] if i % 8 == 0 else
+                [{"x": i + j, "y": i * j} for j in range(i % 3 + 1)]
+                for i in range(n)],
+        "kv": [None if i % 10 == 0 else
+               {} if i % 5 == 0 else
+               {f"k{j}": None if (i + j) % 4 == 0 else i * 10 + j
+                for j in range(i % 3 + 1)}
+               for i in range(n)],
+    }
+    types = {
+        "doc_id": "int64",
+        "nums": "bare<int64>",
+        "tags": "two_level<string>",
+        "pts": "two_level_struct<x:int64,y:int64>",
+        "kv": "legacy_map<string,int64>",
+    }
+    return write_parquet_legacy(cols, types), cols
+
+
+def test_legacy_layouts_native_read():
+    data, cols = _legacy_file()
+    got = read_table_native(data)
+    assert got["doc_id"] == cols["doc_id"]
+    assert got["nums"] == cols["nums"]
+    assert got["tags"] == cols["tags"]
+    assert got["pts"] == cols["pts"]
+    assert got["kv"] == cols["kv"]
+
+
+def test_legacy_layouts_match_pyarrow():
+    # pyarrow's reader implements the same backward-compat rules, so it
+    # independently validates the hand-built legacy bytes AND pins the
+    # native reader's interpretation of each layout.
+    data, _cols = _legacy_file()
+    t = pq.read_table(io.BytesIO(data))
+    got = read_table_native(data)
+    assert t.column("doc_id").to_pylist() == got["doc_id"]
+    assert t.column("nums").to_pylist() == got["nums"]
+    assert t.column("tags").to_pylist() == got["tags"]
+    assert t.column("pts").to_pylist() == got["pts"]
+    # pyarrow surfaces parquet maps as lists of (key, value) tuples
+    pk = [None if m is None else dict(m)
+          for m in t.column("kv").to_pylist()]
+    assert pk == got["kv"]
+
+
+def test_legacy_tuple_named_group_is_element():
+    # `repeated group <name>_tuple { ... }` under LIST: the repeated
+    # group is the ELEMENT (struct), not a 3-level middle group, even
+    # though it has exactly one field.
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet_legacy,
+    )
+
+    rows = [[{"v": 1}, {"v": 2}], None, [], [{"v": 9}]]
+    data = write_parquet_legacy(
+        {"xs": rows}, {"xs": "two_level_struct<v:int64|xs_tuple>"})
+    got = read_table_native(data)
+    assert got["xs"] == rows
+    assert pq.read_table(io.BytesIO(data)).column("xs").to_pylist() == rows
+
+
+def test_legacy_bare_repeated_skipped_by_flat_reader():
+    # schema_leaves serves only flat scalars; a bare repeated leaf is
+    # an implicit list and must route to read_table_native, not raise.
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        read_footer,
+        schema_leaves,
+    )
+
+    data, _cols = _legacy_file()
+    leaves = schema_leaves(read_footer(data))
+    assert set(leaves) == {"doc_id"}
+    # the flat column still reads via the direct path
+    assert read_column(data, "doc_id") == list(range(400))
+
+
+def test_legacy_writer_rejects_unrepresentable_values():
+    from national_caseload_data_ingest_spark.sources.parquetdata import (
+        write_parquet_legacy,
+    )
+
+    with pytest.raises(ValueError, match="cannot be null"):
+        write_parquet_legacy({"xs": [None]}, {"xs": "bare<int64>"})
+    with pytest.raises(ValueError, match="required"):
+        write_parquet_legacy({"xs": [[1, None]]}, {"xs": "bare<int64>"})
+    with pytest.raises(ValueError, match="required"):
+        write_parquet_legacy(
+            {"xs": [[None]]}, {"xs": "two_level<int64>"})
