@@ -69,9 +69,43 @@ def frame_signature(pdf) -> tuple[int, list[str], list[str]]:
     return len(rows), cols, rows
 
 
+def _rows_match_tol(srows: list[str], orows: list[str],
+                    rel_tol: float) -> bool:
+    """Pairwise compare of sorted normalized rows with a relative
+    tolerance on numeric cells.  OPT-IN (--rel-tol), for large-SF
+    replays only: at millions of rows, double-precision aggregates
+    legitimately diverge in the last couple of significant digits
+    because Spark and DuckDB sum in different orders — the driver's
+    exact-hash gate at sf0.01 is NOT relaxed by this."""
+    if len(srows) != len(orows):
+        return False
+    for a, b in zip(srows, orows):
+        if a == b:
+            continue
+        ca, cb = a.split("|"), b.split("|")
+        if len(ca) != len(cb):
+            return False
+        for x, y in zip(ca, cb):
+            if x == y:
+                continue
+            try:
+                fx, fy = float(x), float(y)
+            except ValueError:
+                return False
+            if not math.isclose(fx, fy, rel_tol=rel_tol, abs_tol=1e-9):
+                return False
+    return True
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    rel_tol = 0.0
+    if "--rel-tol" in argv:
+        i = argv.index("--rel-tol")
+        rel_tol = float(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, REPO)
     import __spark_entry__ as ent
@@ -129,14 +163,20 @@ def main() -> int:
             status.append(f"rowcount {sn} != {on}")
         if scols != ocols:
             status.append(f"columns {scols} != {ocols}")
+        tol_note = ""
         if srows != orows:
-            ndiff = sum(1 for a, b in zip(srows, orows) if a != b)
-            status.append(f"values differ ({ndiff} of {max(sn, on)} rows)")
-            for a, b in list(zip(srows, orows))[:200]:
-                if a != b:
-                    status.append(f"  spark : {a[:240]}")
-                    status.append(f"  duckdb: {b[:240]}")
-                    break
+            if rel_tol and sn == on and scols == ocols \
+                    and _rows_match_tol(srows, orows, rel_tol):
+                tol_note = f" [float-tol {rel_tol:g}]"
+            else:
+                ndiff = sum(1 for a, b in zip(srows, orows) if a != b)
+                status.append(
+                    f"values differ ({ndiff} of {max(sn, on)} rows)")
+                for a, b in list(zip(srows, orows))[:200]:
+                    if a != b:
+                        status.append(f"  spark : {a[:240]}")
+                        status.append(f"  duckdb: {b[:240]}")
+                        break
         # dtype comparison (informational — driver checks schema too)
         def _dt(x: str) -> str:
             # pandas datetime unit (ns vs us) is a toPandas artifact, not a
@@ -151,7 +191,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(status))
         else:
-            print(f"ok   {name}: {sn} rows match ({time.time()-t0:.1f}s)")
+            print(f"ok   {name}: {sn} rows match "
+                  f"({time.time()-t0:.1f}s){tol_note}")
     print(f"\n{len(failures)} failures" + (": " + ", ".join(failures) if failures else ""))
     return 1 if failures else 0
 

@@ -200,6 +200,87 @@ def gen_events(out_dir: str, rng: np.random.Generator) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "events.parquet"))
 
 
+def gen_tpch(out_dir: str, rng: np.random.Generator) -> None:
+    """The TPC-H-ish tables xSCALE (r14: the full-catalog sf1 replay
+    needs every table, not just the four the heavy queries load).
+    Dimensions keep their key layout (sequential 0-based keys, name
+    patterns, empirical category marginals); lineitem resamples WHOLE
+    rows (preserving intra-row correlations like extendedprice ~
+    quantity) and reassigns keys: per-order line counts drawn from the
+    empirical distribution, part/supp keys uniform over the scaled
+    ranges.  region/nation are fixed-size and copy verbatim."""
+    for t in ("region", "nation"):
+        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"),
+                       os.path.join(out_dir, f"{t}.parquet"))
+
+    n_cust = 15_000 * SCALE
+    mkts = [r[0] for r in duckdb.sql(
+        f"SELECT c_mktsegment FROM '{SRC}/customer.parquet'").fetchall()]
+    pick = rng.integers(0, len(mkts), n_cust)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{k:09d}" for k in range(n_cust)],
+                           pa.string()),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 10_000, n_cust), 2),
+                              pa.float64()),
+        "c_mktsegment": pa.array([mkts[int(i)] for i in pick], pa.string()),
+    }), os.path.join(out_dir, "customer.parquet"))
+
+    n_supp = 1_000 * SCALE
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{k:09d}" for k in range(n_supp)],
+                           pa.string()),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": pa.array(np.round(rng.uniform(-999, 10_000, n_supp), 2),
+                              pa.float64()),
+    }), os.path.join(out_dir, "supplier.parquet"))
+
+    n_part = 20_000 * SCALE
+    prows = duckdb.sql(
+        f"SELECT p_name, p_brand, p_type FROM '{SRC}/part.parquet'"
+    ).fetchall()
+    pick = rng.integers(0, len(prows), n_part)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(n_part), pa.int64()),
+        "p_name": pa.array([prows[int(i)][0] for i in pick], pa.string()),
+        "p_brand": pa.array([prows[int(i)][1] for i in pick], pa.string()),
+        "p_type": pa.array([prows[int(i)][2] for i in pick], pa.string()),
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": pa.array(
+            np.round(900.0 + (np.arange(n_part) % 1000) * 0.1, 2),
+            pa.float64()),
+    }), os.path.join(out_dir, "part.parquet"))
+
+    # lineitem: empirical per-order line counts, whole-row resampling
+    n_orders = 150_000 * SCALE
+    counts = [r[0] for r in duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SRC}/lineitem.parquet'"
+        " GROUP BY l_orderkey").fetchall()]
+    per_order = np.array(counts)[rng.integers(0, len(counts), n_orders)]
+    n_li = int(per_order.sum())
+    lrows = duckdb.sql(
+        "SELECT l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate"
+        f" FROM '{SRC}/lineitem.parquet'").arrow()
+    pick = rng.integers(0, lrows.num_rows, n_li)
+    okeys = np.repeat(np.arange(n_orders, dtype=np.int64), per_order)
+    linenos = (np.arange(n_li, dtype=np.int64)
+               - np.repeat(np.cumsum(per_order) - per_order, per_order)
+               + 1)
+    cols = {
+        "l_orderkey": pa.array(okeys, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(linenos.astype(np.int32), pa.int32()),
+    }
+    for name in ("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"):
+        cols[name] = lrows.column(name).take(pa.array(pick))
+    pq.write_table(pa.table(cols), os.path.join(out_dir, "lineitem.parquet"))
+
+
 def main() -> None:
     global SCALE, TAIL_FRAC, TAIL_VOCAB
     args = sys.argv[1:]
@@ -228,7 +309,10 @@ def main() -> None:
     gen_embeddings(out_dir, rng)
     gen_orders(out_dir, rng)
     gen_events(out_dir, rng)
-    for t in ("documents", "embeddings", "orders", "events"):
+    gen_tpch(out_dir, rng)
+    for t in ("documents", "embeddings", "orders", "events",
+              "region", "nation", "customer", "supplier", "part",
+              "lineitem"):
         n = duckdb.sql(
             f"SELECT COUNT(*) FROM '{out_dir}/{t}.parquet'"
         ).fetchone()[0]
