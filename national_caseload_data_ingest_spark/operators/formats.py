@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from national_caseload_data_ingest_spark.functions import dsum
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -346,9 +347,9 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cols.update(cols2)
                 yield pd.DataFrame(cols)
 
-    payloads = docs.select(
+    payloads = fan_out(docs.select(
         "doc_id", "text", "lang", "n_chars"
-    ).mapInPandas(enc, schema="payload binary, payload2 binary")
+    )).mapInPandas(enc, schema="payload binary, payload2 binary")
     back = payloads.mapInPandas(
         dec,
         schema=(
@@ -823,7 +824,8 @@ def sqlite_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "n_chars"],
                 )
 
-    payloads = docs.mapInPandas(enc, schema="payload binary, wal binary")
+    payloads = fan_out(docs).mapInPandas(
+        enc, schema="payload binary, wal binary")
     back = payloads.mapInPandas(
         dec,
         schema="doc_id bigint, text string, lang string, "
@@ -971,7 +973,7 @@ def mime_message_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    out = docs.select("doc_id", "text").mapInPandas(
+    out = fan_out(docs.select("doc_id", "text")).mapInPandas(
         kernel,
         schema="doc_id bigint, subject string, sender string, "
                "date_epoch bigint, n_leaves bigint, max_depth bigint, "
@@ -1045,7 +1047,7 @@ def mbox_thread_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"doc_id": i, **stats})
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(
+    return fan_out(docs.select("doc_id")).mapInPandas(
         kernel,
         schema="doc_id bigint, n_messages bigint, n_threads bigint, "
                "max_thread_len bigint, n_from_lines bigint",
@@ -1147,7 +1149,7 @@ def protobuf_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows)
 
-    payloads = events.mapInPandas(enc, schema="payload binary")
+    payloads = fan_out(events).mapInPandas(enc, schema="payload binary")
     back = payloads.mapInPandas(
         dec,
         schema="event_id bigint, ts_micros bigint, user_id bigint, "
@@ -1278,7 +1280,7 @@ def encode_tar_partitions(df: DataFrame) -> DataFrame:
         if n:
             yield pd.DataFrame({"payload": [sink.getvalue()]})
 
-    return df.mapInPandas(enc, "payload binary")
+    return fan_out(df).mapInPandas(enc, "payload binary")
 
 
 def decode_tar_payloads(payloads: DataFrame) -> DataFrame:
@@ -1665,7 +1667,7 @@ def git_pack_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         kernel,
         schema="doc_id bigint, n_objects bigint, n_blobs bigint, "
                "blob0_md5 string, blob1_md5 string, "
@@ -1711,7 +1713,8 @@ def snappy_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    back = docs.select("doc_id", "lang", "n_chars", "text").mapInPandas(
+    back = fan_out(
+        docs.select("doc_id", "lang", "n_chars", "text")).mapInPandas(
         kernel,
         schema="doc_id bigint, lang string, n_chars bigint, text string",
     )
@@ -1839,7 +1842,7 @@ def zip_member_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         kernel,
         schema="doc_id bigint, n_members bigint, total_bytes bigint, "
                "member_md5 string, n_deflated bigint, "
@@ -1913,7 +1916,7 @@ def pdf_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         kernel,
         schema="doc_id bigint, n_pages bigint, text_md5 string, "
                "n_chars bigint",

@@ -319,6 +319,13 @@ def encode_partitions(df: DataFrame) -> DataFrame:
         if rows:
             yield pd.DataFrame({"payload": [msgpack_encode_rows(rows)]})
 
+    # Fan out before the CPU-bound kernel: the scan's partition
+    # count is the file-split count, and a single small parquet
+    # file serializes the whole Python encode onto a few cores
+    # (measured 40x at sf1 on avro_nested_roundtrip).  At 100 TB
+    # inputs arrive in thousands of splits and this is a no-op-cost
+    # straggler guard -- same policy as operators/multimodal.fan_out.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df.mapInPandas(kernel, schema="payload binary")
 
 
