@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -185,7 +186,7 @@ def _encode_kernel(merges: list[tuple[str, str]]):
 def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Per-document BPE segmentation statistics under a learned merge
     list — one narrow Arrow pass, no shuffle."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         _encode_kernel(merges),
         schema=(
             "doc_id bigint, n_words bigint, n_tokens bigint, "

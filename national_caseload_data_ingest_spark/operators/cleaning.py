@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -376,7 +377,7 @@ def keyword_tag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.select("doc_id", "text").mapInPandas(
+    return fan_out(d.select("doc_id", "text")).mapInPandas(
         kernel, schema="doc_id bigint, total_hits bigint, distinct_patterns int"
     )
 
@@ -564,7 +565,7 @@ def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return decorated.mapInPandas(
+    return fan_out(decorated).mapInPandas(
         kernel,
         schema=(
             "doc_id bigint, len_raw bigint, len_nfc bigint, "
@@ -852,7 +853,7 @@ def mojibake_repair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return decorated.mapInPandas(
+    return fan_out(decorated).mapInPandas(
         kernel,
         schema=(
             "doc_id bigint, repaired int, len_raw bigint, "
@@ -938,7 +939,7 @@ def invisible_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return decorated.mapInPandas(
+    return fan_out(decorated).mapInPandas(
         kernel,
         schema=(
             "doc_id bigint, n_invisible bigint, len_clean bigint, "

@@ -37,6 +37,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -117,9 +118,9 @@ def project(embeddings: DataFrame, comps, mean) -> DataFrame:
     schema = "vec_id bigint, label int, " + ", ".join(
         f"pc{i + 1} double" for i in range(k)
     )
-    return embeddings.select("vec_id", "label", "embedding").mapInPandas(
-        kernel, schema=schema
-    )
+    return fan_out(
+        embeddings.select("vec_id", "label", "embedding")
+    ).mapInPandas(kernel, schema=schema)
 
 
 @query("embedding_pca_projection", oracle=None)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -329,7 +330,7 @@ def json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["path", "jtype"])
 
-    pairs = e.select("event_id").mapInPandas(
+    pairs = fan_out(e.select("event_id")).mapInPandas(
         kernel, schema="path string, jtype string"
     )
     return pairs.groupBy("path", "jtype").agg(

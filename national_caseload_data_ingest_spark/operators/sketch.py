@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -354,7 +355,7 @@ def misra_gries_candidates(tokens: DataFrame, k: int = MG_K) -> DataFrame:
         )
 
     return (
-        tokens.mapInPandas(kernel, schema="tok string, w bigint")
+        fan_out(tokens).mapInPandas(kernel, schema="tok string, w bigint")
         .groupBy("tok")
         .agg(F.sum("w").alias("w"))
     )
@@ -457,7 +458,9 @@ def mrl_sketch(df: DataFrame, col: str, s: int = MRL_S) -> DataFrame:
     """(pid, value, weight) sample relation — ≤ s rows per partition,
     mergeable by plain UNION (two corpora's samples are a valid sample
     of the union, with certificates adding)."""
-    return df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+    return fan_out(
+        df.select(F.col(col).cast("double").alias(col))
+    ).mapInPandas(
         _mrl_kernel(col, s), schema="pid bigint, value double, weight bigint"
     )
 

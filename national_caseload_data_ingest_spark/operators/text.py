@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -1420,7 +1421,7 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.select("doc_id", "text").mapInPandas(
+    return fan_out(d.select("doc_id", "text")).mapInPandas(
         kernel,
         schema=(
             "doc_id bigint, raw_len bigint, zlib_len bigint, "

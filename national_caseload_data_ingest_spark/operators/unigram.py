@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from national_caseload_data_ingest_spark.operators.bpe import (
     word_frequencies,
 )
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -246,7 +247,7 @@ def _encode_kernel(logp: dict[str, float]):
 def unigram_encode(docs: DataFrame, logp: dict[str, float]) -> DataFrame:
     """(doc_id, n_tokens, n_chars) under the trained model — one narrow
     Arrow pass, model as a closure constant."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         _encode_kernel(logp),
         schema="doc_id bigint, n_tokens bigint, n_chars bigint",
     )
@@ -391,7 +392,7 @@ def unigram_frozen_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
     logp = {p: float(s) for p, s in UNIGRAM_FROZEN_SCORES.items()}
-    return d.select("doc_id", "text").mapInPandas(
+    return fan_out(d.select("doc_id", "text")).mapInPandas(
         _frozen_encode_kernel(logp),
         schema=(
             "doc_id bigint, n_words bigint, n_tokens bigint, "

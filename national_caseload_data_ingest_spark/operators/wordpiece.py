@@ -45,6 +45,7 @@ from national_caseload_data_ingest_spark.operators.bpe import (
     MAX_VOCAB_WORDS,
     word_frequencies,
 )
+from national_caseload_data_ingest_spark.operators.multimodal import fan_out
 from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
@@ -157,7 +158,7 @@ def _encode_kernel(vocab: frozenset[str], firsts_n: int = 8):
 def wordpiece_encode(docs: DataFrame, vocab) -> DataFrame:
     """Per-document WordPiece stats under ``vocab`` — one narrow Arrow
     pass, no shuffle."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         _encode_kernel(frozenset(vocab)),
         schema=(
             "doc_id bigint, n_words bigint, n_wp_tokens bigint, "
