@@ -218,6 +218,11 @@ HEADLINE = [
     "parquet_native_roundtrip",
     "bpe_frozen_encode",
     "unigram_frozen_encode",
+    # round 14: the frozen-permutation LSH candidate pipeline (the
+    # oracle-backed twin of the streaming near-dup path) — banded
+    # signature generation + bucket self-join is the shuffle shape the
+    # whole dedup family rides on
+    "streaming_lsh_frozen_candidates",
 ]
 
 
