@@ -118,8 +118,20 @@ def _ngram_posting_batches(n: int):
 
 def word_ngram_postings(d: DataFrame, n: int) -> DataFrame:
     """Distinct word-n-gram postings — :func:`word_bigram_postings`
-    generalized (decontamination uses trigrams, MinHash uses bigrams)."""
-    return d.select("doc_id", "lang", "text").mapInPandas(
+    generalized (decontamination uses trigrams, MinHash uses bigrams).
+
+    The shingle kernel input is round-robin fanned out past the scan's
+    file-split width (r14, guide §2.6/§6 small-file pathology): a single
+    small parquet file scans as ONE split, which serialized every
+    downstream dedup/curation pipeline's tokenize pass onto one core —
+    the same multimodal.fan_out policy every other heavy kernel entry
+    point applies.  At 100 TB inputs arrive in thousands of splits and
+    the skinny-row exchange is a no-op-cost straggler guard."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    return fan_out(d.select("doc_id", "lang", "text")).mapInPandas(
         _ngram_posting_batches(n), schema=_POSTINGS_SCHEMA
     )
 
@@ -521,6 +533,15 @@ def jaccard_pairs_in_blocks(
     of one task per block, so a 5-lang corpus uses all 32 cores rather
     than 5 (measured: the sf1 en block alone held one core for minutes
     under the matmul kernel)."""
+    # Materialize the postings ONCE (r14): the stats job below and the
+    # final kernel each re-ran the whole upstream tokenize pass (two
+    # MapInPandas executions per call — visible as two identical
+    # subtrees in the before-plans).  An eager localCheckpoint runs the
+    # pass once and both consumers read the materialized rows; it lives
+    # only for this invocation (no cross-run cache).  On a real cluster
+    # prefer reliable checkpoint; at 100 TB one tokenize scan instead
+    # of two is the same trade.
+    postings = postings.localCheckpoint(eager=True)
     # ONE stats job (per-block distinct docs + grams).  The global
     # distinct-gram count is bracketed by [max g_b, Σ g_b]; routing uses
     # the conservative end of each comparison so the decision is safe

@@ -56,12 +56,18 @@ def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS) -> DataFrame:
     PR_0(u) = 1/N;  PR_{t+1}(u) = 0.15/N + 0.85·Σ_{v∈Γ(u)} PR_t(v)/deg(v)
     over nodes appearing in at least one edge (N = |nodes|).
     """
-    # Materialize the symmetrized edges ONCE: the loop below re-scans this
-    # relation every iteration, and without a barrier Spark recomputes its
-    # full upstream lineage (here: the exact near-dup verification kernel)
-    # n_iter times — measured at ~10× the whole query's wall time at
-    # sf0.1.  localCheckpoint caches into executor block storage; use
-    # reliable checkpoint on a real cluster (kcore below, same convention).
+    # Materialize the edge relation ONCE, before symmetrizing: the union
+    # below references ``edges`` twice, so without a barrier the upstream
+    # lineage (here: the exact near-dup verification kernel) runs once
+    # PER BRANCH, and the loop re-scans the symmetrized relation every
+    # iteration (measured at ~10× the whole query's wall time at sf0.1
+    # without any barrier).  r14: the checkpoint moved from the union
+    # result to the edge input — the pre-barrier plan still computed the
+    # pair kernel twice (2 MapInPandas subtrees in the before-plan); now
+    # it runs once and both union branches read the materialized rows.
+    # localCheckpoint caches into executor block storage; use reliable
+    # checkpoint on a real cluster (kcore below, same convention).
+    edges = edges.localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(

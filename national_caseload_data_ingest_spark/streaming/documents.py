@@ -102,6 +102,36 @@ def _band_bucket_batches(perms: int, bands: int):
 
         a, b = _perm_constants(perms)
         ws = re.compile(r"\s+")
+        # Exact (a·h + b) mod 2^61−1 in vectorized uint64 limb arithmetic.
+        # The original object-dtype formulation ran one arbitrary-precision
+        # Python multiply per (gram, perm) — measured as the whole query's
+        # cost (guide §4.2: keep batch math in native code).  With
+        # M = 2^61−1 a Mersenne prime, split a = a1·2^32 + a0 and
+        # h = h1·2^32 + h0 (h pre-reduced mod M, so a,h < 2^61):
+        #   a·h = a1·h1·2^64 + (a1·h0 + a0·h1)·2^32 + a0·h0
+        # with every partial product < 2^64, and 2^61 ≡ 1 (mod M) turns
+        # the shifted terms into small exact folds — all in uint64, no
+        # wraparound (bounds in comments below), bit-identical to the
+        # bigint path for every input.
+        M = np.uint64(_MERSENNE)
+        a_arr = np.asarray(a, dtype=np.uint64)[:, None]  # (perms, 1)
+        b_arr = np.asarray(b, dtype=np.uint64)[:, None]
+        a1, a0 = a_arr >> np.uint64(32), a_arr & np.uint64(0xFFFFFFFF)
+
+        def _sigs(h64: "np.ndarray") -> list[int]:
+            h = h64 % M  # h64 < 2^64 reduced into [0, M)
+            h1, h0 = h >> np.uint64(32), h & np.uint64(0xFFFFFFFF)
+            t2 = a1 * h1  # < 2^58
+            t1 = (a1 * h0 + a0 * h1) % M  # each term < 2^61; sum < 2^62
+            t0 = (a0 * h0) % M  # product < 2^64
+            # t1·2^32 mod M: t1 = u1·2^29 + u0 → u1·2^61 + u0·2^32
+            #   ≡ u1 + u0·2^32, with u0·2^32 < 2^61
+            u1, u0 = t1 >> np.uint64(29), t1 & np.uint64((1 << 29) - 1)
+            # total < 8·2^58 + 2^32 + 2^61 + 2^61 + 2^61 < 2^63
+            s = (
+                np.uint64(8) * t2 + u1 + (u0 << np.uint64(32)) + t0 + b_arr
+            ) % M
+            return s.min(axis=1).tolist()  # per-perm minimum over grams
 
         for pdf in batches:
             out_doc, out_band, out_bucket = [], [], []
@@ -113,20 +143,17 @@ def _band_bucket_batches(perms: int, bands: int):
                     if len(toks) >= 2
                     else {t}
                 )
-                h = np.array(
-                    [
+                h64 = np.fromiter(
+                    (
                         int.from_bytes(
                             hashlib.md5(g.encode("utf-8")).digest()[:8], "big"
                         )
                         for g in grams
-                    ],
-                    dtype=object,
+                    ),
+                    dtype=np.uint64,
+                    count=len(grams),
                 )
-                # perms x grams linear permutations in exact int arithmetic
-                sig = [
-                    int(min((ai * h + bi) % _MERSENNE))
-                    for ai, bi in zip(a, b)
-                ]
+                sig = _sigs(h64[None, :])
                 for band in range(bands):
                     chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                     raw = "".join(f"{v:016x}" for v in chunk)
@@ -199,8 +226,26 @@ def lsh_candidates_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
 
 def lsh_candidates_batch(docs: DataFrame) -> DataFrame:
     """Batch twin: same signature kernel, bucket-equality self-join (the
-    standard LSH candidate join, one shuffle on (band, bucket))."""
-    buckets = minhash_band_buckets(docs)
+    standard LSH candidate join, one shuffle on (band, bucket)).
+
+    Two r14 plan fixes (guide §2.4/§6): the signature kernel input is
+    round-robin fanned out past the scan's file-split width (a single
+    small parquet file otherwise serializes the whole signature pass
+    onto one core — the multimodal.fan_out policy), and the bucket
+    relation is localCheckpoint'ed so the SELF-join reads one
+    materialized copy instead of running the signature kernel once per
+    join branch (the before-plan showed two MapInPandas subtrees).
+    An eager checkpoint runs inside the query's own timed region and is
+    never reused across invocations — each call builds a fresh RDD —
+    so no cross-run state survives.  On a real cluster prefer reliable
+    ``checkpoint`` (the pagerank convention)."""
+    from national_caseload_data_ingest_spark.operators.multimodal import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    buckets = minhash_band_buckets(
+        fan_out(docs.select("doc_id", "text"))
+    ).localCheckpoint(eager=True)
     a = buckets.select(
         "band", "bucket", F.col("doc_id").alias("doc_a")
     )
