@@ -780,12 +780,23 @@ def corpus_build(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    kept = filtered.join(canon, "doc_id", "left_semi")
+    # Barrier the two reused stages (r14, guide §3.3 "materialising an
+    # intermediate truncates the plan"): ``kept`` feeds both the
+    # near-dup pair kernel and ``kept2``; ``kept2`` feeds both the
+    # trigram kernel and the final sample — without barriers the
+    # before-plan held the exact-dedup aggregate FOUR times and the
+    # near-dup pair kernel TWICE (94-node tree, 9 scans).  Lazy local
+    # checkpoints keep one computation per stage (RDD-level sharing
+    # inside the single action) without any cross-run state; use
+    # reliable ``checkpoint`` on a real cluster.
+    kept = filtered.join(canon, "doc_id", "left_semi") \
+        .localCheckpoint(eager=False)
     pairs = neardup_pairs(kept, 0.2, mode=neardup)
     # no distinct on the anti-join's right side: LEFT ANTI is insensitive
     # to build-side duplicates, so deduping them is a pure extra shuffle
     dup_ids = pairs.select(F.col("doc_b").alias("doc_id"))
-    kept2 = kept.join(dup_ids, "doc_id", "left_anti")
+    kept2 = kept.join(dup_ids, "doc_id", "left_anti") \
+        .localCheckpoint(eager=False)
     tri = word_ngram_postings(kept2, DECONTAM_NGRAM)
     eval_grams = (
         word_ngram_postings(eval_docs, DECONTAM_NGRAM).select("gram").distinct()

@@ -103,6 +103,15 @@ def bootstrap_mean_ci(
     """Per-group point mean + Poisson-bootstrap interval of the mean of
     ``value_col`` — one scan, 2B+2 aggregate columns, one group-keyed
     exchange, then order statistics over the groups × B tiny relation."""
+    # NO fan_out here, deliberately (r14): ``value_col`` is a DOUBLE, so
+    # the 2B+2 SUM forest is order-sensitive float arithmetic — widening
+    # the scan past its file-split width changes the partial-aggregate
+    # merge order and breaks the bit-exact parity with the single-pass
+    # python recompute (tests) and the sequential-sum oracle.  It would
+    # also betray the module's design invariant ("one pass, ZERO extra
+    # shuffles"): at 100 TB a round-robin exchange of the 3-column
+    # projection shuffles the whole fact table to feed an aggregate that
+    # otherwise moves only groups × 1 rows after map-side combine.
     pre = df.select(
         group_col,
         value_col,

@@ -236,11 +236,115 @@ def _write_data_file(df: DataFrame, table_path: str, name: str) -> dict:
     """One immutable data file (a single-file parquet dir keyed by
     ``name``) + its add action.  Single-file per action keeps the demo
     fixture deterministic; production writers add one action per
-    emitted part-file, same log semantics."""
+    emitted part-file, same log semantics.
+
+    ``numRecords`` comes from the WRITTEN files' parquet footers (r14):
+    the previous ``df.count()`` re-ran the whole upstream plan once per
+    data file — a second full scan+filter per commit — where the footer
+    already carries the exact row count of the bytes that actually
+    landed (which is also the more faithful source: the log should
+    describe the file, not a recomputation of its lineage)."""
+    import glob  # noqa: PLC0415
+
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
     sub = os.path.join(table_path, name)
     df.coalesce(1).write.mode("overwrite").parquet(sub)
-    n = df.count()
+    n = sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in glob.glob(os.path.join(sub, "*.parquet"))
+    )
     return {"add": {"path": name, "numRecords": n}}
+
+
+def _footer_meta(
+    data_dir: str, stats_cols: tuple[str, ...] = ()
+) -> tuple[int, dict]:
+    """(numRecords, {col: {min, max}}) of every parquet part under
+    ``data_dir``, from the footers alone — the bytes that actually
+    landed, no recomputation of the writing plan."""
+    import glob  # noqa: PLC0415
+
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    n = 0
+    stats: dict[str, dict] = {}
+    for p in sorted(glob.glob(os.path.join(data_dir, "*.parquet"))):
+        md = pq.ParquetFile(p).metadata
+        n += md.num_rows
+        if not stats_cols:
+            continue
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in stats_cols:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"txlog: parquet footer of {p} lacks min/max "
+                        f"statistics for {c!r}; cannot register stats"
+                    )
+                cur = stats.setdefault(c, {"min": st.min, "max": st.max})
+                cur["min"] = min(cur["min"], st.min)
+                cur["max"] = max(cur["max"], st.max)
+    return n, stats
+
+
+def _write_bucketed_data_files(
+    df: DataFrame,
+    table_path: str,
+    bucket_col,
+    names: dict[int, str],
+    stats_cols: tuple[str, ...] = (),
+) -> dict[int, dict]:
+    """Every bucket of ``df`` written in ONE scan (r14, guide §1.2): the
+    previous per-bucket ``filter().coalesce(1).write()`` loop re-scanned
+    the source once per bucket and then re-scanned each bucket again for
+    ``numRecords`` — 8 jobs for a 4-bucket fixture.  A single
+    ``partitionBy`` write on the derived bucket column produces the same
+    per-bucket single data files (the partition column is dropped from
+    the files, so schemas are unchanged), and counts + min/max stats
+    come from the written parquet FOOTERS — the more faithful source:
+    the log should describe the file, not a recomputation of its
+    lineage.  Bucket values absent from ``names`` are discarded,
+    matching the filters this replaces; a bucket in ``names`` that
+    received no rows raises (the old path wrote an empty file; an empty
+    bucket here means the fixture's bucketing expression is wrong).
+    Returns ``{bucket_value: add action}`` — callers commit the actions
+    in whatever order/grouping their log history needs."""
+    import shutil  # noqa: PLC0415
+
+    stage = os.path.join(table_path, "__stage")
+    (
+        df.withColumn("__bucket", bucket_col)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(stage)
+    )
+    actions: dict[int, dict] = {}
+    for val, name in names.items():
+        src = os.path.join(stage, f"__bucket={val}")
+        if not os.path.isdir(src):
+            raise ValueError(
+                f"txlog: bucket {val} ({name!r}) received no rows — "
+                "the bucketing expression does not cover it"
+            )
+        dst = os.path.join(table_path, name)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(src, f), os.path.join(dst, f))
+        n, stats = _footer_meta(dst, stats_cols)
+        action = {"add": {"path": name, "numRecords": n}}
+        if stats_cols:
+            action["add"]["stats"] = {
+                c: {"min": int(v["min"]), "max": int(v["max"])}
+                for c, v in stats.items()
+            }
+        actions[val] = action
+    shutil.rmtree(stage, ignore_errors=True)
+    return actions
 
 
 @query(
@@ -283,19 +387,18 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(table, ignore_errors=True)
 
     k = F.col("o_orderkey")
-    buckets = {b: o.filter(k % 4 == b) for b in range(4)}
+    # one scan writes all four bucket files (see _write_bucketed_data_files)
+    adds = _write_bucketed_data_files(
+        o, table, k % 4, {b: f"b{b}" for b in range(4)}
+    )
     txlog_commit(table, 0, [
-        _write_data_file(buckets[0], table, "b0"),
-        _write_data_file(buckets[1], table, "b1"),
-        {"commitInfo": {"operation": "WRITE"}},
+        adds[0], adds[1], {"commitInfo": {"operation": "WRITE"}},
     ])
-    txlog_commit(table, 1, [
-        _write_data_file(buckets[2], table, "b2"),
-    ])
+    txlog_commit(table, 1, [adds[2]])
     txlog_checkpoint(table, 1)
     txlog_commit(table, 2, [
         {"remove": {"path": "b1"}},
-        _write_data_file(buckets[3], table, "b3"),
+        adds[3],
         {"commitInfo": {"operation": "REPLACE"}},
     ])
 
@@ -529,17 +632,15 @@ def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(table, ignore_errors=True)
     k = F.col("o_orderkey")
-    buckets = {b: o.filter(k % 4 == b) for b in range(4)}
-    txlog_commit(table, 0, [
-        _write_data_file(buckets[0], table, "b0"),
-        _write_data_file(buckets[1], table, "b1"),
-    ])
-    txlog_commit(table, 1, [
-        _write_data_file(buckets[2], table, "b2"),
-    ])
+    # one scan writes all four bucket files (see _write_bucketed_data_files)
+    adds = _write_bucketed_data_files(
+        o, table, k % 4, {b: f"b{b}" for b in range(4)}
+    )
+    txlog_commit(table, 0, [adds[0], adds[1]])
+    txlog_commit(table, 1, [adds[2]])
     txlog_commit(table, 2, [
         {"remove": {"path": "b1"}},
-        _write_data_file(buckets[3], table, "b3"),
+        adds[3],
     ])
     feed = txlog_changes(spark, table, 1, 2)
     return feed.select(
@@ -587,14 +688,17 @@ def txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(table, ignore_errors=True)
     k = F.col("o_orderkey")
-    actions = []
-    for i in range(4):
-        part = o.filter((k >= i * q) & (k < (i + 1) * q))
-        actions.append(
-            write_data_file_with_stats(
-                part, table, f"r{i}", ["o_orderkey"])
-        )
-    txlog_commit(table, 0, actions)
+    # one scan writes all four range files + footer-derived stats; rows
+    # outside [0, 4q) are discarded exactly as the old per-range filters
+    # discarded them (their bucket value is absent from the name map)
+    adds = _write_bucketed_data_files(
+        o.filter(k >= 0),
+        table,
+        F.expr(f"CAST(o_orderkey DIV {q} AS INT)"),  # exact integer div
+        {i: f"r{i}" for i in range(4)},
+        stats_cols=("o_orderkey",),
+    )
+    txlog_commit(table, 0, [adds[i] for i in range(4)])
     df, files_read, files_total = txlog_scan(
         spark, table, min_max_filter=("o_orderkey", q, 2 * q - 1)
     )

@@ -173,11 +173,19 @@ def unigram_train(
 ) -> dict[str, float]:
     """Train the unigram tokenizer; returns the final piece → log-prob
     model (≤ vocab_target multi-char pieces + the char inventory)."""
-    wf = word_frequencies(docs)
+    # Materialize the word-frequency relation ONCE (r14, guide §3.3):
+    # it feeds the seed pass and every EM round, and without a barrier
+    # each of those actions re-ran the corpus explode+shuffle (5-6
+    # executions per training run).  Heaps' law bounds the relation, so
+    # the checkpoint is vocabulary-sized at any corpus scale; use
+    # reliable checkpoint on a real cluster.  Same for the seed counts,
+    # which two driver collects (char inventory, top-K) consumed.
+    wf = word_frequencies(docs).localCheckpoint(eager=True)
     seed_counts = (
         wf.mapInPandas(_seed_kernel, schema="piece string, cnt long")
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     char_rows = seed_counts.filter(F.length("piece") == 1).collect()
     chars = {r["piece"] for r in char_rows}
