@@ -227,37 +227,71 @@ def pq_encode(e: DataFrame, books) -> DataFrame:
     )
 
 
+def _adc_screen_batch(ids, codes, qids, lut, shortlist: int):
+    """One batch of the ADC screen: approximate score = sum of M
+    lookup-table gathers, per-query top-``shortlist``, closed under
+    score ties to one ulp (the similarity.py screen contract).  Returns
+    the (query_id, neighbor_id) candidate frame for the batch."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    nq, m, _k = lut.shape
+    barange = np.arange(m)
+    sims = np.empty((len(ids), nq), dtype=np.float64)
+    for qi in range(nq):
+        sims[:, qi] = lut[qi][barange[None, :], codes].sum(axis=1)
+    sims[ids[:, None] == qids[None, :]] = -np.inf
+    kk_eff = min(shortlist, len(ids))
+    top = np.argpartition(-sims, kk_eff - 1, axis=0)[:kk_eff]
+    kth = sims[top, np.arange(nq)].min(axis=0)
+    cut = np.where(
+        np.isfinite(kth), kth - np.spacing(np.abs(kth)), -np.inf
+    )
+    rows, cols = np.nonzero(sims >= cut[None, :])
+    return pd.DataFrame({"query_id": qids[cols], "neighbor_id": ids[rows]})
+
+
 def _adc_screen_kernel(qids, lut, shortlist: int):
-    """mapInPandas generator over the CODES relation: approximate score =
-    sum of M lookup-table gathers, per-query top-``shortlist`` per batch,
-    closed under score ties to one ulp (the similarity.py screen
-    contract).  Emits (query_id, neighbor_id) only."""
+    """mapInPandas generator over the CODES relation — the scale path,
+    where codes come from storage and raw vectors are never touched.
+    Emits (query_id, neighbor_id) only."""
 
     def gen(batches):
         import numpy as np  # noqa: PLC0415
-        import pandas as pd  # noqa: PLC0415
 
-        nq, m, _k = lut.shape
-        barange = np.arange(m)
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy())  # (n, M)
-            sims = np.empty((len(ids), nq), dtype=np.float64)
-            for qi in range(nq):
-                sims[:, qi] = lut[qi][barange[None, :], codes].sum(axis=1)
-            sims[ids[:, None] == qids[None, :]] = -np.inf
-            kk_eff = min(shortlist, len(ids))
-            top = np.argpartition(-sims, kk_eff - 1, axis=0)[:kk_eff]
-            kth = sims[top, np.arange(nq)].min(axis=0)
-            cut = np.where(
-                np.isfinite(kth), kth - np.spacing(np.abs(kth)), -np.inf
-            )
-            rows, cols = np.nonzero(sims >= cut[None, :])
-            yield pd.DataFrame(
-                {"query_id": qids[cols], "neighbor_id": ids[rows]}
-            )
+            yield _adc_screen_batch(ids, codes, qids, lut, shortlist)
+
+    return gen
+
+
+def _encode_adc_kernel(books_list, qids, lut, shortlist: int):
+    """Fused encode + ADC screen over the raw embeddings (r14, guide
+    §4.1): when the codes are computed inline (this query trains fresh
+    codebooks, so there is no stored codes relation to scan), chaining
+    ``pq_encode`` into ``_adc_screen_kernel`` paid a second JVM↔Arrow
+    round-trip just to hand the (vec_id, codes) rows back to Python.
+    One kernel computes codes and screens them batch-by-batch — the
+    per-batch math and shortlist logic are byte-for-byte the shared
+    helpers, so emitted candidates are identical whenever the batch
+    boundaries are (and the scan batches ARE the boundaries both ways
+    at every tested scale)."""
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+
+        books = np.asarray(books_list, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            vn = _normalized(_vec_matrix(pdf["embedding"]))
+            codes = _encode_blocks(vn, books)
+            yield _adc_screen_batch(ids, codes, qids, lut, shortlist)
 
     return gen
 
@@ -293,8 +327,10 @@ def pq_topk(
     lut = np.einsum(
         "qbs,bcs->qbc", qn.reshape(len(qids), m_blocks, sub), books
     )
-    screened = pq_encode(e, books).mapInPandas(
-        _adc_screen_kernel(qids, lut, k + PQ_SHORTLIST_PAD),
+    screened = e.select("vec_id", "embedding").mapInPandas(
+        _encode_adc_kernel(
+            [blk.tolist() for blk in books], qids, lut, k + PQ_SHORTLIST_PAD
+        ),
         schema="query_id bigint, neighbor_id bigint",
     )
     return _exact_rerank(e, screened, k)
