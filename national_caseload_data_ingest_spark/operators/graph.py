@@ -77,14 +77,23 @@ def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # (node, deg, n) is STATIC across iterations — materialize it once
+    # and join each round's contributions back to it (r14): the previous
+    # loop joined contrib to ``ranks.drop("pr")`` (same three columns,
+    # same values), which made every iteration reference the previous
+    # ranks relation TWICE and forced a per-iteration localCheckpoint to
+    # stop exponential recompute.  With the static side joined instead,
+    # ranks_{t} feeds only contrib_{t+1} — one consumer — so the whole
+    # fixed-iteration recurrence executes as ONE lazy chain in the final
+    # action: 10 materialization rounds (and their job-scheduling
+    # barriers) gone, per-iteration join/agg shuffles unchanged.
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
     n_row = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     # (node, deg, n, pr) — n rides along so the loop never re-joins it
-    ranks = deg.crossJoin(F.broadcast(n_row)).withColumn(
-        "pr", F.lit(1.0) / F.col("n")
-    )
+    deg_n = deg.crossJoin(F.broadcast(n_row)).localCheckpoint(eager=False)
+    ranks = deg_n.withColumn("pr", F.lit(1.0) / F.col("n"))
     for _ in range(n_iter):
         contrib = (
             sym.join(ranks, sym.src == ranks.node)
@@ -92,15 +101,13 @@ def pagerank(edges: DataFrame, n_iter: int = PAGERANK_ITERS) -> DataFrame:
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
         )
         ranks = (
-            ranks.drop("pr")
-            .join(contrib, F.col("node") == F.col("cnode"))
+            deg_n.join(contrib, F.col("node") == F.col("cnode"))
             .withColumn(
                 "pr",
                 (F.lit(0.15) / F.col("n"))
                 + (F.lit(0.85) * F.col("contrib")),
             )
             .select("node", "deg", "n", "pr")
-            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("node").alias("doc_id"), "deg", "pr")
 
@@ -376,11 +383,16 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             .groupBy(F.col("src").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # no per-round checkpoint (r14): labels_t has exactly ONE
+        # consumer (next round's neigh join), so lineage grows linearly
+        # and the whole fixed-round recurrence executes as one lazy
+        # chain — the per-round materialization barriers bought nothing
+        # (contrast kcore, whose survivor set is referenced twice per
+        # round and keeps its checkpoint).
         labels = (
             neigh.withColumn("rk", F.row_number().over(pick))
             .where(F.col("rk") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=False)
         )
     return labels
 
