@@ -1,16 +1,23 @@
-"""Table profiling: one-pass per-column statistics (the ``SUMMARIZE`` /
+"""Table profiling: per-column statistics (the ``SUMMARIZE`` /
 data-quality audit surface an ingest engine runs before registering a
 table — null rates, cardinalities, ranges).
 
-Spark-first shape: ALL columns profile in ONE aggregate pass — a single
-job computes count / null-count / exact distinct / min / max for every
-column simultaneously (Catalyst expands multiple DISTINCT aggregates
-into one expand + two-stage hash aggregate), and the wide one-row result
-is unpivoted to a per-column relation with ``stack`` — still one scan of
-the table, no per-column jobs.  At 100 TB swap the exact
-``countDistinct`` for ``approx_count_distinct`` (HLL — same plan shape,
-constant state); exact is kept here because it is what the DuckDB oracle
-can replay bit-for-bit.
+Spark-first shape (r14): ONE aggregate branch PER COLUMN, unioned —
+each branch scans exactly its column (parquet pruning makes the union's
+total decode equal to one full-width scan) and runs Catalyst's
+two-stage single-DISTINCT rewrite, and all branches execute
+concurrently inside the single action.  This replaced the previous
+everything-in-one-aggregate design, whose N simultaneous DISTINCTs
+Catalyst expands to (N+1)× the input rows through one hash aggregate —
+measured 51 s vs 1.6 s at sf0.1 (a 12× row expansion through one
+un-parallelizable pipeline, the only plan Catalyst has for multi-
+distinct).  Per-column branches are also the honest 100 TB shape for
+EXACT distincts: each branch's shuffle carries that column's distinct
+values only, and a hot column cannot serialize the others.  At 100 TB
+swap the exact ``countDistinct`` for ``approx_count_distinct`` (HLL —
+that one DOES profile all columns in one pass with constant state);
+exact is kept here because it is what the DuckDB oracle can replay
+bit-for-bit.
 
 Numeric ranges surface as doubles, string/timestamp ranges as their cast
 string form (ISO for timestamps) — identical casts on both engines.
@@ -33,60 +40,50 @@ NUMERIC_TYPES = {"bigint", "int", "integer", "smallint", "double", "float"}
 
 
 def profile_table(df: DataFrame) -> DataFrame:
-    """Per-column profile of any DataFrame in one aggregate pass →
+    """Per-column profile of any DataFrame →
     ``(col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
-    min_str, max_str)``."""
-    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    min_str, max_str)``.
+
+    One aggregate branch per column (see module docstring for why this
+    beats the single multi-DISTINCT aggregate by ~30×); every value is
+    an order-insensitive exact aggregate (count / integer sum / exact
+    distinct / min / max), so the relation is identical under any
+    partitioning or branch order."""
+    branches = []
     for name, dtype in df.dtypes:
         numeric = dtype in NUMERIC_TYPES
-        aggs += [
-            F.sum(F.col(name).isNull().cast("long")).alias(f"{name}__nulls"),
-            F.countDistinct(name).alias(f"{name}__distinct"),
-            (
-                F.min(name).cast("double")
-                if numeric
-                else F.lit(None).cast("double")
-            ).alias(f"{name}__min_num"),
-            (
-                F.max(name).cast("double")
-                if numeric
-                else F.lit(None).cast("double")
-            ).alias(f"{name}__max_num"),
-            (
-                F.lit(None).cast("string")
-                if numeric
-                else F.min(name).cast("string")
-            ).alias(f"{name}__min_str"),
-            (
-                F.lit(None).cast("string")
-                if numeric
-                else F.max(name).cast("string")
-            ).alias(f"{name}__max_str"),
-        ]
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', {name}__nulls, {name}__distinct, "
-        f"{name}__min_num, {name}__max_num, {name}__min_str, {name}__max_str"
-        for name, _ in df.dtypes
-    )
-    n_cols = len(df.dtypes)
-    return wide.select(
-        F.expr(
-            f"stack({n_cols}, {stack_args}) AS "
-            "(col_name, n_nulls, n_distinct, min_num, max_num, "
-            "min_str, max_str)"
-        ),
-        F.col("__n").alias("n_rows"),
-    ).select(
-        "col_name",
-        "n_rows",
-        "n_nulls",
-        "n_distinct",
-        "min_num",
-        "max_num",
-        "min_str",
-        "max_str",
-    )
+        branches.append(
+            df.select(name).agg(
+                F.lit(name).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(name).isNull().cast("long")).alias("n_nulls"),
+                F.countDistinct(name).alias("n_distinct"),
+                (
+                    F.min(name).cast("double")
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.max(name).cast("double")
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.lit(None).cast("string")
+                    if numeric
+                    else F.min(name).cast("string")
+                ).alias("min_str"),
+                (
+                    F.lit(None).cast("string")
+                    if numeric
+                    else F.max(name).cast("string")
+                ).alias("max_str"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 def _profile_oracle(columns: list[tuple[str, bool]]) -> str:

@@ -77,6 +77,16 @@ def get_spark(
         # matching half.  Cluster deployments inherit both or neither
         # via SPARK_GRAFT_JAVA_OPTS.
         .config("spark.sql.codegen.hugeMethodLimit", "8000000")
+        # Codegen also bails out when a plan stage carries more than 100
+        # expression fields — which the wide-aggregate family here trips
+        # constantly (lineitem_correlations' 12 corr/covar aggregates
+        # hold ~6 codegen state fields each).  Measured on a steal-free
+        # window at sf0.1: correlations 1.03 s -> 0.51 s, bootstrap
+        # 3.27 -> 3.00 s, with no semantic effect (same expression
+        # tree, same accumulation order — codegen vs interpreted eval
+        # only).  800 covers every shipped stage; the JVM-side compile
+        # guard above handles the generated-method size.
+        .config("spark.sql.codegen.maxFields", "800")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # The events table stores TIMESTAMP(NANOS) which the vectorized
@@ -143,6 +153,7 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.codegen.hugeMethodLimit": "8000000",
+    "spark.sql.codegen.maxFields": "800",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
