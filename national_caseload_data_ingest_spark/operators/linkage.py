@@ -82,8 +82,29 @@ def link_records(
         F.col(key_col).alias("key_b"),
         F.col(name_col).alias("name_b"),
     )
+    from national_caseload_data_ingest_spark.operators.multimodal import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    # Broadcast the guarded side and fan the PROBE side out before the
+    # join (r14, guide §2.5/§3.1): the blocking key has few distinct
+    # values (125 nation × segment groups here), so a shuffle block
+    # join lands its quadratic per-pair levenshtein work on at most
+    # that many tasks — and AQE coalesces the tiny local exchange to
+    # ONE, serializing all ~900k pair scores (measured 4-8 s at sf0.1
+    # vs ~1 s fanned out).  With the build side broadcast, the join and
+    # the scoring inherit the probe side's round-robin partitioning, so
+    # pair scoring spreads across the cluster and a hot block cannot
+    # serialize it.  Not a local-only trick: the in-plan guard bounds
+    # every block at ``max_block`` rows, so the broadcast side is
+    # bounded at blocks × max_block skinny rows at any supported scale.
+    # (Fanning out the JOINED pair relation instead was tried and
+    # rejected: the score filter pushes through the round-robin
+    # exchange and the score is then evaluated twice, once per side of
+    # it — the guide §4.4 duplication — with the below-exchange copy
+    # back on the coalesced single task.)
     return (
-        a.join(b, block_cols)
+        F.broadcast(a).join(fan_out(b), block_cols)
         .filter(F.col("key_a") < F.col("key_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
@@ -414,10 +435,23 @@ def link_customer_records_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
             [jaro_winkler(x, y) for x, y in zip(s1, s2)], dtype="float64"
         )
 
+    from national_caseload_data_ingest_spark.operators.multimodal import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    # Same broadcast-build + fanned-probe shape as link_records (r14):
+    # the per-pair Python JW kernel otherwise runs on the one task AQE
+    # coalesces the tiny block join into — measured 15.7 s single-task
+    # vs ~1.5 s at sf0.1 (~900k candidate pairs).  The UDF is marked
+    # non-deterministic so the optimizer cannot duplicate it below the
+    # similarity filter (guide §4.4) — it is pure, but one evaluation
+    # per pair is the point.
     return (
-        a.join(b, ["c_nationkey", "c_mktsegment"])
+        F.broadcast(a).join(
+            fan_out(b), ["c_nationkey", "c_mktsegment"]
+        )
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("__sim", jw_udf("name_a", "name_b"))
+        .withColumn("__sim", jw_udf.asNondeterministic()("name_a", "name_b"))
         .filter(F.col("__sim") >= JW_MIN_SIM)
         .select(
             "key_a",
