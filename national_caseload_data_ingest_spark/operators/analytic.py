@@ -532,7 +532,24 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full A-Priori iterates this with a support-filtered candidate set —
     the k=2 pass shown here is the one that dominates its cost."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # r14: (1) the distinct's implicit exchange is tiny here, so AQE
+    # coalesced it to ONE partition and the whole per-basket pair
+    # explosion + count serialized onto single tasks (measured 8.4 s
+    # steal-free at sf0.1; ~3 s after) — an explicit basket-keyed
+    # repartition at the session's parallelism is exempt from AQE
+    # coalescing, satisfies the distinct AND both join sides (hash on a
+    # key subset), and is scale-adaptive, not a local constant.
+    # (2) the self-join otherwise computes the distinct once per branch
+    # (the planner broadcasts one side, which breaks exchange reuse) —
+    # the lazy localCheckpoint materializes items ONCE and both join
+    # sides read it.  Counts are integer aggregates, so the relation is
+    # partitioning-insensitive.
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a = items.alias("a")
     b = items.alias("b")
     return (

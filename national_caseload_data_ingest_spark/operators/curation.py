@@ -151,20 +151,33 @@ def connected_components(
             .filter(F.col("a") != F.col("b"))
             .select(F.col("a").alias("hi"), F.col("b").alias("lo"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy (r14): the convergence check below is the round's
+            # first action and materializes the checkpoint as part of
+            # its own job — the eager variant paid a separate
+            # materialization job per round.
+            .localCheckpoint(eager=False)
         )
         # star-forest test: one parent per child, and no parent (lo) is
         # itself a child (hi).  Roots are then the component minima.
-        multi_parent = (
-            e.groupBy("hi").count().filter(F.col("count") > 1).limit(1).count()
+        # ONE action per round (r14): both structural violations union
+        # into a single existence probe (the loop previously ran two
+        # driver-blocking counts per round — 3 barriers per round with
+        # the eager checkpoint, now 1).
+        multi_parent_probe = (
+            e.groupBy("hi")
+            .count()
+            .filter(F.col("count") > 1)
+            .select(F.lit(1).alias("one"))
+            .limit(1)
         )
-        chained = (
+        chained_probe = (
             e.alias("x")
             .join(e.alias("y"), F.col("x.lo") == F.col("y.hi"))
+            .select(F.lit(1).alias("one"))
             .limit(1)
-            .count()
         )
-        if multi_parent == 0 and chained == 0:
+        not_forest = multi_parent_probe.union(chained_probe).limit(1).count()
+        if not_forest == 0:
             return e.select(
                 F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id")
             ).union(
