@@ -106,12 +106,20 @@ def train_logreg(
     (dim+1) weight vector folded back to RAW-count space (via
     :func:`score_weights`), ready for :func:`score_logreg`."""
     spark = features.sparkSession
-    # Pre-partition the epoch-invariant relation by doc_id ONCE and
-    # truncate lineage: every per-epoch groupBy(doc_id) runs exchange-
-    # free and the residual join back only shuffles the tiny residual
-    # side (use reliable ``checkpoint`` on a real cluster).
+    # Pre-partition the epoch-invariant relations ONCE and truncate
+    # lineage: every per-epoch groupBy(doc_id) runs exchange-free and
+    # the residual join back only shuffles the tiny residual side (use
+    # reliable ``checkpoint`` on a real cluster).  The LABEL relation is
+    # materialized too (r14): the per-epoch residual join otherwise
+    # re-ran the label lineage — a full documents scan plus the
+    # stopword regexp — and its exchange once per epoch (10× here).
+    labels = (
+        labels.select("doc_id", "y")
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
     feats = (
-        features.join(labels.select("doc_id", "y"), "doc_id")
+        features.join(labels.select("doc_id"), "doc_id")
         .repartition("doc_id")
         .localCheckpoint()
     )
