@@ -101,6 +101,13 @@ def _weights(d: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("pool_n"),
         F.sum(is_tgt).alias("tgt_n"),
     )
+    # Materialize the model ONCE (r14): it is a ≤ DSIR_BUCKETS-row
+    # relation consumed by BOTH the totals aggregate and the ratio
+    # projection — without the checkpoint each consumer re-ran the full
+    # gram explode+md5 pass (three Generate subtrees in the before-
+    # plan; two corpus scans saved at 100 TB).  Eager, so the pass runs
+    # exactly once; localCheckpoint lives only for this invocation.
+    model = model.localCheckpoint(eager=True)
     totals = model.agg(
         F.sum("pool_n").alias("pool_total"), F.sum("tgt_n").alias("tgt_total")
     )
