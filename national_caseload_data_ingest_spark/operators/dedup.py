@@ -502,12 +502,138 @@ def _jaccard_dense_pairs(
     )
 
 
+# BLAS band tier (r14): flops threshold above which ONE block's sgemm
+# stops being "already fast" on a single task (~0.6 s of measured
+# single-core sgemm+screen throughput), and the float32 incidence-matrix
+# broadcast cap that keeps the tier inside a sane executor footprint
+# (above it the 8×-denser bitset tier takes over, same relation).
+JACCARD_BLAS_MIN_FLOPS = 8_000_000_000
+JACCARD_BLAS_BCAST_BUDGET = 128 * 1024 * 1024
+
+
+def _jaccard_bcast_pairs(
+    postings: DataFrame, block_cols: list[str], threshold: float
+) -> DataFrame:
+    """Blocked exact Jaccard, BLAS band tier: the whole (bounded)
+    corpus's float32 incidence matrix is broadcast and each task
+    computes one contiguous ROW BAND's sgemm against the full matrix —
+    the same per-pair math as :func:`_jaccard_block_kernel` spread over
+    ``defaultParallelism`` tasks instead of one task per block
+    (measured: the sf0.1 ppjoin tier-1 block runs its 47 GFLOP product
+    on ONE core for ~3.6 s; the bands cut that to the sub-second BLAS
+    share plus one small collect+broadcast).
+
+    Bit-identical to the per-block kernel by construction: shared-gram
+    counts are 0/1 dot products whose partial sums are exact integers in
+    float32 (fenced at 2²⁴ distinct grams), the float32 screen uses the
+    same loosened-threshold constant and the same ``ns ≥ fac·(na+nb)``
+    comparison, and survivors get the identical float64 division.
+    Cross-block pairs are masked out after the screen, so multi-block
+    inputs work transparently (equivalence pytest covers both)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    spark = postings.sparkSession
+    grams = sorted(
+        r["gram"] for r in postings.select("gram").distinct().collect()
+    )
+    g = len(grams)
+    if g >= (1 << 24):
+        raise ValueError(
+            f"jaccard BLAS tier has {g} distinct grams >= 2^24: float32 "
+            "shared-gram counts would no longer be exact. Re-block finer."
+        )
+    gidx = {x: i for i, x in enumerate(grams)}
+    blk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in block_cols])
+    rows = (
+        postings.withColumn("__blk", blk)
+        .groupBy("doc_id", "__blk")
+        .agg(F.collect_set("gram").alias("grams"))
+        .collect()
+    )
+    empty = pd.DataFrame(
+        {"doc_a": [], "doc_b": [], "jaccard": []}
+    ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+    n = len(rows)
+    if n < 2:
+        return spark.createDataFrame(
+            empty, schema="doc_a bigint, doc_b bigint, jaccard double"
+        )
+    from collections import Counter  # noqa: PLC0415
+
+    blk_n = Counter(r["__blk"] for r in rows)
+    _assert_dense_actuals(
+        "_jaccard_bcast_pairs", n, 4 * max(g, 1),
+        work_budget=DENSE_WORK_BUDGET,
+        bcast_budget=JACCARD_BLAS_BCAST_BUDGET,
+        pair_sum=sum(c * c for c in blk_n.values()),
+    )
+    rows.sort(key=lambda r: r["doc_id"])  # global order ⇒ doc_a < doc_b
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    blks = np.array([r["__blk"] for r in rows], dtype=object)
+    m = np.zeros((n, g), dtype=np.float32)
+    for i, r in enumerate(rows):
+        m[i, [gidx[x] for x in r["grams"]]] = 1.0
+    sizes = m.sum(axis=1)  # exact integer counts (< 2^24) in float32
+    bc = spark.sparkContext.broadcast((ids, blks, m, sizes))
+    k = max(1, spark.sparkContext.defaultParallelism)
+    bands = spark.range(0, k, 1, k)
+
+    def kernel(batches):
+        b_ids, b_blks, b_m, b_sizes = bc.value
+        nn = len(b_ids)
+        tl = max(threshold - 1e-3, 0.0)
+        fac = np.float32(tl / (1.0 + tl))
+        for pdf in batches:
+            for c in pdf["id"]:
+                lo, hi = int(c) * nn // k, (int(c) + 1) * nn // k
+                out_ia, out_ib, out_ns = [], [], []
+                # same 512-row sub-chunking as the per-block kernel so
+                # the score buffer stays bounded at the bcast cap
+                for c0 in range(lo, hi, 512):
+                    c1 = min(c0 + 512, hi)
+                    s = np.dot(b_m[c0:c1], b_m.T)
+                    cond = s >= fac * (
+                        b_sizes[c0:c1, None] + b_sizes[None, :]
+                    )
+                    hits = np.argwhere(cond)
+                    if len(hits):
+                        ia, ib = hits[:, 0] + c0, hits[:, 1]
+                        mask = (ia < ib) & (b_blks[ia] == b_blks[ib])
+                        ia, ib = ia[mask], ib[mask]
+                        out_ia.append(ia)
+                        out_ib.append(ib)
+                        out_ns.append(s[ia - c0, ib])
+                if not out_ia:
+                    yield empty
+                    continue
+                ia = np.concatenate(out_ia)
+                ib = np.concatenate(out_ib)
+                ns = np.concatenate(out_ns).astype(np.float64)
+                na = b_sizes[ia].astype(np.float64)
+                nb = b_sizes[ib].astype(np.float64)
+                jac = ns / (na + nb - ns)
+                keep = jac >= threshold
+                yield pd.DataFrame(
+                    {
+                        "doc_a": b_ids[ia[keep]],
+                        "doc_b": b_ids[ib[keep]],
+                        "jaccard": jac[keep],
+                    }
+                )
+
+    return bands.mapInPandas(
+        kernel, schema="doc_a bigint, doc_b bigint, jaccard double"
+    )
+
+
 def jaccard_pairs_in_blocks(
     postings: DataFrame,
     block_cols: list[str],
     threshold: float,
     max_block_docs: int = MAX_BLOCK_DOCS,
     max_block_cells: int = MAX_BLOCK_CELLS,
+    stats: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """All-pairs exact Jaccard within each block of a blocked posting
     relation → ``(doc_a, doc_b, jaccard ≥ threshold)``.
@@ -532,36 +658,89 @@ def jaccard_pairs_in_blocks(
     from :func:`_jaccard_dense_pairs` — one task PER PARTITION instead
     of one task per block, so a 5-lang corpus uses all 32 cores rather
     than 5 (measured: the sf1 en block alone held one core for minutes
-    under the matmul kernel)."""
-    # Materialize the postings ONCE (r14): the stats job below and the
-    # final kernel each re-ran the whole upstream tokenize pass (two
-    # MapInPandas executions per call — visible as two identical
-    # subtrees in the before-plans).  An eager localCheckpoint runs the
-    # pass once and both consumers read the materialized rows; it lives
-    # only for this invocation (no cross-run cache).  On a real cluster
-    # prefer reliable checkpoint; at 100 TB one tokenize scan instead
-    # of two is the same trade.
-    postings = postings.localCheckpoint(eager=True)
-    # ONE stats job (per-block distinct docs + grams).  The global
-    # distinct-gram count is bracketed by [max g_b, Σ g_b]; routing uses
-    # the conservative end of each comparison so the decision is safe
-    # without a second global-distinct pass (the two-job version cost
-    # +0.3-1 s per call at bench scale).
-    bstats = (
-        postings.groupBy(*block_cols)
-        .agg(
-            F.countDistinct("doc_id").alias("n"),
-            F.countDistinct("gram").alias("g"),
+    under the matmul kernel).
+
+    BLAS band tier (r14): when the summed matmul work 2·pair_sum·g
+    exceeds ``JACCARD_BLAS_MIN_FLOPS`` but the float32 incidence matrix
+    still fits ``JACCARD_BLAS_BCAST_BUDGET``, the identical relation
+    comes from :func:`_jaccard_bcast_pairs` — row-band sgemm across
+    ``defaultParallelism`` tasks instead of one task per block.
+
+    ``stats`` (r14): optional pre-measured ``(pair_sum, g_lo, g_hi,
+    n_sum, n_blocks)`` — Σ_block n², the bracketing [max, Σ] of
+    per-block distinct-gram counts, Σ_block n, and the block count.  When provided, the internal
+    stats job AND the postings localCheckpoint are skipped (the kernel
+    is then the only consumer); the caller must hand over
+    cached/cheap-to-read postings.  Stats only pick the physical tier —
+    every tier emits the identical relation."""
+    if stats is not None:
+        # The caller already measured the block stats (e.g. the ppjoin
+        # ladder's one stats pass over a SINGLE constant block, where
+        # pair_sum = n_docs² and g_lo = g_hi = the global distinct-gram
+        # count): skip both the internal stats job AND the
+        # localCheckpoint — with no second consumer of the postings
+        # subtree inside this function, the barrier bought nothing and
+        # cost a full materialization pass (r14 second session).  The
+        # caller must hand over a postings relation that is cached or
+        # otherwise cheap to re-read (ppjoin's is `_shared_postings`'
+        # persisted relation).  Routing is unchanged: every tier emits
+        # the identical relation (equivalence pytest), so stats only
+        # ever select the physical plan.
+        pair_sum, g_lo, g_hi, n_sum, n_blocks = stats
+    else:
+        # Materialize the postings ONCE (r14): the stats job below and
+        # the final kernel each re-ran the whole upstream tokenize pass
+        # (two MapInPandas executions per call — visible as two
+        # identical subtrees in the before-plans).  An eager
+        # localCheckpoint runs the pass once and both consumers read
+        # the materialized rows; it lives only for this invocation (no
+        # cross-run cache).  On a real cluster prefer reliable
+        # checkpoint; at 100 TB one tokenize scan instead of two is the
+        # same trade.
+        postings = postings.localCheckpoint(eager=True)
+        # ONE stats job (per-block distinct docs + grams).  The global
+        # distinct-gram count is bracketed by [max g_b, Σ g_b]; routing
+        # uses the conservative end of each comparison so the decision
+        # is safe without a second global-distinct pass (the two-job
+        # version cost +0.3-1 s per call at bench scale).
+        bstats = (
+            postings.groupBy(*block_cols)
+            .agg(
+                F.countDistinct("doc_id").alias("n"),
+                F.countDistinct("gram").alias("g"),
+            )
+            .agg(
+                F.sum(F.col("n") * F.col("n")).alias("pair_sum"),
+                F.max("g").alias("g_lo"),
+                F.sum("g").alias("g_hi"),
+                F.sum("n").alias("n_sum"),
+                F.count(F.lit(1)).alias("n_blocks"),
+            )
+            .collect()[0]
         )
-        .agg(
-            F.sum(F.col("n") * F.col("n")).alias("pair_sum"),
-            F.max("g").alias("g_lo"),
-            F.sum("g").alias("g_hi"),
-        )
-        .collect()[0]
-    )
-    pair_sum = bstats["pair_sum"] or 0
-    g_lo, g_hi = bstats["g_lo"] or 0, bstats["g_hi"] or 0
+        pair_sum = bstats["pair_sum"] or 0
+        g_lo, g_hi = bstats["g_lo"] or 0, bstats["g_hi"] or 0
+        n_sum = bstats["n_sum"] or 0
+        n_blocks = bstats["n_blocks"] or 0
+    if (
+        n_blocks == 1
+        and 2 * pair_sum * g_hi > JACCARD_BLAS_MIN_FLOPS
+        and g_hi < (1 << 24)
+        and n_sum * 4 * g_hi <= JACCARD_BLAS_BCAST_BUDGET
+    ):
+        # BLAS band tier (r14): a SINGLE block whose sgemm exceeds the
+        # single-core threshold serializes a task-per-block plan by
+        # construction; spread its row bands over every core instead
+        # (bit-identical, see the tier).  Deliberately restricted to
+        # n_blocks == 1 — the tier builds one GLOBAL matrix, and on a
+        # multi-block corpus that pays n_total²·g_union flops where the
+        # per-block kernel pays Σ n_b²·g_b across concurrent tasks
+        # (measured: lang-blocked sf0.1 at threshold 0.1 blew up ~10×
+        # under a max-block-work criterion — 92 MB union-vocabulary
+        # broadcast, 4× the flops).  Multi-block skew remains a
+        # blocking-key problem, as the per-block kernel's bounds
+        # document.
+        return _jaccard_bcast_pairs(postings, block_cols, threshold)
     if (
         g_hi <= DENSE_GRAM_BITS
         and pair_sum * ((g_lo + 7) // 8) > JACCARD_DENSE_MIN_WORK
@@ -1594,11 +1773,19 @@ def ppjoin_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_grams_total <= DENSE_GRAM_BITS
         and JACCARD_DENSE_MIN_WORK < dense_work <= DENSE_WORK_BUDGET
     ):
-        # tier 1: the whole corpus fits ONE matmul block (or bitset)
+        # tier 1: the whole corpus fits ONE matmul block (or bitset).
+        # The single constant block's stats are already measured by the
+        # ladder pass above (pair_sum = n_docs², g_lo = g_hi = the
+        # global distinct-gram count), so hand them over instead of
+        # paying a second stats job + checkpoint (r14; postings stay
+        # the `_shared_postings` persisted relation, so the kernel's
+        # read is warm).
         return jaccard_pairs_in_blocks(
             postings.withColumn("__blk", F.lit(0)),
             ["__blk"],
             PPJOIN_THRESHOLD,
+            stats=(n_docs * n_docs, n_grams_total, n_grams_total,
+                   n_docs, 1),
         )
     if vol <= DIRECT_JOIN_BUDGET:
         # tier 2: posting self-join volume is affordable

@@ -909,3 +909,102 @@ def test_containment_hybrid_tier_equals_direct(spark):
         assert rel(hybrid)  # non-vacuous
     finally:
         postings.unpersist()
+
+
+def test_jaccard_blocks_stats_handoff_equals_internal_stats(spark):
+    """r14: passing pre-measured ``stats`` to ``jaccard_pairs_in_blocks``
+    (the ppjoin tier-1 handoff that skips the internal stats job and
+    checkpoint) must emit the identical relation as the self-measuring
+    path, whichever tier the stats route to."""
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        jaccard_pairs_in_blocks,
+        word_bigram_postings,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = []
+    for i in range(40):
+        words = base.split()
+        if i % 3 == 0:
+            words = words[: 4 + i % 4] + [f"w{i}"]
+        if i % 5 == 0:
+            words.append("iota")
+        texts.append((i, " ".join(words), ("en", "fr")[i % 2]))
+    docs = spark.createDataFrame(
+        texts, "doc_id bigint, text string, lang string"
+    )
+    postings = word_bigram_postings(docs).persist()
+    try:
+        blocked = postings.withColumn("__blk", F.lit(0))
+        n_docs = postings.select("doc_id").distinct().count()
+        n_grams = postings.select("gram").distinct().count()
+        for t in (0.2, 0.5):
+            auto = sorted(
+                (r.doc_a, r.doc_b, round(r.jaccard, 12))
+                for r in jaccard_pairs_in_blocks(
+                    blocked, ["__blk"], t
+                ).collect()
+            )
+            handed = sorted(
+                (r.doc_a, r.doc_b, round(r.jaccard, 12))
+                for r in jaccard_pairs_in_blocks(
+                    blocked,
+                    ["__blk"],
+                    t,
+                    stats=(n_docs * n_docs, n_grams, n_grams, n_docs, 1),
+                ).collect()
+            )
+            assert handed == auto and auto, t
+    finally:
+        postings.unpersist()
+
+
+def test_jaccard_blas_band_tier_equals_matmul_kernel(spark):
+    """r14: the BLAS band tier (broadcast float32 incidence matrix,
+    row-band sgemm per task) must emit the BIT-identical relation as
+    the per-block matmul kernel — lang-blocked and single-block, across
+    thresholds.  Raw float comparison on purpose: shared-gram counts
+    are exact integers in float32 and the float64 division is the same
+    expression, so no tolerance is needed."""
+    from pyspark.sql import functions as F
+
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _jaccard_bcast_pairs,
+        jaccard_pairs_in_blocks,
+        word_bigram_postings,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = []
+    for i in range(40):
+        words = base.split()
+        if i % 3 == 0:
+            words = words[: 4 + i % 4] + [f"w{i}"]
+        if i % 5 == 0:
+            words.append("iota")
+        texts.append((i, " ".join(words), ("en", "fr")[i % 2]))
+    docs = spark.createDataFrame(
+        texts, "doc_id bigint, text string, lang string"
+    )
+    postings = word_bigram_postings(docs).persist()
+    try:
+        single = postings.withColumn("__blk", F.lit(0))
+        for t in (0.2, 0.5, 0.8):
+            for blocked, cols in ((postings, ["lang"]), (single, ["__blk"])):
+                kern = sorted(
+                    (r.doc_a, r.doc_b, r.jaccard)
+                    for r in jaccard_pairs_in_blocks(
+                        blocked, cols, t
+                    ).collect()
+                )
+                blas = sorted(
+                    (r.doc_a, r.doc_b, r.jaccard)
+                    for r in _jaccard_bcast_pairs(
+                        blocked, cols, t
+                    ).collect()
+                )
+                assert blas == kern and kern, (t, cols)
+    finally:
+        postings.unpersist()
