@@ -105,9 +105,13 @@ def _weights(d: DataFrame) -> DataFrame:
     # relation consumed by BOTH the totals aggregate and the ratio
     # projection — without the checkpoint each consumer re-ran the full
     # gram explode+md5 pass (three Generate subtrees in the before-
-    # plan; two corpus scans saved at 100 TB).  Eager, so the pass runs
-    # exactly once; localCheckpoint lives only for this invocation.
-    model = model.localCheckpoint(eager=True)
+    # plan; two corpus scans saved at 100 TB).  LAZY on purpose: the
+    # totals broadcast job materializes it first and the ratio reuses
+    # the checkpointed rows, while an action that prunes the weight
+    # subtree entirely (count() over the doc-keyed outer join — guide
+    # §1.4) still pays nothing.  The checkpoint lives only for this
+    # invocation.
+    model = model.localCheckpoint(eager=False)
     totals = model.agg(
         F.sum("pool_n").alias("pool_total"), F.sum("tgt_n").alias("tgt_total")
     )
