@@ -503,11 +503,17 @@ def _jaccard_dense_pairs(
 
 
 # BLAS band tier (r14): flops threshold above which ONE block's sgemm
-# stops being "already fast" on a single task (~0.6 s of measured
-# single-core sgemm+screen throughput), and the float32 incidence-matrix
-# broadcast cap that keeps the tier inside a sane executor footprint
-# (above it the 8×-denser bitset tier takes over, same relation).
-JACCARD_BLAS_MIN_FLOPS = 8_000_000_000
+# stops being "already fast" on a single task, and the float32
+# incidence-matrix broadcast cap that keeps the tier inside a sane
+# executor footprint (above it the 8×-denser bitset tier takes over,
+# same relation).  The crossover is measurement-calibrated: the tier
+# pays ~1-1.5 s of fixed orchestration (two driver collects + the
+# matrix broadcast), and single-core sgemm+screen throughput measures
+# ~1.3e10 flops/s — so a ~1.2e10-flop block LOSES ~0.7 s through the
+# tier (interleaved A/B on the corpus-build pipeline) while the
+# 4.7e10-flop ppjoin block WINS ~1.5-2 s.  3e10 splits those regimes
+# with margin on both sides.
+JACCARD_BLAS_MIN_FLOPS = 30_000_000_000
 JACCARD_BLAS_BCAST_BUDGET = 128 * 1024 * 1024
 
 
