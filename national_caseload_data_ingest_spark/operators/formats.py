@@ -35,6 +35,24 @@ from national_caseload_data_ingest_spark.operators.registry import query
 from national_caseload_data_ingest_spark.session import load_tables
 
 
+def _fused(*kernels):
+    """Compose batch-iterator kernels into ONE Python-stage function:
+    ``_fused(enc, dec)`` feeds enc's yielded batches straight into dec
+    inside a single ``mapInPandas``/``mapInArrow`` stage, instead of
+    shipping the intermediate payload relation Python→JVM→Python
+    between two stages (optimization guide §4.1 — the boundary hop is
+    pure cost when the intermediate has no other consumer).  Both
+    kernels run verbatim on every row, so fidelity surfaces are
+    unchanged, and the emitted relation is identical row-for-row."""
+    def kernel(batches):
+        it = batches
+        for k in kernels:
+            it = k(it)
+        return it
+
+    return kernel
+
+
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     """Deterministic scratch dir per (scale-factor, format) so concurrent
     harness runs at different SFs never collide; contents are overwritten
@@ -347,11 +365,10 @@ def parquet_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cols.update(cols2)
                 yield pd.DataFrame(cols)
 
-    payloads = fan_out(docs.select(
+    back = fan_out(docs.select(
         "doc_id", "text", "lang", "n_chars"
-    )).mapInPandas(enc, schema="payload binary, payload2 binary")
-    back = payloads.mapInPandas(
-        dec,
+    )).mapInPandas(
+        _fused(enc, dec),
         schema=(
             "doc_id bigint, text string, lang string, n_chars bigint, "
             "tok_lens array<bigint>, meta struct<lang:string,nc:bigint>, "
@@ -471,15 +488,14 @@ def avro_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`write_avro`/`read_avro` over the binaryFile source) round-trips in
     `tests/test_avro.py`."""
     from national_caseload_data_ingest_spark.sources.avro import (  # noqa: PLC0415
-        decode_payloads,
-        encode_partitions,
+        roundtrip_partitions,
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = encode_partitions(docs, codec="deflate")
-    back = decode_payloads(
-        payloads,
+    back = roundtrip_partitions(
+        docs,
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        codec="deflate",
     )
     return _doc_digests(back)
 
@@ -504,16 +520,15 @@ def avro_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     row.  Doubles travel via the DECIMAL(18,2) convention (the ORC
     roundtrip's exactness trick) and the JSON props column by md5."""
     from national_caseload_data_ingest_spark.sources.avro import (  # noqa: PLC0415
-        decode_payloads,
-        encode_partitions,
+        roundtrip_partitions,
     )
 
     events = load_tables(spark, sf_dir, "events")["events"]
-    payloads = encode_partitions(events, codec="deflate")
-    back = decode_payloads(
-        payloads,
+    back = roundtrip_partitions(
+        events,
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string",
+        codec="deflate",
     )
     return back.select(
         "event_id",
@@ -555,8 +570,7 @@ def avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-terminated array/map block, or a dropped map entry breaks the
     hash.  Two narrow Arrow kernels, zero shuffle."""
     from national_caseload_data_ingest_spark.sources.avro import (  # noqa: PLC0415
-        decode_payloads,
-        encode_partitions,
+        roundtrip_partitions,
     )
 
     o = load_tables(spark, sf_dir, "orders")["orders"]
@@ -582,11 +596,11 @@ def avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("b"), (F.col("o_orderkey") % 17).cast("long"),
         ).alias("tags"),
     )
-    payloads = encode_partitions(nested, codec="deflate")
-    back = decode_payloads(
-        payloads,
+    back = roundtrip_partitions(
+        nested,
         "id bigint, meta struct<priority:string,total:double>, "
         "items array<struct<i:int,v:bigint>>, tags map<string,bigint>",
+        codec="deflate",
     )
     return back.select(
         "id",
@@ -640,8 +654,7 @@ def avro_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     values from raw parquet, so a hash-match proves the whole
     enum/fixed/union wire layer."""
     from national_caseload_data_ingest_spark.sources.avro import (  # noqa: PLC0415
-        decode_payloads,
-        encode_partitions,
+        roundtrip_partitions,
     )
 
     o = load_tables(spark, sf_dir, "orders")["orders"]
@@ -678,12 +691,13 @@ def avro_union_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("choice", ("munion", ("null", "long", "double"))),
         ("rev", ("munion", ("string", "null"))),
     ]
-    payloads = encode_partitions(typed, codec="deflate", fields=fields)
-    back = decode_payloads(
-        payloads,
+    back = roundtrip_partitions(
+        typed,
         "id bigint, prio string, fp binary, "
         "choice struct<member0:bigint,member1:double>, "
         "rev struct<member0:string>",
+        codec="deflate",
+        fields=fields,
     )
     return back.select(
         "id",
@@ -718,14 +732,12 @@ def msgpack_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison catches any 34-bit-boundary or nanos-packing slip.  Two
     narrow Arrow kernels, zero shuffle."""
     from national_caseload_data_ingest_spark.sources.msgpack import (  # noqa: PLC0415
-        decode_payloads,
-        encode_partitions,
+        roundtrip_partitions,
     )
 
     events = load_tables(spark, sf_dir, "events")["events"]
-    payloads = encode_partitions(events)
-    back = decode_payloads(
-        payloads,
+    back = roundtrip_partitions(
+        events,
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string",
     )
@@ -824,10 +836,8 @@ def sqlite_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "n_chars"],
                 )
 
-    payloads = fan_out(docs).mapInPandas(
-        enc, schema="payload binary, wal binary")
-    back = payloads.mapInPandas(
-        dec,
+    back = fan_out(docs).mapInPandas(
+        _fused(enc, dec),
         schema="doc_id bigint, text string, lang string, "
                "source string, n_chars bigint",
     )
@@ -856,14 +866,12 @@ def cbor_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``epoch_us`` comparison catches any width or tag slip.  Two narrow
     Arrow kernels, zero shuffle."""
     from national_caseload_data_ingest_spark.sources.cbor import (  # noqa: PLC0415
-        decode_payloads,
-        encode_partitions,
+        roundtrip_partitions,
     )
 
     events = load_tables(spark, sf_dir, "events")["events"]
-    payloads = encode_partitions(events)
-    back = decode_payloads(
-        payloads,
+    back = roundtrip_partitions(
+        events,
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string",
     )
@@ -1149,9 +1157,8 @@ def protobuf_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows)
 
-    payloads = fan_out(events).mapInPandas(enc, schema="payload binary")
-    back = payloads.mapInPandas(
-        dec,
+    back = fan_out(events).mapInPandas(
+        _fused(enc, dec),
         schema="event_id bigint, ts_micros bigint, user_id bigint, "
                "event_type string, value double, props string, "
                "tags_sum bigint, n_tags bigint, delta bigint",
@@ -1178,6 +1185,10 @@ def encode_arrow_ipc_partitions(df: DataFrame) -> DataFrame:
     nullable-int batches serialize exactly.
     """
 
+    return df.mapInArrow(_arrow_ipc_enc_kernel(), "payload binary")
+
+
+def _arrow_ipc_enc_kernel():
     def enc(batches):
         import io  # noqa: PLC0415
 
@@ -1194,7 +1205,7 @@ def encode_arrow_ipc_partitions(df: DataFrame) -> DataFrame:
             [pa.array([sink.getvalue()], type=pa.binary())], names=["payload"]
         )
 
-    return df.mapInArrow(enc, "payload binary")
+    return enc
 
 
 def decode_arrow_ipc_payloads(payloads: DataFrame, ddl: str) -> DataFrame:
@@ -1204,6 +1215,10 @@ def decode_arrow_ipc_payloads(payloads: DataFrame, ddl: str) -> DataFrame:
     one task per original partition.  Arrow-native for the same
     fidelity reasons as the encoder."""
 
+    return payloads.select("payload").mapInArrow(_arrow_ipc_dec_kernel(), ddl)
+
+
+def _arrow_ipc_dec_kernel():
     def dec(batches):
         import io  # noqa: PLC0415
 
@@ -1214,7 +1229,7 @@ def decode_arrow_ipc_payloads(payloads: DataFrame, ddl: str) -> DataFrame:
                 t = pa.ipc.open_file(io.BytesIO(buf.as_py())).read_all()
                 yield from t.to_batches()
 
-    return payloads.select("payload").mapInArrow(dec, ddl)
+    return dec
 
 
 @query("arrow_ipc_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
@@ -1235,9 +1250,8 @@ def arrow_ipc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     round-trips via the binaryFile source in ``tests/test_formats.py``.
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    payloads = encode_arrow_ipc_partitions(docs)
-    back = decode_arrow_ipc_payloads(
-        payloads,
+    back = docs.mapInArrow(
+        _fused(_arrow_ipc_enc_kernel(), _arrow_ipc_dec_kernel()),
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
     return _doc_digests(back)
@@ -1251,7 +1265,10 @@ def encode_tar_partitions(df: DataFrame) -> DataFrame:
     mtimes are pinned to 0 so the payload bytes are a pure function of
     the rows.  One ``mapInPandas`` pass, one output row per non-empty
     partition — the encode never shuffles."""
+    return fan_out(df).mapInPandas(_tar_enc_kernel(), "payload binary")
 
+
+def _tar_enc_kernel():
     def enc(batches):
         import io  # noqa: PLC0415
         import tarfile  # noqa: PLC0415
@@ -1280,7 +1297,7 @@ def encode_tar_partitions(df: DataFrame) -> DataFrame:
         if n:
             yield pd.DataFrame({"payload": [sink.getvalue()]})
 
-    return fan_out(df).mapInPandas(enc, "payload binary")
+    return enc
 
 
 def decode_tar_payloads(payloads: DataFrame) -> DataFrame:
@@ -1288,7 +1305,13 @@ def decode_tar_payloads(payloads: DataFrame) -> DataFrame:
     complete archive, so decode parallelizes one task per original
     partition; member order inside an archive is irrelevant to the
     relation (the driver hash is order-insensitive)."""
+    return payloads.select("payload").mapInPandas(
+        _tar_dec_kernel(),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
 
+
+def _tar_dec_kernel():
     def dec(batches):
         import io  # noqa: PLC0415
         import tarfile  # noqa: PLC0415
@@ -1319,10 +1342,7 @@ def decode_tar_payloads(payloads: DataFrame) -> DataFrame:
                     }
                 )
 
-    return payloads.select("payload").mapInPandas(
-        dec,
-        "doc_id bigint, text string, lang string, source string, n_chars bigint",
-    )
+    return dec
 
 
 @query("tar_roundtrip_documents", oracle=_DOC_DIGEST_SQL)
@@ -1342,7 +1362,10 @@ def tar_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no driver-side archive handling, and member bodies stream
     through ``BytesIO`` without a per-member Python subprocess."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    back = decode_tar_payloads(encode_tar_partitions(docs))
+    back = fan_out(docs).mapInPandas(
+        _fused(_tar_enc_kernel(), _tar_dec_kernel()),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
     return _doc_digests(back)
 
 
@@ -1554,10 +1577,6 @@ def archive_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    payloads = fan_out(d.select("doc_id")).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-
     def kernel(batches):
         for pdf in batches:
             rows = []
@@ -1578,8 +1597,8 @@ def archive_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "raw_checksum": "int64"}
             )
 
-    return payloads.mapInPandas(
-        kernel,
+    return fan_out(d.select("doc_id")).mapInPandas(
+        _fused(synth, kernel),
         schema=(
             "doc_id bigint, fmt string, raw_bytes bigint, "
             "raw_checksum bigint"

@@ -625,6 +625,36 @@ def avro_decode(payload: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
 
 # -- distributed plumbing -------------------------------------------------
 
+def _encode_kernel(fields: list, codec: str):
+    """Batch-iterator kernel: partition rows → one container payload."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = []
+        for pdf in batches:
+            rows.extend(pdf.itertuples(index=False, name=None))
+        if rows:
+            yield pd.DataFrame(
+                {"payload": [avro_encode(rows, fields, codec=codec)]}
+            )
+
+    return kernel
+
+
+def _decode_kernel():
+    """Batch-iterator kernel: (payload binary) rows → decoded records."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for payload in pdf["payload"]:
+                fields, rows = avro_decode(bytes(payload))
+                frames.append(
+                    pd.DataFrame(rows, columns=[n for n, _ in fields])
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return kernel
+
+
 def encode_partitions(
     df: DataFrame, codec: str = "deflate", fields: list | None = None
 ) -> DataFrame:
@@ -640,15 +670,6 @@ def encode_partitions(
     if fields is None:
         fields = fields_from_spark_schema(df.schema)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: list[tuple] = []
-        for pdf in batches:
-            rows.extend(pdf.itertuples(index=False, name=None))
-        if rows:
-            yield pd.DataFrame(
-                {"payload": [avro_encode(rows, fields, codec=codec)]}
-            )
-
     # Fan out before the CPU-bound kernel: the scan's partition
     # count is the file-split count, and a single small parquet
     # file serializes the whole Python encode onto a few cores
@@ -656,24 +677,46 @@ def encode_partitions(
     # inputs arrive in thousands of splits and this is a no-op-cost
     # straggler guard -- same policy as operators/multimodal.fan_out.
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return df.mapInPandas(kernel, schema="payload binary")
+    return df.mapInPandas(_encode_kernel(fields, codec),
+                          schema="payload binary")
 
 
 def decode_payloads(payloads: DataFrame, out_schema: str) -> DataFrame:
     """(payload binary) rows → decoded records, one Arrow kernel per
     payload batch."""
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            frames = []
-            for payload in pdf["payload"]:
-                fields, rows = avro_decode(bytes(payload))
-                frames.append(
-                    pd.DataFrame(rows, columns=[n for n, _ in fields])
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+    return payloads.mapInPandas(_decode_kernel(), schema=out_schema)
 
-    return payloads.mapInPandas(kernel, schema=out_schema)
+
+def roundtrip_partitions(
+    df: DataFrame,
+    out_schema: str,
+    codec: str = "deflate",
+    fields: list | None = None,
+) -> DataFrame:
+    """Encode→decode fidelity round-trip in ONE Arrow kernel: the exact
+    :func:`encode_partitions` and :func:`decode_payloads` kernels,
+    composed as iterator transformers inside a single ``mapInPandas``
+    stage.  The two-stage form ships every container payload
+    Python→JVM→Python between the kernels for nothing when the payload
+    relation has no other consumer — pure boundary cost (optimization
+    guide §4.1); both codec directions still run verbatim on every
+    row, so the fidelity surface under test is unchanged, and the
+    emitted relation is identical row-for-row (the decode consumes the
+    same payload bytes the encode produced, same partition, same
+    order).  Keep the two-stage functions for real file IO
+    (:func:`write_avro` / :func:`read_avro`) and any consumer that
+    materializes the payload relation."""
+    if fields is None:
+        fields = fields_from_spark_schema(df.schema)
+    enc, dec = _encode_kernel(fields, codec), _decode_kernel()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return dec(enc(batches))
+
+    # same fan-out policy as encode_partitions (the kernel is the same
+    # CPU-bound encode, plus the decode)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:

@@ -300,10 +300,7 @@ def cbor_decode_rows(payload: bytes) -> list[list]:
     return rows
 
 
-def encode_partitions(df: DataFrame) -> DataFrame:
-    """Each partition → one CBOR-sequence payload (narrow Arrow
-    kernel, zero shuffle)."""
-
+def _encode_kernel():
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[tuple] = []
         for pdf in batches:
@@ -311,17 +308,10 @@ def encode_partitions(df: DataFrame) -> DataFrame:
         if rows:
             yield pd.DataFrame({"payload": [cbor_encode_rows(rows)]})
 
-    # Fan out before the CPU-bound kernel: the scan's partition
-    # count is the file-split count, and a single small parquet
-    # file serializes the whole Python encode onto a few cores
-    # (measured 40x at sf1 on avro_nested_roundtrip).  At 100 TB
-    # inputs arrive in thousands of splits and this is a no-op-cost
-    # straggler guard -- same policy as operators/multimodal.fan_out.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return df.mapInPandas(kernel, schema="payload binary")
+    return kernel
 
 
-def decode_payloads(payloads: DataFrame, out_schema: str) -> DataFrame:
+def _decode_kernel(out_schema: str):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [c.strip().split()[0] for c in out_schema.split(",")]
         for pdf in batches:
@@ -332,4 +322,37 @@ def decode_payloads(payloads: DataFrame, out_schema: str) -> DataFrame:
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    return payloads.mapInPandas(kernel, schema=out_schema)
+    return kernel
+
+
+def encode_partitions(df: DataFrame) -> DataFrame:
+    """Each partition → one CBOR-sequence payload (narrow Arrow
+    kernel, zero shuffle)."""
+    # Fan out before the CPU-bound kernel: the scan's partition
+    # count is the file-split count, and a single small parquet
+    # file serializes the whole Python encode onto a few cores
+    # (measured 40x at sf1 on avro_nested_roundtrip).  At 100 TB
+    # inputs arrive in thousands of splits and this is a no-op-cost
+    # straggler guard -- same policy as operators/multimodal.fan_out.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.mapInPandas(_encode_kernel(), schema="payload binary")
+
+
+def decode_payloads(payloads: DataFrame, out_schema: str) -> DataFrame:
+    return payloads.mapInPandas(_decode_kernel(out_schema),
+                                schema=out_schema)
+
+
+def roundtrip_partitions(df: DataFrame, out_schema: str) -> DataFrame:
+    """Encode→decode round-trip in ONE Arrow kernel (the exact encode
+    and decode kernels composed as iterator transformers) — drops the
+    payload's Python→JVM→Python hop when the payload relation has no
+    other consumer; both codec directions still run verbatim on every
+    row (same rationale as ``sources/avro.roundtrip_partitions``)."""
+    enc, dec = _encode_kernel(), _decode_kernel(out_schema)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return dec(enc(batches))
+
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.mapInPandas(kernel, schema=out_schema)
