@@ -550,13 +550,41 @@ def _jaccard_bcast_pairs(
             "shared-gram counts would no longer be exact. Re-block finer."
         )
     gidx = {x: i for i, x in enumerate(grams)}
+    nbytes = (g + 7) // 8
+    bc_bits = spark.sparkContext.broadcast(gidx)
     blk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in block_cols])
-    rows = (
+    per_doc = (
         postings.withColumn("__blk", blk)
         .groupBy("doc_id", "__blk")
         .agg(F.collect_set("gram").alias("grams"))
-        .collect()
     )
+
+    def pack(batches):
+        bits_map = bc_bits.value
+        for pdf in batches:
+            out_ids, out_blks, out_bits = [], [], []
+            for doc_id, b, gs in zip(
+                pdf["doc_id"], pdf["__blk"], pdf["grams"]
+            ):
+                buf = bytearray(nbytes)
+                for x in gs:
+                    bit = bits_map[x]
+                    buf[bit >> 3] |= 1 << (bit & 7)
+                out_ids.append(int(doc_id))
+                out_blks.append(b)
+                out_bits.append(bytes(buf))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "__blk": out_blks, "bits": out_bits}
+            )
+
+    # bounded collect of PACKED bitsets (D·G/8 bytes) — collecting the
+    # per-doc gram-string arrays instead measured ~65 MB of row-format
+    # driver transfer at sf0.1 and ate most of the band win (r14, found
+    # on the containment twin); each band task unpacks its broadcast
+    # copy to float32 once
+    rows = per_doc.mapInPandas(
+        pack, schema="doc_id bigint, __blk string, bits binary"
+    ).collect()
     empty = pd.DataFrame(
         {"doc_a": [], "doc_b": [], "jaccard": []}
     ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
@@ -577,17 +605,22 @@ def _jaccard_bcast_pairs(
     rows.sort(key=lambda r: r["doc_id"])  # global order ⇒ doc_a < doc_b
     ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     blks = np.array([r["__blk"] for r in rows], dtype=object)
-    m = np.zeros((n, g), dtype=np.float32)
-    for i, r in enumerate(rows):
-        m[i, [gidx[x] for x in r["grams"]]] = 1.0
-    sizes = m.sum(axis=1)  # exact integer counts (< 2^24) in float32
-    bc = spark.sparkContext.broadcast((ids, blks, m, sizes))
+    packed = np.frombuffer(
+        b"".join(bytes(r["bits"]) for r in rows), dtype=np.uint8
+    ).reshape(n, nbytes)
+    bc = spark.sparkContext.broadcast((ids, blks, packed))
     k = max(1, spark.sparkContext.defaultParallelism)
     bands = spark.range(0, k, 1, k)
 
     def kernel(batches):
-        b_ids, b_blks, b_m, b_sizes = bc.value
+        b_ids, b_blks, b_packed = bc.value
         nn = len(b_ids)
+        # unpack once per task: LSB-first bit order matches the packer;
+        # float32 counts exact at G < 2^24 (fenced above)
+        b_m = np.unpackbits(
+            b_packed, axis=1, count=g, bitorder="little"
+        ).astype(np.float32)
+        b_sizes = b_m.sum(axis=1)
         tl = max(threshold - 1e-3, 0.0)
         fac = np.float32(tl / (1.0 + tl))
         for pdf in batches:
@@ -1971,6 +2004,141 @@ def _containment_dense_pairs(postings: DataFrame) -> DataFrame:
     )
 
 
+def _containment_bcast_pairs(postings: DataFrame) -> DataFrame:
+    """Containment tier 3b (dense corpora, BLAS band edition — r14):
+    the same exact relation as :func:`_containment_dense_pairs`, but
+    the D²-pair overlap count runs as ``defaultParallelism`` row-band
+    sgemms against the incidence matrix instead of a per-doc Python
+    popcount loop on however few tasks the tiny bitset relation
+    coalesced to (the Jaccard band's fix, :func:`_jaccard_bcast_pairs`,
+    asymmetric edition).
+
+    The driver hand-off is the PACKED bitset matrix (the dense tier's
+    own D·G/8-byte form — measured: collecting per-doc gram-string
+    arrays instead cost ~65 MB of row-format driver transfer at sf0.1
+    and erased the kernel win); each band task unpacks its broadcast
+    copy to float32 once (LSB-first bit order, matching the packer)
+    and sgemms its contiguous row band against the full matrix.
+
+    Bit-identical to the bitset tier by construction: a 0/1 dot
+    product IS ``popcount(bits_a AND bits_b)``, and with G ≤
+    ``DENSE_GRAM_BITS`` (≪ 2²⁴) every count, every ``den·c`` /
+    ``num·n_a`` product, and every comparison is exact in float32;
+    survivors get the identical int64 casts and float64 division.  The
+    predicate keeps BOTH ordered directions (containment is
+    asymmetric), unlike the Jaccard band's ``ia < ib`` cut."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    num, den = CONTAINMENT_NUM, CONTAINMENT_DEN
+    spark = postings.sparkSession
+    grams = sorted(
+        r["gram"] for r in postings.select("gram").distinct().collect()
+    )
+    g = len(grams)
+    gram_bit = {x: i for i, x in enumerate(grams)}
+    nbytes = (g + 7) // 8
+    bc_bits = spark.sparkContext.broadcast(gram_bit)
+
+    per_doc = postings.groupBy("doc_id").agg(
+        F.collect_set("gram").alias("grams")
+    )
+
+    def pack(batches):
+        bits_map = bc_bits.value
+        for pdf in batches:
+            out_ids, out_bits = [], []
+            for doc_id, gs in zip(pdf["doc_id"], pdf["grams"]):
+                buf = bytearray(nbytes)
+                for x in gs:
+                    bit = bits_map[x]
+                    buf[bit >> 3] |= 1 << (bit & 7)
+                out_ids.append(int(doc_id))
+                out_bits.append(bytes(buf))
+            yield pd.DataFrame({"doc_id": out_ids, "bits": out_bits})
+
+    # bounded collect: D * (8 + G/8) bytes — the dense tier's own
+    # justified-stats-collect pattern, NOT the float32 matrix
+    rows = per_doc.mapInPandas(
+        pack, schema="doc_id bigint, bits binary"
+    ).collect()
+    rows.sort(key=lambda r: r["doc_id"])
+    n = len(rows)
+    _assert_dense_actuals(
+        "_containment_bcast_pairs", n, 4 * max(g, 1),
+        work_budget=DENSE_WORK_BUDGET,
+        bcast_budget=JACCARD_BLAS_BCAST_BUDGET,
+    )
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    packed = np.frombuffer(
+        b"".join(bytes(r["bits"]) for r in rows), dtype=np.uint8
+    ).reshape(n, nbytes)
+    bc = spark.sparkContext.broadcast((ids, packed))
+    k = max(1, spark.sparkContext.defaultParallelism)
+    bands = spark.range(0, k, 1, k)
+    empty = pd.DataFrame(
+        {"doc_a": [], "doc_b": [], "n_common": [], "n_a": []}
+    ).astype({"doc_a": "int64", "doc_b": "int64",
+              "n_common": "int64", "n_a": "int64"})
+
+    def kernel(batches):
+        b_ids, b_packed = bc.value
+        nn = len(b_ids)
+        # unpack once per task: LSB-first bit order matches the packer
+        # (buf[bit>>3] |= 1 << (bit&7)); float32 counts exact at G < 2^24
+        b_m = np.unpackbits(
+            b_packed, axis=1, count=g, bitorder="little"
+        ).astype(np.float32)
+        b_sizes = b_m.sum(axis=1)
+        fnum, fden = np.float32(num), np.float32(den)
+        for pdf in batches:
+            for c in pdf["id"]:
+                lo, hi = int(c) * nn // k, (int(c) + 1) * nn // k
+                out = []
+                # same 512-row sub-chunking as the Jaccard band so the
+                # score buffer stays bounded at the bcast cap
+                for c0 in range(lo, hi, 512):
+                    c1 = min(c0 + 512, hi)
+                    s = np.dot(b_m[c0:c1], b_m.T)
+                    cond = fden * s >= fnum * b_sizes[c0:c1, None]
+                    # a doc never pairs with itself (each appears once,
+                    # so index equality == id equality)
+                    idx = np.arange(c0, c1, dtype=np.int64)
+                    cond[idx - c0, idx] = False
+                    hits = np.argwhere(cond)
+                    if len(hits):
+                        ia, ib = hits[:, 0], hits[:, 1]
+                        out.append((ia + c0, ib, s[ia, ib]))
+                if not out:
+                    yield empty
+                    continue
+                ia = np.concatenate([o[0] for o in out])
+                ib = np.concatenate([o[1] for o in out])
+                ns = np.concatenate([o[2] for o in out])
+                yield pd.DataFrame(
+                    {
+                        "doc_a": b_ids[ia],
+                        "doc_b": b_ids[ib],
+                        "n_common": ns.astype(np.int64),
+                        "n_a": b_sizes[ia].astype(np.int64),
+                    }
+                )
+
+    out = bands.mapInPandas(
+        kernel,
+        schema="doc_a bigint, doc_b bigint, n_common bigint, n_a bigint",
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_a",
+        (F.col("n_common").cast("double") / F.col("n_a")).alias(
+            "containment"
+        ),
+    )
+
+
 # Hybrid frequent/rare containment tier (round 11, measured on the sf1h
 # long-tail corpus): at t = 1/2 the prefix filter cannot prune when the
 # per-doc "rare half" still contains mid-frequency grams — measured
@@ -2386,6 +2554,21 @@ def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured work bound (D^2 * bitset bytes)
         n_docs = postings.select("doc_id").distinct().count()
         if n_docs * n_docs * ((n_grams + 7) // 8) <= DENSE_WORK_BUDGET:
+            # band routing (r14): above the measured BLAS crossover the
+            # D²-pair overlap should use every core, not the handful of
+            # tasks the tiny bitset relation coalesces to — same flops
+            # threshold and broadcast budget as the Jaccard band tier,
+            # same relation either way (equivalence pytest)
+            flops = 2 * n_docs * n_docs * n_grams
+            if (flops > JACCARD_BLAS_MIN_FLOPS
+                    and n_docs * n_grams * 4 <= JACCARD_BLAS_BCAST_BUDGET
+                    # the band's post-collect assert measures work in
+                    # float32 bytes (n²·4g); gate on the same units so
+                    # a band-routed corpus can never fail where the
+                    # bitset tier would have succeeded
+                    and 4 * n_docs * n_docs * n_grams
+                    <= DENSE_WORK_BUDGET):
+                return _containment_bcast_pairs(postings)
             return _containment_dense_pairs(postings)
     if vol > DIRECT_JOIN_BUDGET:
         # mixed-regime corpora (moderate vocabulary, frequent head +

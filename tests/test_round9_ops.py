@@ -742,6 +742,57 @@ def test_containment_dense_tier_equals_direct_on_planted_quotes(spark):
         postings.unpersist()
 
 
+def test_containment_blas_band_tier_equals_bitset_tier(spark):
+    """r14: the containment BLAS band tier (broadcast float32 incidence
+    matrix, row-band sgemm per task) must emit the BIT-identical
+    relation as the bitset tier and the direct posting join.  Raw float
+    comparison on purpose: overlap counts are exact integers in float32
+    (G ≤ DENSE_GRAM_BITS ≪ 2²⁴) and the float64 division is the same
+    expression, so no tolerance is needed."""
+    from national_caseload_data_ingest_spark.operators.dedup import (
+        _containment_bcast_pairs,
+        _containment_dense_pairs,
+        _containment_direct_pairs,
+        _shared_postings,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"u{i} v{i}" for i in range(30))
+    texts = {}
+    for i in range(1, 31):
+        if i % 5 == 0:
+            texts[i] = short                      # full containment
+        elif i % 5 == 1:
+            texts[i] = short + " " + filler        # superset doc
+        elif i % 5 == 2:
+            texts[i] = filler + " " + short
+        elif i % 5 == 3:
+            texts[i] = f"alpha beta gamma z{i} q{i}"  # partial overlap
+        else:
+            texts[i] = " ".join(f"w{i}_{j} x{i}_{j}" for j in range(25))
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in texts.items()],
+        "doc_id bigint, text string, lang string",
+    )
+    postings = _shared_postings(docs).persist()
+    try:
+        def rel(df):
+            return sorted(
+                (r.doc_a, r.doc_b, r.n_common, r.n_a, r.containment)
+                for r in df.collect()
+            )
+
+        band = rel(_containment_bcast_pairs(postings))
+        assert band == rel(_containment_dense_pairs(postings))
+        assert band == rel(_containment_direct_pairs(postings))
+        assert band, "vacuous fixture — no qualifying pairs"
+        # both full (c == n_a) and partial containments exercised
+        assert any(c == na for _, _, c, na, _ in band)
+        assert any(c != na for _, _, c, na, _ in band)
+    finally:
+        postings.unpersist()
+
+
 def test_containment_dense_routing_by_measured_stats(spark):
     """The public query routes to the bitset tier when the measured
     vocabulary is small and the join volume is large enough to matter —
