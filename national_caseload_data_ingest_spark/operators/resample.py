@@ -117,50 +117,74 @@ def bootstrap_mean_ci(
         value_col,
         ((F.col(key_col) * LCG_MULT) % LCG_MOD).alias("__lcg_x"),
     )
-    # The B×(ladder + 2 sums) aggregate forest is built as SQL text and
-    # parsed JVM-side in one call per expression: building the same tree
-    # from Column operators costs one py4j round-trip per NODE — measured
-    # ~4 s of driver time per query build at B = 32 before any data moved.
-    aggs = [
-        F.sum(value_col).alias("s_all"),
-        F.count(F.lit(1)).alias("c_all"),
-    ]
+    # The whole B×(ladder + 2 sums) forest + stack + rank pipeline is
+    # ONE parameterized ``spark.sql`` statement — a single JVM-side
+    # parse.  History of this build (r14): Column operators cost one
+    # py4j round-trip per NODE (~4 s of driver time at B = 32); one
+    # ``F.expr`` per aggregate still cost ~1.1-1.9 s of parse round
+    # trips plus ~1-1.7 s assembling the 66-column ``agg`` call —
+    # roughly HALF the query's wall time spent on the driver before any
+    # data moved.  The SQL text below is the same expression text those
+    # operators produced (same ladder strings, same casts, same window
+    # order), so the physical plan and every emitted value are
+    # unchanged — pinned by the python-recompute parity tests and the
+    # DuckDB oracle at three SFs.
+    # the multiplicity ladder is projected ONCE per replicate under
+    # short names (m0..mB) and the aggregates reference those: the
+    # repeated-u text form cost ~1 s of ANTLR parse alone (~80 KB of
+    # SQL), and per-row each ladder is now provably evaluated once
+    # instead of relying on aggregate-level subexpression elimination
+    mults = []
     for b in range(b_replicas):
         u = (
             f"(CAST(__lcg_x * {b + 1} % {LCG_MOD}"
             f" * {LCG_MULT} % {LCG_MOD} AS DOUBLE) / {LCG_MOD}.0)"
         )
-        m = "(" + " + ".join(
+        m = " + ".join(
             f"(CASE WHEN {u} >= {c} THEN 1 ELSE 0 END)"
             for c in POISSON_CDF
-        ) + ")"
-        aggs.append(F.expr(f"SUM({m} * {value_col})").alias(f"s{b}"))
-        aggs.append(F.expr(f"SUM({m})").alias(f"c{b}"))
-    wide = pre.groupBy(group_col).agg(*aggs)
+        )
+        mults.append(f"{m} AS m{b}")
+    ladders = [
+        f"SUM(m{b} * {value_col}) AS s{b}, SUM(m{b}) AS c{b}"
+        for b in range(b_replicas)
+    ]
     pairs = ", ".join(
         f"{b}, CAST(s{b} AS DOUBLE) / CAST(c{b} AS DOUBLE)"
         for b in range(b_replicas)
     )
-    means = wide.selectExpr(
-        group_col,
-        "CAST(s_all AS DOUBLE) / CAST(c_all AS DOUBLE) AS mean_value",
-        f"stack({b_replicas}, {pairs}) AS (b, mean_b)",
-    )
-    from pyspark.sql.window import Window as W  # noqa: PLC0415
-
-    w = W.partitionBy(group_col).orderBy(F.col("mean_b"), F.col("b"))
-    ranked = means.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.groupBy(group_col, "mean_value")
-        .agg(
-            F.max(F.when(F.col("rn") == LO_RANK, F.col("mean_b"))).alias(
-                "boot_lo"
-            ),
-            F.max(F.when(F.col("rn") == HI_RANK, F.col("mean_b"))).alias(
-                "boot_hi"
-            ),
+    return pre.sparkSession.sql(
+        f"""
+        WITH mult AS (
+            SELECT {group_col}, {value_col}, {', '.join(mults)}
+            FROM {{pre}}
+        ),
+        wide AS (
+            SELECT {group_col},
+                   SUM({value_col}) AS s_all, COUNT(1) AS c_all,
+                   {', '.join(ladders)}
+            FROM mult
+            GROUP BY {group_col}
+        ),
+        means AS (
+            SELECT {group_col},
+                   CAST(s_all AS DOUBLE) / CAST(c_all AS DOUBLE)
+                       AS mean_value,
+                   stack({b_replicas}, {pairs}) AS (b, mean_b)
+            FROM wide
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY {group_col} ORDER BY mean_b, b) AS rn
+            FROM means
         )
-        .select(group_col, "mean_value", "boot_lo", "boot_hi")
+        SELECT {group_col}, mean_value,
+               MAX(CASE WHEN rn = {LO_RANK} THEN mean_b END) AS boot_lo,
+               MAX(CASE WHEN rn = {HI_RANK} THEN mean_b END) AS boot_hi
+        FROM ranked
+        GROUP BY {group_col}, mean_value
+        """,
+        pre=pre,
     )
 
 
