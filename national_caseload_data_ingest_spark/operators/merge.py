@@ -11,8 +11,9 @@ change feeds need the full clause algebra in ONE pass:
 Semantics follow the standard: clauses are evaluated IN ORDER and the
 first whose condition holds wins; a target row matched by MORE THAN ONE
 source row is an error (SQL:2003 cardinality rule — silently picking
-one is how CDC pipelines corrupt), enforced by a one-row aggregate
-guard on the source keys.
+one is how CDC pipelines corrupt), enforced by a per-key count window
+on the source whose violation branch raises inside the merge plan
+(one source pass, no separate guard job — r14).
 
 Plan shape: ONE full-outer join on the merge keys (presence markers on
 both sides, null-safe key equality), then pure column algebra — a
@@ -22,8 +23,8 @@ That is the same join-shaped core as Delta Lake's merge; at 100 TB the
 join is the only shuffle, it bucket-co-locates like any equi join
 (``catalog.write_bucketed``), and partition-pruning the target by the
 source's key range (when the feed is narrow) happens before the join
-via Catalyst as usual.  The cardinality guard is one partial-aggregated
-count, not a second pass over data rows.
+via Catalyst as usual.  The cardinality guard is a source-keyed count
+window inside the same plan, not a second pass over data rows.
 
 The reference has no merge surface (its loader overwrites partitions
 wholesale — ``/root/reference/ncd/normal_table.py``); this is the
@@ -62,19 +63,23 @@ def merge_into(
     ``None`` assignments insert the source row's same-named columns;
     missing target columns insert NULL.
     """
-    # SQL:2003 cardinality rule: at most one source row per key
-    dups = (
-        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1).limit(1).count()
-    )
-    if dups:
-        raise ValueError(
-            "merge_into: a target row is matched by more than one "
-            "source row (MERGE cardinality violation)"
-        )
+    # SQL:2003 cardinality rule: at most one source row per key.  The
+    # guard rides IN the merge plan (r14): a per-key count window on
+    # the source feeds a raise_error branch of the action resolver, so
+    # a violation still fails loudly (at execution, the same place
+    # Delta's merge detects it) but the source is computed ONCE and
+    # there is no separate pre-pass job + driver sync — the old eager
+    # one-row aggregate re-ran the whole source lineage per call.
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
 
     t = target.withColumn("__tp", F.lit(1)).alias("__t")
-    s = source.withColumn("__sp", F.lit(1)).alias("__s")
+    s = (
+        source.withColumn("__sp", F.lit(1))
+        .withColumn(
+            "__scnt", F.count(F.lit(1)).over(W.partitionBy(*on))
+        )
+        .alias("__s")
+    )
     key_eq = functools.reduce(
         operator.and_,
         [
@@ -105,7 +110,15 @@ def merge_into(
     for i, (act, cond, _a) in enumerate(not_matched_by_source):
         cases.append((tgt_only & _true(cond), f"n{i}_{act}"))
     # tgt_only fallthrough: keep
-    expr = F.when(cases[0][0], F.lit(cases[0][1]))
+    expr = F.when(
+        F.col("__s.__sp").isNotNull() & (F.col("__s.__scnt") > 1),
+        F.raise_error(
+            F.lit(
+                "merge_into: a target row is matched by more than one "
+                "source row (MERGE cardinality violation)"
+            )
+        ).cast("string"),
+    ).when(cases[0][0], F.lit(cases[0][1]))
     for cond, tag in cases[1:]:
         expr = expr.when(cond, F.lit(tag))
     action = expr.otherwise(F.lit("keep"))
@@ -192,8 +205,8 @@ def merge_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     target keys ≡ 999 mod 1000 are dropped).  The oracle restates the
     merge as a LEFT JOIN + CASE + UNION in DuckDB, so a wrong clause
     order, a missed tombstone, a mis-scoped purge, or a dropped insert
-    breaks the hash.  One full-outer shuffle join plus the one-row
-    cardinality guard; everything else is column algebra."""
+    breaks the hash.  One full-outer shuffle join plus the in-plan
+    cardinality window; everything else is column algebra."""
     o = load_tables(spark, sf_dir, "orders")["orders"]
     target = o.select(
         "o_orderkey", "o_custkey",
@@ -201,25 +214,20 @@ def merge_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
     )
     k = F.col("o_orderkey")
-    src = (
-        o.filter(k % 9 == 0).select(
-            k.alias("o_orderkey"), F.col("o_custkey").alias("cust"),
-            F.lit("D").alias("op"),
-            F.lit(None).cast("double").alias("new_price"),
-        )
-    ).unionAll(
-        o.filter((k % 9).isin(1, 2)).select(
-            k.alias("o_orderkey"), F.col("o_custkey").alias("cust"),
-            F.lit("U").alias("op"),
-            (F.col("o_totalprice") * 2).alias("new_price"),
-        )
-    ).unionAll(
-        o.filter(k % 9 == 3).select(
-            (k + 100000000).alias("o_orderkey"),
-            F.col("o_custkey").alias("cust"),
-            F.lit("I").alias("op"),
-            F.col("o_totalprice").alias("new_price"),
-        )
+    # ONE scan for the whole change feed (r14): the D/U/I classes are
+    # disjoint residues mod 9, so a single filtered projection with
+    # CASE-built op/key/price columns emits the identical row multiset
+    # the old three-scan union did — two fewer orders scans per run
+    m = k % 9
+    src = o.filter(m <= 3).select(
+        F.when(m == 3, k + 100000000).otherwise(k).alias("o_orderkey"),
+        F.col("o_custkey").alias("cust"),
+        F.when(m == 0, F.lit("D"))
+        .when(m.isin(1, 2), F.lit("U"))
+        .otherwise(F.lit("I")).alias("op"),
+        F.when(m.isin(1, 2), F.col("o_totalprice") * 2)
+        .when(m == 3, F.col("o_totalprice"))
+        .otherwise(F.lit(None).cast("double")).alias("new_price"),
     )
     merged = merge_into(
         target,

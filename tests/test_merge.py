@@ -67,13 +67,16 @@ def test_clause_order_first_match_wins(spark):
 
 
 def test_cardinality_violation_raises(spark):
+    # r14: the guard rides IN the merge plan (a raise_error branch fed
+    # by a per-key source count window), so the loud failure surfaces
+    # when the merge executes — one source pass, no separate guard job
     src = spark.createDataFrame(
         [(1, 1.0), (1, 2.0)], "k int, p double")
-    with pytest.raises(ValueError, match="cardinality"):
+    with pytest.raises(Exception, match="cardinality"):
         merge_into(
             _target(spark), src, ["k"],
             matched=[("update", None, {"val": F.col("__s.p")})],
-        )
+        ).collect()
 
 
 def test_insert_defaults_same_named_columns_and_null(spark):
