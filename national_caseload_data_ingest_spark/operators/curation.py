@@ -433,7 +433,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, ``bit_or`` word masks — which also keeps the build fully
     distributed and engine-deterministic."""
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    tri = word_ngram_postings(d, DECONTAM_NGRAM)
+    # Materialize the trigram postings ONCE (r14, guide §3.3): the
+    # relation has THREE consumers — the bitmap-build collect, the
+    # confirm join's eval side, and the train probe side — and without
+    # a barrier each re-ran the whole tokenize+explode pass (measured:
+    # 3 tokenize executions, ~2.8 s clean; one pass + two cached reads
+    # after).  Eager because the bitmap collect is the first action
+    # anyway; localCheckpoint lives only for this invocation.
+    tri = word_ngram_postings(d, DECONTAM_NGRAM).localCheckpoint(eager=True)
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
     eval_grams = tri.filter(is_eval).select("gram").distinct()
     bitmap = bloom_bitmap(eval_grams)
