@@ -1010,31 +1010,44 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document → ``(doc_id, sig)``.
 
     One explode+aggregate pass: per bit position, sum ±1 weighted by each
-    distinct token-hash's bit, then take the sign."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-        ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    distinct token-hash's bit, then take the sign.
+
+    The 64-sum forest + 64-term OR fold is ONE parameterized
+    ``spark.sql`` statement (the bootstrap single-parse treatment, r14):
+    the Column-operator build cost ~1 s of driver-side py4j round trips
+    per invocation — more than the query's whole execution — while the
+    SQL text below is the same expression tree in one JVM parse.  Exact
+    integer arithmetic throughout, so the emitted relation is identical
+    (pinned by the ground-truth recall and symmetry tests)."""
+    sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS b{i}"
+        for i in range(SIMHASH_BITS)
     )
-    sig = F.lit(0).cast("bigint")
-    for i in range(SIMHASH_BITS):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"b{i}") > 0,
-                F.shiftleft(F.lit(1).cast("bigint"), i),
-            ).otherwise(F.lit(0).cast("bigint"))
+    sig = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return docs.sparkSession.sql(
+        rf"""
+        WITH toks AS (
+            SELECT doc_id, xxhash64(tok) AS h
+            FROM (
+                SELECT doc_id,
+                       explode(array_distinct(
+                           split(lower(trim(text)), '\\s+'))) AS tok
+                FROM {{docs}}
+            )
+        ),
+        bits AS (
+            SELECT doc_id, {sums}
+            FROM toks
+            GROUP BY doc_id
         )
-    return bit_sums.select("doc_id", sig.alias("sig"))
+        SELECT doc_id, ({sig}) AS sig FROM bits
+        """,
+        docs=docs,
+    )
 
 
 def simhash_pairs(

@@ -88,6 +88,17 @@ def get_spark(
         # guard above handles the generated-method size.
         .config("spark.sql.codegen.maxFields", "800")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 wraps EVERY DataFrame/Column API call in an
+        # error-context shim that (a) reads a conf over py4j, (b) walks
+        # the Python stack, and (c) pushes the call site to the JVM and
+        # clears it — ~3 extra py4j round trips per expression node,
+        # purely to enrich error messages with user line numbers.  The
+        # engine builds thousands of expression nodes per query (the
+        # 64-column simhash forest alone measured 2.9 s -> 1.0 s of
+        # driver-side construction with the shim off), so the documented
+        # opt-out pays across the whole catalog.  Driver-side only: the
+        # physical plan and every emitted row are identical.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # The events table stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as int64 nanos and convert in load_tables.
@@ -155,6 +166,11 @@ RUNTIME_CONFS = {
     "spark.sql.codegen.hugeMethodLimit": "8000000",
     "spark.sql.codegen.maxFields": "800",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python-side error-context shim opt-out (see get_spark).  pyspark
+    # caches the flag on the FIRST wrapped API call in the process, so a
+    # harness-owned session benefits only if load_tables runs before its
+    # first Column op — queries all start with load_tables, so it does.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
