@@ -101,25 +101,32 @@ def _weights(d: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("pool_n"),
         F.sum(is_tgt).alias("tgt_n"),
     )
-    # Materialize the model ONCE (r14): it is a ≤ DSIR_BUCKETS-row
-    # relation consumed by BOTH the totals aggregate and the ratio
-    # projection — without the checkpoint each consumer re-ran the full
-    # gram explode+md5 pass (three Generate subtrees in the before-
-    # plan; two corpus scans saved at 100 TB).  LAZY on purpose: the
-    # totals broadcast job materializes it first and the ratio reuses
-    # the checkpointed rows, while an action that prunes the weight
-    # subtree entirely (count() over the doc-keyed outer join — guide
-    # §1.4) still pays nothing.  The checkpoint lives only for this
-    # invocation.
-    model = model.localCheckpoint(eager=False)
-    totals = model.agg(
-        F.sum("pool_n").alias("pool_total"), F.sum("tgt_n").alias("tgt_total")
-    )
-    ratio = model.crossJoin(F.broadcast(totals)).select(
+    # The totals are GLOBAL-WINDOW sums over the ≤ DSIR_BUCKETS-row model
+    # instead of a separate aggregate (r15): r14 gave the model two
+    # consumers (totals + ratio) and bridged them with a lazy
+    # localCheckpoint, but the opaque RDD barrier defeated Catalyst's
+    # unique-key outer-join elimination — an action needing no weight
+    # column (the bench's count() over the doc-keyed left join, guide
+    # §1.4) stopped pruning the whole gram subtree and the bench entry
+    # regressed 0.30 → 1.15 s (VERDICT r14).  A single-partition window
+    # over 4096 rows keeps the model at exactly ONE consumer — the plan
+    # stays pure Catalyst (prunable; 2 Generate nodes instead of 3) and
+    # the integer window sums equal the old totals bit-for-bit, so
+    # log_ratio (and the oracle hash) are unchanged.
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    tot = Window.partitionBy()
+    ratio = model.select(
         "b",
         (
-            F.log((F.col("tgt_n") + 1) / (F.col("tgt_total") + DSIR_BUCKETS))
-            - F.log((F.col("pool_n") + 1) / (F.col("pool_total") + DSIR_BUCKETS))
+            F.log(
+                (F.col("tgt_n") + 1)
+                / (F.sum("tgt_n").over(tot) + DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.col("pool_n") + 1)
+                / (F.sum("pool_n").over(tot) + DSIR_BUCKETS)
+            )
         ).alias("log_ratio"),
     )
     per_doc = (
