@@ -279,6 +279,15 @@ def main() -> None:
         attempts = 0
         while attempts < runs or (not clean_samples and attempts < runs + extra):
             attempts += 1
+            # Cold-equivalent repeats (VERDICT r14 ask #2): a few
+            # operators share an in-query relation via plain persist(),
+            # and Spark's CacheManager dedupes by logical plan — so
+            # without this, runs 2..n of a repeat read the previous
+            # run's cache and the min-of-3 reports a warm number.
+            # Clearing BETWEEN runs (outside the timed window) makes
+            # every sample compute from the parquet inputs; in-query
+            # reuse within one run is untouched.
+            spark.catalog.clearCache()
             c0 = _cpu_sample()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
@@ -316,6 +325,7 @@ def main() -> None:
             break
         still = []
         for name in steal_dirty:
+            spark.catalog.clearCache()  # cold-equivalent, as in the main loop
             c0 = _cpu_sample()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
@@ -391,18 +401,28 @@ def main() -> None:
     except OSError:
         full_path = None
     print(json.dumps(record))
-    compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": medians,
+    print(json.dumps(compact_record(record)))
+
+
+def compact_record(record: dict) -> dict:
+    """The LAST stdout line, shaped for the driver's byte-bounded tail
+    capture.  r13's full-record line got its head clipped by that
+    window and the round-over-round comparison was lost (VERDICT r14
+    finding #3), so the compact line must stay well under the capture
+    window even as the catalog grows: steal-dirty query NAMES are
+    folded to a count (the names live in the full record / side file)
+    and nothing nested beyond the contract-required ``queries`` dict is
+    emitted.  ``tests/test_bench_contract.py`` pins the byte budget."""
+    return {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "queries": record["queries_median"],
         "clean_total": record["clean_total"],
-        "steal_dirty": steal_dirty,
-        "window_dirty": window_dirty,
+        "n_steal_dirty": len(record["steal_dirty"]),
+        "window_dirty": record["window_dirty"],
         "sf": record["sf"],
-        "full_record": full_path,
     }
-    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
