@@ -27,15 +27,17 @@ The Spark-first shape:
   via a bias-feature row.  The μ/σ stats are ONE aggregate collected as
   D+1 doubles.  (Scale-only normalization — the naive sparse-safe choice
   — measurably underfits this task: 0.75 vs 0.89 held-out.)
-* **One epoch = two shuffles**, both on bounded keys: margins are
-  ``features ⋈ broadcast(weights)`` then ``groupBy(doc_id)`` — exchange-
-  free because the epoch-invariant relation is pre-partitioned by doc_id
-  and checkpointed once — and the gradient is the residual joined back
-  and ``groupBy(idx)``, a D+1-row result.  The only driver state is the
-  (D+1)-vector of weights per epoch (the tiny-bounded-model convention
-  of the IVF k-means seeds, similarity.py).  Nothing document-sized
-  reaches the driver; epoch cost is two scans of the sparse relation at
-  any corpus size.
+* **One epoch = one pass, one tiny shuffle** (r15): the label rides on
+  the checkpointed sparse rows, the folded weights are a literal array
+  projection (no per-epoch broadcast relation), the per-doc margin is a
+  window sum over the doc_id partitioning the checkpoint established
+  (exchange-free), and the per-feature gradient sums fold in the same
+  pipeline through one D+1-key ``groupBy(idx)``.  The only driver state
+  is the (D+1)-vector of weights per epoch (the tiny-bounded-model
+  convention of the IVF k-means seeds, similarity.py).  Nothing
+  document-sized reaches the driver; epoch cost is ONE scan of the
+  sparse relation at any corpus size (r14's shape scanned it twice —
+  margins aggregate, then the residual joined back).
 * The trained scorer is a single broadcast join + aggregate — scoring
   the full corpus is one pass.
 
@@ -105,21 +107,17 @@ def train_logreg(
     relation.  ``labels``: (doc_id, y∈{0,1}).  Returns the final
     (dim+1) weight vector folded back to RAW-count space (via
     :func:`score_weights`), ready for :func:`score_logreg`."""
-    spark = features.sparkSession
-    # Pre-partition the epoch-invariant relations ONCE and truncate
-    # lineage: every per-epoch groupBy(doc_id) runs exchange-free and
-    # the residual join back only shuffles the tiny residual side (use
-    # reliable ``checkpoint`` on a real cluster).  The LABEL relation is
-    # materialized too (r14): the per-epoch residual join otherwise
-    # re-ran the label lineage — a full documents scan plus the
-    # stopword regexp — and its exchange once per epoch (10× here).
-    labels = (
-        labels.select("doc_id", "y")
-        .repartition("doc_id")
-        .localCheckpoint(eager=False)
-    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # Pre-partition the epoch-invariant relation ONCE, with the label
+    # attached to every sparse row (8 bytes/row), and truncate lineage
+    # (use reliable ``checkpoint`` on a real cluster).  r15: carrying y
+    # on the feature rows removes the per-epoch residual join entirely —
+    # each epoch is ONE pass over this relation (see the loop below);
+    # r14's shape scanned it twice per epoch (margins aggregate, then
+    # the residual joined back for the gradient).
     feats = (
-        features.join(labels.select("doc_id"), "doc_id")
+        features.join(labels.select("doc_id", "y"), "doc_id")
         .repartition("doc_id")
         .localCheckpoint()
     )
@@ -143,23 +141,29 @@ def train_logreg(
         sd[i] = math.sqrt(var) if var > 0 else 1.0
 
     w = [0.0] * (dim + 1)  # standardized-space weights; w[dim] = bias
+    w_doc = Window.partitionBy("doc_id")
     for _ in range(epochs):
-        # fold standardization into the broadcast weights + one scalar
-        folded = [
-            (i, w[i] / sd[i]) for i in range(dim)
-        ] + [(dim, w[dim] - sum(w[i] * mu[i] / sd[i] for i in range(dim)))]
-        wdf = spark.createDataFrame(folded, "idx int, w double")
-        resid = _margins(feats.select("doc_id", "idx", "val"), wdf).join(
-            labels.select("doc_id", "y"), "doc_id"
-        ).select(
-            "doc_id",
-            (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
-                - F.col("y")
-            ).alias("res"),
-        )
+        # fold standardization into a LITERAL weight array + one scalar
+        # (r15): the per-epoch 65-row createDataFrame + broadcast join
+        # was a driver round-trip and an extra plan branch; a constant
+        # array projection is pure codegen.  The per-doc margin is a
+        # window sum over the doc_id partitioning the checkpoint already
+        # established (no exchange), so margin, residual and the
+        # per-feature gradient sums run in ONE pass over the sparse
+        # relation — jobs/epoch: one aggregate chain, one tiny
+        # 65-key exchange, no joins.
+        folded = [w[i] / sd[i] for i in range(dim)] + [
+            w[dim] - sum(w[i] * mu[i] / sd[i] for i in range(dim))
+        ]
+        warr = F.array(*[F.lit(float(x)) for x in folded])
+        margin = F.sum(
+            F.col("val") * F.element_at(warr, F.col("idx") + 1)
+        ).over(w_doc)
+        res = (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("y")
+        ).alias("res")
         s_rows = (
-            feats.join(resid, "doc_id")
+            feats.select("idx", "val", res)
             .groupBy("idx")
             .agg(F.sum(F.col("res") * F.col("val")).alias("s"))
             .collect()

@@ -246,45 +246,50 @@ def kcore(edges: DataFrame, k: int = KCORE_K,
     within-survivor degree falls below k.  Returns ``(doc_id,
     core_degree)`` for core members with their final within-core degree.
 
-    Scale shape: each round is one fact-sized join pair + a groupBy on
-    the node key (same per-iteration plan family as :func:`pagerank`);
-    ``localCheckpoint(eager=False)`` truncates the growing lineage.
-    Peeling converges in at most max-degeneracy rounds — single digits
-    on real near-dup graphs — and extra unrolled rounds after the
-    fixpoint are no-ops, so the fixed ``rounds`` bound is exact, not
-    approximate."""
+    Scale shape (r15): the peel is EDGE-filtering — each round keeps the
+    edges whose two endpoints both have within-round degree ≥ k, with
+    the degrees computed as two window counts over the one edge
+    relation.  This is pointwise equivalent to the survivor-set
+    formulation (inductively, the surviving edge set after round t IS
+    the edge set induced by the survivor-set recurrence's S_t: an edge
+    survives iff both endpoints kept degree ≥ k, and a node's degree in
+    the induced subgraph is its count of surviving rows), but the round
+    relation has exactly ONE consumer, so the whole fixed-round
+    recurrence runs as one lazy chain — no per-round checkpoint
+    barriers, no per-round semi-join pair (the r14 shape paid one
+    groupBy + two joins + a checkpoint per round because ``survivors``
+    was referenced twice).  Two exchanges per round (partition by dst,
+    then by src); the final degree aggregate reuses the last round's
+    src partitioning.  Peeling converges in at most max-degeneracy
+    rounds — single digits on real near-dup graphs — and extra unrolled
+    rounds after the fixpoint are no-ops, so the fixed ``rounds`` bound
+    is exact, not approximate."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     # EAGER checkpoint: the edge relation's lineage (a near-dup pair
-    # computation) must run ONCE — a lazy checkpoint would re-execute it
-    # inside every peel round's join until first materialization.
+    # computation) must run ONCE ahead of the multi-round chain.
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).localCheckpoint(eager=True)
-    survivors = sym.select(F.col("src").alias("node")).distinct()
-
-    def survivor_degrees(surv):
-        a = surv.select(F.col("node").alias("src"))
-        b = surv.select(F.col("node").alias("dst"))
-        return (
-            sym.join(a, "src")
-            .join(b, "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("core_degree"))
-        )
-
+    w_dst = Window.partitionBy("dst")
+    w_src = Window.partitionBy("src")
+    cur = sym
     for _ in range(rounds):
-        survivors = (
-            survivor_degrees(survivors)
-            .filter(F.col("core_degree") >= k)
-            .select("node")
-            .localCheckpoint(eager=False)
+        # dst window first, src window last: the round ends partitioned
+        # by src, so the next round's src window / the final groupBy
+        # reuse that exchange.
+        cur = (
+            cur.withColumn("dd", F.count(F.lit(1)).over(w_dst))
+            .withColumn("ds", F.count(F.lit(1)).over(w_src))
+            .filter((F.col("ds") >= k) & (F.col("dd") >= k))
+            .select("src", "dst")
         )
-    # Final degrees must be measured against the FINAL survivor set: the
-    # loop's last intra-round degree is relative to the previous round's
-    # set and overstates nodes whose neighbors were peeled that round.
-    return survivor_degrees(survivors).select(
-        F.col("node").alias("doc_id"), "core_degree"
+    # Degrees over the FINAL surviving edge set == degrees within the
+    # final survivor-induced subgraph (the r14 post-loop re-measure).
+    return cur.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
     )
 
 
