@@ -524,53 +524,70 @@ JACCARD_BLAS_BCAST_BUDGET = 128 * 1024 * 1024
 def _jaccard_bcast_pairs(
     postings: DataFrame, block_cols: list[str], threshold: float
 ) -> DataFrame:
-    """Blocked exact Jaccard, BLAS band tier: the whole (bounded)
-    corpus's float32 incidence matrix is broadcast and each task
-    computes one contiguous ROW BAND's sgemm against the full matrix —
-    the same per-pair math as :func:`_jaccard_block_kernel` spread over
-    ``defaultParallelism`` tasks instead of one task per block
-    (measured: the sf0.1 ppjoin tier-1 block runs its 47 GFLOP product
-    on ONE core for ~3.6 s; the bands cut that to the sub-second BLAS
-    share plus one small collect+broadcast).
+    """Blocked exact Jaccard, BLAS band tier: every block's (bounded)
+    float32 incidence matrix is broadcast PACKED and each task computes
+    one contiguous ROW BAND of one block's sgemm against that block's
+    full matrix — the same per-pair math as :func:`_jaccard_block_kernel`
+    spread over ``defaultParallelism`` tasks instead of one task per
+    block (measured r14: the sf0.1 ppjoin tier-1 block ran its 47 GFLOP
+    product on ONE core for ~3.6 s).
 
-    Bit-identical to the per-block kernel by construction: shared-gram
-    counts are 0/1 dot products whose partial sums are exact integers in
-    float32 (fenced at 2²⁴ distinct grams), the float32 screen uses the
-    same loosened-threshold constant and the same ``ns ≥ fac·(na+nb)``
-    comparison, and survivors get the identical float64 division.
-    Cross-block pairs are masked out after the screen, so multi-block
-    inputs work transparently (equivalence pytest covers both)."""
+    Per-block matrices (r15): the r14 edition built ONE global matrix
+    over the union vocabulary and masked cross-block pairs after the
+    screen, which paid n_total²·g_union flops on multi-block corpora
+    (~10× the useful work on the lang-blocked corpus) — that is why it
+    was fenced to n_blocks == 1.  Each block now gets its own gram axis
+    and its own matrix, so the flops are exactly Σ_b n_b²·g_b (what the
+    per-block kernel pays), bands are dealt per block PROPORTIONAL to
+    its flops, and one straggler block no longer serializes the stage
+    (the graph family's lang-blocked verify ran its 8 GFLOP ``en``
+    block on one core).
+
+    Bit-identical to the per-block kernel by construction: the gram
+    axis is summed over (its order is irrelevant), shared-gram counts
+    are 0/1 dot products whose partial sums are exact integers in
+    float32 (fenced at 2²⁴ distinct grams per block), the float32
+    screen uses the same loosened-threshold constant and the same
+    ``ns ≥ fac·(na+nb)`` comparison, and survivors get the identical
+    float64 division (equivalence pytest, lang-blocked and single)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     spark = postings.sparkSession
-    grams = sorted(
-        r["gram"] for r in postings.select("gram").distinct().collect()
-    )
-    g = len(grams)
-    if g >= (1 << 24):
-        raise ValueError(
-            f"jaccard BLAS tier has {g} distinct grams >= 2^24: float32 "
-            "shared-gram counts would no longer be exact. Re-block finer."
-        )
-    gidx = {x: i for i, x in enumerate(grams)}
-    nbytes = (g + 7) // 8
-    bc_bits = spark.sparkContext.broadcast(gidx)
     blk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in block_cols])
-    per_doc = (
-        postings.withColumn("__blk", blk)
-        .groupBy("doc_id", "__blk")
-        .agg(F.collect_set("gram").alias("grams"))
+    blocked = postings.withColumn("__blk", blk)
+    gram_rows = blocked.select("__blk", "gram").distinct().collect()
+    if len(gram_rows) > HYBRID_STATS_CAP:
+        raise ValueError(
+            f"jaccard BLAS tier: {len(gram_rows)} distinct (block, gram) "
+            f"rows exceed the driver stats cap {HYBRID_STATS_CAP}; "
+            "re-block finer or route to the posting-join tier."
+        )
+    gidx: dict[str, dict[str, int]] = {}
+    for r in gram_rows:
+        m = gidx.setdefault(r["__blk"], {})
+        m[r["gram"]] = len(m)
+    for b, m in gidx.items():
+        if len(m) >= (1 << 24):
+            raise ValueError(
+                f"jaccard BLAS tier block {b!r} has {len(m)} distinct "
+                "grams >= 2^24: float32 shared-gram counts would no "
+                "longer be exact. Re-block finer."
+            )
+    bc_bits = spark.sparkContext.broadcast(gidx)
+    per_doc = blocked.groupBy("doc_id", "__blk").agg(
+        F.collect_set("gram").alias("grams")
     )
 
     def pack(batches):
-        bits_map = bc_bits.value
+        bits_maps = bc_bits.value
         for pdf in batches:
             out_ids, out_blks, out_bits = [], [], []
             for doc_id, b, gs in zip(
                 pdf["doc_id"], pdf["__blk"], pdf["grams"]
             ):
-                buf = bytearray(nbytes)
+                bits_map = bits_maps[b]
+                buf = bytearray((len(bits_map) + 7) // 8)
                 for x in gs:
                     bit = bits_map[x]
                     buf[bit >> 3] |= 1 << (bit & 7)
@@ -581,68 +598,95 @@ def _jaccard_bcast_pairs(
                 {"doc_id": out_ids, "__blk": out_blks, "bits": out_bits}
             )
 
-    # bounded collect of PACKED bitsets (D·G/8 bytes) — collecting the
-    # per-doc gram-string arrays instead measured ~65 MB of row-format
-    # driver transfer at sf0.1 and ate most of the band win (r14, found
-    # on the containment twin); each band task unpacks its broadcast
-    # copy to float32 once
+    # bounded collect of PACKED bitsets (Σ_b n_b·g_b/8 bytes) —
+    # collecting the per-doc gram-string arrays instead measured ~65 MB
+    # of row-format driver transfer at sf0.1 and ate most of the band
+    # win (r14); each band task unpacks ITS block to float32 once
     rows = per_doc.mapInPandas(
         pack, schema="doc_id bigint, __blk string, bits binary"
     ).collect()
     empty = pd.DataFrame(
         {"doc_a": [], "doc_b": [], "jaccard": []}
     ).astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
-    n = len(rows)
-    if n < 2:
+    if len(rows) < 2:
         return spark.createDataFrame(
             empty, schema="doc_a bigint, doc_b bigint, jaccard double"
         )
-    from collections import Counter  # noqa: PLC0415
-
-    blk_n = Counter(r["__blk"] for r in rows)
-    _assert_dense_actuals(
-        "_jaccard_bcast_pairs", n, 4 * max(g, 1),
-        work_budget=DENSE_WORK_BUDGET,
-        bcast_budget=JACCARD_BLAS_BCAST_BUDGET,
-        pair_sum=sum(c * c for c in blk_n.values()),
-    )
-    rows.sort(key=lambda r: r["doc_id"])  # global order ⇒ doc_a < doc_b
-    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    blks = np.array([r["__blk"] for r in rows], dtype=object)
-    packed = np.frombuffer(
-        b"".join(bytes(r["bits"]) for r in rows), dtype=np.uint8
-    ).reshape(n, nbytes)
-    bc = spark.sparkContext.broadcast((ids, blks, packed))
+    by_blk: dict[str, list] = {}
+    for r in rows:
+        by_blk.setdefault(r["__blk"], []).append(r)
+    total_work = 0
+    mats: dict[str, tuple] = {}
+    for b, rs in by_blk.items():
+        g_b = len(gidx.get(b, {}))
+        nbytes = (g_b + 7) // 8
+        # per-block budget fences, same intent as the r14 global assert:
+        # the routing stats were measured in a separate job, so the
+        # ACTUALS re-check both the task footprint (one unpacked block)
+        # and the pair work before anything is broadcast
+        _assert_dense_actuals(
+            f"_jaccard_bcast_pairs[{b!r}]", len(rs), 4 * max(g_b, 1),
+            work_budget=DENSE_WORK_BUDGET,
+            bcast_budget=JACCARD_BLAS_BCAST_BUDGET,
+        )
+        total_work += len(rs) * len(rs) * 4 * g_b
+        rs.sort(key=lambda r: r["doc_id"])  # block order ⇒ doc_a < doc_b
+        ids = np.array([r["doc_id"] for r in rs], dtype=np.int64)
+        packed = np.frombuffer(
+            b"".join(bytes(r["bits"]) for r in rs), dtype=np.uint8
+        ).reshape(len(rs), nbytes)
+        mats[b] = (ids, packed, g_b)
+    if total_work > DENSE_WORK_BUDGET * DENSE_BUDGET_SLACK:
+        raise ValueError(
+            f"_jaccard_bcast_pairs: summed pair work {total_work:,} "
+            f"byte-ops exceeds {DENSE_WORK_BUDGET:,} (slack "
+            f"×{DENSE_BUDGET_SLACK}); route to the posting-join tier."
+        )
+    # deal row bands per block proportional to its share of the flops,
+    # so the straggler block gets most of the parallelism and tiny
+    # blocks stay one task
     k = max(1, spark.sparkContext.defaultParallelism)
-    bands = spark.range(0, k, 1, k)
+    flops = {b: len(m[0]) ** 2 * m[2] for b, m in mats.items()}
+    tot = max(1, sum(flops.values()))
+    tasks = []
+    for b in sorted(mats):
+        nb = max(1, round(k * flops[b] / tot))
+        tasks.extend((b, i, nb) for i in range(nb))
+    bc = spark.sparkContext.broadcast((mats, tasks))
+    bands = spark.range(0, len(tasks), 1, len(tasks))
 
     def kernel(batches):
-        b_ids, b_blks, b_packed = bc.value
-        nn = len(b_ids)
-        # unpack once per task: LSB-first bit order matches the packer;
-        # float32 counts exact at G < 2^24 (fenced above)
-        b_m = np.unpackbits(
-            b_packed, axis=1, count=g, bitorder="little"
-        ).astype(np.float32)
-        b_sizes = b_m.sum(axis=1)
+        b_mats, b_tasks = bc.value
         tl = max(threshold - 1e-3, 0.0)
         fac = np.float32(tl / (1.0 + tl))
         for pdf in batches:
             for c in pdf["id"]:
-                lo, hi = int(c) * nn // k, (int(c) + 1) * nn // k
+                b, band, nb = b_tasks[int(c)]
+                ids, packed, g_b = b_mats[b]
+                nn = len(ids)
+                lo, hi = band * nn // nb, (band + 1) * nn // nb
+                if hi <= lo:
+                    yield empty
+                    continue
+                # unpack once per task: LSB-first bit order matches the
+                # packer; float32 counts exact at g_b < 2^24 (fenced)
+                m = np.unpackbits(
+                    packed, axis=1, count=g_b, bitorder="little"
+                ).astype(np.float32)
+                sizes = m.sum(axis=1)
                 out_ia, out_ib, out_ns = [], [], []
                 # same 512-row sub-chunking as the per-block kernel so
-                # the score buffer stays bounded at the bcast cap
+                # the score buffer stays bounded
                 for c0 in range(lo, hi, 512):
                     c1 = min(c0 + 512, hi)
-                    s = np.dot(b_m[c0:c1], b_m.T)
+                    s = np.dot(m[c0:c1], m.T)
                     cond = s >= fac * (
-                        b_sizes[c0:c1, None] + b_sizes[None, :]
+                        sizes[c0:c1, None] + sizes[None, :]
                     )
                     hits = np.argwhere(cond)
                     if len(hits):
                         ia, ib = hits[:, 0] + c0, hits[:, 1]
-                        mask = (ia < ib) & (b_blks[ia] == b_blks[ib])
+                        mask = ia < ib
                         ia, ib = ia[mask], ib[mask]
                         out_ia.append(ia)
                         out_ib.append(ib)
@@ -653,14 +697,14 @@ def _jaccard_bcast_pairs(
                 ia = np.concatenate(out_ia)
                 ib = np.concatenate(out_ib)
                 ns = np.concatenate(out_ns).astype(np.float64)
-                na = b_sizes[ia].astype(np.float64)
-                nb = b_sizes[ib].astype(np.float64)
-                jac = ns / (na + nb - ns)
+                na = sizes[ia].astype(np.float64)
+                nb_ = sizes[ib].astype(np.float64)
+                jac = ns / (na + nb_ - ns)
                 keep = jac >= threshold
                 yield pd.DataFrame(
                     {
-                        "doc_a": b_ids[ia[keep]],
-                        "doc_b": b_ids[ib[keep]],
+                        "doc_a": ids[ia[keep]],
+                        "doc_b": ids[ib[keep]],
                         "jaccard": jac[keep],
                     }
                 )
@@ -703,11 +747,13 @@ def jaccard_pairs_in_blocks(
     than 5 (measured: the sf1 en block alone held one core for minutes
     under the matmul kernel).
 
-    BLAS band tier (r14): when the summed matmul work 2·pair_sum·g
-    exceeds ``JACCARD_BLAS_MIN_FLOPS`` but the float32 incidence matrix
-    still fits ``JACCARD_BLAS_BCAST_BUDGET``, the identical relation
-    comes from :func:`_jaccard_bcast_pairs` — row-band sgemm across
-    ``defaultParallelism`` tasks instead of one task per block.
+    BLAS band tier (r14, per-block r15): when the MAX single-block
+    matmul work 2·n_b²·g_b exceeds ``JACCARD_BLAS_MIN_FLOPS`` (the
+    measured single-core crossover) and the unpacked block matrices fit
+    ``JACCARD_BLAS_BCAST_BUDGET``, the identical relation comes from
+    :func:`_jaccard_bcast_pairs` — per-block row-band sgemm across
+    ``defaultParallelism`` tasks instead of one task per block, with
+    bands dealt proportional to each block's flops.
 
     ``stats`` (r14): optional pre-measured ``(pair_sum, g_lo, g_hi,
     n_sum, n_blocks)`` — Σ_block n², the bracketing [max, Σ] of
@@ -730,17 +776,22 @@ def jaccard_pairs_in_blocks(
         # the identical relation (equivalence pytest), so stats only
         # ever select the physical plan.
         pair_sum, g_lo, g_hi, n_sum, n_blocks = stats
+        # max single-block work, bounded from the bracketing stats:
+        # max_b n_b²·g_b ≤ (Σ_b n_b²)·max_b g_b (exact when one block)
+        work_hi = pair_sum * g_lo
     else:
         # Materialize the postings ONCE (r14): the stats job below and
         # the final kernel each re-ran the whole upstream tokenize pass
         # (two MapInPandas executions per call — visible as two
-        # identical subtrees in the before-plans).  An eager
-        # localCheckpoint runs the pass once and both consumers read
-        # the materialized rows; it lives only for this invocation (no
-        # cross-run cache).  On a real cluster prefer reliable
-        # checkpoint; at 100 TB one tokenize scan instead of two is the
-        # same trade.
-        postings = postings.localCheckpoint(eager=True)
+        # identical subtrees in the before-plans).  LAZY (r15): the
+        # stats job is the first action anyway, so it materializes the
+        # checkpoint as part of its own job — the eager variant paid a
+        # separate materialization job per call (measured 2.1-2.5 →
+        # 1.8-2.0 s on the lang-blocked sf0.1 stage).  It lives only
+        # for this invocation (no cross-run cache).  On a real cluster
+        # prefer reliable checkpoint; at 100 TB one tokenize scan
+        # instead of two is the same trade.
+        postings = postings.localCheckpoint(eager=False)
         # ONE stats job (per-block distinct docs + grams).  The global
         # distinct-gram count is bracketed by [max g_b, Σ g_b]; routing
         # uses the conservative end of each comparison so the decision
@@ -758,6 +809,9 @@ def jaccard_pairs_in_blocks(
                 F.sum("g").alias("g_hi"),
                 F.sum("n").alias("n_sum"),
                 F.count(F.lit(1)).alias("n_blocks"),
+                F.max(
+                    F.col("n") * F.col("n") * F.col("g")
+                ).alias("work_hi"),
             )
             .collect()[0]
         )
@@ -765,24 +819,27 @@ def jaccard_pairs_in_blocks(
         g_lo, g_hi = bstats["g_lo"] or 0, bstats["g_hi"] or 0
         n_sum = bstats["n_sum"] or 0
         n_blocks = bstats["n_blocks"] or 0
+        work_hi = bstats["work_hi"] or 0
     if (
-        n_blocks == 1
-        and 2 * pair_sum * g_hi > JACCARD_BLAS_MIN_FLOPS
-        and g_hi < (1 << 24)
-        and n_sum * 4 * g_hi <= JACCARD_BLAS_BCAST_BUDGET
+        2 * work_hi > JACCARD_BLAS_MIN_FLOPS
+        and g_lo < (1 << 24)
+        and n_sum * 4 * g_lo <= JACCARD_BLAS_BCAST_BUDGET
     ):
-        # BLAS band tier (r14): a SINGLE block whose sgemm exceeds the
-        # single-core threshold serializes a task-per-block plan by
-        # construction; spread its row bands over every core instead
-        # (bit-identical, see the tier).  Deliberately restricted to
-        # n_blocks == 1 — the tier builds one GLOBAL matrix, and on a
-        # multi-block corpus that pays n_total²·g_union flops where the
-        # per-block kernel pays Σ n_b²·g_b across concurrent tasks
-        # (measured: lang-blocked sf0.1 at threshold 0.1 blew up ~10×
-        # under a max-block-work criterion — 92 MB union-vocabulary
-        # broadcast, 4× the flops).  Multi-block skew remains a
-        # blocking-key problem, as the per-block kernel's bounds
-        # document.
+        # BLAS band tier: any single block whose sgemm exceeds the
+        # measured single-core crossover serializes a task-per-block
+        # plan by construction; spread its row bands over every core
+        # instead (bit-identical, see the tier).  r15: the tier now
+        # builds one matrix PER BLOCK (own gram axis, bands dealt
+        # proportional to per-block flops), so the r14 single-block
+        # fence is gone — the global-matrix edition paid n_total²·
+        # g_union flops on multi-block corpora (measured ~10× blowup on
+        # the lang-blocked corpus), the per-block edition pays exactly
+        # Σ n_b²·g_b.  The criterion is MAX-block work, not summed
+        # work: the tier's fixed cost (two driver collects + pack pass
+        # + broadcast, ~0.7-1 s locally) is only worth paying when some
+        # one block would otherwise straggle past the crossover (the
+        # 7.9 GFLOP sf0.1 ``en`` block measured a 0.2 s LOSS through
+        # the tier vs the 47 GFLOP ppjoin block's 1.5-2 s win).
         return _jaccard_bcast_pairs(postings, block_cols, threshold)
     if (
         g_hi <= DENSE_GRAM_BITS
