@@ -223,8 +223,14 @@ def line_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the undecorated {DEDUP_LINE_WORDS}-word construction: ~19% of
     lines have a cross-document twin at sf0.01, so the relation is
     non-vacuous."""
-    d = load_tables(spark, sf_dir, "documents")["documents"]
-    keyed = d.select(
+    # Fan out before the line explode (r15): the line relation is built
+    # on the single-row-group scan's ONE partition and feeds two
+    # branches (survivor groupBy + the join probe) — both serialized on
+    # one core without it.  Every aggregate here is integer, so
+    # partitioning cannot change the relation.
+    keyed = fan_out(
+        load_tables(spark, sf_dir, "documents")["documents"]
+    ).select(
         "doc_id",
         F.posexplode(_lines_expr(DEDUP_LINE_WORDS, False)).alias("i", "line"),
     ).withColumn("occ_key", F.col("doc_id") * 1000000 + F.col("i"))

@@ -795,7 +795,17 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (ragged tails, the empty-doc guard, the start grid) is
     hash-pinned.
     """
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+    from national_caseload_data_ingest_spark.operators.multimodal import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    # Fan the doc relation past the scan's file-split width before the
+    # chunk explode (r15): a single-row-group corpus scans as ONE
+    # partition and this pure-codegen explode pipeline — like the
+    # Python kernels the r14 fan-out batch covered — ran serialized on
+    # one core.  Chunk rows are exact strings/ints, so partitioning
+    # cannot change the relation (order-insensitive oracle hash).
+    d = fan_out(load_tables(spark, sf_dir, "documents")["documents"])
     toks = F.split(F.trim(F.col("text")), r"\s+")
     e = d.select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n")
@@ -924,9 +934,19 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc_id-partitioned window (single shuffle on doc_id, bounded by
     document length) → distinct on (doc_id, fingerprint).
     """
-    d = load_tables(spark, sf_dir, "documents")["documents"]
     from pyspark.sql.window import Window  # noqa: PLC0415
 
+    from national_caseload_data_ingest_spark.operators.multimodal import (  # noqa: PLC0415
+        fan_out,
+    )
+
+    # Fan out before the k-gram explode (r15): the gram pass (slice +
+    # concat + md5 per token position) is the query's dominant cost and
+    # ran on the single-row-group scan's ONE partition — measured
+    # 3.46-3.48 → 1.60-1.88 s at sf0.1.  Fingerprints are md5 strings
+    # and the window re-shuffles by doc_id anyway, so partitioning
+    # cannot change the relation.
+    d = fan_out(load_tables(spark, sf_dir, "documents")["documents"])
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
         F.col("n") >= WINNOW_K
